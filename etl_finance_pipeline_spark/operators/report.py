@@ -1,0 +1,110 @@
+"""Data-quality reporting — aggregate profile + SMA indicators.
+
+Capability parity with /root/reference/src/etl/utils/reporting.py
+(A4-A9, W1): row count / time span, per-column NULL profile, duplicate
+count, candle-range stats, CLOSE distribution (exact median), outlier
+heuristic, and rolling simple-moving-average indicator stats.
+
+Spark-first: the whole profile is ONE wide aggregate per key (single
+shuffle, map-side partial agg); the SMA pass is one per-key ordered
+window. Reports come back as small DataFrames (one row per key) —
+collect on the driver for JSON serialization, exactly like the
+reference's dict report but computed distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sma(
+    df: DataFrame,
+    value_col: str = "CLOSE",
+    window_size: int = 10,
+    key_cols: list[str] | None = None,
+    ts_col: str = "TIMESTAMP",
+    order_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rolling simple moving average over the trailing *window_size*
+    rows, ``min_periods=1`` semantics (avg of however many rows the
+    frame holds — Spark's default) [W1, reporting.py:107-112].
+
+    *order_cols* should make the ordering total (e.g. add a sequence
+    column when timestamps can tie) for deterministic results.
+    """
+    w = (
+        Window.partitionBy(*(key_cols or []))
+        .orderBy(*(order_cols or [ts_col]))
+        .rowsBetween(-(window_size - 1), 0)
+    )
+    return df.withColumn(out_col or f"SMA_{window_size}", F.avg(value_col).over(w))
+
+
+def data_quality_report(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "TIMESTAMP",
+    compute_indicators: bool = True,
+    sma_windows: tuple[int, ...] = (10, 50),
+) -> DataFrame:
+    """One report row per key (or a single global row when *key_cols*
+    is empty): rows, start/end, per-column null counts, duplicate
+    timestamps, candle range stats, CLOSE min/max/exact-median, and the
+    suspicious-price-jump heuristic (close_max/median > 100 or
+    close_min/median < 0.01, reporting.py:80-94).
+    """
+    keys = key_cols or []
+    cols = set(df.columns)
+    aggs = [
+        F.count("*").alias("rows"),
+        F.min(ts_col).alias("start"),
+        F.max(ts_col).alias("end"),
+        (F.count(ts_col) - F.countDistinct(ts_col)).alias("duplicate_timestamps"),
+    ]
+    for c in df.columns:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
+    if {"HIGH", "LOW"} <= cols:
+        rng = F.col("HIGH") - F.col("LOW")
+        aggs += [F.avg(rng).alias("mean_range"), F.max(rng).alias("max_range")]
+    if "CLOSE" in cols:
+        aggs += [
+            F.min("CLOSE").alias("close_min"),
+            F.max("CLOSE").alias("close_max"),
+            # exact median (not approx) to match external oracles
+            F.expr("percentile(CLOSE, 0.5)").alias("close_median"),
+        ]
+
+    rep = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+    if "CLOSE" in cols:
+        rep = rep.withColumn(
+            "suspicious_price_jump",
+            F.when(
+                (F.col("close_median") > 0)
+                & (
+                    (F.col("close_max") / F.col("close_median") > 100)
+                    | (F.col("close_min") / F.col("close_median") < 0.01)
+                ),
+                F.lit(True),
+            ).otherwise(F.lit(False)),
+        )
+
+    if compute_indicators and "CLOSE" in cols:
+        ind = df
+        for wsize in sma_windows:
+            ind = sma(ind, "CLOSE", wsize, keys, ts_col)
+        ind_aggs = []
+        for wsize in sma_windows:
+            c = f"SMA_{wsize}"
+            ind_aggs += [
+                F.max_by(c, ts_col).alias(f"{c}_last"),
+                F.min(c).alias(f"{c}_min"),
+                F.max(c).alias(f"{c}_max"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
+            ]
+        ind_rep = ind.groupBy(*keys).agg(*ind_aggs) if keys else ind.agg(*ind_aggs)
+        rep = rep.join(ind_rep, on=keys, how="left") if keys else rep.crossJoin(ind_rep)
+    return rep

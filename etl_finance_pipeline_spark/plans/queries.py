@@ -1,0 +1,658 @@
+"""Named queries exercising every engine operator, with matching
+DuckDB oracle SQL (driver correctness contract — see __spark_entry__).
+
+Conventions for oracle parity:
+ * Every computed column is aliased IDENTICALLY in the Spark plan and
+   the SQL (the driver sorts columns by name before hashing).
+ * Floating-point aggregates that sum many values (SUM/AVG over
+   doubles) are rounded to 6 decimals on BOTH sides — summation order
+   differs between engines, exact comparisons never survive.
+   min/max/arg_min/arg_max are exact and left unrounded.
+ * Timestamps: parquet nanos floor to micros identically in Spark
+   (see sources.tables) and DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_finance_pipeline_spark.operators.gaps import (
+    detect_gaps,
+    forward_fill,
+    interpolate_linear,
+    missing_timestamps,
+    reindex_to_grid,
+)
+from etl_finance_pipeline_spark.operators.normalize import (
+    normalize_columns,
+    remove_duplicates,
+)
+from etl_finance_pipeline_spark.operators.report import data_quality_report, sma
+from etl_finance_pipeline_spark.operators.resample import (
+    candles_from_ticks,
+    resample_ohlc,
+)
+from etl_finance_pipeline_spark.sources.tables import load_table
+from etl_finance_pipeline_spark.functions.scalar import portable_round as _pr
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical events frame: engine rename layer maps ts→TIMESTAMP;
+    event_type plays the SYMBOL role (P1/P4)."""
+    ev = load_table(spark, _t(sf_dir, "events"))
+    return normalize_columns(ev).withColumnRenamed("event_type", "SYMBOL")
+
+
+def _dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedupe on (SYMBOL, TIMESTAMP), arrival = event_id."""
+    return remove_duplicates(
+        events_frame(spark, sf_dir), ["SYMBOL", "TIMESTAMP"], order_by=["event_id"]
+    )
+
+
+def _candles_5m_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return candles_from_ticks(
+        _dedup_events(spark, sf_dir), "5T", ["SYMBOL"], value_col="value"
+    )
+
+
+# --------------------------------------------------------------------
+# Flagship: tick→candle OHLCV aggregation (A1 + O1 + P1)
+# --------------------------------------------------------------------
+
+def q_candles_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _candles_5m_raw(spark, sf_dir)
+    return c.select(
+        F.col("SYMBOL").alias("symbol"),
+        F.col("TIMESTAMP").alias("bucket_ts"),
+        F.col("OPEN").alias("open"),
+        F.col("HIGH").alias("high"),
+        F.col("LOW").alias("low"),
+        F.col("CLOSE").alias("close"),
+        _pr("VOLUME", 6).alias("volume"),
+        F.col("N_TICKS").alias("n_ticks"),
+    )
+
+
+SQL_CANDLES_5M = """
+WITH dedup AS (
+  SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) = 1
+)
+SELECT event_type AS symbol,
+       time_bucket(INTERVAL 5 MINUTE, ts) AS bucket_ts,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close,
+       floor((sum(value)) * 1000000 + 0.5) / 1000000 AS volume,
+       count(*) AS n_ticks
+FROM dedup
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------
+# O1 — keep-first dedupe (coarse key so duplicates actually exist)
+# --------------------------------------------------------------------
+
+def q_dedupe_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = events_frame(spark, sf_dir).withColumn(
+        "ts_minute", F.date_trunc("minute", F.col("TIMESTAMP"))
+    )
+    out = remove_duplicates(
+        df, ["SYMBOL", "ts_minute"], order_by=["TIMESTAMP", "event_id"]
+    )
+    return out.select(
+        "event_id",
+        F.col("SYMBOL").alias("symbol"),
+        "ts_minute",
+        F.col("value").alias("value"),
+    )
+
+
+SQL_DEDUPE_KEEP_FIRST = """
+SELECT event_id, event_type AS symbol,
+       date_trunc('minute', ts) AS ts_minute, value
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY event_type, date_trunc('minute', ts)
+  ORDER BY ts, event_id
+) = 1
+"""
+
+
+# --------------------------------------------------------------------
+# G1+G2 — expected grid + missing timestamps (anti-join)
+# --------------------------------------------------------------------
+
+def _minute_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        events_frame(spark, sf_dir)
+        .select("SYMBOL", F.date_trunc("minute", "TIMESTAMP").alias("TIMESTAMP"))
+        .distinct()
+    )
+
+
+def q_missing_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = _minute_observations(spark, sf_dir)
+    missing = missing_timestamps(obs, "1T", ["SYMBOL"])
+    return missing.select(F.col("SYMBOL").alias("symbol"), F.col("TIMESTAMP").alias("ts"))
+
+
+SQL_MISSING_MINUTES = """
+WITH obs AS (
+  SELECT DISTINCT event_type AS symbol, date_trunc('minute', ts) AS m FROM events
+), b AS (
+  SELECT symbol, min(m) AS mn, max(m) AS mx FROM obs GROUP BY 1
+), grid AS (
+  SELECT symbol, unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS ts FROM b
+)
+SELECT g.symbol, g.ts FROM grid g
+WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.symbol = g.symbol AND o.m = g.ts)
+"""
+
+
+# --------------------------------------------------------------------
+# G3+G4 — gap islands + classification
+# --------------------------------------------------------------------
+
+def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = _minute_observations(spark, sf_dir)
+    gaps = detect_gaps(obs, "1T", ["SYMBOL"], short_gap_minutes=5)
+    return gaps.select(
+        F.col("SYMBOL").alias("symbol"),
+        F.col("start").alias("gap_start"),
+        F.col("end").alias("gap_end"),
+        F.col("length_minutes").alias("length_minutes"),
+        F.col("missing_count").alias("missing_count"),
+        F.col("classification").alias("classification"),
+    )
+
+
+SQL_GAP_ISLANDS = """
+WITH obs AS (
+  SELECT DISTINCT event_type AS symbol, date_trunc('minute', ts) AS m FROM events
+), b AS (
+  SELECT symbol, min(m) AS mn, max(m) AS mx FROM obs GROUP BY 1
+), grid AS (
+  SELECT symbol, unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS ts FROM b
+), missing AS (
+  SELECT g.symbol, g.ts FROM grid g
+  WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.symbol = g.symbol AND o.m = g.ts)
+), isl AS (
+  SELECT symbol, ts,
+         epoch_us(ts) // 60000000 - row_number() OVER (PARTITION BY symbol ORDER BY ts) AS island
+  FROM missing
+), agg AS (
+  SELECT symbol, min(ts) AS gap_start, max(ts) AS gap_end, count(*) AS missing_count
+  FROM isl GROUP BY symbol, island
+)
+SELECT symbol, gap_start, gap_end,
+       (epoch_us(gap_end) // 1000000 - epoch_us(gap_start) // 1000000 + 60) / 60.0 AS length_minutes,
+       missing_count,
+       CASE
+         WHEN (epoch_us(gap_end) // 1000000 - epoch_us(gap_start) // 1000000 + 60) / 60.0 <= 5 THEN 'short_gap'
+         WHEN CAST(gap_start AS DATE) != CAST(gap_end + INTERVAL 1 MINUTE AS DATE) THEN 'overnight_gap'
+         WHEN (epoch_us(gap_end) // 1000000 - epoch_us(gap_start) // 1000000 + 60) / 60.0 >= 1440 THEN 'long_gap'
+         ELSE 'medium_gap'
+       END AS classification
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------
+# G5+G6 — reindex to grid + forward fill
+# --------------------------------------------------------------------
+
+def q_reindex_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_min = (
+        events_frame(spark, sf_dir)
+        .groupBy("SYMBOL", F.date_trunc("minute", "TIMESTAMP").alias("TIMESTAMP"))
+        .agg(F.max_by("value", "TIMESTAMP").alias("close"))
+    )
+    re = reindex_to_grid(per_min, "1T", ["SYMBOL"])
+    ff = forward_fill(re, ["close"], ["SYMBOL"])
+    return ff.select(
+        F.col("SYMBOL").alias("symbol"),
+        F.col("TIMESTAMP").alias("ts"),
+        F.col("close").alias("close_filled"),
+    )
+
+
+SQL_REINDEX_FFILL = """
+WITH per_min AS (
+  SELECT event_type AS symbol, date_trunc('minute', ts) AS m,
+         arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT symbol, min(m) AS mn, max(m) AS mx FROM per_min GROUP BY 1
+), grid AS (
+  SELECT symbol, unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS ts FROM b
+), re AS (
+  SELECT g.symbol, g.ts, p.close
+  FROM grid g LEFT JOIN per_min p ON p.symbol = g.symbol AND p.m = g.ts
+)
+SELECT symbol, ts,
+       last_value(close IGNORE NULLS) OVER (
+         PARTITION BY symbol ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS close_filled
+FROM re
+"""
+
+
+# --------------------------------------------------------------------
+# G7 — linear interpolation (limit_direction="both")
+# --------------------------------------------------------------------
+
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_min = (
+        events_frame(spark, sf_dir)
+        .groupBy("SYMBOL", F.date_trunc("minute", "TIMESTAMP").alias("TIMESTAMP"))
+        .agg(F.max_by("value", "TIMESTAMP").alias("CLOSE"))
+    )
+    re = reindex_to_grid(per_min, "1T", ["SYMBOL"])
+    ip = interpolate_linear(re, ["CLOSE"], ["SYMBOL"])
+    return ip.select(
+        F.col("SYMBOL").alias("symbol"),
+        F.col("TIMESTAMP").alias("ts"),
+        _pr("CLOSE", 6).alias("close_interp"),
+    )
+
+
+SQL_INTERPOLATE_LINEAR = """
+WITH per_min AS (
+  SELECT event_type AS symbol, date_trunc('minute', ts) AS m,
+         arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT symbol, min(m) AS mn, max(m) AS mx FROM per_min GROUP BY 1
+), grid AS (
+  SELECT symbol, unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS ts FROM b
+), re AS (
+  SELECT g.symbol, g.ts, p.close
+  FROM grid g LEFT JOIN per_min p ON p.symbol = g.symbol AND p.m = g.ts
+), win AS (
+  SELECT symbol, ts, close,
+    CAST(epoch_us(ts) // 1000000 AS DOUBLE) AS ts_sec,
+    last_value(close IGNORE NULLS) OVER wb AS prev_val,
+    last_value(CASE WHEN close IS NOT NULL THEN CAST(epoch_us(ts) // 1000000 AS DOUBLE) END IGNORE NULLS) OVER wb AS prev_ts,
+    first_value(close IGNORE NULLS) OVER wf AS next_val,
+    first_value(CASE WHEN close IS NOT NULL THEN CAST(epoch_us(ts) // 1000000 AS DOUBLE) END IGNORE NULLS) OVER wf AS next_ts
+  FROM re
+  WINDOW
+    wb AS (PARTITION BY symbol ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY symbol ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT symbol, ts,
+       floor((coalesce(
+         close,
+         prev_val + (next_val - prev_val) * (ts_sec - prev_ts) / (next_ts - prev_ts),
+         prev_val, next_val
+       )) * 1000000 + 0.5) / 1000000 AS close_interp
+FROM win
+"""
+
+
+# --------------------------------------------------------------------
+# A1-A3 — OHLCV resample composition (5m candles → 1h)
+# --------------------------------------------------------------------
+
+def q_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _candles_5m_raw(spark, sf_dir).drop("N_TICKS")
+    hourly = resample_ohlc(c, "1H", ["SYMBOL"])
+    return hourly.select(
+        F.col("SYMBOL").alias("symbol"),
+        F.col("TIMESTAMP").alias("bucket_ts"),
+        F.col("OPEN").alias("open"),
+        F.col("HIGH").alias("high"),
+        F.col("LOW").alias("low"),
+        F.col("CLOSE").alias("close"),
+        _pr("VOLUME", 6).alias("volume"),
+    )
+
+
+SQL_RESAMPLE_1H = """
+WITH dedup AS (
+  SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) = 1
+), c5 AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL 5 MINUTE, ts) AS b,
+         arg_min(value, ts) AS open, max(value) AS high,
+         min(value) AS low, arg_max(value, ts) AS close,
+         sum(value) AS volume
+  FROM dedup GROUP BY 1, 2
+)
+SELECT symbol,
+       time_bucket(INTERVAL 1 HOUR, b) AS bucket_ts,
+       arg_min(open, b) AS open,
+       max(high) AS high,
+       min(low) AS low,
+       arg_max(close, b) AS close,
+       floor((sum(volume)) * 1000000 + 0.5) / 1000000 AS volume
+FROM c5 GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------
+# W1 — rolling SMA
+# --------------------------------------------------------------------
+
+def q_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _candles_5m_raw(spark, sf_dir)
+    s = sma(c, "CLOSE", 10, ["SYMBOL"])
+    return s.select(
+        F.col("SYMBOL").alias("symbol"),
+        F.col("TIMESTAMP").alias("ts"),
+        F.col("CLOSE").alias("close"),
+        _pr("SMA_10", 6).alias("sma_10"),
+    )
+
+
+SQL_SMA = """
+WITH dedup AS (
+  SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) = 1
+), c5 AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL 5 MINUTE, ts) AS ts,
+         arg_max(value, ts) AS close
+  FROM dedup GROUP BY 1, 2
+)
+SELECT symbol, ts, close,
+       floor((avg(close) OVER (
+         PARTITION BY symbol ORDER BY ts
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+       )) * 1000000 + 0.5) / 1000000 AS sma_10
+FROM c5
+"""
+
+
+# --------------------------------------------------------------------
+# A4-A8 — data-quality profile (exact median, outlier heuristic)
+# --------------------------------------------------------------------
+
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _candles_5m_raw(spark, sf_dir)
+    rep = data_quality_report(c, ["SYMBOL"], compute_indicators=False)
+    return rep.select(
+        F.col("SYMBOL").alias("symbol"),
+        F.col("rows").alias("n_rows"),
+        F.col("start").alias("t_start"),
+        F.col("end").alias("t_end"),
+        F.col("duplicate_timestamps").alias("dup_ts"),
+        _pr("mean_range", 6).alias("mean_range"),
+        F.col("max_range").alias("max_range"),
+        F.col("close_min").alias("close_min"),
+        F.col("close_max").alias("close_max"),
+        _pr("close_median", 6).alias("close_median"),
+        F.col("suspicious_price_jump").alias("suspicious_price_jump"),
+    )
+
+
+SQL_DQ_PROFILE = """
+WITH dedup AS (
+  SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) = 1
+), c5 AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL 5 MINUTE, ts) AS ts,
+         arg_min(value, ts) AS open, max(value) AS high,
+         min(value) AS low, arg_max(value, ts) AS close
+  FROM dedup GROUP BY 1, 2
+)
+SELECT symbol,
+       count(*) AS n_rows,
+       min(ts) AS t_start,
+       max(ts) AS t_end,
+       count(ts) - count(DISTINCT ts) AS dup_ts,
+       floor((avg(high - low)) * 1000000 + 0.5) / 1000000 AS mean_range,
+       max(high - low) AS max_range,
+       min(close) AS close_min,
+       max(close) AS close_max,
+       floor((quantile_cont(close, 0.5)) * 1000000 + 0.5) / 1000000 AS close_median,
+       CASE WHEN quantile_cont(close, 0.5) > 0
+             AND (max(close) / quantile_cont(close, 0.5) > 100
+                  OR min(close) / quantile_cont(close, 0.5) < 0.01)
+            THEN true ELSE false END AS suspicious_price_jump
+FROM c5 GROUP BY symbol
+"""
+
+
+# --------------------------------------------------------------------
+# TPC-H-style analytics (join/agg machinery from Catalyst)
+# --------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _pr(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _pr(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _pr(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            _pr(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            _pr(F.avg("l_quantity"), 6).alias("avg_qty"),
+            _pr(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            _pr(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+       floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100 AS sum_charge,
+       floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000 AS avg_qty,
+       floor((avg(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS avg_price,
+       floor((avg(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    cust = load_table(spark, _t(sf_dir, "customer"))
+    nation = load_table(spark, _t(sf_dir, "nation"))
+    # dims are small → broadcast; fact-fact join (orders ⋈ lineitem)
+    # shuffles on orderkey.
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _pr(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(F.col("n_name").alias("nation"), "revenue", "n_items")
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n.n_name AS nation,
+       floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+# --------------------------------------------------------------------
+# Dedup / text / similarity (training-data pipeline extensions)
+# --------------------------------------------------------------------
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+SQL_EXACT_DEDUP_DOCS = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.explode(F.split(F.col("text"), r"\s+")).alias("tok"),
+    )
+    stop = ["the", "a", "of", "and", "to", "in", "is", "it"]
+    return tok.groupBy("doc_id", "n_chars").agg(
+        F.count("*").alias("n_tokens"),
+        _pr(F.avg(F.length("tok")), 6).alias("avg_token_len"),
+        F.sum(F.col("tok").isin(stop).cast("long")).alias("n_stopwords"),
+        _pr(
+            F.sum(F.col("tok").isin(stop).cast("long")) / F.count("*"), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+SQL_TEXT_STATS = """
+WITH tok AS (
+  SELECT doc_id, length(text) AS n_chars,
+         unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       count(*) AS n_tokens,
+       floor((avg(length(tok))) * 1000000 + 0.5) / 1000000 AS avg_token_len,
+       CAST(sum(CASE WHEN tok IN ('the','a','of','and','to','in','is','it') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+       floor((sum(CASE WHEN tok IN ('the','a','of','and','to','in','is','it') THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1000000 + 0.5) / 1000000 AS stopword_ratio
+FROM tok
+GROUP BY doc_id, n_chars
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: query vectors (vec_id < 5) against the
+    full corpus. ``zip_with`` + ``aggregate`` keep the dot product
+    JVM-side; ranking is deterministic via (rounded sim, vec_id)."""
+    emb = load_table(spark, _t(sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, e) -> acc + e)")
+    qn = F.expr("sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (acc, e) -> acc + e))")
+    vn = F.expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, e) -> acc + e))")
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _pr(dot / (qn * vn), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         floor((
+           list_sum(list_transform(list_zip(q.qv, e.embedding),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM q, embeddings e
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+FROM pairs
+QUALIFY rank <= 5
+"""
+
+
+# --------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "candles_5m": q_candles_5m,
+    "dedupe_keep_first": q_dedupe_keep_first,
+    "missing_minutes": q_missing_minutes,
+    "gap_islands": q_gap_islands,
+    "reindex_ffill": q_reindex_ffill,
+    "interpolate_linear": q_interpolate_linear,
+    "resample_1h": q_resample_1h,
+    "sma": q_sma,
+    "dq_profile": q_dq_profile,
+    "pricing_summary": q_pricing_summary,
+    "nation_revenue": q_nation_revenue,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "text_stats": q_text_stats,
+    "ann_topk": q_ann_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "candles_5m": SQL_CANDLES_5M,
+    "dedupe_keep_first": SQL_DEDUPE_KEEP_FIRST,
+    "missing_minutes": SQL_MISSING_MINUTES,
+    "gap_islands": SQL_GAP_ISLANDS,
+    "reindex_ffill": SQL_REINDEX_FFILL,
+    "interpolate_linear": SQL_INTERPOLATE_LINEAR,
+    "resample_1h": SQL_RESAMPLE_1H,
+    "sma": SQL_SMA,
+    "dq_profile": SQL_DQ_PROFILE,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "nation_revenue": SQL_NATION_REVENUE,
+    "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
+    "text_stats": SQL_TEXT_STATS,
+    "ann_topk": SQL_ANN_TOPK,
+}

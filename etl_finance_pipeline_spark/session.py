@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[N]``; the same configuration is what we
+would ship to a 1000-executor cluster (AQE on, skew-join handling on,
+sane shuffle-partition default that AQE then coalesces).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl-finance-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    Defaults favor the 100 TB design point:
+      * AQE enabled — runtime shuffle-partition coalescing + skew-join
+        splitting (hot symbols / hot join keys get split automatically).
+      * ``spark.sql.session.timeZone=UTC`` — the engine's canonical
+        timezone contract (the reference pins series to UTC; see
+        /root/reference/src/etl/transform/normalize.py:217).
+      * Arrow enabled for the few pandas-UDF operators (interpolation
+        fallback, multimodal decode).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(cpus)),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # pandas-written parquet often carries TIMESTAMP(NANOS) which
+        # Spark has no native type for; read as long and convert
+        # explicitly (see sources.tables.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

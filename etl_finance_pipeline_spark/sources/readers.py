@@ -1,0 +1,143 @@
+"""Sources: CSV / Parquet readers, directory scan, quarantine.
+
+Capability parity with /root/reference/src/etl/extract/ (S1-S6),
+Spark-first:
+ * One ``spark.read`` per FORMAT (not per file) — Spark lists, splits
+   and parallelizes the whole directory natively; per-file identity is
+   recovered with ``input_file_name()``. The reference's per-file loop
+   (extractor.py:18-61) would serialize a 100 TB directory on the
+   driver.
+ * Corrupt CSV rows are kept in PERMISSIVE mode under
+   ``_corrupt_record`` and split into a quarantine sink — row-level
+   dead-lettering, stronger than the reference's whole-file quarantine
+   (extractor.py:56-59), which we also keep for unreadable files.
+ * At scale pass an explicit schema: ``inferSchema`` is a full extra
+   pass over the data.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SUPPORTED_EXTENSIONS = {".csv": "csv", ".parquet": "parquet", ".pq": "parquet"}
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def detect_file_type(path: str) -> str:
+    """Extension -> format name; raise for unsupported (S2, parity:
+    file_detector.py:5-11)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in SUPPORTED_EXTENSIONS:
+        raise ValueError(f"unsupported file type: {path}")
+    return SUPPORTED_EXTENSIONS[ext]
+
+
+def read_csv(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: T.StructType | None = None,
+    with_source_file: bool = True,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """CSV source with permissive corrupt-record capture (S3+S6).
+
+    Without an explicit schema we infer it (adds a pass — fine for
+    small/dev, pass a schema at scale) and append a string
+    ``_corrupt_record`` column for row-level quarantine.
+    """
+    reader = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if schema is not None:
+        if CORRUPT_COL not in schema.fieldNames():
+            schema = schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.csv(paths)
+    if with_source_file:
+        df = df.withColumn("_source_file", F.input_file_name())
+    return df
+
+
+def read_parquet(
+    spark: SparkSession, paths: str | list[str], with_source_file: bool = True
+) -> DataFrame:
+    """Parquet source (S4)."""
+    df = spark.read.parquet(*([paths] if isinstance(paths, str) else paths))
+    if with_source_file:
+        df = df.withColumn("_source_file", F.input_file_name())
+    return df
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good_rows, quarantined_rows) based on the corrupt-record column."""
+    if CORRUPT_COL not in df.columns:
+        return df, df.limit(0)
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    return good, bad
+
+
+@dataclass
+class LoadResult:
+    """Result of a directory load: one DataFrame per format, plus
+    per-read metadata and the quarantine listing (S5/S6)."""
+
+    frames: dict[str, DataFrame] = field(default_factory=dict)
+    quarantined_files: list[dict] = field(default_factory=list)
+    metadata: list[dict] = field(default_factory=list)
+
+
+def load_directory(
+    spark: SparkSession,
+    raw_path: str,
+    schema: T.StructType | None = None,
+) -> LoadResult:
+    """Scan a directory, group files by detected format, read each
+    group with ONE distributed reader call (S1).
+
+    Unsupported or unreadable files land in ``quarantined_files``
+    (whole-file dead-letter, parity extractor.py:56-59); the driver
+    only ever touches file NAMES, never file contents.
+    """
+    result = LoadResult()
+    by_format: dict[str, list[str]] = {}
+    for name in sorted(os.listdir(raw_path)):
+        full = os.path.join(raw_path, name)
+        if not os.path.isfile(full):
+            continue
+        try:
+            fmt = detect_file_type(full)
+            by_format.setdefault(fmt, []).append(full)
+        except ValueError as exc:
+            result.quarantined_files.append({"file": full, "reason": str(exc)})
+
+    for fmt, files in by_format.items():
+        try:
+            if fmt == "csv":
+                df = read_csv(spark, files, schema=schema)
+            else:
+                df = read_parquet(spark, files)
+            result.frames[fmt] = df
+            result.metadata.append(
+                {"format": fmt, "files": len(files), "columns": df.columns, "status": "ok"}
+            )
+        except Exception as exc:  # unreadable group → per-file fallback
+            for f in files:
+                try:
+                    one = read_csv(spark, f, schema=schema) if fmt == "csv" else read_parquet(spark, f)
+                    result.frames.setdefault(fmt, one)
+                except Exception:
+                    result.quarantined_files.append({"file": f, "reason": str(exc)})
+    return result

@@ -1,0 +1,72 @@
+"""Table loader for parquet datasets, nanosecond-timestamp aware.
+
+pandas/PyArrow-written parquet frequently uses TIMESTAMP(NANOS), which
+Spark has no native type for (Spark timestamps are microsecond). With
+``spark.sql.legacy.parquet.nanosAsLong=true`` those columns surface as
+epoch-nanos longs; this loader inspects the parquet footer (driver-side
+pyarrow, O(1) — one footer read per table, no data scan) and converts
+them back to proper TimestampType via integer division to micros.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Column names stored as TIMESTAMP(NANOS) in the parquet footer."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    probe = path
+    if os.path.isdir(path):
+        inner = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not inner:
+            return []
+        probe = inner[0]
+    schema = pq.ParquetFile(probe).schema_arrow
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table, restoring nanosecond-timestamp columns to
+    TimestampType (truncated to micros, Spark's native resolution)."""
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_columns(path):
+        # integer division — float division would lose precision on
+        # epoch-nanos magnitudes (> 2^60)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_sf_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Load every testdata table under *sf_dir* as a dict of DataFrames."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            out[name] = load_table(spark, p)
+    return out
