@@ -195,16 +195,23 @@ def interpolate_linear(
 
     Note: on a uniform grid (the repair path), index-linear and
     time-linear interpolation coincide, so this matches pandas exactly.
+
+    Performance: BOTH window frames are *growing* frames
+    (UNBOUNDED PRECEDING → CURRENT ROW), which Spark's WindowExec
+    evaluates incrementally in O(n) per key. The "next non-null" is
+    obtained by ordering the growing frame DESCENDING — never use
+    ``rowsBetween(0, unboundedFollowing)``, whose shrinking frame is
+    re-evaluated from scratch per row (O(n²): 294s vs 3s at 215k rows).
     """
     w_back = (
         Window.partitionBy(*key_cols)
-        .orderBy(ts_col)
+        .orderBy(F.col(ts_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_fwd = (
         Window.partitionBy(*key_cols)
-        .orderBy(ts_col)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col(ts_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     ts_sec = F.unix_timestamp(ts_col).cast("double")
     # Build every column's expression in ONE projection so Catalyst
@@ -218,8 +225,8 @@ def interpolate_linear(
         ts_if_valid = F.when(val.isNotNull(), ts_sec)
         prev_val = F.last(val, ignorenulls=True).over(w_back)
         prev_ts = F.last(ts_if_valid, ignorenulls=True).over(w_back)
-        next_val = F.first(val, ignorenulls=True).over(w_fwd)
-        next_ts = F.first(ts_if_valid, ignorenulls=True).over(w_fwd)
+        next_val = F.last(val, ignorenulls=True).over(w_fwd)
+        next_ts = F.last(ts_if_valid, ignorenulls=True).over(w_fwd)
         interp = prev_val + (next_val - prev_val) * (ts_sec - prev_ts) / (
             next_ts - prev_ts
         )
