@@ -269,9 +269,10 @@ def normalize_datetime(
         localized = F.when(is_ambiguous, F.lit(None).cast("timestamp")).otherwise(
             F.to_utc_timestamp(coerced, source_tz)
         )
-        df2 = df.withColumn(ts, localized).withColumn(
-            "_dst_nonexistent", is_nonexistent
-        )
+        # single withColumns: both expressions must resolve against the
+        # ORIGINAL ts column (a second withColumn would see the
+        # already-localized value and the flag would never fire)
+        df2 = df.withColumns({ts: localized, "_dst_nonexistent": is_nonexistent})
         report["ambiguous_policy"] = "NaT"
         report["nonexistent_policy"] = "shift_forward"
     else:

@@ -81,7 +81,14 @@ def read_parquet(
 
 
 def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(good_rows, quarantined_rows) based on the corrupt-record column."""
+    """(good_rows, quarantined_rows) based on the corrupt-record column.
+
+    Note: Spark disallows queries over a raw CSV scan whose required
+    schema is ONLY the corrupt-record column (e.g. ``bad.count()``,
+    SPARK UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
+    write the quarantine frame to its dead-letter sink (references all
+    columns, always allowed) or cache it first if you need bare counts.
+    """
     if CORRUPT_COL not in df.columns:
         return df, df.limit(0)
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)

@@ -1,0 +1,166 @@
+"""Normalization layer tests — ports of the reference's observable
+semantics (rename rules, protected columns, required-column errors,
+coercion counts, keep-first dedupe, tz policy incl. ambiguous-DST NaT).
+Reference assertions: /root/reference/tests/test_phase5_normalization.py,
+test_timezone_normalize.py.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_finance_pipeline_spark.operators.normalize import (
+    build_rename_map,
+    detect_datetime_column,
+    enforce_dtypes,
+    normalize_columns,
+    normalize_datetime,
+    normalize_df,
+    remove_duplicates,
+    validate_required_columns,
+)
+
+
+def test_rename_exact_and_case_insensitive():
+    m = build_rename_map(["open", "High", "LOW", "close", "datetime"])
+    assert m == {
+        "open": "OPEN",
+        "High": "HIGH",
+        "LOW": "LOW",  # renamed to canonical (same letters, canonical case)
+        "close": "CLOSE",
+        "datetime": "TIMESTAMP",
+    } or m.get("LOW") is None  # exact-case match may be skipped
+    # canonical columns map to themselves or are left alone
+    assert m["open"] == "OPEN"
+    assert m["datetime"] == "TIMESTAMP"
+
+
+def test_rename_prefix_suffix():
+    m = build_rename_map(["open_ask", "bid_close", "volume_real"])
+    assert m["open_ask"] == "OPEN"  # variant_ prefix: open_*
+    assert m["bid_close"] == "CLOSE"  # _variant suffix: *_close
+    assert m["volume_real"] == "VOLUME"
+
+
+def test_rename_protected_never_renamed():
+    m = build_rename_map(["symbol", "Ticker", "PAIR", "instrument", "open"])
+    for c in ("symbol", "Ticker", "PAIR", "instrument"):
+        assert c not in m
+    assert m["open"] == "OPEN"
+
+
+def test_rename_first_claim_wins():
+    # two candidates for OPEN — only the first column claims it
+    m = build_rename_map(["o", "price_open"])
+    assert m["o"] == "OPEN"
+    assert "price_open" not in m
+
+
+def test_validate_required_raises_with_names(spark):
+    df = spark.createDataFrame([(1.0,)], ["OPEN"])
+    with pytest.raises(ValueError, match="HIGH"):
+        validate_required_columns(df, ["OPEN", "HIGH"])
+
+
+def test_normalize_columns_is_pure_projection(spark):
+    df = spark.createDataFrame([("2024-01-01", 1.0)], ["time", "o"])
+    out = normalize_columns(df)
+    assert set(out.columns) == {"TIMESTAMP", "OPEN"}
+
+
+def test_enforce_dtypes_coercion_counts(spark):
+    df = spark.createDataFrame(
+        [("1.5", "x"), ("2.0", "3"), (None, "bad")], ["OPEN", "CLOSE"]
+    )
+    out, report = enforce_dtypes(df)
+    types = dict(out.dtypes)
+    assert types["OPEN"] == "double" and types["CLOSE"] == "double"
+    r = report.collect()[0]
+    assert r["coerced_OPEN"] == 0  # null stays null, not a coercion
+    assert r["coerced_CLOSE"] == 2  # "x" and "bad"
+
+
+def test_remove_duplicates_keep_first(spark):
+    df = spark.createDataFrame(
+        [
+            ("A", 1, 10.0, 1),
+            ("A", 1, 20.0, 2),  # dup key, later arrival -> dropped
+            ("A", 2, 30.0, 3),
+            ("B", 1, 40.0, 4),
+        ],
+        ["sym", "ts", "val", "seq"],
+    )
+    out = remove_duplicates(df, ["sym", "ts"], order_by=["seq"]).orderBy("seq")
+    rows = [(r.sym, r.ts, r.val) for r in out.collect()]
+    assert rows == [("A", 1, 10.0), ("A", 2, 30.0), ("B", 1, 40.0)]
+
+
+def test_detect_datetime_column(spark):
+    df = spark.createDataFrame([(1, "2024-01-01")], ["id", "Date"])
+    assert detect_datetime_column(df) == "Date"
+    df2 = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError):
+        detect_datetime_column(df2)
+
+
+def test_normalize_datetime_string_coercion(spark):
+    df = spark.createDataFrame(
+        [("2024-01-02 03:04:05",), ("not a date",)], ["TIMESTAMP"]
+    )
+    out, rep = normalize_datetime(df)
+    vals = [r[0] for r in out.select("TIMESTAMP").collect()]
+    assert datetime(2024, 1, 2, 3, 4, 5) in vals
+    assert None in vals
+    assert rep["needs_review"] is True  # no source_tz -> assumed UTC
+
+
+def test_normalize_datetime_tz_localize(spark):
+    # 12:00 New York winter = 17:00 UTC
+    df = spark.createDataFrame([("2024-01-15 12:00:00",)], ["TIMESTAMP"])
+    out, rep = normalize_datetime(df, source_tz="America/New_York")
+    got = out.select("TIMESTAMP").collect()[0][0]
+    assert got == datetime(2024, 1, 15, 17, 0, 0)
+    assert rep["needs_review"] is False
+
+
+def test_normalize_datetime_ambiguous_dst_is_nulled(spark):
+    # US fall-back 2021-11-07: wall clock 01:30 occurs twice -> NaT policy
+    df = spark.createDataFrame(
+        [("2021-11-07 01:30:00",), ("2021-11-07 03:00:00",)], ["TIMESTAMP"]
+    )
+    out, _ = normalize_datetime(df, source_tz="America/New_York")
+    vals = dict(
+        zip(("ambiguous", "ok"), [r[0] for r in out.select("TIMESTAMP").collect()])
+    )
+    assert vals["ambiguous"] is None
+    assert vals["ok"] == datetime(2021, 11, 7, 8, 0, 0)
+
+
+def test_normalize_datetime_nonexistent_flagged(spark):
+    # US spring-forward 2021-03-14: 02:30 does not exist
+    df = spark.createDataFrame([("2021-03-14 02:30:00",)], ["TIMESTAMP"])
+    out, _ = normalize_datetime(df, source_tz="America/New_York")
+    row = out.collect()[0]
+    assert row["_dst_nonexistent"] is True
+
+
+def test_normalize_df_composition(spark):
+    df = spark.createDataFrame(
+        [
+            ("EURUSD", "2024-01-01 00:00:00", "1.10", 2.0, 1.0, 1.5, 10.0, 1),
+            ("EURUSD", "2024-01-01 00:00:00", "1.20", 2.0, 1.0, 1.5, 10.0, 2),
+            ("EURUSD", "2024-01-01 00:01:00", "oops", 2.0, 1.0, 1.5, 10.0, 3),
+        ],
+        ["symbol", "time", "open", "high", "low", "close", "vol", "seq"],
+    )
+    res = normalize_df(
+        df.withColumnRenamed("symbol", "SYMBOL"), dedupe_order=[F.col("seq")]
+    )
+    assert res.df.count() == 2  # dup ts removed, keep-first
+    assert res.report["rows_before_dedupe"] == 3
+    assert res.report["coercions"]["coerced_OPEN"] == 1  # "oops"
+    kept = res.df.filter(F.col("seq") == 1).collect()
+    assert len(kept) == 1 and abs(kept[0]["OPEN"] - 1.10) < 1e-12

@@ -1,0 +1,63 @@
+"""Source-layer tests: format detection, CSV permissive read +
+row-level quarantine, directory scan with whole-file dead-letter
+(reference: extractor.py S1-S6).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_finance_pipeline_spark.sources.readers import (
+    detect_file_type,
+    load_directory,
+    read_csv,
+    split_quarantine,
+)
+
+
+def test_detect_file_type():
+    assert detect_file_type("a/b/x.csv") == "csv"
+    assert detect_file_type("x.PARQUET") == "parquet"
+    assert detect_file_type("x.pq") == "parquet"
+    with pytest.raises(ValueError, match="unsupported"):
+        detect_file_type("x.xlsx")
+
+
+def test_read_csv_corrupt_rows_quarantined(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("ts,open\n2024-01-01,1.5\nbad_row_only_one_field\n2024-01-02,2.5\n")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.StringType()),
+            T.StructField("open", T.DoubleType()),
+        ]
+    )
+    df = read_csv(spark, str(p), schema=schema)
+    good, bad = split_quarantine(df)
+    # bare .count() on either split prunes the scan down to only the
+    # corrupt-record column, which Spark disallows
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); real pipelines consume data
+    # columns (allowed) — collect() projects all columns.
+    assert len(good.collect()) == 2
+    # bare bad.count() is disallowed by Spark over a raw CSV scan
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — drive the real dead-letter
+    # path instead: write to the quarantine sink, then count.
+    q = str(tmp_path / "quarantine")
+    bad.write.mode("overwrite").json(q)
+    assert spark.read.json(q).count() == 1
+    assert "_corrupt_record" not in good.columns
+    assert "_source_file" in good.columns
+
+
+def test_load_directory_mixed(spark, tmp_path):
+    (tmp_path / "ok.csv").write_text("ts,open\n2024-01-01,1.0\n")
+    (tmp_path / "skip.xlsx").write_text("not supported")
+    spark.createDataFrame([("2024-01-01", 2.0)], ["ts", "open"]).write.parquet(
+        str(tmp_path / "part.parquet")
+    )
+    res = load_directory(spark, str(tmp_path))
+    assert "csv" in res.frames and res.frames["csv"].count() == 1
+    assert [q["file"] for q in res.quarantined_files] == [str(tmp_path / "skip.xlsx")]
+    statuses = {m["format"]: m["status"] for m in res.metadata}
+    assert statuses.get("csv") == "ok"

@@ -1,0 +1,136 @@
+"""DQ report, SMA, and export-layer tests (reference semantics:
+reporting.py A4-A9/W1, exporter.py S7-S10/P6/P8-P9,
+tests/test_phase7_export.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_finance_pipeline_spark.operators.report import data_quality_report, sma
+from etl_finance_pipeline_spark.sources.exporter import (
+    append_export_log,
+    content_hash,
+    derive_partition_columns,
+    validate_for_export,
+    write_parquet_with_metadata,
+)
+
+T0 = datetime(2024, 1, 2, 9, 0)
+
+
+def _candles(spark, n=20, sym="X"):
+    rows = [
+        (sym, T0 + timedelta(minutes=5 * i), 10.0 + i, 20.0 + i, 5.0 + i, 15.0 + i)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, ["SYMBOL", "TIMESTAMP", "OPEN", "HIGH", "LOW", "CLOSE"]
+    )
+
+
+def test_sma_matches_pandas_min_periods_1(spark):
+    df = _candles(spark, 12)
+    got = [
+        r["SMA_10"]
+        for r in sma(df, "CLOSE", 10, ["SYMBOL"]).orderBy("TIMESTAMP").collect()
+    ]
+    want = (
+        pd.Series([15.0 + i for i in range(12)])
+        .rolling(10, min_periods=1)
+        .mean()
+        .tolist()
+    )
+    assert got == pytest.approx(want)
+
+
+def test_data_quality_report_fields(spark):
+    rep = data_quality_report(_candles(spark, 20), ["SYMBOL"]).collect()[0]
+    assert rep["rows"] == 20
+    assert rep["start"] == T0
+    assert rep["end"] == T0 + timedelta(minutes=95)
+    assert rep["duplicate_timestamps"] == 0
+    assert rep["mean_range"] == 15.0  # HIGH-LOW constant
+    assert rep["close_min"] == 15.0 and rep["close_max"] == 34.0
+    assert rep["close_median"] == 24.5  # exact median of 15..34
+    assert rep["suspicious_price_jump"] is False
+    assert rep["SMA_10_last"] == pytest.approx(
+        pd.Series([15.0 + i for i in range(20)]).rolling(10, 1).mean().iloc[-1]
+    )
+
+
+def test_dq_outlier_heuristic(spark):
+    df = _candles(spark, 10).withColumn(
+        "CLOSE", F.when(F.col("OPEN") == 10.0, 1e6).otherwise(F.col("CLOSE"))
+    )
+    rep = data_quality_report(df, ["SYMBOL"], compute_indicators=False).collect()[0]
+    assert rep["suspicious_price_jump"] is True
+
+
+def test_validate_for_export_flags(spark):
+    # row 0: O=10 H=20 L->18 C=15 — LOW above min(O,H,C)=10 but still
+    # below HIGH, so only the low rule trips
+    df = _candles(spark, 5).withColumn(
+        "LOW", F.when(F.col("OPEN") == 10.0, 18.0).otherwise(F.col("LOW"))
+    )
+    rep = validate_for_export(df)
+    assert rep["rows"] == 5
+    assert rep["low_above_min"] == 1
+    assert rep["high_below_max"] == 0
+    assert rep["negative_OPEN"] == 0
+
+
+def test_validate_requires_timestamp_type(spark):
+    df = spark.createDataFrame([(1, 2.0)], ["TIMESTAMP", "OPEN"])
+    with pytest.raises(ValueError, match="TimestampType"):
+        validate_for_export(df)
+    with pytest.raises(ValueError, match="missing"):
+        validate_for_export(df.select("OPEN"))
+
+
+def test_derive_partition_columns(spark):
+    df = _candles(spark, 3)
+    out, resolved = derive_partition_columns(df, ["Symbol", "year", "month"])
+    assert resolved == ["SYMBOL", "YEAR", "MONTH"]
+    row = out.select("YEAR", "MONTH").collect()[0]
+    assert (row["YEAR"], row["MONTH"]) == (2024, 1)
+
+
+def test_write_parquet_roundtrip(spark, tmp_path):
+    df = _candles(spark, 20)
+    out = str(tmp_path / "out")
+    rep = write_parquet_with_metadata(
+        df, out, partition_cols=["SYMBOL", "YEAR"], metadata={"tf": "5m"}
+    )
+    # partition dirs exist (Hive layout -> partition pruning on read)
+    assert os.path.isdir(os.path.join(out, "SYMBOL=X", "YEAR=2024"))
+    # sidecar metadata
+    meta = json.load(open(out + ".meta.json"))
+    assert meta["validation"]["rows"] == 20
+    assert meta["user_metadata"] == {"tf": "5m"}
+    assert rep["content_hash"] == meta["content_hash"]
+    # roundtrip preserves data
+    back = spark.read.parquet(out)
+    assert back.count() == 20
+    assert set(back.columns) >= {"TIMESTAMP", "OPEN", "CLOSE", "SYMBOL", "YEAR"}
+
+
+def test_content_hash_changes_with_data(spark):
+    h1 = content_hash(_candles(spark, 5), ["SYMBOL"])
+    h2 = content_hash(_candles(spark, 6), ["SYMBOL"])
+    assert h1 != h2 and len(h1) == 64
+
+
+def test_append_export_log(tmp_path):
+    d = str(tmp_path / "logs")
+    append_export_log(d, {"a": 1})
+    append_export_log(d, {"b": 2})
+    lines = open(os.path.join(d, "export_log.ndjson")).read().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[0]) == {"a": 1}
