@@ -1,0 +1,307 @@
+"""Deduplication operators for the training-data pipeline:
+exact, MinHash+LSH, SimHash, and n-gram Jaccard near-duplicate
+detection.
+
+Everything is pure DataFrame algebra with portable hashes
+(functions.scalar.portable_hash64 / universal_hash31) so every sketch
+is reproducible bit-for-bit in the DuckDB oracle (plans/queries.py).
+
+Scale notes (100 TB design point):
+ * Signatures are ONE hash-aggregate per document (map-side
+   combinable): explode shingles → groupBy(doc) with N min() aggs.
+ * LSH banding turns the O(n²) pair problem into equality joins on
+   (band_id, band_signature) — a plain shuffle-hash join that AQE can
+   skew-split. NEVER a cross join.
+ * The final verify step (exact Jaccard / Hamming) runs only on
+   candidate pairs — a tiny fraction of n².
+ * Hot buckets (boilerplate docs) are the classic skew source: cap
+   bucket width with a count filter (``max_bucket_size``) exactly like
+   production dedup pipelines drop degenerate bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_finance_pipeline_spark.functions.scalar import (
+    MERSENNE_31,
+    portable_hash64,
+)
+from etl_finance_pipeline_spark.functions.text import tokens, word_shingles
+
+#: Fixed universal-hash coefficients (a, b) for the MinHash family —
+#: part of the deterministic operator contract (the oracle embeds the
+#: same constants). 16 hash functions = 4 bands × 4 rows.
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (1_203_114_875, 613_938_353),
+    (1_836_311_903, 762_471_217),
+    (997_462_777, 286_462_316),
+    (1_552_518_092, 894_385_949),
+    (633_910_099, 1_431_655_765),
+    (1_073_741_827, 271_828_183),
+    (314_159_265, 358_979_323),
+    (846_930_886, 681_692_777),
+    (1_714_636_915, 424_238_335),
+    (719_885_386, 649_760_492),
+    (596_516_649, 1_189_641_421),
+    (1_025_202_362, 1_350_490_027),
+    (783_368_690, 1_102_520_059),
+    (2_044_897_763, 1_967_513_926),
+    (1_365_180_540, 1_540_383_426),
+    (304_089_172, 1_303_455_736),
+)
+
+
+def exact_duplicates(
+    df: DataFrame, cols: list[str], id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup on *cols*: keep one row per value group (the min or
+    max *id_col* — deterministic), drop the rest. Hash-groupBy, one
+    shuffle on the dedupe columns."""
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    w = Window.partitionBy(*cols).orderBy(order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+
+
+def _doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, shingle) distinct pairs — the set representation used by
+    both MinHash and exact Jaccard."""
+    return (
+        df.select(
+            F.col(id_col), F.explode(word_shingles(tokens(text_col), shingle_k)).alias("shingle")
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per document: sig[j] = min over shingles of
+    ((a_j·h + b_j) mod 2^31−1) with h = portable_hash64(shingle) mod
+    2^31−1.
+
+    One explode + ONE groupBy(doc) carrying *num_hashes* min()
+    aggregates — single shuffle keyed on the document id, partial
+    aggregation map-side. Output: (id, sig array<long>).
+    """
+    coeffs = MINHASH_COEFFS[:num_hashes]
+    sh = _doc_shingles(df, id_col, text_col, shingle_k)
+    h31 = (portable_hash64(F.col("shingle")) % MERSENNE_31).alias("_h")
+    hashed = sh.select(id_col, h31)
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MERSENNE_31).alias(f"_m{j}")
+        for j, (a, b) in enumerate(coeffs)
+    ]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col, F.array(*[f"_m{j}" for j in range(len(coeffs))]).alias("sig")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash LSH banding, with the
+    estimated Jaccard similarity (fraction of equal signature
+    positions).
+
+    The signature is split into *bands* of num_hashes/bands rows; two
+    documents are candidates iff at least one full band matches. Pair
+    generation is an equi-join on (band_id, band slice) — shuffle join,
+    no cross product. Buckets wider than *max_bucket_size* are dropped
+    (boilerplate/degenerate-content skew guard).
+
+    Output: (id_a, id_b, est_jaccard), id_a < id_b, one row per pair.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes)
+
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("_bk"),
+    ).select("_id", "sig", F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"))
+
+    # skew guard: drop degenerate buckets
+    bucket_counts = banded.groupBy("band", "key").agg(F.count("*").alias("_n"))
+    banded = banded.join(
+        bucket_counts.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+        on=["band", "key"],
+    )
+
+    left = banded.select(
+        F.col("band"), F.col("key"), F.col("_id").alias("id_a"), F.col("sig").alias("_sig_a")
+    )
+    right = banded.select(
+        F.col("band"), F.col("key"), F.col("_id").alias("id_b"), F.col("sig").alias("_sig_b")
+    )
+    pairs = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sig_a", "_sig_b")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """*bits*-bit SimHash per document over whitespace tokens (term
+    frequency weighted): bit i of the fingerprint is 1 iff
+    Σ_tokens (2·((h>>i)&1) − 1) > 0 with h = portable_hash64(token).
+
+    ONE groupBy(doc) with *bits* sum() aggregates — single map-side
+    combinable shuffle, no explosion by bit.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_t")
+    ).withColumn("_h", portable_hash64(F.col("_t")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_s{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    fp: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"_s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 6,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ *max_hamming*.
+
+    Candidate generation bands the fingerprint into *bands* byte
+    slices and equi-joins on any matching slice (pigeonhole: distance
+    < bands is guaranteed caught; larger distances probabilistically).
+    Verification computes bit_count(xor) on candidates only.
+
+    Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    slice_bits = bits // bands
+    mask = (1 << slice_bits) - 1
+    fps = simhash(df, id_col, text_col, bits)
+    banded = fps.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * slice_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("_bk"),
+    ).select("_id", "simhash", F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"))
+
+    bucket_counts = banded.groupBy("band", "key").agg(F.count("*").alias("_n"))
+    banded = banded.join(
+        bucket_counts.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+        on=["band", "key"],
+    )
+
+    left = banded.select("band", "key", F.col("_id").alias("id_a"), F.col("simhash").alias("_fa"))
+    right = banded.select("band", "key", F.col("_id").alias("id_b"), F.col("simhash").alias("_fb"))
+    cand = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_fa", "_fb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity pairs ≥ *threshold*.
+
+    intersection via self-equi-join on the shingle (shuffle join on
+    shingle — common shingles fan out, which is why this is the
+    verify-stage tool, with MinHash LSH as the at-scale pre-filter);
+    union = |A| + |B| − |A∩B|.
+
+    Output: (id_a, id_b, jaccard), id_a < id_b.
+    """
+    sh = _doc_shingles(df, id_col, text_col, shingle_k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    # sizes is one row per document — too big to broadcast at corpus
+    # scale; let AQE pick the join strategy.
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (array<float/double>).
+
+Two tiers, same contract:
+ * ``cosine_topk``      — exact brute force. Baseline + verify tool.
+ * ``lsh_ann_topk``     — random-hyperplane LSH-bucketed ANN: the
+                          scale path. Buckets shrink the candidate set
+                          from |corpus| to |bucket|.
+
+All vector math is JVM-side Catalyst higher-order functions
+(``zip_with`` + ``aggregate``) — no Python UDFs, no data to the
+driver. Hyperplanes are deterministic module constants so the DuckDB
+oracle reproduces buckets bit-for-bit.
+
+Scale notes (100 TB design point):
+ * Queries are broadcast (a query batch is small by definition);
+   the corpus side streams. Brute force is one broadcast-nested-loop
+   over the corpus — embarrassingly parallel, no shuffle until top-k.
+ * Per-query top-k is a window row_number — shuffles only the
+   (query, candidate) pairs, already k-bounded per bucket in the LSH
+   path.
+ * The LSH path joins on bucket id: equality shuffle join, AQE
+   skew-splittable. Recall is tunable via planes (fewer planes →
+   bigger buckets → higher recall/cost).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Deterministic random hyperplanes (seed 42), 4 planes × 64 dims,
+#: rounded to 6 decimals — embedded identically in the oracle SQL.
+_rng = random.Random(42)
+N_PLANES = 4
+EMBED_DIM = 64
+HYPERPLANES: list[list[float]] = [
+    [round(_rng.gauss(0.0, 1.0), 6) for _ in range(EMBED_DIM)] for _ in range(N_PLANES)
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array columns."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: every query against the full
+    corpus. Queries are broadcast; ranking is deterministic via
+    (cosine desc, neighbor_id asc) after optional rounding.
+
+    Output: (query_id, neighbor_id, cosine, rank)."""
+    corpus = _as_double(corpus, vec_col)
+    queries = _as_double(queries.withColumnRenamed(id_col, query_id_col), vec_col)
+    q = queries.select(query_id_col, F.col(vec_col).alias("_qv"))
+    sim = cosine(F.col("_qv"), F.col(vec_col))
+    if round_digits is not None:
+        from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+        sim = portable_round(sim, round_digits)
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
+    """LSH bucket id = sign-bit string of the vector against each
+    hyperplane: bucket = Σ_p (dot(v, plane_p) > 0) << p."""
+    planes = planes if planes is not None else HYPERPLANES
+    bucket: Column = F.lit(0)
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(w) for w in plane])
+        bucket = bucket + F.when(dot(vec, lit_plane) > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    planes: list[list[float]] | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's
+    hyperplane bucket, then exact cosine re-rank within the bucket.
+
+    The bucket join replaces the brute-force cross join with an
+    equality join on bucket id — at N corpus vectors and 2^P balanced
+    buckets the candidate set shrinks by ~2^P. Output schema matches
+    :func:`cosine_topk`; ranks only cover in-bucket candidates
+    (standard single-probe LSH recall tradeoff — add multi-probe by
+    unioning neighbor buckets if recall matters more than cost).
+    """
+    corpus = _as_double(corpus, vec_col).withColumn(
+        "_bucket", hyperplane_bucket(F.col(vec_col), planes)
+    )
+    queries = _as_double(queries.withColumnRenamed(id_col, query_id_col), vec_col)
+    q = queries.select(
+        query_id_col,
+        F.col(vec_col).alias("_qv"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    sim = cosine(F.col("_qv"), F.col(vec_col))
+    if round_digits is not None:
+        from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+        sim = portable_round(sim, round_digits)
+    pairs = (
+        F.broadcast(q)
+        .join(corpus, on="_bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold),
+    LSH-bucketed: pairs are only generated within a hyperplane bucket
+    (near-identical vectors collide in every plane's sign, so recall
+    at dedup-grade thresholds (≥0.9) is near-perfect; at lower
+    thresholds accept the single-probe tradeoff or pass fewer planes).
+
+    Output: (id_a, id_b, cosine), id_a < id_b."""
+    d = _as_double(df, vec_col).select(
+        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), planes).alias("_bucket")
+    )
+    a = d.select(F.col("_bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = d.select(F.col("_bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    sim = cosine(F.col("_va"), F.col("_vb"))
+    if round_digits is not None:
+        from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+        sim = portable_round(sim, round_digits)
+    return (
+        a.join(b, on="_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,148 @@
+"""Text-analysis operators for the training-data pipeline:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions (no UDFs), all oracle-verifiable: each
+operator's arithmetic has an exact DuckDB twin in plans/queries.py.
+
+Scale notes (100 TB design point):
+ * Every operator here is embarrassingly parallel per document — a
+   narrow map with no shuffle at all (fingerprinting shuffles only if
+   the caller aggregates the exploded hashes).
+ * Expressions stay inside whole-stage codegen; the only higher-order
+   functions used (transform/filter/aggregate) are evaluated JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_finance_pipeline_spark.functions.scalar import portable_hash64
+from etl_finance_pipeline_spark.functions.text import (
+    LANG_PRIORITY,
+    STOPWORDS,
+    bpe_ish_token_count,
+    digit_ratio,
+    punct_ratio,
+    stopword_hits,
+    tokens,
+)
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "pred_lang"
+) -> DataFrame:
+    """N-gram-free stopword-hit language ID heuristic.
+
+    Scores each language by stopword hits over whitespace tokens; the
+    winner is the highest score with deterministic priority-order
+    tiebreak (LANG_PRIORITY); zero hits everywhere → 'und'.
+    Adds ``{out}_score`` with the winning hit count.
+    """
+    toks = tokens(text_col)
+    df = df.withColumn("_toks", toks)
+    for lang in LANG_PRIORITY:
+        df = df.withColumn(f"_hits_{lang}", stopword_hits(F.col("_toks"), lang))
+    best = F.greatest(*[F.col(f"_hits_{lang}") for lang in LANG_PRIORITY])
+    pred: Column = F.lit("und")
+    # build the WHEN chain in reverse so earlier languages win ties
+    for lang in reversed(LANG_PRIORITY):
+        pred = F.when(
+            (best > 0) & (F.col(f"_hits_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    out = df.withColumn(out_col, pred).withColumn(f"{out_col}_score", best)
+    return out.drop("_toks", *[f"_hits_{lang}" for lang in LANG_PRIORITY])
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", out_col: str = "quality"
+) -> DataFrame:
+    """Heuristic document quality score in [0, 1] from cheap surface
+    statistics — the standard pre-training corpus filters (length,
+    mean word length, stopword density, symbol noise).
+
+    score = 0.25·len_ok + 0.25·wordlen_ok + 0.3·stop_ok + 0.2·(1−noise)
+      len_ok     : 1 if 50 ≤ n_chars ≤ 10000 else 0
+      wordlen_ok : 1 if 3 ≤ avg_token_len ≤ 10 else 0
+      stop_ok    : 1 if stopword_ratio(en) ≥ 0.05 else 0
+      noise      : digit_ratio + punct_ratio (capped at 1)
+    Adds metric columns n_tokens / avg_token_len / stopword_ratio /
+    digit_ratio / punct_ratio alongside the score.
+    """
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    avg_len = F.aggregate(
+        toks, F.lit(0.0), lambda a, t: a + F.length(t)
+    ) / n_tokens
+    stop_ratio = stopword_hits(toks, "en") / n_tokens
+    dr = digit_ratio(text_col)
+    pr = punct_ratio(text_col)
+    noise = F.least(dr + pr, F.lit(1.0))
+    n_chars = F.length(text_col)
+    score = (
+        F.when((n_chars >= 50) & (n_chars <= 10000), 0.25).otherwise(0.0)
+        + F.when((avg_len >= 3) & (avg_len <= 10), 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.05, 0.3).otherwise(0.0)
+        + (1.0 - noise) * 0.2
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("avg_token_len", avg_len)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("digit_ratio", dr)
+        .withColumn("punct_ratio", pr)
+        .withColumn(out_col, score)
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish token counts per document."""
+    return df.withColumn("ws_tokens", F.size(tokens(text_col))).withColumn(
+        "bpe_ish_tokens", bpe_ish_token_count(text_col)
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every *k*-char shingle with a rolling position,
+    keep the minimum hash of each sliding *window* of consecutive
+    shingles, emit the distinct selected hashes.
+
+    Guarantees any shared substring of length ≥ k+window−1 produces at
+    least one shared fingerprint — the standard near-copy detector for
+    code/text plagiarism and corpus contamination checks.
+
+    Output: (id, fp_hash) one row per distinct selected fingerprint.
+    The per-document window min is a rows-frame running window over the
+    exploded shingle stream — partitioned by document, so it
+    parallelizes across documents with no cross-doc shuffle.
+    """
+    positions = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(positions).alias("_pos"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "_pos",
+        portable_hash64(F.substring(F.col(text_col), F.col("_pos"), k)).alias("_h"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    selected = (
+        shingled.withColumn("_wmin", F.min("_h").over(w))
+        .filter(F.col("_pos") >= window)  # complete windows only
+        .select(F.col(id_col), F.col("_wmin").alias("fp_hash"))
+        .distinct()
+    )
+    return selected

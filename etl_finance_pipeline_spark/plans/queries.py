@@ -623,6 +623,11 @@ QUALIFY rank <= 5
 # Registry
 # --------------------------------------------------------------------
 
+from etl_finance_pipeline_spark.plans.training_data import (  # noqa: E402
+    ORACLES_TD,
+    QUERIES_TD,
+)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "candles_5m": q_candles_5m,
     "dedupe_keep_first": q_dedupe_keep_first,
@@ -638,6 +643,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "text_stats": q_text_stats,
     "ann_topk": q_ann_topk,
+    **QUERIES_TD,
 }
 
 ORACLES: dict[str, str] = {
@@ -655,4 +661,5 @@ ORACLES: dict[str, str] = {
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "text_stats": SQL_TEXT_STATS,
     "ann_topk": SQL_ANN_TOPK,
+    **ORACLES_TD,
 }

@@ -1,0 +1,451 @@
+"""Training-data pipeline queries + DuckDB oracles: near-dup detection
+(MinHash LSH / SimHash / exact n-gram Jaccard), LSH similarity search,
+text analysis (lang-ID, quality, token counts, winnowing
+fingerprints).
+
+Oracle SQL is generated from the SAME module constants the Spark
+operators use (MINHASH_COEFFS, HYPERPLANES, STOPWORDS) so sketches
+match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_finance_pipeline_spark.functions.scalar import portable_round as _pr
+from etl_finance_pipeline_spark.functions.text import LANG_PRIORITY, STOPWORDS
+from etl_finance_pipeline_spark.operators.dedup import (
+    MINHASH_COEFFS,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from etl_finance_pipeline_spark.operators.similarity import (
+    HYPERPLANES,
+    embedding_near_duplicates,
+    lsh_ann_topk,
+)
+from etl_finance_pipeline_spark.operators.text_analysis import (
+    language_id,
+    quality_score,
+    token_counts,
+    winnowing_fingerprints,
+)
+from etl_finance_pipeline_spark.sources.tables import load_table
+
+M31 = 2_147_483_647
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# --------------------------------------------------------------------
+# Shared SQL fragments (generated from the operator constants)
+# --------------------------------------------------------------------
+
+_H64 = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+
+_SHINGLES_CTE = """
+tokd AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM tokd
+)
+"""
+
+_SIG_COLS = ",\n    ".join(
+    f"min(({a} * h31 + {b}) % {M31}) AS m{j}"
+    for j, (a, b) in enumerate(MINHASH_COEFFS)
+)
+
+_SIG_CTE = f"""
+h AS (
+  SELECT doc_id, {_H64.format(s='shingle')} % {M31} AS h31 FROM sh
+),
+sig AS (
+  SELECT doc_id,
+    {_SIG_COLS}
+  FROM h GROUP BY doc_id
+)
+"""
+
+_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, m{4*b} AS k1, m{4*b+1} AS k2, m{4*b+2} AS k3, m{4*b+3} AS k4 FROM sig"
+    for b in range(4)
+)
+
+
+# --------------------------------------------------------------------
+# MinHash LSH near-dup candidates
+# --------------------------------------------------------------------
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    out = minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    return out.select("id_a", "id_b", _pr("est_jaccard", 6).alias("est_jaccard"))
+
+
+_EQ_TERMS = " + ".join(
+    f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(16)
+)
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH {_SHINGLES_CTE.strip()},
+{_SIG_CTE.strip()},
+bands AS (
+  {_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, k1, k2, k3, k4)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       floor((({_EQ_TERMS}) / 16.0) * 1000000 + 0.5) / 1000000 AS est_jaccard
+FROM cand c
+JOIN sig a ON a.doc_id = c.id_a
+JOIN sig b ON b.doc_id = c.id_b
+"""
+
+
+# --------------------------------------------------------------------
+# SimHash near-dup pairs
+# --------------------------------------------------------------------
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_hamming=3 with bands=4: the pigeonhole guarantee makes
+    candidate recall EXACT (any pair at distance ≤ 3 must agree on at
+    least one 8-bit band)."""
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return simhash_pairs(docs, bits=32, bands=4, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+_BIT_SUMS = ",\n    ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(32)
+)
+_FP_TERMS = " + ".join(
+    f"CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END" for i in range(32)
+)
+_SIM_BANDS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, (simhash >> {8*b}) & 255 AS key FROM fp"
+    for b in range(4)
+)
+
+SQL_SIMHASH_PAIRS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id, {_H64.format(s='t')} AS h FROM tok
+),
+s AS (
+  SELECT doc_id,
+    {_BIT_SUMS}
+  FROM h GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, {_FP_TERMS} AS simhash FROM s
+),
+bands AS (
+  {_SIM_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.id_a
+JOIN fp fb ON fb.doc_id = c.id_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+"""
+
+
+# --------------------------------------------------------------------
+# Exact n-gram Jaccard pairs
+# --------------------------------------------------------------------
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "id_a", "id_b", _pr("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_SHINGLES_CTE.strip()},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       floor((c * 1.0 / (na.n + nb.n - c)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------
+# Language ID
+# --------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    out = language_id(docs)
+    return out.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.col("pred_lang"),
+        F.col("pred_lang_score").cast("long").alias("score"),
+    )
+
+
+def _stop_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+_LANG_SCORES = ",\n    ".join(
+    f"len(list_filter(toks, t -> t IN ({_stop_list(lang)}))) AS s_{lang}"
+    for lang in LANG_PRIORITY
+)
+_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_PRIORITY) + ")"
+_PRED_CHAIN = "CASE WHEN " + _BEST + " = 0 THEN 'und' " + " ".join(
+    f"WHEN s_{lang} = {_BEST} THEN '{lang}'" for lang in LANG_PRIORITY
+) + " END"
+
+SQL_LANG_ID = f"""
+WITH tokd AS (
+  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+    {_LANG_SCORES}
+  FROM tokd
+)
+SELECT doc_id, lang AS labeled_lang,
+       {_PRED_CHAIN} AS pred_lang,
+       CAST({_BEST} AS BIGINT) AS score
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------
+# Quality score
+# --------------------------------------------------------------------
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    out = quality_score(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        _pr("avg_token_len", 6).alias("avg_token_len"),
+        _pr("stopword_ratio", 6).alias("stopword_ratio"),
+        _pr("digit_ratio", 6).alias("digit_ratio"),
+        _pr("punct_ratio", 6).alias("punct_ratio"),
+        _pr("quality", 6).alias("quality"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+WITH tokd AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    list_sum(list_transform(toks, t -> CAST(len(t) AS DOUBLE))) / len(toks) AS avg_token_len,
+    len(list_filter(toks, t -> t IN ({_stop_list('en')}))) * 1.0 / len(toks) AS stopword_ratio,
+    len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text) AS digit_ratio,
+    len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / len(text) AS punct_ratio,
+    len(text) AS n_chars
+  FROM tokd
+)
+SELECT doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  floor(avg_token_len * 1000000 + 0.5) / 1000000 AS avg_token_len,
+  floor(stopword_ratio * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+  floor(digit_ratio * 1000000 + 0.5) / 1000000 AS digit_ratio,
+  floor(punct_ratio * 1000000 + 0.5) / 1000000 AS punct_ratio,
+  floor((
+    (CASE WHEN n_chars >= 50 AND n_chars <= 10000 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+    + (1.0 - least(digit_ratio + punct_ratio, 1.0)) * 0.2
+  ) * 1000000 + 0.5) / 1000000 AS quality
+FROM m
+"""
+
+
+# --------------------------------------------------------------------
+# Token counts
+# --------------------------------------------------------------------
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return token_counts(docs).select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_ish_tokens").cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------
+# Winnowing fingerprints
+# --------------------------------------------------------------------
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return winnowing_fingerprints(docs, k=8, window=4).select("doc_id", "fp_hash")
+
+
+SQL_FINGERPRINTS = f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(len(text) - 7, 1))) AS p
+  FROM documents
+),
+h AS (
+  SELECT doc_id, p, {_H64.format(s='substr(text, p, 8)')} AS h FROM pos
+),
+w AS (
+  SELECT doc_id, p,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+  FROM h
+)
+SELECT DISTINCT doc_id, wmin AS fp_hash FROM w WHERE p >= 4
+"""
+
+
+# --------------------------------------------------------------------
+# LSH ANN top-k + embedding near-dup
+# --------------------------------------------------------------------
+
+def _plane_sql(vec: str, plane: list[float]) -> str:
+    lit = "CAST([" + ", ".join(repr(w) for w in plane) + "] AS DOUBLE[])"
+    return (
+        f"list_sum(list_transform(list_zip({vec}, {lit}), "
+        f"p -> CAST(p[1] AS DOUBLE) * p[2]))"
+    )
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = [
+        f"(CASE WHEN {_plane_sql(vec, plane)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(HYPERPLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_COS_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_ann_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 5
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         floor(({_COS_SQL.format(a='q.qv', b='e.embedding')}) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM q JOIN b e USING (bucket)
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+FROM pairs
+QUALIFY rank <= 5
+"""
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    return embedding_near_duplicates(emb, threshold=0.4)
+
+
+SQL_EMBED_NEAR_DUP = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, e.vec_id AS id_b,
+         floor(({_COS_SQL.format(a='a.embedding', b='e.embedding')}) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM b a JOIN b e USING (bucket)
+  WHERE a.vec_id < e.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+"""
+
+
+# --------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------
+
+QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "fingerprints": q_fingerprints,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embed_near_dup": q_embed_near_dup,
+}
+
+ORACLES_TD: dict[str, str] = {
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY_SCORE,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "fingerprints": SQL_FINGERPRINTS,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "embed_near_dup": SQL_EMBED_NEAR_DUP,
+}

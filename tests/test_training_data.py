@@ -1,0 +1,186 @@
+"""Tests for the training-data pipeline operators: dedup sketches,
+similarity search, text analysis."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_finance_pipeline_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from etl_finance_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    hyperplane_bucket,
+    lsh_ann_topk,
+)
+from etl_finance_pipeline_spark.operators.text_analysis import (
+    language_id,
+    quality_score,
+    token_counts,
+    winnowing_fingerprints,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog again and again today"
+DOC_A2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+DOC_B = "completely different words about spark query engines and parquet files"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A2), (3, DOC_B)], ["doc_id", "text"]
+    )
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], ["doc_id", "text"]
+    )
+    out = exact_duplicates(df, ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    df = spark.createDataFrame([(1, DOC_A), (2, DOC_A)], ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == 16
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(_docs(spark)).collect()
+    }
+    assert (1, 2) in pairs  # near-identical docs collide in some band
+    assert pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_zero_hamming(spark):
+    df = spark.createDataFrame([(1, DOC_A), (2, DOC_A), (3, DOC_B)], ["doc_id", "text"])
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # DOC_A vs DOC_A2: 13 tokens -> 11 shingles each, differing only in
+    # the final word -> 10 shared shingles, union 12 (11+11-10)
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.1).collect()
+    }
+    assert out[(1, 2)] == pytest.approx(10 / 12)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is happy"),
+            (2, "der hund ist ein gutes tier und er bellt"),
+            (3, "xylophone zebra quartz"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_quality_score_bounds_and_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on a mat with the dog and the bird today ok")],
+        ["doc_id", "text"],
+    )
+    r = quality_score(df).collect()[0]
+    assert 0.0 <= r["quality"] <= 1.0
+    assert r["n_tokens"] == 14
+    assert r["stopword_ratio"] > 0.2
+    assert r["quality"] >= 0.75  # len ok? 55 chars -> yes; stop ok; noise 0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello world, 42 times!")], ["doc_id", "text"])
+    r = token_counts(df).collect()[0]
+    assert r["ws_tokens"] == 4
+    # hello / world / , / 42 / times / !
+    assert r["bpe_ish_tokens"] == 6
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    # shared run of >= k+w-1 = 11 chars guarantees a shared fingerprint
+    df = spark.createDataFrame(
+        [
+            (1, "AAAA shared-substring-here BBBB"),
+            (2, "CCCC shared-substring-here DDDD"),
+            (3, "totally unrelated text q7vx"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnowing_fingerprints(df)
+    f1 = {r["fp_hash"] for r in fp.filter(F.col("doc_id") == 1).collect()}
+    f2 = {r["fp_hash"] for r in fp.filter(F.col("doc_id") == 2).collect()}
+    f3 = {r["fp_hash"] for r in fp.filter(F.col("doc_id") == 3).collect()}
+    assert f1 & f2
+    assert not (f1 & f3)
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    (4, [1.0, 0.0, 0.0, 0.0]),   # identical to 0
+]
+
+
+def _emb(spark):
+    return spark.createDataFrame(VECS, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    out = cosine_topk(emb, q, k=4).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [4, 1, 2, 3]
+    assert out[0]["cosine"] == 1.0
+    assert out[3]["cosine"] == -1.0
+
+
+def test_lsh_identical_vectors_same_bucket(spark):
+    planes = [[1.0, 2.0, -1.0, 0.5], [-0.3, 1.0, 0.7, -2.0]]
+    emb = _emb(spark)
+    b = emb.select(
+        "vec_id", hyperplane_bucket(F.col("embedding").cast("array<double>"), planes).alias("b")
+    )
+    got = {r["vec_id"]: r["b"] for r in b.collect()}
+    assert got[0] == got[4]
+    assert got[0] != got[3]  # opposite vector flips every plane sign
+
+
+def test_lsh_ann_topk_finds_identical(spark):
+    planes = [[1.0, 2.0, -1.0, 0.5], [-0.3, 1.0, 0.7, -2.0]]
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    out = lsh_ann_topk(emb, q, k=3, planes=planes).orderBy("rank").collect()
+    assert out[0]["neighbor_id"] == 4 and out[0]["cosine"] == 1.0
+
+
+def test_embedding_near_duplicates(spark):
+    planes = [[1.0, 2.0, -1.0, 0.5], [-0.3, 1.0, 0.7, -2.0]]
+    # cos(v0, v1) = 0.9/sqrt(0.82) ≈ 0.9939, so at 0.99 the near-dup set
+    # is the full clique {0, 1, 4}; at 0.999 only the identical pair.
+    out = embedding_near_duplicates(_emb(spark), 0.99, planes=planes).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1), (0, 4), (1, 4)}
+    strict = embedding_near_duplicates(_emb(spark), 0.999, planes=planes).collect()
+    assert {(r["id_a"], r["id_b"]) for r in strict} == {(0, 4)}
