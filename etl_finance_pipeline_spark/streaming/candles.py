@@ -1,0 +1,158 @@
+"""Structured Streaming operators: streaming OHLCV candles, streaming
+dedupe, and a stateful gap monitor.
+
+The reference is batch-only (SURVEY §2.10) — this module is the
+forward-compatible streaming surface the charter asks for: the SAME
+aggregation semantics as operators.resample, expressed over an
+unbounded stream with event-time watermarks.
+
+Scale notes:
+ * Watermark + window aggregation is incremental state in the state
+   store, keyed by (keys, window) — RocksDB-backed at scale
+   (``spark.sql.streaming.stateStore.providerClass``); state is purged
+   past the watermark, so memory is bounded by (symbols × lateness).
+ * ``dropDuplicatesWithinWatermark`` keeps only in-watermark keys in
+   state — the streaming twin of the batch keep-first dedupe (O1).
+ * The gap monitor uses ``applyInPandasWithState`` (per-key user
+   state): state = last seen timestamp per symbol; emits a row per
+   detected gap. State size = O(#symbols).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from etl_finance_pipeline_spark.functions.scalar import (
+    offset_alias_to_duration,
+    offset_alias_to_seconds,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+
+def stream_candles(
+    events: DataFrame,
+    rule: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming OHLCV candles: event-time tumbling windows with a
+    watermark for late data.
+
+    Same agg semantics as the batch path (min_by/max_by by event time,
+    sum, count) — windows are left-closed/left-labeled, label =
+    window.start. Late rows beyond *watermark* are dropped; in append
+    output mode a candle is emitted once its window is past the
+    watermark (finalized).
+    """
+    duration = offset_alias_to_duration(rule)
+    v = F.col(value_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, F.window(ts_col, duration).alias("_w"))
+        .agg(
+            F.min_by(v, F.col(ts_col)).alias("OPEN"),
+            F.max(v).alias("HIGH"),
+            F.min(v).alias("LOW"),
+            F.max_by(v, F.col(ts_col)).alias("CLOSE"),
+            F.sum(v).alias("VOLUME"),
+            F.count("*").alias("N_TICKS"),
+        )
+        .withColumn("TIMESTAMP", F.col("_w.start"))
+        .drop("_w")
+    )
+
+
+def stream_dedupe(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming duplicate removal within the watermark horizon — the
+    streaming twin of the batch keep-first dedupe (state pruned past
+    the watermark, unlike plain dropDuplicates whose state grows
+    forever)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [*keys]
+    )
+
+
+GAP_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("gap_start", T.TimestampType()),
+        T.StructField("gap_end", T.TimestampType()),
+        T.StructField("gap_seconds", T.DoubleType()),
+    ]
+)
+
+_GAP_STATE_SCHEMA = "last_ts double"
+
+
+def stream_gap_monitor(
+    events: DataFrame,
+    rule: str,
+    key_col: str = "symbol",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stateful streaming gap detector via ``applyInPandasWithState``:
+    per-symbol state holds the last seen event time; whenever the
+    next event arrives more than one *rule* interval later, a gap row
+    (symbol, gap_start, gap_end, gap_seconds) is emitted.
+
+    This is the streaming counterpart of the batch gap engine
+    (operators.gaps G1-G3): batch finds gaps by grid anti-join;
+    a stream can't materialize the grid, so it tracks per-key
+    continuity in user state instead. State = one float per symbol.
+    """
+    step = float(offset_alias_to_seconds(rule))
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (symbol,) = key
+        last_ts = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            for t in sorted(pdf[ts_col]):
+                cur = t.timestamp()
+                if last_ts is not None and cur - last_ts > step:
+                    out.append(
+                        {
+                            "symbol": symbol,
+                            "gap_start": pd.Timestamp(last_ts, unit="s"),
+                            "gap_end": pd.Timestamp(cur, unit="s"),
+                            "gap_seconds": cur - last_ts,
+                        }
+                    )
+                last_ts = cur
+        if last_ts is not None:
+            state.update((last_ts,))
+        yield pd.DataFrame(out, columns=["symbol", "gap_start", "gap_end", "gap_seconds"])
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=GAP_EVENT_SCHEMA,
+            stateStructType=_GAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

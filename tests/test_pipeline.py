@@ -1,0 +1,109 @@
+"""End-to-end pipeline test: raw CSV directory → normalized, gap-
+repaired, resampled, partitioned parquet + reports (reference
+composition run.py:60-253)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_finance_pipeline_spark.config import EngineConfig
+from etl_finance_pipeline_spark.plans.pipeline import (
+    infer_symbol,
+    run_pipeline,
+    tf_label,
+)
+
+
+def test_tf_label():
+    assert tf_label("5T") == "5m"
+    assert tf_label("1H") == "1H"
+    assert tf_label("15T") == "15m"
+
+
+def _cfg(tmp_path, timeframes):
+    return EngineConfig.model_validate(
+        {
+            "paths": {
+                "raw_path": str(tmp_path / "raw"),
+                "processed_path": str(tmp_path / "processed"),
+                "reports_path": str(tmp_path / "reports"),
+                "logs_path": str(tmp_path / "logs"),
+                "quarantine_path": str(tmp_path / "quarantine"),
+            },
+            "resample": {"timeframes": timeframes},
+        }
+    )
+
+
+def _write_raw(tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    # EURUSD minutes 0,1,2,5 (gap at 3-4), duplicate at minute 1
+    lines = ["time,open,high,low,close,volume"]
+    for m, o in [(0, 1.0), (1, 1.1), (1, 9.9), (2, 1.2), (5, 1.5)]:
+        lines.append(f"2024-01-02 09:0{m}:00,{o},{o + 0.1},{o - 0.1},{o},100")
+    (raw / "EURUSD_2024.csv").write_text("\n".join(lines) + "\n")
+    (raw / "notes.txt").write_text("not a data file")
+    return raw
+
+
+def test_infer_symbol_from_filename(spark, tmp_path):
+    _write_raw(tmp_path)
+    df = spark.read.option("header", True).csv(
+        str(tmp_path / "raw" / "EURUSD_2024.csv")
+    ).withColumn("_source_file", F.input_file_name())
+    out = infer_symbol(df)
+    assert out.select("SYMBOL").distinct().collect()[0][0] == "EURUSD"
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path):
+    _write_raw(tmp_path)
+    cfg = _cfg(tmp_path, ["1T", "5T"])
+    res = run_pipeline(spark, cfg, dry_run=False)
+
+    # unsupported file quarantined
+    assert [os.path.basename(q["file"]) for q in res.quarantined] == ["notes.txt"]
+
+    # outputs written per timeframe with reference naming
+    assert sorted(os.path.basename(p) for p in res.outputs) == [
+        "candles_1m",
+        "candles_5m",
+    ]
+
+    # 1m output: full grid 09:00-09:05 = 6 rows, keep-first dedupe
+    # (minute 1 keeps open=1.1), gap minutes 3-4 interpolated
+    one_m = spark.read.parquet(res.outputs[0])
+    rows = {r["TIMESTAMP"].minute: r for r in one_m.collect()}
+    assert len(rows) == 6
+    assert rows[1]["OPEN"] == pytest.approx(1.1)
+    assert rows[3]["CLOSE"] == pytest.approx(1.2 + (1.5 - 1.2) / 3)
+    assert rows[3]["VOLUME"] == 100.0  # ffill
+    # partitioned by SYMBOL/YEAR (Hive layout)
+    assert os.path.isdir(
+        os.path.join(res.outputs[0], "SYMBOL=EURUSD", "YEAR=2024")
+    )
+
+    # 5m output: buckets 09:00 and 09:05
+    five_m = spark.read.parquet(res.outputs[1])
+    assert five_m.count() == 2
+
+    # reports + logs
+    dq = json.load(open(tmp_path / "reports" / "dq_report.json"))
+    assert dq[0]["SYMBOL"] == "EURUSD"
+    log_lines = open(tmp_path / "logs" / "export_log.ndjson").read().splitlines()
+    assert len(log_lines) == 2
+    # sidecar metadata per output
+    assert os.path.exists(res.outputs[0] + ".meta.json")
+
+
+def test_run_pipeline_dry_run_writes_nothing(spark, tmp_path):
+    _write_raw(tmp_path)
+    cfg = _cfg(tmp_path, [])
+    res = run_pipeline(spark, cfg, dry_run=True)
+    assert res.outputs == []
+    assert not os.path.exists(tmp_path / "processed")
+    assert res.reports["dry_run_raw"]["rows"] == 6  # repaired 1T grid

@@ -1,0 +1,97 @@
+"""Structured Streaming tests: file-source streams driven to
+completion with availableNow + memory sink."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_finance_pipeline_spark.streaming.candles import (
+    stream_candles,
+    stream_dedupe,
+    stream_gap_monitor,
+)
+
+T0 = datetime(2024, 1, 2, 9, 0)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_stream_source(spark, tmp_path, rows):
+    src = str(tmp_path / f"stream-src-{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(src)
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+
+
+def _run_to_memory(df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_candles(spark, tmp_path):
+    rows = [
+        ("X", T0 + timedelta(minutes=m), float(v))
+        for m, v in [(0, 5.0), (1, 9.0), (2, 3.0), (6, 7.0), (60, 1.0)]
+    ]
+    stream = _write_stream_source(spark, tmp_path, rows)
+    candles = stream_candles(stream, "5T", ["symbol"], watermark="1 minute")
+    _run_to_memory(candles, "t_candles")
+    got = {
+        r["TIMESTAMP"]: r
+        for r in spark.sql("SELECT * FROM t_candles").collect()
+    }
+    # append mode: only windows finalized past the watermark are
+    # emitted — the last event (min 60) finalizes buckets 0 and 5.
+    b0 = got[T0]
+    assert (b0["OPEN"], b0["HIGH"], b0["LOW"], b0["CLOSE"]) == (5.0, 9.0, 3.0, 3.0)
+    assert b0["VOLUME"] == 17.0 and b0["N_TICKS"] == 3
+    b5 = got[T0 + timedelta(minutes=5)]
+    assert b5["OPEN"] == b5["CLOSE"] == 7.0
+    assert T0 + timedelta(minutes=60) not in got  # not yet finalized
+
+
+def test_stream_dedupe(spark, tmp_path):
+    rows = [
+        ("X", T0, 1.0),
+        ("X", T0, 2.0),  # duplicate key within watermark
+        ("X", T0 + timedelta(minutes=1), 3.0),
+    ]
+    stream = _write_stream_source(spark, tmp_path, rows)
+    out = stream_dedupe(stream, ["symbol", "ts"], watermark="5 minutes")
+    _run_to_memory(out, "t_dedupe")
+    got = spark.sql("SELECT * FROM t_dedupe").collect()
+    assert len(got) == 2
+    assert {r["ts"] for r in got} == {T0, T0 + timedelta(minutes=1)}
+
+
+def test_stream_gap_monitor(spark, tmp_path):
+    rows = [
+        ("X", T0 + timedelta(minutes=m), 1.0) for m in [0, 1, 2, 7, 8, 30]
+    ] + [("Y", T0 + timedelta(minutes=m), 1.0) for m in [0, 5]]
+    stream = _write_stream_source(spark, tmp_path, rows)
+    gaps = stream_gap_monitor(stream, "1T", watermark="1 minute")
+    _run_to_memory(gaps, "t_gaps")
+    got = sorted(
+        (r["symbol"], r["gap_seconds"])
+        for r in spark.sql("SELECT * FROM t_gaps").collect()
+    )
+    # X: 2->7 (300s) and 8->30 (1320s); Y: 0->5 (300s)
+    assert got == [("X", 300.0), ("X", 1320.0), ("Y", 300.0)]
