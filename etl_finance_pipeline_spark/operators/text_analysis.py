@@ -70,7 +70,11 @@ def quality_score(
     Adds metric columns n_tokens / avg_token_len / stopword_ratio /
     digit_ratio / punct_ratio alongside the score.
     """
-    toks = tokens(text_col)
+    # materialize the token array once — several metric expressions
+    # reference it, and an inlined split() would be re-evaluated per
+    # reference (see dedup._doc_shingles)
+    df = df.withColumn("_toks", tokens(text_col))
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
     avg_len = F.aggregate(
         toks, F.lit(0.0), lambda a, t: a + F.length(t)
@@ -93,6 +97,7 @@ def quality_score(
         .withColumn("digit_ratio", dr)
         .withColumn("punct_ratio", pr)
         .withColumn(out_col, score)
+        .drop("_toks")
     )
 
 
