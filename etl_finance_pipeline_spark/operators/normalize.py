@@ -297,6 +297,7 @@ def remove_duplicates(
     df: DataFrame,
     keys: list[str],
     order_by: list[str | Column] | None = None,
+    strategy: str = "agg",
 ) -> DataFrame:
     """Keep the FIRST row per key (parity: normalize.py:227-236,
     ``index.duplicated(keep="first")``).
@@ -306,6 +307,14 @@ def remove_duplicates(
     offset). Without an explicit order column we fall back to
     ``monotonically_increasing_id()`` captured at scan time, which
     reproduces arrival order per input split.
+
+    strategy="agg" (default): ``groupBy(keys).agg(min_by(struct(other
+    cols), struct(order)))`` — a hash aggregate with map-side partial
+    combine and NO sort; the scalable plan when keys are
+    high-cardinality (dedupe keys usually are: most groups have one
+    row). strategy="window": ``row_number()`` ranking window —
+    shuffle + full sort on (keys, order); kept for when the ranked
+    frame itself is needed.
     """
     if order_by is None:
         df = df.withColumn("_ingest_seq", F.monotonically_increasing_id())
@@ -313,8 +322,24 @@ def remove_duplicates(
         drop_seq = True
     else:
         drop_seq = False
-    w = Window.partitionBy(*keys).orderBy(*order_by)
-    out = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    if strategy == "agg":
+        others = [c for c in df.columns if c not in keys]
+        order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+        ord_key = order_cols[0] if len(order_cols) == 1 else F.struct(*order_cols)
+        picked = df.groupBy(*keys).agg(
+            F.min_by(F.struct(*[F.col(c) for c in others]), ord_key).alias("_r")
+        )
+        out = picked.select(
+            *keys, *[F.col(f"_r.{c}").alias(c) for c in others]
+        ).select(*df.columns)
+    else:
+        w = Window.partitionBy(*keys).orderBy(*order_by)
+        out = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     return out.drop("_ingest_seq") if drop_seq else out
 
 
