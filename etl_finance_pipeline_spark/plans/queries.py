@@ -511,6 +511,146 @@ GROUP BY n.n_name
 """
 
 
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-style: top-20 customers by revenue. Fact-fact join shuffles
+    on orderkey; customer/nation dims broadcast; deterministic top-k
+    via (revenue desc, custkey) row_number."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    cust = load_table(spark, _t(sf_dir, "customer"))
+    nation = load_table(spark, _t(sf_dir, "nation"))
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _pr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "c_custkey",
+            F.col("c_name").alias("customer"),
+            F.col("n_name").alias("nation"),
+            "revenue",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name AS customer, n_name AS nation, revenue,
+       CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rank
+FROM rev
+QUALIFY rank <= 20
+"""
+
+
+def q_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-style: order-priority counts for orders with at least one
+    line shipped > 60 days after the order date — LEFT SEMI join
+    (Catalyst's existence join; no fan-out, no dedup needed)."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    late = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+    ).select("o_orderkey").distinct()
+    return (
+        orders.join(late, on="o_orderkey", how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select(F.col("o_orderpriority").alias("priority"), "n_orders")
+    )
+
+
+SQL_LATE_ORDER_PRIORITIES = """
+SELECT o_orderpriority AS priority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY 1
+"""
+
+
+def q_supplier_rank_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-over-join: suppliers ranked by account balance within
+    their region (broadcast dims, per-region ranking window)."""
+    sup = load_table(spark, _t(sf_dir, "supplier"))
+    nation = load_table(spark, _t(sf_dir, "nation"))
+    region = load_table(spark, _t(sf_dir, "region"))
+    j = sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    w = Window.partitionBy("r_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return j.select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        F.col("s_name").alias("supplier"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+SQL_SUPPLIER_RANK_BY_NATION = """
+SELECT r.r_name AS region, n.n_name AS nation, s.s_name AS supplier,
+       s.s_acctbal AS acctbal,
+       CAST(row_number() OVER (
+         PARTITION BY r.r_name ORDER BY s.s_acctbal DESC, s.s_suppkey
+       ) AS BIGINT) AS rank
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+def q_part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-flavored: revenue share per part type prefix — join to the
+    part dim (broadcast), conditional aggregation."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    part = load_table(spark, _t(sf_dir, "part"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        j.withColumn("type_prefix", F.split(F.col("p_type"), " ").getItem(0))
+        .groupBy("type_prefix")
+        .agg(
+            _pr(rev, 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_PART_TYPE_SHARE = """
+SELECT regexp_split_to_array(p.p_type, ' ')[1] AS type_prefix,
+       floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------
 # Dedup / text / similarity (training-data pipeline extensions)
 # --------------------------------------------------------------------
@@ -640,6 +780,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_profile": q_dq_profile,
     "pricing_summary": q_pricing_summary,
     "nation_revenue": q_nation_revenue,
+    "top_customers": q_top_customers,
+    "late_order_priorities": q_late_order_priorities,
+    "supplier_rank_by_nation": q_supplier_rank_by_nation,
+    "part_type_share": q_part_type_share,
     "exact_dedup_docs": q_exact_dedup_docs,
     "text_stats": q_text_stats,
     "ann_topk": q_ann_topk,
@@ -658,6 +802,10 @@ ORACLES: dict[str, str] = {
     "dq_profile": SQL_DQ_PROFILE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "nation_revenue": SQL_NATION_REVENUE,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "late_order_priorities": SQL_LATE_ORDER_PRIORITIES,
+    "supplier_rank_by_nation": SQL_SUPPLIER_RANK_BY_NATION,
+    "part_type_share": SQL_PART_TYPE_SHARE,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "text_stats": SQL_TEXT_STATS,
     "ann_topk": SQL_ANN_TOPK,
