@@ -1,0 +1,168 @@
+"""Property-based tests (hypothesis): engine operators vs pandas
+reference semantics on randomized series.
+
+These pin the subtle order/NULL/bucket semantics that unit examples
+can miss: OHLC resample vs pandas.resample, interpolation vs
+pandas.interpolate, SMA vs pandas.rolling, keep-first dedupe vs
+pandas index.duplicated.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_finance_pipeline_spark.operators.gaps import interpolate_linear, reindex_to_grid
+from etl_finance_pipeline_spark.operators.normalize import remove_duplicates
+from etl_finance_pipeline_spark.operators.report import sma
+from etl_finance_pipeline_spark.operators.resample import resample_ohlc
+
+T0 = datetime(2024, 1, 2, 9, 0)
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# series of (minute_offset, value) with unique offsets
+series_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=120),
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(series=series_strategy)
+@settings(**SETTINGS)
+def test_resample_matches_pandas(spark, series):
+    rows = [("X", T0 + timedelta(minutes=m), float(v)) for m, v in series]
+    pdf = pd.DataFrame(rows, columns=["SYMBOL", "TIMESTAMP", "CLOSE"]).set_index(
+        "TIMESTAMP"
+    )
+    # pandas: OHLC of the single value column
+    want = (
+        pdf["CLOSE"]
+        .resample("5min")
+        .agg(["first", "max", "min", "last"])
+        .dropna(subset=["last"])
+    )
+
+    sdf = spark.createDataFrame(rows, ["SYMBOL", "TIMESTAMP", "CLOSE"]).withColumns(
+        {
+            "OPEN": F.col("CLOSE"),
+            "HIGH": F.col("CLOSE"),
+            "LOW": F.col("CLOSE"),
+        }
+    )
+    got = {
+        r["TIMESTAMP"]: r
+        for r in resample_ohlc(sdf, "5T", ["SYMBOL"]).collect()
+    }
+    assert len(got) == len(want)
+    for ts, w in want.iterrows():
+        g = got[ts.to_pydatetime()]
+        assert g["OPEN"] == pytest.approx(w["first"])
+        assert g["HIGH"] == pytest.approx(w["max"])
+        assert g["LOW"] == pytest.approx(w["min"])
+        assert g["CLOSE"] == pytest.approx(w["last"])
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+@settings(**SETTINGS)
+def test_interpolate_matches_pandas(spark, vals):
+    rows = [
+        ("X", T0 + timedelta(minutes=i), v if v is None else float(v))
+        for i, v in enumerate(vals)
+    ]
+    sdf = spark.createDataFrame(
+        rows, "SYMBOL string, TIMESTAMP timestamp, CLOSE double"
+    )
+    got = [
+        r["CLOSE"]
+        for r in interpolate_linear(sdf, ["CLOSE"], ["SYMBOL"])
+        .orderBy("TIMESTAMP")
+        .collect()
+    ]
+    want = (
+        pd.Series([v for v in vals], dtype="float64")
+        .interpolate(method="linear", limit_direction="both")
+        .tolist()
+    )
+    for g, w in zip(got, want):
+        if pd.isna(w):
+            assert g is None  # all-null column stays null
+        else:
+            assert g == pytest.approx(w, rel=1e-9, abs=1e-9)
+
+
+@given(series=series_strategy, window=st.integers(min_value=1, max_value=10))
+@settings(**SETTINGS)
+def test_sma_matches_pandas(spark, series, window):
+    series = sorted(series)
+    rows = [("X", T0 + timedelta(minutes=m), float(v)) for m, v in series]
+    sdf = spark.createDataFrame(rows, ["SYMBOL", "TIMESTAMP", "CLOSE"])
+    got = [
+        r[f"SMA_{window}"]
+        for r in sma(sdf, "CLOSE", window, ["SYMBOL"]).orderBy("TIMESTAMP").collect()
+    ]
+    want = (
+        pd.Series([v for _, v in series])
+        .rolling(window, min_periods=1)
+        .mean()
+        .tolist()
+    )
+    assert got == pytest.approx(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # key with collisions
+            st.integers(min_value=0, max_value=1000),  # arrival seq
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    )
+)
+@settings(**SETTINGS)
+def test_dedupe_matches_pandas_keep_first(spark, rows):
+    sdf = spark.createDataFrame(rows, ["k", "seq"])
+    got = sorted(
+        (r["k"], r["seq"]) for r in remove_duplicates(sdf, ["k"], order_by=["seq"]).collect()
+    )
+    pdf = pd.DataFrame(rows, columns=["k", "seq"]).sort_values("seq")
+    want = sorted(
+        (int(r["k"]), int(r["seq"]))
+        for _, r in pdf[~pdf["k"].duplicated(keep="first")].iterrows()
+    )
+    assert got == want
+
+
+@given(series=series_strategy)
+@settings(**SETTINGS)
+def test_reindex_row_count_is_span(spark, series):
+    rows = [("X", T0 + timedelta(minutes=m), float(v)) for m, v in series]
+    sdf = spark.createDataFrame(rows, ["SYMBOL", "TIMESTAMP", "CLOSE"])
+    out = reindex_to_grid(sdf, "1T", ["SYMBOL"])
+    mins = sorted(m for m, _ in series)
+    assert out.count() == mins[-1] - mins[0] + 1
