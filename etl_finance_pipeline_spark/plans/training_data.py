@@ -423,6 +423,123 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
 
 
 # --------------------------------------------------------------------
+# Temporal: as-of join, sessionization, JSON props extraction
+# --------------------------------------------------------------------
+
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's most recent click at or
+    before the purchase time — oracle is DuckDB's native ASOF JOIN."""
+    from etl_finance_pipeline_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, _t(sf_dir, "events"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"], ts_col="ts",
+        right_value_cols=["click_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.col("ts_right").alias("click_ts"),
+        "click_value_right",
+    ).withColumnRenamed("click_value_right", "click_value")
+
+
+SQL_ASOF_LAST_CLICK = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, value AS click_value FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+       c.ts AS click_ts, c.click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization of the event stream per user."""
+    from etl_finance_pipeline_spark.operators.temporal import sessionize
+
+    ev = load_table(spark, _t(sf_dir, "events"))
+    out = sessionize(
+        ev, "30T", ["user_id"], ts_col="ts",
+        aggs=[_pr(F.sum("value"), 6).alias("sum_value")],
+    )
+    return out.select(
+        "user_id", "session_start", "session_end_last",
+        F.col("n_events").cast("long").alias("n_events"), "sum_value",
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end_last,
+       count(*) AS n_events,
+       floor((sum(value)) * 1000000 + 0.5) / 1000000 AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``k`` out of the JSON props
+    column, profile it per event type (JVM-side get_json_object)."""
+    ev = load_table(spark, _t(sf_dir, "events"))
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("_k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("_k").alias("n_with_k"),
+            F.min("_k").alias("k_min"),
+            F.max("_k").alias("k_max"),
+            _pr(F.avg("_k"), 6).alias("k_avg"),
+            F.sum((F.col("_k") > 50).cast("long")).alias("n_k_gt_50"),
+        )
+    )
+
+
+SQL_PROPS_EXTRACT = """
+WITH e AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(k) AS n_with_k,
+       min(k) AS k_min,
+       max(k) AS k_max,
+       floor((avg(k)) * 1000000 + 0.5) / 1000000 AS k_avg,
+       CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_gt_50
+FROM e
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -436,6 +553,9 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprints": q_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embed_near_dup": q_embed_near_dup,
+    "asof_last_click": q_asof_last_click,
+    "user_sessions": q_user_sessions,
+    "props_extract": q_props_extract,
 }
 
 ORACLES_TD: dict[str, str] = {
@@ -448,4 +568,7 @@ ORACLES_TD: dict[str, str] = {
     "fingerprints": SQL_FINGERPRINTS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
+    "asof_last_click": SQL_ASOF_LAST_CLICK,
+    "user_sessions": SQL_USER_SESSIONS,
+    "props_extract": SQL_PROPS_EXTRACT,
 }
