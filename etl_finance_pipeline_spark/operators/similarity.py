@@ -163,6 +163,93 @@ def lsh_ann_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cvec",
+) -> DataFrame:
+    """Assign every vector to its *nprobe* nearest centroids by cosine
+    (deterministic tiebreak: cosine desc, centroid id asc).
+
+    Centroids are broadcast (an IVF codebook is small by construction);
+    assignment is a broadcast nested-loop + per-vector top-nprobe
+    window — N×K rows, narrow, no corpus shuffle until the window.
+    Output: (id, vec, cid, probe_rank).
+    """
+    pairs = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(centroid_id_col),
+        cosine(F.col(vec_col), F.col(centroid_vec_col)).alias("_c"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_c").desc(), F.col(centroid_id_col)
+    )
+    return (
+        pairs.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .drop("_c")
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors are bucketed into
+    inverted lists by nearest centroid; each query probes its *nprobe*
+    nearest lists and exact-cosine re-ranks only those candidates.
+
+    The codebook would be trained offline at scale (k-means on a
+    sample); here it is any small (cid, cvec) DataFrame. Candidate
+    join is an equality join on cid — shuffle-partitioned by list,
+    AQE skew-splittable (hot lists split automatically). Probing more
+    lists (*nprobe*) trades cost for recall, the standard IVF knob.
+    Output schema matches :func:`cosine_topk`.
+    """
+    corpus = _as_double(corpus, vec_col)
+    queries = _as_double(queries.withColumnRenamed(id_col, query_id_col), vec_col)
+    centroids = _as_double(centroids, "cvec")
+
+    lists = ivf_assign(corpus, centroids, nprobe=1, id_col=id_col, vec_col=vec_col)
+    probes = ivf_assign(
+        queries, centroids, nprobe=nprobe, id_col=query_id_col, vec_col=vec_col
+    ).select(query_id_col, F.col(vec_col).alias("_qv"), "cid")
+
+    sim = cosine(F.col("_qv"), F.col(vec_col))
+    if round_digits is not None:
+        from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+        sim = portable_round(sim, round_digits)
+    cand = (
+        probes.join(lists.select(id_col, vec_col, "cid"), on="cid")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float,

@@ -403,6 +403,60 @@ QUALIFY rank <= 5
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: codebook = 8 seed vectors (vec_id 0..7 — a stand-in
+    for an offline-trained k-means codebook), nprobe=2."""
+    from etl_finance_pipeline_spark.operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_ann_topk(emb, queries, centroids, k=5, nprobe=2)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+corpus_assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.embedding', b='c.cvec')} DESC, c.cid
+           ) AS pr
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE pr = 1
+),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.embedding', b='c.cvec')} DESC, c.cid
+           ) AS pr
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < 5
+  ) WHERE pr <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         floor(({_COS_SQL.format(a='p.qv', b='a.embedding')}) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM probes p JOIN corpus_assign a USING (cid)
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+FROM cand
+QUALIFY rank <= 5
+"""
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, _t(sf_dir, "embeddings"))
     return embedding_near_duplicates(emb, threshold=0.4)
@@ -552,6 +606,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embed_near_dup": q_embed_near_dup,
     "asof_last_click": q_asof_last_click,
     "user_sessions": q_user_sessions,
@@ -567,6 +622,7 @@ ORACLES_TD: dict[str, str] = {
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprints": SQL_FINGERPRINTS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "asof_last_click": SQL_ASOF_LAST_CLICK,
     "user_sessions": SQL_USER_SESSIONS,

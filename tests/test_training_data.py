@@ -184,3 +184,19 @@ def test_embedding_near_duplicates(spark):
     assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1), (0, 4), (1, 4)}
     strict = embedding_near_duplicates(_emb(spark), 0.999, planes=planes).collect()
     assert {(r["id_a"], r["id_b"]) for r in strict} == {(0, 4)}
+
+
+def test_ivf_ann_topk_finds_identical(spark):
+    from etl_finance_pipeline_spark.operators.similarity import ivf_ann_topk
+    import pyspark.sql.functions as SF
+
+    emb = _emb(spark)
+    centroids = emb.filter(SF.col("vec_id").isin(0, 2)).select(
+        SF.col("vec_id").alias("cid"), SF.col("embedding").alias("cvec")
+    )
+    q = emb.filter(SF.col("vec_id") == 0)
+    out = ivf_ann_topk(emb, q, centroids, k=3, nprobe=1).orderBy("rank").collect()
+    # list of centroid 0 holds vectors {0,1,4} (3 is closer to centroid
+    # 2's opposite... vec 3 = -v0 -> cos(v0)=-1 < cos(v2)=0 -> list 2)
+    assert out[0]["neighbor_id"] == 4 and out[0]["cosine"] == 1.0
+    assert {r["neighbor_id"] for r in out} == {1, 4}
