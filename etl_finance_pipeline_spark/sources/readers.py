@@ -24,7 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-SUPPORTED_EXTENSIONS = {".csv": "csv", ".parquet": "parquet", ".pq": "parquet"}
+SUPPORTED_EXTENSIONS = {
+    ".csv": "csv",
+    ".parquet": "parquet",
+    ".pq": "parquet",
+    ".json": "json",
+    ".ndjson": "json",
+    ".jsonl": "json",
+}
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -65,6 +72,30 @@ def read_csv(
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     df = reader.csv(paths)
+    if with_source_file:
+        df = df.withColumn("_source_file", F.input_file_name())
+    return df
+
+
+def read_json(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: T.StructType | None = None,
+    with_source_file: bool = True,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """NDJSON/JSON-lines source with permissive corrupt-record capture
+    (same dead-letter contract as the CSV reader)."""
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", CORRUPT_COL
+    )
+    if schema is not None:
+        if CORRUPT_COL not in schema.fieldNames():
+            schema = schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
+        reader = reader.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.json(paths)
     if with_source_file:
         df = df.withColumn("_source_file", F.input_file_name())
     return df
@@ -130,12 +161,14 @@ def load_directory(
         except ValueError as exc:
             result.quarantined_files.append({"file": full, "reason": str(exc)})
 
+    readers = {
+        "csv": lambda f: read_csv(spark, f, schema=schema),
+        "json": lambda f: read_json(spark, f, schema=schema),
+        "parquet": lambda f: read_parquet(spark, f),
+    }
     for fmt, files in by_format.items():
         try:
-            if fmt == "csv":
-                df = read_csv(spark, files, schema=schema)
-            else:
-                df = read_parquet(spark, files)
+            df = readers[fmt](files)
             result.frames[fmt] = df
             result.metadata.append(
                 {"format": fmt, "files": len(files), "columns": df.columns, "status": "ok"}
@@ -143,7 +176,7 @@ def load_directory(
         except Exception as exc:  # unreadable group → per-file fallback
             for f in files:
                 try:
-                    one = read_csv(spark, f, schema=schema) if fmt == "csv" else read_parquet(spark, f)
+                    one = readers[fmt](f)
                     result.frames.setdefault(fmt, one)
                 except Exception:
                     result.quarantined_files.append({"file": f, "reason": str(exc)})

@@ -61,3 +61,33 @@ def test_load_directory_mixed(spark, tmp_path):
     assert [q["file"] for q in res.quarantined_files] == [str(tmp_path / "skip.xlsx")]
     statuses = {m["format"]: m["status"] for m in res.metadata}
     assert statuses.get("csv") == "ok"
+
+
+def test_read_json_with_corrupt_rows(spark, tmp_path):
+    from etl_finance_pipeline_spark.sources.readers import read_json
+
+    p = tmp_path / "events.ndjson"
+    p.write_text(
+        '{"ts": "2024-01-01", "open": 1.5}\n'
+        "this is not json\n"
+        '{"ts": "2024-01-02", "open": 2.5}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.StringType()),
+            T.StructField("open", T.DoubleType()),
+        ]
+    )
+    df = read_json(spark, str(p), schema=schema)
+    good, bad = split_quarantine(df)
+    rows = good.collect()
+    assert len(rows) == 2
+    assert {r["open"] for r in rows} == {1.5, 2.5}
+    assert len(bad.collect()) == 1
+
+
+def test_load_directory_includes_json(spark, tmp_path):
+    (tmp_path / "a.jsonl").write_text('{"x": 1}\n{"x": 2}\n')
+    res = load_directory(spark, str(tmp_path))
+    assert "json" in res.frames
+    assert len(res.frames["json"].collect()) == 2
