@@ -158,6 +158,10 @@ def detect_datetime_column(df: DataFrame) -> str:
     raise ValueError("no datetime column found")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
 def dst_transition_windows(
     tz_name: str, start_year: int, end_year: int
 ) -> list[tuple[datetime, datetime, str]]:

@@ -166,3 +166,45 @@ def test_reindex_row_count_is_span(spark, series):
     out = reindex_to_grid(sdf, "1T", ["SYMBOL"])
     mins = sorted(m for m, _ in series)
     assert out.count() == mins[-1] - mins[0] + 1
+
+
+@given(
+    trades=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),
+        min_size=1, max_size=25, unique=True,
+    ),
+    quotes=st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 500),
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        ),
+        min_size=1, max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, trades, quotes):
+    from etl_finance_pipeline_spark.operators.temporal import asof_join
+
+    t_rows = [(k, T0 + timedelta(seconds=s)) for k, s in trades]
+    q_rows = [(k, T0 + timedelta(seconds=s), float(v)) for k, s, v in quotes]
+    left = spark.createDataFrame(t_rows, "k int, TIMESTAMP timestamp")
+    right = spark.createDataFrame(q_rows, "k int, TIMESTAMP timestamp, quote double")
+    got = {
+        (r["k"], r["TIMESTAMP"]): r["quote_right"]
+        for r in asof_join(left, right, ["k"]).collect()
+    }
+
+    lp = pd.DataFrame(t_rows, columns=["k", "TIMESTAMP"]).sort_values("TIMESTAMP")
+    rp = pd.DataFrame(q_rows, columns=["k", "TIMESTAMP", "quote"]).sort_values(
+        "TIMESTAMP"
+    )
+    want_df = pd.merge_asof(lp, rp, on="TIMESTAMP", by="k", direction="backward")
+    assert len(got) == len(lp)
+    for _, r in want_df.iterrows():
+        w = r["quote"]
+        g = got[(r["k"], r["TIMESTAMP"].to_pydatetime())]
+        if pd.isna(w):
+            assert g is None
+        else:
+            assert g == pytest.approx(w)
