@@ -312,13 +312,18 @@ def remove_duplicates(
     ``monotonically_increasing_id()`` captured at scan time, which
     reproduces arrival order per input split.
 
-    strategy="agg" (default): ``groupBy(keys).agg(min_by(struct(other
-    cols), struct(order)))`` — a hash aggregate with map-side partial
-    combine and NO sort; the scalable plan when keys are
-    high-cardinality (dedupe keys usually are: most groups have one
-    row). strategy="window": ``row_number()`` ranking window —
-    shuffle + full sort on (keys, order); kept for when the ranked
-    frame itself is needed.
+    strategy="agg" (default): ``groupBy(keys)`` with one
+    ``min_by(col, order)`` per carried column — a HASH aggregate with
+    map-side partial combine and NO sort (each min_by buffer is a
+    primitive pair; a single ``min_by(struct(cols), ...)`` would fall
+    back to SortAggregate because struct buffers aren't mutable-typed,
+    and would also block column pruning — per-column aggregates that
+    are never referenced downstream get pruned away by Catalyst).
+    REQUIREMENT: *order_by* must be unique within each key group
+    (an ingest sequence is); on ties the per-column picks could mix
+    rows. strategy="window": ``row_number()`` ranking window —
+    shuffle + full sort on (keys, order); use it when the tiebreak is
+    not unique or the ranked frame itself is needed.
     """
     if order_by is None:
         df = df.withColumn("_ingest_seq", F.monotonically_increasing_id())
@@ -332,11 +337,9 @@ def remove_duplicates(
         order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
         ord_key = order_cols[0] if len(order_cols) == 1 else F.struct(*order_cols)
         picked = df.groupBy(*keys).agg(
-            F.min_by(F.struct(*[F.col(c) for c in others]), ord_key).alias("_r")
+            *[F.min_by(F.col(c), ord_key).alias(c) for c in others]
         )
-        out = picked.select(
-            *keys, *[F.col(f"_r.{c}").alias(c) for c in others]
-        ).select(*df.columns)
+        out = picked.select(*df.columns)
     else:
         w = Window.partitionBy(*keys).orderBy(*order_by)
         out = (
