@@ -206,6 +206,65 @@ def resize_images(
     return out
 
 
+AUDIO_STATS_TYPE = T.StructType(
+    [
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def decode_audio_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("media_id",),
+    sample_rate: int = 16_000,
+    decode: str = "fake",
+) -> DataFrame:
+    """Per-clip audio decode → summary stats (RMS, peak, duration) as
+    an Arrow-batched ``mapInPandas``.
+
+    ``fake`` mode treats the payload as signed 8-bit PCM mono at
+    *sample_rate* — deterministic, exercises the full plumbing;
+    ``real`` mode would use soundfile/ffmpeg (not installed → raises).
+    """
+    if decode == "real":  # pragma: no cover
+        _require_real_codec("audio", "soundfile/ffmpeg")
+
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols] + [T.StructField("stats", AUDIO_STATS_TYPE)]
+    )
+    id_list = list(id_cols)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            stats = []
+            for payload in pdf[content_col]:
+                if payload is None or len(payload) == 0:
+                    stats.append(
+                        {"n_samples": 0, "duration_s": 0.0, "rms": None, "peak": None}
+                    )
+                    continue
+                # signed 8-bit PCM: byte -> [-128, 127]
+                samples = [b - 256 if b > 127 else b for b in bytes(payload)]
+                n = len(samples)
+                stats.append(
+                    {
+                        "n_samples": n,
+                        "duration_s": n / sample_rate,
+                        "rms": (sum(s * s for s in samples) / n) ** 0.5,
+                        "peak": max(abs(s) for s in samples),
+                    }
+                )
+            out = pdf[id_list].copy()
+            out["stats"] = stats
+            yield out
+
+    return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)
+
+
 def sample_video_frames(
     df: DataFrame,
     content_col: str = "content",

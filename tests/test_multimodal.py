@@ -89,3 +89,25 @@ def test_mapinpandas_preserves_partitioning(spark):
     out = decode_image_stats(df)
     # narrow transformation: partition count preserved, no shuffle
     assert out.rdd.getNumPartitions() == 3
+
+
+def test_decode_audio_stats_fake(spark):
+    from etl_finance_pipeline_spark.operators.multimodal import decode_audio_stats
+
+    # 16000 samples of alternating +100/-100 -> rms 100, peak 100, 1s
+    payload = bytes([100, 156] * 8000)
+    df = spark.createDataFrame([(1, payload), (2, None)], ["media_id", "content"])
+    got = {r["media_id"]: r["stats"] for r in decode_audio_stats(df).collect()}
+    assert got[1]["n_samples"] == 16000
+    assert got[1]["duration_s"] == pytest.approx(1.0)
+    assert got[1]["rms"] == pytest.approx(100.0)
+    assert got[1]["peak"] == 100
+    assert got[2]["n_samples"] == 0 and got[2]["rms"] is None
+
+
+def test_decode_audio_real_raises(spark):
+    from etl_finance_pipeline_spark.operators.multimodal import decode_audio_stats
+
+    df = spark.createDataFrame([(1, bytes([0]))], ["media_id", "content"])
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        decode_audio_stats(df, decode="real")

@@ -95,3 +95,29 @@ def test_stream_gap_monitor(spark, tmp_path):
     )
     # X: 2->7 (300s) and 8->30 (1320s); Y: 0->5 (300s)
     assert got == [("X", 300.0), ("X", 1320.0), ("Y", 300.0)]
+
+
+def test_stream_candles_to_parquet_sink(spark, tmp_path):
+    """Full streaming pipeline: file source -> watermarked candle agg
+    -> parquet sink with checkpoint (exactly-once file sink)."""
+    rows = [
+        ("X", T0 + timedelta(minutes=m), float(v))
+        for m, v in [(0, 5.0), (1, 9.0), (6, 7.0), (60, 1.0)]
+    ]
+    stream = _write_stream_source(spark, tmp_path, rows)
+    candles = stream_candles(stream, "5T", ["symbol"], watermark="1 minute")
+    out = str(tmp_path / "candle-sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        candles.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    got = {r["TIMESTAMP"]: r for r in back.collect()}
+    assert got[T0]["OPEN"] == 5.0 and got[T0]["CLOSE"] == 9.0
+    assert got[T0 + timedelta(minutes=5)]["VOLUME"] == 7.0
