@@ -96,6 +96,45 @@ def asof_join(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by_cols: list[str],
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join: left rows matched to right intervals
+    with ``right_start <= left.ts <= right_end`` per *by_cols*.
+
+    A naive theta join forces Spark into a per-key nested loop
+    (O(|L|·|R|) comparisons per key). This uses the standard time-bin
+    trick: intervals explode to the bins they cover, points map to
+    their single bin, and the join becomes an EQUALITY join on
+    (keys, bin) refined by the exact range predicate — shuffle-
+    partitioned, AQE-skew-splittable. Each point falls in exactly one
+    bin, so no post-join dedup is needed. Choose *bin_seconds* near
+    the typical interval length: too small explodes long intervals
+    into many bins, too large widens candidate sets.
+    """
+    lbin = F.floor(F.unix_timestamp(F.col(left_ts)) / bin_seconds).cast("long")
+    rbins = F.sequence(
+        F.floor(F.unix_timestamp(F.col(right_start)) / bin_seconds).cast("long"),
+        F.floor(F.unix_timestamp(F.col(right_end)) / bin_seconds).cast("long"),
+    )
+    l2 = left.withColumn("_bin", lbin)
+    r2 = right.withColumn("_bin", F.explode(rbins))
+    return (
+        l2.join(r2, on=[*by_cols, "_bin"])
+        .filter(
+            (F.col(left_ts) >= F.col(right_start))
+            & (F.col(left_ts) <= F.col(right_end))
+        )
+        .drop("_bin")
+    )
+
+
 def sessionize(
     df: DataFrame,
     gap: str,

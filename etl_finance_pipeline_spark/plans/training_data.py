@@ -559,6 +559,55 @@ GROUP BY user_id, session_id
 """
 
 
+def q_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: error events matched into each user's 30-minute
+    sessions (point-in-interval equality-bin join), error count per
+    session."""
+    from etl_finance_pipeline_spark.operators.temporal import range_join, sessionize
+
+    ev = load_table(spark, _t(sf_dir, "events"))
+    sessions = sessionize(ev, "30T", ["user_id"], ts_col="ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    joined = range_join(
+        errors, sessions, ["user_id"], "ts", "session_start", "session_end_last",
+        bin_seconds=1800,
+    )
+    return (
+        joined.groupBy("user_id", "session_start")
+        .agg(F.count("*").alias("n_errors"))
+    )
+
+
+SQL_SESSION_ERRORS = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM marked
+), sessions AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end_last
+  FROM numbered GROUP BY user_id, session_id
+), errors AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id, s.session_start, count(*) AS n_errors
+FROM sessions s
+JOIN errors e
+  ON e.user_id = s.user_id
+ AND e.ts >= s.session_start AND e.ts <= s.session_end_last
+GROUP BY 1, 2
+"""
+
+
 def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull ``k`` out of the JSON props
     column, profile it per event type (JVM-side get_json_object)."""
@@ -610,6 +659,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_near_dup": q_embed_near_dup,
     "asof_last_click": q_asof_last_click,
     "user_sessions": q_user_sessions,
+    "session_errors": q_session_errors,
     "props_extract": q_props_extract,
 }
 
@@ -626,5 +676,6 @@ ORACLES_TD: dict[str, str] = {
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "asof_last_click": SQL_ASOF_LAST_CLICK,
     "user_sessions": SQL_USER_SESSIONS,
+    "session_errors": SQL_SESSION_ERRORS,
     "props_extract": SQL_PROPS_EXTRACT,
 }

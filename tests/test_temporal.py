@@ -88,3 +88,25 @@ def test_sessionize(spark):
         (1, _m(55), 1, 3.0),
         (2, _m(0), 1, 4.0),
     ]
+
+
+def test_range_join(spark):
+    from etl_finance_pipeline_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(1, _m(5)), (1, _m(45)), (2, _m(5)), (1, _m(200))],
+        ["uid", "TIMESTAMP"],
+    )
+    intervals = spark.createDataFrame(
+        [(1, _m(0), _m(30), "s1"), (1, _m(40), _m(60), "s2"), (2, _m(0), _m(10), "s3")],
+        ["uid", "start", "end", "name"],
+    )
+    out = range_join(
+        points, intervals, ["uid"], "TIMESTAMP", "start", "end", bin_seconds=600
+    )
+    got = sorted((r["uid"], r["TIMESTAMP"], r["name"]) for r in out.collect())
+    assert got == [
+        (1, _m(5), "s1"),
+        (1, _m(45), "s2"),
+        (2, _m(5), "s3"),
+    ]  # point at minute 200 matches nothing
