@@ -119,6 +119,7 @@ def lsh_ann_topk(
     query_id_col: str = "query_id",
     planes: list[list[float]] | None = None,
     round_digits: int | None = 6,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's
     hyperplane bucket, then exact cosine re-rank within the bucket.
@@ -126,19 +127,37 @@ def lsh_ann_topk(
     The bucket join replaces the brute-force cross join with an
     equality join on bucket id — at N corpus vectors and 2^P balanced
     buckets the candidate set shrinks by ~2^P. Output schema matches
-    :func:`cosine_topk`; ranks only cover in-bucket candidates
-    (standard single-probe LSH recall tradeoff — add multi-probe by
-    unioning neighbor buckets if recall matters more than cost).
+    :func:`cosine_topk`.
+
+    *multiprobe* > 0 additionally probes the buckets whose sign
+    differs in any single plane (the standard multi-probe LSH recall
+    boost: a near neighbor lost to one borderline hyperplane sign is
+    recovered). multiprobe=1 probes P extra buckets per query —
+    candidate cost ×(P+1), recall close to exhaustive for
+    dedup-grade similarity. Still an equality join (query side
+    explodes to its probe list; corpus is untouched).
     """
+    n_planes = len(planes if planes is not None else HYPERPLANES)
     corpus = _as_double(corpus, vec_col).withColumn(
         "_bucket", hyperplane_bucket(F.col(vec_col), planes)
     )
     queries = _as_double(queries.withColumnRenamed(id_col, query_id_col), vec_col)
-    q = queries.select(
-        query_id_col,
-        F.col(vec_col).alias("_qv"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
-    )
+    base = hyperplane_bucket(F.col(vec_col), planes)
+    if multiprobe and multiprobe >= 1:
+        probe_list = F.array(
+            base, *[base.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        )
+        q = queries.select(
+            query_id_col,
+            F.col(vec_col).alias("_qv"),
+            F.explode(probe_list).alias("_bucket"),
+        )
+    else:
+        q = queries.select(
+            query_id_col,
+            F.col(vec_col).alias("_qv"),
+            base.alias("_bucket"),
+        )
     sim = cosine(F.col("_qv"), F.col(vec_col))
     if round_digits is not None:
         from etl_finance_pipeline_spark.functions.scalar import portable_round

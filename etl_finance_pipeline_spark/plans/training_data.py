@@ -477,6 +477,105 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
 
 
 # --------------------------------------------------------------------
+# Corpus cleaning — the composed training-data pipeline
+# --------------------------------------------------------------------
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-cleaning pipeline as ONE lazy plan:
+    quality filter (score ≥ 0.5) → exact dedup (keep min doc_id per
+    text) → MinHash-LSH near-dup removal (drop the higher doc_id of
+    every pair with estimated Jaccard ≥ 0.7; single-pass greedy, the
+    standard corpus-dedup heuristic — not transitive closure).
+    Output: the surviving documents with their quality metrics."""
+    from etl_finance_pipeline_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_lsh_pairs,
+    )
+    from etl_finance_pipeline_spark.operators.text_analysis import quality_score
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    kept = quality_score(docs).filter(F.col("quality") >= 0.5)
+    exact = exact_duplicates(kept, ["text"], "doc_id")
+    near = minhash_lsh_pairs(exact).filter(F.col("est_jaccard") >= 0.7)
+    drop = near.select(F.col("id_b").alias("doc_id")).distinct()
+    clean = exact.join(drop, on="doc_id", how="left_anti")
+    return clean.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        _pr("quality", 6).alias("quality"),
+    )
+
+
+SQL_CLEAN_CORPUS = f"""
+WITH tokd0 AS (
+  SELECT *, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, lang, n_chars, toks,
+    len(toks) AS n_tokens,
+    list_sum(list_transform(toks, t -> CAST(len(t) AS DOUBLE))) / len(toks) AS avg_token_len,
+    len(list_filter(toks, t -> t IN ({_stop_list('en')}))) * 1.0 / len(toks) AS stopword_ratio,
+    len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text) AS digit_ratio,
+    len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / len(text) AS punct_ratio,
+    len(text) AS n_chars2
+  FROM tokd0
+),
+scored AS (
+  SELECT doc_id, text, lang, n_chars, toks,
+    (CASE WHEN n_chars2 >= 50 AND n_chars2 <= 10000 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+    + (1.0 - least(digit_ratio + punct_ratio, 1.0)) * 0.2 AS quality
+  FROM m
+),
+kept AS (
+  SELECT * FROM scored WHERE quality >= 0.5
+),
+exact AS (
+  SELECT * FROM kept
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM exact
+),
+h AS (
+  SELECT doc_id, {_H64.format(s='shingle')} % {M31} AS h31 FROM sh
+),
+sig AS (
+  SELECT doc_id,
+    {_SIG_COLS}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+  {_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, k1, k2, k3, k4)
+  WHERE a.doc_id < b.doc_id
+),
+near AS (
+  SELECT c.id_a, c.id_b, ({_EQ_TERMS}) / 16.0 AS est
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+),
+dropped AS (
+  SELECT DISTINCT id_b AS doc_id FROM near WHERE est >= 0.7
+)
+SELECT e.doc_id, e.lang, CAST(e.n_chars AS BIGINT) AS n_chars,
+       floor(e.quality * 1000000 + 0.5) / 1000000 AS quality
+FROM exact e
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = e.doc_id)
+"""
+
+
+# --------------------------------------------------------------------
 # Temporal: as-of join, sessionization, JSON props extraction
 # --------------------------------------------------------------------
 
@@ -661,6 +760,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "session_errors": q_session_errors,
     "props_extract": q_props_extract,
+    "clean_corpus": q_clean_corpus,
 }
 
 ORACLES_TD: dict[str, str] = {
@@ -678,4 +778,5 @@ ORACLES_TD: dict[str, str] = {
     "user_sessions": SQL_USER_SESSIONS,
     "session_errors": SQL_SESSION_ERRORS,
     "props_extract": SQL_PROPS_EXTRACT,
+    "clean_corpus": SQL_CLEAN_CORPUS,
 }

@@ -200,3 +200,19 @@ def test_ivf_ann_topk_finds_identical(spark):
     # 2's opposite... vec 3 = -v0 -> cos(v0)=-1 < cos(v2)=0 -> list 2)
     assert out[0]["neighbor_id"] == 4 and out[0]["cosine"] == 1.0
     assert {r["neighbor_id"] for r in out} == {1, 4}
+
+
+def test_lsh_multiprobe_recovers_cross_bucket_neighbor(spark):
+    # planes split on dims 0 and 1; w = [1, -0.01, ...] sits across the
+    # dim-1 plane from v = [1, +0.01, ...] despite cosine ~1.0
+    planes = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.01, 0.0, 0.0]), (1, [1.0, -0.01, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    single = lsh_ann_topk(emb, q, k=5, planes=planes).collect()
+    multi = lsh_ann_topk(emb, q, k=5, planes=planes, multiprobe=1).collect()
+    assert single == []  # different sign on plane 1 -> different bucket
+    assert [r["neighbor_id"] for r in multi] == [1]
+    assert multi[0]["cosine"] > 0.999
