@@ -477,6 +477,112 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
 
 
 # --------------------------------------------------------------------
+# Structured Streaming under the oracle gate
+# --------------------------------------------------------------------
+
+def q_stream_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLCV candles driven to completion on static data:
+    file-stream source → watermarked window agg → availableNow →
+    memory sink. Deterministic: in append mode exactly the windows
+    whose end falls at or before the final watermark
+    (max event time − 10 min) are emitted — which is what the batch
+    oracle computes. Verifies the streaming agg path end-to-end, not
+    just its batch twin."""
+    import uuid
+
+    from etl_finance_pipeline_spark.streaming.candles import stream_candles
+
+    path = _t(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource needs a dir/glob — [t] makes the file a glob
+    stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
+    dtype = dict(zip(schema.fieldNames(), [f.dataType.simpleString() for f in schema.fields]))
+    if dtype.get("ts") == "bigint":  # TIMESTAMP(NANOS) read as long
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    candles = stream_candles(
+        stream, "5T", ["event_type"], ts_col="ts", watermark="10 minutes"
+    )
+    name = f"stream_candles_{uuid.uuid4().hex[:8]}"
+    q = (
+        candles.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    return out.select(
+        F.col("event_type").alias("symbol"),
+        F.col("TIMESTAMP").alias("bucket_ts"),
+        F.col("OPEN").alias("open"),
+        F.col("HIGH").alias("high"),
+        F.col("LOW").alias("low"),
+        F.col("CLOSE").alias("close"),
+        _pr("VOLUME", 6).alias("volume"),
+        F.col("N_TICKS").alias("n_ticks"),
+    )
+
+
+SQL_STREAM_CANDLES = """
+WITH c AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL 5 MINUTE, ts) AS bucket_ts,
+         arg_min(value, ts) AS open,
+         max(value) AS high,
+         min(value) AS low,
+         arg_max(value, ts) AS close,
+         floor((sum(value)) * 1000000 + 0.5) / 1000000 AS volume,
+         count(*) AS n_ticks
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT * FROM c
+WHERE bucket_ts + INTERVAL 5 MINUTE <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+"""
+
+
+# --------------------------------------------------------------------
+# Multimodal plumbing under the oracle gate
+# --------------------------------------------------------------------
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the Arrow-batched mapInPandas decode path under the
+    oracle: documents' text encoded to binary payloads, then
+    decode_image_stats (byte-level kernel). For ASCII text the bytes
+    are the character codes, so DuckDB reproduces the stats exactly."""
+    from etl_finance_pipeline_spark.operators.multimodal import decode_image_stats
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    out = decode_image_stats(docs)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("stats.n_bytes").alias("n_bytes"),
+        _pr(F.col("stats.mean_intensity"), 6).alias("mean_intensity"),
+        F.col("stats.min_byte").cast("long").alias("min_byte"),
+        F.col("stats.max_byte").cast("long").alias("max_byte"),
+    )
+
+
+SQL_MEDIA_STATS = """
+WITH codes AS (
+  SELECT doc_id, len(text) AS n,
+         list_transform(generate_series(1, len(text)),
+                        i -> ord(substr(text, i, 1))) AS c
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       floor((list_sum(list_transform(c, x -> CAST(x AS DOUBLE))) / n) * 1000000 + 0.5) / 1000000 AS mean_intensity,
+       CAST(list_min(c) AS BIGINT) AS min_byte,
+       CAST(list_max(c) AS BIGINT) AS max_byte
+FROM codes
+"""
+
+
+# --------------------------------------------------------------------
 # Corpus cleaning — the composed training-data pipeline
 # --------------------------------------------------------------------
 
@@ -761,6 +867,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_errors": q_session_errors,
     "props_extract": q_props_extract,
     "clean_corpus": q_clean_corpus,
+    "media_stats": q_media_stats,
+    "stream_candles": q_stream_candles,
 }
 
 ORACLES_TD: dict[str, str] = {
@@ -779,4 +887,6 @@ ORACLES_TD: dict[str, str] = {
     "session_errors": SQL_SESSION_ERRORS,
     "props_extract": SQL_PROPS_EXTRACT,
     "clean_corpus": SQL_CLEAN_CORPUS,
+    "media_stats": SQL_MEDIA_STATS,
+    "stream_candles": SQL_STREAM_CANDLES,
 }
