@@ -492,6 +492,9 @@ def q_stream_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_finance_pipeline_spark.streaming.candles import stream_candles
 
+    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     path = _t(sf_dir, "events")
     schema = spark.read.parquet(path).schema
     # FileStreamSource needs a dir/glob — [t] makes the file a glob

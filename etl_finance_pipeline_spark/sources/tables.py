@@ -49,9 +49,22 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
     ]
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Arm ``spark.sql.legacy.parquet.nanosAsLong`` on THIS session.
+
+    Without it Spark 4 refuses TIMESTAMP(NANOS) parquet outright
+    (PARQUET_TYPE_ILLEGAL) — and callers (e.g. the external verify
+    driver) hand us sessions we didn't build. The conf is a runtime
+    SQLConf, so setting it here is safe and idempotent.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet table, restoring nanosecond-timestamp columns to
-    TimestampType (truncated to micros, Spark's native resolution)."""
+    TimestampType (truncated to micros, Spark's native resolution).
+    Works on any session — arms the nanos conf itself."""
+    ensure_nanos_conf(spark)
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_columns(path):
         # integer division — float division would lose precision on
