@@ -40,6 +40,7 @@ from etl_finance_pipeline_spark.operators.text_analysis import (  # noqa: F401
 )
 from etl_finance_pipeline_spark.operators.temporal import (  # noqa: F401
     asof_join,
+    range_join,
     sessionize,
 )
 from etl_finance_pipeline_spark.operators.multimodal import (  # noqa: F401

@@ -66,7 +66,13 @@ def load_table(spark: SparkSession, path: str) -> DataFrame:
     Works on any session — arms the nanos conf itself."""
     ensure_nanos_conf(spark)
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for c in _nanos_timestamp_columns(path):
+        # Convert only when Spark actually surfaced the column as an
+        # epoch-nanos long: INT96 timestamps also show as timestamp[ns]
+        # in the arrow footer but Spark reads them as TIMESTAMP already.
+        if dtypes.get(c) != "bigint":
+            continue
         # integer division — float division would lose precision on
         # epoch-nanos magnitudes (> 2^60)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

@@ -1,0 +1,51 @@
+"""Nanos-aware table loader tests: TIMESTAMP(NANOS) parquet restored
+to TimestampType on ANY session (the external driver hands us
+sessions without our configs)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+
+from etl_finance_pipeline_spark.sources.tables import load_table, load_sf_tables
+
+
+def test_load_table_restores_nanos(spark, tmp_path):
+    p = str(tmp_path / "nanos.parquet")
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2],
+            "ts": [
+                pd.Timestamp("2024-03-01 12:00:00.123456789"),
+                pd.Timestamp("2024-03-02 00:00:00"),
+            ],
+        }
+    )
+    assert str(pdf["ts"].dtype) == "datetime64[ns]"
+    pdf.to_parquet(p, engine="pyarrow")
+    df = load_table(spark, p)
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = sorted(r["ts"] for r in df.collect())
+    # nanos floor to micros
+    assert got[0] == datetime(2024, 3, 1, 12, 0, 0, 123456)
+    assert got[1] == datetime(2024, 3, 2, 0, 0, 0)
+
+
+def test_load_table_plain_micros_untouched(spark, tmp_path):
+    p = str(tmp_path / "micros.parquet")
+    spark.createDataFrame(
+        [(1, datetime(2024, 3, 1, 12, 0))], "id int, ts timestamp"
+    ).write.parquet(p)
+    df = load_table(spark, p)
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.collect()[0]["ts"] == datetime(2024, 3, 1, 12, 0)
+
+
+def test_load_sf_tables(spark):
+    tables = load_sf_tables(spark, "/root/testdata/sf0.001")
+    assert set(tables) == {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    assert dict(tables["events"].dtypes)["ts"] == "timestamp"
