@@ -37,6 +37,12 @@ from etl_finance_pipeline_spark.functions.scalar import (
 
 VOLUME_COLUMNS = ("VOLUME", "TICKVOL", "VOL")
 
+#: Calendar buckets (variable length — not expressible as a fixed
+#: ``F.window`` duration): pandas-style start-anchored aliases →
+#: date_trunc unit. Left-closed, left-labeled at the period start,
+#: matching pandas 'MS'/'QS'/'YS' resampling.
+_CALENDAR_UNITS = {"1MS": "month", "MS": "month", "1QS": "quarter", "QS": "quarter", "1YS": "year", "YS": "year"}
+
 
 def candles_from_ticks(
     df: DataFrame,
@@ -106,7 +112,8 @@ def resample_ohlc(
     (resample.py:13-36).
     """
     keys = key_cols or (["SYMBOL"] if "SYMBOL" in df.columns else [])
-    duration = offset_alias_to_duration(rule)
+    calendar_unit = _CALENDAR_UNITS.get(rule.strip().upper())
+    duration = None if calendar_unit else offset_alias_to_duration(rule)
     cols = set(df.columns)
 
     aggs = []
@@ -140,13 +147,18 @@ def resample_ohlc(
     if not aggs:
         return df
 
-    bucket = F.window(ts_col, duration)
-    res = (
-        df.groupBy(*keys, bucket.alias("_w"))
-        .agg(*aggs)
-        .withColumn(ts_col, F.col("_w.start"))
-        .drop("_w")
-    )
+    if calendar_unit:
+        bucket = F.date_trunc(calendar_unit, F.col(ts_col))
+        res = df.groupBy(*keys, bucket.alias("_w")).agg(*aggs).withColumnRenamed(
+            "_w", ts_col
+        )
+    else:
+        res = (
+            df.groupBy(*keys, F.window(ts_col, duration).alias("_w"))
+            .agg(*aggs)
+            .withColumn(ts_col, F.col("_w.start"))
+            .drop("_w")
+        )
     # stable column order: keys, ts, aggregates
     out_cols =[*keys, ts_col] + [c for c in res.columns if c not in (*keys, ts_col)]
     res = res.select(*out_cols)
@@ -157,23 +169,35 @@ def resample_ohlc(
         return res
 
     # Reproduce pandas' empty buckets: left-join onto the full bucket grid.
-    step = offset_alias_to_seconds(rule)
     bounds = df.groupBy(*keys).agg(
         F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
     )
-    grid = bounds.select(
-        *keys,
-        F.explode(
-            F.sequence(
-                F.timestamp_seconds(
-                    (F.unix_timestamp("_min_ts") / step).cast("long") * step
-                ),
-                F.timestamp_seconds(
-                    (F.unix_timestamp("_max_ts") / step).cast("long") * step
-                ),
-                F.expr(f"INTERVAL {step} SECOND"),
-            )
-        ).alias(ts_col),
-    )
+    if calendar_unit:
+        grid = bounds.select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    F.date_trunc(calendar_unit, F.col("_min_ts")),
+                    F.date_trunc(calendar_unit, F.col("_max_ts")),
+                    F.expr(f"INTERVAL 1 {calendar_unit.upper()}"),
+                )
+            ).alias(ts_col),
+        )
+    else:
+        step = offset_alias_to_seconds(rule)
+        grid = bounds.select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    F.timestamp_seconds(
+                        (F.unix_timestamp("_min_ts") / step).cast("long") * step
+                    ),
+                    F.timestamp_seconds(
+                        (F.unix_timestamp("_max_ts") / step).cast("long") * step
+                    ),
+                    F.expr(f"INTERVAL {step} SECOND"),
+                )
+            ).alias(ts_col),
+        )
     join_keys = [*keys, ts_col]
     return grid.join(res, on=join_keys, how="left").select(*out_cols)

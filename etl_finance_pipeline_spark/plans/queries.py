@@ -345,6 +345,46 @@ FROM c5 GROUP BY 1, 2
 """
 
 
+def q_resample_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resampling (variable-length buckets via date_trunc —
+    not expressible as a fixed window duration): monthly OHLCV from
+    the 5-minute candles."""
+    c = _candles_5m_raw(spark, sf_dir).drop("N_TICKS")
+    monthly = resample_ohlc(c, "1MS", ["SYMBOL"])
+    return monthly.select(
+        F.col("SYMBOL").alias("symbol"),
+        F.col("TIMESTAMP").alias("month_start"),
+        F.col("OPEN").alias("open"),
+        F.col("HIGH").alias("high"),
+        F.col("LOW").alias("low"),
+        F.col("CLOSE").alias("close"),
+        _pr("VOLUME", 6).alias("volume"),
+    )
+
+
+SQL_RESAMPLE_MONTHLY = """
+WITH dedup AS (
+  SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) = 1
+), c5 AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL 5 MINUTE, ts) AS b,
+         arg_min(value, ts) AS open, max(value) AS high,
+         min(value) AS low, arg_max(value, ts) AS close,
+         sum(value) AS volume
+  FROM dedup GROUP BY 1, 2
+)
+SELECT symbol,
+       date_trunc('month', b) AS month_start,
+       arg_min(open, b) AS open,
+       max(high) AS high,
+       min(low) AS low,
+       arg_max(close, b) AS close,
+       floor((sum(volume)) * 1000000 + 0.5) / 1000000 AS volume
+FROM c5 GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------
 # W1 — rolling SMA
 # --------------------------------------------------------------------
@@ -776,6 +816,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reindex_ffill": q_reindex_ffill,
     "interpolate_linear": q_interpolate_linear,
     "resample_1h": q_resample_1h,
+    "resample_monthly": q_resample_monthly,
     "sma": q_sma,
     "dq_profile": q_dq_profile,
     "pricing_summary": q_pricing_summary,
@@ -798,6 +839,7 @@ ORACLES: dict[str, str] = {
     "reindex_ffill": SQL_REINDEX_FFILL,
     "interpolate_linear": SQL_INTERPOLATE_LINEAR,
     "resample_1h": SQL_RESAMPLE_1H,
+    "resample_monthly": SQL_RESAMPLE_MONTHLY,
     "sma": SQL_SMA,
     "dq_profile": SQL_DQ_PROFILE,
     "pricing_summary": SQL_PRICING_SUMMARY,

@@ -121,3 +121,12 @@ def test_repair_gaps_full_composition(spark):
     assert abs(row["CLOSE"] - 103.0) < 1e-9
     assert row["VOLUME"] == 7.0
     res.df.unpersist()
+
+
+def test_gap_engine_empty_frame(spark):
+    df = spark.createDataFrame(
+        [], "SYMBOL string, TIMESTAMP timestamp, CLOSE double"
+    )
+    assert detect_gaps(df, "1T", ["SYMBOL"]).count() == 0
+    assert reindex_to_grid(df, "1T", ["SYMBOL"]).count() == 0
+    assert interpolate_linear(df, ["CLOSE"], ["SYMBOL"]).count() == 0

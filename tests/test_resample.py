@@ -106,3 +106,37 @@ def test_candles_from_ticks(spark):
     b0 = rows[0]
     assert (b0["OPEN"], b0["HIGH"], b0["LOW"], b0["CLOSE"]) == (5.0, 9.0, 3.0, 3.0)
     assert b0["VOLUME"] == 17.0 and b0["N_TICKS"] == 3
+
+
+def test_resample_monthly_calendar(spark):
+    # candles across three months incl. an empty middle month
+    rows = [
+        ("X", datetime(2024, 1, 10), 1.0, 2.0, 0.5, 1.5, 10.0),
+        ("X", datetime(2024, 1, 20), 2.0, 3.0, 1.5, 2.5, 20.0),
+        ("X", datetime(2024, 3, 5), 5.0, 6.0, 4.5, 5.5, 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["SYMBOL", "TIMESTAMP", "OPEN", "HIGH", "LOW", "CLOSE", "VOLUME"]
+    )
+    out = resample_ohlc(df, "1MS", ["SYMBOL"]).orderBy("TIMESTAMP").collect()
+    assert [r["TIMESTAMP"] for r in out] == [datetime(2024, 1, 1), datetime(2024, 3, 1)]
+    jan = out[0]
+    assert (jan["OPEN"], jan["HIGH"], jan["LOW"], jan["CLOSE"], jan["VOLUME"]) == (
+        1.0, 3.0, 0.5, 2.5, 30.0,
+    )
+    # empty-bucket materialization spans February
+    full = resample_ohlc(df, "1MS", ["SYMBOL"], drop_incomplete=False).orderBy(
+        "TIMESTAMP"
+    ).collect()
+    assert [r["TIMESTAMP"] for r in full] == [
+        datetime(2024, 1, 1), datetime(2024, 2, 1), datetime(2024, 3, 1),
+    ]
+    assert full[1]["CLOSE"] is None
+
+
+def test_resample_empty_frame(spark):
+    df = spark.createDataFrame(
+        [], "SYMBOL string, TIMESTAMP timestamp, OPEN double, HIGH double, LOW double, CLOSE double, VOLUME double"
+    )
+    assert resample_ohlc(df, "5T", ["SYMBOL"]).count() == 0
+    assert resample_ohlc(df, "1MS", ["SYMBOL"], drop_incomplete=False).count() == 0
