@@ -43,6 +43,54 @@ def sma(
     return df.withColumn(out_col or f"SMA_{window_size}", F.avg(value_col).over(w))
 
 
+def vwap(
+    df: DataFrame,
+    price_col: str = "CLOSE",
+    volume_col: str = "VOLUME",
+    window_size: int | None = None,
+    key_cols: list[str] | None = None,
+    ts_col: str = "TIMESTAMP",
+    out_col: str = "VWAP",
+) -> DataFrame:
+    """Volume-weighted average price: cumulative per key when
+    *window_size* is None, else over the trailing *window_size* rows.
+    One per-key ordered window (growing/rows frame — O(n))."""
+    w = Window.partitionBy(*(key_cols or [])).orderBy(ts_col)
+    w = (
+        w.rowsBetween(Window.unboundedPreceding, 0)
+        if window_size is None
+        else w.rowsBetween(-(window_size - 1), 0)
+    )
+    pv = F.sum(F.col(price_col) * F.col(volume_col)).over(w)
+    v = F.sum(volume_col).over(w)
+    return df.withColumn(out_col, pv / v)
+
+
+def bollinger_bands(
+    df: DataFrame,
+    price_col: str = "CLOSE",
+    window_size: int = 20,
+    num_std: float = 2.0,
+    key_cols: list[str] | None = None,
+    ts_col: str = "TIMESTAMP",
+) -> DataFrame:
+    """Bollinger bands: trailing SMA ± num_std · sample-stddev over
+    *window_size* rows (min_periods=1 semantics; the stddev of a
+    single row is NULL, matching pandas ``rolling().std()``)."""
+    w = (
+        Window.partitionBy(*(key_cols or []))
+        .orderBy(ts_col)
+        .rowsBetween(-(window_size - 1), 0)
+    )
+    mid = F.avg(price_col).over(w)
+    sd = F.stddev_samp(price_col).over(w)
+    return (
+        df.withColumn("BB_MID", mid)
+        .withColumn("BB_UPPER", mid + num_std * sd)
+        .withColumn("BB_LOWER", mid - num_std * sd)
+    )
+
+
 def data_quality_report(
     df: DataFrame,
     key_cols: list[str] | None = None,

@@ -419,6 +419,52 @@ FROM c5
 """
 
 
+def q_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indicator stack over 5-minute candles: cumulative VWAP +
+    Bollinger bands (one ordered window pass per key)."""
+    from etl_finance_pipeline_spark.operators.report import bollinger_bands, vwap
+
+    c = _candles_5m_raw(spark, sf_dir)
+    out = bollinger_bands(
+        vwap(c, key_cols=["SYMBOL"]),
+        window_size=20,
+        num_std=2.0,
+        key_cols=["SYMBOL"],
+    )
+    return out.select(
+        F.col("SYMBOL").alias("symbol"),
+        F.col("TIMESTAMP").alias("ts"),
+        F.col("CLOSE").alias("close"),
+        _pr("VWAP", 6).alias("vwap"),
+        _pr("BB_MID", 6).alias("bb_mid"),
+        _pr("BB_UPPER", 6).alias("bb_upper"),
+        _pr("BB_LOWER", 6).alias("bb_lower"),
+    )
+
+
+SQL_INDICATORS = """
+WITH dedup AS (
+  SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) = 1
+), c5 AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL 5 MINUTE, ts) AS ts,
+         arg_max(value, ts) AS close,
+         sum(value) AS volume
+  FROM dedup GROUP BY 1, 2
+)
+SELECT symbol, ts, close,
+       floor((sum(close * volume) OVER cum / sum(volume) OVER cum) * 1000000 + 0.5) / 1000000 AS vwap,
+       floor((avg(close) OVER w20) * 1000000 + 0.5) / 1000000 AS bb_mid,
+       floor((avg(close) OVER w20 + 2.0 * stddev_samp(close) OVER w20) * 1000000 + 0.5) / 1000000 AS bb_upper,
+       floor((avg(close) OVER w20 - 2.0 * stddev_samp(close) OVER w20) * 1000000 + 0.5) / 1000000 AS bb_lower
+FROM c5
+WINDOW
+  cum AS (PARTITION BY symbol ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w20 AS (PARTITION BY symbol ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --------------------------------------------------------------------
 # A4-A8 — data-quality profile (exact median, outlier heuristic)
 # --------------------------------------------------------------------
@@ -818,6 +864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_1h": q_resample_1h,
     "resample_monthly": q_resample_monthly,
     "sma": q_sma,
+    "indicators": q_indicators,
     "dq_profile": q_dq_profile,
     "pricing_summary": q_pricing_summary,
     "nation_revenue": q_nation_revenue,
@@ -841,6 +888,7 @@ ORACLES: dict[str, str] = {
     "resample_1h": SQL_RESAMPLE_1H,
     "resample_monthly": SQL_RESAMPLE_MONTHLY,
     "sma": SQL_SMA,
+    "indicators": SQL_INDICATORS,
     "dq_profile": SQL_DQ_PROFILE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "nation_revenue": SQL_NATION_REVENUE,

@@ -134,3 +134,37 @@ def test_append_export_log(tmp_path):
     lines = open(os.path.join(d, "export_log.ndjson")).read().splitlines()
     assert len(lines) == 2
     assert json.loads(lines[0]) == {"a": 1}
+
+
+def test_vwap_cumulative(spark):
+    from etl_finance_pipeline_spark.operators.report import vwap
+
+    rows = [
+        ("X", T0, 10.0, 100.0),
+        ("X", T0 + timedelta(minutes=5), 20.0, 300.0),
+    ]
+    df = spark.createDataFrame(rows, ["SYMBOL", "TIMESTAMP", "CLOSE", "VOLUME"])
+    out = vwap(df, key_cols=["SYMBOL"]).orderBy("TIMESTAMP").collect()
+    assert out[0]["VWAP"] == pytest.approx(10.0)
+    assert out[1]["VWAP"] == pytest.approx((10 * 100 + 20 * 300) / 400)
+
+
+def test_bollinger_matches_pandas(spark):
+    from etl_finance_pipeline_spark.operators.report import bollinger_bands
+
+    closes = [10.0, 12.0, 11.0, 15.0, 13.0, 14.0, 9.0]
+    rows = [("X", T0 + timedelta(minutes=5 * i), c) for i, c in enumerate(closes)]
+    df = spark.createDataFrame(rows, ["SYMBOL", "TIMESTAMP", "CLOSE"])
+    out = bollinger_bands(df, window_size=3, key_cols=["SYMBOL"]).orderBy(
+        "TIMESTAMP"
+    ).collect()
+    s = pd.Series(closes)
+    mid = s.rolling(3, min_periods=1).mean()
+    sd = s.rolling(3, min_periods=1).std()
+    for i, r in enumerate(out):
+        assert r["BB_MID"] == pytest.approx(mid[i])
+        if pd.isna(sd[i]):
+            assert r["BB_UPPER"] is None
+        else:
+            assert r["BB_UPPER"] == pytest.approx(mid[i] + 2 * sd[i])
+            assert r["BB_LOWER"] == pytest.approx(mid[i] - 2 * sd[i])
