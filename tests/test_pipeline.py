@@ -107,3 +107,19 @@ def test_run_pipeline_dry_run_writes_nothing(spark, tmp_path):
     assert res.outputs == []
     assert not os.path.exists(tmp_path / "processed")
     assert res.reports["dry_run_raw"]["rows"] == 6  # repaired 1T grid
+
+
+def test_run_pipeline_with_source_tz(spark, tmp_path):
+    """tz priority: explicit source_tz localizes naive stamps before
+    UTC storage (run.py:327-330 parity)."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "USDJPY_2024.csv").write_text(
+        "time,open,high,low,close,volume\n"
+        "2024-01-15 12:00:00,1,2,0.5,1.5,10\n"
+    )
+    cfg = _cfg(tmp_path, [])
+    res = run_pipeline(spark, cfg, dry_run=False, source_tz="America/New_York")
+    out = spark.read.parquet(res.outputs[0]).collect()[0]
+    # 12:00 EST == 17:00 UTC
+    assert out["TIMESTAMP"].hour == 17

@@ -208,3 +208,44 @@ def test_asof_join_matches_pandas_merge_asof(spark, trades, quotes):
             assert g is None
         else:
             assert g == pytest.approx(w)
+
+
+@given(
+    present=st.lists(st.integers(0, 80), min_size=2, max_size=50, unique=True),
+    short_gap=st.integers(1, 10),
+)
+@settings(**SETTINGS)
+def test_gap_islands_match_reference_clustering(spark, present, short_gap):
+    """Islands clustering vs a straightforward single-pass reference
+    implementation on the same grid."""
+    from etl_finance_pipeline_spark.operators.gaps import detect_gaps
+
+    present = sorted(present)
+    rows = [("X", T0 + timedelta(minutes=m), 1.0) for m in present]
+    sdf = spark.createDataFrame(rows, "SYMBOL string, TIMESTAMP timestamp, CLOSE double")
+    got = sorted(
+        (r["start"], r["end"], r["missing_count"])
+        for r in detect_gaps(sdf, "1T", ["SYMBOL"], short_gap_minutes=short_gap).collect()
+    )
+
+    # reference: walk the full grid, cluster consecutive missing stamps
+    have = set(present)
+    want = []
+    run = []
+    for m in range(present[0], present[-1] + 1):
+        if m not in have:
+            run.append(m)
+        elif run:
+            want.append(run)
+            run = []
+    if run:
+        want.append(run)
+    want = sorted(
+        (
+            T0 + timedelta(minutes=r[0]),
+            T0 + timedelta(minutes=r[-1]),
+            len(r),
+        )
+        for r in want
+    )
+    assert got == want

@@ -168,3 +168,20 @@ def test_bollinger_matches_pandas(spark):
         else:
             assert r["BB_UPPER"] == pytest.approx(mid[i] + 2 * sd[i])
             assert r["BB_LOWER"] == pytest.approx(mid[i] - 2 * sd[i])
+
+
+def test_partition_pruning_on_export_output(spark, tmp_path):
+    """The partitioned layout must actually prune: a SYMBOL= filter
+    on the read-back side shows up in the scan's partition filters
+    and reads only that partition's files."""
+    a = _candles(spark, 10, sym="AAA")
+    b = _candles(spark, 10, sym="BBB")
+    out = str(tmp_path / "pruned")
+    write_parquet_with_metadata(
+        a.unionByName(b), out, partition_cols=["SYMBOL", "YEAR"]
+    )
+    back = spark.read.parquet(out).filter(F.col("SYMBOL") == "AAA")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "SYMBOL#" in plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert back.count() == 10
