@@ -97,20 +97,31 @@ def data_quality_report(
     ts_col: str = "TIMESTAMP",
     compute_indicators: bool = True,
     sma_windows: tuple[int, ...] = (10, 50),
+    approx: bool = False,
 ) -> DataFrame:
     """One report row per key (or a single global row when *key_cols*
     is empty): rows, start/end, per-column null counts, duplicate
-    timestamps, candle range stats, CLOSE min/max/exact-median, and the
+    timestamps, candle range stats, CLOSE min/max/median, and the
     suspicious-price-jump heuristic (close_max/median > 100 or
     close_min/median < 0.01, reporting.py:80-94).
+
+    *approx=False* (default) computes the EXACT median and distinct
+    count — required for oracle parity, but the exact percentile is a
+    holistic aggregate (buffers all values per group). *approx=True*
+    is the 100 TB path: ``approx_percentile`` (mergeable t-digest-
+    style sketch) and HLL ``approx_count_distinct`` — fully map-side
+    combinable, constant memory per group.
     """
     keys = key_cols or []
     cols = set(df.columns)
+    distinct_ts = (
+        F.approx_count_distinct(ts_col) if approx else F.countDistinct(ts_col)
+    )
     aggs = [
         F.count("*").alias("rows"),
         F.min(ts_col).alias("start"),
         F.max(ts_col).alias("end"),
-        (F.count(ts_col) - F.countDistinct(ts_col)).alias("duplicate_timestamps"),
+        (F.count(ts_col) - distinct_ts).alias("duplicate_timestamps"),
     ]
     for c in df.columns:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
@@ -118,11 +129,15 @@ def data_quality_report(
         rng = F.col("HIGH") - F.col("LOW")
         aggs += [F.avg(rng).alias("mean_range"), F.max(rng).alias("max_range")]
     if "CLOSE" in cols:
+        median = (
+            F.percentile_approx("CLOSE", 0.5)
+            if approx
+            else F.expr("percentile(CLOSE, 0.5)")
+        )
         aggs += [
             F.min("CLOSE").alias("close_min"),
             F.max("CLOSE").alias("close_max"),
-            # exact median (not approx) to match external oracles
-            F.expr("percentile(CLOSE, 0.5)").alias("close_median"),
+            median.alias("close_median"),
         ]
 
     rep = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)

@@ -185,3 +185,18 @@ def test_partition_pruning_on_export_output(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "SYMBOL#" in plan.split("PartitionFilters: [")[1].split("]")[0]
     assert back.count() == 10
+
+
+def test_dq_report_approx_mode(spark):
+    exact = data_quality_report(
+        _candles(spark, 50), ["SYMBOL"], compute_indicators=False
+    ).collect()[0]
+    approx = data_quality_report(
+        _candles(spark, 50), ["SYMBOL"], compute_indicators=False, approx=True
+    ).collect()[0]
+    assert approx["rows"] == exact["rows"]
+    assert approx["duplicate_timestamps"] == 0
+    # approx median within 5% of exact on this distribution
+    assert abs(approx["close_median"] - exact["close_median"]) <= 0.05 * abs(
+        exact["close_median"]
+    )
