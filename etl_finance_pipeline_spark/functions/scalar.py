@@ -77,6 +77,15 @@ def offset_alias_to_duration(rule: str) -> str:
 
     Mirrors the timeframe vocabulary of the reference config
     (/root/reference/config/default.yml:43-48 uses 1T/5T/15T/1H).
+
+    Alignment note: ``F.window`` buckets are epoch-aligned. For
+    second/minute/hour/day rules this matches pandas resample labels
+    exactly (midnight UTC boundaries). WEEKLY buckets diverge: Spark's
+    epoch-aligned 1-week windows start on Thursday while pandas 'W'
+    is right-labeled ending Sunday — pass ``startTime`` to F.window
+    yourself if a specific week anchor matters. Calendar units
+    (months/quarters/years) are handled separately via date_trunc
+    ('1MS'/'1QS'/'1YS' in operators.resample).
     """
     m = _OFFSET_ALIAS.match(rule.strip())
     if not m:

@@ -164,3 +164,25 @@ def test_normalize_df_composition(spark):
     assert res.report["coercions"]["coerced_OPEN"] == 1  # "oops"
     kept = res.df.filter(F.col("seq") == 1).collect()
     assert len(kept) == 1 and abs(kept[0]["OPEN"] - 1.10) < 1e-12
+
+
+def test_remove_duplicates_window_strategy_equivalent(spark):
+    rows = [("A", 1, 10.0, 2), ("A", 1, 20.0, 1), ("B", 2, 30.0, 3)]
+    df = spark.createDataFrame(rows, ["sym", "ts", "val", "seq"])
+    agg = sorted(map(tuple, remove_duplicates(df, ["sym", "ts"], ["seq"]).collect()))
+    win = sorted(
+        map(
+            tuple,
+            remove_duplicates(df, ["sym", "ts"], ["seq"], strategy="window").collect(),
+        )
+    )
+    assert agg == win == [("A", 1, 20.0, 1), ("B", 2, 30.0, 3)]
+
+
+def test_remove_duplicates_multi_order_cols(spark):
+    # composite (struct) ordering key — ties on the first order col
+    rows = [("A", 1, 10.0, 5, 2), ("A", 1, 20.0, 5, 1), ("A", 1, 30.0, 4, 9)]
+    df = spark.createDataFrame(rows, ["sym", "ts", "val", "o1", "o2"])
+    out = remove_duplicates(df, ["sym", "ts"], ["o1", "o2"]).collect()
+    assert len(out) == 1
+    assert out[0]["val"] == 30.0  # (4, 9) < (5, 1) < (5, 2)

@@ -123,3 +123,26 @@ def test_run_pipeline_with_source_tz(spark, tmp_path):
     out = spark.read.parquet(res.outputs[0]).collect()[0]
     # 12:00 EST == 17:00 UTC
     assert out["TIMESTAMP"].hour == 17
+
+
+def test_run_pipeline_many_symbols(spark, tmp_path):
+    """Per-key scale path: 30 instruments in one run, one DataFrame —
+    every stage keyed by SYMBOL, outputs partitioned per symbol."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    for i in range(30):
+        sym = f"SYM{i:02d}"
+        lines = ["time,open,high,low,close,volume"]
+        for m in range(0, 10, 2):  # gappy minute series
+            px = 100 + i + m / 10
+            lines.append(f"2024-01-02 09:0{m}:00,{px},{px+1},{px-1},{px},50")
+        (raw / f"{sym}_2024.csv").write_text("\n".join(lines) + "\n")
+    cfg = _cfg(tmp_path, ["5T"])
+    res = run_pipeline(spark, cfg, dry_run=False)
+    out = spark.read.parquet(res.outputs[0])
+    assert out.select("SYMBOL").distinct().count() == 30
+    # every symbol produced both 5-minute buckets
+    counts = {r["SYMBOL"]: r["n"] for r in out.groupBy("SYMBOL").agg(
+        F.count("*").alias("n")).collect()}
+    assert set(counts.values()) == {2}
+    assert len(json.load(open(tmp_path / "reports" / "dq_report.json"))) == 30
