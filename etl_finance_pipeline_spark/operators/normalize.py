@@ -321,7 +321,9 @@ def remove_duplicates(
     are never referenced downstream get pruned away by Catalyst).
     REQUIREMENT: *order_by* must be unique within each key group
     (an ingest sequence is); on ties the per-column picks could mix
-    rows. strategy="window": ``row_number()`` ranking window —
+    rows. Prefer a SINGLE primitive order column: a multi-column order
+    becomes a struct ordering key, which degrades every min_by to
+    SortAggregate. strategy="window": ``row_number()`` ranking window —
     shuffle + full sort on (keys, order); use it when the tiebreak is
     not unique or the ranked frame itself is needed.
     """

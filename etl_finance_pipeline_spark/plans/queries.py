@@ -109,9 +109,10 @@ def q_dedupe_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = events_frame(spark, sf_dir).withColumn(
         "ts_minute", F.date_trunc("minute", F.col("TIMESTAMP"))
     )
-    out = remove_duplicates(
-        df, ["SYMBOL", "ts_minute"], order_by=["TIMESTAMP", "event_id"]
-    )
+    # (event_type, ts) is unique in this table, so TIMESTAMP alone is a
+    # total order per group — a composite (struct) ordering key would
+    # silently force SortAggregate (struct buffers aren't hash-able).
+    out = remove_duplicates(df, ["SYMBOL", "ts_minute"], order_by=["TIMESTAMP"])
     return out.select(
         "event_id",
         F.col("SYMBOL").alias("symbol"),
