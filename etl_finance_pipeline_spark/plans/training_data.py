@@ -477,6 +477,56 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
 
 
 # --------------------------------------------------------------------
+# Near-dup clusters (iterative connected components)
+# --------------------------------------------------------------------
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: MinHash-LSH pairs (est ≥ 0.5) →
+    connected components via iterative label propagation. Oracle is a
+    recursive CTE computing min-reachable-id per vertex."""
+    from etl_finance_pipeline_spark.operators.graph import connected_components
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    comp = connected_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), F.col("component"))
+
+
+SQL_NEAR_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_SHINGLES_CTE.strip()},
+{_SIG_CTE.strip()},
+bands AS (
+  {_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, k1, k2, k3, k4)
+  WHERE a.doc_id < b.doc_id
+),
+near AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+  WHERE ({_EQ_TERMS}) / 16.0 >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM near
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM near
+),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.dst AS id, reach.r
+  FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS doc_id, min(r) AS component
+FROM reach GROUP BY id
+"""
+
+
+# --------------------------------------------------------------------
 # Structured Streaming under the oracle gate
 # --------------------------------------------------------------------
 
@@ -872,6 +922,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_corpus": q_clean_corpus,
     "media_stats": q_media_stats,
     "stream_candles": q_stream_candles,
+    "near_dup_clusters": q_near_dup_clusters,
 }
 
 ORACLES_TD: dict[str, str] = {
@@ -892,4 +943,5 @@ ORACLES_TD: dict[str, str] = {
     "clean_corpus": SQL_CLEAN_CORPUS,
     "media_stats": SQL_MEDIA_STATS,
     "stream_candles": SQL_STREAM_CANDLES,
+    "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
 }

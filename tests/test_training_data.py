@@ -216,3 +216,25 @@ def test_lsh_multiprobe_recovers_cross_bucket_neighbor(spark):
     assert single == []  # different sign on plane 1 -> different bucket
     assert [r["neighbor_id"] for r in multi] == [1]
     assert multi[0]["cosine"] > 0.999
+
+
+def test_connected_components(spark):
+    from etl_finance_pipeline_spark.operators.graph import (
+        connected_components,
+        near_dup_clusters,
+    )
+
+    # two chains {1-2-3-4} (transitive via shared middle) and {7-8}, 9 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+    all_ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 7, 8, 9]], ["doc_id"])
+    full = {
+        r["doc_id"]: r["component"]
+        for r in near_dup_clusters(pairs, all_ids).collect()
+    }
+    assert full[9] == 9  # singleton keeps itself
+    assert full[4] == 1
