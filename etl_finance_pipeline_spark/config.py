@@ -81,6 +81,34 @@ class ResampleConfig(BaseModel):
     extra_numeric_policy: str = "mean"  # or "sum"
 
 
+class PerformanceConfig(BaseModel):
+    """Engine-side execution knobs (no reference counterpart — the
+    reference is single-threaded pandas and has nothing to tune).
+
+    fuse_symbol_partitioning: hash-partition the input by SYMBOL once,
+    up front. Every downstream distribution requirement — dedupe
+    ``groupBy(SYMBOL, TIMESTAMP)``, gap windows ``partitionBy(SYMBOL)``,
+    grid joins on (SYMBOL, ts), candle ``groupBy(SYMBOL, bucket)`` — is
+    satisfied by hash(SYMBOL) (Catalyst: HashPartitioning on a subset of
+    the clustering keys), so the whole multi-timeframe pipeline runs on
+    ONE shuffle instead of one per operator. Turn it on when distinct
+    symbols ≳ 2× cluster cores; with a handful of symbols it caps
+    parallelism at the symbol count (one hot symbol = one hot partition
+    — salting can't help here because window/dedupe semantics need the
+    whole symbol together).
+
+    cache_normalized: persist the normalized+deduped frame
+    (MEMORY_AND_DISK) before fan-out. The pipeline runs ≥2 actions over
+    it (DQ report collect + one write/count per timeframe); without the
+    persist each action recomputes scan→normalize→dedupe. At 100 TB
+    prefer staging to parquet instead of cache if executors are
+    memory-tight; this knob covers the common case.
+    """
+
+    fuse_symbol_partitioning: bool = False
+    cache_normalized: bool = True
+
+
 class PathsConfig(BaseModel):
     raw_path: str = "data/raw"
     processed_path: str = "data/processed"
@@ -98,6 +126,7 @@ class EngineConfig(BaseModel):
     gaps: GapConfig = Field(default_factory=GapConfig)
     resample: ResampleConfig = Field(default_factory=ResampleConfig)
     parquet: ParquetConfig = Field(default_factory=ParquetConfig)
+    performance: PerformanceConfig = Field(default_factory=PerformanceConfig)
 
     model_config = {"populate_by_name": True}
 

@@ -31,6 +31,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from etl_finance_pipeline_spark.config import EngineConfig, load_config
 from etl_finance_pipeline_spark.operators.gaps import repair_gaps
@@ -97,6 +98,17 @@ def run_pipeline(
     for extra in frames[1:]:
         df = df.unionByName(extra, allowMissingColumns=True)
 
+    fuse = cfg.performance.fuse_symbol_partitioning
+    if fuse:
+        # One shuffle for the whole pipeline: hash(SYMBOL) satisfies the
+        # clustering requirement of every downstream dedupe/window/grid-
+        # join/candle-agg (see PerformanceConfig). The ingest sequence for
+        # the keep-first dedupe tiebreak must be captured BEFORE the
+        # exchange — ids assigned after a shuffle reflect fetch order,
+        # which is nondeterministic across runs.
+        df = df.withColumn("_ingest_seq", F.monotonically_increasing_id())
+        df = df.repartition("SYMBOL")
+
     tz = source_tz or cfg.timezone.source_default
     norm = normalize_df(
         df,
@@ -104,10 +116,17 @@ def run_pipeline(
         required_columns=cfg.schema_.required_columns,
         source_tz=tz,
         target_tz=cfg.timezone.target,
+        dedupe_order=["_ingest_seq"] if fuse else None,
     )
     result.reports["normalization"] = norm.report
+    norm_df = norm.df.drop("_ingest_seq") if fuse else norm.df
+    if cfg.performance.cache_normalized:
+        # ≥2 actions read this frame (DQ collect + per-timeframe outputs);
+        # the persisted layout keeps the symbol partitioning, so cached
+        # reuse skips both the recompute AND the exchange.
+        norm_df = norm_df.persist(StorageLevel.MEMORY_AND_DISK)
 
-    dq = data_quality_report(norm.df, ["SYMBOL"])
+    dq = data_quality_report(norm_df, ["SYMBOL"])
     result.reports["data_quality"] = [r.asDict() for r in dq.collect()]
     os.makedirs(cfg.paths.reports_path, exist_ok=True)
     with open(os.path.join(cfg.paths.reports_path, "dq_report.json"), "w") as fh:
@@ -118,7 +137,7 @@ def run_pipeline(
     if not timeframes:
         # raw path: repair at hardcoded 1T, no resample (run.py:150-190)
         rep = repair_gaps(
-            norm.df,
+            norm_df,
             "1T",
             ["SYMBOL"],
             use_ffill_for=cfg.gaps.use_ffill_for,
@@ -129,7 +148,7 @@ def run_pipeline(
     else:
         for tf in timeframes:
             rep = repair_gaps(
-                norm.df,
+                norm_df,
                 tf,
                 ["SYMBOL"],
                 use_ffill_for=cfg.gaps.use_ffill_for,
@@ -161,6 +180,8 @@ def run_pipeline(
         )
         append_export_log(cfg.paths.logs_path, {"output": out_path, **report["validation"]})
         result.outputs.append(out_path)
+    if cfg.performance.cache_normalized:
+        norm_df.unpersist()
     return result
 
 

@@ -42,6 +42,15 @@ def get_spark(
             str(shuffle_partitions or int(cpus)),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Accept subset co-partitioning in joins: a frame hash-partitioned
+        # on SYMBOL joins on (SYMBOL, TIMESTAMP) without re-shuffling both
+        # sides onto the full key set. This is what lets one upfront
+        # repartition(SYMBOL) carry the entire pipeline (see
+        # PerformanceConfig.fuse_symbol_partitioning); when inputs aren't
+        # already subset-partitioned the conf changes nothing. Trade-off:
+        # join parallelism = cardinality of the subset key, which is the
+        # explicit contract of the fuse knob.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # pandas-written parquet often carries TIMESTAMP(NANOS) which
         # Spark has no native type for; read as long and convert

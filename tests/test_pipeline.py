@@ -146,3 +146,76 @@ def test_run_pipeline_many_symbols(spark, tmp_path):
         F.count("*").alias("n")).collect()}
     assert set(counts.values()) == {2}
     assert len(json.load(open(tmp_path / "reports" / "dq_report.json"))) == 30
+
+
+# --------------------------------------------------------------------
+# Shuffle fusion: one upfront repartition(SYMBOL) serves every
+# downstream distribution requirement
+# --------------------------------------------------------------------
+
+def _fused_chain(spark, fuse: bool):
+    from etl_finance_pipeline_spark.operators.gaps import repair_gaps
+    from etl_finance_pipeline_spark.operators.normalize import remove_duplicates
+    from etl_finance_pipeline_spark.operators.resample import resample_ohlc
+
+    rows = []
+    for sym in ("EURUSD", "GBPUSD", "USDJPY"):
+        for m in (0, 1, 1, 2, 5, 6):  # dup at minute 1, gap at 3-4
+            rows.append((sym, f"2024-01-02 09:{m:02d}:00", 1.0 + m, 100.0))
+    df = spark.createDataFrame(
+        rows, "SYMBOL string, TIMESTAMP string, CLOSE double, VOLUME double"
+    ).withColumn("TIMESTAMP", F.to_timestamp("TIMESTAMP"))
+    df = df.withColumn("_seq", F.monotonically_increasing_id())
+    if fuse:
+        df = df.repartition("SYMBOL")
+    dd = remove_duplicates(df, ["SYMBOL", "TIMESTAMP"], ["_seq"]).drop("_seq")
+    rep = repair_gaps(dd, "1T", ["SYMBOL"], use_ffill_for=["VOLUME", "CLOSE"])
+    return resample_ohlc(
+        rep.df.withColumn("OPEN", F.col("CLOSE"))
+        .withColumn("HIGH", F.col("CLOSE"))
+        .withColumn("LOW", F.col("CLOSE")),
+        "5T",
+        ["SYMBOL"],
+        drop_incomplete=False,
+    )
+
+
+def test_symbol_fusion_single_exchange(spark):
+    """With hash(SYMBOL) established once up front (and
+    requireAllClusterKeysForCoPartition=false so the grid join accepts
+    subset co-partitioning), dedupe agg, gap windows, grid join and
+    candle agg all reuse it: ZERO optimizer-injected
+    (ENSURE_REQUIREMENTS) hash exchanges — every Exchange in the plan
+    is the single declared REPARTITION_BY_COL (it prints once per
+    consuming branch; the pipeline's cache executes it once). The
+    unfused chain needs several injected shuffles."""
+    import re
+
+    injected = re.compile(r"Exchange hashpartitioning[^\n]*ENSURE_REQUIREMENTS")
+    res = _fused_chain(spark, fuse=True)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert not injected.search(plan), plan
+    unfused_plan = (
+        _fused_chain(spark, fuse=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(injected.findall(unfused_plan)) >= 3, unfused_plan
+    # and it computes the same candles as the unfused chain
+    fused = {tuple(r) for r in res.collect()}
+    unfused = {tuple(r) for r in _fused_chain(spark, fuse=False).collect()}
+    assert fused == unfused and len(fused) > 0
+
+
+def test_pipeline_fused_matches_default(spark, tmp_path):
+    """run_pipeline with fuse_symbol_partitioning+cache produces the
+    same dry-run row counts and DQ report as the default config."""
+    _write_raw(tmp_path)
+    base = _cfg(tmp_path, ["5T"])
+    r1 = run_pipeline(spark, base, dry_run=True)
+    fused_cfg = _cfg(tmp_path, ["5T"])
+    fused_cfg.performance.fuse_symbol_partitioning = True
+    r2 = run_pipeline(spark, fused_cfg, dry_run=True)
+    assert r1.reports["dry_run_5m"] == r2.reports["dry_run_5m"]
+    assert r1.reports["data_quality"] == r2.reports["data_quality"]
