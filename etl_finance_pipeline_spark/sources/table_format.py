@@ -1,0 +1,238 @@
+"""Transactional parquet table format — a minimal Delta-style commit log.
+
+The reference's sink is a bare ``to_parquet`` directory
+(/root/reference/src/etl/load/exporter.py:60-118): a crashed write
+leaves a half-written table and readers racing a writer see partial
+data. At 100 TB on object storage that is not survivable, so this
+engine ships a log-structured table format in the spirit of
+Delta Lake / Iceberg (public designs: Armbrust et al., "Delta Lake:
+High-Performance ACID Table Storage over Cloud Object Stores",
+VLDB 2020):
+
+* Data files are immutable parquet parts under ``data/<commit-id>/``.
+* Table state is the REPLAY of ``_log/<version>.json`` manifests —
+  each an atomic append/overwrite commit listing files added/removed
+  with row counts and hive-style partition values.
+* Commit = write-temp + hard-link claim of the next version number:
+  ``os.link`` fails if the version exists, which makes the log an
+  optimistic-concurrency primitive (loser re-reads and retries).
+  On S3-like stores the same contract is a put-if-absent.
+* Readers resolve a snapshot (latest or ``version=``) to a file list;
+  partition predicates prune files driver-side BEFORE Spark ever
+  lists them — scan cost is proportional to matching files only.
+
+This is deliberately the smallest design with those properties: no
+checkpoints (replay is O(versions), fine for ≤ millions of commits —
+Delta checkpoints every 10th; add when needed), no schema evolution
+beyond overwrite, single-table transactions only.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+_VERSION_DIGITS = 20
+
+
+class CommitConflict(RuntimeError):
+    """Another writer claimed the version this commit targeted."""
+
+
+@dataclass
+class Snapshot:
+    version: int
+    files: list[dict]  # {"path": rel, "rows": int, "partition_values": {}}
+    schema_ddl: str | None
+
+    @property
+    def num_rows(self) -> int:
+        return sum(f.get("rows", 0) for f in self.files)
+
+
+def _log_path(table: str) -> str:
+    return os.path.join(table, _LOG_DIR)
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(_log_path(table), f"{version:0{_VERSION_DIGITS}d}.json")
+
+
+def _list_versions(table: str) -> list[int]:
+    logdir = _log_path(table)
+    if not os.path.isdir(logdir):
+        return []
+    out = []
+    for name in os.listdir(logdir):
+        if name.endswith(".json"):
+            try:
+                out.append(int(name[: -len(".json")]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _partition_values(rel_path: str) -> dict[str, str]:
+    """Parse hive-style ``K=V`` directory components of a part path."""
+    vals: dict[str, str] = {}
+    for comp in rel_path.split(os.sep):
+        if "=" in comp and not comp.startswith("part-"):
+            k, _, v = comp.partition("=")
+            vals[k] = v
+    return vals
+
+
+def _stage_files(df: DataFrame, table: str, partition_by: list[str] | None) -> tuple[list[dict], str]:
+    """Write *df* as immutable parquet parts under a fresh commit dir
+    and return their manifest entries (path relative to table root,
+    per-file row counts from the parquet footers)."""
+    commit_id = uuid.uuid4().hex
+    data_dir = os.path.join(table, _DATA_DIR, commit_id)
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    for path in glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True):
+        rel = os.path.relpath(path, table)
+        entries.append(
+            {
+                "path": rel,
+                "rows": pq.ParquetFile(path).metadata.num_rows,
+                "partition_values": _partition_values(rel),
+            }
+        )
+    return entries, commit_id
+
+
+def _try_commit(table: str, version: int, manifest: dict) -> None:
+    """Atomically claim *version*: hard-link a temp manifest onto the
+    version path. ``os.link`` is create-exclusive, so exactly one
+    writer wins a version; the loser gets :class:`CommitConflict`."""
+    logdir = _log_path(table)
+    os.makedirs(logdir, exist_ok=True)
+    tmp = os.path.join(logdir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, default=str)
+    try:
+        os.link(tmp, _manifest_path(table, version))
+    except FileExistsError as exc:
+        raise CommitConflict(f"version {version} already committed") from exc
+    finally:
+        os.unlink(tmp)
+
+
+def write_table(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    max_retries: int = 5,
+) -> Snapshot:
+    """Commit *df* to *table* atomically. mode='append' adds files;
+    mode='overwrite' logically removes every live file first (data
+    files are never deleted — history stays time-travelable). Data is
+    staged before the commit is attempted, so a version conflict
+    retries only the (cheap) manifest claim, never the data write."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    entries, commit_id = _stage_files(df, table, partition_by)
+    schema_ddl = df.schema.simpleString()
+    for _ in range(max_retries):
+        versions = _list_versions(table)
+        version = (versions[-1] + 1) if versions else 0
+        manifest = {
+            "version": version,
+            "action": mode,
+            "commit_id": commit_id,
+            "files": entries,
+            "schema": schema_ddl,
+            "partition_by": partition_by or [],
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+        }
+        try:
+            _try_commit(table, version, manifest)
+            return snapshot(table, version)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"gave up after {max_retries} retries on {table}")
+
+
+def snapshot(table: str, version: int | None = None) -> Snapshot:
+    """Resolve the table state at *version* (default: latest) by
+    replaying the commit log."""
+    versions = _list_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no table at {table}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(f"version {version} not in {table} (have {versions})")
+    files: list[dict] = []
+    schema_ddl = None
+    for v in versions:
+        if v > version:
+            break
+        with open(_manifest_path(table, v)) as fh:
+            manifest = json.load(fh)
+        if manifest["action"] == "overwrite":
+            files = []
+        files.extend(manifest["files"])
+        schema_ddl = manifest.get("schema") or schema_ddl
+    return Snapshot(version=version, files=files, schema_ddl=schema_ddl)
+
+
+def read_table(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    partition_filter: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read a snapshot. *partition_filter* (e.g. ``{"SYMBOL":
+    "EURUSD"}``) prunes files on the driver from manifest metadata —
+    Spark receives only matching paths, so a one-symbol read of a
+    thousand-symbol table lists and scans 1/1000th of the files. The
+    hive partition columns are re-derived with basePath so they stay
+    queryable columns."""
+    snap = snapshot(table, version)
+    files = snap.files
+    if partition_filter:
+        files = [
+            f
+            for f in files
+            if all(f["partition_values"].get(k) == str(v) for k, v in partition_filter.items())
+        ]
+    if not files:
+        empty_schema = snap.schema_ddl or "dummy string"
+        return spark.createDataFrame([], empty_schema)
+    paths = [os.path.join(table, f["path"]) for f in files]
+    return spark.read.option("basePath", table).parquet(*paths)
+
+
+def history(table: str) -> list[dict]:
+    """The commit log, oldest first (version/action/rows/timestamp)."""
+    out = []
+    for v in _list_versions(table):
+        with open(_manifest_path(table, v)) as fh:
+            m = json.load(fh)
+        out.append(
+            {
+                "version": m["version"],
+                "action": m["action"],
+                "num_files": len(m["files"]),
+                "rows_added": sum(f.get("rows", 0) for f in m["files"]),
+                "committed_at": m.get("committed_at"),
+            }
+        )
+    return out

@@ -1,0 +1,92 @@
+"""Transactional table format: atomic commits, snapshot isolation,
+time travel, driver-side partition pruning, optimistic concurrency."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_finance_pipeline_spark.sources.table_format import (
+    CommitConflict,
+    _manifest_path,
+    _try_commit,
+    history,
+    read_table,
+    snapshot,
+    write_table,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "SYMBOL string, CLOSE double")
+
+
+def test_append_and_read_latest(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_table(_df(spark, [("EURUSD", 1.0)]), t)
+    write_table(_df(spark, [("GBPUSD", 2.0)]), t)
+    got = {tuple(r) for r in read_table(spark, t).collect()}
+    assert got == {("EURUSD", 1.0), ("GBPUSD", 2.0)}
+    assert [h["version"] for h in history(t)] == [0, 1]
+
+
+def test_time_travel_and_overwrite(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_table(_df(spark, [("EURUSD", 1.0)]), t)
+    write_table(_df(spark, [("GBPUSD", 2.0)]), t)
+    write_table(_df(spark, [("USDJPY", 3.0)]), t, mode="overwrite")
+    # latest sees only the overwrite
+    assert read_table(spark, t).collect()[0]["SYMBOL"] == "USDJPY"
+    # version 1 still replays append history (data files never deleted)
+    v1 = {r["SYMBOL"] for r in read_table(spark, t, version=1).collect()}
+    assert v1 == {"EURUSD", "GBPUSD"}
+    assert snapshot(t).num_rows == 1
+    assert snapshot(t, 1).num_rows == 2
+
+
+def test_partition_pruning_is_driver_side(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    rows = [(s, float(i)) for i, s in enumerate(["EURUSD", "GBPUSD", "USDJPY"]) for _ in range(3)]
+    write_table(_df(spark, rows), t, partition_by=["SYMBOL"])
+    snap = snapshot(t)
+    assert all(f["partition_values"].get("SYMBOL") for f in snap.files)
+    out = read_table(spark, t, partition_filter={"SYMBOL": "GBPUSD"})
+    assert {r["SYMBOL"] for r in out.collect()} == {"GBPUSD"}
+    # pruning happened before Spark: only GBPUSD files in the scan
+    scan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EURUSD" not in scan
+    # partition column restored as a queryable column with basePath
+    assert out.filter("CLOSE >= 0").count() == 3
+
+
+def test_commit_conflict_retries(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_table(_df(spark, [("EURUSD", 1.0)]), t)
+    # squat on version 1: the next write must detect the conflict and
+    # land on version 2
+    _try_commit(t, 1, {"version": 1, "action": "append", "files": [], "schema": None})
+    snap = write_table(_df(spark, [("GBPUSD", 2.0)]), t)
+    assert snap.version == 2
+    with pytest.raises(CommitConflict):
+        _try_commit(t, 2, {"version": 2, "action": "append", "files": [], "schema": None})
+
+
+def test_crashed_write_invisible(spark, tmp_path):
+    """Staged data without a committed manifest is invisible: simulate
+    a writer that died between staging and commit."""
+    t = str(tmp_path / "tbl")
+    write_table(_df(spark, [("EURUSD", 1.0)]), t)
+    from etl_finance_pipeline_spark.sources.table_format import _stage_files
+
+    _stage_files(_df(spark, [("ZOMBIE", 9.9)]), t, None)  # no commit
+    got = {r["SYMBOL"] for r in read_table(spark, t).collect()}
+    assert got == {"EURUSD"}
+    # and the next real commit is unaffected
+    write_table(_df(spark, [("GBPUSD", 2.0)]), t)
+    assert snapshot(t).num_rows == 2
+
+
+def test_empty_snapshot_after_missing_table(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        snapshot(str(tmp_path / "nope"))
