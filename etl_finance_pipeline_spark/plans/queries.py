@@ -616,10 +616,13 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+    # TakeOrderedAndProject (per-partition top-20 + driver merge), not
+    # a global row_number window that would single-partition the whole
+    # per-customer agg; rank re-derived on the 20 survivors.
+    top = rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
     w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
     return (
-        rev.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w))
         .select(
             "c_custkey",
             F.col("c_name").alias("customer"),
@@ -735,6 +738,155 @@ SELECT regexp_split_to_array(p.p_type, ' ')[1] AS type_prefix,
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY 1
+"""
+
+
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-style: top-10 unshipped-at-cutoff orders by revenue. Both
+    date filters push to the parquet scans; orders⋈lineitem shuffles on
+    orderkey; deterministic top-k via (revenue desc, orderkey)."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    cutoff = "1995-03-15 00:00:00"
+    j = (
+        orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .join(
+            li.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")),
+            orders.o_orderkey == li.l_orderkey,
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _pr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+    )
+    # top-k via orderBy+limit compiles to TakeOrderedAndProject — each
+    # partition keeps its local top 10, the driver merges 10×P rows —
+    # instead of a global row_number window, which would funnel the
+    # ENTIRE agg output through one partition. rank is re-derived on
+    # the 10 surviving rows.
+    top = j.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_orderpriority").alias("priority"),
+        "revenue",
+        "rank",
+    )
+
+
+SQL_SHIP_PRIORITY = """
+WITH j AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+         floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue
+  FROM orders o
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+    AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+  GROUP BY 1, 2, 3
+)
+SELECT o_orderkey, o_orderdate, o_orderpriority AS priority, revenue,
+       CAST(row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS BIGINT) AS rank
+FROM j
+QUALIFY rank <= 10
+"""
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-style: orders whose total quantity exceeds a threshold —
+    aggregate-then-join. The HAVING filter runs on the lineitem agg
+    BEFORE the join, shrinking the probe side to a handful of keys;
+    that small survivor set is broadcast so the orders/customer side
+    never shuffles."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    cust = load_table(spark, _t(sf_dir, "customer"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name").alias("customer"),
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            _pr(F.col("sum_qty"), 6).alias("sum_qty"),
+        )
+    )
+
+
+SQL_BIG_ORDERS = """
+SELECT c.c_custkey, c.c_name AS customer, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice,
+       floor(big.sum_qty * 1000000 + 0.5) / 1000000 AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+) big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-style nation-to-nation trade matrix: the two dims attach to
+    DIFFERENT sides of the fact — supplier nation via l_suppkey,
+    customer nation via orders. Both dim chains broadcast; the only
+    shuffle is the orders⋈lineitem fact-fact join + final agg."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    cust = load_table(spark, _t(sf_dir, "customer"))
+    sup = load_table(spark, _t(sf_dir, "supplier"))
+    nation = load_table(spark, _t(sf_dir, "nation"))
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            # exact decimal sum → order-independent across engines (the
+            # rounded-double trick fails when a group's sum lands on a
+            # cent boundary), then back to double for the schema
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("volume"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_TRADE_VOLUME = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS volume,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name != cn.n_name
+GROUP BY 1, 2, 3
 """
 
 
@@ -873,6 +1025,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "late_order_priorities": q_late_order_priorities,
     "supplier_rank_by_nation": q_supplier_rank_by_nation,
     "part_type_share": q_part_type_share,
+    "ship_priority": q_ship_priority,
+    "big_orders": q_big_orders,
+    "trade_volume": q_trade_volume,
     "exact_dedup_docs": q_exact_dedup_docs,
     "text_stats": q_text_stats,
     "ann_topk": q_ann_topk,
@@ -897,6 +1052,9 @@ ORACLES: dict[str, str] = {
     "late_order_priorities": SQL_LATE_ORDER_PRIORITIES,
     "supplier_rank_by_nation": SQL_SUPPLIER_RANK_BY_NATION,
     "part_type_share": SQL_PART_TYPE_SHARE,
+    "ship_priority": SQL_SHIP_PRIORITY,
+    "big_orders": SQL_BIG_ORDERS,
+    "trade_volume": SQL_TRADE_VOLUME,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "text_stats": SQL_TEXT_STATS,
     "ann_topk": SQL_ANN_TOPK,
