@@ -45,6 +45,10 @@ class ParquetConfig(BaseModel):
     compression: str = "zstd"
     row_group_size: int = 65536
     partition_cols: list[str] = Field(default_factory=lambda: ["SYMBOL", "YEAR"])
+    #: write outputs through the transactional commit-log table format
+    #: (sources/table_format.py): atomic commits, snapshot-isolated
+    #: readers, time travel. Plain directory parquet otherwise.
+    transactional: bool = False
 
     @field_validator("compression")
     @classmethod

@@ -197,6 +197,75 @@ def minhash_lsh_pairs(
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
+def _banded(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int, out_id: str
+) -> DataFrame:
+    """Explode a signature frame into (band, key, id, sig) band rows."""
+    return sigs.select(
+        F.col(id_col).alias(out_id),
+        F.col("sig").alias(f"_sig_{out_id}"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("_bk"),
+    ).select(
+        out_id, f"_sig_{out_id}", F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key")
+    )
+
+
+def incremental_lsh_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Near-dup candidates of a NEW *batch* against an EXISTING
+    *corpus* — the daily-ingest shape: the corpus is huge and static,
+    the batch is small. Unlike the self-join of
+    :func:`minhash_lsh_pairs`, the banded batch side is broadcast
+    (4×|batch| band rows of a few longs), so the corpus is scanned
+    once, streamed through a broadcast-hash join, and NEVER shuffled —
+    at 100 TB the corpus side's signatures would come precomputed from
+    a table (they are deterministic per document; compute once at
+    ingest), making the incremental check O(|batch| + corpus scan).
+
+    Output: (batch_id, corpus_id, est_jaccard), one row per candidate
+    pair. Signatures are identical to the self-join variant, so
+    thresholds carry over.
+    """
+    rows_per_band = num_hashes // bands
+    bsig = minhash_signatures(batch, id_col, text_col, shingle_k, num_hashes)
+    csig = minhash_signatures(corpus, id_col, text_col, shingle_k, num_hashes)
+    bband = _banded(bsig, id_col, bands, rows_per_band, "batch_id")
+    cband = _banded(csig, id_col, bands, rows_per_band, "corpus_id")
+    if broadcast_batch:
+        bband = F.broadcast(bband)
+    pairs = (
+        cband.join(bband, on=["band", "key"])
+        .select("batch_id", "corpus_id", "_sig_batch_id", "_sig_corpus_id")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("_sig_batch_id", "_sig_corpus_id", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select("batch_id", "corpus_id", est.alias("est_jaccard"))
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

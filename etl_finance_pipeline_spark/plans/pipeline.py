@@ -171,14 +171,38 @@ def run_pipeline(
             n = frame.count()
             result.reports[f"dry_run{suffix}"] = {"rows": n, "would_write": out_path}
             continue
-        report = write_parquet_with_metadata(
-            frame,
-            out_path,
-            compression=cfg.parquet.compression,
-            partition_cols=cfg.parquet.partition_cols,
-            metadata={"timeframe": suffix.lstrip("_")},
-        )
-        append_export_log(cfg.paths.logs_path, {"output": out_path, **report["validation"]})
+        if cfg.parquet.transactional:
+            # commit-log sink: same validation, then an atomic append —
+            # a crashed run leaves no visible partial output and
+            # concurrent readers keep seeing the previous snapshot
+            from etl_finance_pipeline_spark.sources.exporter import (
+                derive_partition_columns,
+                validate_for_export,
+            )
+            from etl_finance_pipeline_spark.sources.table_format import write_table
+
+            validation = validate_for_export(frame)
+            out_frame, resolved = derive_partition_columns(
+                frame, cfg.parquet.partition_cols
+            )
+            snap = write_table(
+                out_frame, out_path, mode="append", partition_by=resolved
+            )
+            append_export_log(
+                cfg.paths.logs_path,
+                {"output": out_path, "table_version": snap.version, **validation},
+            )
+        else:
+            report = write_parquet_with_metadata(
+                frame,
+                out_path,
+                compression=cfg.parquet.compression,
+                partition_cols=cfg.parquet.partition_cols,
+                metadata={"timeframe": suffix.lstrip("_")},
+            )
+            append_export_log(
+                cfg.paths.logs_path, {"output": out_path, **report["validation"]}
+            )
         result.outputs.append(out_path)
     if cfg.performance.cache_normalized:
         norm_df.unpersist()

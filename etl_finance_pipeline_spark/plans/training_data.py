@@ -118,6 +118,44 @@ JOIN sig b ON b.doc_id = c.id_b
 """
 
 
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup shape: documents with doc_id % 10 == 0 play
+    the incoming batch, the rest the standing corpus. The banded batch
+    broadcasts; the corpus never shuffles."""
+    from etl_finance_pipeline_spark.operators.dedup import incremental_lsh_pairs
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    out = incremental_lsh_pairs(batch, corpus)
+    return out.select(
+        "batch_id", "corpus_id", _pr("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+_EQ_TERMS_BC = " + ".join(
+    f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(16)
+)
+
+SQL_INCREMENTAL_NEAR_DUP = f"""
+WITH {_SHINGLES_CTE.strip()},
+{_SIG_CTE.strip()},
+bands AS (
+  {_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+  FROM bands a JOIN bands b USING (band, k1, k2, k3, k4)
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+)
+SELECT c.batch_id, c.corpus_id,
+       floor((({_EQ_TERMS_BC}) / 16.0) * 1000000 + 0.5) / 1000000 AS est_jaccard
+FROM cand c
+JOIN sig a ON a.doc_id = c.batch_id
+JOIN sig b ON b.doc_id = c.corpus_id
+"""
+
+
 # --------------------------------------------------------------------
 # SimHash near-dup pairs
 # --------------------------------------------------------------------
@@ -595,6 +633,68 @@ WHERE bucket_ts + INTERVAL 5 MINUTE <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM
 """
 
 
+def q_stream_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join driven to completion on static
+    data: each view matched to the same user's clicks within the next
+    5 minutes. The static file arrives as one microbatch, so no state
+    is evicted mid-run and the inner join emits exactly the batch
+    result — which is what the oracle computes."""
+    import uuid
+
+    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
+    from etl_finance_pipeline_spark.streaming.candles import stream_interval_join
+
+    ensure_nanos_conf(spark)
+    path = _t(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
+    dtype = dict(zip(schema.fieldNames(), [f.dataType.simpleString() for f in schema.fields]))
+    if dtype.get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    views = stream.filter("event_type = 'view'").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = stream.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = stream_interval_join(
+        views,
+        clicks,
+        "user_id = click_user AND click_ts >= view_ts "
+        "AND click_ts <= view_ts + interval 5 minutes",
+        "view_ts",
+        "click_ts",
+    )
+    name = f"stream_vc_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "view_id", "click_id", "user_id", "view_ts", "click_ts"
+    )
+
+
+SQL_STREAM_VIEW_CLICK = """
+SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+       v.ts AS view_ts, c.ts AS click_ts
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 5 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+
 # --------------------------------------------------------------------
 # Multimodal plumbing under the oracle gate
 # --------------------------------------------------------------------
@@ -906,6 +1006,7 @@ GROUP BY event_type
 
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "incremental_near_dup": q_incremental_near_dup,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "lang_id": q_lang_id,
@@ -922,11 +1023,13 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_corpus": q_clean_corpus,
     "media_stats": q_media_stats,
     "stream_candles": q_stream_candles,
+    "stream_view_click": q_stream_view_click,
     "near_dup_clusters": q_near_dup_clusters,
 }
 
 ORACLES_TD: dict[str, str] = {
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "lang_id": SQL_LANG_ID,
@@ -943,5 +1046,6 @@ ORACLES_TD: dict[str, str] = {
     "clean_corpus": SQL_CLEAN_CORPUS,
     "media_stats": SQL_MEDIA_STATS,
     "stream_candles": SQL_STREAM_CANDLES,
+    "stream_view_click": SQL_STREAM_VIEW_CLICK,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
 }

@@ -216,8 +216,24 @@ def read_table(
     if not files:
         empty_schema = snap.schema_ddl or "dummy string"
         return spark.createDataFrame([], empty_schema)
-    paths = [os.path.join(table, f["path"]) for f in files]
-    return spark.read.option("basePath", table).parquet(*paths)
+    # one scan per commit dir: hive partition discovery needs a basePath
+    # whose subtree is uniformly partitioned, and different commits are
+    # separate subtrees. O(commits) scan relations in the plan — a
+    # production version would implement a FileIndex (as Delta does);
+    # compaction bounds it meanwhile.
+    by_commit: dict[str, list[str]] = {}
+    for f in files:
+        parts = f["path"].split(os.sep)
+        commit_dir = os.path.join(table, *parts[:2])  # data/<commit-id>
+        by_commit.setdefault(commit_dir, []).append(os.path.join(table, f["path"]))
+    frames = [
+        spark.read.option("basePath", base).parquet(*paths)
+        for base, paths in sorted(by_commit.items())
+    ]
+    out = frames[0]
+    for extra in frames[1:]:
+        out = out.unionByName(extra, allowMissingColumns=True)
+    return out
 
 
 def history(table: str) -> list[dict]:

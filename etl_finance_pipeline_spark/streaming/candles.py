@@ -87,6 +87,31 @@ def stream_dedupe(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval condition
+    (e.g. ``"user_id = click_user AND click_ts >= view_ts AND click_ts
+    <= view_ts + interval 5 minutes"``).
+
+    Both sides are watermarked on their event-time columns; the range
+    predicate lets Spark bound join state — each side retains only rows
+    whose event time can still match a future row within
+    watermark + interval, so state is O(rate × horizon), not O(stream).
+    Without the time bound a stream-stream join must keep EVERYTHING
+    forever. Inner-join matches are emitted as soon as both rows have
+    arrived (no watermark wait, unlike append-mode aggregation).
+    """
+    return left.withWatermark(left_ts, watermark).join(
+        right.withWatermark(right_ts, watermark), F.expr(condition), "inner"
+    )
+
+
 GAP_EVENT_SCHEMA = T.StructType(
     [
         T.StructField("symbol", T.StringType()),

@@ -219,3 +219,30 @@ def test_pipeline_fused_matches_default(spark, tmp_path):
     r2 = run_pipeline(spark, fused_cfg, dry_run=True)
     assert r1.reports["dry_run_5m"] == r2.reports["dry_run_5m"]
     assert r1.reports["data_quality"] == r2.reports["data_quality"]
+
+
+def test_pipeline_transactional_sink(spark, tmp_path):
+    """transactional=True routes outputs through the commit-log table
+    format: same rows as the plain sink, appends become versions, and
+    time travel reaches the earlier run."""
+    from etl_finance_pipeline_spark.sources.table_format import (
+        history,
+        read_table,
+    )
+
+    _write_raw(tmp_path)
+    cfg = _cfg(tmp_path, ["5T"])
+    cfg.parquet.transactional = True
+    r1 = run_pipeline(spark, cfg, dry_run=False)
+    out = r1.outputs[0]
+    v0 = read_table(spark, out)
+    n0 = v0.count()
+    assert n0 > 0 and "SYMBOL" in v0.columns
+    # second run appends a new version with the same candle set
+    run_pipeline(spark, cfg, dry_run=False)
+    assert [h["version"] for h in history(out)] == [0, 1]
+    assert read_table(spark, out).count() == 2 * n0
+    assert read_table(spark, out, version=0).count() == n0
+    # export log carries the committed version
+    log = (tmp_path / "logs" / "export_log.ndjson").read_text().strip().splitlines()
+    assert '"table_version": 0' in log[0] and '"table_version": 1' in log[1]

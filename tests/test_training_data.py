@@ -238,3 +238,28 @@ def test_connected_components(spark):
     }
     assert full[9] == 9  # singleton keeps itself
     assert full[4] == 1
+
+
+def test_incremental_lsh_matches_self_join(spark):
+    """Batch-vs-corpus candidates = the self-join pairs restricted to
+    one endpoint in each side; the banded batch side broadcasts."""
+    from etl_finance_pipeline_spark.operators.dedup import incremental_lsh_pairs
+
+    docs = _docs(spark)
+    batch = docs.filter("doc_id = 2")
+    corpus = docs.filter("doc_id != 2")
+    out = incremental_lsh_pairs(batch, corpus)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    got = {(r["batch_id"], r["corpus_id"]): r["est_jaccard"] for r in out.collect()}
+    full = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    expect = {
+        (b, c): v
+        for (a, c2), v in full.items()
+        for (b, c) in [(2, c2) if a == 2 else (2, a) if c2 == 2 else (None, None)]
+        if b is not None
+    }
+    assert got == expect and (2, 1) in got
