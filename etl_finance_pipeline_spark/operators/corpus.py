@@ -1,0 +1,121 @@
+"""Corpus preparation operators: document chunking, PII redaction,
+deterministic stratified sampling.
+
+Charter extensions (training-data pipeline; no reference counterpart —
+the reference stops at OHLCV candles). All three are pure column
+expressions: JVM-side, whole-stage-codegen, zero shuffles except where
+noted, and each has an exact DuckDB oracle.
+
+Scale notes:
+ * chunk_documents is explode-based — output rows ≈ corpus_chars /
+   stride. The explode preserves the input partitioning (no shuffle);
+   downstream per-chunk work (embedding, tokenizing) starts co-located
+   with its document.
+ * redact_pii is a regexp_replace chain — one projection, no shuffle.
+ * stratified_sample keeps a row iff hash(key) mod 1e6 < frac×1e6 —
+   deterministic across runs/executors/engines (unlike ``rand()``
+   sampling, which cannot be oracle-checked or reproduced), stable
+   under re-partitioning, and composable: the same key always lands in
+   the same side, so samples drawn at different times agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_finance_pipeline_spark.functions.scalar import portable_hash64
+
+#: (pattern, replacement) — RE2/Java-regex-compatible PII patterns.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}", "[PHONE]"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+]
+
+_SAMPLE_SCALE = 1_000_000
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 500,
+    overlap: int = 100,
+) -> DataFrame:
+    """Split each document into fixed-width character chunks with
+    *overlap* (the standard pre-embedding window): chunk i covers
+    ``[1 + i·stride, 1 + i·stride + chunk_chars)`` (1-based),
+    stride = chunk_chars − overlap. Every document yields ≥ 1 chunk;
+    the last chunk may be short.
+
+    Output: (id, chunk_id, chunk_start, chunk_text). Explode of a
+    ``sequence`` — narrow, no shuffle, partitioning preserved.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    n = F.length(F.col(text_col))
+    # number of chunks: ceil(max(n - overlap, 1) / stride) via int math
+    num = F.greatest(
+        (n - F.lit(overlap) + F.lit(stride - 1)).cast("long") / F.lit(stride),
+        F.lit(1),
+    ).cast("long")
+    out = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), num - 1)).alias("chunk_id"),
+        F.col(text_col),
+    )
+    start = (F.col("chunk_id") * stride + 1).cast("int")
+    return out.select(
+        id_col,
+        "chunk_id",
+        start.alias("chunk_start"),
+        F.substring(F.col(text_col), start, chunk_chars).alias("chunk_text"),
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Replace PII spans (emails, phones, IPv4) with typed tags and
+    count replacements per row. One codegen projection; patterns are
+    restricted to the RE2 ∩ Java-regex dialect so the DuckDB oracle
+    and any future native engine agree byte-for-byte."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+    clean: Column = F.col(text_col)
+    counts = []
+    for i, (pat, tag) in enumerate(pats):
+        counts.append(F.regexp_count(clean, F.lit(pat)).alias(f"n_redacted_{i}"))
+        clean = F.regexp_replace(clean, pat, tag)
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        clean.alias(text_col),
+        *counts,
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    strata_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``portable_hash64(key) mod 1e6 < fraction(stratum) × 1e6``.
+
+    Hash-gated, not ``rand()``-gated: reproducible across runs and
+    engines, independent of partitioning, and consistent — re-sampling
+    a grown corpus keeps every previously selected key, so incremental
+    pipelines don't churn their training mix. For sampling joined
+    tables, gate both sides on the same key and the sample stays
+    referentially intact.
+    """
+    bucket = F.pmod(portable_hash64(F.col(key_col).cast("string")), _SAMPLE_SCALE)
+    frac: Column = F.lit(float(default_fraction))
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
+    return df.filter(bucket < (frac * _SAMPLE_SCALE).cast("long"))

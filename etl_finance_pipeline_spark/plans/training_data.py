@@ -243,6 +243,108 @@ WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
 
 
 # --------------------------------------------------------------------
+# Corpus preparation: chunking, PII redaction, deterministic sampling
+# --------------------------------------------------------------------
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """200-char chunks, 50-char overlap — the pre-embedding window."""
+    from etl_finance_pipeline_spark.operators.corpus import chunk_documents
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return chunk_documents(docs, chunk_chars=200, overlap=50)
+
+
+SQL_CHUNK_DOCS = """
+WITH n AS (
+  SELECT doc_id, text, length(text) AS len FROM documents
+), c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, CAST(floor(greatest((len + 99) / 150.0, 1)) AS BIGINT) - 1
+         )) AS chunk_id
+  FROM n
+)
+SELECT doc_id, chunk_id,
+       CAST(chunk_id * 150 + 1 AS INT) AS chunk_start,
+       substr(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk_text
+FROM c
+"""
+
+
+def q_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus. The driver tables carry no PII,
+    so every 7th document gets a synthetic contact line appended (same
+    injection in the oracle) — the redaction itself is then exercised
+    for real: emails, phones and IPs replaced with typed tags and
+    counted."""
+    from etl_finance_pipeline_spark.operators.corpus import redact_pii
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 at 10.0.0.1"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return redact_pii(docs)
+
+
+SQL_REDACT_DOCS = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-123-4567 at 10.0.0.1'
+              ELSE text END AS text
+  FROM documents
+), r0 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_redacted_0,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS text
+  FROM d
+), r1 AS (
+  SELECT doc_id, n_redacted_0,
+         len(regexp_extract_all(text, '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS n_redacted_1,
+         regexp_replace(text, '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '[PHONE]', 'g') AS text
+  FROM r0
+)
+SELECT doc_id,
+       regexp_replace(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS text,
+       CAST(n_redacted_0 AS INT) AS n_redacted_0,
+       CAST(n_redacted_1 AS INT) AS n_redacted_1,
+       CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_redacted_2
+FROM r1
+"""
+
+
+def q_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 50% of en, 25% of de, 10% of
+    everything else, hash-gated on doc_id."""
+    from etl_finance_pipeline_spark.operators.corpus import stratified_sample
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return stratified_sample(
+        docs, "doc_id", {"en": 0.5, "de": 0.25}, "lang", default_fraction=0.1
+    ).select("doc_id", "lang", "source")
+
+
+SQL_SAMPLE_DOCS = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_H64.format(s="CAST(doc_id AS VARCHAR)")} % 1000000 <
+      CAST(floor((CASE WHEN lang = 'en' THEN 0.5
+                       WHEN lang = 'de' THEN 0.25
+                       ELSE 0.1 END) * 1000000) AS BIGINT)
+"""
+
+
+# --------------------------------------------------------------------
 # Language ID
 # --------------------------------------------------------------------
 
@@ -1007,6 +1109,9 @@ GROUP BY event_type
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "incremental_near_dup": q_incremental_near_dup,
+    "chunk_docs": q_chunk_docs,
+    "redact_docs": q_redact_docs,
+    "sample_docs": q_sample_docs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "lang_id": q_lang_id,
@@ -1030,6 +1135,9 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_TD: dict[str, str] = {
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
+    "chunk_docs": SQL_CHUNK_DOCS,
+    "redact_docs": SQL_REDACT_DOCS,
+    "sample_docs": SQL_SAMPLE_DOCS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "lang_id": SQL_LANG_ID,

@@ -236,6 +236,35 @@ def read_table(
     return out
 
 
+def compact(
+    spark: SparkSession,
+    table: str,
+    target_files: int | None = None,
+    partition_by: list[str] | None = None,
+) -> Snapshot:
+    """Rewrite the current snapshot into one fresh commit (OPTIMIZE):
+    reads the live file set, writes it back coalesced, commits as an
+    overwrite. Readers are snapshot-isolated throughout — they replay
+    either the old log suffix or the new one, never a mixture — and
+    time travel to pre-compaction versions still works because data
+    files are immutable and never deleted. Bounds the O(commits) scan
+    fan-out of :func:`read_table` after many small appends (the
+    streaming-ingest pattern). *partition_by* defaults to the hive
+    layout already present in the snapshot's files."""
+    snap = snapshot(table)
+    df = read_table(spark, table)
+    if partition_by is None:
+        keys: list[str] = []
+        for f in snap.files:
+            for k in f.get("partition_values", {}):
+                if k not in keys:
+                    keys.append(k)
+        partition_by = keys or None
+    if target_files is not None:
+        df = df.coalesce(target_files)
+    return write_table(df, table, mode="overwrite", partition_by=partition_by)
+
+
 def history(table: str) -> list[dict]:
     """The commit log, oldest first (version/action/rows/timestamp)."""
     out = []

@@ -1,0 +1,79 @@
+"""Corpus preparation: chunking windows, PII redaction, deterministic
+stratified sampling."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_finance_pipeline_spark.operators.corpus import (
+    chunk_documents,
+    redact_pii,
+    stratified_sample,
+)
+
+
+def test_chunk_boundaries_and_overlap(spark):
+    text = "abcdefghij" * 3  # 30 chars
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_chars=10, overlap=4).collect()
+    # stride 6: starts 1,7,13,19,25 -> ceil((30-4)/6)=5 chunks
+    assert [r["chunk_start"] for r in out] == [1, 7, 13, 19, 25]
+    assert out[0]["chunk_text"] == text[0:10]
+    assert out[1]["chunk_text"] == text[6:16]  # 4-char overlap
+    assert out[-1]["chunk_text"] == text[24:30]  # short tail
+    # reassembly: stripping the overlap from every later chunk restores
+    # the document
+    joined = out[0]["chunk_text"] + "".join(r["chunk_text"][4:] for r in out[1:])
+    assert joined == text
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "hi"), (2, "")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in chunk_documents(df, chunk_chars=100, overlap=10).collect()
+    }
+    assert out[1]["chunk_text"] == "hi" and out[1]["chunk_id"] == 0
+    assert out[2]["chunk_text"] == ""
+
+
+def test_chunk_overlap_validation():
+    with pytest.raises(ValueError):
+        chunk_documents(None, chunk_chars=10, overlap=10)
+
+
+def test_redact_pii_all_patterns(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io or call 555-123-4567 / +44 123 456-7890 from 192.168.0.1")],
+        ["doc_id", "text"],
+    )
+    row = redact_pii(df).collect()[0]
+    assert "[EMAIL]" in row["text"] and "@" not in row["text"]
+    assert "[PHONE]" in row["text"]
+    assert "[IP]" in row["text"] and "192.168" not in row["text"]
+    assert row["n_redacted_0"] == 1 and row["n_redacted_2"] == 1
+
+
+def test_stratified_sample_deterministic_and_consistent(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = lambda fr: {  # noqa: E731
+        r["doc_id"]
+        for r in stratified_sample(df, "doc_id", fr, "lang").collect()
+    }
+    half = kept({"en": 0.5, "de": 0.2})
+    # deterministic: same call, same set
+    assert kept({"en": 0.5, "de": 0.2}) == half
+    # consistent: raising a fraction only ADDS keys, never churns
+    more = kept({"en": 0.8, "de": 0.2})
+    assert half <= more
+    # roughly proportional per stratum
+    en = sum(1 for k in half if k % 2 == 0) / 1000
+    de = sum(1 for k in half if k % 2 == 1) / 1000
+    assert 0.4 < en < 0.6 and 0.1 < de < 0.3
+
+
+def test_stratified_sample_default_fraction_zero(spark):
+    df = spark.createDataFrame([(1, "fr"), (2, "en")], ["doc_id", "lang"])
+    out = stratified_sample(df, "doc_id", {"en": 1.0}, "lang").collect()
+    assert [r["doc_id"] for r in out] == [2]

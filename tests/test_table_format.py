@@ -90,3 +90,29 @@ def test_crashed_write_invisible(spark, tmp_path):
 def test_empty_snapshot_after_missing_table(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         snapshot(str(tmp_path / "nope"))
+
+
+def test_compact_preserves_data_and_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for i in range(4):  # 4 small append commits
+        write_table(_df(spark, [(f"SYM{i}", float(i))]), t)
+    before = {tuple(r) for r in read_table(spark, t).collect()}
+    from etl_finance_pipeline_spark.sources.table_format import compact
+
+    snap = compact(spark, t, target_files=1)
+    assert snap.version == 4 and len(snap.files) == 1
+    assert {tuple(r) for r in read_table(spark, t).collect()} == before
+    # pre-compaction versions still time-travelable
+    assert read_table(spark, t, version=1).count() == 2
+
+
+def test_compact_keeps_partition_layout(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_table(_df(spark, [("EURUSD", 1.0), ("GBPUSD", 2.0)]), t, partition_by=["SYMBOL"])
+    write_table(_df(spark, [("EURUSD", 3.0)]), t, partition_by=["SYMBOL"])
+    from etl_finance_pipeline_spark.sources.table_format import compact
+
+    snap = compact(spark, t)
+    assert all(f["partition_values"].get("SYMBOL") for f in snap.files)
+    out = read_table(spark, t, partition_filter={"SYMBOL": "EURUSD"})
+    assert sorted(r["CLOSE"] for r in out.collect()) == [1.0, 3.0]
