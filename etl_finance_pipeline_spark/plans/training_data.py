@@ -696,14 +696,21 @@ def q_stream_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "5T", ["event_type"], ts_col="ts", watermark="10 minutes"
     )
     name = f"stream_candles_{uuid.uuid4().hex[:8]}"
-    q = (
-        candles.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # see q_stream_view_click: per-partition state-store fixed cost
+    # dominates a single availableNow batch — run narrow
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            candles.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     out = spark.table(name)
     return out.select(
         F.col("event_type").alias("symbol"),
@@ -772,14 +779,24 @@ def q_stream_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
     )
     name = f"stream_vc_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # a stream-stream join keeps FOUR state stores per shuffle
+    # partition; for a single availableNow microbatch the per-store
+    # fixed cost dominates (measured 14.2s at 32 partitions vs 3.1s at
+    # 8 on sf0.1). On a live cluster, size partitions to state volume,
+    # not core count.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name).select(
         "view_id", "click_id", "user_id", "view_ts", "click_ts"
     )
