@@ -139,6 +139,7 @@ def write_table(
     mode: str = "append",
     partition_by: list[str] | None = None,
     max_retries: int = 5,
+    extra_metadata: dict | None = None,
 ) -> Snapshot:
     """Commit *df* to *table* atomically. mode='append' adds files;
     mode='overwrite' logically removes every live file first (data
@@ -160,6 +161,7 @@ def write_table(
             "schema": schema_ddl,
             "partition_by": partition_by or [],
             "committed_at": datetime.now(timezone.utc).isoformat(),
+            **(extra_metadata or {}),
         }
         try:
             _try_commit(table, version, manifest)
@@ -278,6 +280,7 @@ def history(table: str) -> list[dict]:
                 "num_files": len(m["files"]),
                 "rows_added": sum(f.get("rows", 0) for f in m["files"]),
                 "committed_at": m.get("committed_at"),
+                "source_batch_id": m.get("source_batch_id"),
             }
         )
     return out

@@ -121,3 +121,37 @@ def test_stream_candles_to_parquet_sink(spark, tmp_path):
     got = {r["TIMESTAMP"]: r for r in back.collect()}
     assert got[T0]["OPEN"] == 5.0 and got[T0]["CLOSE"] == 9.0
     assert got[T0 + timedelta(minutes=5)]["VOLUME"] == 7.0
+
+
+def test_stream_to_transactional_table(spark, tmp_path):
+    """File stream → foreachBatch → commit-log table: contents equal
+    the batch read, epochs are recorded, and a redelivered epoch is a
+    no-op (effectively exactly-once)."""
+    from etl_finance_pipeline_spark.sources.table_format import history, read_table
+    from etl_finance_pipeline_spark.streaming.sink import (
+        stream_to_table,
+        write_batch_idempotent,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(i, f"SYM{i % 3}", float(i)) for i in range(30)],
+        "event_id long, SYMBOL string, CLOSE double",
+    )
+    df.write.parquet(str(src / "a"))
+    table = str(tmp_path / "tbl")
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    q = stream_to_table(stream, table, str(tmp_path / "ckpt"), partition_by=["SYMBOL"])
+    q.awaitTermination(120)
+    got = {r["event_id"] for r in read_table(spark, table).collect()}
+    assert got == set(range(30))
+    h = history(table)
+    assert len(h) >= 1 and all(m["source_batch_id"] is not None for m in h)
+    # simulate the at-least-once redelivery of an already-committed epoch
+    dup = spark.createDataFrame([(99, "SYMX", 9.9)], df.schema)
+    assert write_batch_idempotent(dup, h[0]["source_batch_id"], table) is False
+    assert read_table(spark, table).count() == 30
+    # a NEW epoch still lands
+    assert write_batch_idempotent(dup, 10_000, table) is True
+    assert read_table(spark, table).count() == 31
