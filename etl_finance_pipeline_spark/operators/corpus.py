@@ -97,6 +97,45 @@ def redact_pii(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    seq_tokens: int = 2048,
+    num_shards: int = 8,
+) -> DataFrame:
+    """Concat-and-split sequence packing: documents are laid out in a
+    deterministic order and cut into fixed *seq_tokens* training
+    sequences; each document is assigned the sequence in which it
+    STARTS, with its token offset. This is the standard pretraining
+    batch-prep step (maximize tokens per sequence, no padding waste).
+
+    A global layout would need a single-partition cumsum, so documents
+    are hash-sharded first and packed per shard — each shard is an
+    independent token stream (num_shards ≥ cluster cores at scale; the
+    window cumsum then parallelizes across shards). Deterministic:
+    shard = portable_hash(id) and order = id, so re-runs and engines
+    agree exactly.
+
+    Output: (shard, seq_id, id, n_tokens, seq_offset).
+    """
+    from pyspark.sql.window import Window
+
+    shard = F.pmod(portable_hash64(F.col(id_col).cast("string")), num_shards)
+    out = df.select(
+        shard.alias("shard"), F.col(id_col), F.col(tokens_col).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")  # tokens before this doc
+    return out.select(
+        "shard",
+        F.floor(start / F.lit(float(seq_tokens))).cast("long").alias("seq_id"),
+        id_col,
+        "n_tokens",
+        F.pmod(start, F.lit(seq_tokens)).cast("long").alias("seq_offset"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

@@ -344,6 +344,35 @@ WHERE {_H64.format(s="CAST(doc_id AS VARCHAR)")} % 1000000 <
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over whitespace token counts: 4 shards,
+    256-token sequences."""
+    from etl_finance_pipeline_spark.operators.corpus import pack_sequences
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
+    )
+    return pack_sequences(docs, seq_tokens=256, num_shards=4)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         {_H64.format(s="CAST(doc_id AS VARCHAR)")} % 4 AS shard
+  FROM documents
+), c AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS start
+  FROM tok
+)
+SELECT shard, CAST(floor(start / 256.0) AS BIGINT) AS seq_id,
+       doc_id, n_tokens,
+       CAST(start % 256 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
 # --------------------------------------------------------------------
 # Language ID
 # --------------------------------------------------------------------
@@ -1129,6 +1158,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_docs": q_chunk_docs,
     "redact_docs": q_redact_docs,
     "sample_docs": q_sample_docs,
+    "pack_sequences": q_pack_sequences,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "lang_id": q_lang_id,
@@ -1155,6 +1185,7 @@ ORACLES_TD: dict[str, str] = {
     "chunk_docs": SQL_CHUNK_DOCS,
     "redact_docs": SQL_REDACT_DOCS,
     "sample_docs": SQL_SAMPLE_DOCS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "lang_id": SQL_LANG_ID,

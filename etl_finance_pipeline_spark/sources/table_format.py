@@ -106,14 +106,43 @@ def _stage_files(df: DataFrame, table: str, partition_by: list[str] | None) -> t
     entries = []
     for path in glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True):
         rel = os.path.relpath(path, table)
+        meta = pq.ParquetFile(path).metadata
         entries.append(
             {
                 "path": rel,
-                "rows": pq.ParquetFile(path).metadata.num_rows,
+                "rows": meta.num_rows,
                 "partition_values": _partition_values(rel),
+                "stats": _column_stats(meta),
             }
         )
     return entries, commit_id
+
+
+def _column_stats(meta) -> dict[str, list]:
+    """Per-column [min, max] from the parquet row-group footers —
+    free at write time, and the basis for data skipping on
+    NON-partition columns at read time (same role as Delta's
+    per-file stats / Iceberg manifests)."""
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(meta.num_row_groups):
+        row_group = meta.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested — skip
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                continue  # undecoded binary stats are not comparable
+            if name not in mins or mn < mins[name]:
+                mins[name] = mn
+            if name not in maxs or mx > maxs[name]:
+                maxs[name] = mx
+    return {k: [mins[k], maxs[k]] for k in mins if k in maxs}
 
 
 def _try_commit(table: str, version: int, manifest: dict) -> None:
@@ -195,18 +224,47 @@ def snapshot(table: str, version: int | None = None) -> Snapshot:
     return Snapshot(version=version, files=files, schema_ddl=schema_ddl)
 
 
+def _stats_match(stats: dict[str, list], predicates: list[tuple]) -> bool:
+    """Could a file with these [min, max] ranges hold a matching row?
+    Conservative: missing stats ⇒ keep the file."""
+    for col, op, value in predicates:
+        rng = stats.get(col)
+        if not rng:
+            continue
+        mn, mx = rng
+        if (
+            (op == ">=" and mx < value)
+            or (op == ">" and mx <= value)
+            or (op == "<=" and mn > value)
+            or (op == "<" and mn >= value)
+            or (op == "=" and not (mn <= value <= mx))
+        ):
+            return False
+    return True
+
+
 def read_table(
     spark: SparkSession,
     table: str,
     version: int | None = None,
     partition_filter: dict[str, str] | None = None,
+    stats_filter: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a snapshot. *partition_filter* (e.g. ``{"SYMBOL":
     "EURUSD"}``) prunes files on the driver from manifest metadata —
     Spark receives only matching paths, so a one-symbol read of a
     thousand-symbol table lists and scans 1/1000th of the files. The
     hive partition columns are re-derived with basePath so they stay
-    queryable columns."""
+    queryable columns.
+
+    *stats_filter* skips files by footer min/max on NON-partition
+    columns: ``[("ts", ">=", "2024-01-02"), ("CLOSE", "<", 2.0)]``
+    drops every file whose recorded [min, max] cannot intersect the
+    predicate (files without stats for the column are kept). Pass
+    numbers for numeric columns and ISO strings for timestamps (stats
+    are JSON-serialized; ISO strings compare lexicographically). This
+    prunes I/O only — apply the same predicate in the query for
+    row-level filtering."""
     snap = snapshot(table, version)
     files = snap.files
     if partition_filter:
@@ -215,6 +273,8 @@ def read_table(
             for f in files
             if all(f["partition_values"].get(k) == str(v) for k, v in partition_filter.items())
         ]
+    if stats_filter:
+        files = [f for f in files if _stats_match(f.get("stats") or {}, stats_filter)]
     if not files:
         empty_schema = snap.schema_ddl or "dummy string"
         return spark.createDataFrame([], empty_schema)

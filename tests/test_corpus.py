@@ -77,3 +77,23 @@ def test_stratified_sample_default_fraction_zero(spark):
     df = spark.createDataFrame([(1, "fr"), (2, "en")], ["doc_id", "lang"])
     out = stratified_sample(df, "doc_id", {"en": 1.0}, "lang").collect()
     assert [r["doc_id"] for r in out] == [2]
+
+
+def test_pack_sequences_layout(spark):
+    from etl_finance_pipeline_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i % 5)) for i in range(100)], ["doc_id", "n_tokens"]
+    )
+    out = pack_sequences(df, seq_tokens=64, num_shards=2).collect()
+    assert len(out) == 100
+    assert {r["shard"] for r in out} == {0, 1}
+    for r in out:
+        assert 0 <= r["seq_offset"] < 64
+    # per shard: offsets reconstruct the running token stream exactly
+    for shard in (0, 1):
+        rows = sorted((r for r in out if r["shard"] == shard), key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["seq_id"] == cum // 64 and r["seq_offset"] == cum % 64
+            cum += r["n_tokens"]

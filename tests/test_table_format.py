@@ -116,3 +116,35 @@ def test_compact_keeps_partition_layout(spark, tmp_path):
     assert all(f["partition_values"].get("SYMBOL") for f in snap.files)
     out = read_table(spark, t, partition_filter={"SYMBOL": "EURUSD"})
     assert sorted(r["CLOSE"] for r in out.collect()) == [1.0, 3.0]
+
+
+def test_stats_pruning_skips_files(spark, tmp_path):
+    """Footer min/max stats prune non-matching files driver-side:
+    three commits with disjoint CLOSE ranges; a range predicate reads
+    only the overlapping file(s)."""
+    t = str(tmp_path / "tbl")
+    for lo in (0.0, 10.0, 20.0):
+        write_table(
+            _df(spark, [("EURUSD", lo + i) for i in range(5)]), t
+        )
+    snap = snapshot(t)
+    assert all("CLOSE" in f["stats"] for f in snap.files)
+    out = read_table(spark, t, stats_filter=[("CLOSE", ">=", 10.0), ("CLOSE", "<", 20.0)])
+    # only the middle commit's files are scanned (a commit may hold
+    # several part-files; every one outside [10, 20) must be skipped)
+    scanned = out.inputFiles()
+    matching = {
+        os.path.dirname(f["path"])
+        for f in snap.files
+        if f["stats"]["CLOSE"][1] >= 10.0 and f["stats"]["CLOSE"][0] < 20.0
+    }
+    assert scanned and {p.split("/data/")[1].split("/")[0] for p in scanned} == {
+        d.split(os.sep)[1] for d in matching
+    }
+    assert len(scanned) < 15  # strictly fewer than the full file set
+    assert sorted(r["CLOSE"] for r in out.collect()) == [10.0, 11.0, 12.0, 13.0, 14.0]
+    # equality predicate outside every range -> empty frame, zero files
+    none = read_table(spark, t, stats_filter=[("CLOSE", "=", 99.0)])
+    assert none.count() == 0
+    # missing-stats column is conservative: everything kept
+    assert read_table(spark, t, stats_filter=[("NOPE", ">=", 1)]).count() == 15
