@@ -169,14 +169,24 @@ def write_table(
     partition_by: list[str] | None = None,
     max_retries: int = 5,
     extra_metadata: dict | None = None,
+    cluster_by: list[str] | None = None,
 ) -> Snapshot:
     """Commit *df* to *table* atomically. mode='append' adds files;
     mode='overwrite' logically removes every live file first (data
     files are never deleted — history stays time-travelable). Data is
     staged before the commit is attempted, so a version conflict
-    retries only the (cheap) manifest claim, never the data write."""
+    retries only the (cheap) manifest claim, never the data write.
+
+    *cluster_by* range-partitions and sorts the data on those columns
+    before writing, so each file covers a narrow [min, max] slice —
+    which is what makes ``read_table(stats_filter=…)`` skip files
+    instead of merely not-matching rows (the Z-ordering role in
+    Delta's OPTIMIZE; one dimension here, the common case for time
+    series clustered by timestamp)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if cluster_by:
+        df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
     entries, commit_id = _stage_files(df, table, partition_by)
     schema_ddl = df.schema.simpleString()
     for _ in range(max_retries):

@@ -148,3 +148,25 @@ def test_stats_pruning_skips_files(spark, tmp_path):
     assert none.count() == 0
     # missing-stats column is conservative: everything kept
     assert read_table(spark, t, stats_filter=[("NOPE", ">=", 1)]).count() == 15
+
+
+def test_cluster_by_tightens_file_ranges(spark, tmp_path):
+    """cluster_by range-sorts before writing: each file covers a
+    disjoint CLOSE slice, so a point predicate scans exactly one
+    file (unclustered, every file straddles the full range)."""
+    rows = [("S", float(i)) for i in range(1000)]
+    import random
+
+    random.Random(7).shuffle(rows)
+    plain, clustered = str(tmp_path / "plain"), str(tmp_path / "clus")
+    df = spark.createDataFrame(rows, "SYMBOL string, CLOSE double").repartition(4)
+    write_table(df, plain)
+    write_table(df, clustered, cluster_by=["CLOSE"])
+    pred = [("CLOSE", ">=", 10.0), ("CLOSE", "<", 20.0)]
+    n_plain = len(read_table(spark, plain, stats_filter=pred).inputFiles())
+    n_clus = len(read_table(spark, clustered, stats_filter=pred).inputFiles())
+    assert n_clus < n_plain, (n_clus, n_plain)
+    got = read_table(spark, clustered, stats_filter=pred).filter(
+        "CLOSE >= 10 AND CLOSE < 20"
+    )
+    assert got.count() == 10
