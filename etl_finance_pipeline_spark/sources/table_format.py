@@ -21,10 +21,16 @@ VLDB 2020):
   partition predicates prune files driver-side BEFORE Spark ever
   lists them — scan cost is proportional to matching files only.
 
+Commit actions: ``append`` (add files), ``overwrite`` (reset then
+add), ``replace`` (remove a listed file subset, add rewrites — the
+primitive behind MERGE and any future DELETE/OPTIMIZE-by-partition).
+:func:`merge_table` implements upsert with Delta-style file pruning:
+only files whose key stats overlap the source are rewritten.
+
 This is deliberately the smallest design with those properties: no
 checkpoints (replay is O(versions), fine for ≤ millions of commits —
-Delta checkpoints every 10th; add when needed), no schema evolution
-beyond overwrite, single-table transactions only.
+Delta checkpoints every 10th; add when needed), schema evolution =
+additive-only via union-by-name at read, single-table transactions.
 """
 
 from __future__ import annotations
@@ -37,6 +43,7 @@ from dataclasses import dataclass
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
@@ -229,6 +236,9 @@ def snapshot(table: str, version: int | None = None) -> Snapshot:
             manifest = json.load(fh)
         if manifest["action"] == "overwrite":
             files = []
+        elif manifest["action"] == "replace":
+            removed = set(manifest.get("removed", []))
+            files = [f for f in files if f["path"] not in removed]
         files.extend(manifest["files"])
         schema_ddl = manifest.get("schema") or schema_ddl
     return Snapshot(version=version, files=files, schema_ddl=schema_ddl)
@@ -288,6 +298,10 @@ def read_table(
     if not files:
         empty_schema = snap.schema_ddl or "dummy string"
         return spark.createDataFrame([], empty_schema)
+    return _read_files(spark, table, files)
+
+
+def _read_files(spark: SparkSession, table: str, files: list[dict]) -> DataFrame:
     # one scan per commit dir: hive partition discovery needs a basePath
     # whose subtree is uniformly partitioned, and different commits are
     # separate subtrees. O(commits) scan relations in the plan — a
@@ -306,6 +320,68 @@ def read_table(
     for extra in frames[1:]:
         out = out.unionByName(extra, allowMissingColumns=True)
     return out
+
+
+def merge_table(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    key_cols: list[str],
+    max_retries: int = 5,
+) -> Snapshot:
+    """MERGE (upsert) *source* into *table* on *key_cols*: matching
+    rows are replaced, new keys are inserted — with Delta-style file
+    pruning. Only files whose footer [min, max] ranges on the key
+    columns can intersect the source's key range are rewritten; every
+    other file is carried into the new snapshot UNTOUCHED via a
+    ``replace`` commit (removed + added file lists). On a clustered
+    table a point-key merge rewrites one file, not 100 TB.
+
+    Rewrite = (overlapping files ∖ source keys by left_anti) ∪ source.
+    Missing stats on a key column ⇒ the file is conservatively
+    rewritten. Data files are immutable; time travel to pre-merge
+    versions is unaffected.
+    """
+    snap = snapshot(table)
+    # key range of the source (driver-side: one tiny agg)
+    bounds = source.agg(
+        *[expr for c in key_cols for expr in (
+            F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}"))]
+    ).collect()[0]
+    preds = []
+    for c in key_cols:
+        preds.append((c, ">=", bounds[f"_mn_{c}"]))
+        preds.append((c, "<=", bounds[f"_mx_{c}"]))
+    overlapping = [f for f in snap.files if _stats_match(f.get("stats") or {}, preds)]
+    untouched = [f for f in snap.files if f not in overlapping]
+
+    if overlapping:
+        existing = _read_files(spark, table, overlapping)
+        keep = existing.join(source.select(*key_cols), on=key_cols, how="left_anti")
+        rewrite = keep.unionByName(source, allowMissingColumns=True)
+    else:
+        rewrite = source
+    entries, commit_id = _stage_files(rewrite, table, None)
+    for _ in range(max_retries):
+        versions = _list_versions(table)
+        version = (versions[-1] + 1) if versions else 0
+        manifest = {
+            "version": version,
+            "action": "replace",
+            "commit_id": commit_id,
+            "removed": [f["path"] for f in overlapping],
+            "files": entries,
+            "schema": rewrite.schema.simpleString(),
+            "partition_by": [],
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+            "merge_keys": key_cols,
+        }
+        try:
+            _try_commit(table, version, manifest)
+            return snapshot(table, version)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"gave up after {max_retries} retries on {table}")
 
 
 def compact(

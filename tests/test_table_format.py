@@ -170,3 +170,54 @@ def test_cluster_by_tightens_file_ranges(spark, tmp_path):
         "CLOSE >= 10 AND CLOSE < 20"
     )
     assert got.count() == 10
+
+
+def test_merge_upserts_with_file_pruning(spark, tmp_path):
+    """MERGE rewrites only files whose key stats overlap the source:
+    two disjoint-range commits; merging keys in the second range
+    updates/inserts there and carries the first commit's files
+    untouched (same paths in the new snapshot)."""
+    from etl_finance_pipeline_spark.sources.table_format import merge_table
+
+    t = str(tmp_path / "tbl")
+    lo = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    hi = spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 110)], "k long, v double"
+    )
+    write_table(lo, t)
+    write_table(hi, t)
+    lo_paths = {f["path"] for f in snapshot(t).files if f["stats"]["k"][1] < 100}
+    src = spark.createDataFrame(
+        [(105, 999.0), (200, 2.0)], "k long, v double"  # update + insert
+    )
+    snap = merge_table(spark, t, src, ["k"])
+    got = {r["k"]: r["v"] for r in read_table(spark, t).collect()}
+    assert got[105] == 999.0 and got[200] == 2.0 and got[5] == 5.0
+    assert len(got) == 21
+    # low-range files survived the merge byte-identically (not rewritten)
+    assert lo_paths <= {f["path"] for f in snap.files}
+    # time travel to pre-merge still shows the original value
+    assert {r["k"]: r["v"] for r in read_table(spark, t, version=1).collect()}[105] == 105.0
+
+
+def test_merge_into_clustered_table_rewrites_one_slice(spark, tmp_path):
+    from etl_finance_pipeline_spark.sources.table_format import merge_table
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "k long, v double"
+    ).repartition(4)
+    write_table(df, t, cluster_by=["k"])
+    n_files = len(snapshot(t).files)
+    src = spark.createDataFrame([(500, -1.0)], "k long, v double")
+    snap = merge_table(spark, t, src, ["k"])
+    rewritten = n_files + len(snap.files) - len(
+        {f["path"] for f in snapshot(t, version=0).files} & {f["path"] for f in snap.files}
+    ) - len(snap.files)
+    # all but one original file carried over
+    carried = {f["path"] for f in snapshot(t, 0).files} & {f["path"] for f in snap.files}
+    assert len(carried) == n_files - 1, (n_files, len(carried), rewritten)
+    assert {r["v"] for r in read_table(spark, t).filter("k = 500").collect()} == {-1.0}
+    assert read_table(spark, t).count() == 1000
