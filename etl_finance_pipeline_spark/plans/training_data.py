@@ -344,6 +344,75 @@ WHERE {_H64.format(s="CAST(doc_id AS VARCHAR)")} % 1000000 <
 """
 
 
+def q_prep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep: stratified sample → PII redaction →
+    chunking — the composed front half of a training-data pipeline,
+    all pure projections/filters except the chunk explode (narrow, no
+    shuffle end to end)."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        chunk_documents,
+        redact_pii,
+        stratified_sample,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    sampled = stratified_sample(
+        docs, "doc_id", {"en": 0.5, "de": 0.25}, "lang", default_fraction=0.1
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    clean = redact_pii(sampled).select("doc_id", "text")
+    return chunk_documents(clean, chunk_chars=200, overlap=50)
+
+
+SQL_PREP_CORPUS = f"""
+WITH sampled AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE text END AS text
+  FROM documents
+  WHERE {_H64.format(s="CAST(doc_id AS VARCHAR)")} % 1000000 <
+        CAST(floor((CASE WHEN lang = 'en' THEN 0.5
+                         WHEN lang = 'de' THEN 0.25
+                         ELSE 0.1 END) * 1000000) AS BIGINT)
+), clean AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+             '\\+?[0-9]{{3}}[- ][0-9]{{3}}[- ][0-9]{{4}}', '[PHONE]', 'g'),
+           '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '[IP]', 'g'
+         ) AS text
+  FROM sampled
+), n AS (
+  SELECT doc_id, text, length(text) AS len FROM clean
+), c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, CAST(floor(greatest((len + 99) / 150.0, 1)) AS BIGINT) - 1
+         )) AS chunk_id
+  FROM n
+)
+SELECT doc_id, chunk_id,
+       CAST(chunk_id * 150 + 1 AS INT) AS chunk_start,
+       substr(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk_text
+FROM c
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing over whitespace token counts: 4 shards,
     256-token sequences."""
@@ -1159,6 +1228,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redact_docs": q_redact_docs,
     "sample_docs": q_sample_docs,
     "pack_sequences": q_pack_sequences,
+    "prep_corpus": q_prep_corpus,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "lang_id": q_lang_id,
@@ -1186,6 +1256,7 @@ ORACLES_TD: dict[str, str] = {
     "redact_docs": SQL_REDACT_DOCS,
     "sample_docs": SQL_SAMPLE_DOCS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "prep_corpus": SQL_PREP_CORPUS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "lang_id": SQL_LANG_ID,

@@ -384,6 +384,50 @@ def merge_table(
     raise CommitConflict(f"gave up after {max_retries} retries on {table}")
 
 
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    stats_pruning: list[tuple] | None = None,
+    max_retries: int = 5,
+) -> Snapshot:
+    """DELETE rows matching *condition* (a Spark SQL predicate).
+    *stats_pruning* (same shape as ``read_table(stats_filter=…)``,
+    describing where matching rows CAN live) limits the rewrite to
+    overlapping files; without it every file is rewritten. Files whose
+    rewrite keeps all rows could be skipped too — left simple here.
+    History stays time-travelable."""
+    snap = snapshot(table)
+    if stats_pruning:
+        touched = [f for f in snap.files if _stats_match(f.get("stats") or {}, stats_pruning)]
+    else:
+        touched = list(snap.files)
+    if not touched:
+        return snap
+    kept = _read_files(spark, table, touched).filter(f"NOT ({condition})")
+    entries, commit_id = _stage_files(kept, table, None)
+    for _ in range(max_retries):
+        versions = _list_versions(table)
+        version = (versions[-1] + 1) if versions else 0
+        manifest = {
+            "version": version,
+            "action": "replace",
+            "commit_id": commit_id,
+            "removed": [f["path"] for f in touched],
+            "files": entries,
+            "schema": kept.schema.simpleString(),
+            "partition_by": [],
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+            "delete_condition": condition,
+        }
+        try:
+            _try_commit(table, version, manifest)
+            return snapshot(table, version)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"gave up after {max_retries} retries on {table}")
+
+
 def compact(
     spark: SparkSession,
     table: str,

@@ -221,3 +221,22 @@ def test_merge_into_clustered_table_rewrites_one_slice(spark, tmp_path):
     assert len(carried) == n_files - 1, (n_files, len(carried), rewritten)
     assert {r["v"] for r in read_table(spark, t).filter("k = 500").collect()} == {-1.0}
     assert read_table(spark, t).count() == 1000
+
+
+def test_delete_where_prunes_and_time_travels(spark, tmp_path):
+    from etl_finance_pipeline_spark.sources.table_format import delete_where
+
+    t = str(tmp_path / "tbl")
+    lo = spark.createDataFrame([(i, float(i)) for i in range(10)], "k long, v double")
+    hi = spark.createDataFrame([(i, float(i)) for i in range(100, 110)], "k long, v double")
+    write_table(lo, t)
+    write_table(hi, t)
+    lo_paths = {f["path"] for f in snapshot(t).files if f["stats"]["k"][1] < 100}
+    snap = delete_where(
+        spark, t, "k >= 105", stats_pruning=[("k", ">=", 105)]
+    )
+    got = {r["k"] for r in read_table(spark, t).collect()}
+    assert got == set(range(10)) | {100, 101, 102, 103, 104}
+    # low-range files untouched by path; deleted rows still at v1
+    assert lo_paths <= {f["path"] for f in snap.files}
+    assert read_table(spark, t, version=1).count() == 20
