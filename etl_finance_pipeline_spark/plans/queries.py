@@ -890,6 +890,101 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: revenue at (nation, year), per-nation
+    subtotal, and grand total in ONE pass — Catalyst expands the
+    rollup into a single Expand+aggregate, not three scans.
+    grouping() flags disambiguate NULL group values from subtotals."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    cust = load_table(spark, _t(sf_dir, "customer"))
+    nation = load_table(spark, _t(sf_dir, "nation"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    j = j.withColumn("nation", F.col("n_name")).withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    return (
+        j.rollup("nation", "order_year")
+        .agg(
+            F.grouping("nation").cast("int").alias("is_total"),
+            F.grouping("order_year").cast("int").alias("is_nation_subtotal"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            "nation",
+            F.col("order_year").cast("int").alias("order_year"),
+            "is_total",
+            "is_nation_subtotal",
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS order_year,
+       CAST(grouping(n.n_name) AS INT) AS is_total,
+       CAST(grouping(year(o.o_orderdate)) AS INT) AS is_nation_subtotal,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, year(o.o_orderdate))
+"""
+
+
+def q_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per nation × order-priority as columns.
+    Spark's pivot with an explicit value list compiles to ONE
+    conditional aggregate (no second pass to discover values — always
+    pin the list at scale)."""
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    cust = load_table(spark, _t(sf_dir, "customer"))
+    nation = load_table(spark, _t(sf_dir, "nation"))
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    out = (
+        j.groupBy(F.col("n_name").alias("nation"))
+        .pivot("o_orderpriority", pris)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [p for p in pris])
+    )
+    renames = {p: f"p{p[0]}" for p in pris}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+SQL_PRIORITY_PIVOT = """
+SELECT n.n_name AS nation,
+       sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS p1,
+       sum(CASE WHEN o.o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS p2,
+       sum(CASE WHEN o.o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS p3,
+       sum(CASE WHEN o.o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS p4,
+       sum(CASE WHEN o.o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS p5
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------
 # Dedup / text / similarity (training-data pipeline extensions)
 # --------------------------------------------------------------------
@@ -1028,6 +1123,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ship_priority": q_ship_priority,
     "big_orders": q_big_orders,
     "trade_volume": q_trade_volume,
+    "revenue_rollup": q_revenue_rollup,
+    "priority_pivot": q_priority_pivot,
     "exact_dedup_docs": q_exact_dedup_docs,
     "text_stats": q_text_stats,
     "ann_topk": q_ann_topk,
@@ -1055,6 +1152,8 @@ ORACLES: dict[str, str] = {
     "ship_priority": SQL_SHIP_PRIORITY,
     "big_orders": SQL_BIG_ORDERS,
     "trade_volume": SQL_TRADE_VOLUME,
+    "revenue_rollup": SQL_REVENUE_ROLLUP,
+    "priority_pivot": SQL_PRIORITY_PIVOT,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "text_stats": SQL_TEXT_STATS,
     "ann_topk": SQL_ANN_TOPK,
