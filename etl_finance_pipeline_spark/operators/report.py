@@ -171,3 +171,29 @@ def data_quality_report(
         ind_rep = ind.groupBy(*keys).agg(*ind_aggs) if keys else ind.agg(*ind_aggs)
         rep = rep.join(ind_rep, on=keys, how="left") if keys else rep.crossJoin(ind_rep)
     return rep
+
+
+def returns_and_volatility(
+    df: DataFrame,
+    value_col: str = "CLOSE",
+    ts_col: str = "TIMESTAMP",
+    key_cols: list[str] | None = None,
+    window_size: int = 20,
+) -> DataFrame:
+    """Per-key log returns (``ln(p_t / p_{t-1})``) and trailing
+    *window_size*-row sample-stddev volatility — the risk-metric pair
+    every candle consumer derives next (beyond the reference, which
+    stops at candles).
+
+    Two expressions, ONE ordered window pass physically: lag and the
+    rolling stddev share the same (keys, ts) sort, so Catalyst plans a
+    single shuffle+sort with both window frames evaluated in it. The
+    first row per key has NULL return and NULL volatility (stddev of
+    an empty/1-row frame).
+    """
+    keys = key_cols or []
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    ret = F.log(F.col(value_col) / F.lag(value_col).over(w))
+    out = df.withColumn("LOG_RETURN", ret)
+    wv = w.rowsBetween(-(window_size - 1), 0)
+    return out.withColumn("VOLATILITY", F.stddev_samp("LOG_RETURN").over(wv))

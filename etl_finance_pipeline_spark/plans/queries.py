@@ -466,6 +466,46 @@ WINDOW
 """
 
 
+def q_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log returns + 20-bar rolling volatility over 5-minute candles —
+    lag and rolling stddev share one (symbol, ts) sort pass."""
+    from etl_finance_pipeline_spark.operators.report import returns_and_volatility
+
+    c = _candles_5m_raw(spark, sf_dir)
+    out = returns_and_volatility(c, key_cols=["SYMBOL"], window_size=20)
+    return out.select(
+        F.col("SYMBOL").alias("symbol"),
+        F.col("TIMESTAMP").alias("ts"),
+        F.col("CLOSE").alias("close"),
+        _pr("LOG_RETURN", 6).alias("log_return"),
+        _pr("VOLATILITY", 6).alias("volatility"),
+    )
+
+
+SQL_RETURNS = """
+WITH dedup AS (
+  SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) = 1
+), c5 AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL 5 MINUTE, ts) AS ts,
+         arg_max(value, ts) AS close
+  FROM dedup GROUP BY 1, 2
+), r AS (
+  SELECT symbol, ts, close,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS lr
+  FROM c5
+)
+SELECT symbol, ts, close,
+       floor(lr * 1000000 + 0.5) / 1000000 AS log_return,
+       floor((stddev_samp(lr) OVER (
+         PARTITION BY symbol ORDER BY ts
+         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+       )) * 1000000 + 0.5) / 1000000 AS volatility
+FROM r
+"""
+
+
 # --------------------------------------------------------------------
 # A4-A8 — data-quality profile (exact median, outlier heuristic)
 # --------------------------------------------------------------------
@@ -1113,6 +1153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_monthly": q_resample_monthly,
     "sma": q_sma,
     "indicators": q_indicators,
+    "returns": q_returns,
     "dq_profile": q_dq_profile,
     "pricing_summary": q_pricing_summary,
     "nation_revenue": q_nation_revenue,
@@ -1142,6 +1183,7 @@ ORACLES: dict[str, str] = {
     "resample_monthly": SQL_RESAMPLE_MONTHLY,
     "sma": SQL_SMA,
     "indicators": SQL_INDICATORS,
+    "returns": SQL_RETURNS,
     "dq_profile": SQL_DQ_PROFILE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "nation_revenue": SQL_NATION_REVENUE,
