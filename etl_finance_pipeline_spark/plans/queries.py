@@ -930,6 +930,130 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-style correlated scalar subquery, decorrelated: revenue from
+    lineitems whose quantity is below half their part's average
+    quantity. The correlated ``(SELECT avg(...) WHERE l_partkey =
+    outer.l_partkey)`` becomes a groupBy(l_partkey) aggregate re-joined
+    to the fact — the aggregate side has part-dimension cardinality, so
+    it broadcasts and the fact side never shuffles for the join (one
+    shuffle total, for the per-part avg). Quantities are integral, so
+    sum/avg are exact in double and the threshold compare is
+    engine-order-independent."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    part = load_table(spark, _t(sf_dir, "part"))
+    half = li.groupBy("l_partkey").agg((F.avg("l_quantity") / 2).alias("half_avg"))
+    return (
+        li.join(F.broadcast(half), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("small_qty_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+SELECT p.p_brand AS brand,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+         AS small_qty_revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity < (
+  SELECT avg(l2.l_quantity) / 2 FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY 1
+"""
+
+
+def q_stale_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as LEFT ANTI join: parts with no shipment in the
+    final data year. The build side is filtered (year = 2001) and
+    column-pruned to the join key BEFORE the anti join, then broadcast
+    — the part scan is the only unfiltered pass, and the lineitem scan
+    ships one column through a year predicate."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    part = load_table(spark, _t(sf_dir, "part"))
+    shipped = li.filter(F.year("l_shipdate") == 2001).select("l_partkey")
+    return part.join(
+        F.broadcast(shipped), part.p_partkey == F.col("l_partkey"), "left_anti"
+    ).select(
+        "p_partkey",
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+
+
+SQL_STALE_PARTS = """
+SELECT p_partkey, p_name AS name, p_brand AS brand,
+       p_retailprice AS retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey AND year(l.l_shipdate) = 2001
+)
+"""
+
+
+def q_clean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-flavored NOT EXISTS over a same-key fact: orders with no
+    returned line, per order status. The returned-keys side is a
+    substantial fraction of the fact at any scale, so it is NOT
+    broadcast — Catalyst plans a shuffled anti join on o_orderkey and
+    AQE can convert or skew-split it at runtime."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_anti")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+SQL_CLEAN_ORDERS = """
+SELECT o_orderstatus AS status, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         AS total_price
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY 1
+"""
+
+
+def q_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: users who both clicked AND purchased —
+    INTERSECT (distinct semantics). Catalyst rewrites intersect into
+    aggregate + left-semi hash join; both inputs are pruned to the
+    single key column at the scan."""
+    ev = load_table(spark, _t(sf_dir, "events"))
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+SQL_REPEAT_BUYERS = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets: revenue at (nation, year), per-nation
     subtotal, and grand total in ONE pass — Catalyst expands the
@@ -1164,6 +1288,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ship_priority": q_ship_priority,
     "big_orders": q_big_orders,
     "trade_volume": q_trade_volume,
+    "small_qty_revenue": q_small_qty_revenue,
+    "stale_parts": q_stale_parts,
+    "clean_orders": q_clean_orders,
+    "repeat_buyers": q_repeat_buyers,
     "revenue_rollup": q_revenue_rollup,
     "priority_pivot": q_priority_pivot,
     "exact_dedup_docs": q_exact_dedup_docs,
@@ -1194,6 +1322,10 @@ ORACLES: dict[str, str] = {
     "ship_priority": SQL_SHIP_PRIORITY,
     "big_orders": SQL_BIG_ORDERS,
     "trade_volume": SQL_TRADE_VOLUME,
+    "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+    "stale_parts": SQL_STALE_PARTS,
+    "clean_orders": SQL_CLEAN_ORDERS,
+    "repeat_buyers": SQL_REPEAT_BUYERS,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "priority_pivot": SQL_PRIORITY_PIVOT,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
