@@ -27,10 +27,25 @@ primitive behind MERGE and any future DELETE/OPTIMIZE-by-partition).
 :func:`merge_table` implements upsert with Delta-style file pruning:
 only files whose key stats overlap the source are rewritten.
 
-This is deliberately the smallest design with those properties: no
-checkpoints (replay is O(versions), fine for ≤ millions of commits —
-Delta checkpoints every 10th; add when needed), schema evolution =
-additive-only via union-by-name at read, single-table transactions.
+Log replay is bounded by CHECKPOINT manifests: every
+``_CHECKPOINT_INTERVAL``-th commit also writes
+``_log/<version>.checkpoint.json`` holding the fully-resolved file
+list, so ``snapshot()`` loads the newest checkpoint ≤ the requested
+version and replays only the suffix — O(interval) commit reads no
+matter how many total commits exist (Delta writes a parquet
+checkpoint every 10th commit for the same reason). Checkpoints are
+derived state: deterministic from the log, safe to rewrite, never
+required for correctness (a missing checkpoint just means a longer
+replay).
+
+Schema evolution on append is ADDITIVE and TYPED: new columns may
+appear (old files read as NULL for them via union-by-name), but a
+type change on an existing column raises :class:`SchemaEvolutionError`
+at commit time — never discovered later by a reader. Each manifest
+records the full merged schema, so a snapshot's schema is the last
+commit's, not a function of which files survived.
+
+Single-table transactions only.
 """
 
 from __future__ import annotations
@@ -44,14 +59,20 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _VERSION_DIGITS = 20
+_CHECKPOINT_INTERVAL = 10
 
 
 class CommitConflict(RuntimeError):
     """Another writer claimed the version this commit targeted."""
+
+
+class SchemaEvolutionError(ValueError):
+    """An append tried to change the type of an existing column."""
 
 
 @dataclass
@@ -59,10 +80,15 @@ class Snapshot:
     version: int
     files: list[dict]  # {"path": rel, "rows": int, "partition_values": {}}
     schema_ddl: str | None
+    schema_json: str | None = None
 
     @property
     def num_rows(self) -> int:
         return sum(f.get("rows", 0) for f in self.files)
+
+    @property
+    def schema(self) -> StructType | None:
+        return StructType.fromJson(json.loads(self.schema_json)) if self.schema_json else None
 
 
 def _log_path(table: str) -> str:
@@ -85,6 +111,73 @@ def _list_versions(table: str) -> list[int]:
             except ValueError:
                 continue
     return sorted(out)
+
+
+def _checkpoint_path(table: str, version: int) -> str:
+    return os.path.join(
+        _log_path(table), f"{version:0{_VERSION_DIGITS}d}.checkpoint.json"
+    )
+
+
+def _list_checkpoints(table: str) -> list[int]:
+    logdir = _log_path(table)
+    if not os.path.isdir(logdir):
+        return []
+    out = []
+    suffix = ".checkpoint.json"
+    for name in os.listdir(logdir):
+        if name.endswith(suffix):
+            try:
+                out.append(int(name[: -len(suffix)]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _maybe_checkpoint(table: str, snap: Snapshot) -> None:
+    """Write a resolved-state checkpoint if *snap* lands on the
+    interval and none exists yet. Derived state: concurrent writers
+    produce byte-identical content (the log below the version is
+    immutable), so last-rename-wins via ``os.replace`` is safe."""
+    if snap.version == 0 or snap.version % _CHECKPOINT_INTERVAL:
+        return
+    path = _checkpoint_path(table, snap.version)
+    if os.path.exists(path):
+        return
+    tmp = os.path.join(_log_path(table), f".tmp-ckpt-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "checkpoint_version": snap.version,
+                "files": snap.files,
+                "schema": snap.schema_ddl,
+                "schema_json": snap.schema_json,
+            },
+            fh,
+            default=str,
+        )
+    os.replace(tmp, path)
+
+
+def _merge_schemas(old: StructType, new: StructType) -> StructType:
+    """Additive, typed merge: *new* may add columns; a type change on
+    a shared column is refused. Field order = old order then new
+    additions (readers re-project to this order)."""
+    by_name = {f.name: f for f in old.fields}
+    order = [f.name for f in old.fields]
+    for f in new.fields:
+        prev = by_name.get(f.name)
+        if prev is None:
+            by_name[f.name] = f
+            order.append(f.name)
+        elif prev.dataType != f.dataType:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: {prev.dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()} is not an additive change"
+            )
+        elif f.nullable and not prev.nullable:
+            by_name[f.name] = StructField(f.name, f.dataType, nullable=True)
+    return StructType([by_name[n] for n in order])
 
 
 def _partition_values(rel_path: str) -> dict[str, str]:
@@ -195,31 +288,44 @@ def write_table(
     if cluster_by:
         df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
     entries, commit_id = _stage_files(df, table, partition_by)
-    schema_ddl = df.schema.simpleString()
     for _ in range(max_retries):
         versions = _list_versions(table)
         version = (versions[-1] + 1) if versions else 0
+        # schema check must run INSIDE the retry loop: on conflict the
+        # winning commit may itself have evolved the schema
+        schema = df.schema
+        if mode == "append" and versions:
+            prior = snapshot(table, versions[-1]).schema
+            if prior is not None:
+                schema = _merge_schemas(prior, df.schema)
         manifest = {
             "version": version,
             "action": mode,
             "commit_id": commit_id,
             "files": entries,
-            "schema": schema_ddl,
+            "schema": schema.simpleString(),
+            "schema_json": schema.json(),
             "partition_by": partition_by or [],
             "committed_at": datetime.now(timezone.utc).isoformat(),
             **(extra_metadata or {}),
         }
         try:
             _try_commit(table, version, manifest)
-            return snapshot(table, version)
+            snap = snapshot(table, version)
+            _maybe_checkpoint(table, snap)
+            return snap
         except CommitConflict:
             continue
     raise CommitConflict(f"gave up after {max_retries} retries on {table}")
 
 
 def snapshot(table: str, version: int | None = None) -> Snapshot:
-    """Resolve the table state at *version* (default: latest) by
-    replaying the commit log."""
+    """Resolve the table state at *version* (default: latest): load
+    the newest checkpoint ≤ *version*, then replay only the manifest
+    suffix after it — O(_CHECKPOINT_INTERVAL) reads regardless of
+    total log length. Time travel to pre-checkpoint versions uses the
+    closest older checkpoint (or a full replay for the earliest ones);
+    correctness never depends on a checkpoint existing."""
     versions = _list_versions(table)
     if not versions:
         raise FileNotFoundError(f"no table at {table}")
@@ -229,7 +335,19 @@ def snapshot(table: str, version: int | None = None) -> Snapshot:
         raise ValueError(f"version {version} not in {table} (have {versions})")
     files: list[dict] = []
     schema_ddl = None
+    schema_json = None
+    replay_from = 0
+    usable = [cp for cp in _list_checkpoints(table) if cp <= version]
+    if usable:
+        with open(_checkpoint_path(table, usable[-1])) as fh:
+            ckpt = json.load(fh)
+        files = list(ckpt["files"])
+        schema_ddl = ckpt.get("schema")
+        schema_json = ckpt.get("schema_json")
+        replay_from = usable[-1] + 1
     for v in versions:
+        if v < replay_from:
+            continue
         if v > version:
             break
         with open(_manifest_path(table, v)) as fh:
@@ -241,7 +359,10 @@ def snapshot(table: str, version: int | None = None) -> Snapshot:
             files = [f for f in files if f["path"] not in removed]
         files.extend(manifest["files"])
         schema_ddl = manifest.get("schema") or schema_ddl
-    return Snapshot(version=version, files=files, schema_ddl=schema_ddl)
+        schema_json = manifest.get("schema_json") or schema_json
+    return Snapshot(
+        version=version, files=files, schema_ddl=schema_ddl, schema_json=schema_json
+    )
 
 
 def _stats_match(stats: dict[str, list], predicates: list[tuple]) -> bool:
@@ -296,9 +417,18 @@ def read_table(
     if stats_filter:
         files = [f for f in files if _stats_match(f.get("stats") or {}, stats_filter)]
     if not files:
-        empty_schema = snap.schema_ddl or "dummy string"
+        empty_schema = snap.schema or snap.schema_ddl or "dummy string"
         return spark.createDataFrame([], empty_schema)
-    return _read_files(spark, table, files)
+    out = _read_files(spark, table, files)
+    schema = snap.schema
+    if schema is not None:
+        # evolved tables: files written before a column existed read as
+        # NULL (union-by-name); re-project to the committed field order
+        # so the snapshot schema, not commit order, is the contract
+        cols = [f.name for f in schema.fields if f.name in out.columns]
+        cols += [c for c in out.columns if c not in cols]
+        out = out.select(*cols)
+    return out
 
 
 def _read_files(spark: SparkSession, table: str, files: list[dict]) -> DataFrame:
@@ -372,13 +502,16 @@ def merge_table(
             "removed": [f["path"] for f in overlapping],
             "files": entries,
             "schema": rewrite.schema.simpleString(),
+            "schema_json": rewrite.schema.json(),
             "partition_by": [],
             "committed_at": datetime.now(timezone.utc).isoformat(),
             "merge_keys": key_cols,
         }
         try:
             _try_commit(table, version, manifest)
-            return snapshot(table, version)
+            snap = snapshot(table, version)
+            _maybe_checkpoint(table, snap)
+            return snap
         except CommitConflict:
             continue
     raise CommitConflict(f"gave up after {max_retries} retries on {table}")
@@ -416,13 +549,16 @@ def delete_where(
             "removed": [f["path"] for f in touched],
             "files": entries,
             "schema": kept.schema.simpleString(),
+            "schema_json": kept.schema.json(),
             "partition_by": [],
             "committed_at": datetime.now(timezone.utc).isoformat(),
             "delete_condition": condition,
         }
         try:
             _try_commit(table, version, manifest)
-            return snapshot(table, version)
+            snap = snapshot(table, version)
+            _maybe_checkpoint(table, snap)
+            return snap
         except CommitConflict:
             continue
     raise CommitConflict(f"gave up after {max_retries} retries on {table}")

@@ -240,3 +240,66 @@ def test_delete_where_prunes_and_time_travels(spark, tmp_path):
     # low-range files untouched by path; deleted rows still at v1
     assert lo_paths <= {f["path"] for f in snap.files}
     assert read_table(spark, t, version=1).count() == 20
+
+
+def test_checkpoint_bounds_replay(spark, tmp_path):
+    from etl_finance_pipeline_spark.sources.table_format import (
+        _checkpoint_path,
+        _list_checkpoints,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(12):  # versions 0..11 → checkpoint at v10
+        write_table(_df(spark, [(f"S{i}", float(i))]), t)
+    assert _list_checkpoints(t) == [10]
+    assert os.path.exists(_checkpoint_path(t, 10))
+    # latest snapshot == brute-force expectation
+    got = {r["SYMBOL"] for r in read_table(spark, t).collect()}
+    assert got == {f"S{i}" for i in range(12)}
+    # time travel BEFORE the checkpoint still replays correctly
+    assert snapshot(t, 3).num_rows == 4
+    # checkpoint is authoritative: delete the pre-checkpoint manifests
+    # and the latest snapshot still resolves (log-truncation support)
+    for v in range(10):
+        os.unlink(_manifest_path(t, v))
+    again = {r["SYMBOL"] for r in read_table(spark, t).collect()}
+    assert again == got
+    assert snapshot(t).num_rows == 12
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_table(_df(spark, [("EURUSD", 1.0)]), t)
+    wide = spark.createDataFrame(
+        [(2.0, "GBPUSD", 9.0)], "CLOSE double, SYMBOL string, VOLUME double"
+    )
+    snap = write_table(wide, t)  # reordered + new column
+    # merged schema keeps original order, appends the new column
+    assert [f.name for f in snap.schema.fields] == ["SYMBOL", "CLOSE", "VOLUME"]
+    out = read_table(spark, t)
+    assert out.columns == ["SYMBOL", "CLOSE", "VOLUME"]
+    rows = {tuple(r) for r in out.collect()}
+    # pre-evolution file reads NULL for the added column
+    assert rows == {("EURUSD", 1.0, None), ("GBPUSD", 2.0, 9.0)}
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    from etl_finance_pipeline_spark.sources.table_format import SchemaEvolutionError
+
+    t = str(tmp_path / "tbl")
+    write_table(_df(spark, [("EURUSD", 1.0)]), t)
+    bad = spark.createDataFrame([("GBPUSD", "oops")], "SYMBOL string, CLOSE string")
+    with pytest.raises(SchemaEvolutionError, match="CLOSE"):
+        write_table(bad, t)
+    # failed append left no new committed version
+    assert snapshot(t).version == 0
+
+
+def test_overwrite_resets_schema(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_table(_df(spark, [("EURUSD", 1.0)]), t)
+    narrow = spark.createDataFrame([(5,)], "N bigint")
+    snap = write_table(narrow, t, mode="overwrite")
+    # overwrite is a fresh contract — no merge against prior schema
+    assert [f.name for f in snap.schema.fields] == ["N"]
+    assert read_table(spark, t).columns == ["N"]
