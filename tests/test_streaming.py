@@ -155,3 +155,36 @@ def test_stream_to_transactional_table(spark, tmp_path):
     # a NEW epoch still lands
     assert write_batch_idempotent(dup, 10_000, table) is True
     assert read_table(spark, table).count() == 31
+
+
+def test_deduped_stream_ingest_e2e(spark, tmp_path):
+    """Deduped streaming ingest, end to end: file stream →
+    dropDuplicatesWithinWatermark → foreachBatch commit-log sink.
+    The duplicate key arrives in a LATER microbatch than the original
+    (maxFilesPerTrigger=1 forces two epochs), so dropping it proves
+    dedupe state carries across epochs into the table."""
+    from etl_finance_pipeline_spark.sources.table_format import history, read_table
+    from etl_finance_pipeline_spark.streaming.sink import stream_to_table
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [("X", T0, 1.0), ("Y", T0 + timedelta(minutes=1), 2.0)]
+    rows2 = [
+        ("X", T0, 99.0),  # cross-batch duplicate of (symbol, ts)
+        ("Z", T0 + timedelta(minutes=2), 3.0),
+    ]
+    spark.createDataFrame(rows1, EVENTS_SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows2, EVENTS_SCHEMA).coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    deduped = stream_dedupe(stream, ["symbol", "ts"], watermark="10 minutes")
+    table = str(tmp_path / "tbl")
+    q = stream_to_table(deduped, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {(r["symbol"], r["value"]) for r in read_table(spark, table).collect()}
+    assert got == {("X", 1.0), ("Y", 2.0), ("Z", 3.0)}
+    # two source files → (at least) two committed epochs in the log
+    assert len(history(table)) >= 2
