@@ -53,6 +53,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import uuid
 from dataclasses import dataclass
 from datetime import datetime, timezone
@@ -431,24 +432,46 @@ def read_table(
     return out
 
 
+def _infer_partition_type(values: list[str]) -> str:
+    """Mimic Spark's hive partition type inference over the manifest's
+    path values: int → bigint → double → string."""
+    for cast_to, name in ((int, "int"), (float, "double")):
+        try:
+            nums = [cast_to(v) for v in values]
+        except ValueError:
+            continue
+        if cast_to is int and not all(-(2**31) <= n < 2**31 for n in nums):
+            return "bigint"
+        return name
+    return "string"
+
+
 def _read_files(spark: SparkSession, table: str, files: list[dict]) -> DataFrame:
-    # one scan per commit dir: hive partition discovery needs a basePath
-    # whose subtree is uniformly partitioned, and different commits are
-    # separate subtrees. O(commits) scan relations in the plan — a
-    # production version would implement a FileIndex (as Delta does);
-    # compaction bounds it meanwhile.
-    by_commit: dict[str, list[str]] = {}
+    """ONE scan relation for the whole snapshot — the driver acts as
+    the FileIndex (the role Delta's TahoeFileIndex plays): Spark gets
+    the explicit pruned file list (mergeSchema covers additive
+    evolution across commits), and hive partition columns are
+    re-derived from the file paths with types matching Spark's
+    partition inference. The previous formulation scanned per commit
+    dir and unioned — O(commits) relations, which a streaming-ingest
+    table turns into thousands; this plans one scan regardless of
+    commit count. Partition values containing %-escapes are not
+    unescaped (none of our writers produce them)."""
+    paths = [os.path.join(table, f["path"]) for f in files]
+    pvals: dict[str, list[str]] = {}
     for f in files:
-        parts = f["path"].split(os.sep)
-        commit_dir = os.path.join(table, *parts[:2])  # data/<commit-id>
-        by_commit.setdefault(commit_dir, []).append(os.path.join(table, f["path"]))
-    frames = [
-        spark.read.option("basePath", base).parquet(*paths)
-        for base, paths in sorted(by_commit.items())
-    ]
-    out = frames[0]
-    for extra in frames[1:]:
-        out = out.unionByName(extra, allowMissingColumns=True)
+        for k, v in f.get("partition_values", {}).items():
+            pvals.setdefault(k, []).append(v)
+    out = spark.read.option("mergeSchema", "true").parquet(*paths)
+    for k, vals in pvals.items():
+        ext = F.regexp_extract(F.input_file_name(), re.escape(k) + "=([^/]+)", 1)
+        if k in out.columns:
+            # some files carry k as a data column (unpartitioned
+            # rewrites from merge/delete), others only in the path
+            col = F.when(ext != "", ext).otherwise(F.col(k).cast("string"))
+        else:
+            col = F.when(ext != "", ext)
+        out = out.withColumn(k, col.cast(_infer_partition_type(vals)))
     return out
 
 

@@ -303,3 +303,23 @@ def test_overwrite_resets_schema(spark, tmp_path):
     # overwrite is a fresh contract — no merge against prior schema
     assert [f.name for f in snap.schema.fields] == ["N"]
     assert read_table(spark, t).columns == ["N"]
+
+
+def test_many_commits_plan_one_scan(spark, tmp_path):
+    """The snapshot reads as ONE scan relation however many commits
+    produced it (driver-side FileIndex), with partition columns
+    re-derived from paths — typed like hive inference."""
+    t = str(tmp_path / "tbl")
+    for i in range(6):
+        df = spark.createDataFrame(
+            [(f"S{i % 2}", 2020 + i, float(i))], "SYMBOL string, YEAR int, CLOSE double"
+        )
+        write_table(df, t, partition_by=["SYMBOL", "YEAR"])
+    out = read_table(spark, t)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert dict(out.dtypes)["YEAR"] == "int"
+    assert out.count() == 6
+    assert {(r["SYMBOL"], r["YEAR"]) for r in out.collect()} == {
+        (f"S{i % 2}", 2020 + i) for i in range(6)
+    }
