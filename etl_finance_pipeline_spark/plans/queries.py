@@ -1036,6 +1036,50 @@ GROUP BY 1
 """
 
 
+def q_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile distribution window: bucket orders into value quartiles
+    WITHIN market segment, then profile each bucket. The orderkey
+    tiebreak makes bucket assignment fully deterministic across
+    engines (ntile on a tied sort is not). Exact-decimal sum ÷ count
+    keeps the per-bucket average order-independent."""
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    cust = load_table(spark, _t(sf_dir, "customer"))
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    q = j.select(
+        "c_mktsegment", "o_totalprice", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+    return q.groupBy(F.col("c_mktsegment").alias("segment"), F.col("quartile")).agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+SQL_ORDER_QUARTILES = """
+WITH q AS (
+  SELECT c.c_mktsegment, o.o_totalprice,
+         ntile(4) OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY o.o_totalprice DESC, o.o_orderkey
+         ) AS quartile
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment AS segment, quartile, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / count(*)
+         AS avg_price,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM q GROUP BY 1, 2
+"""
+
+
 def q_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operation: users who both clicked AND purchased —
     INTERSECT (distinct semantics). Catalyst rewrites intersect into
@@ -1291,6 +1335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "small_qty_revenue": q_small_qty_revenue,
     "stale_parts": q_stale_parts,
     "clean_orders": q_clean_orders,
+    "order_quartiles": q_order_quartiles,
     "repeat_buyers": q_repeat_buyers,
     "revenue_rollup": q_revenue_rollup,
     "priority_pivot": q_priority_pivot,
@@ -1325,6 +1370,7 @@ ORACLES: dict[str, str] = {
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "stale_parts": SQL_STALE_PARTS,
     "clean_orders": SQL_CLEAN_ORDERS,
+    "order_quartiles": SQL_ORDER_QUARTILES,
     "repeat_buyers": SQL_REPEAT_BUYERS,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "priority_pivot": SQL_PRIORITY_PIVOT,
