@@ -56,6 +56,10 @@ def get_spark(
         # Spark has no native type for; read as long and convert
         # explicitly (see sources.tables.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write timestamps as INT64 micros, not legacy INT96: INT96
+        # carries no usable min/max footer stats, which would blind
+        # the table format's file skipping on timestamp columns
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

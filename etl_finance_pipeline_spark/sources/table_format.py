@@ -197,6 +197,12 @@ def _stage_files(df: DataFrame, table: str, partition_by: list[str] | None) -> t
     per-file row counts from the parquet footers)."""
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(table, _DATA_DIR, commit_id)
+    # INT96 timestamps have no footer min/max → no data skipping;
+    # force INT64 micros even when the caller's session predates
+    # get_spark's default (engine sessions already set this)
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
     writer = df.write.mode("error")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -246,6 +252,59 @@ def _column_stats(meta) -> dict[str, list]:
     return {k: [mins[k], maxs[k]] for k in mins if k in maxs}
 
 
+def _zorder_value(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+    """Append ``_zvalue``: interleaved-bit Z-order key over *cols*
+    (Morton code — the multi-dimension analogue of ``cluster_by``'s
+    1-D range sort, same role as Delta OPTIMIZE ZORDER BY). Numeric /
+    timestamp dims bucket equal-width from a one-row min/max agg;
+    string dims bucket by hash (equal values co-locate, which is all
+    file skipping needs). Sorting by the interleaved key gives every
+    dimension locality ∝ 1/ndims, so footer [min, max] stats stay
+    tight on ALL listed columns instead of just the first."""
+    n = 1 << bits
+    dtypes = dict(df.dtypes)
+    # order-preserving numeric image of each dim: numerics cast to
+    # double; strings take their first-4-byte big-endian value (NOT a
+    # hash — footer min/max stats are lexicographic, so the bucketing
+    # must preserve lexicographic order for skipping to line up)
+    nums = {}
+    for c in cols:
+        if dtypes[c] == "string":
+            nums[c] = F.conv(
+                F.hex(F.substring(F.rpad(F.col(c), 4, "\x00").cast("binary"), 1, 4)),
+                16,
+                10,
+            ).cast("double")
+        else:
+            nums[c] = F.col(c).cast("double")
+    stats = df.agg(
+        *[
+            f
+            for c in cols
+            for f in (
+                F.min(nums[c]).alias(f"_mn_{c}"),
+                F.max(nums[c]).alias(f"_mx_{c}"),
+            )
+        ]
+    ).first()
+    buckets = []
+    for c in cols:
+        mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
+        if mn is None or mx is None or mx == mn:
+            b = F.lit(0)
+        else:
+            width = (mx - mn) / n
+            b = F.least(F.lit(n - 1), F.floor((nums[c] - F.lit(mn)) / F.lit(width)))
+        buckets.append(F.coalesce(b.cast("long"), F.lit(0)))
+    z = F.lit(0).cast("long")
+    for i, b in enumerate(buckets):
+        for k in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(b, k).bitwiseAND(F.lit(1)), k * len(cols) + i)
+            )
+    return df.withColumn("_zvalue", z)
+
+
 def _try_commit(table: str, version: int, manifest: dict) -> None:
     """Atomically claim *version*: hard-link a temp manifest onto the
     version path. ``os.link`` is create-exclusive, so exactly one
@@ -271,6 +330,8 @@ def write_table(
     max_retries: int = 5,
     extra_metadata: dict | None = None,
     cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_files: int | None = None,
 ) -> Snapshot:
     """Commit *df* to *table* atomically. mode='append' adds files;
     mode='overwrite' logically removes every live file first (data
@@ -283,9 +344,28 @@ def write_table(
     which is what makes ``read_table(stats_filter=…)`` skip files
     instead of merely not-matching rows (the Z-ordering role in
     Delta's OPTIMIZE; one dimension here, the common case for time
-    series clustered by timestamp)."""
+    series clustered by timestamp).
+
+    *zorder_by* is the multi-dimension variant: rows are range-
+    partitioned and sorted by an interleaved-bit Morton key over the
+    listed columns, so file [min, max] stats stay tight on EVERY
+    listed dimension — a (SYMBOL, ts) z-ordered table skips files for
+    one-symbol reads AND time-range reads. Mutually exclusive with
+    *cluster_by* (which wins on its first column only)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
+    if zorder_by:
+        # zorder_files pins the output file count; default lets AQE
+        # size the range shuffle (it coalesces small tables to 1)
+        range_args = ([zorder_files] if zorder_files else []) + ["_zvalue"]
+        df = (
+            _zorder_value(df, zorder_by)
+            .repartitionByRange(*range_args)
+            .sortWithinPartitions("_zvalue")
+            .drop("_zvalue")
+        )
     if cluster_by:
         df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
     entries, commit_id = _stage_files(df, table, partition_by)

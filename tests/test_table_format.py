@@ -323,3 +323,36 @@ def test_many_commits_plan_one_scan(spark, tmp_path):
     assert {(r["SYMBOL"], r["YEAR"]) for r in out.collect()} == {
         (f"S{i % 2}", 2020 + i) for i in range(6)
     }
+
+
+def test_zorder_skips_on_both_dims(spark, tmp_path):
+    """Z-ordered writes keep footer stats tight on EVERY z dimension:
+    a (SYMBOL, ts) z-ordered table prunes files for a one-symbol read
+    AND for a time-range read — 1-D cluster_by can only do the first."""
+    from datetime import datetime, timedelta
+
+    from etl_finance_pipeline_spark.sources.table_format import _stats_match, snapshot
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (f"S{i % 8}", t0 + timedelta(minutes=m), float(i))
+        for i, m in enumerate(range(4096))
+    ]
+    df = spark.createDataFrame(rows, "SYMBOL string, TS timestamp, V double")
+    t = str(tmp_path / "tbl")
+    write_table(df, t, zorder_by=["SYMBOL", "TS"], zorder_files=8)
+    snap = snapshot(t)
+    nfiles = len([f for f in snap.files if f.get("stats")])
+    assert nfiles >= 4
+    by_symbol = [
+        f for f in snap.files
+        if _stats_match(f.get("stats") or {}, [("SYMBOL", "=", "S3")])
+    ]
+    mid = str(t0 + timedelta(minutes=3500))
+    by_time = [
+        f for f in snap.files if _stats_match(f.get("stats") or {}, [("TS", ">=", mid)])
+    ]
+    assert len(by_symbol) < nfiles, "symbol dim should skip files"
+    assert len(by_time) < nfiles, "time dim should skip files"
+    # data survives the morton shuffle intact
+    assert read_table(spark, t).count() == 4096
