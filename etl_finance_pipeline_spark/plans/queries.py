@@ -1302,6 +1302,373 @@ QUALIFY rank <= 5
 
 
 # --------------------------------------------------------------------
+# Analytical query shapes, batch 2: outer-join distribution (Q13),
+# global-scalar HAVING (Q11), conditional-ratio (Q14), EXCEPT,
+# CUBE grouping sets, RANGE-interval window frames, cohort retention,
+# distinct-aggregation (Q16), and co-moment statistics.
+# --------------------------------------------------------------------
+
+
+def q_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join customer→orders (customers
+    with zero orders must survive), per-customer order count, then a
+    second aggregation into the count-of-counts distribution. The
+    outer join's null o_orderkey rows become n_orders=0 via COUNT's
+    null-skipping — no COALESCE needed. Scale: both aggs combine
+    map-side; the join shuffles on custkey once (orders side pruned
+    to two columns at the scan)."""
+    cust = load_table(spark, _t(sf_dir, "customer"))
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    per_cust = (
+        cust.select("c_custkey")
+        .join(
+            orders.select("o_custkey", "o_orderkey"),
+            cust.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+SQL_CUST_ORDER_DIST = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT n_orders, count(*) AS n_customers FROM per_cust GROUP BY 1
+"""
+
+
+def q_nation_acctbal_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group sum filtered by HAVING against a
+    GLOBAL scalar (nations holding >5%% of worldwide supplier
+    account balance). The scalar lands as a 1-row broadcast
+    (crossJoin(broadcast(total))) — Catalyst turns the comparison
+    into a BroadcastNestedLoopJoin with a single-row build side, the
+    same plan a decorrelated scalar subquery gets. Sums stay
+    DECIMAL end-to-end so the threshold compare is exact in both
+    engines."""
+    sup = load_table(spark, _t(sf_dir, "supplier"))
+    nat = load_table(spark, _t(sf_dir, "nation"))
+    dec = F.col("s_acctbal").cast("decimal(30,6)")
+    per_nation = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec).alias("_bal"))
+    )
+    total = sup.agg(F.sum(dec).alias("_total"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("_bal") > F.col("_total") * F.lit(0.05).cast("decimal(8,6)"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("_bal").cast("double").alias("acctbal"),
+        )
+    )
+
+
+SQL_NATION_ACCTBAL_SHARE = """
+SELECT n.n_name AS nation,
+       CAST(sum(CAST(s.s_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1
+HAVING sum(CAST(s.s_acctbal AS DECIMAL(30,6))) >
+       (SELECT sum(CAST(s_acctbal AS DECIMAL(30,6))) FROM supplier)
+       * CAST(0.05 AS DECIMAL(8,6))
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation ratio — the share of
+    1997 revenue from promo-branded parts, as one conditional SUM
+    over a broadcast dim join. Single-row result; both sums are
+    DECIMAL so the division is the only float op (then rounded)."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    part = load_table(spark, _t(sf_dir, "part"))
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    j = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        _pr(
+            (
+                F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)).cast(
+                    "double"
+                )
+                * 100.0
+                / F.sum(rev).cast("double")
+            ),
+            6,
+        ).alias("promo_share")
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = """
+SELECT floor((
+         CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                       THEN CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                                 AS DECIMAL(30,6)) END) AS DOUBLE) * 100.0
+         / CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE)
+       ) * 1000000 + 0.5) / 1000000 AS promo_share
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+"""
+
+
+def q_window_shoppers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op (distinct semantics): users who clicked on
+    opening day but did not purchase that day. Complements
+    repeat_buyers' INTERSECT — Catalyst rewrites EXCEPT into
+    aggregate + LEFT ANTI hash join, both scans pruned to the key
+    column with the date predicate pushed down."""
+    ev = load_table(spark, _t(sf_dir, "events"))
+    day1 = ev.filter(F.to_date("ts") == "2024-01-01")
+    clicks = day1.filter(F.col("event_type") == "click").select("user_id")
+    buys = day1.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.subtract(buys)
+
+
+SQL_WINDOW_SHOPPERS = """
+SELECT user_id FROM events
+WHERE event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-01'
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-01'
+"""
+
+
+def q_returns_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 4 combinations of
+    (l_returnflag, l_linestatus) in ONE Expand pass over the scan —
+    not 4 scans unioned. grouping() flags disambiguate data NULLs
+    from subtotal rows, same contract as q_revenue_rollup."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    qty = F.col("l_quantity").cast("decimal(30,6)")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "n_items", "sum_qty", "g_flag", "g_status"
+        )
+    )
+
+
+SQL_RETURNS_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frame (the one frame type the rest of
+    the surface lacks): per order priority, the trailing-7-day order
+    revenue at each order date. Daily pre-aggregation first (shrinks
+    the window input ~2000×), then a RANGE frame keyed on epoch
+    seconds — a ROWS frame would be wrong wherever days are missing.
+    Decimal daily sums keep the rolling total exact; one float cast
+    at the end."""
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    daily = orders.groupBy(
+        "o_orderpriority", F.col("o_orderdate").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("_rev"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.unix_timestamp("day"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        F.col("o_orderpriority").alias("priority"),
+        "day",
+        F.sum("_rev").over(w).cast("double").alias("rev_7d"),
+    )
+
+
+SQL_ROLLING_7D_REVENUE = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, o_orderdate AS day,
+         sum(CAST(o_totalprice AS DECIMAL(30,6))) AS _rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority, day,
+       CAST(sum(_rev) OVER (
+         PARTITION BY priority ORDER BY day
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rev_7d
+FROM daily
+"""
+
+
+def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, count
+    of distinct users still active N weeks later. Two aggregations
+    and one shuffle join on user_id; week arithmetic via Monday
+    date_trunc (identical in Spark and DuckDB). The distinct count
+    is per (cohort, offset) — COUNT(DISTINCT) exercises the
+    distinct-aggregation path (Expand + two-phase agg) that SURVEY
+    §2.6 notes the reference never had."""
+    ev = load_table(spark, _t(sf_dir, "events")).select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("_cohort")
+    )
+    j = ev.join(firsts, "user_id")
+    return (
+        j.select(
+            F.col("_cohort").alias("cohort_week"),
+            (
+                F.datediff(F.to_date(F.date_trunc("week", F.col("ts"))), F.to_date("_cohort"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+SQL_WEEKLY_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY 1
+)
+SELECT f.cohort_week,
+       CAST((CAST(date_trunc('week', e.ts) AS DATE) - CAST(f.cohort_week AS DATE))
+            / 7 AS BIGINT) AS week_offset,
+       count(DISTINCT e.user_id) AS active_users
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+def q_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per (brand, type)
+    for small parts, excluding one brand — distinct aggregation over
+    a broadcast dim join with a pushed-down NOT-equal + IN filter."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    part = load_table(spark, _t(sf_dir, "part")).filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7)
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.groupBy("p_brand", "p_type").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+SQL_BRAND_SUPPLIER_COUNTS = """
+SELECT p.p_brand, p.p_type, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 4, 7)
+GROUP BY 1, 2
+"""
+
+
+def q_price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-moment statistics per return flag: Pearson correlation and
+    sample covariance of (quantity, extendedprice), plus sample
+    stddev. All three are single-pass distributed co-moment
+    aggregates (Chan et al. pairwise merge) — numerically stable
+    under partition-order permutation, rounded to 6 decimals because
+    merge order still perturbs the last bits vs DuckDB's sequential
+    accumulation."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    return li.groupBy("l_returnflag").agg(
+        _pr(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        _pr(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        _pr(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+    )
+
+
+SQL_PRICE_QUANTITY_STATS = """
+SELECT l_returnflag,
+       floor(corr(l_quantity, l_extendedprice) * 1000000 + 0.5) / 1000000
+         AS qty_price_corr,
+       floor(covar_samp(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000
+         AS qty_price_covar,
+       floor(stddev_samp(l_extendedprice) * 10000 + 0.5) / 10000
+         AS price_stddev
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document. Tokenize with one regex
+    split (JVM-side, no UDF), term frequency per (doc, term), global
+    document frequency, idf = ln(N/df) against a 1-row broadcast
+    corpus size, then a deterministic row_number (score desc, term
+    asc). Two shuffles: (doc,term) agg and term-level df agg — the
+    df side is tiny and broadcast back."""
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.length("term") > 2)
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("_n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            _pr(
+                F.col("tf") * F.log(F.col("_n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH terms AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+       AS t(term)
+  WHERE length(t.term) > 2
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(DISTINCT doc_id) AS _n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         floor(tf.tf * ln(CAST(n._n AS DOUBLE) / df.df) * 1000000 + 0.5)
+           / 1000000 AS tfidf
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tfidf,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY tfidf DESC, term
+       ) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -1342,6 +1709,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "text_stats": q_text_stats,
     "ann_topk": q_ann_topk,
+    "cust_order_dist": q_cust_order_dist,
+    "nation_acctbal_share": q_nation_acctbal_share,
+    "promo_revenue_share": q_promo_revenue_share,
+    "window_shoppers": q_window_shoppers,
+    "returns_cube": q_returns_cube,
+    "rolling_7d_revenue": q_rolling_7d_revenue,
+    "weekly_retention": q_weekly_retention,
+    "brand_supplier_counts": q_brand_supplier_counts,
+    "price_quantity_stats": q_price_quantity_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
     **QUERIES_TD,
 }
 
@@ -1377,5 +1754,15 @@ ORACLES: dict[str, str] = {
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "text_stats": SQL_TEXT_STATS,
     "ann_topk": SQL_ANN_TOPK,
+    "cust_order_dist": SQL_CUST_ORDER_DIST,
+    "nation_acctbal_share": SQL_NATION_ACCTBAL_SHARE,
+    "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
+    "window_shoppers": SQL_WINDOW_SHOPPERS,
+    "returns_cube": SQL_RETURNS_CUBE,
+    "rolling_7d_revenue": SQL_ROLLING_7D_REVENUE,
+    "weekly_retention": SQL_WEEKLY_RETENTION,
+    "brand_supplier_counts": SQL_BRAND_SUPPLIER_COUNTS,
+    "price_quantity_stats": SQL_PRICE_QUANTITY_STATS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     **ORACLES_TD,
 }
