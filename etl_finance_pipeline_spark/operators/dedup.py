@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
+from etl_finance_pipeline_spark.functions.layout import fan_out
 from etl_finance_pipeline_spark.functions.scalar import (
     MERSENNE_31,
     portable_hash64,
@@ -78,8 +79,12 @@ def _doc_shingles(
     shingle lambda: inlining ``split()`` into the transform would
     re-evaluate it for every ``element_at`` reference (no common
     subexpression elimination inside higher-order functions — measured
-    10.5s vs 1.1s on 5k docs)."""
-    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    10.5s vs 1.1s on 5k docs).
+
+    fan_out first: the shingle hash pipeline is CPU-bound and a small
+    corpus file arrives as one partition — without the widening every
+    md5 runs on a single core."""
+    toked = fan_out(df).select(F.col(id_col), tokens(text_col).alias("_toks"))
     return (
         toked.select(
             F.col(id_col),
@@ -279,7 +284,7 @@ def simhash(
     ONE groupBy(doc) with *bits* sum() aggregates — single map-side
     combinable shuffle, no explosion by bit.
     """
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("_t")
     ).withColumn("_h", portable_hash64(F.col("_t")))
     bit_sums = [

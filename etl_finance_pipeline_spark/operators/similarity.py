@@ -31,6 +31,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_finance_pipeline_spark.functions.layout import fan_out
+
 #: Deterministic random hyperplanes (seed 42), 4 planes × 64 dims,
 #: rounded to 6 decimals — embedded identically in the oracle SQL.
 _rng = random.Random(42)
@@ -71,8 +73,12 @@ def cosine_topk(
     corpus. Queries are broadcast; ranking is deterministic via
     (cosine desc, neighbor_id asc) after optional rounding.
 
-    Output: (query_id, neighbor_id, cosine, rank)."""
-    corpus = _as_double(corpus, vec_col)
+    Output: (query_id, neighbor_id, cosine, rank).
+
+    The corpus side is fan_out-widened: per-pair cosine is the cost
+    center and must use every core even when the corpus arrives as a
+    single small file."""
+    corpus = _as_double(fan_out(corpus), vec_col)
     queries = _as_double(queries.withColumnRenamed(id_col, query_id_col), vec_col)
     q = queries.select(query_id_col, F.col(vec_col).alias("_qv"))
     sim = cosine(F.col("_qv"), F.col(vec_col))
@@ -138,7 +144,7 @@ def lsh_ann_topk(
     explodes to its probe list; corpus is untouched).
     """
     n_planes = len(planes if planes is not None else HYPERPLANES)
-    corpus = _as_double(corpus, vec_col).withColumn(
+    corpus = _as_double(fan_out(corpus), vec_col).withColumn(
         "_bucket", hyperplane_bucket(F.col(vec_col), planes)
     )
     queries = _as_double(queries.withColumnRenamed(id_col, query_id_col), vec_col)
@@ -237,7 +243,7 @@ def ivf_ann_topk(
     lists (*nprobe*) trades cost for recall, the standard IVF knob.
     Output schema matches :func:`cosine_topk`.
     """
-    corpus = _as_double(corpus, vec_col)
+    corpus = _as_double(fan_out(corpus), vec_col)
     queries = _as_double(queries.withColumnRenamed(id_col, query_id_col), vec_col)
     centroids = _as_double(centroids, "cvec")
 

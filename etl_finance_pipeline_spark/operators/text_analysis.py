@@ -137,7 +137,11 @@ def winnowing_fingerprints(
     # parse (conv) costs more than md5 itself (5.1s vs 2.6s per 1.45M
     # shingles) and winnowing only needs a total order — lexicographic
     # min over fixed-width hex == numeric min, identically in DuckDB.
-    hashed = df.select(
+    from etl_finance_pipeline_spark.functions.layout import fan_out
+
+    # fan_out: ~300 md5 calls per document is pure CPU — a one-row-group
+    # input file would otherwise serialize the whole corpus onto 1 core.
+    hashed = fan_out(df).select(
         F.col(id_col),
         F.expr(
             f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
