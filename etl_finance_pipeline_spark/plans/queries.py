@@ -1668,6 +1668,414 @@ QUALIFY rank <= 3
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side aggregation behind three range
+    predicates. Every filter (shipdate year, discount band, quantity
+    cap) is pushable to the parquet reader — at 100 TB this query's
+    cost is row-group skipping + one map-side partial sum, with no
+    shuffle beyond the single-row final agg."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (OR-of-conjunctions) predicate
+    spanning both join sides. Catalyst extracts the common residuals
+    (l_quantity ≤ 30 bound, p_size ≥ 1) for scan pushdown while the
+    full disjunction evaluates post-join; the part side broadcasts."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    part = load_table(spark, _t(sf_dir, "part"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(branch).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                "decimal(30,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_DISJUNCTIVE_PARTS = """
+SELECT CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                     AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: nested-aggregation ratio — NATION_3's share of
+    ASIA-customer revenue per order year. One five-way star join (all
+    dims broadcast), then a single conditional-sum aggregate; the
+    numerator/denominator are exact DECIMAL sums so only the final
+    division is float."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    cust = load_table(spark, _t(sf_dir, "customer"))
+    supp = load_table(spark, _t(sf_dir, "supplier"))
+    nation = load_table(spark, _t(sf_dir, "nation"))
+    region = load_table(spark, _t(sf_dir, "region"))
+    cn = (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    sn = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    j = (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderdate")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            _pr(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+    )
+
+
+SQL_MARKET_SHARE = """
+SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+       floor((
+         CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                  THEN CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                            AS DECIMAL(30,6)) END) AS DOUBLE)
+         / CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE)
+       ) * 1000000 + 0.5) / 1000000 AS mkt_share,
+       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                     AS DECIMAL(30,6))) AS DOUBLE) AS total_volume
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+GROUP BY 1
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate-over-aggregate — supplier(s) whose
+    1996Q1 revenue equals the global max. Per-supplier revenues stay
+    exact DECIMAL end-to-end, so the max-equality join is safe across
+    engines (a double sum would tie-break on summation order). The
+    1-row max broadcasts; the revenue agg is the only shuffle."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    supp = load_table(spark, _t(sf_dir, "supplier"))
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            ).alias("_rev")
+        )
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev._rev == F.col("_mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            F.col("s_name").alias("name"),
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)))
+           AS _rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name AS name, CAST(r._rev AS DOUBLE) AS total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r._rev = (SELECT max(_rev) FROM rev)
+"""
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global-scalar threshold + anti join — customers
+    with above-average positive balance and no recent orders (none
+    since 2000), profiled per nation. The avg compare is multiplied
+    through (bal × n > Σbal) so both sides stay sums of identical
+    doubles — no division whose rounding could flip a boundary row
+    between engines. The 1-row threshold and the nation dim broadcast;
+    orders ships one pruned, date-filtered column into the anti
+    join."""
+    cust = load_table(spark, _t(sf_dir, "customer"))
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    nation = load_table(spark, _t(sf_dir, "nation"))
+    thr = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast("double").alias("_s"),
+        F.count("*").alias("_n"),
+    )
+    cand = cust.crossJoin(F.broadcast(thr)).filter(
+        F.col("c_acctbal") * F.col("_n") > F.col("_s")
+    )
+    idle = cand.join(
+        orders.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey"),
+        cand.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        idle.join(F.broadcast(nation), idle.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+SQL_IDLE_CUSTOMERS = """
+WITH thr AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS _s,
+         count(*) AS _n
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n.n_name AS nation, count(*) AS n_custs,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+         AS total_acctbal
+FROM customer c, thr
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal * thr._n > thr._s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
+def q_lonely_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to this schema: returnflag='R' plays
+    the late-delivery role): suppliers who were the SOLE supplier with
+    a returned line in a multi-supplier order. The classic
+    EXISTS(other supplier) + NOT EXISTS(other returned supplier)
+    self-join pair is decorrelated into ONE per-order aggregate —
+    n_suppliers and n_returned_suppliers — turning two fact-fact
+    joins into a single groupBy(l_orderkey) reused for both
+    predicates; the order-level stats then broadcast back onto the
+    returned lines."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    supp = load_table(spark, _t(sf_dir, "supplier"))
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_ret_supp"),
+    )
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = ret.join(
+        stats.filter((F.col("_n_supp") > 1) & (F.col("_n_ret_supp") == 1)),
+        "l_orderkey",
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(F.col("s_name").alias("name"), "numwait")
+    )
+
+
+SQL_LONELY_SUPPLIERS = """
+WITH ret AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R'
+)
+SELECT s.s_name AS name, count(*) AS numwait
+FROM ret r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = r.l_orderkey AND l2.l_suppkey <> r.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = r.l_orderkey AND l3.l_suppkey <> r.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY 1
+"""
+
+
+def q_acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family windows: percent_rank + cume_dist of customer
+    balance within nation. Tie rows share identical values in both
+    functions, so results are deterministic without a tiebreak; one
+    (nation, acctbal) sort serves both windows."""
+    cust = load_table(spark, _t(sf_dir, "customer"))
+    nation = load_table(spark, _t(sf_dir, "nation"))
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("c_acctbal").alias("acctbal"),
+            _pr(F.percent_rank().over(w), 6).alias("pct_rank"),
+            _pr(F.cume_dist().over(w), 6).alias("cume_dist"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nation"),
+            "acctbal",
+            "pct_rank",
+            "cume_dist",
+        )
+    )
+
+
+SQL_ACCTBAL_PERCENTILES = """
+SELECT c.c_custkey, n.n_name AS nation, c.c_acctbal AS acctbal,
+       floor(percent_rank() OVER (
+         PARTITION BY c.c_nationkey ORDER BY c.c_acctbal
+       ) * 1000000 + 0.5) / 1000000 AS pct_rank,
+       floor(cume_dist() OVER (
+         PARTITION BY c.c_nationkey ORDER BY c.c_acctbal
+       ) * 1000000 + 0.5) / 1000000 AS cume_dist
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+def q_risk_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic %K (14-bar rolling min/max) + running max drawdown
+    over 5-minute candles. All three window aggregates (rolling low,
+    rolling high, running peak) share ONE (symbol, ts) sort pass; the
+    %K denominator is NULL-guarded identically on both engines."""
+    c = _candles_5m_raw(spark, sf_dir)
+    w14 = (
+        Window.partitionBy("SYMBOL").orderBy("TIMESTAMP").rowsBetween(-13, 0)
+    )
+    wrun = (
+        Window.partitionBy("SYMBOL")
+        .orderBy("TIMESTAMP")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lo = F.min("LOW").over(w14)
+    hi = F.max("HIGH").over(w14)
+    peak = F.max("CLOSE").over(wrun)
+    pctk = F.when(hi != lo, (F.col("CLOSE") - lo) / (hi - lo) * 100.0)
+    return c.select(
+        F.col("SYMBOL").alias("symbol"),
+        F.col("TIMESTAMP").alias("ts"),
+        F.col("CLOSE").alias("close"),
+        _pr(pctk, 6).alias("stoch_k"),
+        _pr(F.col("CLOSE") / peak - 1.0, 6).alias("drawdown"),
+    )
+
+
+SQL_RISK_INDICATORS = """
+WITH dedup AS (
+  SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) = 1
+), c5 AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL 5 MINUTE, ts) AS ts,
+         max(value) AS high, min(value) AS low, arg_max(value, ts) AS close
+  FROM dedup GROUP BY 1, 2
+), w AS (
+  SELECT symbol, ts, close,
+         min(low) OVER (PARTITION BY symbol ORDER BY ts
+           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS lo,
+         max(high) OVER (PARTITION BY symbol ORDER BY ts
+           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS hi,
+         max(close) OVER (PARTITION BY symbol ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM c5
+)
+SELECT symbol, ts, close,
+       floor(((close - lo) / NULLIF(hi - lo, 0) * 100.0) * 1000000 + 0.5)
+         / 1000000 AS stoch_k,
+       floor((close / peak - 1.0) * 1000000 + 0.5) / 1000000 AS drawdown
+FROM w
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -1719,6 +2127,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_supplier_counts": q_brand_supplier_counts,
     "price_quantity_stats": q_price_quantity_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "forecast_revenue": q_forecast_revenue,
+    "disjunctive_parts": q_disjunctive_parts,
+    "market_share": q_market_share,
+    "top_supplier": q_top_supplier,
+    "idle_customers": q_idle_customers,
+    "lonely_suppliers": q_lonely_suppliers,
+    "acctbal_percentiles": q_acctbal_percentiles,
+    "risk_indicators": q_risk_indicators,
     **QUERIES_TD,
 }
 
@@ -1764,5 +2180,13 @@ ORACLES: dict[str, str] = {
     "brand_supplier_counts": SQL_BRAND_SUPPLIER_COUNTS,
     "price_quantity_stats": SQL_PRICE_QUANTITY_STATS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "forecast_revenue": SQL_FORECAST_REVENUE,
+    "disjunctive_parts": SQL_DISJUNCTIVE_PARTS,
+    "market_share": SQL_MARKET_SHARE,
+    "top_supplier": SQL_TOP_SUPPLIER,
+    "idle_customers": SQL_IDLE_CUSTOMERS,
+    "lonely_suppliers": SQL_LONELY_SUPPLIERS,
+    "acctbal_percentiles": SQL_ACCTBAL_PERCENTILES,
+    "risk_indicators": SQL_RISK_INDICATORS,
     **ORACLES_TD,
 }
