@@ -1933,27 +1933,27 @@ def q_lonely_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the late-delivery role): suppliers who were the SOLE supplier with
     a returned line in a multi-supplier order. The classic
     EXISTS(other supplier) + NOT EXISTS(other returned supplier)
-    self-join pair is decorrelated into ONE per-order aggregate —
-    n_suppliers and n_returned_suppliers — turning two fact-fact
-    joins into a single groupBy(l_orderkey) reused for both
-    predicates; the order-level stats then broadcast back onto the
-    returned lines."""
+    self-join pair is decorrelated into a (order, supplier) grid
+    aggregate plus an unordered window over it: per-pair "has a
+    returned line" collapses the fact once (map-side combinable, no
+    Expand — a double countDistinct would duplicate every shuffle row
+    per distinct clause), then count/sum OVER (PARTITION BY order)
+    derive both existence predicates with no self-join. Two shuffles
+    end-to-end for both EXISTS checks."""
     li = load_table(spark, _t(sf_dir, "lineitem"))
     supp = load_table(spark, _t(sf_dir, "supplier"))
-    stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("_n_ret_supp"),
+    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("_ret")
     )
-    ret = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    sole = ret.join(
-        stats.filter((F.col("_n_supp") > 1) & (F.col("_n_ret_supp") == 1)),
-        "l_orderkey",
+    w = Window.partitionBy("l_orderkey")
+    sole = (
+        pair.withColumn("_n_supp", F.count("*").over(w))
+        .withColumn("_n_ret_supp", F.sum("_ret").over(w))
+        .filter(
+            (F.col("_ret") == 1)
+            & (F.col("_n_supp") > 1)
+            & (F.col("_n_ret_supp") == 1)
+        )
     )
     return (
         sole.groupBy("l_suppkey")

@@ -840,6 +840,59 @@ WHERE bucket_ts + INTERVAL 5 MINUTE <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join driven to completion on static
+    data: purchase events enriched with the customer dimension
+    (broadcast). Stateless — no watermark or state store — so the
+    availableNow run emits exactly the batch join, which is what the
+    oracle computes."""
+    import uuid
+
+    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
+    from etl_finance_pipeline_spark.streaming.candles import stream_enrich
+
+    ensure_nanos_conf(spark)
+    path = _t(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
+    dtype = dict(
+        zip(schema.fieldNames(), [f.dataType.simpleString() for f in schema.fields])
+    )
+    if dtype.get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cust = load_table(spark, _t(sf_dir, "customer")).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    enriched = stream_enrich(
+        stream.filter("event_type = 'purchase'"),
+        cust,
+        F.col("user_id") == F.col("c_custkey"),
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_id", "user_id", "ts", _pr("value", 6).alias("value"), "segment", "nationkey"
+    )
+
+
+SQL_STREAM_ENRICH = """
+SELECT e.event_id, e.user_id, e.ts,
+       floor(e.value * 1000000 + 0.5) / 1000000 AS value,
+       c.c_mktsegment AS segment, c.c_nationkey AS nationkey
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+"""
+
+
 def q_stream_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join driven to completion on static
     data: each view matched to the same user's clicks within the next
@@ -1246,6 +1299,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_stats": q_media_stats,
     "stream_candles": q_stream_candles,
     "stream_view_click": q_stream_view_click,
+    "stream_enrich": q_stream_enrich,
     "near_dup_clusters": q_near_dup_clusters,
 }
 
@@ -1274,5 +1328,6 @@ ORACLES_TD: dict[str, str] = {
     "media_stats": SQL_MEDIA_STATS,
     "stream_candles": SQL_STREAM_CANDLES,
     "stream_view_click": SQL_STREAM_VIEW_CLICK,
+    "stream_enrich": SQL_STREAM_ENRICH,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
 }

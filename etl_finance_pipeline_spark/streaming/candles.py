@@ -87,6 +87,23 @@ def stream_dedupe(
     )
 
 
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Any,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    live stream. Stateless — no watermark, no state store: each
+    microbatch joins against the CURRENT static plan (the dim is
+    re-resolved per batch, so a dimension table updated between
+    batches is picked up automatically). The dim side is broadcast:
+    at 100 TB/day of events a dimension in the MBs must never shuffle
+    the stream. Append-safe by construction (inner/left joins emit
+    each stream row at most ``|dim match|`` times, immediately)."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -188,3 +188,21 @@ def test_deduped_stream_ingest_e2e(spark, tmp_path):
     assert got == {("X", 1.0), ("Y", 2.0), ("Z", 3.0)}
     # two source files → (at least) two committed epochs in the log
     assert len(history(table)) >= 2
+
+
+def test_stream_enrich_static_dim(spark, tmp_path):
+    from etl_finance_pipeline_spark.streaming.candles import stream_enrich
+
+    rows = [
+        ("X", T0, 1.0),
+        ("Y", T0 + timedelta(minutes=1), 2.0),
+        ("Z", T0 + timedelta(minutes=2), 3.0),  # no dim match
+    ]
+    stream = _write_stream_source(spark, tmp_path, rows)
+    dim = spark.createDataFrame(
+        [("X", "alpha"), ("Y", "beta")], ["sym", "desk"]
+    )
+    out = stream_enrich(stream, dim, F.col("symbol") == F.col("sym"))
+    _run_to_memory(out, "t_enrich")
+    got = {r["symbol"]: r["desk"] for r in spark.sql("SELECT * FROM t_enrich").collect()}
+    assert got == {"X": "alpha", "Y": "beta"}  # inner join drops Z
