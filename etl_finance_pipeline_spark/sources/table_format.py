@@ -60,7 +60,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
@@ -142,6 +142,10 @@ def _maybe_checkpoint(table: str, snap: Snapshot) -> None:
     immutable), so last-rename-wins via ``os.replace`` is safe."""
     if snap.version == 0 or snap.version % _CHECKPOINT_INTERVAL:
         return
+    _force_checkpoint(table, snap)
+
+
+def _force_checkpoint(table: str, snap: Snapshot) -> None:
     path = _checkpoint_path(table, snap.version)
     if os.path.exists(path):
         return
@@ -693,7 +697,15 @@ def compact(
         partition_by = keys or None
     if target_files is not None:
         df = df.coalesce(target_files)
-    return write_table(df, table, mode="overwrite", partition_by=partition_by)
+    # data_change=False: compaction rearranges bytes, not rows —
+    # read_changes must not surface it as a full delete+insert
+    return write_table(
+        df,
+        table,
+        mode="overwrite",
+        partition_by=partition_by,
+        extra_metadata={"data_change": False},
+    )
 
 
 def history(table: str) -> list[dict]:
@@ -713,3 +725,121 @@ def history(table: str) -> list[dict]:
             }
         )
     return out
+
+
+def read_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change feed: the rows each commit in ``(from_version,
+    to_version]`` inserted or removed, as the snapshot data plus
+    ``_change_type`` ('insert' | 'delete') and ``_commit_version``
+    columns — the incremental-consumer API (downstream jobs resume
+    from their last-seen version instead of re-scanning the table).
+
+    Granularity is FILE-level, like the manifests themselves: an
+    append is pure inserts; a replace commit (merge/delete) surfaces
+    rewritten files as delete+insert pairs, including rows the rewrite
+    carried over unchanged — consumers that need row-level deltas
+    reconcile on their merge keys. Commits marked
+    ``data_change: false`` (compaction) move bytes, not rows, and are
+    skipped entirely.
+    """
+    versions = _list_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no table at {table}")
+    if to_version is None:
+        to_version = versions[-1]
+    targets = [v for v in versions if from_version < v <= to_version]
+    parts: list[DataFrame] = []
+    for v in targets:
+        with open(_manifest_path(table, v)) as fh:
+            m = json.load(fh)
+        if m.get("data_change") is False:
+            continue
+        removed_entries: list[dict] = []
+        if m["action"] == "overwrite":
+            removed_entries = snapshot(table, v - 1).files if v > 0 else []
+        elif m["action"] == "replace":
+            removed = set(m.get("removed", []))
+            prior = snapshot(table, v - 1).files if v > 0 else []
+            removed_entries = [f for f in prior if f["path"] in removed]
+        for entries, kind in ((m["files"], "insert"), (removed_entries, "delete")):
+            if entries:
+                parts.append(
+                    _read_files(spark, table, entries)
+                    .withColumn("_change_type", F.lit(kind))
+                    .withColumn("_commit_version", F.lit(v).cast("int"))
+                )
+    if not parts:
+        base = snapshot(table, to_version).schema
+        fields = list(base.fields) if base else []
+        schema = StructType(
+            fields
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", IntegerType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def vacuum(
+    table: str,
+    keep_versions: int = 1,
+) -> dict:
+    """Physically delete data files referenced ONLY by snapshots older
+    than the last *keep_versions*, and truncate their manifests. Time
+    travel inside the retained window keeps working — a checkpoint is
+    forced at the new log start so replay never needs the dropped
+    manifests; travel past the cutoff is gone (that is what vacuum
+    means). Data files are shared across snapshots, so anything still
+    referenced by a retained version survives.
+
+    Run only when no writer is mid-stage: staged-but-uncommitted files
+    look unreferenced (production systems add a retention age;
+    single-writer test pipelines don't need one). Returns
+    ``{"data_files_deleted", "manifests_deleted", "cutoff_version"}``.
+    """
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    versions = _list_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no table at {table}")
+    retained = versions[-keep_versions:]
+    cutoff = retained[0]
+    referenced: set[str] = set()
+    for v in retained:
+        referenced.update(f["path"] for f in snapshot(table, v).files)
+    _force_checkpoint(table, snapshot(table, cutoff))
+    logdir = _log_path(table)
+    deleted_files = 0
+    for root, _dirs, names in os.walk(table):
+        if os.path.abspath(root).startswith(os.path.abspath(logdir)):
+            continue
+        for name in names:
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table)
+            if rel not in referenced and not name.startswith("."):
+                os.remove(full)
+                deleted_files += 1
+    deleted_manifests = 0
+    for v in versions:
+        if v >= cutoff:
+            continue
+        os.remove(_manifest_path(table, v))
+        deleted_manifests += 1
+    for cp in _list_checkpoints(table):
+        if cp < cutoff:
+            os.remove(_checkpoint_path(table, cp))
+    return {
+        "data_files_deleted": deleted_files,
+        "manifests_deleted": deleted_manifests,
+        "cutoff_version": cutoff,
+    }

@@ -356,3 +356,66 @@ def test_zorder_skips_on_both_dims(spark, tmp_path):
     assert len(by_time) < nfiles, "time dim should skip files"
     # data survives the morton shuffle intact
     assert read_table(spark, t).count() == 4096
+
+
+def test_read_changes_appends_and_replace(spark, tmp_path):
+    from etl_finance_pipeline_spark.sources.table_format import (
+        merge_table,
+        read_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_table(_df(spark, [("EURUSD", 1.0)]), t)               # v0
+    write_table(_df(spark, [("GBPUSD", 2.0)]), t)               # v1: insert
+    merge_table(spark, t, _df(spark, [("GBPUSD", 9.0)]), ["SYMBOL"])  # v2
+    ch = read_changes(spark, t, from_version=0)
+    rows = {(r["SYMBOL"], r["CLOSE"], r["_change_type"], r["_commit_version"])
+            for r in ch.collect()}
+    # v1 append surfaces as insert
+    assert ("GBPUSD", 2.0, "insert", 1) in rows
+    # v2 merge: old files rewritten -> delete + insert pairs
+    assert ("GBPUSD", 2.0, "delete", 2) in rows
+    assert ("GBPUSD", 9.0, "insert", 2) in rows
+    # consumer starting after v2 sees nothing
+    assert read_changes(spark, t, from_version=2).count() == 0
+
+
+def test_read_changes_skips_compaction(spark, tmp_path):
+    from etl_finance_pipeline_spark.sources.table_format import (
+        compact,
+        read_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_table(_df(spark, [("EURUSD", 1.0)]), t)       # v0
+    write_table(_df(spark, [("GBPUSD", 2.0)]), t)       # v1
+    compact(spark, t, target_files=1)                   # v2: data_change=False
+    ch = read_changes(spark, t, from_version=1)
+    assert ch.count() == 0  # compaction moved bytes, not rows
+    # but the compacted table still reads correctly
+    assert read_table(spark, t).count() == 2
+
+
+def test_vacuum_drops_old_versions_keeps_window(spark, tmp_path):
+    from etl_finance_pipeline_spark.sources.table_format import vacuum
+
+    t = str(tmp_path / "tbl")
+    write_table(_df(spark, [("EURUSD", 1.0)]), t)                   # v0
+    write_table(_df(spark, [("GBPUSD", 2.0)]), t)                   # v1
+    write_table(_df(spark, [("USDJPY", 3.0)]), t, mode="overwrite") # v2
+    write_table(_df(spark, [("AUDUSD", 4.0)]), t)                   # v3
+    res = vacuum(t, keep_versions=2)
+    assert res["cutoff_version"] == 2
+    # v0/v1 data files (orphaned by the overwrite) physically gone
+    assert res["data_files_deleted"] > 0
+    # retained window still reads, including time travel to the cutoff
+    assert {r["SYMBOL"] for r in read_table(spark, t).collect()} == {
+        "USDJPY",
+        "AUDUSD",
+    }
+    assert {r["SYMBOL"] for r in read_table(spark, t, version=2).collect()} == {
+        "USDJPY"
+    }
+    # travel past the cutoff is gone
+    with pytest.raises(ValueError):
+        read_table(spark, t, version=1)
