@@ -565,6 +565,7 @@ def merge_table(
     source: DataFrame,
     key_cols: list[str],
     max_retries: int = 5,
+    extra_metadata: dict | None = None,
 ) -> Snapshot:
     """MERGE (upsert) *source* into *table* on *key_cols*: matching
     rows are replaced, new keys are inserted — with Delta-style file
@@ -613,6 +614,7 @@ def merge_table(
             "partition_by": [],
             "committed_at": datetime.now(timezone.utc).isoformat(),
             "merge_keys": key_cols,
+            **(extra_metadata or {}),
         }
         try:
             _try_commit(table, version, manifest)

@@ -206,3 +206,43 @@ def test_stream_enrich_static_dim(spark, tmp_path):
     _run_to_memory(out, "t_enrich")
     got = {r["symbol"]: r["desk"] for r in spark.sql("SELECT * FROM t_enrich").collect()}
     assert got == {"X": "alpha", "Y": "beta"}  # inner join drops Z
+
+
+def test_stream_upsert_to_table(spark, tmp_path):
+    """Streaming CDC apply: each microbatch MERGEs on the key — the
+    table converges to latest-state-per-key, and a redelivered epoch
+    is a no-op."""
+    from etl_finance_pipeline_spark.sources.table_format import read_table
+    from etl_finance_pipeline_spark.streaming.sink import (
+        stream_upsert_to_table,
+        upsert_batch_idempotent,
+    )
+
+    src = tmp_path / "usrc"
+    src.mkdir()
+    schema = "key long, SYMBOL string, CLOSE double"
+    spark.createDataFrame(
+        [(1, "EURUSD", 1.0), (2, "GBPUSD", 2.0)], schema
+    ).write.parquet(str(src / "a"))
+    table = str(tmp_path / "utbl")
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src / "a")).schema
+    ).parquet(str(src / "*"))
+    q = stream_upsert_to_table(stream, table, str(tmp_path / "uckpt"), ["key"])
+    q.awaitTermination(120)
+    assert read_table(spark, table).count() == 2
+
+    # second epoch: update key 2, insert key 3
+    spark.createDataFrame(
+        [(2, "GBPUSD", 9.0), (3, "USDJPY", 3.0)], schema
+    ).write.parquet(str(src / "b"))
+    q = stream_upsert_to_table(stream, table, str(tmp_path / "uckpt"), ["key"])
+    q.awaitTermination(120)
+    got = {r["key"]: r["CLOSE"] for r in read_table(spark, table).collect()}
+    assert got == {1: 1.0, 2: 9.0, 3: 3.0}
+
+    # redelivery of an already-applied epoch: no-op
+    dup = spark.createDataFrame([(2, "GBPUSD", 777.0)], schema)
+    assert upsert_batch_idempotent(dup, 1, table, ["key"]) is False
+    got = {r["key"]: r["CLOSE"] for r in read_table(spark, table).collect()}
+    assert got[2] == 9.0

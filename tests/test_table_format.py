@@ -419,3 +419,19 @@ def test_vacuum_drops_old_versions_keeps_window(spark, tmp_path):
     # travel past the cutoff is gone
     with pytest.raises(ValueError):
         read_table(spark, t, version=1)
+
+
+def test_partition_layout_evolution_across_commits(spark, tmp_path):
+    """Partition evolution: a commit may change partition_by — files
+    from both layouts coexist in one snapshot and read as one frame
+    (the partition column comes from the path for hive-laid files and
+    from the data for unpartitioned ones)."""
+    t = str(tmp_path / "tbl")
+    write_table(_df(spark, [("EURUSD", 1.0)]), t, partition_by=["SYMBOL"])
+    write_table(_df(spark, [("GBPUSD", 2.0)]), t)  # unpartitioned commit
+    out = read_table(spark, t)
+    got = {(r["SYMBOL"], r["CLOSE"]) for r in out.collect()}
+    assert got == {("EURUSD", 1.0), ("GBPUSD", 2.0)}
+    # driver-side pruning still works for the hive-laid subset
+    pruned = read_table(spark, t, partition_filter={"SYMBOL": "EURUSD"})
+    assert {r["SYMBOL"] for r in pruned.collect()} == {"EURUSD"}
