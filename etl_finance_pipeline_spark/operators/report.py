@@ -197,3 +197,63 @@ def returns_and_volatility(
     out = df.withColumn("LOG_RETURN", ret)
     wv = w.rowsBetween(-(window_size - 1), 0)
     return out.withColumn("VOLATILITY", F.stddev_samp("LOG_RETURN").over(wv))
+
+
+def ewma_macd(
+    df: DataFrame,
+    value_col: str = "CLOSE",
+    ts_col: str = "TIMESTAMP",
+    key_cols: list[str] | None = None,
+    span_fast: int = 12,
+    span_slow: int = 26,
+    span_signal: int = 9,
+) -> DataFrame:
+    """Per-key EWMA pair + MACD line/signal/histogram (the classic
+    12/26/9), computed with a grouped-map pandas UDF.
+
+    EWMA is a *recursion* (`e_t = α·x_t + (1−α)·e_{t−1}`) — the one
+    indicator shape Spark's window frames genuinely cannot express
+    (every frame aggregate is associative; the exponential carry is
+    not). This is exactly the documented ``applyInPandas`` fallback
+    lane (SURVEY §2.11): one Arrow batch per key, pandas ``ewm``
+    (adjust=True, matching its definition of span) inside, schema
+    declared up front. Each key's full series must fit one executor —
+    same contract as the reference's whole-file frames, and fine at
+    100 TB where series-per-symbol is the natural shard.
+
+    Output: input columns + EWMA_FAST, EWMA_SLOW, MACD, MACD_SIGNAL,
+    MACD_HIST.
+    """
+    import pandas as pd  # noqa: F401 (Arrow lane)
+
+    keys = key_cols or []
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [
+            "EWMA_FAST double",
+            "EWMA_SLOW double",
+            "MACD double",
+            "MACD_SIGNAL double",
+            "MACD_HIST double",
+        ]
+    )
+
+    def _kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        px = pdf[value_col].astype("float64")
+        fast = px.ewm(span=span_fast, adjust=True).mean()
+        slow = px.ewm(span=span_slow, adjust=True).mean()
+        macd = fast - slow
+        signal = macd.ewm(span=span_signal, adjust=True).mean()
+        pdf["EWMA_FAST"] = fast
+        pdf["EWMA_SLOW"] = slow
+        pdf["MACD"] = macd
+        pdf["MACD_SIGNAL"] = signal
+        pdf["MACD_HIST"] = macd - signal
+        return pdf
+
+    if keys:
+        return df.groupBy(*keys).applyInPandas(_kernel, out_schema)
+    return df.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        lambda p: _kernel(p.drop(columns=["_g"])), out_schema
+    )

@@ -2049,6 +2049,27 @@ def q_risk_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA 12/26 + MACD/signal/histogram over 5-minute candles via
+    the grouped-map pandas UDF lane (operators.report.ewma_macd).
+    NO oracle entry on purpose: the EWMA recursion's float operation
+    order is engine-internal (pandas ewm kernel), so a cross-engine
+    hash can flip on last-ulp boundaries — the driver records the
+    rows-only check and the pandas-equivalence pytest pins values."""
+    from etl_finance_pipeline_spark.operators.report import ewma_macd
+
+    c = _candles_5m_raw(spark, sf_dir)
+    out = ewma_macd(c, key_cols=["SYMBOL"])
+    return out.select(
+        F.col("SYMBOL").alias("symbol"),
+        F.col("TIMESTAMP").alias("ts"),
+        F.col("CLOSE").alias("close"),
+        _pr("MACD", 6).alias("macd"),
+        _pr("MACD_SIGNAL", 6).alias("macd_signal"),
+        _pr("MACD_HIST", 6).alias("macd_hist"),
+    )
+
+
 SQL_RISK_INDICATORS = """
 WITH dedup AS (
   SELECT * FROM events
@@ -2135,6 +2156,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lonely_suppliers": q_lonely_suppliers,
     "acctbal_percentiles": q_acctbal_percentiles,
     "risk_indicators": q_risk_indicators,
+    "macd": q_macd,  # rows-only: no oracle (EWMA recursion, see docstring)
     **QUERIES_TD,
 }
 

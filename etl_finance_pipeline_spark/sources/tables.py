@@ -89,3 +89,20 @@ def load_sf_tables(
         if os.path.exists(p):
             out[name] = load_table(spark, p)
     return out
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> list[str]:
+    """SQL gateway: register every table under *sf_dir* as a temp view
+    (nanos-normalized, same frames the DataFrame API sees), so users
+    can run plain ``spark.sql(...)`` against the canonical tables —
+    the SQL surface the reference never had. Views are lazy: no scan
+    happens until a query references one, and Catalyst pushes
+    filters/pruning through them exactly as for the DataFrame calls.
+    Returns the registered view names."""
+    registered = []
+    for name, df in load_sf_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+        registered.append(name)
+    return registered

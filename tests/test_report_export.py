@@ -200,3 +200,38 @@ def test_dq_report_approx_mode(spark):
     assert abs(approx["close_median"] - exact["close_median"]) <= 0.05 * abs(
         exact["close_median"]
     )
+
+
+def test_ewma_macd_matches_pandas(spark):
+    """The applyInPandas EWMA/MACD kernel reproduces pandas ewm exactly
+    per key, and the recursion respects time order even when input
+    arrives shuffled."""
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    from etl_finance_pipeline_spark.operators.report import ewma_macd
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for sym, base in (("A", 100.0), ("B", 50.0)):
+        for i in range(40):
+            rows.append((sym, t0 + timedelta(minutes=i), base + ((i * 7) % 13) - 6.0))
+    df = spark.createDataFrame(
+        rows, "SYMBOL string, TIMESTAMP timestamp, CLOSE double"
+    ).orderBy(F.rand(seed=1))  # shuffle arrival order
+    out = ewma_macd(df, key_cols=["SYMBOL"]).toPandas()
+    for sym in ("A", "B"):
+        got = (
+            out[out.SYMBOL == sym].sort_values("TIMESTAMP").reset_index(drop=True)
+        )
+        px = got["CLOSE"]
+        fast = px.ewm(span=12, adjust=True).mean()
+        slow = px.ewm(span=26, adjust=True).mean()
+        macd = fast - slow
+        signal = macd.ewm(span=9, adjust=True).mean()
+        pd.testing.assert_series_equal(
+            got["MACD"], macd.rename("MACD"), atol=1e-12, rtol=0
+        )
+        pd.testing.assert_series_equal(
+            got["MACD_HIST"], (macd - signal).rename("MACD_HIST"), atol=1e-12, rtol=0
+        )

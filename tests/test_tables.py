@@ -49,3 +49,28 @@ def test_load_sf_tables(spark):
         "orders", "lineitem", "events", "documents", "embeddings",
     }
     assert dict(tables["events"].dtypes)["ts"] == "timestamp"
+
+
+def test_register_views_sql_gateway(spark):
+    from etl_finance_pipeline_spark.sources.tables import register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in names and "events" in names
+    # plain SQL over the registered views, with pushdown intact
+    out = spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n
+        FROM lineitem
+        WHERE l_quantity < 10
+        GROUP BY l_returnflag
+        """
+    )
+    rows = {r["l_returnflag"]: r["n"] for r in out.collect()}
+    assert set(rows) <= {"A", "N", "R"} and sum(rows.values()) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThan(l_quantity,10" in plan
+    # a view joins against another view
+    j = spark.sql(
+        "SELECT count(*) AS n FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+    ).collect()[0]["n"]
+    assert j > 0
