@@ -2049,6 +2049,73 @@ def q_risk_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-percentile (p50/p90/p99) of order value per market
+    segment — a holistic aggregate: unlike sum/avg it cannot partial-
+    aggregate map-side, so Spark buffers each group's values after the
+    shuffle. One shuffle on the group key, three quantiles from one
+    sort of the buffer (the production path at raw-fact scale is
+    approx_percentile, which IS partial-aggregatable; exact here for
+    oracle parity — both engines define the quantile by linear
+    interpolation)."""
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    cust = load_table(spark, _t(sf_dir, "customer"))
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    pct = F.expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))")
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _pr(pct[0], 6).alias("p50"),
+            _pr(pct[1], 6).alias("p90"),
+            _pr(pct[2], 6).alias("p99"),
+        )
+    )
+
+
+SQL_ORDER_PERCENTILES = """
+WITH q AS (
+  SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
+         quantile_cont(o.o_totalprice, [0.5, 0.9, 0.99]) AS _q
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT segment, n_orders,
+       floor(_q[1] * 1000000 + 0.5) / 1000000 AS p50,
+       floor(_q[2] * 1000000 + 0.5) / 1000000 AS p90,
+       floor(_q[3] * 1000000 + 0.5) / 1000000 AS p99
+FROM q
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event type: bin =
+    floor(value / 50). Binning is a pure projection, so the whole
+    histogram is ONE map-side-combinable aggregation — the shuffle
+    carries (type × bins) rows regardless of input size, the shape
+    that makes histograms cheap at 100 TB."""
+    ev = load_table(spark, _t(sf_dir, "events"))
+    return (
+        ev.groupBy(
+            F.col("event_type"),
+            F.floor(F.col("value") / 50).cast("long").alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            _pr(F.sum("value"), 6).alias("bin_value_sum"),
+        )
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bin,
+       count(*) AS n,
+       floor(sum(value) * 1000000 + 0.5) / 1000000 AS bin_value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA 12/26 + MACD/signal/histogram over 5-minute candles via
     the grouped-map pandas UDF lane (operators.report.ewma_macd).
@@ -2157,6 +2224,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "acctbal_percentiles": q_acctbal_percentiles,
     "risk_indicators": q_risk_indicators,
     "macd": q_macd,  # rows-only: no oracle (EWMA recursion, see docstring)
+    "order_percentiles": q_order_percentiles,
+    "value_histogram": q_value_histogram,
     **QUERIES_TD,
 }
 
@@ -2210,5 +2279,7 @@ ORACLES: dict[str, str] = {
     "lonely_suppliers": SQL_LONELY_SUPPLIERS,
     "acctbal_percentiles": SQL_ACCTBAL_PERCENTILES,
     "risk_indicators": SQL_RISK_INDICATORS,
+    "order_percentiles": SQL_ORDER_PERCENTILES,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
     **ORACLES_TD,
 }
