@@ -158,3 +158,38 @@ def stratified_sample(
     for value, f in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
     return df.filter(bucket < (frac * _SAMPLE_SCALE).cast("long"))
+
+
+def shuffle_shard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data
+    output: every row gets a pseudo-random but reproducible
+    (shard, position) from a seeded portable hash of its id. The
+    standard last step before writing a pretraining corpus — destroys
+    source ordering (documents from one crawl/source must not be
+    adjacent) while staying bit-reproducible across runs AND engines
+    (no rand(), no partition-order dependence).
+
+    One shuffle (the position window's partition-by-shard sort);
+    shards are independent streams, so parallelism = num_shards —
+    size it ≥ cluster cores at scale, exactly like pack_sequences.
+
+    Output: input columns + (shard, position).
+    """
+    from pyspark.sql.window import Window
+
+    key = portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"#shuffle{seed}"))
+    )
+    out = df.withColumn("_skey", key).withColumn(
+        "shard", F.pmod(F.col("_skey"), num_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_skey", id_col)
+    return (
+        out.withColumn("position", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_skey")
+    )

@@ -442,6 +442,31 @@ FROM c
 """
 
 
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus into 8 shards with
+    per-shard positions (seeded, engine-portable)."""
+    from etl_finance_pipeline_spark.operators.corpus import shuffle_shard
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select("doc_id", "lang")
+    return shuffle_shard(docs, num_shards=8, seed=1).select(
+        "doc_id", "lang", "shard", "position"
+    )
+
+
+SQL_SHUFFLE_SHARD = f"""
+WITH k AS (
+  SELECT doc_id, lang,
+         {_H64.format(s="CAST(doc_id AS VARCHAR) || '#shuffle1'")} AS _skey
+  FROM documents
+)
+SELECT doc_id, lang, CAST(_skey % 8 AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY _skey % 8 ORDER BY _skey, doc_id
+       ) - 1 AS BIGINT) AS position
+FROM k
+"""
+
+
 # --------------------------------------------------------------------
 # Language ID
 # --------------------------------------------------------------------
@@ -1282,6 +1307,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_docs": q_sample_docs,
     "pack_sequences": q_pack_sequences,
     "prep_corpus": q_prep_corpus,
+    "shuffle_shard": q_shuffle_shard,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "lang_id": q_lang_id,
@@ -1311,6 +1337,7 @@ ORACLES_TD: dict[str, str] = {
     "sample_docs": SQL_SAMPLE_DOCS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "prep_corpus": SQL_PREP_CORPUS,
+    "shuffle_shard": SQL_SHUFFLE_SHARD,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "lang_id": SQL_LANG_ID,

@@ -72,6 +72,14 @@ class CommitConflict(RuntimeError):
     """Another writer claimed the version this commit targeted."""
 
 
+class ExpectationViolation(ValueError):
+    """A write-time expectation failed; nothing was committed."""
+
+    def __init__(self, violations: dict[str, int]):
+        self.violations = violations
+        super().__init__(f"expectations violated: {violations}")
+
+
 class SchemaEvolutionError(ValueError):
     """An append tried to change the type of an existing column."""
 
@@ -336,6 +344,8 @@ def write_table(
     cluster_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
     zorder_files: int | None = None,
+    expectations: dict[str, str] | None = None,
+    on_violation: str = "fail",
 ) -> Snapshot:
     """Commit *df* to *table* atomically. mode='append' adds files;
     mode='overwrite' logically removes every live file first (data
@@ -355,11 +365,40 @@ def write_table(
     listed columns, so file [min, max] stats stay tight on EVERY
     listed dimension — a (SYMBOL, ts) z-ordered table skips files for
     one-symbol reads AND time-range reads. Mutually exclusive with
-    *cluster_by* (which wins on its first column only)."""
+    *cluster_by* (which wins on its first column only).
+
+    *expectations* are write-time quality constraints (Delta CHECK
+    constraint / DLT expectation role): ``{"name": "sql predicate"}``.
+    Violation counts ride the write itself via ``observe`` — zero
+    extra passes. ``on_violation="fail"`` refuses to commit when any
+    count is nonzero (staged files stay invisible; vacuum reclaims
+    them); ``"drop"`` filters violating rows out and commits, with
+    per-expectation counts recorded in the manifest either way."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if cluster_by and zorder_by:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
+    if on_violation not in ("fail", "drop"):
+        raise ValueError(f"on_violation must be fail|drop, got {on_violation!r}")
+    observation = None
+    if expectations:
+        from pyspark.sql import Observation
+
+        observation = Observation()
+        df = df.observe(
+            observation,
+            # NULL predicate result counts as a violation — matching
+            # the drop-mode filter, which only keeps rows that are TRUE
+            *[
+                F.sum(
+                    (~F.coalesce(F.expr(pred), F.lit(False))).cast("long")
+                ).alias(name)
+                for name, pred in expectations.items()
+            ],
+        )
+        if on_violation == "drop":
+            for pred in expectations.values():
+                df = df.filter(F.expr(pred))
     if zorder_by:
         # zorder_files pins the output file count; default lets AQE
         # size the range shuffle (it coalesces small tables to 1)
@@ -373,6 +412,15 @@ def write_table(
     if cluster_by:
         df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
     entries, commit_id = _stage_files(df, table, partition_by)
+    violation_counts: dict[str, int] = {}
+    if observation is not None:
+        violation_counts = {k: int(v or 0) for k, v in observation.get.items()}
+        if on_violation == "fail" and any(violation_counts.values()):
+            # staged files have no manifest: invisible to every reader,
+            # reclaimed by vacuum
+            raise ExpectationViolation(
+                {k: v for k, v in violation_counts.items() if v}
+            )
     for _ in range(max_retries):
         versions = _list_versions(table)
         version = (versions[-1] + 1) if versions else 0
@@ -392,6 +440,9 @@ def write_table(
             "schema_json": schema.json(),
             "partition_by": partition_by or [],
             "committed_at": datetime.now(timezone.utc).isoformat(),
+            **(
+                {"expectations": violation_counts} if violation_counts or expectations else {}
+            ),
             **(extra_metadata or {}),
         }
         try:

@@ -435,3 +435,44 @@ def test_partition_layout_evolution_across_commits(spark, tmp_path):
     # driver-side pruning still works for the hive-laid subset
     pruned = read_table(spark, t, partition_filter={"SYMBOL": "EURUSD"})
     assert {r["SYMBOL"] for r in pruned.collect()} == {"EURUSD"}
+
+
+def test_write_expectations_fail_and_drop(spark, tmp_path):
+    """Write-time expectations (Delta CHECK / DLT expectation role):
+    violation counts ride the write via observe; fail mode refuses the
+    commit (nothing visible), drop mode filters and records counts in
+    the manifest. NULL predicate results count as violations."""
+    import json
+
+    from etl_finance_pipeline_spark.sources.table_format import (
+        ExpectationViolation,
+        _manifest_path,
+        write_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    bad = spark.createDataFrame(
+        [("EURUSD", 1.0), ("GBPUSD", -2.0), ("USDJPY", None)],
+        "SYMBOL string, CLOSE double",
+    )
+    with pytest.raises(ExpectationViolation) as exc:
+        write_table(bad, t, expectations={"close_pos": "CLOSE > 0"})
+    assert exc.value.violations == {"close_pos": 2}  # NULL counts
+    # nothing committed: table does not exist for readers
+    with pytest.raises(FileNotFoundError):
+        snapshot(t)
+
+    snap = write_table(
+        bad, t, expectations={"close_pos": "CLOSE > 0"}, on_violation="drop"
+    )
+    got = {r["SYMBOL"] for r in read_table(spark, t).collect()}
+    assert got == {"EURUSD"}
+    with open(_manifest_path(t, snap.version)) as fh:
+        m = json.load(fh)
+    assert m["expectations"] == {"close_pos": 2}
+    # clean batch passes fail mode and records zero counts
+    ok = spark.createDataFrame([("AUDUSD", 4.0)], "SYMBOL string, CLOSE double")
+    snap2 = write_table(ok, t, expectations={"close_pos": "CLOSE > 0"})
+    with open(_manifest_path(t, snap2.version)) as fh:
+        m2 = json.load(fh)
+    assert m2["expectations"] == {"close_pos": 0}
