@@ -1,0 +1,73 @@
+"""Incremental aggregate maintenance: the materialized state after a
+chain of appends/merges/deletes must equal a full recompute, with each
+refresh reading only the change feed."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_finance_pipeline_spark.sources.incremental import (
+    aggregate_state_version,
+    read_aggregate,
+    refresh_aggregate,
+)
+from etl_finance_pipeline_spark.sources.table_format import (
+    delete_where,
+    merge_table,
+    read_table,
+    write_table,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "key long, SYMBOL string, CLOSE double")
+
+
+def _full(spark, base):
+    got = (
+        read_table(spark, base)
+        .groupBy("SYMBOL")
+        .agg({"CLOSE": "sum", "*": "count"})
+        .collect()
+    )
+    return {r["SYMBOL"]: (r["sum(CLOSE)"], r["count(1)"]) for r in got}
+
+
+def _state(spark, state):
+    got = read_aggregate(spark, state).collect()
+    return {r["SYMBOL"]: (r["CLOSE_sum"], r["row_count"]) for r in got}
+
+
+def test_refresh_tracks_appends_merges_deletes(spark, tmp_path):
+    base, state = str(tmp_path / "base"), str(tmp_path / "state")
+    write_table(_df(spark, [(1, "EUR", 1.0), (2, "EUR", 2.0), (3, "GBP", 5.0)]), base)
+
+    # initial refresh = full aggregation, stamped with base version
+    refresh_aggregate(spark, base, state, ["SYMBOL"], ["CLOSE"])
+    assert _state(spark, state) == _full(spark, base)
+    assert aggregate_state_version(state) == 0
+
+    # already current -> no-op
+    assert refresh_aggregate(spark, base, state, ["SYMBOL"], ["CLOSE"]) is None
+
+    # append + upsert + delete, then one incremental refresh
+    write_table(_df(spark, [(4, "GBP", 7.0)]), base)
+    merge_table(spark, base, _df(spark, [(2, "EUR", 20.0)]), ["key"])
+    delete_where(spark, base, "key = 3")
+    refresh_aggregate(spark, base, state, ["SYMBOL"], ["CLOSE"])
+    assert _state(spark, state) == _full(spark, base)
+    assert aggregate_state_version(state) == 3
+
+    # a group deleted to zero rows disappears from the state
+    delete_where(spark, base, "SYMBOL = 'GBP'")
+    refresh_aggregate(spark, base, state, ["SYMBOL"], ["CLOSE"])
+    st = _state(spark, state)
+    assert "GBP" not in st and st == _full(spark, base)
+
+
+def test_read_aggregate_derives_avg(spark, tmp_path):
+    base, state = str(tmp_path / "base2"), str(tmp_path / "state2")
+    write_table(_df(spark, [(1, "EUR", 1.0), (2, "EUR", 3.0)]), base)
+    refresh_aggregate(spark, base, state, ["SYMBOL"], ["CLOSE"])
+    row = read_aggregate(spark, state, avg_for=["CLOSE"]).collect()[0]
+    assert row["CLOSE_avg"] == pytest.approx(2.0)
