@@ -2116,6 +2116,74 @@ GROUP BY 1, 2
 """
 
 
+def q_candles_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long): each OHLC candle becomes four (field,
+    value) rows via ``stack`` — the inverse of the PIVOT shape and a
+    pure narrow Expand projection: no shuffle beyond the candle agg
+    itself, output exactly 4× candle rows."""
+    c = _candles_5m_raw(spark, sf_dir)
+    return c.select(
+        F.col("SYMBOL").alias("symbol"),
+        F.col("TIMESTAMP").alias("ts"),
+        F.expr(
+            "stack(4, 'open', OPEN, 'high', HIGH, 'low', LOW, 'close', CLOSE)"
+            " AS (field, value)"
+        ),
+    )
+
+
+SQL_CANDLES_LONG = """
+WITH dedup AS (
+  SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) = 1
+), c5 AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL 5 MINUTE, ts) AS ts,
+         arg_min(value, ts) AS open, max(value) AS high,
+         min(value) AS low, arg_max(value, ts) AS close
+  FROM dedup GROUP BY 1, 2
+)
+SELECT symbol, ts, u.field, u.value
+FROM c5
+CROSS JOIN LATERAL (VALUES ('open', open), ('high', high),
+                           ('low', low), ('close', close)) AS u(field, value)
+"""
+
+
+def q_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: each user's first 20 events as
+    a time-ordered array of event types. ``collect_list`` alone is
+    shuffle-order-dependent — wrapping the elements in (ts, event_id,
+    type) structs and ``sort_array``-ing AFTER collection makes the
+    result engine-portable (the sort happens on the complete group,
+    not on arrival order). One shuffle; slice caps the array; the
+    path serializes with '>' so result rows stay hashable for the
+    driver's comparator."""
+    ev = load_table(spark, _t(sf_dir, "events"))
+    item = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+    return (
+        ev.groupBy(F.col("user_id"))
+        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, 20).alias("_j"))
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(F.col("_j"), lambda s: s.event_type), ">"
+            ).alias("journey"),
+            F.size(F.col("_j")).cast("long").alias("n_events"),
+        )
+    )
+
+
+SQL_USER_JOURNEYS = """
+SELECT user_id,
+       array_to_string((list(event_type ORDER BY ts, event_id))[1:20], '>')
+         AS journey,
+       CAST(least(count(*), 20) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
 def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA 12/26 + MACD/signal/histogram over 5-minute candles via
     the grouped-map pandas UDF lane (operators.report.ewma_macd).
@@ -2226,6 +2294,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "macd": q_macd,  # rows-only: no oracle (EWMA recursion, see docstring)
     "order_percentiles": q_order_percentiles,
     "value_histogram": q_value_histogram,
+    "candles_long": q_candles_long,
+    "user_journeys": q_user_journeys,
     **QUERIES_TD,
 }
 
@@ -2281,5 +2351,7 @@ ORACLES: dict[str, str] = {
     "risk_indicators": SQL_RISK_INDICATORS,
     "order_percentiles": SQL_ORDER_PERCENTILES,
     "value_histogram": SQL_VALUE_HISTOGRAM,
+    "candles_long": SQL_CANDLES_LONG,
+    "user_journeys": SQL_USER_JOURNEYS,
     **ORACLES_TD,
 }
