@@ -23,3 +23,23 @@ Design stance (see SURVEY.md §7):
 __version__ = "0.1.0"
 
 from etl_finance_pipeline_spark.session import get_spark  # noqa: F401
+from etl_finance_pipeline_spark.sources.tables import (  # noqa: F401
+    load_sf_tables,
+    load_table,
+    register_views,
+)
+from etl_finance_pipeline_spark.sources.table_format import (  # noqa: F401
+    compact,
+    delete_where,
+    history,
+    merge_table,
+    read_changes,
+    read_table,
+    snapshot,
+    vacuum,
+    write_table,
+)
+from etl_finance_pipeline_spark.sources.incremental import (  # noqa: F401
+    read_aggregate,
+    refresh_aggregate,
+)
