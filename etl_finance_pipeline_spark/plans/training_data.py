@@ -1171,6 +1171,56 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+def q_asof_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join's FORWARD direction with a tolerance: each
+    purchase matched to the user's next view within 10 minutes
+    (attribution-window shape). Oracle = DuckDB ASOF with <= plus a
+    tolerance CASE; unmatched / out-of-window rows keep NULLs."""
+    from etl_finance_pipeline_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, _t(sf_dir, "events"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        purchases,
+        views,
+        ["user_id"],
+        ts_col="ts",
+        right_value_cols=["view_value"],
+        direction="forward",
+        tolerance_seconds=600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.col("ts_right").alias("view_ts"),
+        F.col("view_value_right").alias("view_value"),
+    )
+
+
+SQL_ASOF_NEXT_VIEW = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view'
+), j AS (
+  SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+         v.ts AS _vts, v.view_value AS _vval
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+)
+SELECT event_id, user_id, ts, purchase_value,
+       CASE WHEN _vts <= ts + INTERVAL 10 MINUTE THEN _vts END AS view_ts,
+       CASE WHEN _vts <= ts + INTERVAL 10 MINUTE THEN _vval END AS view_value
+FROM j
+"""
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessionization of the event stream per user."""
     from etl_finance_pipeline_spark.operators.temporal import sessionize
@@ -1318,6 +1368,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embed_near_dup": q_embed_near_dup,
     "asof_last_click": q_asof_last_click,
+    "asof_next_view": q_asof_next_view,
     "user_sessions": q_user_sessions,
     "session_errors": q_session_errors,
     "props_extract": q_props_extract,
@@ -1348,6 +1399,7 @@ ORACLES_TD: dict[str, str] = {
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "asof_last_click": SQL_ASOF_LAST_CLICK,
+    "asof_next_view": SQL_ASOF_NEXT_VIEW,
     "user_sessions": SQL_USER_SESSIONS,
     "session_errors": SQL_SESSION_ERRORS,
     "props_extract": SQL_PROPS_EXTRACT,

@@ -126,12 +126,38 @@ def stream_to_table(
     checkpoint_dir: str,
     partition_by: list[str] | None = None,
     available_now: bool = True,
+    auto_compact_every: int | None = None,
 ):
     """Start a streaming query writing *stream_df* into the
-    transactional table. Returns the StreamingQuery (caller awaits)."""
+    transactional table. Returns the StreamingQuery (caller awaits).
+
+    *auto_compact_every*: run ``compact`` after every N committed
+    epochs — the standard small-files control for streaming ingest
+    (one commit per microbatch means one-or-more small files per
+    epoch; without compaction a day of minute-batches is ~1440 tiny
+    files). Compaction commits are ``data_change: false``, so change-
+    feed consumers and incremental refreshes see nothing."""
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        write_batch_idempotent(batch_df, epoch_id, table, partition_by)
+        committed = write_batch_idempotent(batch_df, epoch_id, table, partition_by)
+        if (
+            committed
+            and auto_compact_every
+            and len(committed_batch_ids(table)) % auto_compact_every == 0
+        ):
+            from etl_finance_pipeline_spark.sources.table_format import (
+                compact,
+                snapshot,
+            )
+
+            # ~5M rows per output file: collapses epoch-sized shards
+            # without creating a single-file bottleneck on big tables
+            rows = snapshot(table).num_rows
+            compact(
+                batch_df.sparkSession,
+                table,
+                target_files=max(1, rows // 5_000_000),
+            )
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)

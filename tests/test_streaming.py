@@ -246,3 +246,43 @@ def test_stream_upsert_to_table(spark, tmp_path):
     assert upsert_batch_idempotent(dup, 1, table, ["key"]) is False
     got = {r["key"]: r["CLOSE"] for r in read_table(spark, table).collect()}
     assert got[2] == 9.0
+
+
+def test_stream_to_table_auto_compact(spark, tmp_path):
+    """auto_compact_every collapses streaming small files; the
+    compaction commit is data_change=false so the change feed stays
+    quiet about it."""
+    from etl_finance_pipeline_spark.sources.table_format import (
+        history,
+        read_changes,
+        read_table,
+        snapshot,
+    )
+    from etl_finance_pipeline_spark.streaming.sink import stream_to_table
+
+    src = tmp_path / "acsrc"
+    src.mkdir()
+    schema = "key long, SYMBOL string, CLOSE double"
+    table = str(tmp_path / "actbl")
+    # two epochs, each its own run (fresh availableNow per file)
+    for i, sub in enumerate(("a", "b")):
+        spark.createDataFrame([(i, "EUR", float(i))], schema).write.parquet(
+            str(src / sub)
+        )
+        q = stream_to_table(
+            spark.readStream.schema(
+                spark.read.parquet(str(src / "a")).schema
+            ).parquet(str(src / "*")),
+            table,
+            str(tmp_path / "acckpt"),
+            auto_compact_every=2,
+        )
+        q.awaitTermination(120)
+    h = history(table)
+    # 2 ingest commits + 1 compaction triggered at the 2nd epoch
+    assert [m["action"] for m in h] == ["append", "append", "overwrite"]
+    assert len(snapshot(table).files) == 1
+    assert read_table(spark, table).count() == 2
+    # the feed shows the ingests, not the compaction
+    types = {r["_commit_version"] for r in read_changes(spark, table, -1).collect()}
+    assert types == {0, 1}
