@@ -724,6 +724,62 @@ def delete_where(
     raise CommitConflict(f"gave up after {max_retries} retries on {table}")
 
 
+def compact_partition(
+    spark: SparkSession,
+    table: str,
+    partition_filter: dict[str, str],
+    target_files: int = 1,
+    max_retries: int = 5,
+) -> Snapshot:
+    """Partition-scoped OPTIMIZE: coalesce only the files of ONE hive
+    partition into *target_files*, committed as a ``replace`` (removed
+    + added lists) marked ``data_change: false``. At 100 TB you never
+    compact the whole table — you compact the partitions the streaming
+    sink just fragmented, one replace commit each, while every other
+    partition's files carry over untouched by path."""
+    snap = snapshot(table)
+    touched = [
+        f
+        for f in snap.files
+        if all(
+            f.get("partition_values", {}).get(k) == str(v)
+            for k, v in partition_filter.items()
+        )
+    ]
+    if len(touched) <= target_files:
+        return snap
+    df = _read_files(spark, table, touched).coalesce(target_files)
+    # re-stage under the same hive layout so partition_values carry
+    partition_by = list(partition_filter)
+    for k in partition_by:
+        if k not in df.columns:
+            raise ValueError(f"partition column {k!r} not in data")
+    entries, commit_id = _stage_files(df, table, partition_by)
+    for _ in range(max_retries):
+        versions = _list_versions(table)
+        version = (versions[-1] + 1) if versions else 0
+        manifest = {
+            "version": version,
+            "action": "replace",
+            "commit_id": commit_id,
+            "removed": [f["path"] for f in touched],
+            "files": entries,
+            "schema": snap.schema_ddl,
+            "schema_json": snap.schema_json,
+            "partition_by": partition_by,
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+            "data_change": False,
+        }
+        try:
+            _try_commit(table, version, manifest)
+            out = snapshot(table, version)
+            _maybe_checkpoint(table, out)
+            return out
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"gave up after {max_retries} retries on {table}")
+
+
 def compact(
     spark: SparkSession,
     table: str,

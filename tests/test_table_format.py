@@ -476,3 +476,48 @@ def test_write_expectations_fail_and_drop(spark, tmp_path):
     with open(_manifest_path(t, snap2.version)) as fh:
         m2 = json.load(fh)
     assert m2["expectations"] == {"close_pos": 0}
+
+
+def test_compact_partition_scoped_replace(spark, tmp_path):
+    """Partition-scoped OPTIMIZE rewrites ONE hive partition's files;
+    the other partition's files carry over by path, and the change
+    feed ignores the rewrite (data_change=false)."""
+    from etl_finance_pipeline_spark.sources.table_format import (
+        compact_partition,
+        read_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    # 3 small commits fragmenting EURUSD; one GBPUSD commit
+    for v in (1.0, 2.0, 3.0):
+        write_table(_df(spark, [("EURUSD", v)]), t, partition_by=["SYMBOL"])
+    write_table(_df(spark, [("GBPUSD", 9.0)]), t, partition_by=["SYMBOL"])
+    before = snapshot(t)
+    gbp_paths = {
+        f["path"]
+        for f in before.files
+        if f["partition_values"].get("SYMBOL") == "GBPUSD"
+    }
+    eur_files = [
+        f for f in before.files if f["partition_values"].get("SYMBOL") == "EURUSD"
+    ]
+    assert len(eur_files) == 3
+
+    snap = compact_partition(spark, t, {"SYMBOL": "EURUSD"}, target_files=1)
+    eur_after = [
+        f for f in snap.files if f["partition_values"].get("SYMBOL") == "EURUSD"
+    ]
+    assert len(eur_after) == 1
+    # GBPUSD untouched, carried by path
+    assert {
+        f["path"]
+        for f in snap.files
+        if f["partition_values"].get("SYMBOL") == "GBPUSD"
+    } == gbp_paths
+    # data intact
+    got = sorted(
+        r["CLOSE"] for r in read_table(spark, t).collect()
+    )
+    assert got == [1.0, 2.0, 3.0, 9.0]
+    # invisible to the change feed
+    assert read_changes(spark, t, from_version=3).count() == 0
