@@ -306,3 +306,101 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def train_kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means — the IVF index BUILD path (the
+    query path is :func:`ivf_ann_topk`, which takes these centroids).
+
+    Each iteration is one distributed pass: every vector evaluates its
+    squared-L2 distance to all k centroids JVM-side (zip_with +
+    aggregate over a broadcast literal — k×dim doubles, trivially
+    small), takes the argmin, and per-(cluster, dimension) means are
+    ONE posexplode + map-side-combinable aggregation. The k×dim means
+    are collected to the driver between iterations to keep the plan
+    depth O(1) per pass — this is driver-side CONTROL FLOW over tiny
+    aggregates, not a driver-side data path; the same structure as the
+    connected-components loop (operators/graph.py).
+
+    Deterministic end-to-end: seeding takes the k ids with the
+    smallest portable hash (engine-portable, reshuffle-proof), fixed
+    iteration count, and ties in the argmin break toward the lower
+    cluster id. Float means are engine-internal — pin behavior with
+    pytest, not a cross-engine hash (same line as EWMA).
+
+    Returns (cluster_id int, cvec array<double>).
+    """
+    from etl_finance_pipeline_spark.functions.scalar import portable_hash64
+
+    src = _as_double(df, vec_col).select(id_col, vec_col)
+    seeds = (
+        src.withColumn("_h", portable_hash64(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(k)
+        .select(F.col(vec_col))
+        .collect()
+    )
+    centroids: list[list[float]] = [list(r[0]) for r in seeds]
+
+    def _lit_centroids() -> Column:
+        return F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c])
+                for c in centroids
+            ]
+        )
+
+    dist = lambda a, b: F.aggregate(  # noqa: E731  (squared L2)
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    for _ in range(iters):
+        with_c = src.withColumn("_cents", _lit_centroids())
+        # argmin over the k distances; ties -> lower cluster id via
+        # the (dist, cid) struct ordering
+        assigned = with_c.select(
+            id_col,
+            vec_col,
+            F.array_min(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda i: F.struct(
+                        dist(F.col(vec_col), F.element_at("_cents", i + 1)).alias(
+                            "d"
+                        ),
+                        i.alias("cid"),
+                    ),
+                )
+            )["cid"].alias("cluster_id"),
+        )
+        means = (
+            assigned.select(
+                "cluster_id", F.posexplode(F.col(vec_col)).alias("_pos", "_v")
+            )
+            .groupBy("cluster_id", "_pos")
+            .agg(F.avg("_v").alias("_m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_pos", "_m"))),
+                    lambda s: s._m,
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        new = {r["cluster_id"]: list(r["cvec"]) for r in means}
+        # empty clusters keep their previous centroid
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster_id int, cvec array<double>",
+    )

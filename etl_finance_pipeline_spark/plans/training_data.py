@@ -666,6 +666,28 @@ QUALIFY rank <= 5
 """
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF pipeline END-TO-END in-engine: Lloyd's k-means trains
+    the codebook (k=8, 4 iterations), then ivf_ann_topk answers the
+    same query batch against it. Rows-only on purpose: centroid means
+    are engine-internal floats (pytest pins k-means behavior; the
+    fixed-codebook twin ann_ivf_topk is the hash-checked variant)."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        ivf_ann_topk,
+        train_kmeans_centroids,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    centroids = train_kmeans_centroids(emb, k=8, iters=4).select(
+        F.col("cluster_id").alias("cid"), F.col("cvec")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_ann_topk(emb, queries, centroids, k=5, nprobe=2)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: codebook = 8 seed vectors (vec_id 0..7 — a stand-in
     for an offline-trained k-means codebook), nprobe=2."""
@@ -1366,6 +1388,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprints": q_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_trained": q_ann_ivf_trained,  # rows-only: trained floats engine-internal
     "embed_near_dup": q_embed_near_dup,
     "asof_last_click": q_asof_last_click,
     "asof_next_view": q_asof_next_view,

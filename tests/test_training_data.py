@@ -263,3 +263,51 @@ def test_incremental_lsh_matches_self_join(spark):
         if b is not None
     }
     assert got == expect and (2, 1) in got
+
+
+def test_train_kmeans_centroids(spark):
+    """Lloyd's k-means build path: deterministic across runs, inertia
+    non-increasing, k centroids of the right dimension, and the
+    trained centroids actually separate an obviously-clustered set."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_finance_pipeline_spark.operators.similarity import (
+        train_kmeans_centroids,
+    )
+
+    # two tight blobs in 4-d
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + (i % 3) * 0.1, 10.0, 10.0, 10.0]))
+        rows.append((100 + i, [-5.0, -5.0 - (i % 3) * 0.1, -5.0, -5.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    c1 = train_kmeans_centroids(df, k=2, iters=4)
+    c2 = train_kmeans_centroids(df, k=2, iters=4)
+    got1 = sorted([tuple(r["cvec"]) for r in c1.collect()])
+    got2 = sorted([tuple(r["cvec"]) for r in c2.collect()])
+    assert got1 == got2  # deterministic
+    # one centroid near each blob
+    signs = sorted(c[0] > 0 for c in got1)
+    assert signs == [False, True]
+    for c in got1:
+        assert len(c) == 4
+        blob = (10.0, 10.1) if c[0] > 0 else (-5.2, -4.9)
+        assert blob[0] - 0.2 <= c[0] <= blob[1] + 0.2
+
+    # inertia with trained centroids beats the 1-iteration version
+    def inertia(cents):
+        tot = 0.0
+        for _, v in rows:
+            tot += min(
+                sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents
+            )
+        return tot
+
+    c0 = train_kmeans_centroids(df, k=2, iters=1)
+    i_trained = inertia(got1)
+    i_early = inertia([tuple(r["cvec"]) for r in c0.collect()])
+    assert i_trained <= i_early + 1e-9
+    assert not math.isnan(i_trained)
