@@ -103,6 +103,8 @@ def pack_sequences(
     tokens_col: str = "n_tokens",
     seq_tokens: int = 2048,
     num_shards: int = 8,
+    shard_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-split sequence packing: documents are laid out in a
     deterministic order and cut into fixed *seq_tokens* training
@@ -117,10 +119,31 @@ def pack_sequences(
     shard = portable_hash(id) and order = id, so re-runs and engines
     agree exactly.
 
+    *shard_col*/*order_col* override the hash layout with existing
+    columns — e.g. the (shard, position) a prior :func:`shuffle_shard`
+    assigned, so packing preserves the shuffled order instead of
+    re-sharding by id.
+
     Output: (shard, seq_id, id, n_tokens, seq_offset).
     """
     from pyspark.sql.window import Window
 
+    if shard_col is not None:
+        out = df.select(
+            F.col(shard_col).alias("shard"),
+            F.col(id_col),
+            F.col(order_col or id_col).alias("_ord"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+        )
+        w = Window.partitionBy("shard").orderBy("_ord", id_col)
+        start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+        return out.select(
+            "shard",
+            F.floor(start / F.lit(float(seq_tokens))).cast("long").alias("seq_id"),
+            id_col,
+            "n_tokens",
+            F.pmod(start, F.lit(seq_tokens)).cast("long").alias("seq_offset"),
+        )
     shard = F.pmod(portable_hash64(F.col(id_col).cast("string")), num_shards)
     out = df.select(
         shard.alias("shard"), F.col(id_col), F.col(tokens_col).cast("long").alias("n_tokens")

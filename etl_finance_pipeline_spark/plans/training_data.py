@@ -467,6 +467,68 @@ FROM k
 """
 
 
+def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-batch layout pipeline composed END-TO-END: token
+    filter (10–500 whitespace tokens) → deterministic global shuffle
+    into 4 shards → sequence packing of 512-token sequences IN
+    SHUFFLED ORDER (pack_sequences consumes shuffle_shard's
+    (shard, position) instead of re-sharding by id). One chain of two
+    window passes over the same shard partitioning — the second sort
+    reuses the first's shuffle."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        pack_sequences,
+        shuffle_shard,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
+    )
+    filtered = docs.filter(F.col("n_tokens").between(10, 500))
+    shuffled = shuffle_shard(filtered, num_shards=4, seed=7)
+    packed = pack_sequences(
+        shuffled,
+        seq_tokens=512,
+        shard_col="shard",
+        order_col="position",
+    )
+    return packed.select(
+        F.col("shard").cast("int").alias("shard"),
+        "seq_id",
+        "doc_id",
+        "n_tokens",
+        "seq_offset",
+    )
+
+
+SQL_TRAINING_BATCHES = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), filt AS (
+  SELECT * FROM tok WHERE n_tokens BETWEEN 10 AND 500
+), sh AS (
+  SELECT doc_id, n_tokens,
+         {_H64.format(s="CAST(doc_id AS VARCHAR) || '#shuffle7'")} AS _skey
+  FROM filt
+), pos AS (
+  SELECT doc_id, n_tokens, CAST(_skey % 4 AS INT) AS shard,
+         row_number() OVER (PARTITION BY _skey % 4 ORDER BY _skey, doc_id) - 1
+           AS position
+  FROM sh
+), c AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY position, doc_id
+         ) - n_tokens AS start
+  FROM pos
+)
+SELECT shard, CAST(floor(start / 512.0) AS BIGINT) AS seq_id,
+       doc_id, n_tokens, CAST(start % 512 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
 # --------------------------------------------------------------------
 # Language ID
 # --------------------------------------------------------------------
@@ -1380,6 +1442,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "prep_corpus": q_prep_corpus,
     "shuffle_shard": q_shuffle_shard,
+    "training_batches": q_training_batches,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "lang_id": q_lang_id,
@@ -1412,6 +1475,7 @@ ORACLES_TD: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "prep_corpus": SQL_PREP_CORPUS,
     "shuffle_shard": SQL_SHUFFLE_SHARD,
+    "training_batches": SQL_TRAINING_BATCHES,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "lang_id": SQL_LANG_ID,
