@@ -2184,6 +2184,35 @@ GROUP BY 1
 """
 
 
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution shape: fuzzy self-match of part names by edit
+    distance (levenshtein ≤ 3). Names are DISTINCT-projected FIRST —
+    the quadratic compare runs on |unique names|², not |parts|², the
+    blocking step every fuzzy join needs at scale (at 100 TB the
+    distinct-project is also the shuffle; the tiny name list then
+    broadcasts into a nested-loop join)."""
+    part = load_table(spark, _t(sf_dir, "part"))
+    names = part.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long")
+        )
+        .filter(F.col("edit_dist") <= 3)
+    )
+
+
+SQL_FUZZY_PART_NAMES = """
+WITH n AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM n a JOIN n b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
 def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA 12/26 + MACD/signal/histogram over 5-minute candles via
     the grouped-map pandas UDF lane (operators.report.ewma_macd).
@@ -2296,6 +2325,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_histogram": q_value_histogram,
     "candles_long": q_candles_long,
     "user_journeys": q_user_journeys,
+    "fuzzy_part_names": q_fuzzy_part_names,
     **QUERIES_TD,
 }
 
@@ -2353,5 +2383,6 @@ ORACLES: dict[str, str] = {
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "candles_long": SQL_CANDLES_LONG,
     "user_journeys": SQL_USER_JOURNEYS,
+    "fuzzy_part_names": SQL_FUZZY_PART_NAMES,
     **ORACLES_TD,
 }
