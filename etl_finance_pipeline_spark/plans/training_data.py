@@ -44,6 +44,29 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the events table with timestamps
+    normalized to TimestampType — the same two repairs ``load_table``
+    applies on the batch side (epoch-nanos longs, and TIMESTAMP_NTZ
+    from naive-micros parquet). ``withWatermark`` hard-fails on NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so streaming readers must
+    normalize before any event-time operator."""
+    from etl_finance_pipeline_spark.sources.tables import (
+        ensure_nanos_conf,
+        normalize_ntz,
+    )
+
+    ensure_nanos_conf(spark)
+    path = _t(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource needs a dir/glob — [t] makes the file a glob
+    stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
+    dtype = {f.name: f.dataType.simpleString() for f in schema.fields}
+    if dtype.get("ts") == "bigint":  # TIMESTAMP(NANOS) read as long
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ntz(stream)
+
+
 # --------------------------------------------------------------------
 # Shared SQL fragments (generated from the operator constants)
 # --------------------------------------------------------------------
@@ -889,16 +912,7 @@ def q_stream_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_finance_pipeline_spark.streaming.candles import stream_candles
 
-    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
-
-    ensure_nanos_conf(spark)
-    path = _t(sf_dir, "events")
-    schema = spark.read.parquet(path).schema
-    # FileStreamSource needs a dir/glob — [t] makes the file a glob
-    stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
-    dtype = dict(zip(schema.fieldNames(), [f.dataType.simpleString() for f in schema.fields]))
-    if dtype.get("ts") == "bigint":  # TIMESTAMP(NANOS) read as long
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _read_event_stream(spark, sf_dir)
     candles = stream_candles(
         stream, "5T", ["event_type"], ts_col="ts", watermark="10 minutes"
     )
@@ -957,18 +971,9 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes."""
     import uuid
 
-    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
     from etl_finance_pipeline_spark.streaming.candles import stream_enrich
 
-    ensure_nanos_conf(spark)
-    path = _t(sf_dir, "events")
-    schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
-    dtype = dict(
-        zip(schema.fieldNames(), [f.dataType.simpleString() for f in schema.fields])
-    )
-    if dtype.get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _read_event_stream(spark, sf_dir)
     cust = load_table(spark, _t(sf_dir, "customer")).select(
         "c_custkey",
         F.col("c_mktsegment").alias("segment"),
@@ -1010,16 +1015,9 @@ def q_stream_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     result — which is what the oracle computes."""
     import uuid
 
-    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
     from etl_finance_pipeline_spark.streaming.candles import stream_interval_join
 
-    ensure_nanos_conf(spark)
-    path = _t(sf_dir, "events")
-    schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
-    dtype = dict(zip(schema.fieldNames(), [f.dataType.simpleString() for f in schema.fields]))
-    if dtype.get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _read_event_stream(spark, sf_dir)
     views = stream.filter("event_type = 'view'").select(
         F.col("event_id").alias("view_id"),
         "user_id",

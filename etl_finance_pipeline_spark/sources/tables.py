@@ -76,6 +76,23 @@ def load_table(spark: SparkSession, path: str) -> DataFrame:
         # integer division — float division would lose precision on
         # epoch-nanos magnitudes (> 2^60)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return normalize_ntz(df)
+
+
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP (with local time zone).
+
+    Parquet written with naive (no-UTC-flag) micro/millisecond timestamps
+    surfaces in Spark 4 as TIMESTAMP_NTZ. The engine is UTC-internal (the
+    session time zone is pinned to UTC in session.py), so the cast is
+    value-preserving — it reinterprets the same wall-clock instant as UTC.
+    Downstream consumers (watermarks, window(), tz conversion) require
+    TimestampType; ``withWatermark`` raises
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ columns outright.
+    """
+    ntz_cols = [name for name, dtype in df.dtypes if dtype == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
