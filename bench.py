@@ -39,29 +39,69 @@ def main() -> int:
     # plan's actual cost.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in queries.items():
-        best, n = float("inf"), 0
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        # Failure isolation: one broken query must never void the whole
+        # bench artifact — record the error and keep timing the rest.
+        try:
+            best, n = float("inf"), 0
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+
+    # Round-over-round deltas vs the most recent BENCH_r{N}.json.
+    prev = _load_previous_bench()
+    if prev:
+        for name, sec in sorted(timings.items()):
+            old = prev.get(name)
+            if isinstance(old, (int, float)) and old > 0:
+                pct = (sec - old) / old * 100
+                if abs(pct) >= 20:
+                    print(f"# delta {name}: {old}s -> {sec}s ({pct:+.0f}%)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     return 0
+
+
+def _load_previous_bench() -> dict[str, float]:
+    """Per-query timings from the highest-numbered BENCH_r{N}.json, if
+    any round artifact exists and parses (best-effort — never fails the
+    bench)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best_path = -1, None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best_n, best_path = int(m.group(1)), p
+    if not best_path:
+        return {}
+    try:
+        with open(best_path) as f:
+            data = json.load(f)
+        q = data.get("queries", {})
+        return q if isinstance(q, dict) else {}
+    except (OSError, ValueError):
+        return {}
 
 
 if __name__ == "__main__":
