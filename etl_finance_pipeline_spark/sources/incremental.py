@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from etl_finance_pipeline_spark.sources.table_format import (
     Snapshot,
+    VacuumedRangeError,
     _list_versions,
     _manifest_path,
     read_changes,
@@ -94,7 +95,25 @@ def refresh_aggregate(
     if seen >= base_version:
         return None
 
-    changes = read_changes(spark, base_table, from_version=seen, to_version=base_version)
+    try:
+        changes = read_changes(
+            spark, base_table, from_version=seen, to_version=base_version
+        )
+    except VacuumedRangeError:
+        # Part of the feed past our high-water mark was vacuumed — the
+        # deltas are unrecoverable, so recompute the aggregate from the
+        # current base snapshot instead of silently losing them.
+        agg = (
+            read_table(spark, base_table)
+            .groupBy(*key_cols)
+            .agg(*sums, F.count("*").alias("row_count"))
+        )
+        return write_table(
+            agg,
+            state_table,
+            mode="overwrite",
+            extra_metadata={"base_version": base_version},
+        )
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
     delta = (
         changes.withColumn("_sign", sign)

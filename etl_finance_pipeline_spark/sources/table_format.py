@@ -84,6 +84,20 @@ class SchemaEvolutionError(ValueError):
     """An append tried to change the type of an existing column."""
 
 
+class VacuumedRangeError(RuntimeError):
+    """A change-feed range includes versions whose manifests were
+    vacuumed — the deltas are unrecoverable and the consumer must fall
+    back to a full recompute instead of silently skipping them."""
+
+    def __init__(self, table: str, missing: list[int]):
+        self.table = table
+        self.missing = missing
+        super().__init__(
+            f"change feed on {table} needs vacuumed versions {missing}; "
+            "full recompute required"
+        )
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -861,6 +875,14 @@ def read_changes(
         raise FileNotFoundError(f"no table at {table}")
     if to_version is None:
         to_version = versions[-1]
+    # Every version in the requested range must still have its
+    # manifest. vacuum() truncates old manifests, so a consumer whose
+    # from_version predates the cutoff would otherwise silently skip
+    # those commits' rows and stamp the new high-water mark — losing
+    # deltas with no error.
+    missing = sorted(set(range(from_version + 1, to_version + 1)) - set(versions))
+    if missing:
+        raise VacuumedRangeError(table, missing)
     targets = [v for v in versions if from_version < v <= to_version]
     parts: list[DataFrame] = []
     for v in targets:
@@ -869,12 +891,17 @@ def read_changes(
         if m.get("data_change") is False:
             continue
         removed_entries: list[dict] = []
-        if m["action"] == "overwrite":
-            removed_entries = snapshot(table, v - 1).files if v > 0 else []
-        elif m["action"] == "replace":
-            removed = set(m.get("removed", []))
-            prior = snapshot(table, v - 1).files if v > 0 else []
-            removed_entries = [f for f in prior if f["path"] in removed]
+        if m["action"] in ("overwrite", "replace") and v > 0:
+            # Delete rows come from the PRIOR snapshot; if that version
+            # was vacuumed the deletes are unrecoverable too.
+            if v - 1 not in versions:
+                raise VacuumedRangeError(table, [v - 1])
+            prior = snapshot(table, v - 1).files
+            if m["action"] == "overwrite":
+                removed_entries = prior
+            else:
+                removed = set(m.get("removed", []))
+                removed_entries = [f for f in prior if f["path"] in removed]
         for entries, kind in ((m["files"], "insert"), (removed_entries, "delete")):
             if entries:
                 parts.append(

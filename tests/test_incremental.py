@@ -12,9 +12,12 @@ from etl_finance_pipeline_spark.sources.incremental import (
     refresh_aggregate,
 )
 from etl_finance_pipeline_spark.sources.table_format import (
+    VacuumedRangeError,
     delete_where,
     merge_table,
+    read_changes,
     read_table,
+    vacuum,
     write_table,
 )
 
@@ -63,6 +66,40 @@ def test_refresh_tracks_appends_merges_deletes(spark, tmp_path):
     refresh_aggregate(spark, base, state, ["SYMBOL"], ["CLOSE"])
     st = _state(spark, state)
     assert "GBP" not in st and st == _full(spark, base)
+
+
+def test_read_changes_raises_on_vacuumed_range(spark, tmp_path):
+    base = str(tmp_path / "base_vac")
+    write_table(_df(spark, [(1, "EUR", 1.0)]), base)       # v0
+    write_table(_df(spark, [(2, "EUR", 2.0)]), base)       # v1
+    write_table(_df(spark, [(3, "GBP", 5.0)]), base)       # v2
+    vacuum(base, keep_versions=1)  # manifests for v0, v1 gone
+
+    # A consumer parked before the cutoff must get an error, not a
+    # silent skip of the vacuumed commits' rows.
+    with pytest.raises(VacuumedRangeError) as exc:
+        read_changes(spark, base, from_version=0)
+    assert exc.value.missing == [1]
+
+    # The surviving suffix is still readable.
+    assert read_changes(spark, base, from_version=1).count() == 1
+
+
+def test_refresh_aggregate_recomputes_after_vacuum(spark, tmp_path):
+    base, state = str(tmp_path / "base_vac2"), str(tmp_path / "state_vac2")
+    write_table(_df(spark, [(1, "EUR", 1.0), (2, "GBP", 5.0)]), base)  # v0
+    refresh_aggregate(spark, base, state, ["SYMBOL"], ["CLOSE"])
+    assert aggregate_state_version(state) == 0
+
+    write_table(_df(spark, [(3, "EUR", 2.0)]), base)       # v1
+    delete_where(spark, base, "SYMBOL = 'GBP'")            # v2
+    write_table(_df(spark, [(4, "JPY", 9.0)]), base)       # v3
+    vacuum(base, keep_versions=1)  # feed past v0 is unrecoverable
+
+    # Refresh falls back to a full recompute instead of losing deltas.
+    refresh_aggregate(spark, base, state, ["SYMBOL"], ["CLOSE"])
+    assert _state(spark, state) == _full(spark, base)
+    assert aggregate_state_version(state) == 3
 
 
 def test_read_aggregate_derives_avg(spark, tmp_path):
