@@ -569,7 +569,7 @@ def read_table(
     if not files:
         empty_schema = snap.schema or snap.schema_ddl or "dummy string"
         return spark.createDataFrame([], empty_schema)
-    out = _read_files(spark, table, files)
+    out = _read_files(spark, table, files, snap.schema)
     schema = snap.schema
     if schema is not None:
         # evolved tables: files written before a column existed read as
@@ -595,22 +595,32 @@ def _infer_partition_type(values: list[str]) -> str:
     return "string"
 
 
-def _read_files(spark: SparkSession, table: str, files: list[dict]) -> DataFrame:
+def _read_files(
+    spark: SparkSession,
+    table: str,
+    files: list[dict],
+    schema: StructType | None = None,
+) -> DataFrame:
     """ONE scan relation for the whole snapshot — the driver acts as
     the FileIndex (the role Delta's TahoeFileIndex plays): Spark gets
     the explicit pruned file list (mergeSchema covers additive
     evolution across commits), and hive partition columns are
-    re-derived from the file paths with types matching Spark's
-    partition inference. The previous formulation scanned per commit
-    dir and unioned — O(commits) relations, which a streaming-ingest
-    table turns into thousands; this plans one scan regardless of
-    commit count. Partition values containing %-escapes are not
-    unescaped (none of our writers produce them)."""
+    re-derived from the file paths. When the snapshot's recorded
+    *schema* is passed, partition columns are cast to their DECLARED
+    types — path-value re-inference would corrupt string partitions
+    that look numeric (``MONTH=01`` → int 1, breaking later
+    partition-filtered reads after a rewrite). The previous
+    formulation scanned per commit dir and unioned — O(commits)
+    relations, which a streaming-ingest table turns into thousands;
+    this plans one scan regardless of commit count. Partition values
+    containing %-escapes are not unescaped (none of our writers
+    produce them)."""
     paths = [os.path.join(table, f["path"]) for f in files]
     pvals: dict[str, list[str]] = {}
     for f in files:
         for k, v in f.get("partition_values", {}).items():
             pvals.setdefault(k, []).append(v)
+    declared = {f.name: f.dataType.simpleString() for f in schema.fields} if schema else {}
     out = spark.read.option("mergeSchema", "true").parquet(*paths)
     for k, vals in pvals.items():
         ext = F.regexp_extract(F.input_file_name(), re.escape(k) + "=([^/]+)", 1)
@@ -620,7 +630,7 @@ def _read_files(spark: SparkSession, table: str, files: list[dict]) -> DataFrame
             col = F.when(ext != "", ext).otherwise(F.col(k).cast("string"))
         else:
             col = F.when(ext != "", ext)
-        out = out.withColumn(k, col.cast(_infer_partition_type(vals)))
+        out = out.withColumn(k, col.cast(declared.get(k) or _infer_partition_type(vals)))
     return out
 
 
@@ -659,7 +669,7 @@ def merge_table(
     untouched = [f for f in snap.files if f not in overlapping]
 
     if overlapping:
-        existing = _read_files(spark, table, overlapping)
+        existing = _read_files(spark, table, overlapping, snap.schema)
         keep = existing.join(source.select(*key_cols), on=key_cols, how="left_anti")
         rewrite = keep.unionByName(source, allowMissingColumns=True)
     else:
@@ -711,7 +721,7 @@ def delete_where(
         touched = list(snap.files)
     if not touched:
         return snap
-    kept = _read_files(spark, table, touched).filter(f"NOT ({condition})")
+    kept = _read_files(spark, table, touched, snap.schema).filter(f"NOT ({condition})")
     entries, commit_id = _stage_files(kept, table, None)
     for _ in range(max_retries):
         versions = _list_versions(table)
@@ -762,9 +772,20 @@ def compact_partition(
     ]
     if len(touched) <= target_files:
         return snap
-    df = _read_files(spark, table, touched).coalesce(target_files)
-    # re-stage under the same hive layout so partition_values carry
-    partition_by = list(partition_filter)
+    df = _read_files(spark, table, touched, snap.schema).coalesce(target_files)
+    # Re-stage under the table's FULL hive layout, not just the filter
+    # keys: a filter naming a subset of a multi-column layout (e.g.
+    # {YEAR: 2024} over YEAR/MONTH) must keep the other keys, or the
+    # re-staged files lose their partition_values and later
+    # partition-filtered reads silently drop rows.
+    partition_by: list[str] = []
+    for f in touched:
+        for k in f.get("partition_values", {}):
+            if k not in partition_by:
+                partition_by.append(k)
+    for k in partition_filter:
+        if k not in partition_by:
+            partition_by.append(k)
     for k in partition_by:
         if k not in df.columns:
             raise ValueError(f"partition column {k!r} not in data")
@@ -890,6 +911,11 @@ def read_changes(
             m = json.load(fh)
         if m.get("data_change") is False:
             continue
+        commit_schema = (
+            StructType.fromJson(json.loads(m["schema_json"]))
+            if m.get("schema_json")
+            else None
+        )
         removed_entries: list[dict] = []
         if m["action"] in ("overwrite", "replace") and v > 0:
             # Delete rows come from the PRIOR snapshot; if that version
@@ -905,7 +931,7 @@ def read_changes(
         for entries, kind in ((m["files"], "insert"), (removed_entries, "delete")):
             if entries:
                 parts.append(
-                    _read_files(spark, table, entries)
+                    _read_files(spark, table, entries, commit_schema)
                     .withColumn("_change_type", F.lit(kind))
                     .withColumn("_commit_version", F.lit(v).cast("int"))
                 )

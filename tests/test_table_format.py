@@ -521,3 +521,36 @@ def test_compact_partition_scoped_replace(spark, tmp_path):
     assert got == [1.0, 2.0, 3.0, 9.0]
     # invisible to the change feed
     assert read_changes(spark, t, from_version=3).count() == 0
+
+
+def test_compact_partition_keeps_other_hive_keys(spark, tmp_path):
+    """Compacting on a SUBSET of a multi-column hive layout must keep
+    the other keys in the re-staged files' partition_values, so
+    partition-filtered reads on the unnamed key still see the rows."""
+    from etl_finance_pipeline_spark.sources.table_format import compact_partition
+
+    t = str(tmp_path / "tbl2")
+    rows = [
+        ("2024", "01", 1.0),
+        ("2024", "01", 2.0),
+        ("2024", "02", 3.0),
+        ("2025", "01", 9.0),
+    ]
+    for y, m, v in rows:
+        write_table(
+            spark.createDataFrame([(y, m, v)], "YEAR string, MONTH string, CLOSE double"),
+            t,
+            partition_by=["YEAR", "MONTH"],
+        )
+
+    snap = compact_partition(spark, t, {"YEAR": "2024"}, target_files=1)
+    y24 = [f for f in snap.files if f["partition_values"].get("YEAR") == "2024"]
+    # MONTH survives in every re-staged file's partition_values
+    assert all("MONTH" in f["partition_values"] for f in y24)
+    # a read filtered on the key the compaction did NOT name is intact
+    jan = read_table(spark, t, partition_filter={"MONTH": "01"}).collect()
+    assert sorted(r["CLOSE"] for r in jan) == [1.0, 2.0, 9.0]
+    # and the full table is intact
+    assert sorted(r["CLOSE"] for r in read_table(spark, t).collect()) == [
+        1.0, 2.0, 3.0, 9.0,
+    ]
