@@ -240,6 +240,14 @@ def _stage_files(df: DataFrame, table: str, partition_by: list[str] | None) -> t
     for path in glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True):
         rel = os.path.relpath(path, table)
         meta = pq.ParquetFile(path).metadata
+        if meta.num_rows == 0:
+            # Spark emits one part file per write task; empty tasks
+            # produce zero-row files. Dropping them here keeps manifests
+            # proportional to data, not to parallelism — and their empty
+            # stats would otherwise defeat data skipping (missing stats
+            # are conservatively kept).
+            os.remove(path)
+            continue
         entries.append(
             {
                 "path": rel,
@@ -634,6 +642,33 @@ def _read_files(
     return out
 
 
+def _conflict_retry_safe(
+    table: str,
+    prior_snap: Snapshot,
+    removed_files: list[dict],
+    overlap_preds: list[tuple] | None = None,
+) -> bool:
+    """After a :class:`CommitConflict`: may the rewrite re-claim the
+    next version with its pre-conflict removed/files lists? Only if the
+    conflicting commits are disjoint from what it read and removes —
+    every removed file must still be live (else re-committing would
+    resurrect rows a concurrent delete/merge dropped), and, when
+    *overlap_preds* is given, no NEW live file may overlap that key
+    range (files without stats count as overlapping)."""
+    live = snapshot(table)
+    live_paths = {f["path"] for f in live.files}
+    if not {f["path"] for f in removed_files} <= live_paths:
+        return False
+    if overlap_preds is not None:
+        prior_paths = {f["path"] for f in prior_snap.files}
+        for f in live.files:
+            if f["path"] not in prior_paths and _stats_match(
+                f.get("stats") or {}, overlap_preds
+            ):
+                return False
+    return True
+
+
 def merge_table(
     spark: SparkSession,
     table: str,
@@ -666,7 +701,6 @@ def merge_table(
         preds.append((c, ">=", bounds[f"_mn_{c}"]))
         preds.append((c, "<=", bounds[f"_mx_{c}"]))
     overlapping = [f for f in snap.files if _stats_match(f.get("stats") or {}, preds)]
-    untouched = [f for f in snap.files if f not in overlapping]
 
     if overlapping:
         existing = _read_files(spark, table, overlapping, snap.schema)
@@ -697,6 +731,11 @@ def merge_table(
             _maybe_checkpoint(table, snap)
             return snap
         except CommitConflict:
+            if not _conflict_retry_safe(table, snap, overlapping, preds):
+                raise CommitConflict(
+                    f"concurrent commit on {table} touched data this merge "
+                    "read; re-run merge_table against the new snapshot"
+                ) from None
             continue
     raise CommitConflict(f"gave up after {max_retries} retries on {table}")
 
@@ -744,6 +783,14 @@ def delete_where(
             _maybe_checkpoint(table, snap)
             return snap
         except CommitConflict:
+            # Concurrent appends serialize fine (our delete first, the
+            # append after); a concurrent rewrite of a file we remove
+            # does not — abort instead of resurrecting its old bytes.
+            if not _conflict_retry_safe(table, snap, touched):
+                raise CommitConflict(
+                    f"concurrent commit on {table} rewrote data this delete "
+                    "read; re-run delete_where against the new snapshot"
+                ) from None
             continue
     raise CommitConflict(f"gave up after {max_retries} retries on {table}")
 
@@ -811,6 +858,14 @@ def compact_partition(
             _maybe_checkpoint(table, out)
             return out
         except CommitConflict:
+            # Compaction moves bytes, not rows — but only for the bytes
+            # it actually read. A concurrent rewrite of a touched file
+            # must abort the compaction, not be overwritten by it.
+            if not _conflict_retry_safe(table, snap, touched):
+                raise CommitConflict(
+                    f"concurrent commit on {table} rewrote a file this "
+                    "compaction read; re-run compact_partition"
+                ) from None
             continue
     raise CommitConflict(f"gave up after {max_retries} retries on {table}")
 

@@ -523,6 +523,65 @@ def test_compact_partition_scoped_replace(spark, tmp_path):
     assert read_changes(spark, t, from_version=3).count() == 0
 
 
+def test_merge_conflict_does_not_resurrect_deleted_rows(spark, tmp_path, monkeypatch):
+    """A merge that loses the commit race to a DELETE touching its
+    rewrite set must abort — re-claiming the next version with its
+    pre-conflict file lists would re-insert the deleted rows."""
+    import etl_finance_pipeline_spark.sources.table_format as tf
+
+    t = str(tmp_path / "tbl_race")
+    write_table(_df(spark, [("EURUSD", 1.0), ("GBPUSD", 2.0)]), t)
+
+    orig = tf._try_commit
+    state = {"raced": False}
+
+    def racing(table, version, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            # A concurrent writer wins this version with a DELETE that
+            # rewrites the file our merge also read.
+            monkeypatch.setattr(tf, "_try_commit", orig)
+            tf.delete_where(spark, t, "SYMBOL = 'EURUSD'")
+        return orig(table, version, manifest)
+
+    monkeypatch.setattr(tf, "_try_commit", racing)
+    with pytest.raises(CommitConflict, match="re-run merge_table"):
+        tf.merge_table(spark, t, _df(spark, [("GBPUSD", 20.0)]), ["SYMBOL"])
+
+    # the concurrent delete's outcome survives — EURUSD stays gone
+    got = {tuple(r) for r in read_table(spark, t).collect()}
+    assert got == {("GBPUSD", 2.0)}
+
+    # a fresh merge against the new snapshot applies cleanly
+    tf.merge_table(spark, t, _df(spark, [("GBPUSD", 20.0)]), ["SYMBOL"])
+    got = {tuple(r) for r in read_table(spark, t).collect()}
+    assert got == {("GBPUSD", 20.0)}
+
+
+def test_merge_conflict_with_disjoint_append_retries(spark, tmp_path, monkeypatch):
+    """Losing the race to an APPEND of unrelated keys is benign: the
+    merge retries at the next version and both commits land."""
+    import etl_finance_pipeline_spark.sources.table_format as tf
+
+    t = str(tmp_path / "tbl_race2")
+    write_table(_df(spark, [("EURUSD", 1.0)]), t)
+
+    orig = tf._try_commit
+    state = {"raced": False}
+
+    def racing(table, version, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(tf, "_try_commit", orig)
+            write_table(_df(spark, [("ZZZBAR", 9.0)]), t)
+        return orig(table, version, manifest)
+
+    monkeypatch.setattr(tf, "_try_commit", racing)
+    tf.merge_table(spark, t, _df(spark, [("EURUSD", 10.0)]), ["SYMBOL"])
+    got = {tuple(r) for r in read_table(spark, t).collect()}
+    assert got == {("EURUSD", 10.0), ("ZZZBAR", 9.0)}
+
+
 def test_compact_partition_keeps_other_hive_keys(spark, tmp_path):
     """Compacting on a SUBSET of a multi-column hive layout must keep
     the other keys in the re-staged files' partition_values, so
