@@ -179,11 +179,47 @@ def _force_checkpoint(table: str, snap: Snapshot) -> None:
                 "files": snap.files,
                 "schema": snap.schema_ddl,
                 "schema_json": snap.schema_json,
+                # Streaming-sink epoch high-water mark rides the
+                # checkpoint so idempotence survives vacuum (which
+                # deletes the manifests that carry source_batch_id).
+                "max_source_batch_id": last_committed_epoch(table, snap.version),
             },
             fh,
             default=str,
         )
     os.replace(tmp, path)
+
+
+def last_committed_epoch(table: str, version: int | None = None) -> int | None:
+    """Highest streaming ``source_batch_id`` committed at or before
+    *version* (default: latest), or None if no streaming sink has
+    written. O(_CHECKPOINT_INTERVAL): reads the newest checkpoint's
+    recorded high-water mark plus the manifest suffix after it — never
+    the whole log. Structured Streaming epoch ids are monotonic per
+    query, so the max IS the dedupe watermark: a redelivered epoch has
+    id <= this value."""
+    versions = _list_versions(table)
+    if not versions:
+        return None
+    if version is None:
+        version = versions[-1]
+    best: int | None = None
+    replay_from = 0
+    usable = [cp for cp in _list_checkpoints(table) if cp <= version]
+    if usable:
+        with open(_checkpoint_path(table, usable[-1])) as fh:
+            ckpt = json.load(fh)
+        b = ckpt.get("max_source_batch_id")
+        best = int(b) if b is not None else None
+        replay_from = usable[-1] + 1
+    for v in versions:
+        if v < replay_from or v > version:
+            continue
+        with open(_manifest_path(table, v)) as fh:
+            b = json.load(fh).get("source_batch_id")
+        if b is not None and (best is None or int(b) > best):
+            best = int(b)
+    return best
 
 
 def _merge_schemas(old: StructType, new: StructType) -> StructType:

@@ -22,12 +22,16 @@ from pyspark.sql import DataFrame
 from etl_finance_pipeline_spark.sources.table_format import (
     _list_versions,
     _manifest_path,
+    last_committed_epoch,
     write_table,
 )
 
 
 def committed_batch_ids(table: str) -> set[int]:
-    """Epoch ids already committed to *table* (from manifest metadata)."""
+    """Epoch ids in the SURVIVING manifests (vacuum drops old ones) —
+    introspection/debugging only. The dedupe decision uses
+    :func:`last_committed_epoch`, which is O(checkpoint interval) and
+    survives vacuum via the checkpointed high-water mark."""
     import json
 
     out: set[int] = set()
@@ -39,6 +43,15 @@ def committed_batch_ids(table: str) -> set[int]:
     return out
 
 
+def _epoch_already_committed(table: str, epoch_id: int) -> bool:
+    """O(1)-per-microbatch idempotence check: Structured Streaming
+    epoch ids are monotonic per query, so a redelivered epoch is
+    exactly one with id <= the committed high-water mark. The mark
+    rides checkpoints, so it survives vacuum truncating manifests."""
+    last = last_committed_epoch(table)
+    return last is not None and int(epoch_id) <= last
+
+
 def write_batch_idempotent(
     batch_df: DataFrame,
     epoch_id: int,
@@ -48,7 +61,7 @@ def write_batch_idempotent(
     """foreachBatch body: append *batch_df* as one commit tagged with
     *epoch_id*, unless that epoch already committed (redelivery after
     a sink failure → no duplicate data). Returns True if committed."""
-    if epoch_id in committed_batch_ids(table):
+    if _epoch_already_committed(table, epoch_id):
         return False
     write_table(
         batch_df,
@@ -81,7 +94,7 @@ def upsert_batch_idempotent(
         snapshot(table)
     except FileNotFoundError:
         return write_batch_idempotent(batch_df, epoch_id, table)
-    if epoch_id in committed_batch_ids(table):
+    if _epoch_already_committed(table, epoch_id):
         return False
     merge_table(
         batch_df.sparkSession,
@@ -140,10 +153,12 @@ def stream_to_table(
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         committed = write_batch_idempotent(batch_df, epoch_id, table, partition_by)
+        # epoch ids are monotonic, so modular arithmetic on the id
+        # gives the every-N cadence without an O(versions) log scan
         if (
             committed
             and auto_compact_every
-            and len(committed_batch_ids(table)) % auto_compact_every == 0
+            and (int(epoch_id) + 1) % auto_compact_every == 0
         ):
             from etl_finance_pipeline_spark.sources.table_format import (
                 compact,

@@ -190,6 +190,59 @@ def test_deduped_stream_ingest_e2e(spark, tmp_path):
     assert len(history(table)) >= 2
 
 
+def test_epoch_dedupe_survives_vacuum(spark, tmp_path):
+    """The sink's idempotence watermark rides checkpoints: after a
+    vacuum deletes the manifests carrying source_batch_id, a restarted
+    query redelivering an old epoch must still be a no-op."""
+    from etl_finance_pipeline_spark.sources.table_format import read_table, vacuum
+    from etl_finance_pipeline_spark.streaming.sink import write_batch_idempotent
+
+    table = str(tmp_path / "tbl_vac")
+
+    def batch(i):
+        return spark.createDataFrame([(i, float(i))], "event_id long, CLOSE double")
+
+    for e in range(3):
+        assert write_batch_idempotent(batch(e), e, table) is True
+    vacuum(table, keep_versions=1)  # manifests for epochs 0, 1 gone
+
+    # post-vacuum restart redelivers an already-committed epoch → no-op
+    assert write_batch_idempotent(batch(1), 1, table) is False
+    assert read_table(spark, table).count() == 3
+    # a genuinely new epoch still lands
+    assert write_batch_idempotent(batch(3), 3, table) is True
+    assert read_table(spark, table).count() == 4
+
+
+def test_epoch_watermark_rides_checkpoints(spark, tmp_path):
+    """last_committed_epoch reads one checkpoint plus the manifest
+    suffix — the interval checkpoint must record the high-water mark so
+    the lookup never needs the full log."""
+    import json
+
+    from etl_finance_pipeline_spark.sources.table_format import (
+        _CHECKPOINT_INTERVAL,
+        _checkpoint_path,
+        _list_checkpoints,
+        last_committed_epoch,
+    )
+    from etl_finance_pipeline_spark.streaming.sink import write_batch_idempotent
+
+    table = str(tmp_path / "tbl_ckpt")
+    for e in range(_CHECKPOINT_INTERVAL + 2):
+        write_batch_idempotent(
+            spark.createDataFrame([(e, float(e))], "event_id long, CLOSE double"),
+            e,
+            table,
+        )
+    cps = _list_checkpoints(table)
+    assert cps, "interval checkpoint expected"
+    with open(_checkpoint_path(table, cps[-1])) as fh:
+        ckpt = json.load(fh)
+    assert ckpt["max_source_batch_id"] == cps[-1]
+    assert last_committed_epoch(table) == _CHECKPOINT_INTERVAL + 1
+
+
 def test_stream_enrich_static_dim(spark, tmp_path):
     from etl_finance_pipeline_spark.streaming.candles import stream_enrich
 
