@@ -314,6 +314,7 @@ def train_kmeans_centroids(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 5,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means — the IVF index BUILD path (the
     query path is :func:`ivf_ann_topk`, which takes these centroids).
@@ -331,8 +332,12 @@ def train_kmeans_centroids(
     Deterministic end-to-end: seeding takes the k ids with the
     smallest portable hash (engine-portable, reshuffle-proof), fixed
     iteration count, and ties in the argmin break toward the lower
-    cluster id. Float means are engine-internal — pin behavior with
-    pytest, not a cross-engine hash (same line as EWMA).
+    cluster id. *round_digits* applies portable rounding
+    (``floor(m*10^d + 0.5)/10^d``) to each centroid mean after every
+    iteration — summation order is engine-internal, so rounding the
+    per-iteration fixed point is what makes the trained codebook
+    reproducible cross-engine (the DuckDB oracle unrolls the same
+    iterations with the same rounding).
 
     Returns (cluster_id int, cvec array<double>).
     """
@@ -396,6 +401,14 @@ def train_kmeans_centroids(
             .collect()
         )
         new = {r["cluster_id"]: list(r["cvec"]) for r in means}
+        if round_digits is not None:
+            import math
+
+            scale = 10.0 ** round_digits
+            new = {
+                cid: [math.floor(m * scale + 0.5) / scale for m in vec]
+                for cid, vec in new.items()
+            }
         # empty clusters keep their previous centroid
         centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
 

@@ -2216,10 +2216,10 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
 def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA 12/26 + MACD/signal/histogram over 5-minute candles via
     the grouped-map pandas UDF lane (operators.report.ewma_macd).
-    NO oracle entry on purpose: the EWMA recursion's float operation
-    order is engine-internal (pandas ewm kernel), so a cross-engine
-    hash can flip on last-ulp boundaries — the driver records the
-    rows-only check and the pandas-equivalence pytest pins values."""
+    Oracle: SQL_MACD mirrors the pandas ``ewm(adjust=True)`` kernel's
+    exact state recursion (weighted_avg/old_wt pair, including the
+    skip-update-when-equal guard) in a DuckDB recursive CTE — verified
+    bit-identical to pandas, so the 6-decimal rounded hash matches."""
     from etl_finance_pipeline_spark.operators.report import ewma_macd
 
     c = _candles_5m_raw(spark, sf_dir)
@@ -2232,6 +2232,65 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pr("MACD_SIGNAL", 6).alias("macd_signal"),
         _pr("MACD_HIST", 6).alias("macd_hist"),
     )
+
+
+# Mirrors pandas' ewm(adjust=True) mean kernel exactly: per step the
+# state is (weighted_avg, old_wt); old_wt *= (1 - alpha); then, ONLY
+# when the incoming value differs from the running average (pandas
+# skips the update when equal to avoid float noise),
+# avg = (old_wt * avg + cur) / (old_wt + 1); old_wt += 1. The same op
+# order in DuckDB doubles reproduces pandas bit-for-bit, so the
+# 6-decimal portable rounding agrees. Signal line = the same recursion
+# over the macd series (fast - slow), seeded at the first row where
+# macd is exactly 0.0.
+SQL_MACD = """
+WITH RECURSIVE dedup AS (
+  SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) = 1
+), c5 AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL 5 MINUTE, ts) AS ts,
+         arg_max(value, ts) AS close
+  FROM dedup GROUP BY 1, 2
+), ord AS (
+  SELECT symbol, ts, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn
+  FROM c5
+), rec AS (
+  SELECT symbol, ts, close, rn,
+         close AS fast_avg, 1.0::DOUBLE AS fast_wt,
+         close AS slow_avg, 1.0::DOUBLE AS slow_wt,
+         0.0::DOUBLE AS macd,
+         0.0::DOUBLE AS sig_avg, 1.0::DOUBLE AS sig_wt
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT symbol, ts, close, rn,
+         f_avg, f_wt, s_avg, s_wt,
+         f_avg - s_avg AS macd,
+         CASE WHEN p_sig = (f_avg - s_avg) THEN p_sig
+              ELSE (sw0 * p_sig + (f_avg - s_avg)) / (sw0 + 1.0) END AS sig_avg,
+         sw0 + 1.0 AS sig_wt
+  FROM (
+    SELECT o.symbol, o.ts, o.close, o.rn,
+           CASE WHEN r.fast_avg = o.close THEN r.fast_avg
+                ELSE ((r.fast_wt * (1.0 - 2.0/13.0)) * r.fast_avg + o.close)
+                     / ((r.fast_wt * (1.0 - 2.0/13.0)) + 1.0) END AS f_avg,
+           (r.fast_wt * (1.0 - 2.0/13.0)) + 1.0 AS f_wt,
+           CASE WHEN r.slow_avg = o.close THEN r.slow_avg
+                ELSE ((r.slow_wt * (1.0 - 2.0/27.0)) * r.slow_avg + o.close)
+                     / ((r.slow_wt * (1.0 - 2.0/27.0)) + 1.0) END AS s_avg,
+           (r.slow_wt * (1.0 - 2.0/27.0)) + 1.0 AS s_wt,
+           r.sig_avg AS p_sig,
+           (r.sig_wt * (1.0 - 2.0/10.0)) AS sw0
+    FROM rec r JOIN ord o ON o.symbol = r.symbol AND o.rn = r.rn + 1
+  )
+)
+SELECT symbol, ts, close,
+       floor(macd * 1000000 + 0.5) / 1000000 AS macd,
+       floor(sig_avg * 1000000 + 0.5) / 1000000 AS macd_signal,
+       floor((macd - sig_avg) * 1000000 + 0.5) / 1000000 AS macd_hist
+FROM rec
+"""
 
 
 SQL_RISK_INDICATORS = """
@@ -2320,7 +2379,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lonely_suppliers": q_lonely_suppliers,
     "acctbal_percentiles": q_acctbal_percentiles,
     "risk_indicators": q_risk_indicators,
-    "macd": q_macd,  # rows-only: no oracle (EWMA recursion, see docstring)
+    "macd": q_macd,
     "order_percentiles": q_order_percentiles,
     "value_histogram": q_value_histogram,
     "candles_long": q_candles_long,
@@ -2379,6 +2438,7 @@ ORACLES: dict[str, str] = {
     "lonely_suppliers": SQL_LONELY_SUPPLIERS,
     "acctbal_percentiles": SQL_ACCTBAL_PERCENTILES,
     "risk_indicators": SQL_RISK_INDICATORS,
+    "macd": SQL_MACD,
     "order_percentiles": SQL_ORDER_PERCENTILES,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "candles_long": SQL_CANDLES_LONG,

@@ -753,17 +753,19 @@ QUALIFY rank <= 5
 
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF pipeline END-TO-END in-engine: Lloyd's k-means trains
-    the codebook (k=8, 4 iterations), then ivf_ann_topk answers the
-    same query batch against it. Rows-only on purpose: centroid means
-    are engine-internal floats (pytest pins k-means behavior; the
-    fixed-codebook twin ann_ivf_topk is the hash-checked variant)."""
+    the codebook (k=8, 4 iterations, means portably rounded to 6
+    decimals per iteration), then ivf_ann_topk answers the same query
+    batch against it. The per-iteration rounding pins the fixed point
+    cross-engine, so SQL_ANN_IVF_TRAINED can unroll the identical
+    iterations in DuckDB and the result is hash-checked like every
+    other query."""
     from etl_finance_pipeline_spark.operators.similarity import (
         ivf_ann_topk,
         train_kmeans_centroids,
     )
 
     emb = load_table(spark, _t(sf_dir, "embeddings"))
-    centroids = train_kmeans_centroids(emb, k=8, iters=4).select(
+    centroids = train_kmeans_centroids(emb, k=8, iters=4, round_digits=6).select(
         F.col("cluster_id").alias("cid"), F.col("cvec")
     )
     queries = emb.filter(F.col("vec_id") < 5)
@@ -787,6 +789,100 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
+
+
+_L2_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+)
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd's k-means CTE chain mirroring
+    operators.similarity.train_kmeans_centroids(round_digits=6):
+    hash-seeded start, squared-L2 argmin with lower-cid tie-break,
+    per-(cluster, dim) means portably rounded to 6 decimals each
+    iteration (the rounding is what pins the fixed point across
+    engines), empty clusters carrying their previous centroid.
+    Produces CTE ``c{iters}`` = (cid, cvec DOUBLE[])."""
+    parts = [
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY {_H64.format(s='CAST(vec_id AS VARCHAR)')}, vec_id) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings
+  ORDER BY {_H64.format(s='CAST(vec_id AS VARCHAR)')}, vec_id
+  LIMIT {k}
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_L2_SQL.format(a='e.embedding', b='c.cvec')} ASC, c.cid
+           ) AS pr
+    FROM embeddings e CROSS JOIN c{i} c
+  ) WHERE pr = 1
+),
+m{i} AS (
+  SELECT cid, pos, floor(avg(CAST(v AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mv
+  FROM (
+    SELECT cid, pos, embedding[pos] AS v
+    FROM a{i}, UNNEST(range(1, array_length(embedding) + 1)) AS t(pos)
+  ) GROUP BY cid, pos
+),
+c{i + 1} AS (
+  SELECT cid, list(mv ORDER BY pos) AS cvec FROM m{i} GROUP BY cid
+  UNION ALL
+  SELECT cid, cvec FROM c{i} WHERE cid NOT IN (SELECT cid FROM m{i})
+)"""
+        )
+    return ",\n".join(parts)
+
+
+SQL_ANN_IVF_TRAINED = f"""
+WITH {_kmeans_sql(k=8, iters=4)},
+cent AS (
+  SELECT cid, cvec FROM c4
+),
+corpus_assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {{cos_ec}} DESC, c.cid
+           ) AS pr
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE pr = 1
+),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {{cos_ec}} DESC, c.cid
+           ) AS pr
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < 5
+  ) WHERE pr <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         floor(({{cos_qa}}) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM probes p JOIN corpus_assign a USING (cid)
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+FROM cand
+QUALIFY rank <= 5
+""".format(
+    cos_ec=_COS_SQL.format(a="e.embedding", b="c.cvec"),
+    cos_qa=_COS_SQL.format(a="p.qv", b="a.embedding"),
+)
 
 
 SQL_ANN_IVF_TOPK = f"""
@@ -1449,7 +1545,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprints": q_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_ivf_trained": q_ann_ivf_trained,  # rows-only: trained floats engine-internal
+    "ann_ivf_trained": q_ann_ivf_trained,
     "embed_near_dup": q_embed_near_dup,
     "asof_last_click": q_asof_last_click,
     "asof_next_view": q_asof_next_view,
@@ -1482,6 +1578,7 @@ ORACLES_TD: dict[str, str] = {
     "fingerprints": SQL_FINGERPRINTS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_ivf_trained": SQL_ANN_IVF_TRAINED,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "asof_last_click": SQL_ASOF_LAST_CLICK,
     "asof_next_view": SQL_ASOF_NEXT_VIEW,
