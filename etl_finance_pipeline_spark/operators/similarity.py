@@ -42,6 +42,24 @@ HYPERPLANES: list[list[float]] = [
     [round(_rng.gauss(0.0, 1.0), 6) for _ in range(EMBED_DIM)] for _ in range(N_PLANES)
 ]
 
+#: Banded (OR-amplified) hyperplane LSH for near-duplicate detection:
+#: B bands of P planes each. A pair is a candidate if its P-bit sign
+#: signature matches in ANY band. P=16 puts each band's self-join into
+#: ~2^16 buckets (vs 2^4=16 for the single-bucket variant, whose
+#: within-bucket join is effectively quadratic at 100 TB); B=8 bands
+#: OR-amplify recall for dedup-grade cosines. Seeded separately from
+#: HYPERPLANES so the single-probe ANN path is unchanged.
+N_BANDS = 8
+PLANES_PER_BAND = 16
+_rng_banded = random.Random(4242)
+BANDED_HYPERPLANES: list[list[list[float]]] = [
+    [
+        [round(_rng_banded.gauss(0.0, 1.0), 6) for _ in range(EMBED_DIM)]
+        for _ in range(PLANES_PER_BAND)
+    ]
+    for _ in range(N_BANDS)
+]
+
 
 def dot(a: Column, b: Column) -> Column:
     """JVM-side dot product of two array columns."""
@@ -280,29 +298,73 @@ def embedding_near_duplicates(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: list[list[float]] | None = None,
+    banded_planes: list[list[list[float]]] | None = None,
     round_digits: int | None = 6,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold),
-    LSH-bucketed: pairs are only generated within a hyperplane bucket
-    (near-identical vectors collide in every plane's sign, so recall
-    at dedup-grade thresholds (≥0.9) is near-perfect; at lower
-    thresholds accept the single-probe tradeoff or pass fewer planes).
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold) via
+    banded (OR-amplified) hyperplane LSH: per band, vectors self-join
+    on their P-bit sign signature; a pair is scored if it collides in
+    ANY band (DISTINCT over band hits), exact cosine re-ranks.
+
+    Scale shape: each band's equality join lands in up to 2^P buckets
+    (P=16 → 65k), so the per-band candidate set is ~N²/2^P instead of
+    the single-bucket variant's N²/2^4 — the same AND/OR amplification
+    as :func:`~..operators.dedup.minhash_lsh_pairs` banding. Recall is
+    tuned for dedup-grade thresholds (near-identical vectors agree on
+    nearly every sign, so they collide in some band w.h.p.); at low
+    thresholds this is an approximate pruner by design.
 
     Output: (id_a, id_b, cosine), id_a < id_b."""
-    d = _as_double(df, vec_col).select(
-        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), planes).alias("_bucket")
+    bands = banded_planes if banded_planes is not None else BANDED_HYPERPLANES
+    d = _as_double(df, vec_col).select(F.col(id_col), F.col(vec_col))
+    # Planes ride as a broadcast TABLE, not literals: B*P plane arrays
+    # inlined as expression nodes (8*16*64 literals at the default)
+    # cost ~10s of Catalyst/codegen time per query — a constant that
+    # dwarfs the actual compute at bench scale. The join form computes
+    # the same dots with the same fold order, so signatures are
+    # identical; the groupBy shuffles only (id, band, bit) rows.
+    planes_df = df.sparkSession.createDataFrame(
+        [
+            (b, p, [float(w) for w in plane])
+            for b, band in enumerate(bands)
+            for p, plane in enumerate(band)
+        ],
+        "_band int, _p int, _plane array<double>",
     )
-    a = d.select(F.col("_bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = d.select(F.col("_bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    sigs = (
+        d.join(F.broadcast(planes_df))
+        .select(
+            id_col,
+            "_band",
+            F.when(
+                dot(F.col(vec_col), F.col("_plane")) > 0,
+                F.expr("shiftleft(1, _p)"),
+            )
+            .otherwise(0)
+            .alias("_bit"),
+        )
+        .groupBy(id_col, "_band")
+        .agg(F.sum("_bit").cast("int").alias("_sig"))
+    )
+    e = sigs.join(d, on=id_col).select(id_col, vec_col, "_band", "_sig")
+    a = e.select(
+        "_band", "_sig", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = e.select(
+        "_band", "_sig", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
     sim = cosine(F.col("_va"), F.col("_vb"))
     if round_digits is not None:
         from etl_finance_pipeline_spark.functions.scalar import portable_round
 
         sim = portable_round(sim, round_digits)
     return (
-        a.join(b, on="_bucket")
+        a.join(b, on=["_band", "_sig"])
         .filter(F.col("id_a") < F.col("id_b"))
+        # a pair colliding in several bands must score once — dedupe on
+        # ids only (the vectors ride along; candidate sets are small by
+        # construction, so the wide dropDuplicates shuffle is cheap)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

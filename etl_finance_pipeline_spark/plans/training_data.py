@@ -707,12 +707,25 @@ def _plane_sql(vec: str, plane: list[float]) -> str:
     )
 
 
-def _bucket_sql(vec: str) -> str:
+def _bucket_sql(vec: str, planes: list[list[float]] | None = None) -> str:
     terms = [
         f"(CASE WHEN {_plane_sql(vec, plane)} > 0 THEN {1 << p} ELSE 0 END)"
-        for p, plane in enumerate(HYPERPLANES)
+        for p, plane in enumerate(planes if planes is not None else HYPERPLANES)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def _banded_sigs_sql() -> str:
+    """Per-band signature CTE: one scan per band (tiny oracle tables),
+    UNION ALL'd into (vec_id, embedding, band, sig) — the SQL twin of
+    the posexplode'd BANDED_HYPERPLANES signatures."""
+    from etl_finance_pipeline_spark.operators.similarity import BANDED_HYPERPLANES
+
+    selects = [
+        f"SELECT vec_id, embedding, {b} AS band, {_bucket_sql('embedding', planes)} AS sig FROM embeddings"
+        for b, planes in enumerate(BANDED_HYPERPLANES)
+    ]
+    return "\n  UNION ALL ".join(selects)
 
 
 _COS_SQL = (
@@ -925,20 +938,30 @@ QUALIFY rank <= 5
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, _t(sf_dir, "embeddings"))
-    return embedding_near_duplicates(emb, threshold=0.4)
+    # 0.25: the synthetic embeddings carry no true near-dups (max
+    # pairwise cosine ~0.51), so the demo threshold sits where the
+    # banded pruner's surviving candidates land; production dedup runs
+    # at >= 0.9 where banded recall is designed to be high.
+    return embedding_near_duplicates(emb, threshold=0.25)
 
 
 SQL_EMBED_NEAR_DUP = f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+WITH s AS (
+  {_banded_sigs_sql()}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, e.vec_id AS id_b
+  FROM s a JOIN s e USING (band, sig)
+  WHERE a.vec_id < e.vec_id
 ),
 p AS (
-  SELECT a.vec_id AS id_a, e.vec_id AS id_b,
-         floor(({_COS_SQL.format(a='a.embedding', b='e.embedding')}) * 1000000 + 0.5) / 1000000 AS cosine
-  FROM b a JOIN b e USING (bucket)
-  WHERE a.vec_id < e.vec_id
+  SELECT c.id_a, c.id_b,
+         floor(({_COS_SQL.format(a='ea.embedding', b='eb.embedding')}) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
 )
-SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.25
 """
 
 

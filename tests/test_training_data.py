@@ -177,12 +177,21 @@ def test_lsh_ann_topk_finds_identical(spark):
 
 
 def test_embedding_near_duplicates(spark):
-    planes = [[1.0, 2.0, -1.0, 0.5], [-0.3, 1.0, 0.7, -2.0]]
+    # two bands of two planes each: near-identical vectors agree on
+    # every sign, so they collide in both bands and must dedupe to ONE
+    # scored pair (the banded OR-amplification path)
+    banded = [
+        [[1.0, 2.0, -1.0, 0.5], [-0.3, 1.0, 0.7, -2.0]],
+        [[0.2, -1.0, 1.5, 0.8], [1.1, 0.4, -0.6, 0.9]],
+    ]
     # cos(v0, v1) = 0.9/sqrt(0.82) ≈ 0.9939, so at 0.99 the near-dup set
     # is the full clique {0, 1, 4}; at 0.999 only the identical pair.
-    out = embedding_near_duplicates(_emb(spark), 0.99, planes=planes).collect()
+    out = embedding_near_duplicates(_emb(spark), 0.99, banded_planes=banded).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1), (0, 4), (1, 4)}
-    strict = embedding_near_duplicates(_emb(spark), 0.999, planes=planes).collect()
+    assert len(out) == 3  # multi-band collisions deduped before scoring
+    strict = embedding_near_duplicates(
+        _emb(spark), 0.999, banded_planes=banded
+    ).collect()
     assert {(r["id_a"], r["id_b"]) for r in strict} == {(0, 4)}
 
 
