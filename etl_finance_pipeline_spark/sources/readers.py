@@ -45,19 +45,50 @@ def detect_file_type(path: str) -> str:
     return SUPPORTED_EXTENSIONS[ext]
 
 
+def sample_csv_schema(
+    spark: SparkSession,
+    paths: str | list[str],
+    sample_files: int = 8,
+    options: dict[str, str] | None = None,
+) -> T.StructType:
+    """Infer a CSV schema from a BOUNDED file sample.
+
+    ``inferSchema`` over the full input is a second complete pass —
+    at 100 TB that doubles the scan. Reading the schema off the first
+    *sample_files* files bounds inference cost by file count, not
+    dataset size; the schema then applies schema-first to the full
+    read, where PERMISSIVE mode quarantines any later row the sampled
+    schema cannot hold (e.g. a wider numeric appearing only past the
+    sample) instead of silently re-typing the column.
+    """
+    plist = [paths] if isinstance(paths, str) else list(paths)
+    reader = spark.read.option("header", True).option("inferSchema", True)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.csv(plist[:sample_files]).schema
+
+
 def read_csv(
     spark: SparkSession,
     paths: str | list[str],
     schema: T.StructType | None = None,
     with_source_file: bool = True,
     options: dict[str, str] | None = None,
+    infer_sample_files: int | None = 8,
 ) -> DataFrame:
-    """CSV source with permissive corrupt-record capture (S3+S6).
-
-    Without an explicit schema we infer it (adds a pass — fine for
-    small/dev, pass a schema at scale) and append a string
-    ``_corrupt_record`` column for row-level quarantine.
+    """CSV source with permissive corrupt-record capture (S3+S6),
+    schema-first: pass *schema* explicitly (the production path), or
+    it is inferred from the first *infer_sample_files* files
+    (:func:`sample_csv_schema`) and applied to the whole read — never
+    a full-dataset inference pass. ``infer_sample_files=None`` restores
+    full inference for small/dev data. A string ``_corrupt_record``
+    column captures rows the schema cannot hold, for row-level
+    quarantine.
     """
+    if schema is None and infer_sample_files is not None:
+        schema = sample_csv_schema(
+            spark, paths, sample_files=infer_sample_files, options=options
+        )
     reader = (
         spark.read.option("header", True)
         .option("mode", "PERMISSIVE")

@@ -50,6 +50,32 @@ def test_read_csv_corrupt_rows_quarantined(spark, tmp_path):
     assert "_source_file" in good.columns
 
 
+def test_read_csv_schema_first_from_sample(spark, tmp_path):
+    """No explicit schema: types come from a bounded file sample and
+    apply schema-first to the whole read — rows a later file adds that
+    fit the sampled schema parse normally; rows that don't are
+    quarantined rather than silently re-typing the column."""
+    from etl_finance_pipeline_spark.sources.readers import sample_csv_schema
+
+    f1 = tmp_path / "a.csv"
+    f1.write_text("ts,open\n2024-01-01,1.5\n")
+    f2 = tmp_path / "b.csv"
+    f2.write_text("ts,open\n2024-01-02,2.5\n2024-01-03,not_a_number\n")
+
+    schema = sample_csv_schema(spark, [str(f1), str(f2)], sample_files=1)
+    assert dict(zip(schema.fieldNames(), [f.dataType for f in schema.fields]))[
+        "open"
+    ] == T.DoubleType()
+
+    df = read_csv(spark, [str(f1), str(f2)], infer_sample_files=1)
+    good, bad = split_quarantine(df)
+    rows = {(str(r["ts"]), r["open"]) for r in good.collect()}
+    assert rows == {("2024-01-01", 1.5), ("2024-01-02", 2.5)}
+    q = str(tmp_path / "quarantine")
+    bad.write.mode("overwrite").json(q)
+    assert spark.read.json(q).count() == 1
+
+
 def test_load_directory_mixed(spark, tmp_path):
     (tmp_path / "ok.csv").write_text("ts,open\n2024-01-01,1.0\n")
     (tmp_path / "skip.xlsx").write_text("not supported")
