@@ -1,0 +1,65 @@
+"""Driver-side structured logging with size-rotated files.
+
+Capability parity with the reference's logger
+(/root/reference/src/etl/utils/logger.py:11-27: stream + rotating file
+handler, 5 MB x 3 backups), re-shaped for an engine:
+
+ * No import-time side effects — the log directory is created on the
+   first ``get_logger`` call, not at module import (imports must stay
+   pure for library use).
+ * Level and directory are env-overridable (``SPARK_GRAFT_LOG_DIR``,
+   ``SPARK_GRAFT_LOG_LEVEL``) and parameterizable per call.
+ * Driver-side ONLY by design: executor-side Python logging does not
+   ship back to the driver in Spark — executor logs belong to the
+   cluster manager's log collection (log4j / container logs). Putting
+   a Python file handler in executor code would write to whichever
+   container-local disk the task landed on; this module is for the
+   orchestration layer (pipeline driver, CLI), where a local rotating
+   file is the right tool.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from logging import Logger
+from logging.handlers import RotatingFileHandler
+
+_FORMAT = "%(asctime)s %(levelname)s %(name)s: %(message)s"
+_MAX_BYTES = 5_000_000
+_BACKUP_COUNT = 3
+
+
+def get_logger(
+    name: str = "etl_finance_pipeline_spark",
+    log_dir: str | None = None,
+    level: int | str | None = None,
+    max_bytes: int = _MAX_BYTES,
+    backup_count: int = _BACKUP_COUNT,
+) -> Logger:
+    """A logger with a console handler and a size-rotated file handler
+    (``<log_dir>/etl.log``, *max_bytes* per file, *backup_count*
+    rotations). Idempotent per name: repeat calls return the already-
+    configured logger without stacking handlers."""
+    logger = logging.getLogger(name)
+    if logger.handlers:
+        return logger
+
+    resolved_level = level or os.environ.get("SPARK_GRAFT_LOG_LEVEL", "INFO")
+    logger.setLevel(resolved_level)
+    fmt = logging.Formatter(_FORMAT)
+
+    console = logging.StreamHandler()
+    console.setFormatter(fmt)
+    logger.addHandler(console)
+
+    directory = log_dir or os.environ.get("SPARK_GRAFT_LOG_DIR", "logs")
+    os.makedirs(directory, exist_ok=True)
+    rotating = RotatingFileHandler(
+        os.path.join(directory, "etl.log"),
+        maxBytes=max_bytes,
+        backupCount=backup_count,
+    )
+    rotating.setFormatter(fmt)
+    logger.addHandler(rotating)
+    return logger

@@ -85,9 +85,17 @@ def run_pipeline(
     """Execute the full E→T→L pipeline per *cfg*. Returns collected
     reports + written output paths. tz priority: explicit *source_tz*
     arg (per-source metadata) > config default (run.py:327-330)."""
+    from etl_finance_pipeline_spark.logging_utils import get_logger
+
+    log = get_logger("etl_finance_pipeline_spark.pipeline", log_dir=cfg.paths.logs_path)
     result = PipelineResult()
     loaded = load_directory(spark, cfg.paths.raw_path)
     result.quarantined = loaded.quarantined_files
+    log.info(
+        "extract: %d format group(s), %d file(s) quarantined",
+        len(loaded.frames),
+        len(loaded.quarantined_files),
+    )
     if not loaded.frames:
         return result
 
@@ -119,6 +127,7 @@ def run_pipeline(
         dedupe_order=["_ingest_seq"] if fuse else None,
     )
     result.reports["normalization"] = norm.report
+    log.info("normalize: %s", norm.report)
     norm_df = norm.df.drop("_ingest_seq") if fuse else norm.df
     if cfg.performance.cache_normalized:
         # ≥2 actions read this frame (DQ collect + per-timeframe outputs);
@@ -203,6 +212,7 @@ def run_pipeline(
             append_export_log(
                 cfg.paths.logs_path, {"output": out_path, **report["validation"]}
             )
+        log.info("export: wrote %s", out_path)
         result.outputs.append(out_path)
     if cfg.performance.cache_normalized:
         norm_df.unpersist()

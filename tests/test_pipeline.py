@@ -246,3 +246,27 @@ def test_pipeline_transactional_sink(spark, tmp_path):
     # export log carries the committed version
     log = (tmp_path / "logs" / "export_log.ndjson").read_text().strip().splitlines()
     assert '"table_version": 0' in log[0] and '"table_version": 1' in log[1]
+
+
+def test_rotating_logger(tmp_path):
+    """Reference-parity ops logging (logger.py:11-27): console + size-
+    rotated file handler, idempotent per name, no import side effects."""
+    import logging
+
+    from etl_finance_pipeline_spark.logging_utils import get_logger
+
+    name = "etl_test_rotation"
+    log = get_logger(name, log_dir=str(tmp_path), max_bytes=500, backup_count=2)
+    assert get_logger(name) is log
+    assert len(log.handlers) == 2  # no handler stacking on repeat calls
+
+    for i in range(100):
+        log.info("line %d with enough text to force a rotation soon", i)
+    for h in log.handlers:
+        h.flush()
+        if isinstance(h, logging.handlers.RotatingFileHandler):
+            h.close()
+    files = sorted(p.name for p in tmp_path.iterdir())
+    assert "etl.log" in files
+    assert any(f.startswith("etl.log.") for f in files)  # rotated backups
+    assert all(not f.startswith("etl.log.3") for f in files)  # capped at 2
