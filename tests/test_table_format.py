@@ -613,3 +613,34 @@ def test_compact_partition_keeps_other_hive_keys(spark, tmp_path):
     assert sorted(r["CLOSE"] for r in read_table(spark, t).collect()) == [
         1.0, 2.0, 3.0, 9.0,
     ]
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """Optimistic concurrency under real thread interleaving: N writers
+    appending disjoint rows in parallel must all commit (with retries),
+    produce N distinct versions, and lose no rows."""
+    import threading
+
+    from etl_finance_pipeline_spark.sources.table_format import write_table as wt
+
+    t = str(tmp_path / "tbl_threads")
+    write_table(_df(spark, [("SEED", 0.0)]), t)
+
+    n_writers, errors = 8, []
+
+    def writer(i: int) -> None:
+        try:
+            wt(_df(spark, [(f"SYM{i}", float(i))]), t, max_retries=50)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert errors == []
+    got = {tuple(r) for r in read_table(spark, t).collect()}
+    assert got == {("SEED", 0.0)} | {(f"SYM{i}", float(i)) for i in range(n_writers)}
+    assert [h["version"] for h in history(t)] == list(range(n_writers + 1))
