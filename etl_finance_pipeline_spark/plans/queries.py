@@ -2234,6 +2234,87 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation under the oracle gate. The
+    events table's handful of event_type groups is the classic
+    low-cardinality skew shape — unsalted, each group's rows serialize
+    into one reduce task. salted_agg spreads every group over 16 salt
+    buckets, partially aggregates, then merges; results are exactly the
+    plain GROUP BY (the oracle), while each task is bounded by
+    group_size/16. Double sums are portably rounded (summation order is
+    engine-internal for any distributed sum)."""
+    from etl_finance_pipeline_spark.functions.skew import salted_agg
+
+    ev = load_table(spark, _t(sf_dir, "events"))
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "*"),
+            "total_value": ("sum", "value"),
+            "max_value": ("max", "value"),
+            "first_ts": ("min", "ts"),
+            "last_ts": ("max", "ts"),
+        },
+    )
+    return out.select(
+        F.col("event_type").alias("symbol"),
+        F.col("n"),
+        _pr("total_value", 6).alias("total_value"),
+        F.col("max_value"),
+        F.col("first_ts"),
+        F.col("last_ts"),
+    )
+
+
+SQL_SALTED_EVENT_STATS = """
+SELECT event_type AS symbol,
+       count(*) AS n,
+       floor(sum(value) * 1000000 + 0.5) / 1000000 AS total_value,
+       max(value) AS max_value,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events
+GROUP BY 1
+"""
+
+
+def q_salted_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join under the oracle gate: purchase events against
+    the customer dimension with the join key salted and the right side
+    replicated 16x — the shape for a hot fact key joining a dimension
+    too large to broadcast. Results are exactly the plain inner join
+    (the oracle); per-key rows spread across 16 tasks instead of one."""
+    from etl_finance_pipeline_spark.functions.skew import salted_join
+
+    ev = (
+        load_table(spark, _t(sf_dir, "events"))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.col("user_id").alias("c_custkey"), "value")
+    )
+    cust = load_table(spark, _t(sf_dir, "customer")).select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    out = salted_join(ev, cust, on=["c_custkey"])
+    agg = out.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_purchases"),
+        _pr(F.sum("value"), 6).alias("segment_value"),
+    )
+    return agg.select(
+        F.col("c_mktsegment").alias("segment"), "n_purchases", "segment_value"
+    )
+
+
+SQL_SALTED_PURCHASE_JOIN = """
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n_purchases,
+       floor(sum(e.value) * 1000000 + 0.5) / 1000000 AS segment_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 # Mirrors pandas' ewm(adjust=True) mean kernel exactly: per step the
 # state is (weighted_avg, old_wt); old_wt *= (1 - alpha); then, ONLY
 # when the incoming value differs from the running average (pandas
@@ -2380,6 +2461,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "acctbal_percentiles": q_acctbal_percentiles,
     "risk_indicators": q_risk_indicators,
     "macd": q_macd,
+    "salted_event_stats": q_salted_event_stats,
+    "salted_purchase_join": q_salted_purchase_join,
     "order_percentiles": q_order_percentiles,
     "value_histogram": q_value_histogram,
     "candles_long": q_candles_long,
@@ -2439,6 +2522,8 @@ ORACLES: dict[str, str] = {
     "acctbal_percentiles": SQL_ACCTBAL_PERCENTILES,
     "risk_indicators": SQL_RISK_INDICATORS,
     "macd": SQL_MACD,
+    "salted_event_stats": SQL_SALTED_EVENT_STATS,
+    "salted_purchase_join": SQL_SALTED_PURCHASE_JOIN,
     "order_percentiles": SQL_ORDER_PERCENTILES,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "candles_long": SQL_CANDLES_LONG,
