@@ -2315,6 +2315,100 @@ GROUP BY 1
 """
 
 
+#: fixed retrieval query for the BM25 demo (terms present in the
+#: synthetic corpus); identical list inlined in the oracle SQL
+_BM25_TERMS = ("join", "vector", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Okapi, k1=1.2, b=0.75) for a fixed term
+    set over the documents table — the classic lexical-search scorer a
+    training-data pipeline pairs with embedding ANN for hybrid
+    retrieval. All JVM-side: one tokenize+explode, per-(doc, term) tf,
+    per-term df, doc lengths, and a broadcast of the tiny (df, stats)
+    sides back onto tf. idf uses the standard
+    ln(1 + (N - df + 0.5)/(df + 0.5)) form. Top-20 by score with
+    deterministic tie-break."""
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.length("term") > 2)
+    dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = (
+        terms.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.agg(F.countDistinct("doc_id").alias("_n")).crossJoin(
+        dl.agg(F.avg("dl").alias("_avgdl"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("_avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            _pr(F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom), 6).alias(
+                "score"
+            ),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "score", "n_terms_hit", "rank")
+    )
+
+
+SQL_BM25_SEARCH = f"""
+WITH terms AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+       AS t(term)
+  WHERE length(t.term) > 2
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms
+  WHERE term IN ('join', 'vector', 'filter')
+  GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS _n,
+         (SELECT avg(dl) FROM dl) AS _avgdl
+), scored AS (
+  SELECT tf.doc_id,
+         floor(sum(
+           ln(1.0 + (stats._n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({_BM25_K1} + 1.0)
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats._avgdl))
+         ) * 1000000 + 0.5) / 1000000 AS score,
+         count(*) AS n_terms_hit
+  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, score, n_terms_hit,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 20
+"""
+
+
 # Mirrors pandas' ewm(adjust=True) mean kernel exactly: per step the
 # state is (weighted_avg, old_wt); old_wt *= (1 - alpha); then, ONLY
 # when the incoming value differs from the running average (pandas
@@ -2463,6 +2557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "macd": q_macd,
     "salted_event_stats": q_salted_event_stats,
     "salted_purchase_join": q_salted_purchase_join,
+    "bm25_search": q_bm25_search,
     "order_percentiles": q_order_percentiles,
     "value_histogram": q_value_histogram,
     "candles_long": q_candles_long,
@@ -2524,6 +2619,7 @@ ORACLES: dict[str, str] = {
     "macd": SQL_MACD,
     "salted_event_stats": SQL_SALTED_EVENT_STATS,
     "salted_purchase_join": SQL_SALTED_PURCHASE_JOIN,
+    "bm25_search": SQL_BM25_SEARCH,
     "order_percentiles": SQL_ORDER_PERCENTILES,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "candles_long": SQL_CANDLES_LONG,
