@@ -2409,6 +2409,104 @@ QUALIFY rank <= 20
 """
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the lexical arm (BM25 top-20) and the
+    semantic arm (exact cosine top-20 for query vector 0) fused with
+    reciprocal-rank fusion, RRF = Σ 1/(60 + rank) over the arms where
+    the document appears. Rank-based fusion is scale-free — no score
+    normalization across arms — and the fused top-10 is deterministic
+    (rrf desc, doc_id). This is the standard hybrid-search shape a
+    training-data/retrieval pipeline runs next to pure ANN."""
+    from etl_finance_pipeline_spark.operators.similarity import cosine_topk
+
+    lex = q_bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("r_lex")
+    )
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    sem = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_sem")
+    )
+    rrf = F.coalesce(1.0 / (F.lit(60.0) + F.col("r_lex")), F.lit(0.0)) + F.coalesce(
+        1.0 / (F.lit(60.0) + F.col("r_sem")), F.lit(0.0)
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        _pr(rrf, 6).alias("rrf"),
+        F.col("r_lex").cast("long").alias("r_lex"),
+        F.col("r_sem").cast("long").alias("r_sem"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "rrf", "r_lex", "r_sem", "rank")
+    )
+
+
+_COS_SQL_Q = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+SQL_HYBRID_SEARCH = f"""
+WITH terms AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+       AS t(term)
+  WHERE length(t.term) > 2
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms
+  WHERE term IN ('join', 'vector', 'filter')
+  GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS _n,
+         (SELECT avg(dl) FROM dl) AS _avgdl
+), bm AS (
+  SELECT tf.doc_id,
+         floor(sum(
+           ln(1.0 + (stats._n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({_BM25_K1} + 1.0)
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats._avgdl))
+         ) * 1000000 + 0.5) / 1000000 AS score
+  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1
+), lex AS (
+  SELECT doc_id, r_lex FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+    FROM bm
+  ) WHERE r_lex <= 20
+), qv AS (
+  SELECT embedding AS v FROM embeddings WHERE vec_id = 0
+), sem AS (
+  SELECT doc_id, r_sem FROM (
+    SELECT e.vec_id AS doc_id,
+           row_number() OVER (ORDER BY
+             floor(({_COS_SQL_Q.format(a='qv.v', b='e.embedding')}) * 1000000 + 0.5) / 1000000 DESC,
+             e.vec_id) AS r_sem
+    FROM embeddings e CROSS JOIN qv
+    WHERE e.vec_id != 0
+  ) WHERE r_sem <= 20
+), fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         floor((COALESCE(1.0 / (60.0 + r_lex), 0.0)
+              + COALESCE(1.0 / (60.0 + r_sem), 0.0)) * 1000000 + 0.5) / 1000000 AS rrf,
+         CAST(r_lex AS BIGINT) AS r_lex,
+         CAST(r_sem AS BIGINT) AS r_sem
+  FROM lex FULL OUTER JOIN sem USING (doc_id)
+)
+SELECT doc_id, rrf, r_lex, r_sem,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+FROM fused
+QUALIFY rank <= 10
+"""
+
+
 # Mirrors pandas' ewm(adjust=True) mean kernel exactly: per step the
 # state is (weighted_avg, old_wt); old_wt *= (1 - alpha); then, ONLY
 # when the incoming value differs from the running average (pandas
@@ -2558,6 +2656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_event_stats": q_salted_event_stats,
     "salted_purchase_join": q_salted_purchase_join,
     "bm25_search": q_bm25_search,
+    "hybrid_search": q_hybrid_search,
     "order_percentiles": q_order_percentiles,
     "value_histogram": q_value_histogram,
     "candles_long": q_candles_long,
@@ -2620,6 +2719,7 @@ ORACLES: dict[str, str] = {
     "salted_event_stats": SQL_SALTED_EVENT_STATS,
     "salted_purchase_join": SQL_SALTED_PURCHASE_JOIN,
     "bm25_search": SQL_BM25_SEARCH,
+    "hybrid_search": SQL_HYBRID_SEARCH,
     "order_percentiles": SQL_ORDER_PERCENTILES,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "candles_long": SQL_CANDLES_LONG,
