@@ -1082,6 +1082,77 @@ WHERE bucket_ts + INTERVAL 5 MINUTE <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM
 """
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (native session_window) driven to
+    completion on static data. In append mode exactly the sessions
+    whose end (last event + gap) falls at or before the final
+    watermark (max event time − 10 min) are emitted; the oracle
+    computes the same islands + cutoff in SQL. An event landing
+    exactly at a session's end (gap fully elapsed) still MERGES into
+    it — the oracle breaks on ``diff > gap`` to match (pinned by
+    test_stream_sessions)."""
+    import uuid
+
+    from etl_finance_pipeline_spark.streaming.candles import stream_sessions
+
+    stream = _read_event_stream(spark, sf_dir)
+    sessions = stream_sessions(
+        stream, ["user_id"], gap="5 minutes", ts_col="ts", watermark="10 minutes"
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    out = spark.table(name)
+    return out.select(
+        "user_id",
+        F.col("SESSION_START").alias("session_start"),
+        F.col("SESSION_END").alias("session_end"),
+        F.col("N_EVENTS").alias("n_events"),
+        _pr("TOTAL_VALUE", 6).alias("total_value"),
+        F.col("FIRST_TS").alias("first_ts"),
+        F.col("LAST_TS").alias("last_ts"),
+    )
+
+
+SQL_STREAM_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), agg AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL 5 MINUTE AS session_end,
+         count(*) AS n_events,
+         floor(sum(value) * 1000000 + 0.5) / 1000000 AS total_value,
+         min(ts) AS first_ts,
+         max(ts) AS last_ts
+  FROM s GROUP BY user_id, sid
+)
+SELECT * FROM agg
+WHERE session_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+"""
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join driven to completion on static
     data: purchase events enriched with the customer dimension
@@ -1578,6 +1649,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_corpus": q_clean_corpus,
     "media_stats": q_media_stats,
     "stream_candles": q_stream_candles,
+    "stream_sessions": q_stream_sessions,
     "stream_view_click": q_stream_view_click,
     "stream_enrich": q_stream_enrich,
     "near_dup_clusters": q_near_dup_clusters,
@@ -1611,6 +1683,7 @@ ORACLES_TD: dict[str, str] = {
     "clean_corpus": SQL_CLEAN_CORPUS,
     "media_stats": SQL_MEDIA_STATS,
     "stream_candles": SQL_STREAM_CANDLES,
+    "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_view_click": SQL_STREAM_VIEW_CLICK,
     "stream_enrich": SQL_STREAM_ENRICH,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,

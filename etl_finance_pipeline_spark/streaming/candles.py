@@ -72,6 +72,38 @@ def stream_candles(
     )
 
 
+def stream_sessions(
+    events: DataFrame,
+    key_cols: list[str],
+    gap: str = "5 minutes",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization via the native ``session_window``:
+    per key, events closer than *gap* merge into one session whose
+    window is [first event, last event + gap). State is pruned past
+    the watermark; in append mode a session is emitted once the
+    watermark passes its end (finalized — no partial sessions ever
+    reach the sink). The batch twin is the islands-based
+    :func:`~..operators.temporal.sessionize`; this is the operator a
+    clickstream pipeline runs continuously."""
+    v = F.col(value_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, F.session_window(F.col(ts_col), gap).alias("_w"))
+        .agg(
+            F.count("*").alias("N_EVENTS"),
+            F.sum(v).alias("TOTAL_VALUE"),
+            F.min(F.col(ts_col)).alias("FIRST_TS"),
+            F.max(F.col(ts_col)).alias("LAST_TS"),
+        )
+        .withColumn("SESSION_START", F.col("_w.start"))
+        .withColumn("SESSION_END", F.col("_w.end"))
+        .drop("_w")
+    )
+
+
 def stream_dedupe(
     events: DataFrame,
     keys: list[str],

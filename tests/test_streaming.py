@@ -68,6 +68,40 @@ def test_stream_candles(spark, tmp_path):
     assert T0 + timedelta(minutes=60) not in got  # not yet finalized
 
 
+def test_stream_sessions(spark, tmp_path):
+    """Native session_window sessionization: events within the gap
+    merge (extending the window), an event at exactly the session end
+    still merges (gap is inclusive — pins the oracle's break
+    condition), and only sessions past the watermark are emitted."""
+    from etl_finance_pipeline_spark.streaming.candles import stream_sessions
+
+    rows = [
+        ("U1", T0, 1.0),
+        ("U1", T0 + timedelta(minutes=2), 2.0),     # merges (2 < 3 gap)
+        ("U1", T0 + timedelta(minutes=5), 4.0),     # exactly at end -> merges
+        ("U1", T0 + timedelta(minutes=9), 6.0),     # past new end -> NEW session
+        ("U2", T0 + timedelta(minutes=1), 8.0),
+        ("U1", T0 + timedelta(minutes=60), 9.0),    # advances watermark only
+    ]
+    stream = _write_stream_source(spark, tmp_path, rows)
+    sessions = stream_sessions(
+        stream, ["symbol"], gap="3 minutes", watermark="1 minute"
+    )
+    _run_to_memory(sessions, "t_sessions")
+    got = {
+        (r["symbol"], r["SESSION_START"]): r
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    }
+    s1 = got[("U1", T0)]
+    assert s1["N_EVENTS"] == 3 and s1["TOTAL_VALUE"] == 7.0
+    assert s1["SESSION_END"] == T0 + timedelta(minutes=8)  # last event + gap
+    s2 = got[("U1", T0 + timedelta(minutes=9))]
+    assert s2["N_EVENTS"] == 1 and s2["TOTAL_VALUE"] == 6.0
+    assert ("U2", T0 + timedelta(minutes=1)) in got
+    # the minute-60 session is not past the watermark -> not emitted
+    assert ("U1", T0 + timedelta(minutes=60)) not in got
+
+
 def test_stream_dedupe(spark, tmp_path):
     rows = [
         ("X", T0, 1.0),
