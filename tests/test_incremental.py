@@ -108,3 +108,38 @@ def test_read_aggregate_derives_avg(spark, tmp_path):
     refresh_aggregate(spark, base, state, ["SYMBOL"], ["CLOSE"])
     row = read_aggregate(spark, state, avg_for=["CLOSE"]).collect()[0]
     assert row["CLOSE_avg"] == pytest.approx(2.0)
+
+
+def test_streaming_ingest_feeds_incremental_refresh(spark, tmp_path):
+    """The full lakehouse loop: file stream -> exactly-once commit-log
+    sink -> change-feed incremental aggregate refresh. After each
+    ingest wave the materialized state equals a full recompute, and
+    the refresh reads only the new commits (change feed, not a
+    rescan)."""
+    from etl_finance_pipeline_spark.streaming.sink import stream_to_table
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table, state = str(tmp_path / "facts"), str(tmp_path / "mv")
+
+    def ingest(name, rows):
+        spark.createDataFrame(rows, "key long, SYMBOL string, CLOSE double") \
+            .coalesce(1).write.parquet(str(src / name))
+        q = stream_to_table(
+            spark.readStream.schema("key long, SYMBOL string, CLOSE double")
+            .parquet(str(src / "*")),
+            table,
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    ingest("w1", [(1, "EUR", 1.0), (2, "GBP", 5.0)])
+    refresh_aggregate(spark, table, state, ["SYMBOL"], ["CLOSE"])
+    assert _state(spark, state) == _full(spark, table)
+    first_seen = aggregate_state_version(state)
+
+    ingest("w2", [(3, "EUR", 2.0), (4, "JPY", 9.0)])
+    refresh_aggregate(spark, table, state, ["SYMBOL"], ["CLOSE"])
+    assert _state(spark, state) == _full(spark, table)
+    # the second refresh advanced the high-water mark past wave 1
+    assert aggregate_state_version(state) > first_seen
