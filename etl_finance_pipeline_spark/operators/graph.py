@@ -11,10 +11,12 @@ Each iteration is one equality join + one groupBy-min (both shuffle on
 vertex id, map-side combinable); the driver only checks a convergence
 COUNT per iteration. Iterations needed = graph diameter — near-dup
 clusters are shallow (pairs share content), so convergence in a few
-rounds. At web scale you'd switch to the large-star/small-star
-alternation (Kiveris et al., "Connected Components in MapReduce"),
-which bounds rounds by O(log² n); the per-round dataflow is the same
-join+min shape as here.
+rounds. For DEEP graphs (pathological duplicate chains), use
+:func:`connected_components_star` — the large-star/small-star
+alternation (Kiveris et al., "Connected Components in MapReduce and
+Beyond"), whose round count is O(log² n) regardless of diameter;
+equivalence is property-tested against this propagation on chains,
+cliques and random graphs.
 
 Lineage is truncated per iteration with ``localCheckpoint(eager=True)``
 — without it the logical plan compounds (measured: 1146 shuffles in the
@@ -83,6 +85,105 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) via the alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — the web-scale path: rounds bounded O(log² n)
+    regardless of graph DIAMETER, where plain label propagation needs
+    diameter rounds (a pathological near-dup chain of k documents
+    takes k rounds there, ~log k here).
+
+    Per round both operations are one groupBy-min plus one join —
+    the same shuffle shape as propagation, so per-round cost is
+    comparable and the win is purely round count:
+
+      large-star(u): every neighbor v > u re-attaches to
+                     min(N(u) ∪ {u})
+      small-star(u): every neighbor v ≤ u (and u) re-attaches to
+                     min(N≤(u) ∪ {u})
+
+    At fixpoint the edge set is a disjoint union of stars rooted at
+    each component's min id. Convergence is detected with a
+    (count, sum-of-hash) signature of the canonical edge set — two
+    tiny aggregates, no full-set comparison join. Default for
+    near-dup clustering stays label propagation (content-sharing
+    graphs are shallow); switch here when cluster chains run deep."""
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    # canonical directed form: child > parent
+    e = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    # original vertex universe (self-pairs included: they label as
+    # their own singleton, matching connected_components)
+    universe = pairs.select(F.col(id_a).alias("id")).union(
+        pairs.select(F.col(id_b).alias("id"))
+    ).distinct()
+
+    def signature(edges: DataFrame) -> tuple:
+        row = edges.agg(
+            F.count("*").alias("n"),
+            # decimal sum: a bigint sum of 64-bit hashes overflows ANSI
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_sig = None
+    for _ in range(max_iter):
+        # LARGE-STAR over the symmetric neighborhood
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = F.least(F.col("_mn"), F.col("u"))
+        e = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR over the child->parent form (v <= u by construction)
+        mins = e.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = F.least(F.col("_mn"), F.col("u"))
+        e = (
+            e.join(mins, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("c"), m.alias("p")),
+                        F.struct(F.col("u").alias("c"), m.alias("p")),
+                    )
+                ).alias("_e")
+            )
+            .select(F.col("_e.c").alias("u"), F.col("_e.p").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    children = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("id"), F.col("v").alias("component")).distinct()
+    # vertices whose every edge contracted away (self-pairs filtered
+    # above never enter) are roots of their own singleton only if they
+    # appeared in the input — recover them from the original edge list
+    labeled = children.unionByName(roots).groupBy("id").agg(
+        F.min("component").alias("component")
+    )
+    missing = universe.join(labeled.select("id"), "id", "left_anti").withColumn(
+        "component", F.col("id")
+    )
+    return labeled.unionByName(missing)
 
 
 def near_dup_clusters(

@@ -249,6 +249,33 @@ def test_connected_components(spark):
     assert full[4] == 1
 
 
+def test_connected_components_star_equivalence(spark):
+    """Large-star/small-star produces the same components as label
+    propagation on shapes that stress both: a DEEP chain (propagation's
+    worst case — diameter rounds), a clique, random edges, and a
+    two-node component."""
+    import random
+
+    from etl_finance_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    chain = [(i, i + 1) for i in range(100, 140)]          # 40-deep chain
+    clique = [(200 + a, 200 + b) for a in range(5) for b in range(a + 1, 5)]
+    randoms = [
+        (300 + rng.randrange(30), 300 + rng.randrange(30)) for _ in range(40)
+    ]
+    randoms = [(a, b) for a, b in randoms if a != b]
+    pairs = spark.createDataFrame(chain + clique + randoms + [(7, 8)], ["id_a", "id_b"])
+
+    prop = {r["id"]: r["component"] for r in connected_components(pairs, max_iter=100).collect()}
+    star = {r["id"]: r["component"] for r in connected_components_star(pairs).collect()}
+    assert star == prop
+    assert star[139] == 100  # the deep chain collapsed to its min id
+
+
 def test_incremental_lsh_matches_self_join(spark):
     """Batch-vs-corpus candidates = the self-join pairs restricted to
     one endpoint in each side; the banded batch side broadcasts."""
