@@ -142,12 +142,14 @@ def connected_components_star(
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
         m = F.least(F.col("_mn"), F.col("u"))
+        # no distinct here: duplicates don't affect the min-based
+        # small-star below, which dedupes its own output — saves one
+        # shuffle per round
         e = (
             sym.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), m.alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # SMALL-STAR over the child->parent form (v <= u by construction)
         mins = e.groupBy("u").agg(F.min("v").alias("_mn"))

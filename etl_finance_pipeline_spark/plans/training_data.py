@@ -981,6 +981,37 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), F.col("component"))
 
 
+def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via the large-star/small-star contraction
+    (diameter-free O(log² n) rounds) — both algorithms compute
+    min-reachable-id components, so they share one oracle; running
+    both under the gate pins their equivalence on real pair data.
+    On this shallow test graph the star variant is SLOWER than
+    propagation (more jobs per round, all fixed overhead at tiny edge
+    counts) — its regime is deep/huge graphs where diameter rounds
+    dominate; the bench number documents the constant, not the
+    asymptote."""
+    from etl_finance_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    # the candidate-pair graph is tiny relative to the corpus; each
+    # star round is several small stages, so per-partition fixed cost
+    # dominates at core-count partitions — run the contraction narrow
+    # (on a cluster, size to |edges|, not core count)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        comp = connected_components_star(pairs)
+        out = comp.select(F.col("id").alias("doc_id"), F.col("component"))
+        out = out.localCheckpoint(eager=True)  # materialize before conf restore
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return out
+
+
 SQL_NEAR_DUP_CLUSTERS = f"""
 WITH RECURSIVE {_SHINGLES_CTE.strip()},
 {_SIG_CTE.strip()},
@@ -1653,6 +1684,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_view_click": q_stream_view_click,
     "stream_enrich": q_stream_enrich,
     "near_dup_clusters": q_near_dup_clusters,
+    "near_dup_clusters_star": q_near_dup_clusters_star,
 }
 
 ORACLES_TD: dict[str, str] = {
@@ -1687,4 +1719,5 @@ ORACLES_TD: dict[str, str] = {
     "stream_view_click": SQL_STREAM_VIEW_CLICK,
     "stream_enrich": SQL_STREAM_ENRICH,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
+    "near_dup_clusters_star": SQL_NEAR_DUP_CLUSTERS,
 }
