@@ -249,3 +249,76 @@ def test_gap_islands_match_reference_clustering(spark, present, short_gap):
         for r in want
     )
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C"]),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    buckets=st.integers(min_value=1, max_value=8),
+)
+@settings(**SETTINGS)
+def test_salted_agg_equals_plain_agg(spark, rows, buckets):
+    """Two-phase salted aggregation must equal the unsalted aggregate
+    for every algebraic function, for any salt bucket count."""
+    from etl_finance_pipeline_spark.functions.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r["k"]: (r["n"], r["mn"], r["mx"], round(r["s"], 6))
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"n": ("count", "*"), "mn": ("min", "v"), "mx": ("max", "v"), "s": ("sum", "v")},
+            salt_buckets=buckets,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["mn"], r["mx"], round(r["s"], 6))
+        for r in df.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.sum("v").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda ps: any(a != b for a, b in ps))
+)
+@settings(**SETTINGS)
+def test_star_components_match_propagation(spark, pairs):
+    """Large-star/small-star and label propagation agree on arbitrary
+    random graphs (hypothesis-generated edge lists)."""
+    from etl_finance_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    prop = {
+        r["id"]: r["component"]
+        for r in connected_components(df, max_iter=60).collect()
+    }
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+    assert star == prop
