@@ -31,6 +31,7 @@ SUPPORTED_EXTENSIONS = {
     ".json": "json",
     ".ndjson": "json",
     ".jsonl": "json",
+    ".orc": "orc",
 }
 
 CORRUPT_COL = "_corrupt_record"
@@ -142,6 +143,18 @@ def read_parquet(
     return df
 
 
+def read_orc(
+    spark: SparkSession, paths: str | list[str], with_source_file: bool = True
+) -> DataFrame:
+    """ORC source — same self-describing-schema contract as parquet
+    (footer schema, no inference pass), read with Spark's native
+    vectorized ORC reader."""
+    df = spark.read.orc(*([paths] if isinstance(paths, str) else paths))
+    if with_source_file:
+        df = df.withColumn("_source_file", F.input_file_name())
+    return df
+
+
 def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good_rows, quarantined_rows) based on the corrupt-record column.
 
@@ -184,7 +197,13 @@ def load_directory(
     by_format: dict[str, list[str]] = {}
     for name in sorted(os.listdir(raw_path)):
         full = os.path.join(raw_path, name)
+        # Spark writes datasets as DIRECTORIES (part.parquet/, out.orc/)
+        # — a directory whose name carries a supported extension is that
+        # format's dataset; extensionless directories are skipped.
         if not os.path.isfile(full):
+            ext = os.path.splitext(name)[1].lower()
+            if os.path.isdir(full) and ext in SUPPORTED_EXTENSIONS:
+                by_format.setdefault(SUPPORTED_EXTENSIONS[ext], []).append(full)
             continue
         try:
             fmt = detect_file_type(full)
@@ -196,6 +215,7 @@ def load_directory(
         "csv": lambda f: read_csv(spark, f, schema=schema),
         "json": lambda f: read_json(spark, f, schema=schema),
         "parquet": lambda f: read_parquet(spark, f),
+        "orc": lambda f: read_orc(spark, f),
     }
     for fmt, files in by_format.items():
         try:

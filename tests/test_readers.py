@@ -117,3 +117,15 @@ def test_load_directory_includes_json(spark, tmp_path):
     res = load_directory(spark, str(tmp_path))
     assert "json" in res.frames
     assert len(res.frames["json"].collect()) == 2
+
+
+def test_read_orc_and_directory_scan(spark, tmp_path):
+    from etl_finance_pipeline_spark.sources.readers import read_orc
+
+    df = spark.createDataFrame([("2024-01-01", 2.5)], ["ts", "open"])
+    df.coalesce(1).write.orc(str(tmp_path / "part.orc"))
+    back = read_orc(spark, str(tmp_path / "part.orc"))
+    assert back.count() == 1 and "_source_file" in back.columns
+
+    res = load_directory(spark, str(tmp_path))
+    assert "orc" in res.frames and res.frames["orc"].count() == 1
