@@ -25,13 +25,78 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_candles_5m(spark, "/root/testdata/sf0.001")
 
 
+#: Queries hoisted to the front of the registry so a capped
+#: correctness artifact (the driver records the first N entries) still
+#: spans every operator family: streaming, MinHash/SimHash/embedding
+#: dedup, ANN + retrieval, skew helpers, corpus ops, multimodal,
+#: temporal joins, connected components. All registered queries are
+#: oracle-backed either way; this only chooses the documented subset.
+_SHOWCASE_FIRST = (
+    "candles_5m",
+    "dedupe_keep_first",
+    "missing_minutes",
+    "gap_islands",
+    "interpolate_linear",
+    "resample_1h",
+    "dq_profile",
+    "macd",
+    "risk_indicators",
+    "pricing_summary",
+    "nation_revenue",
+    "top_customers",
+    "revenue_rollup",
+    "market_share",
+    "tfidf_top_terms",
+    "bm25_search",
+    "hybrid_search",
+    "salted_event_stats",
+    "salted_purchase_join",
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "incremental_near_dup",
+    "simhash_pairs",
+    "ngram_jaccard",
+    "embed_near_dup",
+    "near_dup_clusters",
+    "near_dup_clusters_star",
+    "clean_corpus",
+    "ann_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_trained",
+    "lang_id",
+    "quality_score",
+    "token_counts",
+    "fingerprints",
+    "chunk_docs",
+    "redact_docs",
+    "sample_docs",
+    "pack_sequences",
+    "shuffle_shard",
+    "training_batches",
+    "media_stats",
+    "props_extract",
+    "asof_last_click",
+    "user_sessions",
+    "session_errors",
+    "stream_candles",
+    "stream_sessions",
+    "stream_view_click",
+    "stream_enrich",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from etl_finance_pipeline_spark.plans.queries import QUERIES
 
-    return dict(QUERIES)
+    ordered = {k: QUERIES[k] for k in _SHOWCASE_FIRST if k in QUERIES}
+    ordered.update(QUERIES)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
     from etl_finance_pipeline_spark.plans.queries import ORACLES
 
-    return dict(ORACLES)
+    ordered = {k: ORACLES[k] for k in _SHOWCASE_FIRST if k in ORACLES}
+    ordered.update(ORACLES)
+    return ordered
