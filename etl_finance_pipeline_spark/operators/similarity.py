@@ -316,7 +316,9 @@ def embedding_near_duplicates(
 
     Output: (id_a, id_b, cosine), id_a < id_b."""
     bands = banded_planes if banded_planes is not None else BANDED_HYPERPLANES
-    d = _as_double(df, vec_col).select(F.col(id_col), F.col(vec_col))
+    # fan_out: B*P dot products per vector is the CPU center — widen a
+    # single-file input across cores (structural no-op at scale)
+    d = _as_double(fan_out(df), vec_col).select(F.col(id_col), F.col(vec_col))
     # Planes ride as a broadcast TABLE, not literals: B*P plane arrays
     # inlined as expression nodes (8*16*64 literals at the default)
     # cost ~10s of Catalyst/codegen time per query — a constant that
