@@ -2088,6 +2088,62 @@ FROM q
 """
 
 
+def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics: per-part-type mean of extended
+    price after clipping to the GLOBAL [p05, p95] — the standard
+    outlier-robust aggregation for noisy training-signal columns. The
+    two global quantiles are one tiny 1-row aggregate, broadcast back
+    onto the fact scan; the clip is a pure projection, so the per-group
+    stats stay one map-side-combinable shuffle. Both engines define the
+    quantile by linear interpolation."""
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    part = load_table(spark, _t(sf_dir, "part"))
+    # bounds rounded portably BEFORE clipping: interpolated quantiles
+    # differ across engines in the last ulp, which would flip the clip
+    # decision for rows exactly at a bound
+    bounds = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.05D, 0.95D))").alias("_b")
+    ).select(_pr(F.col("_b")[0], 6).alias("_lo"), _pr(F.col("_b")[1], 6).alias("_hi"))
+    clipped = li.crossJoin(F.broadcast(bounds)).withColumn(
+        "_cl",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("_lo")), F.col("_hi")),
+    )
+    j = clipped.join(F.broadcast(part), clipped.l_partkey == part.p_partkey)
+    seg = F.split(F.col("p_type"), " ")[0]
+    return (
+        j.groupBy(seg.alias("type_class"))
+        .agg(
+            F.count("*").alias("n"),
+            _pr(F.avg("_cl"), 6).alias("avg_clipped"),
+            _pr(F.avg("l_extendedprice"), 6).alias("avg_raw"),
+            F.sum((F.col("_cl") != F.col("l_extendedprice")).cast("long")).alias(
+                "n_clipped"
+            ),
+        )
+    )
+
+
+SQL_WINSORIZED_PRICES = """
+WITH b AS (
+  SELECT floor(q[1] * 1000000 + 0.5) / 1000000 AS lo,
+         floor(q[2] * 1000000 + 0.5) / 1000000 AS hi
+  FROM (SELECT quantile_cont(l_extendedprice, [0.05, 0.95]) AS q FROM lineitem)
+),
+cl AS (
+  SELECT l.l_partkey, l.l_extendedprice,
+         least(greatest(l.l_extendedprice, b.lo), b.hi) AS c
+  FROM lineitem l CROSS JOIN b
+)
+SELECT string_split(p.p_type, ' ')[1] AS type_class,
+       count(*) AS n,
+       floor(avg(cl.c) * 1000000 + 0.5) / 1000000 AS avg_clipped,
+       floor(avg(cl.l_extendedprice) * 1000000 + 0.5) / 1000000 AS avg_raw,
+       CAST(sum(CASE WHEN cl.c != cl.l_extendedprice THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM cl JOIN part p ON cl.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values per event type: bin =
     floor(value / 50). Binning is a pure projection, so the whole
@@ -2658,6 +2714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "hybrid_search": q_hybrid_search,
     "order_percentiles": q_order_percentiles,
+    "winsorized_prices": q_winsorized_prices,
     "value_histogram": q_value_histogram,
     "candles_long": q_candles_long,
     "user_journeys": q_user_journeys,
@@ -2721,6 +2778,7 @@ ORACLES: dict[str, str] = {
     "bm25_search": SQL_BM25_SEARCH,
     "hybrid_search": SQL_HYBRID_SEARCH,
     "order_percentiles": SQL_ORDER_PERCENTILES,
+    "winsorized_prices": SQL_WINSORIZED_PRICES,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "candles_long": SQL_CANDLES_LONG,
     "user_journeys": SQL_USER_JOURNEYS,
