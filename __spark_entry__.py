@@ -56,6 +56,7 @@ _SHOWCASE_FIRST = (
     "incremental_near_dup",
     "simhash_pairs",
     "ngram_jaccard",
+    "decontaminate",
     "embed_near_dup",
     "near_dup_clusters",
     "near_dup_clusters_star",

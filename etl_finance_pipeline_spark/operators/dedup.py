@@ -400,3 +400,46 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    max_overlap: float = 0.3,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the fraction of
+    its k-gram shingles that appear ANYWHERE in the evaluation set;
+    documents at or above *max_overlap* are flagged contaminated (the
+    pipeline drops or audits them before training).
+
+    Scale shape: the eval side reduces to a DISTINCT shingle set —
+    benchmarks are small by definition — broadcast onto the corpus
+    shingle explode, so the corpus is touched once and never
+    self-joins; per-doc counts are one map-side-combinable shuffle.
+
+    Output: (id, n_shingles, n_overlap, overlap, contaminated)."""
+    csh = _doc_shingles(corpus, id_col, text_col, shingle_k)
+    eval_shingles = _doc_shingles(eval_set, id_col, text_col, shingle_k).select(
+        "shingle"
+    ).distinct()
+    sizes = csh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        csh.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    overlap = F.col("n_overlap") / F.col("n_shingles")
+    return (
+        sizes.join(hits, id_col, "left")
+        .fillna(0, subset=["n_overlap"])
+        .select(
+            id_col,
+            "n_shingles",
+            "n_overlap",
+            overlap.alias("overlap"),
+            (overlap >= max_overlap).alias("contaminated"),
+        )
+    )

@@ -265,6 +265,44 @@ WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the eval set (doc_id < 5 stands in
+    for a held-out benchmark) reduces to its distinct 3-gram shingles,
+    broadcast onto one pass over the corpus; each document reports its
+    shingle-overlap fraction and a contamination flag at 0.3. The eval
+    docs themselves score 1.0 — exactly what the downstream drop
+    filter removes."""
+    from etl_finance_pipeline_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    out = decontaminate(docs, docs.filter(F.col("doc_id") < 5), max_overlap=0.3)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        _pr("overlap", 6).alias("overlap"),
+        "contaminated",
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH {_SHINGLES_CTE.strip()},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+hits AS (
+  SELECT sh.doc_id, count(*) AS n_overlap
+  FROM sh JOIN ev USING (shingle)
+  GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       floor((COALESCE(h.n_overlap, 0) * 1.0 / s.n_shingles) * 1000000 + 0.5) / 1000000 AS overlap,
+       (COALESCE(h.n_overlap, 0) * 1.0 / s.n_shingles) >= 0.3 AS contaminated
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+"""
+
+
 # --------------------------------------------------------------------
 # Corpus preparation: chunking, PII redaction, deterministic sampling
 # --------------------------------------------------------------------
@@ -1664,6 +1702,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_batches": q_training_batches,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "decontaminate": q_decontaminate,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
@@ -1699,6 +1738,7 @@ ORACLES_TD: dict[str, str] = {
     "training_batches": SQL_TRAINING_BATCHES,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "decontaminate": SQL_DECONTAMINATE,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY_SCORE,
     "token_counts": SQL_TOKEN_COUNTS,
