@@ -46,6 +46,7 @@ _SHOWCASE_FIRST = (
     "top_customers",
     "revenue_rollup",
     "market_share",
+    "grouping_sets_sql",
     "tfidf_top_terms",
     "bm25_search",
     "hybrid_search",

@@ -1475,6 +1475,33 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+_GROUPING_SETS_SQL = """
+SELECT c_mktsegment AS segment,
+       o_orderpriority AS priority,
+       CAST(grouping(c_mktsegment) AS BIGINT) AS g_segment,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+       count(*) AS n_orders,
+       floor(sum(o_totalprice) * 1000000 + 0.5) / 1000000 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+"""
+
+
+def q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL GATEWAY end-to-end under the gate: tables registered as
+    temp views by the engine loader (nanos/NTZ-normalized — the same
+    frames the DataFrame API sees), then a plain ``spark.sql`` GROUPING
+    SETS query. One ANSI-SQL string serves as BOTH the Spark query and
+    the DuckDB oracle — the strongest possible statement that the SQL
+    surface is a first-class way to drive this engine. GROUPING SETS
+    itself: three explicit aggregation levels in ONE Expand pass, with
+    grouping() flags separating subtotal rows from data NULLs."""
+    from etl_finance_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, names=("orders", "customer"))
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 def q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-interval window frame (the one frame type the rest of
     the surface lacks): per order priority, the trailing-7-day order
@@ -2695,6 +2722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue_share": q_promo_revenue_share,
     "window_shoppers": q_window_shoppers,
     "returns_cube": q_returns_cube,
+    "grouping_sets_sql": q_grouping_sets_sql,
     "rolling_7d_revenue": q_rolling_7d_revenue,
     "weekly_retention": q_weekly_retention,
     "brand_supplier_counts": q_brand_supplier_counts,
@@ -2759,6 +2787,7 @@ ORACLES: dict[str, str] = {
     "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
     "window_shoppers": SQL_WINDOW_SHOPPERS,
     "returns_cube": SQL_RETURNS_CUBE,
+    "grouping_sets_sql": _GROUPING_SETS_SQL,
     "rolling_7d_revenue": SQL_ROLLING_7D_REVENUE,
     "weekly_retention": SQL_WEEKLY_RETENTION,
     "brand_supplier_counts": SQL_BRAND_SUPPLIER_COUNTS,
