@@ -53,6 +53,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import time
 import re
 import uuid
 from dataclasses import dataclass
@@ -1046,6 +1047,7 @@ def read_changes(
 def vacuum(
     table: str,
     keep_versions: int = 1,
+    min_age_seconds: float | None = None,
 ) -> dict:
     """Physically delete data files referenced ONLY by snapshots older
     than the last *keep_versions*, and truncate their manifests. Time
@@ -1055,9 +1057,13 @@ def vacuum(
     means). Data files are shared across snapshots, so anything still
     referenced by a retained version survives.
 
-    Run only when no writer is mid-stage: staged-but-uncommitted files
-    look unreferenced (production systems add a retention age;
-    single-writer test pipelines don't need one). Returns
+    *min_age_seconds* is the production safety net for concurrent
+    writers: staged-but-uncommitted files look unreferenced, so a
+    vacuum racing a slow writer could delete its staged data before
+    the commit. With an age floor, only unreferenced files whose mtime
+    is older than the window are deleted — the same contract as
+    Delta's retention period. Single-writer test pipelines can omit
+    it. Returns
     ``{"data_files_deleted", "manifests_deleted", "cutoff_version"}``.
     """
     if keep_versions < 1:
@@ -1073,6 +1079,7 @@ def vacuum(
     _force_checkpoint(table, snapshot(table, cutoff))
     logdir = _log_path(table)
     deleted_files = 0
+    now = time.time()
     for root, _dirs, names in os.walk(table):
         if os.path.abspath(root).startswith(os.path.abspath(logdir)):
             continue
@@ -1080,6 +1087,11 @@ def vacuum(
             full = os.path.join(root, name)
             rel = os.path.relpath(full, table)
             if rel not in referenced and not name.startswith("."):
+                if (
+                    min_age_seconds is not None
+                    and now - os.path.getmtime(full) < min_age_seconds
+                ):
+                    continue  # possibly a concurrent writer's staged file
                 os.remove(full)
                 deleted_files += 1
     deleted_manifests = 0

@@ -644,3 +644,24 @@ def test_concurrent_appends_all_land(spark, tmp_path):
     got = {tuple(r) for r in read_table(spark, t).collect()}
     assert got == {("SEED", 0.0)} | {(f"SYM{i}", float(i)) for i in range(n_writers)}
     assert [h["version"] for h in history(t)] == list(range(n_writers + 1))
+
+
+def test_vacuum_age_floor_protects_staged_files(spark, tmp_path):
+    """With min_age_seconds, an unreferenced-but-FRESH file (a
+    concurrent writer's staged-not-yet-committed data) survives the
+    vacuum; the same vacuum without the floor deletes it."""
+    from etl_finance_pipeline_spark.sources.table_format import _stage_files, vacuum
+
+    t = str(tmp_path / "tbl_age")
+    write_table(_df(spark, [("EURUSD", 1.0)]), t)
+    write_table(_df(spark, [("GBPUSD", 2.0)]), t)
+    # a concurrent writer mid-commit: staged files, no manifest yet
+    entries, _ = _stage_files(_df(spark, [("STAGED", 9.9)]), t, None)
+    staged_paths = [os.path.join(t, e["path"]) for e in entries]
+    assert all(os.path.exists(p) for p in staged_paths)
+
+    vacuum(t, keep_versions=1, min_age_seconds=3600)
+    assert all(os.path.exists(p) for p in staged_paths)  # protected
+
+    vacuum(t, keep_versions=1)
+    assert not any(os.path.exists(p) for p in staged_paths)  # reclaimed
