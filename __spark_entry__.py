@@ -83,6 +83,7 @@ _SHOWCASE_FIRST = (
     "session_errors",
     "stream_candles",
     "stream_sessions",
+    "stream_dedupe",
     "stream_view_click",
     "stream_enrich",
 )

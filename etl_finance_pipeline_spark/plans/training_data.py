@@ -1222,6 +1222,45 @@ WHERE session_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
 """
 
 
+def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedupe (dropDuplicatesWithinWatermark) driven to
+    completion on static data. Which duplicate row survives is
+    arrival-order-dependent, so the gate projects the KEY columns only
+    — the surviving key set is deterministic and equals DISTINCT over
+    the batch (every key's first arrival is within the watermark
+    horizon when the file arrives as one microbatch)."""
+    import uuid
+
+    from etl_finance_pipeline_spark.streaming.candles import stream_dedupe
+
+    stream = _read_event_stream(spark, sf_dir)
+    deduped = stream_dedupe(
+        stream, ["event_type", "ts"], ts_col="ts", watermark="10 minutes"
+    ).select("event_type", "ts")
+    name = f"stream_dedupe_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name).select(
+        F.col("event_type").alias("symbol"), F.col("ts")
+    )
+
+
+SQL_STREAM_DEDUPE = """
+SELECT DISTINCT event_type AS symbol, ts FROM events
+"""
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join driven to completion on static
     data: purchase events enriched with the customer dimension
@@ -1720,6 +1759,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_stats": q_media_stats,
     "stream_candles": q_stream_candles,
     "stream_sessions": q_stream_sessions,
+    "stream_dedupe": q_stream_dedupe,
     "stream_view_click": q_stream_view_click,
     "stream_enrich": q_stream_enrich,
     "near_dup_clusters": q_near_dup_clusters,
@@ -1756,6 +1796,7 @@ ORACLES_TD: dict[str, str] = {
     "media_stats": SQL_MEDIA_STATS,
     "stream_candles": SQL_STREAM_CANDLES,
     "stream_sessions": SQL_STREAM_SESSIONS,
+    "stream_dedupe": SQL_STREAM_DEDUPE,
     "stream_view_click": SQL_STREAM_VIEW_CLICK,
     "stream_enrich": SQL_STREAM_ENRICH,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
