@@ -84,6 +84,7 @@ _SHOWCASE_FIRST = (
     "stream_candles",
     "stream_sessions",
     "stream_dedupe",
+    "stream_gaps",
     "stream_view_click",
     "stream_enrich",
 )

@@ -1261,6 +1261,57 @@ SELECT DISTINCT event_type AS symbol, ts FROM events
 """
 
 
+def q_stream_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState)
+    under the oracle gate: per-symbol continuity state emits a gap row
+    whenever the next event arrives more than one minute after the
+    last. Deterministic on static data — the kernel orders each key's
+    batch and does integer-microsecond arithmetic — so the oracle is a
+    plain lag() over the batch (the trailing open gap is never emitted
+    because no next event closes it)."""
+    import uuid
+
+    from etl_finance_pipeline_spark.streaming.candles import stream_gap_monitor
+
+    stream = _read_event_stream(spark, sf_dir)
+    gaps = stream_gap_monitor(
+        stream, "1T", key_col="event_type", ts_col="ts", watermark="10 minutes"
+    )
+    name = f"stream_gaps_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            gaps.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name).select(
+        "symbol",
+        "gap_start",
+        "gap_end",
+        _pr("gap_seconds", 6).alias("gap_seconds"),
+    )
+
+
+SQL_STREAM_GAPS = """
+WITH o AS (
+  SELECT event_type AS symbol, ts,
+         lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+  FROM events
+)
+SELECT symbol, prev AS gap_start, ts AS gap_end,
+       floor((epoch_us(ts - prev) / 1000000.0) * 1000000 + 0.5) / 1000000 AS gap_seconds
+FROM o
+WHERE prev IS NOT NULL AND ts - prev > INTERVAL 1 MINUTE
+"""
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join driven to completion on static
     data: purchase events enriched with the customer dimension
@@ -1760,6 +1811,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_candles": q_stream_candles,
     "stream_sessions": q_stream_sessions,
     "stream_dedupe": q_stream_dedupe,
+    "stream_gaps": q_stream_gaps,
     "stream_view_click": q_stream_view_click,
     "stream_enrich": q_stream_enrich,
     "near_dup_clusters": q_near_dup_clusters,
@@ -1797,6 +1849,7 @@ ORACLES_TD: dict[str, str] = {
     "stream_candles": SQL_STREAM_CANDLES,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedupe": SQL_STREAM_DEDUPE,
+    "stream_gaps": SQL_STREAM_GAPS,
     "stream_view_click": SQL_STREAM_VIEW_CLICK,
     "stream_enrich": SQL_STREAM_ENRICH,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,

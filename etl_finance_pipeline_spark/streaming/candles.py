@@ -190,7 +190,11 @@ def stream_gap_monitor(
     a stream can't materialize the grid, so it tracks per-key
     continuity in user state instead. State = one float per symbol.
     """
-    step = float(offset_alias_to_seconds(rule))
+    # integer MICROSECONDS throughout (stored in the double state slot
+    # — integer-valued up to 2^53, exact): float epoch-seconds round-
+    # trips micro-precision timestamps with ~0.4 µs error, enough to
+    # wobble emitted gap bounds off the exact event times
+    step_us = int(offset_alias_to_seconds(rule)) * 1_000_000
 
     def fn(
         key: tuple[Any, ...],
@@ -200,23 +204,23 @@ def stream_gap_monitor(
         import pandas as pd
 
         (symbol,) = key
-        last_ts = state.get[0] if state.exists else None
+        last_us = int(state.get[0]) if state.exists else None
         out = []
         for pdf in pdfs:
             for t in sorted(pdf[ts_col]):
-                cur = t.timestamp()
-                if last_ts is not None and cur - last_ts > step:
+                cur = t.value // 1000  # ns -> µs, exact
+                if last_us is not None and cur - last_us > step_us:
                     out.append(
                         {
                             "symbol": symbol,
-                            "gap_start": pd.Timestamp(last_ts, unit="s"),
-                            "gap_end": pd.Timestamp(cur, unit="s"),
-                            "gap_seconds": cur - last_ts,
+                            "gap_start": pd.Timestamp(last_us * 1000),
+                            "gap_end": pd.Timestamp(cur * 1000),
+                            "gap_seconds": (cur - last_us) / 1e6,
                         }
                     )
-                last_ts = cur
-        if last_ts is not None:
-            state.update((last_ts,))
+                last_us = cur
+        if last_us is not None:
+            state.update((float(last_us),))
         yield pd.DataFrame(out, columns=["symbol", "gap_start", "gap_end", "gap_seconds"])
 
     return (
