@@ -77,6 +77,7 @@ _SHOWCASE_FIRST = (
     "shuffle_shard",
     "training_batches",
     "media_stats",
+    "audio_stats",
     "props_extract",
     "asof_last_click",
     "user_sessions",

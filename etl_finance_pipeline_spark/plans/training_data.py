@@ -1261,6 +1261,44 @@ SELECT DISTINCT event_type AS symbol, ts FROM events
 """
 
 
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second mapInPandas media kernel under the gate: the audio
+    decode path (fake codec = signed 8-bit PCM over the payload
+    bytes). ASCII payload bytes are the character codes, so the oracle
+    reproduces RMS/peak/duration exactly — Python's integer
+    sum-of-squares and DuckDB's list_sum are both exact, and the final
+    sqrt/divide run the same double ops."""
+    from etl_finance_pipeline_spark.operators.multimodal import decode_audio_stats
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    out = decode_audio_stats(docs)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("stats.n_samples").alias("n_samples"),
+        _pr(F.col("stats.duration_s"), 6).alias("duration_s"),
+        _pr(F.col("stats.rms"), 6).alias("rms"),
+        F.col("stats.peak").cast("long").alias("peak"),
+    )
+
+
+SQL_AUDIO_STATS = """
+WITH codes AS (
+  SELECT doc_id, len(text) AS n,
+         list_transform(generate_series(1, len(text)),
+                        i -> ord(substr(text, i, 1))) AS c
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       floor((n / 16000.0) * 1000000 + 0.5) / 1000000 AS duration_s,
+       floor(sqrt(list_sum(list_transform(c, x -> CAST(x * x AS DOUBLE))) / n) * 1000000 + 0.5) / 1000000 AS rms,
+       CAST(list_max(c) AS BIGINT) AS peak
+FROM codes
+"""
+
+
 def q_stream_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState)
     under the oracle gate: per-symbol continuity state emits a gap row
@@ -1808,6 +1846,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_extract": q_props_extract,
     "clean_corpus": q_clean_corpus,
     "media_stats": q_media_stats,
+    "audio_stats": q_audio_stats,
     "stream_candles": q_stream_candles,
     "stream_sessions": q_stream_sessions,
     "stream_dedupe": q_stream_dedupe,
@@ -1846,6 +1885,7 @@ ORACLES_TD: dict[str, str] = {
     "props_extract": SQL_PROPS_EXTRACT,
     "clean_corpus": SQL_CLEAN_CORPUS,
     "media_stats": SQL_MEDIA_STATS,
+    "audio_stats": SQL_AUDIO_STATS,
     "stream_candles": SQL_STREAM_CANDLES,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedupe": SQL_STREAM_DEDUPE,
