@@ -40,18 +40,16 @@ _SHOWCASE_FIRST = (
     "resample_1h",
     "dq_profile",
     "macd",
-    "risk_indicators",
-    "pricing_summary",
     "nation_revenue",
-    "top_customers",
     "revenue_rollup",
     "market_share",
     "grouping_sets_sql",
+    "winsorized_prices",
+    "salted_event_stats",
+    "salted_purchase_join",
     "tfidf_top_terms",
     "bm25_search",
     "hybrid_search",
-    "salted_event_stats",
-    "salted_purchase_join",
     "exact_dedup_docs",
     "minhash_lsh_pairs",
     "incremental_near_dup",
@@ -69,12 +67,8 @@ _SHOWCASE_FIRST = (
     "lang_id",
     "quality_score",
     "token_counts",
-    "fingerprints",
     "chunk_docs",
-    "redact_docs",
-    "sample_docs",
     "pack_sequences",
-    "shuffle_shard",
     "training_batches",
     "media_stats",
     "audio_stats",
@@ -88,6 +82,9 @@ _SHOWCASE_FIRST = (
     "stream_gaps",
     "stream_view_click",
     "stream_enrich",
+    "redact_docs",
+    "sample_docs",
+    "shuffle_shard",
 )
 
 
