@@ -72,6 +72,7 @@ _SHOWCASE_FIRST = (
     "training_batches",
     "media_stats",
     "audio_stats",
+    "video_frames",
     "props_extract",
     "asof_last_click",
     "user_sessions",

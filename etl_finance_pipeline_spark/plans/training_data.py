@@ -1299,6 +1299,41 @@ FROM codes
 """
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third mapInPandas media kernel under the gate: 1→N frame
+    sampling (fake codec = consecutive 64-byte frames, every 10th
+    emitted). Frames hash to md5 hex so the oracle compares content
+    without a cross-engine binary column; ASCII payload bytes equal
+    the text's character bytes, so DuckDB's substr reproduces each
+    frame exactly."""
+    from etl_finance_pipeline_spark.operators.multimodal import sample_video_frames
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    out = sample_video_frames(docs, every_n=10, frame_bytes=64)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("long").alias("n_bytes"),
+    )
+
+
+SQL_VIDEO_FRAMES = """
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(len(text) // 64 AS BIGINT), 10)) AS i
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_index,
+       md5(substr(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5,
+       CAST(64 AS BIGINT) AS n_bytes
+FROM idx
+"""
+
+
 def q_stream_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState)
     under the oracle gate: per-symbol continuity state emits a gap row
@@ -1847,6 +1882,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_corpus": q_clean_corpus,
     "media_stats": q_media_stats,
     "audio_stats": q_audio_stats,
+    "video_frames": q_video_frames,
     "stream_candles": q_stream_candles,
     "stream_sessions": q_stream_sessions,
     "stream_dedupe": q_stream_dedupe,
@@ -1886,6 +1922,7 @@ ORACLES_TD: dict[str, str] = {
     "clean_corpus": SQL_CLEAN_CORPUS,
     "media_stats": SQL_MEDIA_STATS,
     "audio_stats": SQL_AUDIO_STATS,
+    "video_frames": SQL_VIDEO_FRAMES,
     "stream_candles": SQL_STREAM_CANDLES,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedupe": SQL_STREAM_DEDUPE,
