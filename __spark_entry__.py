@@ -67,7 +67,6 @@ _SHOWCASE_FIRST = (
     "lang_id",
     "quality_score",
     "token_counts",
-    "chunk_docs",
     "pack_sequences",
     "training_batches",
     "media_stats",
