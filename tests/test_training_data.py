@@ -347,3 +347,28 @@ def test_train_kmeans_centroids(spark):
     i_early = inertia([tuple(r["cvec"]) for r in c0.collect()])
     assert i_trained <= i_early + 1e-9
     assert not math.isnan(i_trained)
+
+
+def test_decontaminate_flags_eval_members_and_clean_docs(spark):
+    from etl_finance_pipeline_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over a sleeping cat"),  # shares prefix
+            (2, "completely different words about spark engines here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(
+            docs, docs.filter("doc_id = 0"), max_overlap=0.3
+        ).collect()
+    }
+    # the eval doc itself is 100% contaminated
+    assert out[0]["overlap"] == 1.0 and out[0]["contaminated"]
+    # partial shingle overlap ("the quick brown", ...) crosses 0.3
+    assert 0 < out[1]["overlap"] < 1.0 and out[1]["contaminated"]
+    # disjoint vocabulary is clean
+    assert out[2]["n_overlap"] == 0 and not out[2]["contaminated"]
