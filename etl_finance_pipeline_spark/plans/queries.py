@@ -2448,10 +2448,14 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_terms_hit"),
         )
     )
+    # TakeOrderedAndProject (per-partition top-20 + driver merge), not
+    # a global row_number window — an unpartitioned window funnels
+    # every doc matching any term through one partition, unbounded for
+    # common terms at scale; rank re-derived on the 20 survivors.
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("doc_id", "score", "n_terms_hit", "rank")
     )
 
@@ -2518,10 +2522,13 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_lex").cast("long").alias("r_lex"),
         F.col("r_sem").cast("long").alias("r_sem"),
     )
+    # Same TakeOrderedAndProject shape as the lexical arm: the fused
+    # set is ≤40 rows here, but keeping the orderBy+limit form means
+    # no unpartitioned WindowExec anywhere in the retrieval family.
+    top = fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(10)
     w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
     return (
-        fused.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("doc_id", "rrf", "r_lex", "r_sem", "rank")
     )
 
