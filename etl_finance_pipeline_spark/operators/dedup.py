@@ -149,13 +149,6 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes)
-    # The banding self-join + bucket-size guard reference the signature
-    # subtree FOUR times; without persistence Spark recomputes the
-    # whole shingle+hash pipeline per branch (4 scans — measured 12s vs
-    # 3s at sf0.1). Signatures are tiny (num_hashes longs per doc);
-    # at corpus scale you'd checkpoint them to a table for the same
-    # reason.
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
     banded = sigs.select(
         F.col(id_col).alias("_id"),
@@ -171,12 +164,22 @@ def minhash_lsh_pairs(
         ).alias("_bk"),
     ).select("_id", "sig", F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"))
 
-    # skew guard: drop degenerate buckets
-    bucket_counts = banded.groupBy("band", "key").agg(F.count("*").alias("_n"))
-    banded = banded.join(
-        bucket_counts.filter(F.col("_n") <= max_bucket_size).drop("_n"),
-        on=["band", "key"],
+    # Skew guard: drop degenerate buckets via a (band, key)-partitioned
+    # count window — ONE shuffle that also pre-partitions the rows for
+    # the self-join below, instead of a separate count-agg + equi-join
+    # branch (which the self-join would recompute once per side).
+    banded = (
+        banded.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+        )
+        .filter(F.col("_n") <= max_bucket_size)
+        .drop("_n")
     )
+    # The self-join references the shingle+hash+band+guard subtree
+    # twice; persist so it runs once. Band rows are tiny (id + sig +
+    # band key); at corpus scale you'd checkpoint them to a table for
+    # the same reason.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     left = banded.select(
         F.col("band"), F.col("key"), F.col("_id").alias("id_a"), F.col("sig").alias("_sig_a")
