@@ -22,11 +22,21 @@ from pyspark.sql import DataFrame
 
 def fan_out(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Repartition *df* up to ``defaultParallelism × min_factor``
-    partitions if (and only if) it currently has fewer. Use directly
+    partitions when its file-backed input is narrower. Use directly
     before a CPU-bound projection; never after a layout-sensitive op
-    (window/sorted write) — round-robin destroys ordering."""
+    (window/sorted write) — round-robin destroys ordering.
+
+    The width probe counts the plan's leaf input files
+    (``df.inputFiles()`` — file listing only, no job) rather than
+    converting to an RDD: ``df.rdd.getNumPartitions()`` forces a full
+    analysis + RDD translation of the plan that is then thrown away.
+    File count upper-bounds the scan's partition count for small files
+    (Spark packs small files together), so ``n_files < target`` is
+    exactly the degenerate case the helper exists for; non-file plans
+    (0 files) and already-wide inputs pass through untouched."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() >= target:
+    n_files = len(df.inputFiles())
+    if n_files == 0 or n_files >= target:
         return df
     return df.repartition(target)

@@ -44,6 +44,21 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _narrow_session(spark: SparkSession, shuffle_partitions: int = 8) -> SparkSession:
+    """Isolated session clone (shared SparkContext + table cache,
+    separate SQLConf) pinned to a narrow shuffle width. Stateful
+    streaming sinks keep one state store per shuffle partition, so a
+    single availableNow microbatch pays per-partition fixed cost;
+    likewise multi-round iterative joins on tiny graphs. Cloning the
+    session scopes the override to the one query instead of mutating
+    (and racing on) the caller's global conf. Builder-time configs
+    (UTC, AQE, nanosAsLong, ...) live in the shared SparkContext conf
+    and carry over."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return s
+
+
 def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream source over the events table with timestamps
     normalized to TimestampType — the same two repairs ``load_table``
@@ -1033,21 +1048,17 @@ def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_star,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
-    pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
     # the candidate-pair graph is tiny relative to the corpus; each
     # star round is several small stages, so per-partition fixed cost
     # dominates at core-count partitions — run the contraction narrow
-    # (on a cluster, size to |edges|, not core count)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        comp = connected_components_star(pairs)
-        out = comp.select(F.col("id").alias("doc_id"), F.col("component"))
-        out = out.localCheckpoint(eager=True)  # materialize before conf restore
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return out
+    # in an isolated session clone (on a cluster, size to |edges|,
+    # not core count)
+    spark = _narrow_session(spark, 8)
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    comp = connected_components_star(pairs)
+    out = comp.select(F.col("id").alias("doc_id"), F.col("component"))
+    return out.localCheckpoint(eager=True)  # truncate the iterative lineage
 
 
 SQL_NEAR_DUP_CLUSTERS = f"""
@@ -1100,26 +1111,22 @@ def q_stream_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_finance_pipeline_spark.streaming.candles import stream_candles
 
+    # see q_stream_view_click: per-partition state-store fixed cost
+    # dominates a single availableNow batch — run narrow
+    spark = _narrow_session(spark, 8)
     stream = _read_event_stream(spark, sf_dir)
     candles = stream_candles(
         stream, "5T", ["event_type"], ts_col="ts", watermark="10 minutes"
     )
     name = f"stream_candles_{uuid.uuid4().hex[:8]}"
-    # see q_stream_view_click: per-partition state-store fixed cost
-    # dominates a single availableNow batch — run narrow
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            candles.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    q = (
+        candles.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
     out = spark.table(name)
     return out.select(
         F.col("event_type").alias("symbol"),
@@ -1164,24 +1171,20 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_finance_pipeline_spark.streaming.candles import stream_sessions
 
+    spark = _narrow_session(spark, 8)
     stream = _read_event_stream(spark, sf_dir)
     sessions = stream_sessions(
         stream, ["user_id"], gap="5 minutes", ts_col="ts", watermark="10 minutes"
     )
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            sessions.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
     out = spark.table(name)
     return out.select(
         "user_id",
@@ -1233,24 +1236,20 @@ def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_finance_pipeline_spark.streaming.candles import stream_dedupe
 
+    spark = _narrow_session(spark, 8)
     stream = _read_event_stream(spark, sf_dir)
     deduped = stream_dedupe(
         stream, ["event_type", "ts"], ts_col="ts", watermark="10 minutes"
     ).select("event_type", "ts")
     name = f"stream_dedupe_{uuid.uuid4().hex[:8]}"
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
     return spark.table(name).select(
         F.col("event_type").alias("symbol"), F.col("ts")
     )
@@ -1346,24 +1345,20 @@ def q_stream_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_finance_pipeline_spark.streaming.candles import stream_gap_monitor
 
+    spark = _narrow_session(spark, 8)
     stream = _read_event_stream(spark, sf_dir)
     gaps = stream_gap_monitor(
         stream, "1T", key_col="event_type", ts_col="ts", watermark="10 minutes"
     )
     name = f"stream_gaps_{uuid.uuid4().hex[:8]}"
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            gaps.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    q = (
+        gaps.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
     return spark.table(name).select(
         "symbol",
         "gap_start",
@@ -1439,6 +1434,12 @@ def q_stream_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_finance_pipeline_spark.streaming.candles import stream_interval_join
 
+    # a stream-stream join keeps FOUR state stores per shuffle
+    # partition; for a single availableNow microbatch the per-store
+    # fixed cost dominates (measured 14.2s at 32 partitions vs 3.1s at
+    # 8 on sf0.1). On a live cluster, size partitions to state volume,
+    # not core count.
+    spark = _narrow_session(spark, 8)
     stream = _read_event_stream(spark, sf_dir)
     views = stream.filter("event_type = 'view'").select(
         F.col("event_id").alias("view_id"),
@@ -1459,24 +1460,14 @@ def q_stream_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
     )
     name = f"stream_vc_{uuid.uuid4().hex[:8]}"
-    # a stream-stream join keeps FOUR state stores per shuffle
-    # partition; for a single availableNow microbatch the per-store
-    # fixed cost dominates (measured 14.2s at 32 partitions vs 3.1s at
-    # 8 on sf0.1). On a live cluster, size partitions to state volume,
-    # not core count.
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
     return spark.table(name).select(
         "view_id", "click_id", "user_id", "view_ts", "click_ts"
     )

@@ -1,15 +1,27 @@
 """fan_out partition-layout tests: the helper must widen degenerate
-single-partition inputs and be a structural no-op on already-wide
-ones (the 100 TB case, where inputs arrive with >= cores partitions)."""
+small-file inputs (the single-row-group test corpus case) and be a
+structural no-op on already-wide ones (the 100 TB case, where inputs
+arrive with >= cores input files). The width probe is the plan's leaf
+input-file count — file listing only, never a plan->RDD translation —
+so non-file plans (in-memory ranges, shuffles) pass through untouched.
+"""
 
 from __future__ import annotations
 
 from etl_finance_pipeline_spark.functions.layout import fan_out
 
 
-def test_fan_out_widens_single_partition(spark):
-    df = spark.range(1000).coalesce(1)
-    assert df.rdd.getNumPartitions() == 1
+def _single_file_parquet(spark, tmp_path, n=1000):
+    p = str(tmp_path / "narrow")
+    spark.range(n).coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    # one data file -> the degenerate narrow-scan case
+    assert len(df.inputFiles()) == 1
+    return df
+
+
+def test_fan_out_widens_single_file_scan(spark, tmp_path):
+    df = _single_file_parquet(spark, tmp_path)
     wide = fan_out(df)
     assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     # Round-robin must preserve the rows exactly.
@@ -17,16 +29,26 @@ def test_fan_out_widens_single_partition(spark):
     assert wide.agg({"id": "sum"}).first()[0] == 999 * 1000 // 2
 
 
-def test_fan_out_noop_when_already_wide(spark):
+def test_fan_out_noop_when_already_wide(spark, tmp_path):
     target = spark.sparkContext.defaultParallelism
-    df = spark.range(1000).repartition(target + 2)
+    p = str(tmp_path / "wide")
+    spark.range(1000).repartition(target + 2).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    assert len(df.inputFiles()) >= target
     wide = fan_out(df)
     # No narrowing, and no new shuffle inserted: same plan object back.
     assert wide is df
 
 
-def test_fan_out_min_factor_scales_target(spark):
-    df = spark.range(100).coalesce(1)
+def test_fan_out_noop_on_non_file_plan(spark):
+    # No file-backed leaves -> width unknown -> pass through unchanged
+    # rather than inserting a speculative shuffle.
+    df = spark.range(1000).coalesce(1)
+    assert fan_out(df) is df
+
+
+def test_fan_out_min_factor_scales_target(spark, tmp_path):
+    df = _single_file_parquet(spark, tmp_path, n=100)
     wide = fan_out(df, min_factor=2)
     assert (
         wide.rdd.getNumPartitions() == 2 * spark.sparkContext.defaultParallelism

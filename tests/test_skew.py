@@ -72,3 +72,49 @@ def test_salted_join_matches_plain(spark):
     )
     assert salted == plain
     assert len(plain) == 901  # 900 hot rows + 1 k3 row
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE's runtime skew-join handling — the complement to the
+    explicit salting operators: a shuffle join whose hot key owns
+    ~60% of the left side gets its oversized partition SPLIT by
+    OptimizeSkewedJoin, visible in the final adaptive plan as
+    ``SortMergeJoin(skew=true)`` / a ``skewed`` AQEShuffleRead.
+    Thresholds are lowered so sf-test-scale bytes qualify; confs are
+    scoped to a session clone, never the shared test session."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB"
+    )
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+    # force a shuffle join: a broadcast join has no shuffle to split
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+
+    from pyspark.sql import functions as SF
+
+    left = s.range(400_000).select(
+        SF.when(SF.col("id") % 10 < 6, SF.lit(0))
+        .otherwise(SF.col("id"))
+        .alias("k"),
+        SF.col("id").alias("payload"),
+    )
+    right = s.range(0, 400_000, 7).select(
+        SF.col("id").alias("k"), (SF.col("id") * 2).alias("tag")
+    )
+    joined = left.join(right, "k")
+    # collect() finalizes THIS DataFrame's adaptive plan (a count()
+    # would execute a separate QueryExecution and leave joined's
+    # executedPlan un-finalized)
+    n = len(joined.collect())
+    # correctness: hot key 0 matches (240k rows), plus every non-hot
+    # left id divisible by 7
+    assert n == 240_000 + sum(
+        1 for i in range(400_000) if i % 10 >= 6 and i % 7 == 0
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, f"no skew split in final plan:\n{plan[:2000]}"
