@@ -40,23 +40,43 @@ def get_logger(
     """A logger with a console handler and a size-rotated file handler
     (``<log_dir>/etl.log``, *max_bytes* per file, *backup_count*
     rotations). Idempotent per name: repeat calls return the already-
-    configured logger without stacking handlers."""
+    configured logger without stacking handlers — but a repeat call
+    that RESOLVES to a different log file or level (a second
+    run_pipeline in the same process with a different
+    ``paths.logs_path``) rebuilds the file handler and re-levels
+    instead of silently logging into the first run's directory."""
     logger = logging.getLogger(name)
-    if logger.handlers:
-        return logger
-
     resolved_level = level or os.environ.get("SPARK_GRAFT_LOG_LEVEL", "INFO")
-    logger.setLevel(resolved_level)
-    fmt = logging.Formatter(_FORMAT)
-
-    console = logging.StreamHandler()
-    console.setFormatter(fmt)
-    logger.addHandler(console)
-
     directory = log_dir or os.environ.get("SPARK_GRAFT_LOG_DIR", "logs")
+    target = os.path.abspath(os.path.join(directory, "etl.log"))
+
+    if logger.handlers:
+        if level is not None:
+            logger.setLevel(level)
+        if log_dir is None:
+            return logger  # nothing explicit to reconcile — cached config
+        current = [
+            h for h in logger.handlers if isinstance(h, RotatingFileHandler)
+        ]
+        if current and all(
+            os.path.abspath(h.baseFilename) == target for h in current
+        ):
+            return logger
+        # log destination moved: swap the file handler(s), keep console
+        for h in current:
+            logger.removeHandler(h)
+            h.close()
+        fmt = logging.Formatter(_FORMAT)
+    else:
+        logger.setLevel(resolved_level)
+        fmt = logging.Formatter(_FORMAT)
+        console = logging.StreamHandler()
+        console.setFormatter(fmt)
+        logger.addHandler(console)
+
     os.makedirs(directory, exist_ok=True)
     rotating = RotatingFileHandler(
-        os.path.join(directory, "etl.log"),
+        target,
         maxBytes=max_bytes,
         backupCount=backup_count,
     )

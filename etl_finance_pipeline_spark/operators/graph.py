@@ -83,6 +83,13 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            "(labels still changing); raise max_iter — propagation "
+            "needs ~graph-diameter rounds"
+        )
     edges.unpersist()
     return labels
 
@@ -173,6 +180,16 @@ def connected_components_star(
         if sig == prev_sig:
             break
         prev_sig = sig
+    else:
+        # Returning here would label components by non-root
+        # intermediates — fail loudly instead, mirroring
+        # connected_components. (The signature is (count,
+        # sum-of-xxhash64); a collision masking a real change is
+        # ~2^-64 per round — accepted.)
+        raise RuntimeError(
+            f"connected_components_star: edge set not stable after "
+            f"{max_iter} rounds; raise max_iter (expected O(log² n))"
+        )
 
     children = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("id"), F.col("v").alias("component")).distinct()

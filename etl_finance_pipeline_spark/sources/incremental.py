@@ -81,8 +81,12 @@ def refresh_aggregate(
         F.sum(F.col(c).cast("double")).alias(f"{c}_sum") for c in sum_cols
     ]
     if seen is None:
+        # Pin the scan to the version captured above: reading the
+        # unpinned latest would fold a concurrent commit into the
+        # state while stamping the earlier base_version, and the next
+        # refresh's change feed would then replay (double-count) it.
         agg = (
-            read_table(spark, base_table)
+            read_table(spark, base_table, version=base_version)
             .groupBy(*key_cols)
             .agg(*sums, F.count("*").alias("row_count"))
         )
@@ -102,9 +106,11 @@ def refresh_aggregate(
     except VacuumedRangeError:
         # Part of the feed past our high-water mark was vacuumed — the
         # deltas are unrecoverable, so recompute the aggregate from the
-        # current base snapshot instead of silently losing them.
+        # base snapshot instead of silently losing them. Pinned to the
+        # version captured at entry for the same replay-race reason as
+        # the initial build above.
         agg = (
-            read_table(spark, base_table)
+            read_table(spark, base_table, version=base_version)
             .groupBy(*key_cols)
             .agg(*sums, F.count("*").alias("row_count"))
         )

@@ -17,6 +17,7 @@ Spark-first:
 
 from __future__ import annotations
 
+import glob
 import os
 from dataclasses import dataclass, field
 
@@ -63,10 +64,28 @@ def sample_csv_schema(
     sample) instead of silently re-typing the column.
     """
     plist = [paths] if isinstance(paths, str) else list(paths)
+    # A directory or glob is ONE entry here but many files underneath —
+    # slicing the unexpanded list would silently run full-dataset
+    # inference. Expand to the concrete file listing first so the
+    # bound really is a file-count bound.
+    expanded: list[str] = []
+    for p in plist:
+        if glob.has_magic(p):
+            expanded.extend(sorted(glob.glob(p)))
+        elif os.path.isdir(p):
+            expanded.extend(
+                sorted(
+                    os.path.join(p, n)
+                    for n in os.listdir(p)
+                    if n.lower().endswith(".csv") and not n.startswith((".", "_"))
+                )
+            )
+        else:
+            expanded.append(p)
     reader = spark.read.option("header", True).option("inferSchema", True)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
-    return reader.csv(plist[:sample_files]).schema
+    return reader.csv(expanded[:sample_files]).schema
 
 
 def read_csv(

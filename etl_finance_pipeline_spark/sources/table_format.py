@@ -180,9 +180,12 @@ def _force_checkpoint(table: str, snap: Snapshot) -> None:
                 "files": snap.files,
                 "schema": snap.schema_ddl,
                 "schema_json": snap.schema_json,
-                # Streaming-sink epoch high-water mark rides the
+                # Streaming-sink epoch high-water marks ride the
                 # checkpoint so idempotence survives vacuum (which
                 # deletes the manifests that carry source_batch_id).
+                # Per-txn-app dict ("" = writes without an app id);
+                # the legacy global max is kept for old readers.
+                "max_source_batch_ids": _epoch_marks(table, snap.version),
                 "max_source_batch_id": last_committed_epoch(table, snap.version),
             },
             fh,
@@ -191,36 +194,63 @@ def _force_checkpoint(table: str, snap: Snapshot) -> None:
     os.replace(tmp, path)
 
 
-def last_committed_epoch(table: str, version: int | None = None) -> int | None:
-    """Highest streaming ``source_batch_id`` committed at or before
-    *version* (default: latest), or None if no streaming sink has
-    written. O(_CHECKPOINT_INTERVAL): reads the newest checkpoint's
-    recorded high-water mark plus the manifest suffix after it — never
-    the whole log. Structured Streaming epoch ids are monotonic per
-    query, so the max IS the dedupe watermark: a redelivered epoch has
-    id <= this value."""
+def _epoch_marks(table: str, version: int | None = None) -> dict[str, int]:
+    """Per-txn-app streaming epoch high-water marks at or before
+    *version* (default: latest): ``{txn_app_id: max source_batch_id}``
+    with ``""`` collecting writes that carried no app id.
+    O(_CHECKPOINT_INTERVAL): reads the newest checkpoint's recorded
+    marks plus the manifest suffix after it — never the whole log."""
     versions = _list_versions(table)
     if not versions:
-        return None
+        return {}
     if version is None:
         version = versions[-1]
-    best: int | None = None
+    marks: dict[str, int] = {}
     replay_from = 0
     usable = [cp for cp in _list_checkpoints(table) if cp <= version]
     if usable:
         with open(_checkpoint_path(table, usable[-1])) as fh:
             ckpt = json.load(fh)
-        b = ckpt.get("max_source_batch_id")
-        best = int(b) if b is not None else None
+        raw = ckpt.get("max_source_batch_ids")
+        if raw is not None:
+            marks = {str(k): int(v) for k, v in raw.items()}
+        else:  # checkpoint from before per-app marks
+            b = ckpt.get("max_source_batch_id")
+            if b is not None:
+                marks[""] = int(b)
         replay_from = usable[-1] + 1
     for v in versions:
         if v < replay_from or v > version:
             continue
         with open(_manifest_path(table, v)) as fh:
-            b = json.load(fh).get("source_batch_id")
-        if b is not None and (best is None or int(b) > best):
-            best = int(b)
-    return best
+            m = json.load(fh)
+        b = m.get("source_batch_id")
+        if b is None:
+            continue
+        app = str(m.get("source_txn_app") or "")
+        if app not in marks or int(b) > marks[app]:
+            marks[app] = int(b)
+    return marks
+
+
+def last_committed_epoch(
+    table: str, version: int | None = None, txn_app_id: str | None = None
+) -> int | None:
+    """Highest streaming ``source_batch_id`` committed at or before
+    *version* (default: latest), or None if no streaming sink has
+    written. Structured Streaming epoch ids are monotonic per QUERY,
+    so the max is a valid dedupe watermark only within one query's
+    writes: pass *txn_app_id* to scope the mark to that writer (the
+    Delta txnAppId pattern) — two queries feeding one table, or a
+    query whose checkpoint was relocated (epoch ids reset to 0), must
+    not be gated by each other's marks. With no *txn_app_id* the
+    global max across all writers is returned (legacy single-writer
+    view, also what the vacuum-surviving checkpoint records)."""
+    marks = _epoch_marks(table, version)
+    if txn_app_id is not None:
+        b = marks.get(str(txn_app_id))
+        return int(b) if b is not None else None
+    return max(marks.values()) if marks else None
 
 
 def _merge_schemas(old: StructType, new: StructType) -> StructType:

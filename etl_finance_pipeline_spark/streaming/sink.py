@@ -17,6 +17,8 @@ on a schedule (the standard OPTIMIZE cadence for streaming ingest).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 from etl_finance_pipeline_spark.sources.table_format import (
@@ -43,13 +45,31 @@ def committed_batch_ids(table: str) -> set[int]:
     return out
 
 
-def _epoch_already_committed(table: str, epoch_id: int) -> bool:
+def _epoch_already_committed(
+    table: str, epoch_id: int, txn_app_id: str | None = None
+) -> bool:
     """O(1)-per-microbatch idempotence check: Structured Streaming
     epoch ids are monotonic per query, so a redelivered epoch is
     exactly one with id <= the committed high-water mark. The mark
-    rides checkpoints, so it survives vacuum truncating manifests."""
-    last = last_committed_epoch(table)
+    rides checkpoints, so it survives vacuum truncating manifests.
+    Scoped by *txn_app_id* (Delta's txnAppId pattern) so a second
+    query feeding the same table, or a query restarted with a fresh
+    checkpoint (epoch ids reset to 0), is never gated by another
+    writer's mark — without scoping those batches would be silently
+    skipped (data loss, no error)."""
+    last = last_committed_epoch(table, txn_app_id=txn_app_id)
     return last is not None and int(epoch_id) <= last
+
+
+def _default_txn_app(checkpoint_dir: str) -> str:
+    """Stable per-query writer id derived from the checkpoint
+    location: the same query restarts with the same id (dedupe
+    works), while a different query — or a relocated checkpoint,
+    whose epoch ids restart at 0 — gets a fresh scope."""
+    import hashlib
+
+    key = os.path.abspath(checkpoint_dir).encode()
+    return "ckpt-" + hashlib.sha256(key).hexdigest()[:12]
 
 
 def write_batch_idempotent(
@@ -57,18 +77,23 @@ def write_batch_idempotent(
     epoch_id: int,
     table: str,
     partition_by: list[str] | None = None,
+    txn_app_id: str | None = None,
 ) -> bool:
     """foreachBatch body: append *batch_df* as one commit tagged with
-    *epoch_id*, unless that epoch already committed (redelivery after
-    a sink failure → no duplicate data). Returns True if committed."""
-    if _epoch_already_committed(table, epoch_id):
+    (*txn_app_id*, *epoch_id*), unless that epoch already committed
+    under the same app id (redelivery after a sink failure → no
+    duplicate data). Returns True if committed."""
+    if _epoch_already_committed(table, epoch_id, txn_app_id):
         return False
+    meta: dict = {"source_batch_id": int(epoch_id)}
+    if txn_app_id:
+        meta["source_txn_app"] = str(txn_app_id)
     write_table(
         batch_df,
         table,
         mode="append",
         partition_by=partition_by,
-        extra_metadata={"source_batch_id": int(epoch_id)},
+        extra_metadata=meta,
     )
     return True
 
@@ -78,6 +103,7 @@ def upsert_batch_idempotent(
     epoch_id: int,
     table: str,
     key_cols: list[str],
+    txn_app_id: str | None = None,
 ) -> bool:
     """foreachBatch body for streaming CDC apply: MERGE *batch_df*
     into *table* on *key_cols* as one commit tagged with *epoch_id*.
@@ -93,15 +119,20 @@ def upsert_batch_idempotent(
     try:
         snapshot(table)
     except FileNotFoundError:
-        return write_batch_idempotent(batch_df, epoch_id, table)
-    if _epoch_already_committed(table, epoch_id):
+        return write_batch_idempotent(
+            batch_df, epoch_id, table, txn_app_id=txn_app_id
+        )
+    if _epoch_already_committed(table, epoch_id, txn_app_id):
         return False
+    meta: dict = {"source_batch_id": int(epoch_id)}
+    if txn_app_id:
+        meta["source_txn_app"] = str(txn_app_id)
     merge_table(
         batch_df.sparkSession,
         table,
         batch_df,
         key_cols,
-        extra_metadata={"source_batch_id": int(epoch_id)},
+        extra_metadata=meta,
     )
     return True
 
@@ -112,6 +143,7 @@ def stream_upsert_to_table(
     checkpoint_dir: str,
     key_cols: list[str],
     available_now: bool = True,
+    txn_app_id: str | None = None,
 ):
     """Streaming upsert (CDC apply): each microbatch MERGEs into the
     transactional table on *key_cols* — the standard pattern for
@@ -121,8 +153,10 @@ def stream_upsert_to_table(
     the table size (point-keyed epochs on a clustered table rewrite
     one file)."""
 
+    app = txn_app_id or _default_txn_app(checkpoint_dir)
+
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        upsert_batch_idempotent(batch_df, epoch_id, table, key_cols)
+        upsert_batch_idempotent(batch_df, epoch_id, table, key_cols, app)
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)
@@ -140,6 +174,7 @@ def stream_to_table(
     partition_by: list[str] | None = None,
     available_now: bool = True,
     auto_compact_every: int | None = None,
+    txn_app_id: str | None = None,
 ):
     """Start a streaming query writing *stream_df* into the
     transactional table. Returns the StreamingQuery (caller awaits).
@@ -151,8 +186,12 @@ def stream_to_table(
     files). Compaction commits are ``data_change: false``, so change-
     feed consumers and incremental refreshes see nothing."""
 
+    app = txn_app_id or _default_txn_app(checkpoint_dir)
+
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        committed = write_batch_idempotent(batch_df, epoch_id, table, partition_by)
+        committed = write_batch_idempotent(
+            batch_df, epoch_id, table, partition_by, app
+        )
         # epoch ids are monotonic, so modular arithmetic on the id
         # gives the every-N cadence without an O(versions) log scan
         if (

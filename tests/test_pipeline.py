@@ -270,3 +270,32 @@ def test_rotating_logger(tmp_path):
     assert "etl.log" in files
     assert any(f.startswith("etl.log.") for f in files)  # rotated backups
     assert all(not f.startswith("etl.log.3") for f in files)  # capped at 2
+
+
+def test_rotating_logger_follows_explicit_dir_change(tmp_path):
+    """A second run in the same process with a DIFFERENT explicit
+    logs path must not keep writing into the first run's directory:
+    the file handler is rebuilt when the resolved target moves
+    (cached config still wins when no dir is passed)."""
+    import logging
+
+    from etl_finance_pipeline_spark.logging_utils import get_logger
+
+    name = "etl_test_redirect"
+    d1, d2 = tmp_path / "run1", tmp_path / "run2"
+    log = get_logger(name, log_dir=str(d1))
+    log.info("first run")
+    assert get_logger(name) is log  # no-arg repeat: cached, no rebuild
+    assert len(log.handlers) == 2
+
+    log2 = get_logger(name, log_dir=str(d2), level="DEBUG")
+    assert log2 is log and len(log.handlers) == 2  # swapped, not stacked
+    assert log.level == logging.DEBUG
+    log.info("second run")
+    for h in log.handlers:
+        h.flush()
+        if isinstance(h, logging.handlers.RotatingFileHandler):
+            assert h.baseFilename.startswith(str(d2))
+            h.close()
+    assert "second run" in (d2 / "etl.log").read_text()
+    assert "second run" not in (d1 / "etl.log").read_text()

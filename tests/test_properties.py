@@ -322,3 +322,26 @@ def test_star_components_match_propagation(spark, pairs):
         for r in connected_components_star(df).collect()
     }
     assert star == prop
+
+
+def test_connected_components_raise_without_convergence(spark):
+    """Exhausting max_iter without a fixpoint must raise, not return
+    components labeled by non-root intermediates (both variants)."""
+    import pytest as _pytest
+
+    from etl_finance_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # a 12-vertex chain: propagation needs ~diameter rounds, star ~log²
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(chain, max_iter=2).collect()
+    with _pytest.raises(RuntimeError, match="not stable"):
+        connected_components_star(chain, max_iter=1).collect()
+    # and with enough rounds both converge to one component
+    ok = connected_components(chain, max_iter=20).collect()
+    assert {r["component"] for r in ok} == {0}

@@ -129,3 +129,33 @@ def test_read_orc_and_directory_scan(spark, tmp_path):
 
     res = load_directory(spark, str(tmp_path))
     assert "orc" in res.frames and res.frames["orc"].count() == 1
+
+
+def test_sample_csv_schema_bounds_directory_inference(spark, tmp_path):
+    """A directory (or glob) argument is ONE list entry but many files —
+    the sample bound must apply to the EXPANDED file listing, or a
+    directory input silently triggers full-dataset inference. Files
+    past the sample window must not influence the inferred schema."""
+    from etl_finance_pipeline_spark.sources.readers import sample_csv_schema
+
+    d = tmp_path / "csvs"
+    d.mkdir()
+    # files 00..07: integer column; file 08: floats. Sorted expansion
+    # with sample_files=8 must never read file 08.
+    for i in range(8):
+        (d / f"part-{i:02d}.csv").write_text("a,b\n1,x\n2,y\n")
+    (d / "part-08.csv").write_text("a,b\n1.5,z\n")
+
+    sch = {f.name: f.dataType.simpleString() for f in
+           sample_csv_schema(spark, str(d), sample_files=8).fields}
+    assert sch["a"] == "int"
+
+    # same bound through a glob string
+    sch_g = {f.name: f.dataType.simpleString() for f in
+             sample_csv_schema(spark, str(d / "part-*.csv"), sample_files=8).fields}
+    assert sch_g["a"] == "int"
+
+    # widening the window picks up the float file
+    sch_all = {f.name: f.dataType.simpleString() for f in
+               sample_csv_schema(spark, str(d), sample_files=9).fields}
+    assert sch_all["a"] == "double"

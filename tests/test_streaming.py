@@ -373,3 +373,62 @@ def test_stream_to_table_auto_compact(spark, tmp_path):
     # the feed shows the ingests, not the compaction
     types = {r["_commit_version"] for r in read_changes(spark, table, -1).collect()}
     assert types == {0, 1}
+
+
+def test_epoch_dedupe_scoped_by_txn_app(spark, tmp_path):
+    """Two streaming queries feeding ONE table must not gate each
+    other's epochs: the high-water mark is scoped per txn app id
+    (Delta's txnAppId pattern). Unscoped, query B's epoch 0 would be
+    skipped as 'already committed' because query A reached epoch 2 —
+    silent data loss."""
+    from etl_finance_pipeline_spark.sources.table_format import (
+        last_committed_epoch,
+        read_table,
+    )
+    from etl_finance_pipeline_spark.streaming.sink import write_batch_idempotent
+
+    table = str(tmp_path / "tbl_two_writers")
+
+    def batch(e):
+        return spark.createDataFrame([(e, float(e))], "event_id long, CLOSE double")
+
+    # query A commits epochs 0..2
+    for e in range(3):
+        assert write_batch_idempotent(batch(e), e, table, txn_app_id="qa") is True
+    # query B starts at its own epoch 0 — must land, not be skipped
+    assert write_batch_idempotent(batch(100), 0, table, txn_app_id="qb") is True
+    assert read_table(spark, table).count() == 4
+    # redelivery within each scope still dedupes
+    assert write_batch_idempotent(batch(1), 1, table, txn_app_id="qa") is False
+    assert write_batch_idempotent(batch(100), 0, table, txn_app_id="qb") is False
+    # marks are independent; the unscoped view stays the global max
+    assert last_committed_epoch(table, txn_app_id="qa") == 2
+    assert last_committed_epoch(table, txn_app_id="qb") == 0
+    assert last_committed_epoch(table) == 2
+    # a relocated/reset checkpoint = a fresh app id: epoch 0 lands
+    # even though another writer is far past it
+    assert write_batch_idempotent(batch(200), 0, table, txn_app_id="qc") is True
+    assert read_table(spark, table).count() == 5
+
+
+def test_epoch_marks_ride_checkpoints_per_app(spark, tmp_path):
+    """The interval checkpoint records the per-app mark dict, so
+    app-scoped dedupe survives vacuum truncating the manifests."""
+    from etl_finance_pipeline_spark.sources.table_format import (
+        _CHECKPOINT_INTERVAL,
+        last_committed_epoch,
+        vacuum,
+    )
+    from etl_finance_pipeline_spark.streaming.sink import write_batch_idempotent
+
+    table = str(tmp_path / "tbl_app_ckpt")
+
+    def batch(e):
+        return spark.createDataFrame([(e, float(e))], "event_id long, CLOSE double")
+
+    for e in range(_CHECKPOINT_INTERVAL + 2):
+        write_batch_idempotent(batch(e), e, table, txn_app_id="qa")
+    vacuum(table, keep_versions=1)
+    assert last_committed_epoch(table, txn_app_id="qa") == _CHECKPOINT_INTERVAL + 1
+    assert write_batch_idempotent(batch(1), 1, table, txn_app_id="qa") is False
+    assert last_committed_epoch(table, txn_app_id="other") is None
