@@ -69,8 +69,8 @@ _SHOWCASE_FIRST = (
     "token_counts",
     "pack_sequences",
     "training_batches",
-    "media_stats",
-    "audio_stats",
+    "audio_stats_wav",  # real WAV codec path (stdlib wave round-trip)
+    "image_stats_ppm",  # real PPM codec path (header-parsed dims)
     "video_frames",
     "props_extract",
     "asof_last_click",

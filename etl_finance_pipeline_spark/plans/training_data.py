@@ -1333,6 +1333,102 @@ FROM idx
 """
 
 
+def q_audio_stats_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path under the oracle gate: document text
+    bytes → a genuine RIFF/WAV container (16-bit PCM mono, written by
+    the stdlib ``wave`` module) → ``decode_audio_stats(decode="wav")``
+    which re-parses the container — rate and frame count come from the
+    WAV header, samples from the PCM chunk. Encoder maps byte b to
+    sample (b-128)*256, so the oracle derives the identical stats from
+    the character codes; sum-of-squares is exact in doubles (< 2^53)
+    and the final sqrt/divide run the same double ops both sides."""
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        decode_audio_stats,
+        encode_wav_pcm16,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    wav = encode_wav_pcm16(docs, sample_rate=16_000)
+    out = decode_audio_stats(wav, decode="wav")
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("stats.n_samples").alias("n_samples"),
+        _pr(F.col("stats.duration_s"), 6).alias("duration_s"),
+        _pr(F.col("stats.rms"), 6).alias("rms"),
+        F.col("stats.peak").cast("long").alias("peak"),
+    )
+
+
+SQL_AUDIO_STATS_WAV = """
+WITH codes AS (
+  SELECT doc_id, len(text) AS n,
+         list_transform(generate_series(1, len(text)),
+                        i -> (ord(substr(text, i, 1)) - 128) * 256) AS s
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       floor((n / 16000.0) * 1000000 + 0.5) / 1000000 AS duration_s,
+       floor(sqrt(list_sum(list_transform(s, x -> CAST(x * x AS DOUBLE))) / n) * 1000000 + 0.5) / 1000000 AS rms,
+       CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak
+FROM codes
+"""
+
+
+_PPM_W, _PPM_H = 8, 8  # 192-byte raster
+
+
+def q_image_stats_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path under the oracle gate: text bytes wrapped
+    into a genuine netpbm P6 container (JVM-side concat of header +
+    zero-padded raster), then ``decode_image_stats(decode="ppm")``
+    parses the header back (magic, dimensions, maxval, comment rules)
+    and computes stats over exactly the raster. Width/height in the
+    output come from the PARSED header, not the query constants — a
+    header-parse bug would break the hash match."""
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_ppm,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    ppm = encode_ppm(docs, width=_PPM_W, height=_PPM_H)
+    out = decode_image_stats(ppm, decode="ppm")
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("stats.n_bytes").alias("n_bytes"),
+        _pr(F.col("stats.mean_intensity"), 6).alias("mean_intensity"),
+        F.col("stats.min_byte").cast("long").alias("min_byte"),
+        F.col("stats.max_byte").cast("long").alias("max_byte"),
+        F.col("stats.width").cast("long").alias("width"),
+        F.col("stats.height").cast("long").alias("height"),
+    )
+
+
+SQL_IMAGE_STATS_PPM = f"""
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, {_PPM_W * _PPM_H * 3}),
+                        i -> CASE WHEN i <= len(text)
+                                  THEN ord(substr(text, i, 1))
+                                  ELSE 0 END) AS c
+  FROM documents
+)
+SELECT doc_id,
+       CAST({_PPM_W * _PPM_H * 3} AS BIGINT) AS n_bytes,
+       floor((list_sum(list_transform(c, x -> CAST(x AS DOUBLE))) / {_PPM_W * _PPM_H * 3}) * 1000000 + 0.5) / 1000000 AS mean_intensity,
+       CAST(list_min(c) AS BIGINT) AS min_byte,
+       CAST(list_max(c) AS BIGINT) AS max_byte,
+       CAST({_PPM_W} AS BIGINT) AS width,
+       CAST({_PPM_H} AS BIGINT) AS height
+FROM codes
+"""
+
+
 def q_stream_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState)
     under the oracle gate: per-symbol continuity state emits a gap row
@@ -1873,6 +1969,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_corpus": q_clean_corpus,
     "media_stats": q_media_stats,
     "audio_stats": q_audio_stats,
+    "audio_stats_wav": q_audio_stats_wav,
+    "image_stats_ppm": q_image_stats_ppm,
     "video_frames": q_video_frames,
     "stream_candles": q_stream_candles,
     "stream_sessions": q_stream_sessions,
@@ -1913,6 +2011,8 @@ ORACLES_TD: dict[str, str] = {
     "clean_corpus": SQL_CLEAN_CORPUS,
     "media_stats": SQL_MEDIA_STATS,
     "audio_stats": SQL_AUDIO_STATS,
+    "audio_stats_wav": SQL_AUDIO_STATS_WAV,
+    "image_stats_ppm": SQL_IMAGE_STATS_PPM,
     "video_frames": SQL_VIDEO_FRAMES,
     "stream_candles": SQL_STREAM_CANDLES,
     "stream_sessions": SQL_STREAM_SESSIONS,
