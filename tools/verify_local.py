@@ -5,6 +5,12 @@ in DuckDB, then compares row count, sorted column names, and
 order-insensitive values (exact after the queries' own rounding).
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
+
+Set VERIFY_JSON_OUT=<path> to also write the per-query results as a
+driver-artifact-shaped JSON file (rows/schema/hash match booleans) —
+``tools/verify_all.sh`` uses this to commit the FULL-registry
+correctness artifact each round (the round driver's own artifact caps
+at the first 50 registry entries).
 """
 
 from __future__ import annotations
@@ -58,34 +64,47 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         n_run += 1
         t0 = time.time()
+        res = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        results[name] = res
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {exc}")
+            res["err"] = f"spark error: {exc}"
             failures.append(name)
             continue
         t_spark = time.time() - t0
+        res["spark_rows"] = len(sdf)
         if name not in oracles:
             print(f"OK?   {name}: rows={len(sdf)} (no oracle, rows-only) [{t_spark:.1f}s]")
+            res["err"] = "no oracle (rows-only)"
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
+            res["err"] = f"duckdb error: {exc}"
             failures.append(name)
             continue
         s, o = normalize(sdf), normalize(odf)
-        if list(s.columns) != list(o.columns):
+        res["oracle_rows"] = len(o)
+        res["rows_match"] = len(s) == len(o)
+        res["schema_match"] = list(s.columns) == list(o.columns)
+        if not res["schema_match"]:
             print(f"FAIL  {name}: columns spark={list(s.columns)} oracle={list(o.columns)}")
             failures.append(name)
             continue
-        if len(s) != len(o):
+        if not res["rows_match"]:
             print(f"FAIL  {name}: rows spark={len(s)} oracle={len(o)}")
             failures.append(name)
             continue
@@ -101,8 +120,16 @@ def main() -> int:
                     print(f"        [{c}] row {i}: spark={s[c][i]!r} oracle={o[c][i]!r}")
             failures.append(name)
             continue
+        res["hash_match"] = True
         print(f"PASS  {name}: rows={len(s)} [{t_spark:.1f}s]")
     spark.stop()
+    out_path = os.environ.get("VERIFY_JSON_OUT")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {out_path} ({len(results)} queries)")
     print(f"\n{n_run - len(failures)}/{n_run} pass")
     return 1 if failures else 0
 
