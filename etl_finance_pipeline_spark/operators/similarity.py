@@ -61,6 +61,50 @@ BANDED_HYPERPLANES: list[list[list[float]]] = [
 ]
 
 
+def planes_for_dim(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Deterministic hyperplanes sized to *dim* — the 64-dim module
+    constants when they fit, else a dim-seeded regeneration. Keeps
+    single-probe LSH usable on corpora whose embedding width differs
+    from the default without silently degrading (see
+    :func:`probe_vector_dim`)."""
+    if dim == EMBED_DIM and n_planes == N_PLANES:
+        return HYPERPLANES
+    rng = random.Random(42 * 1_000_003 + dim)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def banded_planes_for_dim(dim: int) -> list[list[list[float]]]:
+    """Banded variant of :func:`planes_for_dim` (B×P×dim)."""
+    if dim == EMBED_DIM:
+        return BANDED_HYPERPLANES
+    rng = random.Random(4242 * 1_000_003 + dim)
+    return [
+        [
+            [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)]
+            for _ in range(PLANES_PER_BAND)
+        ]
+        for _ in range(N_BANDS)
+    ]
+
+
+def probe_vector_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Width of the embedding column, read from ONE row (a single-task
+    limit(1) job — metadata probe, not a data path).
+
+    Hyperplane signatures silently collapse when plane dim ≠ vector
+    dim: ``zip_with`` null-pads the shorter array, the dot product
+    goes NULL, every sign bit falls to the ``otherwise(0)`` branch and
+    ALL vectors land in bucket/signature 0 — turning the banded
+    self-join into a full N² cross join (measured: a 500k-vector run
+    with mismatched planes filled the disk with shuffle spill).
+    Probing the actual width and sizing the planes to it removes that
+    failure mode."""
+    row = df.select(F.size(F.col(vec_col)).alias("_d")).first()
+    return None if row is None or row["_d"] is None else int(row["_d"])
+
+
 def dot(a: Column, b: Column) -> Column:
     """JVM-side dot product of two array columns."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
@@ -161,7 +205,10 @@ def lsh_ann_topk(
     dedup-grade similarity. Still an equality join (query side
     explodes to its probe list; corpus is untouched).
     """
-    n_planes = len(planes if planes is not None else HYPERPLANES)
+    if planes is None:
+        dim = probe_vector_dim(corpus, vec_col)
+        planes = planes_for_dim(dim) if dim else HYPERPLANES
+    n_planes = len(planes)
     corpus = _as_double(fan_out(corpus), vec_col).withColumn(
         "_bucket", hyperplane_bucket(F.col(vec_col), planes)
     )
@@ -315,10 +362,24 @@ def embedding_near_duplicates(
     thresholds this is an approximate pruner by design.
 
     Output: (id_a, id_b, cosine), id_a < id_b."""
-    bands = banded_planes if banded_planes is not None else BANDED_HYPERPLANES
+    if banded_planes is not None:
+        bands = banded_planes
+    else:
+        dim = probe_vector_dim(df, vec_col)
+        bands = banded_planes_for_dim(dim) if dim else BANDED_HYPERPLANES
+    plane_dim = len(bands[0][0])
     # fan_out: B*P dot products per vector is the CPU center — widen a
-    # single-file input across cores (structural no-op at scale)
-    d = _as_double(fan_out(df), vec_col).select(F.col(id_col), F.col(vec_col))
+    # single-file input across cores (structural no-op at scale).
+    # The size filter is a no-op on uniform-width corpora; rows whose
+    # width differs from the plane dim CANNOT be signed against these
+    # planes and would otherwise collapse into signature 0 (see
+    # probe_vector_dim) — excluding them is the only non-degenerate
+    # behavior short of a distributed assert.
+    d = (
+        _as_double(fan_out(df), vec_col)
+        .filter(F.size(F.col(vec_col)) == F.lit(plane_dim))
+        .select(F.col(id_col), F.col(vec_col))
+    )
     # Planes ride as a broadcast TABLE, not literals: B*P plane arrays
     # inlined as expression nodes (8*16*64 literals at the default)
     # cost ~10s of Catalyst/codegen time per query — a constant that

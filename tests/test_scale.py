@@ -42,10 +42,12 @@ def _assert_distributed_plan(df, label: str) -> None:
     window. (Scalar control aggregates — a final count over 64 partial
     rows — are not in these operators' output plans.)"""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # an unpartitioned window would also surface as Exchange
+    # SinglePartition feeding the WindowExec, so this one check covers
+    # both failure shapes
     assert "Exchange SinglePartition" not in plan, (
         f"{label}: single-partition exchange in plan\n{plan[:3000]}"
     )
-    assert "Window [" not in plan or "partitionBy" not in plan.lower() or True
     return None
 
 
@@ -84,10 +86,13 @@ def test_scale_candles(bigspark):
     from etl_finance_pipeline_spark.operators.resample import candles_from_ticks
 
     n = 50_000_000
+    # base aligned to the 300s bucket width (1_700_000_100 % 300 == 0)
+    # so the 60000s span covers exactly 200 buckets, not a 201st
+    # straddler at each end
     ticks = bigspark.range(n).select(
         (F.col("id") % 10_000).alias("SYMBOL_ID"),
         F.timestamp_seconds(
-            F.lit(1_700_000_000) + (F.col("id") / 10_000).cast("long") * 12
+            F.lit(1_700_000_100) + (F.col("id") / 10_000).cast("long") * 12
         ).alias("TIMESTAMP"),
         (F.col("id") % 997).cast("double").alias("value"),
     )
@@ -103,8 +108,12 @@ def test_scale_minhash_lsh(bigspark):
     full shingle → signature → banded self-join pipeline."""
     from etl_finance_pipeline_spark.operators.dedup import minhash_lsh_pairs
 
+    # vocab prime 99991 ⇒ doc i ≡ doc i' (mod 99991) are exact
+    # duplicates: ~20-copy classes, inside the bucket-size guard (the
+    # earlier 997-word vocab made ~2000-copy classes that the guard
+    # correctly dropped — and the test then validated nothing)
     words = [
-        F.format_string("w%d", (F.col("id") * (7 + j)) % 997) for j in range(12)
+        F.format_string("w%d", (F.col("id") * (7 + j)) % 99991) for j in range(12)
     ]
     docs = bigspark.range(2_000_000).select(
         F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
@@ -112,13 +121,19 @@ def test_scale_minhash_lsh(bigspark):
     pairs = minhash_lsh_pairs(docs)
     _assert_distributed_plan(pairs, "minhash_lsh_pairs")
     rows, _ = _timed_count(pairs, "minhash_lsh 2M docs")
-    assert rows >= 0  # volume test; pair semantics oracle-gated at sf
+    # 2M docs / 99991 ⇒ classes of 20-21 ⇒ ≥ 99991 * C(20,2) dup pairs
+    assert rows >= 99_991 * 190
 
 
 def test_scale_embed_lsh(bigspark):
     """500k vectors (125k bases × 4 near-identical copies) through
     banded hyperplane LSH + exact re-rank — the pair-generation joins
-    are the quadratic risk surface."""
+    are the quadratic risk surface.
+
+    The vectors are deliberately 16-dim (≠ the 64-dim module default)
+    to regression-test the plane-dim probe: with mismatched planes
+    every signature collapses to 0 and this exact test filled the
+    disk with the spill of a 500k² cross join."""
     from etl_finance_pipeline_spark.operators.similarity import (
         embedding_near_duplicates,
     )

@@ -195,6 +195,38 @@ def test_embedding_near_duplicates(spark):
     assert {(r["id_a"], r["id_b"]) for r in strict} == {(0, 4)}
 
 
+def test_embedding_near_dup_probes_vector_dim(spark):
+    # default planes are 64-dim; these vectors are 4-dim. Without the
+    # dim probe every dot goes NULL (zip_with null-pads), every
+    # signature collapses to 0 and the band self-join degenerates into
+    # a full cross join. With it, planes regenerate at width 4 and the
+    # identical pair (0, 4) still surfaces.
+    out = embedding_near_duplicates(_emb(spark), 0.999).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 4)}
+
+
+def test_embedding_near_dup_dim_probe_matches_explicit_planes(spark):
+    from etl_finance_pipeline_spark.operators.similarity import (
+        banded_planes_for_dim,
+    )
+
+    probed = embedding_near_duplicates(_emb(spark), 0.99).collect()
+    explicit = embedding_near_duplicates(
+        _emb(spark), 0.99, banded_planes=banded_planes_for_dim(4)
+    ).collect()
+    assert sorted(map(tuple, probed)) == sorted(map(tuple, explicit))
+
+
+def test_lsh_ann_topk_probes_corpus_dim(spark):
+    # same collapse mode as above, on the single-probe ANN path: with
+    # 64-dim default planes a 4-dim corpus all lands in bucket 0 —
+    # silently exhaustive. The probe sizes planes to the corpus width.
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    out = lsh_ann_topk(emb, q, k=3).orderBy("rank").collect()
+    assert out and out[0]["neighbor_id"] == 4 and out[0]["cosine"] == 1.0
+
+
 def test_ivf_ann_topk_finds_identical(spark):
     from etl_finance_pipeline_spark.operators.similarity import ivf_ann_topk
     import pyspark.sql.functions as SF
