@@ -544,3 +544,78 @@ def train_kmeans_centroids(
         [(i, c) for i, c in enumerate(centroids)],
         "cluster_id int, cvec array<double>",
     )
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings, then dropping near-duplicates WITHIN each
+    cluster only — the cluster assignment bounds the pairwise search
+    so the quadratic term is n²/k per cluster, never corpus-wide.
+
+    Deterministic variant: the k "centroids" are the first k corpus
+    vectors by id (a seeded codebook, the same device
+    ``train_kmeans_centroids`` uses for its Lloyd seeds); assignment is
+    argmax cosine with (cosine desc, centroid id asc) tiebreak; within
+    a cluster every pair with cosine ≥ *threshold* is a duplicate
+    edge and the SMALLEST id of each edge survives — a doc is dropped
+    iff some smaller-id neighbor in its cluster sits within the
+    threshold.
+
+    Output: (vec_id, cluster_id, keep) for every corpus vector.
+
+    Scale shape (100 TB): centroids broadcast (k rows); assignment is
+    a narrow map over one broadcast-nested-loop join; the
+    within-cluster self-join shuffles on cluster_id only. Production
+    runs size k ~ n/1000 so clusters stay bounded; the paper's recipe
+    (k-means codebook) drops in by swapping the seed frame for
+    ``train_kmeans_centroids`` output.
+    """
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+    emb = _as_double(df.select(id_col, vec_col), vec_col)
+    cents = emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    sim = cosine(F.col(vec_col), F.col("cvec"))
+    if round_digits is not None:
+        sim = portable_round(sim, round_digits)
+    w = Window.partitionBy(id_col).orderBy(F.col("_c").desc(), F.col("cid"))
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .select(id_col, vec_col, F.col("cid"), sim.alias("_c"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(id_col, vec_col, F.col("cid").alias("cluster_id"))
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "cluster_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "cluster_id"
+    )
+    pair_cos = cosine(F.col("_va"), F.col("_vb"))
+    if round_digits is not None:
+        pair_cos = portable_round(pair_cos, round_digits)
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(pair_cos >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -158,3 +158,107 @@ def winnowing_fingerprints(
     return wmins.select(
         F.col(id_col), F.explode(F.array_distinct("_wmins")).alias("fp_hash")
     ).distinct()
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1):
+    per-document fractions measuring how much of the text is the same
+    thing said again — the signature of boilerplate, keyword stuffing
+    and degenerate generations.
+
+      top_word_frac   — occurrences of the most frequent token / n_tokens
+      dup_word_frac   — tokens whose type occurs more than once / n_tokens
+      top_bigram_frac — occurrences of the most frequent bigram / n_bigrams
+      dup_bigram_frac — bigram occurrences of repeated bigram types / n_bigrams
+
+    Output: (id, n_tokens, n_bigrams, the four fractions, repetitive)
+    where ``repetitive`` applies Gopher's cut style: top_word_frac > 0.3
+    or dup_bigram_frac > 0.2.
+
+    Scale shape (100 TB): gram counting is explode → two hash
+    aggregates, both map-side combinable and keyed by (doc, gram) then
+    doc — no window, no per-doc quadratic array scan (a
+    ``transform(array_distinct(..), count-in-array)`` formulation is
+    O(L²) per document and melts on long documents). Shuffled rows are
+    (id, gram) pairs — linear in corpus token count.
+    """
+    base = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    uni = base.select(id_col, F.explode("_toks").alias("gram"))
+    big = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size("_toks") < 2, F.array()).otherwise(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1), "
+                    "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+                )
+            )
+        ).alias("gram"),
+    )
+
+    def _fracs(grams: DataFrame, prefix: str) -> DataFrame:
+        counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+        return counts.groupBy(id_col).agg(
+            F.sum("c").alias(f"n_{prefix}s"),
+            F.max("c").alias(f"_top_{prefix}"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                f"_dup_{prefix}"
+            ),
+        )
+    u = _fracs(uni, "word")
+    b = _fracs(big, "bigram")
+    out = u.join(b, id_col, "left")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    top_w = r6(F.col("_top_word") / F.col("n_words"))
+    dup_w = r6(F.col("_dup_word") / F.col("n_words"))
+    top_b = r6(F.col("_top_bigram") / F.col("n_bigrams"))
+    dup_b = r6(F.col("_dup_bigram") / F.col("n_bigrams"))
+    return out.select(
+        F.col(id_col),
+        F.col("n_words").alias("n_tokens"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        top_w.alias("top_word_frac"),
+        dup_w.alias("dup_word_frac"),
+        F.coalesce(top_b, F.lit(0.0)).alias("top_bigram_frac"),
+        F.coalesce(dup_b, F.lit(0.0)).alias("dup_bigram_frac"),
+        (
+            (top_w > 0.3) | (F.coalesce(dup_b, F.lit(0.0)) > 0.2)
+        ).alias("repetitive"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the CCNet/Wikipedia-LM quality signal
+    (Wenzek et al. 2020) with the corpus itself as the language model:
+    documents full of rare or gibberish tokens score low, fluent
+    documents score near the corpus mean.
+
+      P(t) = count(t) / total_tokens        (corpus-wide)
+      doc score = mean over doc tokens of ln P(t)
+
+    Output: (id, n_tokens, avg_logprob) — avg_logprob ≤ 0, higher is
+    more typical.
+
+    Scale shape (100 TB): one corpus-wide (gram → count) aggregate
+    (map-side combinable; vocabulary is Zipf-bounded), the scalar
+    total via a 1-row broadcast cross join, then an equi-join of the
+    exploded corpus back to the frequency table keyed on the token and
+    one final per-doc average. Hot-token join skew is AQE-splittable
+    because the frequency side is the small one.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = freq.agg(F.sum("tf").alias("_n"))
+    freq = freq.crossJoin(F.broadcast(total))
+    scored = toks.join(freq, "tok").select(
+        F.col(id_col), (F.log(F.col("tf") / F.col("_n"))).alias("_lp")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        (F.floor(F.avg("_lp") * 1e6 + F.lit(0.5)) / 1e6).alias("avg_logprob"),
+    )

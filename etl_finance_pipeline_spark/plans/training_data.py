@@ -32,7 +32,9 @@ from etl_finance_pipeline_spark.operators.similarity import (
 from etl_finance_pipeline_spark.operators.text_analysis import (
     language_id,
     quality_score,
+    repetition_stats,
     token_counts,
+    unigram_logprob,
     winnowing_fingerprints,
 )
 from etl_finance_pipeline_spark.sources.tables import load_table
@@ -1940,6 +1942,117 @@ GROUP BY event_type
 # Registry
 # --------------------------------------------------------------------
 
+# --------------------------------------------------------------------
+# Gopher repetition filters
+# --------------------------------------------------------------------
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return repetition_stats(docs)
+
+
+SQL_REPETITION_STATS = r"""
+WITH tokd AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+uni AS (SELECT doc_id, unnest(toks) AS gram FROM tokd),
+big AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1]) END) AS gram
+  FROM tokd
+),
+uc AS (SELECT doc_id, gram, count(*) AS c FROM uni GROUP BY 1, 2),
+bc AS (SELECT doc_id, gram, count(*) AS c FROM big GROUP BY 1, 2),
+ua AS (
+  SELECT doc_id, sum(c) AS n_words, max(c) AS topw,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupw
+  FROM uc GROUP BY 1
+),
+ba AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS topb,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupb
+  FROM bc GROUP BY 1
+),
+m AS (
+  SELECT ua.doc_id,
+         CAST(ua.n_words AS BIGINT) AS n_tokens,
+         CAST(coalesce(ba.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         floor(ua.topw * 1.0 / ua.n_words * 1000000 + 0.5) / 1000000 AS top_word_frac,
+         floor(ua.dupw * 1.0 / ua.n_words * 1000000 + 0.5) / 1000000 AS dup_word_frac,
+         coalesce(floor(ba.topb * 1.0 / ba.n_bigrams * 1000000 + 0.5) / 1000000, 0.0) AS top_bigram_frac,
+         coalesce(floor(ba.dupb * 1.0 / ba.n_bigrams * 1000000 + 0.5) / 1000000, 0.0) AS dup_bigram_frac
+  FROM ua LEFT JOIN ba USING (doc_id)
+)
+SELECT *, (top_word_frac > 0.3 OR dup_bigram_frac > 0.2) AS repetitive
+FROM m
+"""
+
+
+# --------------------------------------------------------------------
+# Corpus unigram log-probability (CCNet-style quality signal)
+# --------------------------------------------------------------------
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return unigram_logprob(docs)
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+total AS (SELECT sum(tf) AS n FROM freq)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       floor(avg(ln(f.tf * 1.0 / total.n)) * 1000000 + 0.5) / 1000000 AS avg_logprob
+FROM toks t JOIN freq f USING (tok), total
+GROUP BY t.doc_id
+"""
+
+
+# --------------------------------------------------------------------
+# SemDedup — semantic dedup via cluster-bounded pairwise cosine
+# --------------------------------------------------------------------
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_finance_pipeline_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    # 0.2: the synthetic embeddings have no true semantic dups (max
+    # pairwise cosine ~0.51); production runs at >= 0.95.
+    return semdedup(emb, k=8, threshold=0.2)
+
+
+SQL_SEMDEDUP = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+sim AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         floor(({_COS_SQL.format(a='e.embedding', b='c.cvec')}) * 1000000 + 0.5) / 1000000 AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, cid AS cluster_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS r FROM sim)
+  WHERE r = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b USING (cluster_id)
+  WHERE a.vec_id < b.vec_id
+    AND floor(({_COS_SQL.format(a='a.embedding', b='b.embedding')}) * 1000000 + 0.5) / 1000000 >= 0.2
+)
+SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS keep
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "incremental_near_dup": q_incremental_near_dup,
@@ -1980,6 +2093,9 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enrich": q_stream_enrich,
     "near_dup_clusters": q_near_dup_clusters,
     "near_dup_clusters_star": q_near_dup_clusters_star,
+    "repetition_stats": q_repetition_stats,
+    "unigram_logprob": q_unigram_logprob,
+    "semdedup": q_semdedup,
 }
 
 ORACLES_TD: dict[str, str] = {
@@ -2022,4 +2138,7 @@ ORACLES_TD: dict[str, str] = {
     "stream_enrich": SQL_STREAM_ENRICH,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "near_dup_clusters_star": SQL_NEAR_DUP_CLUSTERS,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "semdedup": SQL_SEMDEDUP,
 }

@@ -404,3 +404,59 @@ def test_decontaminate_flags_eval_members_and_clean_docs(spark):
     assert 0 < out[1]["overlap"] < 1.0 and out[1]["contaminated"]
     # disjoint vocabulary is clean
     assert out[2]["n_overlap"] == 0 and not out[2]["contaminated"]
+
+
+def test_repetition_stats_flags_degenerate_doc(spark):
+    from etl_finance_pipeline_spark.operators.text_analysis import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam"),        # one token repeated
+            (1, "all tokens here are unique words"),  # no repetition
+            (2, "one"),                              # single token: no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[0]["top_word_frac"] == 1.0
+    assert out[0]["dup_bigram_frac"] == 1.0  # "spam spam" x4
+    assert out[0]["repetitive"]
+    assert out[1]["top_word_frac"] < 0.3 and not out[1]["repetitive"]
+    assert out[1]["dup_word_frac"] == 0.0
+    assert out[2]["n_bigrams"] == 0 and out[2]["top_bigram_frac"] == 0.0
+
+
+def test_unigram_logprob_ranks_rare_token_docs_lower(spark):
+    import math
+
+    from etl_finance_pipeline_spark.operators.text_analysis import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "the the the the"), (1, "the zyxqw")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    # corpus: "the" x5, "zyxqw" x1, total 6
+    assert abs(out[0]["avg_logprob"] - math.floor(math.log(5 / 6) * 1e6 + 0.5) / 1e6) < 1e-9
+    expected1 = (math.log(5 / 6) + math.log(1 / 6)) / 2
+    assert abs(out[1]["avg_logprob"] - math.floor(expected1 * 1e6 + 0.5) / 1e6) < 1e-9
+    assert out[1]["avg_logprob"] < out[0]["avg_logprob"]
+
+
+def test_semdedup_drops_higher_id_near_dup_within_cluster(spark):
+    from etl_finance_pipeline_spark.operators.similarity import semdedup
+
+    # ids 0/1 identical direction (dup pair), id 2 orthogonal
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [2.0, 0.0]),
+            (2, [0.0, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in semdedup(emb, k=2, threshold=0.9).collect()}
+    assert out[0]["keep"] and not out[1]["keep"]
+    assert out[2]["keep"]
+    # 0 and 1 land in the same cluster for the drop to be in-cluster
+    assert out[0]["cluster_id"] == out[1]["cluster_id"]
