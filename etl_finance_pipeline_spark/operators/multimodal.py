@@ -7,8 +7,10 @@ Codec coverage is stdlib-deep, native-dep-stubbed:
  * REAL codecs, no external deps: WAV (RIFF container via the stdlib
    ``wave`` module — ``decode="wav"`` / :func:`encode_wav_pcm16`),
    PPM P6 and uncompressed 24-bit BMP byte parsing
-   (``decode="ppm"`` / ``decode="bmp"`` / :func:`encode_bmp24`).
- * Formats that genuinely need native codecs (png/jpeg/mp4/...):
+   (``decode="ppm"`` / ``decode="bmp"`` / :func:`encode_bmp24`), and
+   PNG 8-bit RGB via stdlib ``zlib`` — chunk walk, DEFLATE, full
+   5-filter scanline reversal (``decode="png"`` / :func:`encode_png`).
+ * Formats that genuinely need native codecs (jpeg/mp4/...):
    ``decode="real"`` raises ``NotImplementedError`` with the
    dependency named (no PIL/ffmpeg in this container), and the
    default ``decode="fake"`` is a deterministic byte-level kernel so
@@ -125,6 +127,88 @@ def _parse_bmp(b: bytes) -> tuple[int, int, bytes]:
     return w, h_abs, bytes(pixels)
 
 
+def _parse_png(b: bytes) -> tuple[int, int, bytes]:
+    """Parse a REAL PNG (8-bit RGB, non-interlaced) with stdlib only:
+    chunk walk → IHDR fields → zlib-inflate the IDAT stream → reverse
+    the per-scanline filter (all five spec filters: None/Sub/Up/
+    Average/Paeth). Returns (width, height, raw RGB bytes).
+
+    Palette/alpha/16-bit/interlaced variants raise — they are rarer in
+    training corpora than baseline RGB and would triple the kernel for
+    no plumbing coverage; a full decoder (PIL) drops into the same
+    slot."""
+    import struct
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color != 2 or interlace != 0:
+                raise ValueError(
+                    "only 8-bit non-interlaced RGB PNG supported"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    bpp, row_bytes = 3, w * 3
+    if len(raw) != h * (1 + row_bytes):
+        raise ValueError("png scanline size mismatch")
+    out = bytearray()
+    prev = bytearray(row_bytes)
+    for r in range(h):
+        start = r * (1 + row_bytes)
+        ftype = raw[start]
+        line = bytearray(raw[start + 1 : start + 1 + row_bytes])
+        if ftype == 1:  # Sub
+            for i in range(bpp, row_bytes):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(row_bytes):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(row_bytes):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(row_bytes):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (prev[i] if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown png filter {ftype}")
+        out += line
+        prev = line
+    return w, h, bytes(out)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
 def with_media_metadata(
     df: DataFrame,
     content_col: str = "content",
@@ -167,17 +251,18 @@ def decode_image_stats(
 
     ``decode="fake"``: deterministic byte-level kernel (treats the
     payload as raw 8-bit intensities) — exercises the full plumbing.
-    ``decode="ppm"`` / ``decode="bmp"``: REAL container parsing
-    (netpbm P6 / uncompressed 24-bit BMP) — header-derived
+    ``decode="ppm"`` / ``decode="bmp"`` / ``decode="png"``: REAL
+    container parsing (netpbm P6 / uncompressed 24-bit BMP /
+    zlib-inflated, filter-reversed 8-bit RGB PNG) — header-derived
     width/height, stats over the decoded pixel raster only.
-    ``decode="real"``: png/jpeg would need PIL; raises
+    ``decode="real"``: jpeg would need PIL; raises
     ``NotImplementedError`` (codec not installed).
 
     Output: id columns + ``stats`` struct (IMAGE_STATS_TYPE).
     """
     if decode == "real":  # pragma: no cover - environment-dependent
-        _require_real_codec("image (png/jpeg)", "PIL")
-    if decode not in ("fake", "ppm", "bmp"):
+        _require_real_codec("image (jpeg)", "PIL")
+    if decode not in ("fake", "ppm", "bmp", "png"):
         raise ValueError(f"unknown decode mode: {decode}")
 
     out_schema = T.StructType(
@@ -205,6 +290,8 @@ def decode_image_stats(
                     w, h, pix = _parse_ppm(b)
                 elif decode == "bmp":
                     w, h, pix = _parse_bmp(b)
+                elif decode == "png":
+                    w, h, pix = _parse_png(b)
                 else:
                     w, h, pix = None, None, b
                 stats.append(
@@ -282,6 +369,70 @@ def encode_bmp24(
                     2835, 2835, 0, 0,
                 )
                 payloads.append(hdr + bytes(body))
+            out = pdf[id_list].copy()
+            out[content_col] = payloads
+            yield out
+
+    return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)
+
+
+def encode_png(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("media_id",),
+    width: int = 8,
+    height: int = 8,
+    filter_type: int = 1,
+) -> DataFrame:
+    """Encode a binary payload as a REAL PNG (8-bit RGB,
+    non-interlaced; pixels from the payload truncated/zero-padded to
+    the ``width*height*3`` raster) via mapInPandas — DEFLATE needs
+    ``zlib``, not SQL functions. *filter_type* selects the per-scanline
+    filter written (0=None, 1=Sub, 2=Up); non-zero defaults exercise
+    the decoder's filter-reversal path, not just the trivial copy.
+    Round-trips through ``decode_image_stats(decode="png")`` (or any
+    PNG reader — output is spec-conformant, CRCs included)."""
+    import struct
+    import zlib
+
+    if filter_type not in (0, 1, 2):
+        raise ValueError("encoder supports filter types 0/1/2")
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols] + [T.StructField(content_col, T.BinaryType())]
+    )
+    id_list = list(id_cols)
+    bpp, row_bytes = 3, width * 3
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf[content_col]:
+                raw = bytes(payload or b"")[: width * height * 3]
+                raw = raw.ljust(width * height * 3, b"\x00")
+                scan = bytearray()
+                prev = bytes(row_bytes)
+                for r in range(height):
+                    line = raw[r * row_bytes : (r + 1) * row_bytes]
+                    scan.append(filter_type)
+                    if filter_type == 0:
+                        scan += line
+                    elif filter_type == 1:  # Sub
+                        scan += bytes(
+                            (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
+                            for i in range(row_bytes)
+                        )
+                    else:  # Up
+                        scan += bytes(
+                            (line[i] - prev[i]) & 0xFF for i in range(row_bytes)
+                        )
+                    prev = line
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", zlib.compress(bytes(scan), 6))
+                    + _png_chunk(b"IEND", b"")
+                )
             out = pdf[id_list].copy()
             out[content_col] = payloads
             yield out

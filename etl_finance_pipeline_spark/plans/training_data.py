@@ -1431,6 +1431,41 @@ FROM codes
 """
 
 
+def q_image_stats_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed image codec path under the oracle gate: text
+    bytes → a spec-conformant PNG (8-bit RGB, Sub-filtered scanlines,
+    DEFLATE via stdlib zlib, CRC-stamped chunks) → ``decode_image_stats
+    (decode="png")`` which walks the chunks, inflates IDAT and reverses
+    the scanline filter. Stats over the decoded raster must equal the
+    pre-compression bytes — a bug anywhere in the filter/deflate
+    round-trip breaks the hash match. Width/height come from the parsed
+    IHDR."""
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_png,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    png = encode_png(docs, width=_PPM_W, height=_PPM_H, filter_type=1)
+    out = decode_image_stats(png, decode="png")
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("stats.n_bytes").alias("n_bytes"),
+        _pr(F.col("stats.mean_intensity"), 6).alias("mean_intensity"),
+        F.col("stats.min_byte").cast("long").alias("min_byte"),
+        F.col("stats.max_byte").cast("long").alias("max_byte"),
+        F.col("stats.width").cast("long").alias("width"),
+        F.col("stats.height").cast("long").alias("height"),
+    )
+
+
+# lossless round-trip ⇒ the decoded raster is byte-identical to the
+# zero-padded text bytes, so the PNG oracle IS the PPM oracle
+SQL_IMAGE_STATS_PNG = SQL_IMAGE_STATS_PPM
+
+
 def q_stream_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState)
     under the oracle gate: per-symbol continuity state emits a gap row
@@ -2096,6 +2131,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "unigram_logprob": q_unigram_logprob,
     "semdedup": q_semdedup,
+    "image_stats_png": q_image_stats_png,
 }
 
 ORACLES_TD: dict[str, str] = {
@@ -2141,4 +2177,5 @@ ORACLES_TD: dict[str, str] = {
     "repetition_stats": SQL_REPETITION_STATS,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "semdedup": SQL_SEMDEDUP,
+    "image_stats_png": SQL_IMAGE_STATS_PNG,
 }
