@@ -37,7 +37,6 @@ _SHOWCASE_FIRST = (
     "missing_minutes",
     "gap_islands",
     "interpolate_linear",
-    "resample_1h",
     "dq_profile",
     "macd",
     "nation_revenue",
@@ -49,7 +48,6 @@ _SHOWCASE_FIRST = (
     "salted_purchase_join",
     "tfidf_top_terms",
     "bm25_search",
-    "hybrid_search",
     "exact_dedup_docs",
     "minhash_lsh_pairs",
     "incremental_near_dup",
@@ -57,20 +55,22 @@ _SHOWCASE_FIRST = (
     "ngram_jaccard",
     "decontaminate",
     "embed_near_dup",
+    "semdedup",
     "near_dup_clusters",
-    "near_dup_clusters_star",
     "clean_corpus",
     "ann_topk",
     "ann_lsh_topk",
-    "ann_ivf_topk",
     "ann_ivf_trained",
     "lang_id",
+    "repetition_stats",
+    "unigram_logprob",
     "quality_score",
     "token_counts",
     "pack_sequences",
     "training_batches",
     "audio_stats_wav",  # real WAV codec path (stdlib wave round-trip)
     "image_stats_ppm",  # real PPM codec path (header-parsed dims)
+    "image_stats_png",  # real compressed codec path (zlib round-trip)
     "video_frames",
     "props_extract",
     "asof_last_click",
