@@ -46,6 +46,9 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_NARROW_SESSIONS: dict[tuple[str, int], SparkSession] = {}
+
+
 def _narrow_session(spark: SparkSession, shuffle_partitions: int = 8) -> SparkSession:
     """Isolated session clone (shared SparkContext + table cache,
     separate SQLConf) pinned to a narrow shuffle width. Stateful
@@ -55,9 +58,19 @@ def _narrow_session(spark: SparkSession, shuffle_partitions: int = 8) -> SparkSe
     session scopes the override to the one query instead of mutating
     (and racing on) the caller's global conf. Builder-time configs
     (UTC, AQE, nanosAsLong, ...) live in the shared SparkContext conf
-    and carry over."""
-    s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    and carry over.
+
+    Clones are cached per (application, width): a fresh clone pays
+    cold-SQLConf + relation re-resolution on every call (measured
+    ~0.3-0.9 s per streaming query), and the clone is never mutated
+    after creation so reuse is safe. Keyed by applicationId — a
+    restarted context gets fresh clones, not stale ones."""
+    key = (spark.sparkContext.applicationId, shuffle_partitions)
+    s = _NARROW_SESSIONS.get(key)
+    if s is None:
+        s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        _NARROW_SESSIONS[key] = s
     return s
 
 
