@@ -223,3 +223,82 @@ def near_dup_clusters(
         comp.select(id_col), on=id_col, how="left_anti"
     ).withColumn("component", F.col(id_col))
     return comp.unionByName(singletons)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """PageRank over a directed edge list — the crawl-graph centrality
+    signal web-corpus pipelines use to prioritize/quality-weight pages
+    (OPIC/harmonic-centrality variants fill the same role in Common
+    Crawl ranking).
+
+    Classic normalized iteration, no dangling-mass redistribution
+    (documented choice — dangling vertices leak mass, acceptable for a
+    RANKING signal and keeps the per-iteration algebra reproducible in
+    the SQL oracle):
+
+      r0(v)   = 1/N
+      r_i(v)  = (1-d)/N + d * Σ_{(u,v)∈E} r_{i-1}(u) / outdeg(u)
+
+    Ranks are portably rounded each iteration, pinning the float
+    fixpoint cross-engine exactly as ``train_kmeans_centroids`` does.
+
+    Output: (id, rank) for every vertex (src or dst of any edge).
+
+    Scale shape (100 TB): per iteration one equi-join of edges to the
+    rank frame (both hash-partitioned by src — co-partitioned across
+    iterations) and one map-side-combinable groupBy(dst) sum. Hot
+    pages (skewed in-degree) are a sum — AQE-splittable partial aggs
+    — and hub pages (skewed out-degree) fan out rows but never
+    buffer. Lineage is truncated per round like connected_components.
+    The vertex count and per-vertex constants broadcast; the driver
+    never sees a data row.
+    """
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = verts.count()  # scalar: control flow, not a data path
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    links = e.join(outdeg, "src")  # (src, dst, _deg)
+
+    def _r(c):
+        return portable_round(c, round_digits) if round_digits is not None else c
+
+    ranks = verts.select("id", _r(F.lit(1.0 / n)).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            links.join(ranks, links.src == ranks.id)
+            .select("dst", (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            verts.join(contribs, verts.id == contribs.dst, "left")
+            .select(
+                "id",
+                _r(
+                    F.lit((1.0 - damping) / n)
+                    + damping * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    verts.unpersist()
+    return ranks

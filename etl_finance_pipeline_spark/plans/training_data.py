@@ -1991,6 +1991,57 @@ GROUP BY event_type
 # --------------------------------------------------------------------
 
 # --------------------------------------------------------------------
+# PageRank — crawl-graph centrality
+# --------------------------------------------------------------------
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier purchase graph (the
+    stand-in for a crawl host graph): 3 damped iterations with
+    per-iteration portable rounding, so the DuckDB oracle can unroll
+    the identical algebra and the result hash-matches like every
+    other query."""
+    from etl_finance_pipeline_spark.operators.graph import pagerank
+
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, iters=3, damping=0.85).select("id", "rank")
+
+
+def _pr_iter_sql(i: int) -> str:
+    return f"""
+c{i} AS (
+  SELECT e.dst, sum(r.rank / d.deg) AS cin
+  FROM e JOIN r{i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+  GROUP BY 1
+),
+r{i} AS (
+  SELECT v.id,
+         floor(((1.0 - 0.85) / n.n + 0.85 * coalesce(c{i}.cin, 0.0)) * 1000000 + 0.5) / 1000000 AS rank
+  FROM v LEFT JOIN c{i} ON v.id = c{i}.dst, n
+)"""
+
+
+SQL_PAGERANK = f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+n AS (SELECT count(*) AS n FROM v),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+r0 AS (SELECT id, floor(1.0 / n.n * 1000000 + 0.5) / 1000000 AS rank FROM v, n),
+{_pr_iter_sql(1)},
+{_pr_iter_sql(2)},
+{_pr_iter_sql(3)}
+SELECT id, rank FROM r3
+"""
+
+
+# --------------------------------------------------------------------
 # Gopher repetition filters
 # --------------------------------------------------------------------
 
@@ -2145,6 +2196,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": q_unigram_logprob,
     "semdedup": q_semdedup,
     "image_stats_png": q_image_stats_png,
+    "pagerank": q_pagerank,
 }
 
 ORACLES_TD: dict[str, str] = {
@@ -2191,4 +2243,5 @@ ORACLES_TD: dict[str, str] = {
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "semdedup": SQL_SEMDEDUP,
     "image_stats_png": SQL_IMAGE_STATS_PNG,
+    "pagerank": SQL_PAGERANK,
 }

@@ -460,3 +460,26 @@ def test_semdedup_drops_higher_id_near_dup_within_cluster(spark):
     assert out[2]["keep"]
     # 0 and 1 land in the same cluster for the drop to be in-cluster
     assert out[0]["cluster_id"] == out[1]["cluster_id"]
+
+
+def test_pagerank_hand_computed_triangle(spark):
+    import math
+
+    from etl_finance_pipeline_spark.operators.graph import pagerank
+
+    # a -> b, a -> c, b -> c, c -> a  (N=3)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    out = {r["id"]: r["rank"] for r in pagerank(edges, iters=1).collect()}
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    third = r6(1.0 / 3)
+    base = (1.0 - 0.85) / 3
+    assert out["a"] == r6(base + 0.85 * third)              # from c (deg 1)
+    assert out["b"] == r6(base + 0.85 * (third / 2))        # from a (deg 2)
+    assert out["c"] == r6(base + 0.85 * (third / 2 + third))  # a + b
+    # mass roughly conserved (no dangling nodes here)
+    assert abs(sum(out.values()) - 1.0) < 1e-5
