@@ -446,3 +446,66 @@ def decontaminate(
             (overlap >= max_overlap).alias("contaminated"),
         )
     )
+
+
+def cross_doc_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 8,
+    max_docs: int = 1,
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """MassiveText-style duplicate-content filter (Rae et al. 2021):
+    for every document, the fraction of its distinct *shingle_k*-token
+    shingles that also appear in MORE than *max_docs* documents
+    corpus-wide. High shared fraction = boilerplate or a near-copy of
+    other corpus content, even when no single pair crosses a MinHash
+    threshold (many-to-many template reuse).
+
+    Output: (id, n_shingles, n_shared, shared_frac, mostly_duplicated)
+    — one row per input document, docs shorter than *shingle_k* tokens
+    carry n_shingles=0 / shared_frac=0.0.
+
+    Scale shape (100 TB): one (doc, shingle) explode (distinct —
+    map-side combinable), one shingle-keyed count aggregate, one
+    equi-join back, one per-doc aggregate; all four hash-partitioned
+    on data keys. The shingle count frame follows a Zipf tail, so the
+    join is AQE-splittable on the hot boilerplate shingles — and never
+    a self-join, unlike pair-generation paths.
+    """
+    sh = _doc_shingles(df, id_col, text_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    counts = sh.groupBy("shingle").agg(F.count("*").alias("_nd"))
+    per_doc = (
+        sh.join(counts, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_nd") > max_docs, 1).otherwise(0)
+            ).alias("n_shared"),
+        )
+    )
+    out = (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            F.coalesce(
+                F.floor(F.col("n_shared") / F.col("n_shingles") * 1e6 + F.lit(0.5))
+                / 1e6,
+                F.lit(0.0),
+            ).alias("shared_frac"),
+        )
+        .withColumn(
+            "mostly_duplicated", F.col("shared_frac") > F.lit(flag_threshold)
+        )
+    )
+    # sh stays persisted until the plan runs (it feeds both the count
+    # aggregate and the join); eviction is LRU like the other sketch
+    # frames in this module.
+    return out

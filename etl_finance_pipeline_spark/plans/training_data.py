@@ -1991,6 +1991,51 @@ GROUP BY event_type
 # --------------------------------------------------------------------
 
 # --------------------------------------------------------------------
+# Cross-document repetition (MassiveText duplicate-content filter)
+# --------------------------------------------------------------------
+
+def q_cross_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_finance_pipeline_spark.operators.dedup import cross_doc_repetition
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    # k=4: the synthetic 12-60-token docs share plenty of 4-gram
+    # template shingles, so the shared-fraction distribution is
+    # non-trivial at sf0.01
+    return cross_doc_repetition(docs, shingle_k=4)
+
+
+SQL_CROSS_DOC_REPETITION = r"""
+WITH tokd AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(toks) >= 4
+                THEN list_transform(generate_series(1, len(toks) - 3),
+                                    i -> array_to_string(toks[i:i+3], ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS shingle
+  FROM tokd
+),
+cnt AS (SELECT shingle, count(*) AS nd FROM sh GROUP BY 1),
+per_doc AS (
+  SELECT sh.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN cnt.nd > 1 THEN 1 ELSE 0 END) AS n_shared
+  FROM sh JOIN cnt USING (shingle)
+  GROUP BY 1
+),
+m AS (
+  SELECT d.doc_id,
+         CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+         CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+         coalesce(floor(p.n_shared * 1.0 / p.n_shingles * 1000000 + 0.5) / 1000000, 0.0) AS shared_frac
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT *, (shared_frac > 0.5) AS mostly_duplicated FROM m
+"""
+
+
+# --------------------------------------------------------------------
 # PageRank — crawl-graph centrality
 # --------------------------------------------------------------------
 
@@ -2197,6 +2242,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,
     "image_stats_png": q_image_stats_png,
     "pagerank": q_pagerank,
+    "cross_doc_repetition": q_cross_doc_repetition,
 }
 
 ORACLES_TD: dict[str, str] = {
@@ -2244,4 +2290,5 @@ ORACLES_TD: dict[str, str] = {
     "semdedup": SQL_SEMDEDUP,
     "image_stats_png": SQL_IMAGE_STATS_PNG,
     "pagerank": SQL_PAGERANK,
+    "cross_doc_repetition": SQL_CROSS_DOC_REPETITION,
 }

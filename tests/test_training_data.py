@@ -483,3 +483,25 @@ def test_pagerank_hand_computed_triangle(spark):
     assert out["c"] == r6(base + 0.85 * (third / 2 + third))  # a + b
     # mass roughly conserved (no dangling nodes here)
     assert abs(sum(out.values()) - 1.0) < 1e-5
+
+
+def test_cross_doc_repetition_shared_template(spark):
+    from etl_finance_pipeline_spark.operators.dedup import cross_doc_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta unique0 tail0"),
+            (1, "alpha beta gamma delta unique1 tail1"),  # shares prefix 4-gram
+            (2, "totally different content with no overlap at all"),
+            (3, "shrt"),  # < k tokens: zero shingles
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in cross_doc_repetition(docs, shingle_k=4).collect()}
+    # docs 0/1: 3 shingles each, exactly 1 shared ("alpha beta gamma delta")
+    assert out[0]["n_shingles"] == 3 and out[0]["n_shared"] == 1
+    assert out[1]["n_shared"] == 1
+    assert abs(out[0]["shared_frac"] - 0.333333) < 1e-9
+    assert not out[0]["mostly_duplicated"]
+    assert out[2]["n_shared"] == 0 and not out[2]["mostly_duplicated"]
+    assert out[3]["n_shingles"] == 0 and out[3]["shared_frac"] == 0.0
