@@ -1991,6 +1991,71 @@ GROUP BY event_type
 # --------------------------------------------------------------------
 
 # --------------------------------------------------------------------
+# BPE tokenizer training (iterative merge learning)
+# --------------------------------------------------------------------
+
+_BPE_MERGES = 6
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training end-to-end in-engine: the oracle
+    unrolls the identical rounds (vocab → pair counts → top-1 merge →
+    unit-string replace), so the learned merge table hash-matches —
+    the same unrolled-iteration device as the kmeans codebook
+    oracle."""
+    from etl_finance_pipeline_spark.operators.tokenizer import bpe_train
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return bpe_train(docs, n_merges=_BPE_MERGES)
+
+
+def _bpe_round_sql(i: int) -> str:
+    return f"""
+sy{i} AS (
+  SELECT string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)) AS syms, wc
+  FROM u{i - 1}
+),
+px{i} AS (
+  SELECT unnest(generate_series(1, len(syms) - 1)) AS i, syms, wc FROM sy{i}
+),
+pr{i} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM px{i} GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (SELECT l, r, cnt FROM pr{i} ORDER BY cnt DESC, l, r LIMIT 1),
+u{i} AS MATERIALIZED (
+  SELECT replace(s,
+                 chr(1) || (SELECT l FROM b{i}) || chr(2) || chr(1) || (SELECT r FROM b{i}) || chr(2),
+                 chr(1) || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || chr(2)) AS s,
+         wc
+  FROM u{i - 1}
+)"""
+
+
+SQL_BPE_TRAIN = (
+    r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+words AS (SELECT w, count(*) AS wc FROM toks GROUP BY 1),
+u0 AS MATERIALIZED (
+  SELECT array_to_string(list_transform(generate_series(1, len(w)),
+                                        i -> chr(1) || w[i] || chr(2)), '') AS s,
+         wc
+  FROM words
+),"""
+    + ",".join(_bpe_round_sql(i) for i in range(1, _BPE_MERGES + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_round, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+)
+
+
+# --------------------------------------------------------------------
 # Cross-document repetition (MassiveText duplicate-content filter)
 # --------------------------------------------------------------------
 
@@ -2243,6 +2308,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_stats_png": q_image_stats_png,
     "pagerank": q_pagerank,
     "cross_doc_repetition": q_cross_doc_repetition,
+    "bpe_train": q_bpe_train,
 }
 
 ORACLES_TD: dict[str, str] = {
@@ -2291,4 +2357,5 @@ ORACLES_TD: dict[str, str] = {
     "image_stats_png": SQL_IMAGE_STATS_PNG,
     "pagerank": SQL_PAGERANK,
     "cross_doc_repetition": SQL_CROSS_DOC_REPETITION,
+    "bpe_train": SQL_BPE_TRAIN,
 }

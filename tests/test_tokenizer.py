@@ -1,0 +1,77 @@
+"""BPE tokenizer training / encoding (operators/tokenizer.py).
+
+Reference analogue: the reference pipeline counts tokens ahead of
+training-batch assembly; BPE merge learning is the vocabulary step
+that precedes that counting in an LLM data pipeline. Semantics follow
+Sennrich et al. 2016 (vocabulary-level BPE).
+"""
+
+from __future__ import annotations
+
+from etl_finance_pipeline_spark.operators.tokenizer import bpe_encode, bpe_train
+
+
+def _train(spark, rows, n_merges):
+    df = spark.createDataFrame([(t,) for t in rows], ["text"])
+    return bpe_train(df, n_merges=n_merges).collect()
+
+
+def test_bpe_learns_most_frequent_pair_first(spark):
+    # "ab" occurs 3x in "abab abc" words: abab has (a,b)x2,(b,a)x1; abc (a,b)
+    out = _train(spark, ["abab abc abab"], 1)
+    assert len(out) == 1
+    r = out[0]
+    assert (r["left_sym"], r["right_sym"], r["merged"]) == ("a", "b", "ab")
+    # abab contributes 2 positions x 2 occurrences, abc 1 -> 5
+    assert r["pair_count"] == 5
+
+
+def test_bpe_merged_symbol_participates_in_later_rounds(spark):
+    # After merging (l,o)->lo, round 2 should see pair (lo, w) etc.
+    out = _train(spark, ["low low low lower lowest"], 3)
+    merges = [(r["left_sym"], r["right_sym"]) for r in out]
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")
+    # round 3 works on "low" as one symbol
+    assert out[2]["left_sym"] == "low"
+
+
+def test_bpe_non_overlapping_left_to_right(spark):
+    # "aaa": pairs (a,a) at 2 positions per word; replace is
+    # non-overlapping left-to-right so "aaa" -> (aa)(a), count=2
+    out = _train(spark, ["aaa aaa"], 2)
+    assert (out[0]["left_sym"], out[0]["right_sym"]) == ("a", "a")
+    assert out[0]["pair_count"] == 4  # 2 positions x 2 occurrences
+    # round 2: words are now [aa, a]; best pair (aa, a)
+    assert (out[1]["left_sym"], out[1]["right_sym"]) == ("aa", "a")
+
+
+def test_bpe_deterministic_tiebreak(spark):
+    # "ab" and "cd" both occur once: tie broken by (l, r) ascending
+    out = _train(spark, ["ab cd"], 1)
+    assert (out[0]["left_sym"], out[0]["right_sym"]) == ("a", "b")
+
+
+def test_bpe_stops_early_when_no_pairs(spark):
+    # single-char words -> no adjacent pairs at all
+    out = _train(spark, ["a b c a"], 4)
+    assert out == []
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    df = spark.createDataFrame([(1, "lower low l")], ["doc_id", "text"])
+    out = bpe_encode(df, [("l", "o"), ("lo", "w"), ("low", "e")]).collect()[0]
+    assert out["bpe_tokens"] == ["lowe", "r", "low", "l"]
+
+
+def test_bpe_encode_roundtrip_with_trained_merges(spark):
+    corpus = ["the cat sat on the mat", "the bat and the cat"]
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(df, n_merges=4).collect()
+    ]
+    enc = bpe_encode(df.withColumn("doc_id", df.text.substr(1, 1)), merges)
+    for row in enc.collect():
+        # concatenating symbols restores the whitespace-stripped text
+        assert "".join(row["bpe_tokens"]) == "".join(row["text"].lower().split())
