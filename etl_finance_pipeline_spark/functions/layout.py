@@ -40,3 +40,46 @@ def fan_out(df: DataFrame, min_factor: int = 1) -> DataFrame:
     if n_files == 0 or n_files >= target:
         return df
     return df.repartition(target)
+
+
+def zvalue(x, y, bits: int = 8):
+    """Morton/Z-order interleave of two pre-quantized non-negative
+    int columns (each in [0, 2^bits)): bit i of x lands at position
+    2i, bit i of y at 2i+1. Pure bigint shift/mask arithmetic —
+    portable to any SQL engine for oracle checks, and cheap enough to
+    run inline during a write.
+
+    Z-ordering is the lakehouse data-layout trick (Delta/Iceberg
+    `OPTIMIZE ZORDER BY`): sorting or range-bucketing files by the
+    interleaved value clusters BOTH dimensions at once, so min/max
+    file statistics prune scans for predicates on either column —
+    a multi-column generalization of partition pruning.
+    """
+    from pyspark.sql import functions as F
+
+    xi = x.cast("bigint")
+    yi = y.cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xi, i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(yi, i) % 2, 2 * i + 1)
+        )
+    return z
+
+
+def quantize(col, lo, hi, bits: int = 8):
+    """Linear-scale ``col`` into [0, 2^bits) given (lo, hi) bound
+    columns (typically a broadcast 1-row min/max agg). Values at hi
+    map to the top cell; degenerate lo==hi maps to 0."""
+    from pyspark.sql import functions as F
+
+    cells = (1 << bits) - 1
+    span = (hi - lo).cast("double")
+    scaled = F.when(
+        span == 0, F.lit(0)
+    ).otherwise(
+        F.floor((col - lo).cast("double") / span * cells)
+    )
+    return F.least(scaled.cast("bigint"), F.lit(cells).cast("bigint"))

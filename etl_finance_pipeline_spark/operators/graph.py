@@ -302,3 +302,69 @@ def pagerank(
     e.unpersist()
     verts.unpersist()
     return ranks
+
+
+def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
+    """Count triangles in an undirected graph given as (src, dst)
+    pairs (direction, duplicates, and self-loops are normalized away).
+
+    Degree-oriented wedge counting (the MapReduce-era standard, cf.
+    Suri & Vassilvitskii 2011): orient every edge from its lower-
+    degree endpoint to the higher (ties by id), build wedges around
+    the low vertex, and close them against the canonical edge set.
+    Orientation bounds each vertex's wedge fan-out by its ORIENTED
+    out-degree (O(sqrt(m)) on any graph), so the wedge join cannot
+    explode around hubs the way a naive neighbor self-join does —
+    this is what makes it survive power-law graphs at scale. Cost:
+    two equi-join shuffles plus one degree aggregate.
+
+    Returns a 1-row (n_triangles) frame, or per-vertex counts when
+    ``per_vertex`` (each triangle credited to all three corners).
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("id"))
+        .unionAll(canon.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    oriented = (
+        canon.join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+    )
+    l = oriented.alias("l")
+    r = oriented.alias("r")
+    wedges = l.join(r, F.col("l.a") == F.col("r.a")).filter(
+        F.col("l.b") < F.col("r.b")
+    ).select(
+        F.col("l.a").alias("apex"),
+        F.least("l.b", "r.b").alias("wu"),
+        F.greatest("l.b", "r.b").alias("wv"),
+    )
+    closed = wedges.join(
+        canon, (wedges.wu == canon.u) & (wedges.wv == canon.v), "inner"
+    )
+    if not per_vertex:
+        return closed.agg(F.count("*").alias("n_triangles"))
+    corners = (
+        closed.select(F.col("apex").alias("id"))
+        .unionAll(closed.select(F.col("wu").alias("id")))
+        .unionAll(closed.select(F.col("wv").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count("*").alias("n_triangles"))

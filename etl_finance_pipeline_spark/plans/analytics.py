@@ -1,0 +1,412 @@
+"""Warehouse-analytics query pack: distinct-count sketches, graph
+triangle counting, market-basket association rules, bloom-filter
+pre-filtered joins, and Z-order layout statistics.
+
+Every query has a DuckDB oracle that executes the IDENTICAL portable
+arithmetic (md5-derived 60-bit hash words, integer harmonic sums,
+``floor(x*1e6+0.5)/1e6`` rounding), so results hash-match exactly —
+including the sketches' approximation error and the bloom filter's
+false positives, which are deterministic by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_finance_pipeline_spark.functions.scalar import portable_round
+from etl_finance_pipeline_spark.sources.tables import load_table
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+# Shared SQL fragment: the two 60-bit md5 hash words (DuckDB side of
+# operators/sketch.py::hash_word).
+def _h1(col: str) -> str:
+    return f"('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def _h2(col: str) -> str:
+    return f"('0x' || substr(md5(CAST({col} AS VARCHAR)), 16, 15))::BIGINT"
+
+
+# --------------------------------------------------------------------
+# HyperLogLog distinct users per event type
+# --------------------------------------------------------------------
+
+_HLL_B = 9
+_HLL_M = 1 << _HLL_B
+_HLL_W = 60 - _HLL_B
+_HLL_S = _HLL_W + 1
+#: alpha_m * m^2 * 2^S — computed ONCE here and embedded as the same
+#: double literal in both engines (repr round-trips exactly).
+_HLL_C = 0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * float(1 << _HLL_S)
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type, HLL sketch vs exact — the
+    side-by-side a warehouse runs to qualify a sketch before trusting
+    it on data too big to count exactly."""
+    from etl_finance_pipeline_spark.operators.sketch import hll_distinct
+
+    ev = load_table(spark, _t(sf_dir, "events"))
+    sketch = hll_distinct(ev, ["event_type"], "user_id", b=_HLL_B)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return sketch.join(exact, "event_type").select(
+        "event_type", "hll_estimate", "exact_distinct"
+    )
+
+
+SQL_HLL_DISTINCT_USERS = f"""
+WITH w AS (
+  SELECT event_type, {_h1("user_id")} AS h FROM events
+),
+bk AS (
+  SELECT event_type, h % {_HLL_M} AS bucket,
+         CASE WHEN (h >> {_HLL_B}) = 0 THEN {_HLL_W + 1}
+              ELSE {_HLL_W + 1} - length(bin(h >> {_HLL_B})) END AS rank
+  FROM w
+),
+mx AS (
+  SELECT event_type, bucket, max(rank) AS mrank FROM bk GROUP BY 1, 2
+),
+ag AS (
+  SELECT event_type,
+         CAST(sum((1::BIGINT << ({_HLL_S} - mrank))) AS BIGINT)
+           + ({_HLL_M} - count(*)) * (1::BIGINT << {_HLL_S}) AS intsum,
+         {_HLL_M} - count(*) AS empty
+  FROM mx GROUP BY 1
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN ({_HLL_C!r} / intsum) <= {2.5 * _HLL_M} AND empty > 0
+              THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST(empty AS DOUBLE))
+              ELSE {_HLL_C!r} / intsum END AS e
+  FROM ag
+)
+SELECT est.event_type,
+       floor(e * 1000000 + 0.5) / 1000000 AS hll_estimate,
+       x.exact_distinct
+FROM est
+JOIN (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+) x ON est.event_type = x.event_type
+"""
+
+
+# --------------------------------------------------------------------
+# KMV distinct users per event type
+# --------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same qualification query through the K-Minimum-Values sketch
+    (mergeable min-k of hashes; exact below k distincts)."""
+    from etl_finance_pipeline_spark.operators.sketch import kmv_distinct
+
+    ev = load_table(spark, _t(sf_dir, "events"))
+    sketch = kmv_distinct(ev, ["event_type"], "user_id", k=_KMV_K)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return sketch.join(exact, "event_type").select(
+        "event_type", "kmv_estimate", "exact_distinct"
+    )
+
+
+SQL_KMV_DISTINCT_USERS = f"""
+WITH d AS (
+  SELECT DISTINCT event_type, {_h1("user_id")} AS h FROM events
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+),
+t AS (
+  SELECT event_type, max(rn) AS nk, max(h) AS hk
+  FROM r WHERE rn <= {_KMV_K} GROUP BY 1
+)
+SELECT t.event_type,
+       floor((CASE WHEN nk < {_KMV_K} THEN CAST(nk AS DOUBLE)
+                   ELSE {float(_KMV_K - 1) * float(1 << 60)!r} / hk END)
+             * 1000000 + 0.5) / 1000000 AS kmv_estimate,
+       x.exact_distinct
+FROM t
+JOIN (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+) x ON t.event_type = x.event_type
+"""
+
+
+# --------------------------------------------------------------------
+# Triangle count over the part co-purchase graph
+# --------------------------------------------------------------------
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the part co-purchase graph (parts ordered
+    together), via degree-oriented wedge counting — the clustering
+    signal behind "customers who buy these two also buy...". The
+    oracle counts the same triangles with the textbook u<v<w
+    three-way self-join; equality of the two formulations is itself
+    part of the check."""
+    from etl_finance_pipeline_spark.operators.graph import triangle_count
+
+    li = load_table(spark, _t(sf_dir, "lineitem")).select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return triangle_count(edges)
+
+
+SQL_TRIANGLES = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e a
+JOIN e b ON b.u = a.u AND b.v > a.v
+JOIN e c ON c.u = a.v AND c.v = b.v
+"""
+
+
+# --------------------------------------------------------------------
+# Market-basket association rules over brands
+# --------------------------------------------------------------------
+
+_AR_MIN_SUPPORT = 40
+_AR_MAX_BASKET = 64
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand→brand association rules (support / confidence / lift)
+    from order baskets."""
+    from etl_finance_pipeline_spark.operators.association import association_rules
+
+    li = load_table(spark, _t(sf_dir, "lineitem")).select("l_orderkey", "l_partkey")
+    part = load_table(spark, _t(sf_dir, "part")).select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_orderkey", "p_brand")
+    return association_rules(
+        baskets,
+        "l_orderkey",
+        "p_brand",
+        min_support=_AR_MIN_SUPPORT,
+        max_basket_items=_AR_MAX_BASKET,
+    ).select("antecedent", "consequent", "pair_support", "confidence", "lift")
+
+
+SQL_ASSOC_RULES = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+kept_ids AS (
+  SELECT basket FROM baskets GROUP BY basket
+  HAVING count(*) <= {_AR_MAX_BASKET}
+),
+kept AS (SELECT b.* FROM baskets b JOIN kept_ids USING (basket)),
+nb AS (SELECT count(*) AS n FROM kept_ids),
+supp AS (SELECT item, count(*) AS s FROM kept GROUP BY 1),
+pairs AS (
+  SELECT a.item AS x, b.item AS y, CAST(count(*) AS BIGINT) AS ps
+  FROM kept a JOIN kept b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= {_AR_MIN_SUPPORT}
+),
+directed AS (
+  SELECT x AS antecedent, y AS consequent, ps FROM pairs
+  UNION ALL
+  SELECT y AS antecedent, x AS consequent, ps FROM pairs
+)
+SELECT d.antecedent, d.consequent, d.ps AS pair_support,
+       floor((d.ps / sa.s) * 1000000 + 0.5) / 1000000 AS confidence,
+       floor(((d.ps / sa.s) / (sb.s / CAST(nb.n AS DOUBLE))) * 1000000 + 0.5)
+         / 1000000 AS lift
+FROM directed d
+JOIN supp sa ON d.antecedent = sa.item
+JOIN supp sb ON d.consequent = sb.item, nb
+"""
+
+
+# --------------------------------------------------------------------
+# Bloom-filter pre-filtered semi-join
+# --------------------------------------------------------------------
+
+_BLOOM_BITS = 10  # m = 1024: small enough that false positives occur,
+_BLOOM_K = 3  # making the FPR part of what the oracle verifies
+_BLOOM_BAL = 9000.0
+
+
+def q_bloom_semi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders surviving a bloom pre-filter built over high-balance
+    customers, vs the exact member count — the (pass, true-match)
+    pair that measures the filter's false-positive rate, with the
+    probe side never shuffled."""
+    from etl_finance_pipeline_spark.operators.bloom import bloom_build, bloom_probe
+
+    cust = load_table(spark, _t(sf_dir, "customer"))
+    build = cust.filter(F.col("c_acctbal") > _BLOOM_BAL).select("c_custkey")
+    bloom = bloom_build(build, "c_custkey", bits=_BLOOM_BITS, k=_BLOOM_K)
+    orders = load_table(spark, _t(sf_dir, "orders")).select("o_orderkey", "o_custkey")
+    passed = bloom_probe(orders, "o_custkey", bloom, bits=_BLOOM_BITS, k=_BLOOM_K)
+    flagged = passed.join(
+        F.broadcast(build.withColumnRenamed("c_custkey", "o_custkey")).withColumn(
+            "_m", F.lit(1)
+        ),
+        "o_custkey",
+        "left",
+    )
+    return flagged.agg(
+        F.count("*").alias("n_bloom_pass"),
+        F.sum(F.coalesce(F.col("_m"), F.lit(0))).alias("n_true_match"),
+    )
+
+
+_BLOOM_M = 1 << _BLOOM_BITS
+SQL_BLOOM_SEMI_ORDERS = f"""
+WITH build AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > {_BLOOM_BAL}
+),
+pos AS (
+  SELECT DISTINCT ({_h1("c_custkey")} + i.i * {_h2("c_custkey")}) % {_BLOOM_M} AS pos
+  FROM build, (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS i) i
+),
+probe AS (
+  SELECT o_orderkey, o_custkey,
+         {_h1("o_custkey")} AS h1, {_h2("o_custkey")} AS h2
+  FROM orders
+),
+pass AS (
+  SELECT o_orderkey, o_custkey FROM probe
+  WHERE (h1 + 0 * h2) % {_BLOOM_M} IN (SELECT pos FROM pos)
+    AND (h1 + 1 * h2) % {_BLOOM_M} IN (SELECT pos FROM pos)
+    AND (h1 + 2 * h2) % {_BLOOM_M} IN (SELECT pos FROM pos)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bloom_pass,
+       CAST(count(*) FILTER (WHERE o_custkey IN (SELECT c_custkey FROM build))
+            AS BIGINT) AS n_true_match
+FROM pass
+"""
+
+
+# --------------------------------------------------------------------
+# Z-order layout statistics
+# --------------------------------------------------------------------
+
+_Z_BITS = 8  # 8 bits per dim -> 16-bit z-value
+_Z_FILE_SHIFT = 10  # top 6 bits -> 64 z-range files
+
+
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file min/max statistics after Z-order bucketing orders by
+    (customer, total price): the data-skipping footprint a lakehouse
+    OPTIMIZE ZORDER write would produce. Tight per-file ranges on
+    BOTH columns — which the oracle verifies value-for-value — are
+    the whole point of the curve. No global sort: the file id comes
+    from the z-value's top bits, a pure map."""
+    from etl_finance_pipeline_spark.functions.layout import quantize, zvalue
+
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    mm = F.broadcast(
+        orders.agg(
+            F.min("o_custkey").alias("ck_lo"),
+            F.max("o_custkey").alias("ck_hi"),
+            F.min("o_totalprice").alias("tp_lo"),
+            F.max("o_totalprice").alias("tp_hi"),
+        )
+    )
+    q = orders.crossJoin(mm)
+    qx = quantize(F.col("o_custkey"), F.col("ck_lo"), F.col("ck_hi"), _Z_BITS)
+    qy = quantize(F.col("o_totalprice"), F.col("tp_lo"), F.col("tp_hi"), _Z_BITS)
+    z = zvalue(qx, qy, _Z_BITS)
+    return (
+        q.withColumn("_file", F.shiftright(z, _Z_FILE_SHIFT))
+        .groupBy(F.col("_file").alias("file_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_custkey").alias("ck_min"),
+            F.max("o_custkey").alias("ck_max"),
+            portable_round(F.min("o_totalprice"), 2).alias("tp_min"),
+            portable_round(F.max("o_totalprice"), 2).alias("tp_max"),
+        )
+    )
+
+
+def _z_interleave_sql(x: str, y: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) % 2) << {2 * i})")
+        terms.append(f"((({y} >> {i}) % 2) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_Z_CELLS = (1 << _Z_BITS) - 1
+SQL_ZORDER_STATS = f"""
+WITH mm AS (
+  SELECT min(o_custkey) AS ck_lo, max(o_custkey) AS ck_hi,
+         min(o_totalprice) AS tp_lo, max(o_totalprice) AS tp_hi
+  FROM orders
+),
+q AS (
+  SELECT o_custkey, o_totalprice,
+         least(CAST(CASE WHEN (ck_hi - ck_lo) = 0 THEN 0
+               ELSE floor(CAST(o_custkey - ck_lo AS DOUBLE)
+                          / CAST(ck_hi - ck_lo AS DOUBLE) * {_Z_CELLS}) END
+               AS BIGINT), {_Z_CELLS}) AS qx,
+         least(CAST(CASE WHEN (tp_hi - tp_lo) = 0 THEN 0
+               ELSE floor(CAST(o_totalprice - tp_lo AS DOUBLE)
+                          / CAST(tp_hi - tp_lo AS DOUBLE) * {_Z_CELLS}) END
+               AS BIGINT), {_Z_CELLS}) AS qy
+  FROM orders, mm
+),
+z AS (
+  SELECT o_custkey, o_totalprice,
+         ({_z_interleave_sql("qx", "qy", _Z_BITS)}) >> {_Z_FILE_SHIFT} AS file_id
+  FROM q
+)
+SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+       floor(min(o_totalprice) * 100 + 0.5) / 100 AS tp_min,
+       floor(max(o_totalprice) * 100 + 0.5) / 100 AS tp_max
+FROM z GROUP BY 1
+"""
+
+
+QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hll_distinct_users": q_hll_distinct_users,
+    "kmv_distinct_users": q_kmv_distinct_users,
+    "triangles": q_triangles,
+    "assoc_rules": q_assoc_rules,
+    "bloom_semi_orders": q_bloom_semi_orders,
+    "zorder_stats": q_zorder_stats,
+}
+
+ORACLES_AN: dict[str, str] = {
+    "hll_distinct_users": SQL_HLL_DISTINCT_USERS,
+    "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
+    "triangles": SQL_TRIANGLES,
+    "assoc_rules": SQL_ASSOC_RULES,
+    "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
+    "zorder_stats": SQL_ZORDER_STATS,
+}

@@ -2687,6 +2687,10 @@ FROM w
 # Registry
 # --------------------------------------------------------------------
 
+from etl_finance_pipeline_spark.plans.analytics import (  # noqa: E402
+    ORACLES_AN,
+    QUERIES_AN,
+)
 from etl_finance_pipeline_spark.plans.training_data import (  # noqa: E402
     ORACLES_TD,
     QUERIES_TD,
@@ -2755,6 +2759,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_journeys": q_user_journeys,
     "fuzzy_part_names": q_fuzzy_part_names,
     **QUERIES_TD,
+    **QUERIES_AN,
 }
 
 ORACLES: dict[str, str] = {
@@ -2820,4 +2825,5 @@ ORACLES: dict[str, str] = {
     "user_journeys": SQL_USER_JOURNEYS,
     "fuzzy_part_names": SQL_FUZZY_PART_NAMES,
     **ORACLES_TD,
+    **ORACLES_AN,
 }

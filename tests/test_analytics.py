@@ -1,0 +1,179 @@
+"""Sketches, triangle counting, association rules, bloom semi-join,
+Z-order layout (operators/sketch.py, graph.py::triangle_count,
+association.py, bloom.py, functions/layout.py::zvalue)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_finance_pipeline_spark.functions.layout import quantize, zvalue
+from etl_finance_pipeline_spark.operators.association import association_rules
+from etl_finance_pipeline_spark.operators.bloom import bloom_build, bloom_probe
+from etl_finance_pipeline_spark.operators.graph import triangle_count
+from etl_finance_pipeline_spark.operators.sketch import hll_distinct, kmv_distinct
+
+
+# ---------------------------------------------------------------- sketches
+
+
+def test_hll_estimate_within_standard_error(spark):
+    # 2000 distinct values, b=9 -> m=512, relative error ~1.04/sqrt(m)=4.6%
+    df = spark.range(6000).select(
+        F.lit("g").alias("g"), (F.col("id") % 2000).alias("v")
+    )
+    est = hll_distinct(df, ["g"], "v", b=9).collect()[0]["hll_estimate"]
+    assert abs(est - 2000) / 2000 < 0.15  # 3 sigma
+
+
+def test_hll_is_insensitive_to_duplication(spark):
+    # A sketch over values must depend only on the distinct set.
+    base = spark.range(500).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    dup = base.unionAll(base).unionAll(base)
+    e1 = hll_distinct(base, ["g"], "v").collect()[0]["hll_estimate"]
+    e2 = hll_distinct(dup, ["g"], "v").collect()[0]["hll_estimate"]
+    assert e1 == e2
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(40).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    est = kmv_distinct(df, ["g"], "v", k=64).collect()[0]["kmv_estimate"]
+    assert est == 40.0
+
+
+def test_kmv_estimate_within_standard_error(spark):
+    # n=5000, k=64 -> relative error ~1/sqrt(k-2) = 12.7%
+    df = spark.range(5000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    est = kmv_distinct(df, ["g"], "v", k=64).collect()[0]["kmv_estimate"]
+    assert abs(est - 5000) / 5000 < 0.4  # 3 sigma
+
+
+def test_sketches_group_independently(spark):
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 40, "small").otherwise("big").alias("g"),
+        F.col("id").alias("v"),
+    )
+    kmv = {r["g"]: r["kmv_estimate"] for r in kmv_distinct(df, ["g"], "v").collect()}
+    assert kmv["small"] == 40.0  # below k -> exact
+    assert kmv["big"] > 300
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 has 4 triangles; a pendant edge adds none.
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b] + [(3, 9)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_ignores_direction_duplicates_loops(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)], ["src", "dst"]
+    )
+    assert triangle_count(df).collect()[0]["n_triangles"] == 1
+
+
+def test_triangle_count_per_vertex(spark):
+    # Two triangles sharing edge (1,2): vertices 1,2 in both.
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 4), (1, 4)], ["src", "dst"]
+    )
+    counts = {r["id"]: r["n_triangles"] for r in
+              triangle_count(df, per_vertex=True).collect()}
+    assert counts == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+# ---------------------------------------------------------------- association
+
+
+def test_association_rules_hand_computed(spark):
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    rules = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, "basket", "item", min_support=2).collect()
+    }
+    ab = rules[("a", "b")]
+    # supp(a,b)=2, supp(a)=3 -> conf=2/3; P(b)=2/4 -> lift=(2/3)/(1/2)
+    assert ab["pair_support"] == 2
+    assert abs(ab["confidence"] - 2 / 3) < 1e-6
+    assert abs(ab["lift"] - 4 / 3) < 1e-6
+    ba = rules[("b", "a")]
+    assert ba["confidence"] == 1.0  # supp(a,b)/supp(b) = 2/2
+    assert ("a", "c") not in rules  # below min_support
+
+
+def test_association_rules_mega_basket_dropped(spark):
+    big = [(1, f"i{j}") for j in range(10)] + [(2, "i0"), (2, "i1"), (3, "i0"), (3, "i1")]
+    df = spark.createDataFrame(big, ["basket", "item"])
+    rules = association_rules(
+        df, "basket", "item", min_support=2, max_basket_items=5
+    ).collect()
+    # Basket 1 (10 items) is dropped: only the (i0,i1) pair from 2/3 remains.
+    pairs = {(r["antecedent"], r["consequent"]) for r in rules}
+    assert pairs == {("i0", "i1"), ("i1", "i0")}
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives(spark):
+    build = spark.range(0, 200, 2).select(F.col("id").alias("k"))  # evens
+    bloom = bloom_build(build, "k", bits=16)
+    probe = spark.range(200).select(F.col("id").alias("k"))
+    passed = {r["k"] for r in bloom_probe(probe, "k", bloom, bits=16).collect()}
+    assert set(range(0, 200, 2)) <= passed  # every member passes
+
+
+def test_bloom_filters_most_non_members(spark):
+    build = spark.range(50).select(F.col("id").alias("k"))
+    bloom = bloom_build(build, "k", bits=16)
+    probe = spark.range(10_000).select(F.col("id").alias("k"))
+    n_pass = bloom_probe(probe, "k", bloom, bits=16).count()
+    # 50 true + fpr ~ (1-e^(-150/65536))^3 ~ 1.2e-8 -> essentially exact
+    assert 50 <= n_pass <= 60
+
+
+def test_bloom_probe_keeps_all_columns_and_duplicates(spark):
+    build = spark.createDataFrame([(7,)], ["k"])
+    bloom = bloom_build(build, "k", bits=16)
+    probe = spark.createDataFrame([(7, "x"), (7, "y"), (8, "z")], ["k", "payload"])
+    out = bloom_probe(probe, "k", bloom, bits=16).collect()
+    assert sorted(r["payload"] for r in out) == ["x", "y"]
+
+
+# ---------------------------------------------------------------- z-order
+
+
+def test_zvalue_interleaves_bits(spark):
+    df = spark.createDataFrame([(3, 0), (0, 3), (3, 3)], ["x", "y"])
+    out = df.select(zvalue(F.col("x"), F.col("y"), 2).alias("z")).collect()
+    # x bits at even positions: x=3 -> 0b0101=5; y=3 -> 0b1010=10; both -> 15
+    assert [r["z"] for r in out] == [5, 10, 15]
+
+
+def test_quantize_bounds_and_degenerate_span(spark):
+    df = spark.createDataFrame([(0.0,), (50.0,), (100.0,)], ["v"])
+    out = df.select(
+        quantize(F.col("v"), F.lit(0.0), F.lit(100.0), 8).alias("q"),
+        quantize(F.col("v"), F.lit(7.0), F.lit(7.0), 8).alias("qz"),
+    ).collect()
+    qs = [r["q"] for r in out]
+    assert qs[0] == 0 and qs[2] == 255 and 0 < qs[1] < 255
+    assert all(r["qz"] == 0 for r in out)
+
+
+def test_zorder_locality_beats_single_column_sort(spark):
+    # After z-bucketing, per-bucket ranges on BOTH dims must be far
+    # tighter than the global range (the data-skipping property).
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("int").alias("y")
+    )
+    z = df.select(
+        "x", "y", F.shiftright(zvalue(F.col("x"), F.col("y"), 6), 6).alias("f")
+    )
+    stats = z.groupBy("f").agg(
+        (F.max("x") - F.min("x")).alias("sx"), (F.max("y") - F.min("y")).alias("sy")
+    ).agg(F.max("sx").alias("mx"), F.max("sy").alias("my")).collect()[0]
+    assert stats["mx"] <= 15 and stats["my"] <= 15  # vs global span 63
