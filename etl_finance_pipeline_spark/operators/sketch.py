@@ -142,3 +142,67 @@ def kmv_distinct(
         F.col("_nk") < k, F.col("_nk").cast("double")
     ).otherwise(F.lit(float(k - 1) * float(1 << HASH_BITS)) / F.col("_hk"))
     return agg.select(*group_cols, portable_round(est, 6).alias("kmv_estimate"))
+
+
+def count_min_sketch(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w_buckets: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of the value
+    stream: d hash rows x w buckets of counts, as a (row, bucket,
+    cnt) frame of at most d*w rows — the fixed-size state that
+    answers "how often did X appear" over a stream too big to hold a
+    per-key map. Row hashes come from double hashing over the two
+    md5 words, so the sketch (and every estimate's overcount) is
+    deterministic and portable. Map-side combinable; sketches merge
+    by summing counts per (row, bucket).
+    """
+    h1 = hash_word(F.col(value_col), 1)
+    h2 = hash_word(F.col(value_col), 16)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"), ((h1 + F.lit(i) * h2) % w_buckets).alias("bucket")
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w_buckets: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each distinct key in ``keys``:
+    estimate = min over the d rows of the key's bucket counts (never
+    an undercount; overcount bounded by collisions). The sketch is
+    d*w rows — broadcast — so the probe is one narrow explode + one
+    broadcast join + one per-key min."""
+    h1 = hash_word(F.col(key_col), 1)
+    h2 = hash_word(F.col(key_col), 16)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"), ((h1 + F.lit(i) * h2) % w_buckets).alias("bucket")
+            )
+            for i in range(d)
+        ]
+    )
+    probed = keys.select(key_col, F.explode(cells).alias("rb")).select(
+        key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )

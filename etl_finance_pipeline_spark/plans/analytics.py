@@ -393,6 +393,162 @@ FROM z GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------
+# Count-min heavy hitters
+# --------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_FRAC = 0.004  # report keys whose ESTIMATE >= 0.4% of the stream
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters by Count-Min estimate (users above 0.4% of the
+    event stream), with exact counts alongside so the sketch's
+    guaranteed-overcount property is visible in the output. The
+    sketch is d x w = 4096 counters regardless of stream size; the
+    probe is a broadcast join."""
+    from etl_finance_pipeline_spark.operators.sketch import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    ev = load_table(spark, _t(sf_dir, "events"))
+    sketch = count_min_sketch(ev, "user_id", d=_CMS_D, w_buckets=_CMS_W)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    est = cms_estimate(exact, sketch, "user_id", d=_CMS_D, w_buckets=_CMS_W)
+    total = F.broadcast(ev.agg(F.count("*").alias("_n")))
+    return (
+        est.join(exact, "user_id")
+        .crossJoin(total)
+        .filter(F.col("cms_estimate") >= F.lit(_CMS_FRAC) * F.col("_n"))
+        .select("user_id", "cms_estimate", "exact_count")
+    )
+
+
+SQL_HEAVY_HITTERS_CMS = f"""
+WITH h AS (
+  SELECT user_id, {_h1("user_id")} AS h1, {_h2("user_id")} AS h2 FROM events
+),
+cells AS (
+  SELECT user_id, i.i AS row, (h1 + i.i * h2) % {_CMS_W} AS bucket
+  FROM h, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS i) i
+),
+sketch AS (
+  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count FROM events GROUP BY 1
+),
+keycells AS (
+  SELECT DISTINCT user_id, i.i AS row,
+         ({_h1("user_id")} + i.i * {_h2("user_id")}) % {_CMS_W} AS bucket
+  FROM exact, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS i) i
+),
+est AS (
+  SELECT k.user_id, min(s.cnt) AS cms_estimate
+  FROM keycells k JOIN sketch s ON k.row = s.row AND k.bucket = s.bucket
+  GROUP BY 1
+),
+total AS (SELECT count(*) AS n FROM events)
+SELECT e.user_id, e.cms_estimate, x.exact_count
+FROM est e JOIN exact x ON e.user_id = x.user_id, total
+WHERE e.cms_estimate >= {_CMS_FRAC} * total.n
+"""
+
+
+# --------------------------------------------------------------------
+# Source distribution drift (KL / JS divergence)
+# --------------------------------------------------------------------
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift of each document source against the
+    whole corpus: KL(source || corpus) and Jensen-Shannon divergence
+    — the monitoring a training-data pipeline runs to catch one
+    source's language shifting before it contaminates a data mix.
+
+    The join only materializes words PRESENT in the source (p > 0);
+    corpus words the source lacks contribute q*ln2 to the JS q-side
+    in closed form via the source's covered corpus mass (1 - sum q
+    over joined words), so no outer join or per-source corpus
+    re-expansion is needed. Shape: one token explode, three
+    map-side-combinable counts, broadcast-joined totals, one final
+    per-source sum.
+    """
+    from etl_finance_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    toks = docs.select("source", F.explode(tokens("text")).alias("w"))
+    src_w = toks.groupBy("source", "w").agg(F.count("*").alias("swc"))
+    all_w = toks.groupBy("w").agg(F.count("*").alias("awc"))
+    src_tot = toks.groupBy("source").agg(F.count("*").alias("stot"))
+    all_tot = F.broadcast(toks.agg(F.count("*").alias("atot")))
+    j = (
+        src_w.join(all_w, "w")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(all_tot)
+    )
+    p = F.col("swc") / F.col("stot")
+    q = F.col("awc") / F.col("atot")
+    m = (p + q) / F.lit(2.0)
+    # q=0 is impossible (the corpus includes the source); p=0 words
+    # are exactly the ones missing from the join.
+    kl = F.sum(p * F.log(p / q))
+    js_p = F.sum(p * F.log(p / m))
+    js_q_cov = F.sum(q * F.log(q / m))
+    q_cov = F.sum(q)
+    agg = j.groupBy("source").agg(
+        kl.alias("_kl"),
+        js_p.alias("_jsp"),
+        js_q_cov.alias("_jsqc"),
+        q_cov.alias("_qcov"),
+    )
+    # Words with p=0: m = q/2, so q*ln(q/m) = q*ln2 — their total
+    # contribution is ln2 * (1 - covered corpus mass).
+    ln2 = 0.6931471805599453
+    js = (F.col("_jsp") + F.col("_jsqc") + F.lit(ln2) * (1.0 - F.col("_qcov"))) / 2.0
+    return agg.select(
+        "source",
+        portable_round(F.col("_kl"), 6).alias("kl_divergence"),
+        portable_round(js, 6).alias("js_divergence"),
+    )
+
+
+SQL_SOURCE_DRIFT = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+src_w AS (SELECT source, w, count(*) AS swc FROM toks GROUP BY 1, 2),
+all_w AS (SELECT w, count(*) AS awc FROM toks GROUP BY 1),
+src_tot AS (SELECT source, count(*) AS stot FROM toks GROUP BY 1),
+all_tot AS (SELECT count(*) AS atot FROM toks),
+j AS (
+  SELECT s.source,
+         s.swc / CAST(t.stot AS DOUBLE) AS p,
+         a.awc / CAST(all_tot.atot AS DOUBLE) AS q
+  FROM src_w s
+  JOIN all_w a ON s.w = a.w
+  JOIN src_tot t ON s.source = t.source, all_tot
+),
+ag AS (
+  SELECT source,
+         sum(p * ln(p / q)) AS kl,
+         sum(p * ln(p / ((p + q) / 2.0))) AS jsp,
+         sum(q * ln(q / ((p + q) / 2.0))) AS jsqc,
+         sum(q) AS qcov
+  FROM j GROUP BY 1
+)
+SELECT source,
+       floor(kl * 1000000 + 0.5) / 1000000 AS kl_divergence,
+       floor(((jsp + jsqc + 0.6931471805599453 * (1.0 - qcov)) / 2.0)
+             * 1000000 + 0.5) / 1000000 AS js_divergence
+FROM ag
+"""
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -400,6 +556,8 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assoc_rules": q_assoc_rules,
     "bloom_semi_orders": q_bloom_semi_orders,
     "zorder_stats": q_zorder_stats,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
+    "source_drift": q_source_drift,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -409,4 +567,6 @@ ORACLES_AN: dict[str, str] = {
     "assoc_rules": SQL_ASSOC_RULES,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "zorder_stats": SQL_ZORDER_STATS,
+    "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
+    "source_drift": SQL_SOURCE_DRIFT,
 }

@@ -177,3 +177,75 @@ def test_zorder_locality_beats_single_column_sort(spark):
         (F.max("x") - F.min("x")).alias("sx"), (F.max("y") - F.min("y")).alias("sy")
     ).agg(F.max("sx").alias("mx"), F.max("sy").alias("my")).collect()[0]
     assert stats["mx"] <= 15 and stats["my"] <= 15  # vs global span 63
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def test_cms_never_undercounts_and_exact_without_collisions(spark):
+    from etl_finance_pipeline_spark.operators.sketch import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in ["a"] * 5 + ["b"] * 3 + ["c"] * 2], ["v"]
+    )
+    sketch = count_min_sketch(df, "v", d=4, w_buckets=4096)
+    keys = df.select("v").distinct()
+    est = {r["v"]: r["cms_estimate"] for r in
+           cms_estimate(keys, sketch, "v", d=4, w_buckets=4096).collect()}
+    # 3 keys in 4096 buckets: no collisions -> estimates are exact
+    assert est == {"a": 5, "b": 3, "c": 2}
+
+
+def test_cms_overcount_bounded_by_min_row(spark):
+    from etl_finance_pipeline_spark.operators.sketch import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    df = spark.range(2000).select((F.col("id") % 500).alias("v"))  # 4 each
+    sketch = count_min_sketch(df, "v", d=4, w_buckets=64)
+    keys = df.select("v").distinct()
+    rows = cms_estimate(keys, sketch, "v", d=4, w_buckets=64).collect()
+    # Guaranteed >= true count; min-of-4-rows keeps worst overcount sane
+    assert all(r["cms_estimate"] >= 4 for r in rows)
+    assert min(r["cms_estimate"] for r in rows) < 500  # collisions don't explode
+
+
+# ---------------------------------------------------------------- drift
+
+
+def test_source_drift_zero_for_identical_distributions(spark, tmp_path):
+    import os
+
+    from etl_finance_pipeline_spark.plans.analytics import q_source_drift
+
+    # Two sources with the SAME token distribution -> corpus equals
+    # each source's distribution -> KL = JS = 0.
+    rows = [(i, "x y z", "s1" if i % 2 else "s2", "en", 5) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source", "lang", "n_chars"])
+    df.write.mode("overwrite").parquet(os.path.join(tmp_path, "documents.parquet"))
+    out = {r["source"]: r for r in q_source_drift(spark, str(tmp_path)).collect()}
+    assert out["s1"]["kl_divergence"] == 0.0
+    assert out["s1"]["js_divergence"] == 0.0
+
+
+def test_source_drift_detects_divergent_source(spark, tmp_path):
+    import math
+    import os
+
+    from etl_finance_pipeline_spark.plans.analytics import q_source_drift
+
+    rows = [(i, "aa bb", "base", "en", 5) for i in range(9)] + [
+        (9, "zz qq", "weird", "en", 5)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source", "lang", "n_chars"])
+    df.write.mode("overwrite").parquet(os.path.join(tmp_path, "documents.parquet"))
+    out = {r["source"]: r for r in q_source_drift(spark, str(tmp_path)).collect()}
+    # "weird" tokens are 10% of the corpus: KL(weird||corpus)=ln(10)
+    assert abs(out["weird"]["kl_divergence"] - math.log(10)) < 1e-5
+    assert out["weird"]["js_divergence"] > out["base"]["js_divergence"]
+    # JS is bounded by ln 2
+    assert all(0 <= r["js_divergence"] <= math.log(2) + 1e-9 for r in out.values())
