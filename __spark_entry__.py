@@ -52,39 +52,36 @@ _SHOWCASE_FIRST = (
     "minhash_lsh_pairs",
     "incremental_near_dup",
     "simhash_pairs",
-    "ngram_jaccard",
     "decontaminate",
     "embed_near_dup",
-    "semdedup",
     "near_dup_clusters",
     "clean_corpus",
     "ann_topk",
-    "ann_lsh_topk",
     "ann_ivf_trained",
     "lang_id",
     "repetition_stats",
     "unigram_logprob",
     "quality_score",
     "token_counts",
+    "bpe_train",
     "pack_sequences",
-    "training_batches",
     "audio_stats_wav",  # real WAV codec path (stdlib wave round-trip)
-    "image_stats_ppm",  # real PPM codec path (header-parsed dims)
     "image_stats_png",  # real compressed codec path (zlib round-trip)
     "video_frames",
-    "props_extract",
     "asof_last_click",
     "user_sessions",
-    "session_errors",
     "stream_candles",
-    "stream_sessions",
-    "stream_dedupe",
     "stream_gaps",
     "stream_view_click",
-    "stream_enrich",
-    "redact_docs",
-    "sample_docs",
-    "shuffle_shard",
+    "pagerank",
+    "cross_doc_repetition",
+    "hll_distinct_users",
+    "heavy_hitters_cms",
+    "triangles",
+    "assoc_rules",
+    "bloom_semi_orders",
+    "zorder_stats",
+    "source_drift",
 )
 
 
