@@ -327,6 +327,10 @@ def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # canon feeds the degree union, the orientation join, AND the
+        # wedge-closing join — persist or the whole edge derivation
+        # (often itself a join) re-executes four times
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         canon.select(F.col("u").alias("id"))
@@ -347,6 +351,7 @@ def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
             .alias("e")
         )
         .select("e.a", "e.b")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # both sides of the wedge self-join
     )
     l = oriented.alias("l")
     r = oriented.alias("r")
