@@ -51,6 +51,20 @@ def _assert_distributed_plan(df, label: str) -> None:
     return None
 
 
+
+def _assert_only_scalar_single_partition(df, label: str) -> None:
+    """Variant for operators whose OUTPUT is a scalar (global count /
+    broadcast 1-row stat): single-partition exchanges are allowed
+    only when their child is a keys=[] scalar aggregate over partial
+    rows (bounded by partition count), never on a keyed data path."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for frag in plan.split("Exchange SinglePartition")[1:]:
+        nxt = "\n".join(frag.splitlines()[:3])
+        assert "HashAggregate(keys=[]" in nxt or "partial_count" in nxt, (
+            f"{label}: non-scalar single-partition exchange\n{nxt}"
+        )
+
+
 def _timed_count(df, label: str) -> tuple[int, float]:
     t0 = time.time()
     n = df.count()
@@ -179,3 +193,114 @@ def test_scale_star_cc(bigspark):
           f"{n_components:,} components in {time.time() - t0:.1f}s")
     assert n_vertices == 5_000_000
     assert n_components == 500_000
+
+
+def test_scale_hll_distinct(bigspark):
+    """50M rows → per-group HLL: one groupBy whose state is
+    groups × 512 small ints; estimate must land within the sketch's
+    3-sigma band (±14% at b=9)."""
+    from etl_finance_pipeline_spark.operators.sketch import hll_distinct
+
+    n = 50_000_000
+    df = bigspark.range(n).select(
+        F.format_string("g%d", F.col("id") % 5).alias("g"),
+        (F.col("id") % 10_000_000).alias("v"),
+    )
+    out = hll_distinct(df, ["g"], "v", b=9)
+    _assert_distributed_plan(out, "hll_distinct")
+    rows, _ = _timed_count(out, "hll 50M rows")
+    assert rows == 5
+    # 10M % 5 == 0 ⇒ each group sees exactly the 2M values ≡ g (mod 5)
+    ests = {r["g"]: r["hll_estimate"] for r in out.collect()}
+    for g, est in ests.items():
+        assert abs(est - 2_000_000) / 2_000_000 < 0.15, (g, est)
+
+
+def test_scale_count_min(bigspark):
+    """50M-event stream through a 4×1024 Count-Min sketch (fixed
+    4096-counter state) + broadcast point queries for 5 hot keys."""
+    from etl_finance_pipeline_spark.operators.sketch import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    n = 50_000_000
+    stream = bigspark.range(n).select(
+        F.when(
+            F.col("id") % 100 < 10, F.format_string("hot%d", F.col("id") % 5)
+        )
+        .otherwise(F.format_string("cold%d", F.col("id") % 1_000_000))
+        .alias("v")
+    )
+    sketch = count_min_sketch(stream, "v")
+    _assert_distributed_plan(sketch, "count_min_sketch")
+    rows, _ = _timed_count(sketch, "cms build 50M")
+    assert rows <= 4 * 1024
+    hot = bigspark.createDataFrame([(f"hot{i}",) for i in range(5)], ["v"])
+    est = {r["v"]: r["cms_estimate"] for r in
+           cms_estimate(hot, sketch, "v").collect()}
+    # each hot key: 50M * 10% / 5 = 1M true hits; CMS never undercounts
+    assert all(e >= 1_000_000 for e in est.values())
+
+
+def test_scale_triangles_hub_safe(bigspark):
+    """4M path/skip edges (exactly N-2 triangles) PLUS a 50k-degree
+    hub wired to non-adjacent vertices. Degree orientation must point
+    every hub edge INTO the hub (oriented out-degree 0), so the hub
+    contributes zero wedges — the naive neighbor self-join would
+    build C(50k,2) ≈ 1.2B wedges from it."""
+    from etl_finance_pipeline_spark.operators.graph import triangle_count
+
+    n = 2_000_000
+    base = bigspark.range(n - 2)
+    step1 = base.select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    step2 = base.select(F.col("id").alias("src"), (F.col("id") + 2).alias("dst"))
+    hub = bigspark.range(50_000).select(
+        F.lit(n + 10).alias("src"), (F.col("id") * 7).alias("dst")
+    )
+    edges = step1.unionAll(step2).unionAll(hub)
+    out = triangle_count(edges)
+    _assert_only_scalar_single_partition(out, "triangle_count")
+    t0 = time.time()
+    got = out.collect()[0]["n_triangles"]
+    dt = time.time() - t0
+    print(f"\nSCALE triangles: {got:,} triangles in {dt:.1f}s")
+    # triangles {i, i+1, i+2} for i in [0, n-4]: n-3 of them;
+    # hub spokes (spacing 7 > skip width 2) close none
+    assert got == n - 3
+    assert dt < 120
+
+
+def test_scale_bloom_probe(bigspark):
+    """50M-row probe against a 100k-key bloom (2^20 bits): the probe
+    side runs k broadcast semi-joins with no shuffle; survivors =
+    members + the deterministic false-positive band."""
+    from etl_finance_pipeline_spark.operators.bloom import bloom_build, bloom_probe
+
+    build = bigspark.range(100_000).select(F.col("id").alias("k"))
+    bloom = bloom_build(build, "k", bits=20)
+    probe = bigspark.range(50_000_000).select((F.col("id") % 10_000_000).alias("k"))
+    out = bloom_probe(probe, "k", bloom, bits=20)
+    _assert_distributed_plan(out, "bloom_probe")
+    rows, _ = _timed_count(out, "bloom probe 50M")
+    # 500k member rows always pass; fpr=(1-e^(-3*1e5/2^20))^3 ≈ 1.9%
+    assert rows >= 500_000
+    assert rows <= 500_000 + int(0.05 * 49_500_000)
+
+
+def test_scale_association_rules(bigspark):
+    """10M basket lines (2M baskets × 5 of 50 items): the in-basket
+    pair join fans out C(5,2)=10 pairs per basket, then collapses to
+    ≤ 50×50 rules — fan-out bounded by basket size, not corpus."""
+    from etl_finance_pipeline_spark.operators.association import association_rules
+
+    df = bigspark.range(10_000_000).select(
+        (F.col("id") / 5).cast("long").alias("basket"),
+        F.format_string("i%d", (F.col("id") * 7919 + (F.col("id") / 5).cast("long")) % 50).alias(
+            "item"
+        ),
+    )
+    out = association_rules(df, "basket", "item", min_support=100)
+    _assert_only_scalar_single_partition(out, "association_rules")
+    rows, _ = _timed_count(out, "assoc 10M lines")
+    assert 0 < rows <= 50 * 49
