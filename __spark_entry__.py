@@ -67,7 +67,6 @@ _SHOWCASE_FIRST = (
     "pack_sequences",
     "audio_stats_wav",  # real WAV codec path (stdlib wave round-trip)
     "image_stats_png",  # real compressed codec path (zlib round-trip)
-    "video_frames",
     "asof_last_click",
     "user_sessions",
     "stream_candles",
@@ -82,6 +81,7 @@ _SHOWCASE_FIRST = (
     "bloom_semi_orders",
     "zorder_stats",
     "source_drift",
+    "funnel_conversion",
 )
 
 

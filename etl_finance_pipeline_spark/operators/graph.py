@@ -275,7 +275,9 @@ def pagerank(
     )
     n = verts.count()  # scalar: control flow, not a data path
     outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
-    links = e.join(outdeg, "src")  # (src, dst, _deg)
+    # links feeds every iteration's contribution join: persist, or
+    # the degree aggregate + join re-execute once per iteration
+    links = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
 
     def _r(c):
         return portable_round(c, round_digits) if round_digits is not None else c
@@ -301,6 +303,7 @@ def pagerank(
         )
     e.unpersist()
     verts.unpersist()
+    links.unpersist()
     return ranks
 
 
@@ -373,3 +376,36 @@ def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
         .unionAll(closed.select(F.col("wv").alias("id")))
     )
     return corners.groupBy("id").agg(F.count("*").alias("n_triangles"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: hop distance from the nearest seed for every
+    vertex within ``max_hops``, by synchronous frontier relaxation —
+    each round one equi-join (edges x current distances) and one
+    min-aggregate, both hash-partitioned on vertex id. Rounds =
+    max_hops (bounded), so the driver does bounded control flow while
+    all data stays distributed; lineage is truncated per round like
+    the other iterative operators.
+
+    ``edges`` is directed (src, dst) — pass both directions for an
+    undirected walk. ``seeds`` is a 1-column (id) frame at distance 0.
+    Returns (id, distance) for every reached vertex.
+    """
+    dist = seeds.select(F.col("id"), F.lit(0).alias("distance")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            edges.join(dist, edges.src == dist.id)
+            .select(F.col("dst").alias("id"), (F.col("distance") + 1).alias("distance"))
+            .unionAll(dist)
+            .groupBy("id")
+            .agg(F.min("distance").alias("distance"))
+            .localCheckpoint(eager=True)
+        )
+        dist = relaxed
+    return dist

@@ -549,6 +549,132 @@ FROM ag
 """
 
 
+# --------------------------------------------------------------------
+# Window funnel conversion
+# --------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_WINDOW_SPARK = "2 days"
+_FUNNEL_WINDOW_SQL = "INTERVAL 2 DAY"
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion within 2 days of the first
+    view (ClickHouse windowFunnel semantics, greedy-earliest match):
+    per-depth user counts and conversion rates. The per-depth suffix
+    sum runs over at most len(steps) rows — a bounded control frame,
+    not a data-path window."""
+    from etl_finance_pipeline_spark.operators.funnel import funnel_conversion
+
+    ev = load_table(spark, _t(sf_dir, "events"))
+    return funnel_conversion(
+        ev, "user_id", "ts", "event_type", _FUNNEL_STEPS, _FUNNEL_WINDOW_SPARK
+    )
+
+
+SQL_FUNNEL_CONVERSION = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}'
+    AND e.ts > s1.t1 AND e.ts <= s1.t1 + {_FUNNEL_WINDOW_SQL}
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}'
+    AND e.ts > s2.t2 AND e.ts <= s1.t1 + {_FUNNEL_WINDOW_SQL}
+  GROUP BY 1
+),
+per_user AS (
+  SELECT s1.user_id,
+         CASE WHEN s3.t3 IS NOT NULL THEN 3
+              WHEN s2.t2 IS NOT NULL THEN 2
+              ELSE 1 END AS depth
+  FROM s1
+  LEFT JOIN s2 ON s1.user_id = s2.user_id
+  LEFT JOIN s3 ON s1.user_id = s3.user_id
+),
+hist AS (SELECT depth, CAST(count(*) AS BIGINT) AS _n FROM per_user GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS _tot FROM per_user)
+SELECT depth,
+       CAST(sum(_n) OVER (ORDER BY depth DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_users,
+       floor((CAST(sum(_n) OVER (ORDER BY depth DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) / _tot) * 1000000 + 0.5) / 1000000
+         AS conversion_rate
+FROM hist, tot
+"""
+
+
+# --------------------------------------------------------------------
+# Multi-source BFS over the purchase graph
+# --------------------------------------------------------------------
+
+_BFS_HOPS = 3
+_BFS_BAL = 9500.0
+
+
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from the nearest high-balance customer through
+    the (undirected) customer↔supplier purchase graph, 3 synchronous
+    frontier rounds; the oracle unrolls the identical rounds."""
+    from etl_finance_pipeline_spark.operators.graph import bfs_distances
+
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    cust = load_table(spark, _t(sf_dir, "customer"))
+    fwd = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (
+        cust.filter(F.col("c_acctbal") > _BFS_BAL)
+        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("id"))
+        .distinct()
+    )
+    return bfs_distances(edges, seeds, max_hops=_BFS_HOPS)
+
+
+def _bfs_round_sql(i: int) -> str:
+    return f"""
+d{i} AS (
+  SELECT id, min(distance) AS distance FROM (
+    SELECT e.dst AS id, d{i - 1}.distance + 1 AS distance
+    FROM e JOIN d{i - 1} ON e.src = d{i - 1}.id
+    UNION ALL
+    SELECT id, distance FROM d{i - 1}
+  ) GROUP BY 1
+)"""
+
+
+SQL_BFS_REACH = (
+    f"""
+WITH fwd AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+d0 AS (
+  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS id, 0 AS distance
+  FROM customer WHERE c_acctbal > {_BFS_BAL}
+),"""
+    + ",".join(_bfs_round_sql(i) for i in range(1, _BFS_HOPS + 1))
+    + f"\nSELECT id, distance FROM d{_BFS_HOPS}"
+)
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -558,6 +684,8 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_stats": q_zorder_stats,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "source_drift": q_source_drift,
+    "funnel_conversion": q_funnel_conversion,
+    "bfs_reach": q_bfs_reach,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -569,4 +697,6 @@ ORACLES_AN: dict[str, str] = {
     "zorder_stats": SQL_ZORDER_STATS,
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
     "source_drift": SQL_SOURCE_DRIFT,
+    "funnel_conversion": SQL_FUNNEL_CONVERSION,
+    "bfs_reach": SQL_BFS_REACH,
 }

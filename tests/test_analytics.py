@@ -249,3 +249,111 @@ def test_source_drift_detects_divergent_source(spark, tmp_path):
     assert out["weird"]["js_divergence"] > out["base"]["js_divergence"]
     # JS is bounded by ln 2
     assert all(0 <= r["js_divergence"] <= math.log(2) + 1e-9 for r in out.values())
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_window_funnel_depths_and_window_bound(spark):
+    from etl_finance_pipeline_spark.operators.funnel import window_funnel
+
+    rows = [
+        # u1 completes all 3 inside the hour
+        (1, _ts("2024-01-01 10:00:00"), "view"),
+        (1, _ts("2024-01-01 10:10:00"), "click"),
+        (1, _ts("2024-01-01 10:20:00"), "purchase"),
+        # u2: purchase outside the 1h window of first view
+        (2, _ts("2024-01-01 10:00:00"), "view"),
+        (2, _ts("2024-01-01 10:30:00"), "click"),
+        (2, _ts("2024-01-01 11:30:00"), "purchase"),
+        # u3: click BEFORE view -> not matched (strict order)
+        (3, _ts("2024-01-01 09:00:00"), "click"),
+        (3, _ts("2024-01-01 10:00:00"), "view"),
+        # u4 never views -> absent
+        (4, _ts("2024-01-01 10:00:00"), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r["user_id"]: r
+        for r in window_funnel(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"], "1 hour"
+        ).collect()
+    }
+    assert out[1]["depth"] == 3
+    assert out[2]["depth"] == 2 and out[2]["t3"] is None
+    assert out[3]["depth"] == 1
+    assert 4 not in out
+
+
+def test_window_funnel_greedy_earliest_match(spark):
+    from etl_finance_pipeline_spark.operators.funnel import window_funnel
+
+    # Earliest view anchors the window even when a later view would
+    # let the purchase qualify: windowFunnel is anchored greedy.
+    rows = [
+        (1, _ts("2024-01-01 10:00:00"), "view"),
+        (1, _ts("2024-01-01 12:00:00"), "view"),
+        (1, _ts("2024-01-01 12:10:00"), "click"),
+        (1, _ts("2024-01-01 12:20:00"), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    row = window_funnel(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"], "1 hour"
+    ).collect()[0]
+    # anchored at 10:00 -> click/purchase at 12:xx are out of window
+    assert row["depth"] == 1
+
+
+def test_funnel_conversion_report(spark):
+    from etl_finance_pipeline_spark.operators.funnel import funnel_conversion
+
+    rows = []
+    for u in range(10):
+        rows.append((u, _ts("2024-01-01 10:00:00"), "view"))
+    for u in range(6):
+        rows.append((u, _ts("2024-01-01 10:10:00"), "click"))
+    for u in range(2):
+        rows.append((u, _ts("2024-01-01 10:20:00"), "purchase"))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r["depth"]: r
+        for r in funnel_conversion(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"], "1 hour"
+        ).collect()
+    }
+    assert out[1]["n_users"] == 10 and out[1]["conversion_rate"] == 1.0
+    assert out[2]["n_users"] == 6 and abs(out[2]["conversion_rate"] - 0.6) < 1e-9
+    assert out[3]["n_users"] == 2 and abs(out[3]["conversion_rate"] - 0.2) < 1e-9
+
+
+# ---------------------------------------------------------------- BFS
+
+
+def test_bfs_distances_path_graph(spark):
+    from etl_finance_pipeline_spark.operators.graph import bfs_distances
+
+    fwd = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["src", "dst"]
+    )
+    edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    out = {r["id"]: r["distance"] for r in
+           bfs_distances(edges, seeds, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is beyond max_hops; 10/11 unreachable
+
+
+def test_bfs_multi_source_takes_nearest(spark):
+    from etl_finance_pipeline_spark.operators.graph import bfs_distances
+
+    fwd = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = spark.createDataFrame([(1,), (4,)], ["id"])
+    out = {r["id"]: r["distance"] for r in
+           bfs_distances(edges, seeds, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 0}
