@@ -675,6 +675,67 @@ d0 AS (
 )
 
 
+# --------------------------------------------------------------------
+# Robust anomaly detection (median absolute deviation)
+# --------------------------------------------------------------------
+
+_MAD_K = 3 * 1.4826  # 3-sigma-equivalent threshold on the MAD scale
+_MAD_Z = 0.6745  # modified z-score constant (Iglewicz & Hoaglin)
+
+
+def q_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates more than a 3-sigma-equivalent
+    from their type's median, on the MAD (median-absolute-deviation)
+    scale — the robust outlier detector that, unlike mean/stddev
+    z-scores, is not dragged by the outliers it is hunting. Two
+    per-group exact medians (same holistic-aggregate parity device as
+    dq_profile; swap percentile_approx at petabyte scale) + broadcast
+    stat joins; the modified z-score is reported per anomaly."""
+    ev = load_table(spark, _t(sf_dir, "events"))
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("_med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "_ad", F.abs(F.col("value") - F.col("_med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(_ad, 0.5D)").alias("_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("_mad") > 0) & (F.col("_ad") > F.lit(_MAD_K) * F.col("_mad")))
+        .select(
+            "event_id",
+            "event_type",
+            portable_round(F.col("value"), 6).alias("value"),
+            portable_round(
+                F.lit(_MAD_Z) * (F.col("value") - F.col("_med")) / F.col("_mad"), 6
+            ).alias("robust_z"),
+        )
+    )
+
+
+SQL_ANOMALIES_MAD = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS _med FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m._med,
+         abs(e.value - m._med) AS _ad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(_ad, 0.5) AS _mad FROM dev GROUP BY 1
+)
+SELECT d.event_id, d.event_type,
+       floor(d.value * 1000000 + 0.5) / 1000000 AS value,
+       floor(({_MAD_Z!r} * (d.value - d._med) / m._mad) * 1000000 + 0.5) / 1000000
+         AS robust_z
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE m._mad > 0 AND d._ad > {_MAD_K!r} * m._mad
+"""
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -686,6 +747,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_drift": q_source_drift,
     "funnel_conversion": q_funnel_conversion,
     "bfs_reach": q_bfs_reach,
+    "anomalies_mad": q_anomalies_mad,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -699,4 +761,5 @@ ORACLES_AN: dict[str, str] = {
     "source_drift": SQL_SOURCE_DRIFT,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "bfs_reach": SQL_BFS_REACH,
+    "anomalies_mad": SQL_ANOMALIES_MAD,
 }
