@@ -409,3 +409,44 @@ def bfs_distances(
         )
         dist = relaxed
     return dist
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per vertex: 2T / (deg * (deg-1))
+    for vertices of degree >= 2, where T is the vertex's triangle
+    count — the community-density signal behind spam-farm detection
+    and graph-quality weighting. Composes :func:`triangle_count`
+    (per-vertex) with one degree aggregate; the duplicated
+    canonicalization subtree is exchange-reused by Spark when the
+    edge derivation is deterministic."""
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("id"))
+        .unionAll(canon.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = triangle_count(edges, per_vertex=True)
+    joined = deg.join(tri, "id", "left").select(
+        "id",
+        "deg",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+    )
+    return joined.filter(F.col("deg") >= 2).select(
+        "id",
+        "deg",
+        "n_triangles",
+        portable_round(
+            (F.lit(2.0) * F.col("n_triangles"))
+            / (F.col("deg") * (F.col("deg") - F.lit(1.0))),
+            6,
+        ).alias("clustering_coeff"),
+    )

@@ -736,6 +736,62 @@ WHERE m._mad > 0 AND d._ad > {_MAD_K!r} * m._mad
 """
 
 
+# --------------------------------------------------------------------
+# Local clustering coefficient
+# --------------------------------------------------------------------
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part local clustering coefficient in the co-purchase
+    graph: 2T / (deg*(deg-1)) with per-vertex triangle counts — the
+    oracle re-derives the same metric from the textbook three-way
+    self-join crediting all three corners."""
+    from etl_finance_pipeline_spark.operators.graph import clustering_coefficient
+
+    li = load_table(spark, _t(sf_dir, "lineitem")).select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return clustering_coefficient(edges)
+
+
+SQL_CLUSTERING_COEFF = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e
+  ) GROUP BY 1
+),
+corners AS (
+  SELECT a.u AS id FROM e a JOIN e b ON b.u = a.u AND b.v > a.v
+                            JOIN e c ON c.u = a.v AND c.v = b.v
+  UNION ALL
+  SELECT a.v AS id FROM e a JOIN e b ON b.u = a.u AND b.v > a.v
+                            JOIN e c ON c.u = a.v AND c.v = b.v
+  UNION ALL
+  SELECT b.v AS id FROM e a JOIN e b ON b.u = a.u AND b.v > a.v
+                            JOIN e c ON c.u = a.v AND c.v = b.v
+),
+tri AS (SELECT id, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY 1)
+SELECT d.id, d.deg, coalesce(tri.t, 0) AS n_triangles,
+       floor(((2.0 * coalesce(tri.t, 0)) / (d.deg * (d.deg - 1.0)))
+             * 1000000 + 0.5) / 1000000 AS clustering_coeff
+FROM deg d LEFT JOIN tri ON d.id = tri.id
+WHERE d.deg >= 2
+"""
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -748,6 +804,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     "bfs_reach": q_bfs_reach,
     "anomalies_mad": q_anomalies_mad,
+    "clustering_coeff": q_clustering_coeff,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -762,4 +819,5 @@ ORACLES_AN: dict[str, str] = {
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "bfs_reach": SQL_BFS_REACH,
     "anomalies_mad": SQL_ANOMALIES_MAD,
+    "clustering_coeff": SQL_CLUSTERING_COEFF,
 }

@@ -357,3 +357,21 @@ def test_bfs_multi_source_takes_nearest(spark):
     out = {r["id"]: r["distance"] for r in
            bfs_distances(edges, seeds, max_hops=3).collect()}
     assert out == {1: 0, 2: 1, 3: 1, 4: 0}
+
+
+def test_clustering_coefficient_known_graph(spark):
+    from etl_finance_pipeline_spark.operators.graph import clustering_coefficient
+
+    # K4: every vertex has deg 3, sits in 3 triangles -> coeff 1.0;
+    # pendant vertex 9 (deg 1) excluded; vertex 3 bridges -> deg 4.
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b] + [(3, 9), (9, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["id"]: r for r in clustering_coefficient(df).collect()}
+    for v in (0, 1, 2):
+        assert out[v]["deg"] == 3 and out[v]["n_triangles"] == 3
+        assert out[v]["clustering_coeff"] == 1.0
+    # vertex 3: deg 4 (K4 + pendant), still 3 triangles -> 2*3/(4*3)=0.5
+    assert out[3]["deg"] == 4 and out[3]["clustering_coeff"] == 0.5
+    # vertex 9: deg 2 (3 and 5), no triangle -> 0.0
+    assert out[9]["n_triangles"] == 0 and out[9]["clustering_coeff"] == 0.0
+    assert 5 not in out  # deg 1
