@@ -486,11 +486,56 @@ def resize_images(
     target_height: int = 224,
     decode: str = "fake",
 ) -> DataFrame:
-    """Resize stub. ``fake`` mode truncates/pads the payload to
+    """Image resize.
+
+    ``decode="ppm"`` / ``"bmp"`` / ``"png"``: REAL nearest-neighbor
+    resample — parse the container with the in-module codec, pick
+    source pixel ``(sy, sx) = (ty*h // th, tx*w // tw)`` for every
+    target pixel (pure integer index math, bit-reproducible on any
+    engine), re-encode as P6 PPM at the target size. Arrow-batched
+    ``mapInPandas``; exchange-free.
+
+    ``decode="fake"``: byte-level stub — truncates/pads the payload to
     ``target_width*target_height`` bytes (deterministic, preserves the
-    binary-in/binary-out contract); ``real`` mode raises (needs PIL)."""
+    binary-in/binary-out contract).
+    ``decode="real"``: jpeg would need PIL; raises
+    ``NotImplementedError`` (codec not installed).
+    """
     if decode == "real":  # pragma: no cover
-        _require_real_codec("image", "PIL")
+        _require_real_codec("image (jpeg)", "PIL")
+    if decode in ("ppm", "bmp", "png"):
+        parse = {"ppm": _parse_ppm, "bmp": _parse_bmp, "png": _parse_png}[decode]
+        tw, th = target_width, target_height
+        out_fields = [
+            f for f in df.schema.fields if f.name != content_col
+        ] + [T.StructField(content_col, T.BinaryType())]
+        out_schema = T.StructType(out_fields)
+        other_cols = [f.name for f in df.schema.fields if f.name != content_col]
+
+        def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            header = f"P6\n{tw} {th}\n255\n".encode()
+            for pdf in batches:
+                outs = []
+                for payload in pdf[content_col]:
+                    if payload is None or len(payload) == 0:
+                        outs.append(None)
+                        continue
+                    w, h, pix = parse(bytes(payload))
+                    rows = []
+                    for ty in range(th):
+                        sy = ty * h // th
+                        base = sy * w * 3
+                        row = bytearray()
+                        for tx in range(tw):
+                            sx = tx * w // tw
+                            row += pix[base + sx * 3 : base + sx * 3 + 3]
+                        rows.append(bytes(row))
+                    outs.append(header + b"".join(rows))
+                out = pdf[other_cols].copy()
+                out[content_col] = outs
+                yield out
+
+        return df.mapInPandas(kernel, out_schema)
     n = target_width * target_height
     # BINARY rpad with a byte pad is supported since Spark 3.3
     resized = F.rpad(

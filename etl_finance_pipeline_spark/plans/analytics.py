@@ -792,6 +792,77 @@ WHERE d.deg >= 2
 """
 
 
+# --------------------------------------------------------------------
+# Real image resize (nearest-neighbor over the PPM codec)
+# --------------------------------------------------------------------
+
+_RSZ_SW, _RSZ_SH = 12, 6  # source raster
+_RSZ_TW, _RSZ_TH = 5, 3  # target (non-divisible scale: NN rounding matters)
+
+
+def q_image_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize path under the oracle gate: doc bytes → genuine P6
+    PPM → nearest-neighbor resample (integer index math inside the
+    Arrow kernel) → re-encoded PPM → stats over the RESIZED raster.
+    The oracle recomputes the same source-pixel selection per target
+    byte, so any off-by-one in the resample breaks the hash."""
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_ppm,
+        resize_images,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    ppm = encode_ppm(docs, width=_RSZ_SW, height=_RSZ_SH)
+    small = resize_images(
+        ppm, target_width=_RSZ_TW, target_height=_RSZ_TH, decode="ppm"
+    )
+    out = decode_image_stats(small, decode="ppm")
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("stats.n_bytes").alias("n_bytes"),
+        portable_round(F.col("stats.mean_intensity"), 6).alias("mean_intensity"),
+        F.col("stats.min_byte").cast("long").alias("min_byte"),
+        F.col("stats.max_byte").cast("long").alias("max_byte"),
+        F.col("stats.width").cast("long").alias("width"),
+        F.col("stats.height").cast("long").alias("height"),
+    )
+
+
+# Source byte index (1-based) feeding resized byte j (1-based):
+#   jj=j-1; ty=jj//(TW*3); tx=(jj%(TW*3))//3; c=jj%3
+#   src = (ty*SH//TH)*SW*3 + (tx*SW//TW)*3 + c + 1
+SQL_IMAGE_RESIZE_PPM = f"""
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, {_RSZ_TW * _RSZ_TH * 3}),
+           j -> CASE WHEN
+                  (((j-1) // {_RSZ_TW * 3}) * {_RSZ_SH} // {_RSZ_TH}) * {_RSZ_SW * 3}
+                  + ((((j-1) % {_RSZ_TW * 3}) // 3) * {_RSZ_SW} // {_RSZ_TW}) * 3
+                  + ((j-1) % 3) + 1 <= len(text)
+                THEN ord(substr(text,
+                  (((j-1) // {_RSZ_TW * 3}) * {_RSZ_SH} // {_RSZ_TH}) * {_RSZ_SW * 3}
+                  + ((((j-1) % {_RSZ_TW * 3}) // 3) * {_RSZ_SW} // {_RSZ_TW}) * 3
+                  + ((j-1) % 3) + 1, 1))
+                ELSE 0 END) AS c
+  FROM documents
+)
+SELECT doc_id,
+       CAST({_RSZ_TW * _RSZ_TH * 3} AS BIGINT) AS n_bytes,
+       floor((list_sum(list_transform(c, x -> CAST(x AS DOUBLE)))
+              / {_RSZ_TW * _RSZ_TH * 3}) * 1000000 + 0.5) / 1000000
+         AS mean_intensity,
+       CAST(list_min(c) AS BIGINT) AS min_byte,
+       CAST(list_max(c) AS BIGINT) AS max_byte,
+       CAST({_RSZ_TW} AS BIGINT) AS width,
+       CAST({_RSZ_TH} AS BIGINT) AS height
+FROM codes
+"""
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -805,6 +876,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_reach": q_bfs_reach,
     "anomalies_mad": q_anomalies_mad,
     "clustering_coeff": q_clustering_coeff,
+    "image_resize_ppm": q_image_resize_ppm,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -820,4 +892,5 @@ ORACLES_AN: dict[str, str] = {
     "bfs_reach": SQL_BFS_REACH,
     "anomalies_mad": SQL_ANOMALIES_MAD,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
+    "image_resize_ppm": SQL_IMAGE_RESIZE_PPM,
 }

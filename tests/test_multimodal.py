@@ -298,3 +298,39 @@ def test_png_decoder_reverses_average_and_paeth():
     )
     pw, ph, pix = _parse_png(blob)
     assert (pw, ph) == (w, h) and pix == raster
+
+
+def test_resize_ppm_nearest_neighbor_exact(spark):
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        decode_image_stats,
+        resize_images,
+    )
+
+    # 4x2 image whose pixel (y,x) has R=G=B = 10*y + x: NN to 2x1
+    # must pick sources (0,0) and (0,2) -> values 0 and 2.
+    w, h = 4, 2
+    raster = bytes(
+        b for y in range(h) for x in range(w) for b in [10 * y + x] * 3
+    )
+    ppm = f"P6\n{w} {h}\n255\n".encode() + raster
+    df = spark.createDataFrame([(1, bytearray(ppm))], ["media_id", "content"])
+    out = resize_images(df, target_width=2, target_height=1, decode="ppm")
+    payload = bytes(out.collect()[0]["content"])
+    assert payload.startswith(b"P6\n2 1\n255\n")
+    body = payload[len(b"P6\n2 1\n255\n"):]
+    assert body == bytes([0, 0, 0, 2, 2, 2])
+    # and the resized container round-trips through the decoder
+    stats = decode_image_stats(out, decode="ppm").collect()[0]["stats"]
+    assert (stats["width"], stats["height"]) == (2, 1)
+    assert stats["max_byte"] == 2
+
+
+def test_resize_ppm_upscale_repeats_pixels(spark):
+    from etl_finance_pipeline_spark.operators.multimodal import resize_images
+
+    # 1x1 red pixel upscaled to 3x2: every target pixel is the source
+    ppm = b"P6\n1 1\n255\n" + bytes([200, 0, 0])
+    df = spark.createDataFrame([(1, bytearray(ppm))], ["media_id", "content"])
+    out = resize_images(df, target_width=3, target_height=2, decode="ppm")
+    payload = bytes(out.collect()[0]["content"])
+    assert payload == b"P6\n3 2\n255\n" + bytes([200, 0, 0]) * 6
