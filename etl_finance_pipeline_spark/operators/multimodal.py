@@ -558,8 +558,23 @@ AUDIO_STATS_TYPE = T.StructType(
         T.StructField("duration_s", T.DoubleType()),
         T.StructField("rms", T.DoubleType()),
         T.StructField("peak", T.IntegerType()),
+        T.StructField("zcr", T.DoubleType()),
     ]
 )
+
+
+def _zcr(samples) -> float | None:
+    """Zero-crossing rate: fraction of sample-to-sample transitions
+    whose sign (>=0 vs <0) flips — the cheapest spectral-content
+    proxy (voiced/unvoiced, noise detection) and integer-exact, so
+    a SQL oracle reproduces it bit-for-bit."""
+    n = len(samples)
+    if n < 2:
+        return None
+    flips = sum(
+        1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0)
+    )
+    return flips / (n - 1)
 
 
 def decode_audio_stats(
@@ -590,7 +605,9 @@ def decode_audio_stats(
         [df.schema[c] for c in id_cols] + [T.StructField("stats", AUDIO_STATS_TYPE)]
     )
     id_list = list(id_cols)
-    _EMPTY = {"n_samples": 0, "duration_s": 0.0, "rms": None, "peak": None}
+    _EMPTY = {
+        "n_samples": 0, "duration_s": 0.0, "rms": None, "peak": None, "zcr": None
+    }
 
     def _wav_stats(b: bytes) -> dict:
         import io
@@ -617,6 +634,8 @@ def decode_audio_stats(
             "duration_s": n_frames / rate,
             "rms": (sum(s * s for s in samples) / n) ** 0.5,
             "peak": max(abs(s) for s in samples),
+            # zero-crossing rate: sign flips (>=0 vs <0) per transition
+            "zcr": _zcr(samples),
         }
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -639,6 +658,7 @@ def decode_audio_stats(
                         "duration_s": n / sample_rate,
                         "rms": (sum(s * s for s in samples) / n) ** 0.5,
                         "peak": max(abs(s) for s in samples),
+                        "zcr": _zcr(samples),
                     }
                 )
             out = pdf[id_list].copy()

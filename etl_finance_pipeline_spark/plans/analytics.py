@@ -863,6 +863,61 @@ FROM codes
 """
 
 
+# --------------------------------------------------------------------
+# Audio zero-crossing rate (real WAV path)
+# --------------------------------------------------------------------
+
+
+def q_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing-rate feature through the REAL WAV codec path
+    (encode → stdlib wave re-parse → sign-flip count). ZCR is the
+    cheapest spectral proxy a speech/audio data pipeline extracts;
+    integer-exact, so the oracle reproduces it from the character
+    codes bit-for-bit."""
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        decode_audio_stats,
+        encode_wav_pcm16,
+    )
+
+    # PCM source = md5 digest bytes (full 0-255 range) so the signal
+    # actually crosses zero — raw ASCII text maps entirely below the
+    # encoder midpoint and would make every ZCR 0.
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.md5(F.col("text"))).alias("content"),
+    )
+    wav = encode_wav_pcm16(docs)
+    out = decode_audio_stats(wav, decode="wav")
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("stats.n_samples").alias("n_samples"),
+        portable_round(F.col("stats.zcr"), 6).alias("zcr"),
+    )
+
+
+# Encoder maps byte b -> sample (b-128)*256, so sample >= 0 iff the
+# digest byte >= 128; digest byte i = hex pair (2i-1, 2i) of md5(text).
+SQL_AUDIO_ZCR = """
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 16),
+                        i -> CASE WHEN ('0x' || substr(md5(text), 2*i-1, 2))::INT >= 128
+                                  THEN 1 ELSE 0 END) AS sgn
+  FROM documents
+),
+flips AS (
+  SELECT doc_id,
+         list_sum(list_transform(generate_series(2, 16),
+                                 i -> CASE WHEN sgn[i] != sgn[i-1]
+                                           THEN 1 ELSE 0 END)) AS f
+  FROM codes
+)
+SELECT doc_id, CAST(16 AS BIGINT) AS n_samples,
+       floor((CAST(f AS DOUBLE) / 15) * 1000000 + 0.5) / 1000000 AS zcr
+FROM flips
+"""
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -877,6 +932,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anomalies_mad": q_anomalies_mad,
     "clustering_coeff": q_clustering_coeff,
     "image_resize_ppm": q_image_resize_ppm,
+    "audio_zcr": q_audio_zcr,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -893,4 +949,5 @@ ORACLES_AN: dict[str, str] = {
     "anomalies_mad": SQL_ANOMALIES_MAD,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "image_resize_ppm": SQL_IMAGE_RESIZE_PPM,
+    "audio_zcr": SQL_AUDIO_ZCR,
 }

@@ -334,3 +334,22 @@ def test_resize_ppm_upscale_repeats_pixels(spark):
     out = resize_images(df, target_width=3, target_height=2, decode="ppm")
     payload = bytes(out.collect()[0]["content"])
     assert payload == b"P6\n3 2\n255\n" + bytes([200, 0, 0]) * 6
+
+
+def test_audio_zcr_counts_sign_flips(spark):
+    from etl_finance_pipeline_spark.operators.multimodal import decode_audio_stats
+
+    # fake mode: signed 8-bit PCM. [10, -10, 10, 10] -> 2 flips / 3
+    df = spark.createDataFrame(
+        [(1, bytearray([10, 246, 10, 10]))], ["media_id", "content"]
+    )
+    stats = decode_audio_stats(df, decode="fake").collect()[0]["stats"]
+    assert abs(stats["zcr"] - 2 / 3) < 1e-12
+
+
+def test_audio_zcr_single_sample_is_null(spark):
+    from etl_finance_pipeline_spark.operators.multimodal import decode_audio_stats
+
+    df = spark.createDataFrame([(1, bytearray([5]))], ["media_id", "content"])
+    stats = decode_audio_stats(df, decode="fake").collect()[0]["stats"]
+    assert stats["zcr"] is None
