@@ -216,3 +216,35 @@ def shuffle_shard(
         out.withColumn("position", (F.row_number().over(w) - 1).cast("long"))
         .drop("_skey")
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+) -> DataFrame:
+    """Hashing-trick text features (Weinberger et al. 2009): each
+    token lands in bucket ``h1(token) % dim`` with sign from ``h2``'s
+    low bit, and per-document bucket sums form a fixed-width sparse
+    feature vector with no vocabulary pass — the stateless
+    featurizer that scales to any corpus because there is nothing to
+    fit, broadcast, or look up.
+
+    Output is long-form (id, feature_idx, feature_val), the layout a
+    downstream trainer or sparse-matrix writer consumes; one explode
+    + one map-side-combinable sum, keyed (id, bucket).
+    """
+    from etl_finance_pipeline_spark.functions.text import tokens
+    from etl_finance_pipeline_spark.operators.sketch import hash_word
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_w"))
+    idx = hash_word(F.col("_w"), 1) % dim
+    sign = F.when(hash_word(F.col("_w"), 16) % 2 == 0, F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return (
+        toks.select(F.col(id_col), idx.alias("feature_idx"), sign.alias("_s"))
+        .groupBy(id_col, "feature_idx")
+        .agg(F.sum("_s").alias("feature_val"))
+    )

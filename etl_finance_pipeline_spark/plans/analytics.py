@@ -918,6 +918,37 @@ FROM flips
 """
 
 
+# --------------------------------------------------------------------
+# Feature hashing (hashing trick)
+# --------------------------------------------------------------------
+
+_FH_DIM = 256
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-free signed hashed features per document (long
+    form) — the stateless featurizer for linear/logistic baselines
+    over corpora too large for a vocabulary pass."""
+    from etl_finance_pipeline_spark.operators.corpus import feature_hash
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return feature_hash(docs, "doc_id", "text", dim=_FH_DIM)
+
+
+SQL_FEATURE_HASH = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+)
+SELECT doc_id,
+       ('0x' || substr(md5(w), 1, 15))::BIGINT % {_FH_DIM} AS feature_idx,
+       CAST(sum(CASE WHEN ('0x' || substr(md5(w), 16, 15))::BIGINT % 2 = 0
+                     THEN 1 ELSE -1 END) AS BIGINT) AS feature_val
+FROM toks
+GROUP BY 1, 2
+"""
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -933,6 +964,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clustering_coeff": q_clustering_coeff,
     "image_resize_ppm": q_image_resize_ppm,
     "audio_zcr": q_audio_zcr,
+    "feature_hash": q_feature_hash,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -950,4 +982,5 @@ ORACLES_AN: dict[str, str] = {
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "image_resize_ppm": SQL_IMAGE_RESIZE_PPM,
     "audio_zcr": SQL_AUDIO_ZCR,
+    "feature_hash": SQL_FEATURE_HASH,
 }

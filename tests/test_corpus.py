@@ -97,3 +97,21 @@ def test_pack_sequences_layout(spark):
         for r in rows:
             assert r["seq_id"] == cum // 64 and r["seq_offset"] == cum % 64
             cum += r["n_tokens"]
+
+
+def test_feature_hash_sign_cancellation_and_bounds(spark):
+    from etl_finance_pipeline_spark.operators.corpus import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a"), (3, "")], ["doc_id", "text"]
+    )
+    rows = feature_hash(df, dim=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["feature_idx"]] = r["feature_val"]
+    assert all(0 <= idx < 64 for d in by_doc.values() for idx in d)
+    # same token always hits the same bucket with the same sign:
+    # doc1's 'a' bucket value must be exactly 3x doc2's
+    a_idx, a_val = next(iter(by_doc[2].items()))
+    assert by_doc[1][a_idx] == 3 * a_val
+    assert abs(a_val) == 1
