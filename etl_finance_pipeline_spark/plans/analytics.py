@@ -949,6 +949,55 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------
+# Streaming Count-Min sketch build
+# --------------------------------------------------------------------
+
+
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min counter grid maintained BY STREAMING
+    aggregation: file-stream source → per-(row, bucket) running
+    counts in complete mode → availableNow → memory sink. The
+    operator is the same ``count_min_sketch`` the batch path uses —
+    streaming reuse falls out of it being one groupBy — and the
+    oracle is the batch grid, so the check proves stream/batch sketch
+    equivalence. State is d x w counters regardless of stream size."""
+    import uuid
+
+    from etl_finance_pipeline_spark.operators.sketch import count_min_sketch
+    from etl_finance_pipeline_spark.plans.training_data import (
+        _narrow_session,
+        _read_event_stream,
+    )
+
+    spark = _narrow_session(spark, 8)
+    stream = _read_event_stream(spark, sf_dir)
+    sketch = count_min_sketch(stream, "user_id", d=_CMS_D, w_buckets=_CMS_W)
+    name = f"stream_cms_{uuid.uuid4().hex[:8]}"
+    q = (
+        sketch.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("row", "bucket", "cnt")
+
+
+SQL_STREAM_CMS = f"""
+WITH h AS (
+  SELECT user_id, {_h1("user_id")} AS h1, {_h2("user_id")} AS h2 FROM events
+),
+cells AS (
+  SELECT i.i AS row, (h1 + i.i * h2) % {_CMS_W} AS bucket
+  FROM h, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS i) i
+)
+SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM cells GROUP BY 1, 2
+"""
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -965,6 +1014,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_resize_ppm": q_image_resize_ppm,
     "audio_zcr": q_audio_zcr,
     "feature_hash": q_feature_hash,
+    "stream_cms": q_stream_cms,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -983,4 +1033,5 @@ ORACLES_AN: dict[str, str] = {
     "image_resize_ppm": SQL_IMAGE_RESIZE_PPM,
     "audio_zcr": SQL_AUDIO_ZCR,
     "feature_hash": SQL_FEATURE_HASH,
+    "stream_cms": SQL_STREAM_CMS,
 }
