@@ -86,6 +86,53 @@ def hll_distinct(
         .groupBy(*group_cols, "_bucket")
         .agg(F.max("_rank").alias("_mrank"))
     )
+    return hll_estimate_from_sketch(per_bucket, group_cols, b=b)
+
+
+def hll_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    b: int = 9,
+) -> DataFrame:
+    """Per-group HLL sketch STATE as a frame: (group..., _bucket,
+    _mrank). This is the mergeable representation — sketches of two
+    groups (or two days, two tables...) union by bucket-wise MAX,
+    which is what makes an HLL over 100 TB composable: store the
+    tiny state, merge and estimate later without rescanning."""
+    m = 1 << b
+    word = hash_word(F.col(value_col))
+    bucket = word % m
+    rest = F.shiftright(word, b)
+    w = HASH_BITS - b
+    bits = F.length(F.conv(rest.cast("string"), 10, 2))
+    rank = F.when(rest == 0, F.lit(w + 1)).otherwise(F.lit(w + 1) - bits)
+    return (
+        df.select(*group_cols, bucket.alias("_bucket"), rank.alias("_rank"))
+        .groupBy(*group_cols, "_bucket")
+        .agg(F.max("_rank").alias("_mrank"))
+    )
+
+
+def hll_merge(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge sketches by bucket-wise max over the given grouping —
+    the HLL union operation (lossless: the merged sketch equals the
+    sketch of the unioned data)."""
+    return sketch.groupBy(*group_cols, "_bucket").agg(
+        F.max("_mrank").alias("_mrank")
+    )
+
+
+def hll_estimate_from_sketch(
+    sketch: DataFrame,
+    group_cols: list[str],
+    b: int = 9,
+) -> DataFrame:
+    """Estimate from sketch state (Flajolet alpha_m correction +
+    linear counting below 2.5m with empty buckets)."""
+    m = 1 << b
+    w = HASH_BITS - b
+    alpha = 0.7213 / (1 + 1.079 / m)
     # Integer harmonic sum: scaling 2^-rank by 2^S with S = w + 1
     # makes every term an exact bigint, so the sum is independent of
     # aggregation order (float partial sums are not). S is also small
@@ -95,7 +142,7 @@ def hll_distinct(
         raise ValueError(f"b={b} leaves no headroom for the integer harmonic sum")
     scale = 1 << s_bits
     est_raw = F.lit(alpha * m * m * float(scale)) / F.col("_intsum")
-    agg = per_bucket.groupBy(*group_cols).agg(
+    agg = sketch.groupBy(*group_cols).agg(
         F.sum(
             # SQL expr: the DSL's shiftleft only takes a literal shift
             F.expr(f"shiftleft(1L, {s_bits} - _mrank)")

@@ -998,6 +998,149 @@ FROM cells GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------
+# Audience overlap via HLL sketch merges
+# --------------------------------------------------------------------
+
+_OVL_PAIRS = [("view", "click"), ("view", "purchase"), ("click", "purchase")]
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|A|, |B|, |A∪B| and the inclusion-exclusion |A∩B| estimate for
+    event-type audience pairs, from MERGED HLL sketches — the
+    composability that makes sketches operational at 100 TB: store
+    tiny per-segment state once, answer any pairwise overlap later by
+    bucket-wise max, no rescan. Exact intersections ride along so the
+    estimate error is visible and oracle-checked."""
+    from etl_finance_pipeline_spark.operators.sketch import (
+        hll_estimate_from_sketch,
+        hll_merge,
+        hll_sketch,
+    )
+
+    ev = load_table(spark, _t(sf_dir, "events"))
+    sk = hll_sketch(ev, ["event_type"], "user_id", b=_HLL_B)
+    est_t = hll_estimate_from_sketch(sk, ["event_type"], b=_HLL_B)
+    pairs = F.broadcast(spark.createDataFrame(_OVL_PAIRS, ["ta", "tb"]))
+
+    both = (
+        pairs.join(sk, F.col("event_type") == F.col("ta"))
+        .select("ta", "tb", "_bucket", "_mrank")
+        .unionAll(
+            pairs.join(sk, F.col("event_type") == F.col("tb")).select(
+                "ta", "tb", "_bucket", "_mrank"
+            )
+        )
+    )
+    est_u = hll_estimate_from_sketch(
+        hll_merge(both, ["ta", "tb"]), ["ta", "tb"], b=_HLL_B
+    ).withColumnRenamed("hll_estimate", "est_union")
+
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    exact = (
+        pairs.join(a, F.col("a.event_type") == F.col("ta"))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("tb"))
+            & (F.col("b.user_id") == F.col("a.user_id")),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    ea = est_t.withColumnRenamed("event_type", "ta").withColumnRenamed(
+        "hll_estimate", "est_a"
+    )
+    eb = est_t.withColumnRenamed("event_type", "tb").withColumnRenamed(
+        "hll_estimate", "est_b"
+    )
+    return (
+        est_u.join(F.broadcast(ea), "ta")
+        .join(F.broadcast(eb), "tb")
+        .join(exact, ["ta", "tb"])
+        .select(
+            "ta",
+            "tb",
+            "est_a",
+            "est_b",
+            "est_union",
+            portable_round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 6
+            ).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )
+
+
+def _hll_est_sql(src: str, keys: str, alias: str) -> str:
+    """SQL twin of hll_estimate_from_sketch over a (keys, bucket,
+    mrank) CTE named *src*."""
+    return f"""
+{alias} AS (
+  SELECT {keys},
+         CASE WHEN ({_HLL_C!r} / intsum) <= {2.5 * _HLL_M} AND empty > 0
+              THEN floor(({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST(empty AS DOUBLE)))
+                         * 1000000 + 0.5) / 1000000
+              ELSE floor(({_HLL_C!r} / intsum) * 1000000 + 0.5) / 1000000
+         END AS est
+  FROM (
+    SELECT {keys},
+           CAST(sum((1::BIGINT << ({_HLL_S} - mrank))) AS BIGINT)
+             + ({_HLL_M} - count(*)) * (1::BIGINT << {_HLL_S}) AS intsum,
+           {_HLL_M} - count(*) AS empty
+    FROM {src} GROUP BY {keys}
+  )
+)"""
+
+
+SQL_AUDIENCE_OVERLAP = (
+    f"""
+WITH w AS (
+  SELECT event_type, {_h1("user_id")} AS h FROM events
+),
+bk AS (
+  SELECT event_type, h % {_HLL_M} AS bucket,
+         CASE WHEN (h >> {_HLL_B}) = 0 THEN {_HLL_W + 1}
+              ELSE {_HLL_W + 1} - length(bin(h >> {_HLL_B})) END AS rank
+  FROM w
+),
+mx AS (
+  SELECT event_type, bucket, max(rank) AS mrank FROM bk GROUP BY 1, 2
+),
+pairs(ta, tb) AS (VALUES """
+    + ", ".join(f"('{a}', '{b}')" for a, b in _OVL_PAIRS)
+    + """),
+un AS (
+  SELECT p.ta, p.tb, m.bucket, max(m.mrank) AS mrank
+  FROM pairs p JOIN mx m ON m.event_type = p.ta OR m.event_type = p.tb
+  GROUP BY 1, 2, 3
+),"""
+    + _hll_est_sql("mx", "event_type", "est_t")
+    + ","
+    + _hll_est_sql("un", "ta, tb", "est_u")
+    + """,
+ut AS (SELECT DISTINCT user_id, event_type FROM events),
+exact AS (
+  SELECT p.ta, p.tb, CAST(count(*) AS BIGINT) AS exact_intersection
+  FROM pairs p
+  JOIN ut a ON a.event_type = p.ta
+  JOIN ut b ON b.event_type = p.tb AND b.user_id = a.user_id
+  GROUP BY 1, 2
+)
+SELECT u.ta, u.tb,
+       ea.est AS est_a, eb.est AS est_b, u.est AS est_union,
+       floor((ea.est + eb.est - u.est) * 1000000 + 0.5) / 1000000
+         AS est_intersection,
+       x.exact_intersection
+FROM est_u u
+JOIN est_t ea ON ea.event_type = u.ta
+JOIN est_t eb ON eb.event_type = u.tb
+JOIN exact x ON x.ta = u.ta AND x.tb = u.tb
+"""
+)
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -1015,6 +1158,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_zcr": q_audio_zcr,
     "feature_hash": q_feature_hash,
     "stream_cms": q_stream_cms,
+    "audience_overlap": q_audience_overlap,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -1034,4 +1178,5 @@ ORACLES_AN: dict[str, str] = {
     "audio_zcr": SQL_AUDIO_ZCR,
     "feature_hash": SQL_FEATURE_HASH,
     "stream_cms": SQL_STREAM_CMS,
+    "audience_overlap": SQL_AUDIENCE_OVERLAP,
 }

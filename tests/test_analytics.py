@@ -375,3 +375,28 @@ def test_clustering_coefficient_known_graph(spark):
     # vertex 9: deg 2 (3 and 5), no triangle -> 0.0
     assert out[9]["n_triangles"] == 0 and out[9]["clustering_coeff"] == 0.0
     assert 5 not in out  # deg 1
+
+
+def test_hll_merge_is_lossless(spark):
+    """The merged sketch must EQUAL the sketch of the unioned data —
+    the property that lets per-day/per-segment sketches answer any
+    later union query without a rescan."""
+    from etl_finance_pipeline_spark.operators.sketch import (
+        hll_estimate_from_sketch,
+        hll_merge,
+        hll_sketch,
+    )
+
+    a = spark.range(0, 3000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    b = spark.range(2000, 5000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    sk = hll_sketch(a.unionAll(b).select(F.lit("ab").alias("tag"), "v"), ["tag"], "v")
+    direct = hll_estimate_from_sketch(sk, ["tag"]).collect()[0]["hll_estimate"]
+    merged_sk = hll_merge(
+        hll_sketch(a.select(F.lit("ab").alias("tag"), "v"), ["tag"], "v").unionAll(
+            hll_sketch(b.select(F.lit("ab").alias("tag"), "v"), ["tag"], "v")
+        ),
+        ["tag"],
+    )
+    merged = hll_estimate_from_sketch(merged_sk, ["tag"]).collect()[0]["hll_estimate"]
+    assert merged == direct  # bit-identical, not just close
+    assert abs(merged - 5000) / 5000 < 0.15
