@@ -253,3 +253,76 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("cms_estimate"))
     )
+
+
+def histogram_quantile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[float],
+    bins: int = 128,
+    lo: Column | float | None = None,
+    hi: Column | float | None = None,
+) -> DataFrame:
+    """Mergeable quantile estimates from a fixed-grid histogram —
+    the quantile counterpart to the distinct/frequency sketches:
+    per-group state is ``bins`` counters on a SHARED grid, so
+    histograms merge across groups / days / tables by cell-sum, and
+    any quantile is answered later by cumulative interpolation. The
+    exact-vs-estimate error is bounded by one bin width.
+
+    ``lo``/``hi`` pin the grid (pass literals or 1-row agg columns
+    via a crossJoin upstream); defaults to the global min/max of
+    ``value_col`` computed as a broadcast 1-row stat.
+
+    One map-side-combinable (group, bin) count; the cumulative walk
+    is a window over <= ``bins`` rows per group.
+    """
+    spark_f = F
+    if lo is None or hi is None:
+        stats = df.agg(
+            F.min(value_col).alias("_glo"), F.max(value_col).alias("_ghi")
+        )
+        df = df.crossJoin(F.broadcast(stats))
+        lo_c, hi_c = F.col("_glo"), F.col("_ghi")
+    else:
+        lo_c = lo if isinstance(lo, Column) else F.lit(float(lo))
+        hi_c = hi if isinstance(hi, Column) else F.lit(float(hi))
+
+    span = (hi_c - lo_c).cast("double")
+    binc = spark_f.when(span == 0, F.lit(0)).otherwise(
+        F.floor((F.col(value_col) - lo_c).cast("double") / span * bins)
+    )
+    binc = F.least(binc.cast("bigint"), F.lit(bins - 1).cast("bigint"))
+    hist = (
+        df.select(
+            *group_cols,
+            binc.alias("_bin"),
+            lo_c.cast("double").alias("_lo"),
+            span.alias("_span"),
+        )
+        .groupBy(*group_cols, "_bin", "_lo", "_span")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_bin")
+    cum = hist.withColumn("_cum", F.sum("_cnt").over(w))
+    tot = cum.groupBy(*group_cols).agg(F.max("_cum").alias("_n"))
+    joined = cum.join(tot, group_cols)
+
+    out_cols = []
+    for q in quantiles:
+        target = F.lit(q) * F.col("_n")
+        # first bin whose cumulative count reaches the target
+        hit = F.when(
+            (F.col("_cum") >= target) & ((F.col("_cum") - F.col("_cnt")) < target),
+            F.col("_lo")
+            + (F.col("_span") / bins)
+            * (
+                F.col("_bin").cast("double")
+                + (target - (F.col("_cum") - F.col("_cnt"))) / F.col("_cnt")
+            ),
+        )
+        out_cols.append(
+            F.max(hit).alias(f"q{str(q).replace('.', '_')}")
+        )
+    return joined.groupBy(*group_cols).agg(*out_cols)
