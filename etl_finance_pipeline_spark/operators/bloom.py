@@ -26,10 +26,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_finance_pipeline_spark.operators.sketch import hash_word
+from etl_finance_pipeline_spark.operators.sketch import (
+    _check_double_hash_rows,
+    hash_word,
+)
 
 
 def _positions(col, k: int, m: int):
+    _check_double_hash_rows(k, "k")
     h1 = hash_word(col, 1)
     h2 = hash_word(col, 16)
     return F.array(*[((h1 + F.lit(i) * h2) % m).alias(f"p{i}") for i in range(k)])
@@ -40,7 +44,14 @@ def bloom_build(
 ) -> DataFrame:
     """Bloom filter over ``df[key_col]`` as a DataFrame of set bit
     positions (1 column ``pos``, ≤ 2^bits rows) — inspectable,
-    persistable, and mergeable by union."""
+    persistable, and mergeable by union.
+
+    The returned frame is ``.persist()``-ed (the probe references it k
+    times) and THE CALLER OWNS THE UNPERSIST: call
+    ``bloom.unpersist()`` once the probe's results have been consumed.
+    A filter left cached is small (≤ 2^bits rows) and subject to LRU
+    eviction, but long-lived sessions building many filters should
+    release them explicitly."""
     m = 1 << bits
     bloom = (
         df.select(F.explode(_positions(F.col(key_col), k, m)).alias("pos"))
@@ -62,6 +73,7 @@ def bloom_probe(
     """Keep rows of ``df`` whose key passes the bloom filter (all k
     positions set). Passes all true members plus a reproducible
     false-positive set of density ≈ (1 - e^(-kn/m))^k."""
+    _check_double_hash_rows(k, "k")
     m = 1 << bits
     h1 = hash_word(F.col(key_col), 1)
     h2 = hash_word(F.col(key_col), 16)

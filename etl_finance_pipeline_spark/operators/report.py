@@ -199,6 +199,64 @@ def returns_and_volatility(
     return out.withColumn("VOLATILITY", F.stddev_samp("LOG_RETURN").over(wv))
 
 
+#: Keyless ewma_macd single-series guard: one pandas task handles at
+#: most this many rows before the operator refuses (see ewma_macd).
+_KEYLESS_EWMA_MAX_ROWS = 5_000_000
+
+
+def binned_quartile_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bin_width: float = 100.0,
+    n_buckets: int = 4,
+) -> DataFrame:
+    """Per-group value-quantile profile at fixed-bin granularity:
+    values are floored into bins of ``bin_width``; a bin belongs to
+    bucket ``(n_buckets * rows_in_strictly_higher_bins) div n + 1``
+    (bucket 1 = highest values) and every row in the bin shares its
+    bucket.
+
+    This is the scale-safe replacement for a per-group ``ntile``
+    window (which funnels ALL rows of a group through one task — a
+    100 TB killer when group cardinality is constant): the only
+    per-row work is one map-side-combinable groupBy on (group, bin);
+    the ranking windows run over the bin histogram (≤ domain/bin_width
+    rows per group), and per-bin partials (count / decimal sum / min /
+    max) roll up to the profile without a second pass over the data.
+    Bucket assignment is pure integer arithmetic — deterministic
+    across engines.
+
+    Output: (group_col, bucket, n_rows, avg_value, min_value,
+    max_value).
+    """
+    hist = df.groupBy(
+        F.col(group_col),
+        F.floor(F.col(value_col) / bin_width).cast("long").alias("_bin"),
+    ).agg(
+        F.count("*").alias("_cnt"),
+        F.sum(F.col(value_col).cast("decimal(30,6)")).alias("_sum"),
+        F.min(value_col).alias("_min"),
+        F.max(value_col).alias("_max"),
+    )
+    w_desc = Window.partitionBy(group_col).orderBy(F.col("_bin").desc())
+    w_all = Window.partitionBy(group_col)
+    q = (
+        hist.withColumn("_above", F.sum("_cnt").over(w_desc) - F.col("_cnt"))
+        .withColumn("_n", F.sum("_cnt").over(w_all))
+        .withColumn(
+            "bucket",
+            F.expr(f"{n_buckets} * _above div _n + 1").cast("long"),
+        )
+    )
+    return q.groupBy(group_col, "bucket").agg(
+        F.sum("_cnt").alias("n_rows"),
+        (F.sum("_sum").cast("double") / F.sum("_cnt")).alias("avg_value"),
+        F.min("_min").alias("min_value"),
+        F.max("_max").alias("max_value"),
+    )
+
+
 def ewma_macd(
     df: DataFrame,
     value_col: str = "CLOSE",
@@ -254,6 +312,17 @@ def ewma_macd(
 
     if keys:
         return df.groupBy(*keys).applyInPandas(_kernel, out_schema)
+    # Keyless fallback = the ENTIRE frame through ONE task (the EWMA
+    # recursion is a single series). Cheap probe so a caller who
+    # forgot key_cols fails loudly instead of silently serializing
+    # billions of rows into one executor.
+    probe = df.limit(_KEYLESS_EWMA_MAX_ROWS + 1).count()
+    if probe > _KEYLESS_EWMA_MAX_ROWS:
+        raise ValueError(
+            "ewma_macd with key_cols=None sends the whole frame through "
+            f"one task; input exceeds {_KEYLESS_EWMA_MAX_ROWS:,} rows. "
+            "Pass key_cols (e.g. ['SYMBOL']) to distribute the series."
+        )
     return df.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
         lambda p: _kernel(p.drop(columns=["_g"])), out_schema
     )

@@ -559,9 +559,11 @@ def semdedup(
     cluster only — the cluster assignment bounds the pairwise search
     so the quadratic term is n²/k per cluster, never corpus-wide.
 
-    Deterministic variant: the k "centroids" are the first k corpus
-    vectors by id (a seeded codebook, the same device
-    ``train_kmeans_centroids`` uses for its Lloyd seeds); assignment is
+    Deterministic variant: the k "centroids" are the k SMALLEST-id
+    corpus vectors (a seeded codebook, the same device
+    ``train_kmeans_centroids`` uses for its Lloyd seeds) — selected by
+    rank, not by ``id < k``, so a non-zero-based or sparse id space
+    still yields exactly min(k, n) centroids; assignment is
     argmax cosine with (cosine desc, centroid id asc) tiebreak; within
     a cluster every pair with cosine ≥ *threshold* is a duplicate
     edge and the SMALLEST id of each edge survives — a doc is dropped
@@ -580,7 +582,9 @@ def semdedup(
     from etl_finance_pipeline_spark.functions.scalar import portable_round
 
     emb = _as_double(df.select(id_col, vec_col), vec_col)
-    cents = emb.filter(F.col(id_col) < k).select(
+    # TakeOrderedAndProject: k rows reach the driver-side broadcast,
+    # never a full sort.
+    cents = emb.orderBy(id_col).limit(k).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
     sim = cosine(F.col(vec_col), F.col("cvec"))

@@ -45,6 +45,19 @@ from etl_finance_pipeline_spark.functions.scalar import portable_round
 HASH_BITS = 60
 
 
+def _check_double_hash_rows(n: int, name: str) -> None:
+    """Double hashing computes ``h1 + i*h2`` over two 60-bit words in
+    signed 64-bit arithmetic; ``(i+1) * 2^60`` must stay under
+    ``2^63``, so at most 8 hash rows (i = 0..7) are representable.
+    Beyond that the multiply overflows — a runtime error under Spark
+    4's ANSI mode, and silent engine-dependent wrapping without it."""
+    if not 1 <= n <= 8:
+        raise ValueError(
+            f"{name}={n} out of range: double hashing over 60-bit words "
+            "supports 1..8 hash rows (i*h2 overflows signed 64-bit past 8)"
+        )
+
+
 def hash_word(col: Column, offset: int = 1) -> Column:
     """One 60-bit deterministic hash word of ``col``'s string form.
 
@@ -206,6 +219,7 @@ def count_min_sketch(
     deterministic and portable. Map-side combinable; sketches merge
     by summing counts per (row, bucket).
     """
+    _check_double_hash_rows(d, "d")
     h1 = hash_word(F.col(value_col), 1)
     h2 = hash_word(F.col(value_col), 16)
     cells = F.array(
@@ -235,6 +249,7 @@ def cms_estimate(
     an undercount; overcount bounded by collisions). The sketch is
     d*w rows — broadcast — so the probe is one narrow explode + one
     broadcast join + one per-key min."""
+    _check_double_hash_rows(d, "d")
     h1 = hash_word(F.col(key_col), 1)
     h2 = hash_word(F.col(key_col), 16)
     cells = F.array(
@@ -311,7 +326,9 @@ def histogram_quantile(
 
     out_cols = []
     for q in quantiles:
-        target = F.lit(q) * F.col("_n")
+        # clamp to >= 1 row so q=0.0 resolves to the first occupied
+        # bin instead of matching nothing (cum - cnt < 0 never holds)
+        target = F.greatest(F.lit(q) * F.col("_n"), F.lit(1.0))
         # first bin whose cumulative count reaches the target
         hit = F.when(
             (F.col("_cum") >= target) & ((F.col("_cum") - F.col("_cnt")) < target),

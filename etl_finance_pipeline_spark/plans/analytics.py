@@ -1140,6 +1140,79 @@ JOIN exact x ON x.ta = u.ta AND x.tb = u.tb
 """
 )
 
+# --------------------------------------------------------------------
+# Mergeable histogram quantiles (pinned shared grid)
+# --------------------------------------------------------------------
+
+_HQ_LO, _HQ_HI, _HQ_BINS = 0.0, 600_000.0, 64
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value quantiles per priority from a fixed-grid histogram
+    sketch (``operators/sketch.py::histogram_quantile``) — the
+    mergeable-state answer to "p25/p50/p90 per segment per day" at
+    100 TB: per-group state is 64 counters on a SHARED pinned grid, so
+    day-level histograms roll up by cell-sum and any quantile is read
+    later by cumulative interpolation (error ≤ one bin width)."""
+    from etl_finance_pipeline_spark.operators.sketch import histogram_quantile
+
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    out = histogram_quantile(
+        orders.select(
+            F.col("o_orderpriority").alias("priority"), "o_totalprice"
+        ),
+        ["priority"],
+        "o_totalprice",
+        quantiles=[0.25, 0.5, 0.9],
+        bins=_HQ_BINS,
+        lo=_HQ_LO,
+        hi=_HQ_HI,
+    )
+    return out.select(
+        "priority",
+        portable_round(F.col("q0_25"), 6).alias("p25"),
+        portable_round(F.col("q0_5"), 6).alias("p50"),
+        portable_round(F.col("q0_9"), 6).alias("p90"),
+    )
+
+
+def _hq_interp(q: float) -> str:
+    t = f"greatest({q} * n, 1.0)"
+    return (
+        f"floor(({_HQ_LO} + ({_HQ_HI} - {_HQ_LO}) / {_HQ_BINS} * "
+        f"(bin + ({t} - (cum - cnt)) / cnt)) * 1000000 + 0.5) / 1000000"
+    )
+
+
+def _hq_case(q: float) -> str:
+    t = f"greatest({q} * n, 1.0)"
+    return f"max(CASE WHEN cum >= {t} AND cum - cnt < {t} THEN {_hq_interp(q)} END)"
+
+
+SQL_HIST_QUANTILES = f"""
+WITH hist AS (
+  SELECT o_orderpriority AS priority,
+         least(CAST(floor((o_totalprice - {_HQ_LO}) / ({_HQ_HI} - {_HQ_LO})
+                          * {_HQ_BINS}) AS BIGINT),
+               {_HQ_BINS - 1}) AS bin,
+         count(*) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+cum AS (
+  SELECT priority, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY priority ORDER BY bin) AS BIGINT)
+           AS cum
+  FROM hist
+),
+tot AS (SELECT priority, max(cum) AS n FROM cum GROUP BY 1),
+j AS (SELECT c.*, t.n FROM cum c JOIN tot t USING (priority))
+SELECT priority,
+       {_hq_case(0.25)} AS p25,
+       {_hq_case(0.5)} AS p50,
+       {_hq_case(0.9)} AS p90
+FROM j GROUP BY 1
+"""
+
 
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
@@ -1159,6 +1232,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_hash": q_feature_hash,
     "stream_cms": q_stream_cms,
     "audience_overlap": q_audience_overlap,
+    "hist_quantiles": q_hist_quantiles,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -1179,4 +1253,5 @@ ORACLES_AN: dict[str, str] = {
     "feature_hash": SQL_FEATURE_HASH,
     "stream_cms": SQL_STREAM_CMS,
     "audience_overlap": SQL_AUDIENCE_OVERLAP,
+    "hist_quantiles": SQL_HIST_QUANTILES,
 }

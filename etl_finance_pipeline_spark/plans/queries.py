@@ -1037,45 +1037,67 @@ GROUP BY 1
 
 
 def q_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile distribution window: bucket orders into value quartiles
-    WITHIN market segment, then profile each bucket. The orderkey
-    tiebreak makes bucket assignment fully deterministic across
-    engines (ntile on a tied sort is not). Exact-decimal sum ÷ count
-    keeps the per-bucket average order-independent."""
+    """Value-quartile profile per market segment, at price-bin
+    granularity (bins of width $100): a bin belongs to quartile
+    ``(4 * rows_in_strictly_higher_bins) div n + 1`` (quartile 1 =
+    highest prices), and every order in a bin shares its quartile.
+
+    Scale shape — this is the round-5 rewrite of the per-segment
+    ``ntile(4)`` window, which funneled the WHOLE orders table through
+    one task per segment (segment cardinality is constant, so at 100 TB
+    five tasks each sort billions of rows). Here the only per-row work
+    is a map-side-combinable groupBy on (segment, bin); the windows run
+    over the bin histogram (≤ ~price_domain/100 rows per segment), and
+    per-bin partial aggregates (count / decimal sum / min / max) roll
+    up into the quartile profile with no second pass over the data.
+    Bucket assignment is pure integer arithmetic — no FP or tie
+    ambiguity between engines."""
+    from etl_finance_pipeline_spark.operators.report import (
+        binned_quartile_profile,
+    )
+
     orders = load_table(spark, _t(sf_dir, "orders"))
     cust = load_table(spark, _t(sf_dir, "customer"))
     j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    prof = binned_quartile_profile(
+        j.select(F.col("c_mktsegment").alias("segment"), "o_totalprice"),
+        group_col="segment",
+        value_col="o_totalprice",
+        bin_width=100.0,
+        n_buckets=4,
     )
-    q = j.select(
-        "c_mktsegment", "o_totalprice", F.ntile(4).over(w).cast("long").alias("quartile")
-    )
-    return q.groupBy(F.col("c_mktsegment").alias("segment"), F.col("quartile")).agg(
-        F.count("*").alias("n_orders"),
-        (
-            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double")
-            / F.count("*")
-        ).alias("avg_price"),
-        F.min("o_totalprice").alias("min_price"),
-        F.max("o_totalprice").alias("max_price"),
+    return prof.select(
+        "segment",
+        F.col("bucket").alias("quartile"),
+        F.col("n_rows").alias("n_orders"),
+        F.col("avg_value").alias("avg_price"),
+        F.col("min_value").alias("min_price"),
+        F.col("max_value").alias("max_price"),
     )
 
 
 SQL_ORDER_QUARTILES = """
-WITH q AS (
-  SELECT c.c_mktsegment, o.o_totalprice,
-         ntile(4) OVER (
-           PARTITION BY c.c_mktsegment
-           ORDER BY o.o_totalprice DESC, o.o_orderkey
-         ) AS quartile
+WITH hist AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(floor(o.o_totalprice / 100) AS BIGINT) AS bin,
+         count(*) AS cnt,
+         sum(CAST(o.o_totalprice AS DECIMAL(30,6))) AS sum_dec,
+         min(o.o_totalprice) AS min_p,
+         max(o.o_totalprice) AS max_p
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+q AS (
+  SELECT segment, cnt, sum_dec, min_p, max_p,
+         sum(cnt) OVER (PARTITION BY segment ORDER BY bin DESC) - cnt AS above,
+         sum(cnt) OVER (PARTITION BY segment) AS n
+  FROM hist
 )
-SELECT c_mktsegment AS segment, quartile, count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / count(*)
-         AS avg_price,
-       min(o_totalprice) AS min_price,
-       max(o_totalprice) AS max_price
+SELECT segment, CAST(4 * above // n + 1 AS BIGINT) AS quartile,
+       CAST(sum(cnt) AS BIGINT) AS n_orders,
+       CAST(sum(sum_dec) AS DOUBLE) / sum(cnt) AS avg_price,
+       min(min_p) AS min_price,
+       max(max_p) AS max_price
 FROM q GROUP BY 1, 2
 """
 

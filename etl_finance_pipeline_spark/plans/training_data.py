@@ -2239,7 +2239,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SEMDEDUP = f"""
 WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8
 ),
 sim AS (
   SELECT e.vec_id, e.embedding, c.cid,

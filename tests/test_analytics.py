@@ -123,6 +123,7 @@ def test_bloom_no_false_negatives(spark):
     bloom = bloom_build(build, "k", bits=16)
     probe = spark.range(200).select(F.col("id").alias("k"))
     passed = {r["k"] for r in bloom_probe(probe, "k", bloom, bits=16).collect()}
+    bloom.unpersist()
     assert set(range(0, 200, 2)) <= passed  # every member passes
 
 
@@ -131,6 +132,7 @@ def test_bloom_filters_most_non_members(spark):
     bloom = bloom_build(build, "k", bits=16)
     probe = spark.range(10_000).select(F.col("id").alias("k"))
     n_pass = bloom_probe(probe, "k", bloom, bits=16).count()
+    bloom.unpersist()
     # 50 true + fpr ~ (1-e^(-150/65536))^3 ~ 1.2e-8 -> essentially exact
     assert 50 <= n_pass <= 60
 
@@ -140,6 +142,7 @@ def test_bloom_probe_keeps_all_columns_and_duplicates(spark):
     bloom = bloom_build(build, "k", bits=16)
     probe = spark.createDataFrame([(7, "x"), (7, "y"), (8, "z")], ["k", "payload"])
     out = bloom_probe(probe, "k", bloom, bits=16).collect()
+    bloom.unpersist()
     assert sorted(r["payload"] for r in out) == ["x", "y"]
 
 
@@ -400,3 +403,44 @@ def test_hll_merge_is_lossless(spark):
     merged = hll_estimate_from_sketch(merged_sk, ["tag"]).collect()[0]["hll_estimate"]
     assert merged == direct  # bit-identical, not just close
     assert abs(merged - 5000) / 5000 < 0.15
+
+
+# ------------------------------------------------------- sketch guards
+
+
+def test_double_hash_row_guard(spark):
+    """h1 + i*h2 over 60-bit words overflows signed 64-bit at i >= 8:
+    the sketch/bloom builders must refuse d/k outside 1..8 up front
+    instead of failing at runtime under ANSI mode."""
+    import pytest as _pytest
+
+    from etl_finance_pipeline_spark.operators.sketch import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    df = spark.createDataFrame([("a",)], ["v"])
+    with _pytest.raises(ValueError, match="1..8"):
+        count_min_sketch(df, "v", d=9)
+    with _pytest.raises(ValueError, match="1..8"):
+        cms_estimate(df, df, "v", d=0)
+    with _pytest.raises(ValueError, match="1..8"):
+        bloom_build(df, "v", k=9)
+    # d=8 is the documented ceiling and must work
+    assert count_min_sketch(df, "v", d=8, w_buckets=64).count() == 8
+
+
+def test_histogram_quantile_edges_and_interpolation(spark):
+    """q=0.0 resolves to the first occupied bin (clamped target), and
+    interior quantiles interpolate within one bin width of exact."""
+    from etl_finance_pipeline_spark.operators.sketch import histogram_quantile
+
+    df = spark.range(1000).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    out = histogram_quantile(
+        df, ["g"], "v", quantiles=[0.0, 0.5, 1.0], bins=100, lo=0.0, hi=1000.0
+    ).collect()[0]
+    assert out["q0_0"] is not None and out["q0_0"] <= 10.0  # first bin
+    assert abs(out["q0_5"] - 500.0) <= 10.0  # within one bin width
+    assert out["q1_0"] is not None and out["q1_0"] <= 1000.0

@@ -235,3 +235,46 @@ def test_ewma_macd_matches_pandas(spark):
         pd.testing.assert_series_equal(
             got["MACD_HIST"], (macd - signal).rename("MACD_HIST"), atol=1e-12, rtol=0
         )
+
+
+def test_ewma_macd_keyless_guard_fires(spark, monkeypatch):
+    """key_cols=None routes the whole frame through ONE pandas task;
+    above the row guard the operator must refuse instead of silently
+    serializing the corpus into one executor."""
+    import pytest as _pytest
+
+    import etl_finance_pipeline_spark.operators.report as report
+
+    monkeypatch.setattr(report, "_KEYLESS_EWMA_MAX_ROWS", 10)
+    df = spark.range(50).select(
+        F.col("id").cast("timestamp").alias("TIMESTAMP"),
+        (F.col("id") * 1.0).alias("CLOSE"),
+    )
+    with _pytest.raises(ValueError, match="one task"):
+        report.ewma_macd(df, key_cols=None)
+    # under the guard the keyless lane still works
+    small = df.limit(5)
+    assert report.ewma_macd(small, key_cols=None).count() == 5
+
+
+def test_binned_quartile_profile_buckets_and_rollup(spark):
+    """Bucket assignment is bin-granular integer arithmetic: 100 rows
+    of value==bin*width split into 4 equal buckets, and per-bucket
+    count/avg/min/max roll up from bin partials exactly."""
+    from etl_finance_pipeline_spark.operators.report import (
+        binned_quartile_profile,
+    )
+
+    df = spark.range(100).select(
+        F.lit("g").alias("g"), (F.col("id") * 100.0).alias("v")
+    )
+    out = {
+        r["bucket"]: r
+        for r in binned_quartile_profile(df, "g", "v", bin_width=100.0).collect()
+    }
+    assert sorted(out) == [1, 2, 3, 4]
+    # bucket 1 = TOP values: ids 75..99
+    assert out[1]["n_rows"] == 25 and out[1]["max_value"] == 9900.0
+    assert out[1]["min_value"] == 7500.0
+    assert out[4]["min_value"] == 0.0 and out[4]["max_value"] == 2400.0
+    assert out[4]["avg_value"] == sum(i * 100.0 for i in range(25)) / 25

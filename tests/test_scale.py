@@ -304,3 +304,37 @@ def test_scale_association_rules(bigspark):
     _assert_only_scalar_single_partition(out, "association_rules")
     rows, _ = _timed_count(out, "assoc 10M lines")
     assert 0 < rows <= 50 * 49
+
+
+def test_scale_binned_quartiles(bigspark):
+    """50M rows, 5 constant-cardinality groups: the ntile shape would
+    sort 10M rows per window task; the binned profile's windows must
+    only ever see the bin histogram (an aggregate below every Window
+    in the executed plan)."""
+    from etl_finance_pipeline_spark.operators.report import (
+        binned_quartile_profile,
+    )
+
+    df = bigspark.range(50_000_000).select(
+        F.format_string("seg%d", F.col("id") % 5).alias("seg"),
+        ((F.col("id") * 2654435761) % 500_000 / 100.0 * 100).alias("price"),
+    )
+    out = binned_quartile_profile(df, "seg", "price", bin_width=100.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    _assert_distributed_plan(out, "binned_quartiles")
+    assert "ntile" not in plan
+    # every Window node must sit ABOVE the histogram aggregate: in the
+    # top-down plan string, a HashAggregate appears between the first
+    # Window and the Range/Scan leaf (i.e. windows consume aggregated
+    # bins, never raw rows)
+    after_window = plan[plan.index("Window") :]
+    leaf = min(
+        i
+        for i in (after_window.find("Range"), after_window.find("Scan"))
+        if i >= 0
+    )
+    assert "HashAggregate" in after_window[:leaf], (
+        f"window consumes raw rows:\n{plan[:3000]}"
+    )
+    rows, dt = _timed_count(out, "binned quartiles 50M x 5 groups")
+    assert rows == 20
