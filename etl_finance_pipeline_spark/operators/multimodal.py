@@ -114,17 +114,22 @@ def _parse_bmp(b: bytes) -> tuple[int, int, bytes]:
     (compression,) = struct.unpack_from("<I", b, 30)
     if bpp != 24 or compression != 0:
         raise ValueError("only uncompressed 24-bit BMP supported")
+    import numpy as np
+
     h_abs = abs(h)
     row_bytes = w * 3
     stride = (row_bytes + 3) & ~3  # rows padded to 4-byte boundaries
-    pixels = bytearray()
-    for r in range(h_abs):
-        start = data_off + r * stride
-        row = b[start : start + row_bytes]
-        if len(row) != row_bytes:
-            raise ValueError("truncated bmp raster")
-        pixels.extend(row)
-    return w, h_abs, bytes(pixels)
+    # last row may omit its padding; only the pixel bytes must exist
+    if len(b) < data_off + (h_abs - 1) * stride + row_bytes:
+        raise ValueError("truncated bmp raster")
+    raster = np.frombuffer(
+        b, dtype=np.uint8, count=h_abs * stride - (stride - row_bytes),
+        offset=data_off,
+    )
+    padded = np.empty(h_abs * stride, dtype=np.uint8)
+    padded[: raster.size] = raster
+    pixels = padded.reshape(h_abs, stride)[:, :row_bytes]
+    return w, h_abs, pixels.tobytes()
 
 
 def _parse_png(b: bytes) -> tuple[int, int, bytes]:
@@ -162,39 +167,52 @@ def _parse_png(b: bytes) -> tuple[int, int, bytes]:
         pos += 12 + length  # len + type + data + crc
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    import numpy as np
+
     raw = zlib.decompress(bytes(idat))
     bpp, row_bytes = 3, w * 3
     if len(raw) != h * (1 + row_bytes):
         raise ValueError("png scanline size mismatch")
-    out = bytearray()
-    prev = bytearray(row_bytes)
+    # numpy per-scanline unfiltering (bit-identical to the spec's
+    # byte recurrences): Sub is a per-channel prefix sum mod 256, Up
+    # is one vectorized add; Average/Paeth recurse on the previous
+    # PIXEL, so they walk w steps with all channels as one lane.
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + row_bytes)
+    ftypes = scan[:, 0]
+    if (ftypes > 4).any():
+        bad = int(ftypes[ftypes > 4][0])
+        raise ValueError(f"unknown png filter {bad}")
+    out = np.empty((h, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.uint8)
     for r in range(h):
-        start = r * (1 + row_bytes)
-        ftype = raw[start]
-        line = bytearray(raw[start + 1 : start + 1 + row_bytes])
-        if ftype == 1:  # Sub
-            for i in range(bpp, row_bytes):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
+        ftype = int(ftypes[r])
+        line = scan[r, 1:].copy()
+        if ftype == 1:  # Sub: x[i] = d[i] + x[i-bpp]
+            px = line.reshape(w, bpp).astype(np.int64)
+            line = (np.cumsum(px, axis=0) % 256).astype(np.uint8).reshape(-1)
+        elif ftype == 2:  # Up: uint8 add wraps mod 256 natively
+            line = line + prev
+        elif ftype == 3:  # Average: sequential in x — byte loop
+            ln = bytearray(line.tobytes())
+            pv = prev.tobytes()
             for i in range(row_bytes):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
+                a = ln[i - bpp] if i >= bpp else 0
+                ln[i] = (ln[i] + ((a + pv[i]) >> 1)) & 0xFF
+            line = np.frombuffer(bytes(ln), dtype=np.uint8)
+        elif ftype == 4:  # Paeth: sequential in x — byte loop
+            ln = bytearray(line.tobytes())
+            pv = prev.tobytes()
             for i in range(row_bytes):
-                a = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(row_bytes):
-                a = line[i - bpp] if i >= bpp else 0
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + prev[i] - c
-                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (prev[i] if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown png filter {ftype}")
-        out += line
-        prev = line
-    return w, h, bytes(out)
+                a = ln[i - bpp] if i >= bpp else 0
+                c = pv[i - bpp] if i >= bpp else 0
+                p = a + pv[i] - c
+                pa, pb, pc = abs(p - a), abs(p - pv[i]), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (pv[i] if pb <= pc else c)
+                ln[i] = (ln[i] + pred) & 0xFF
+            line = np.frombuffer(bytes(ln), dtype=np.uint8)
+        out[r] = line
+        prev = out[r]
+    return w, h, out.tobytes()
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -279,6 +297,8 @@ def decode_image_stats(
     }
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
         for pdf in batches:
             stats = []
             for payload in pdf[content_col]:
@@ -294,12 +314,16 @@ def decode_image_stats(
                     w, h, pix = _parse_png(b)
                 else:
                     w, h, pix = None, None, b
+                arr = np.frombuffer(pix, dtype=np.uint8)
                 stats.append(
                     {
                         "n_bytes": len(pix),
-                        "mean_intensity": sum(pix) / len(pix),
-                        "min_byte": min(pix),
-                        "max_byte": max(pix),
+                        # int64 sum then one float division == Python's
+                        # exact-int sum(pix) / len(pix)
+                        "mean_intensity": int(arr.sum(dtype=np.int64))
+                        / len(pix),
+                        "min_byte": int(arr.min()),
+                        "max_byte": int(arr.max()),
                         "width": w,
                         "height": h,
                     }
@@ -353,22 +377,26 @@ def encode_bmp24(
     data_off = 14 + 40
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
         for pdf in batches:
             payloads = []
             for payload in pdf[content_col]:
                 raw = bytes(payload or b"")[: width * height * 3]
                 raw = raw.ljust(width * height * 3, b"\x00")
-                body = bytearray()
-                for r in range(height):
-                    row = raw[r * row_bytes : (r + 1) * row_bytes]
-                    body += row + b"\x00" * (stride - row_bytes)
+                rows = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    height, row_bytes
+                )
+                padded = np.zeros((height, stride), dtype=np.uint8)
+                padded[:, :row_bytes] = rows
+                body = padded.tobytes()
                 hdr = struct.pack(
                     "<2sIHHI", b"BM", data_off + data_size, 0, 0, data_off
                 ) + struct.pack(
                     "<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size,
                     2835, 2835, 0, 0,
                 )
-                payloads.append(hdr + bytes(body))
+                payloads.append(hdr + body)
             out = pdf[id_list].copy()
             out[content_col] = payloads
             yield out
@@ -405,32 +433,32 @@ def encode_png(
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
         for pdf in batches:
             payloads = []
             for payload in pdf[content_col]:
                 raw = bytes(payload or b"")[: width * height * 3]
                 raw = raw.ljust(width * height * 3, b"\x00")
-                scan = bytearray()
-                prev = bytes(row_bytes)
-                for r in range(height):
-                    line = raw[r * row_bytes : (r + 1) * row_bytes]
-                    scan.append(filter_type)
-                    if filter_type == 0:
-                        scan += line
-                    elif filter_type == 1:  # Sub
-                        scan += bytes(
-                            (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
-                            for i in range(row_bytes)
-                        )
-                    else:  # Up
-                        scan += bytes(
-                            (line[i] - prev[i]) & 0xFF for i in range(row_bytes)
-                        )
-                    prev = line
+                rows = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    height, row_bytes
+                )
+                # uint8 subtraction wraps mod 256 — the spec's & 0xFF
+                if filter_type == 0:
+                    filt = rows
+                elif filter_type == 1:  # Sub: d[i] = x[i] - x[i-bpp]
+                    filt = rows.copy()
+                    filt[:, bpp:] = rows[:, bpp:] - rows[:, :-bpp]
+                else:  # Up: d[i] = x[i] - prev[i]
+                    filt = rows.copy()
+                    filt[1:] = rows[1:] - rows[:-1]
+                scan = np.empty((height, 1 + row_bytes), dtype=np.uint8)
+                scan[:, 0] = filter_type
+                scan[:, 1:] = filt
                 payloads.append(
                     b"\x89PNG\r\n\x1a\n"
                     + _png_chunk(b"IHDR", ihdr)
-                    + _png_chunk(b"IDAT", zlib.compress(bytes(scan), 6))
+                    + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
                     + _png_chunk(b"IEND", b"")
                 )
             out = pdf[id_list].copy()
@@ -460,18 +488,17 @@ def image_byte_histogram(
     width = 256 // n_bins
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
         for pdf in batches:
             feats = []
             for payload in pdf[content_col]:
                 if payload is None or len(payload) == 0:
                     feats.append([0.0] * n_bins)
                     continue
-                b = bytes(payload)
-                hist = [0] * n_bins
-                for byte in b:
-                    hist[byte // width] += 1
-                total = float(len(b))
-                feats.append([h / total for h in hist])
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(arr // width, minlength=n_bins)
+                feats.append((hist / float(arr.size)).tolist())
             out = pdf[id_list].copy()
             out["features"] = feats
             yield out
@@ -513,7 +540,11 @@ def resize_images(
         other_cols = [f.name for f in df.schema.fields if f.name != content_col]
 
         def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            import numpy as np
+
             header = f"P6\n{tw} {th}\n255\n".encode()
+            ty = np.arange(th, dtype=np.int64)
+            tx = np.arange(tw, dtype=np.int64)
             for pdf in batches:
                 outs = []
                 for payload in pdf[content_col]:
@@ -521,16 +552,11 @@ def resize_images(
                         outs.append(None)
                         continue
                     w, h, pix = parse(bytes(payload))
-                    rows = []
-                    for ty in range(th):
-                        sy = ty * h // th
-                        base = sy * w * 3
-                        row = bytearray()
-                        for tx in range(tw):
-                            sx = tx * w // tw
-                            row += pix[base + sx * 3 : base + sx * 3 + 3]
-                        rows.append(bytes(row))
-                    outs.append(header + b"".join(rows))
+                    arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+                    # same integer index math as the spec'd per-pixel
+                    # loop ((ty*h)//th, (tx*w)//tw), one gather
+                    resized = arr[(ty * h) // th][:, (tx * w) // tw]
+                    outs.append(header + resized.tobytes())
                 out = pdf[other_cols].copy()
                 out[content_col] = outs
                 yield out
@@ -567,13 +593,16 @@ def _zcr(samples) -> float | None:
     """Zero-crossing rate: fraction of sample-to-sample transitions
     whose sign (>=0 vs <0) flips — the cheapest spectral-content
     proxy (voiced/unvoiced, noise detection) and integer-exact, so
-    a SQL oracle reproduces it bit-for-bit."""
-    n = len(samples)
+    a SQL oracle reproduces it bit-for-bit. Accepts any integer
+    sequence or numpy array."""
+    import numpy as np
+
+    arr = np.asarray(samples)
+    n = arr.size
     if n < 2:
         return None
-    flips = sum(
-        1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0)
-    )
+    nonneg = arr >= 0
+    flips = int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
     return flips / (n - 1)
 
 
@@ -609,10 +638,29 @@ def decode_audio_stats(
         "n_samples": 0, "duration_s": 0.0, "rms": None, "peak": None, "zcr": None
     }
 
+    def _sample_stats(samples, n_frames: int, rate: int) -> dict:
+        """Stats over an int numpy array: integer-exact sums (int64 —
+        1e18 headroom covers any clip that fits an Arrow batch) with
+        one final float division, matching the pure-Python arithmetic
+        bit-for-bit."""
+        import numpy as np
+
+        n = samples.size
+        sq = int(np.sum(samples.astype(np.int64) ** 2))
+        return {
+            "n_samples": n,
+            "duration_s": n_frames / rate,
+            "rms": (sq / n) ** 0.5,
+            "peak": int(np.max(np.abs(samples.astype(np.int32)))),
+            # zero-crossing rate: sign flips (>=0 vs <0) per transition
+            "zcr": _zcr(samples),
+        }
+
     def _wav_stats(b: bytes) -> dict:
         import io
-        import struct
         import wave
+
+        import numpy as np
 
         with wave.open(io.BytesIO(b)) as wf:
             n_frames = wf.getnframes()
@@ -624,21 +672,19 @@ def decode_audio_stats(
         if n == 0:
             return dict(_EMPTY)
         if sampwidth == 2:
-            samples = struct.unpack(f"<{n}h", pcm)
+            samples = np.frombuffer(pcm, dtype="<i2", count=n)
         elif sampwidth == 1:  # WAV 8-bit is UNsigned by spec
-            samples = [x - 128 for x in pcm]
+            samples = (
+                np.frombuffer(pcm, dtype=np.uint8, count=n).astype(np.int16)
+                - 128
+            )
         else:
             raise ValueError(f"unsupported WAV sample width: {sampwidth}")
-        return {
-            "n_samples": n,
-            "duration_s": n_frames / rate,
-            "rms": (sum(s * s for s in samples) / n) ** 0.5,
-            "peak": max(abs(s) for s in samples),
-            # zero-crossing rate: sign flips (>=0 vs <0) per transition
-            "zcr": _zcr(samples),
-        }
+        return _sample_stats(samples, n_frames, rate)
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
         for pdf in batches:
             stats = []
             for payload in pdf[content_col]:
@@ -650,17 +696,8 @@ def decode_audio_stats(
                     stats.append(_wav_stats(b))
                     continue
                 # signed 8-bit PCM: byte -> [-128, 127]
-                samples = [x - 256 if x > 127 else x for x in b]
-                n = len(samples)
-                stats.append(
-                    {
-                        "n_samples": n,
-                        "duration_s": n / sample_rate,
-                        "rms": (sum(s * s for s in samples) / n) ** 0.5,
-                        "peak": max(abs(s) for s in samples),
-                        "zcr": _zcr(samples),
-                    }
-                )
+                samples = np.frombuffer(b, dtype=np.int8)
+                stats.append(_sample_stats(samples, samples.size, sample_rate))
             out = pdf[id_list].copy()
             out["stats"] = stats
             yield out
@@ -688,16 +725,18 @@ def encode_wav_pcm16(
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
-        import struct
         import wave
+
+        import numpy as np
 
         for pdf in batches:
             payloads = []
             for payload in pdf[content_col]:
                 raw = bytes(payload or b"")
-                pcm = struct.pack(
-                    f"<{len(raw)}h", *((x - 128) * 256 for x in raw)
-                )
+                pcm = (
+                    (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128)
+                    * 256
+                ).astype("<i2").tobytes()
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as wf:
                     wf.setnchannels(1)

@@ -328,9 +328,11 @@ def test_scale_binned_quartiles(bigspark):
     # Window and the Range/Scan leaf (i.e. windows consume aggregated
     # bins, never raw rows)
     after_window = plan[plan.index("Window") :]
+    # "Range (" / "Scan " are leaf NODES ("RangeFrame" inside a
+    # windowspecdefinition is not)
     leaf = min(
         i
-        for i in (after_window.find("Range"), after_window.find("Scan"))
+        for i in (after_window.find("Range ("), after_window.find("Scan "))
         if i >= 0
     )
     assert "HashAggregate" in after_window[:leaf], (
