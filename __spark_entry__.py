@@ -39,11 +39,9 @@ _SHOWCASE_FIRST = (
     "interpolate_linear",
     "dq_profile",
     "macd",
-    "nation_revenue",
     "revenue_rollup",
     "market_share",
     "grouping_sets_sql",
-    "winsorized_prices",
     "salted_event_stats",
     "salted_purchase_join",
     "tfidf_top_terms",
@@ -52,15 +50,11 @@ _SHOWCASE_FIRST = (
     "minhash_lsh_pairs",
     "incremental_near_dup",
     "simhash_pairs",
-    "decontaminate",
     "embed_near_dup",
     "near_dup_clusters",
-    "clean_corpus",
     "ann_topk",
     "ann_ivf_trained",
     "lang_id",
-    "repetition_stats",
-    "unigram_logprob",
     "quality_score",
     "token_counts",
     "bpe_train",
@@ -73,7 +67,6 @@ _SHOWCASE_FIRST = (
     "stream_gaps",
     "stream_view_click",
     "pagerank",
-    "cross_doc_repetition",
     "hll_distinct_users",
     "heavy_hitters_cms",
     "triangles",
@@ -82,6 +75,12 @@ _SHOWCASE_FIRST = (
     "zorder_stats",
     "source_drift",
     "funnel_conversion",
+    "kmv_distinct_users",
+    "bfs_reach",
+    "clustering_coeff",
+    "image_resize_ppm",
+    "hist_quantiles",  # mergeable fixed-grid histogram quantiles (round 5)
+    "order_quartiles",  # binned-histogram quartile rewrite (round 5)
 )
 
 

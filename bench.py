@@ -46,6 +46,10 @@ def main() -> int:
         try:
             best, n = float("inf"), 0
             for _ in range(runs):
+                # clear BETWEEN runs too: an operator that persists
+                # internally would otherwise serve run 2 from run 1's
+                # cache and min-of-N would report warm-cache cost
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 n = df.count()
@@ -55,6 +59,16 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+        finally:
+            # Query isolation: an operator that persists internal
+            # frames and returns lazily leaves cached blocks behind;
+            # in a 120+-query session those leak into every LATER
+            # query's memory budget (and a repeat run of the SAME
+            # plan would silently read its predecessor's cache). The
+            # round-4 bench measured this as a broad ~20% aggregate
+            # drift. Clear between queries so each timing is the
+            # query's own cost from a cold cache.
+            spark.catalog.clearCache()
 
     # Round-over-round deltas vs the most recent BENCH_r{N}.json.
     prev = _load_previous_bench()

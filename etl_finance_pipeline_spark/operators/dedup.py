@@ -24,7 +24,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
 from etl_finance_pipeline_spark.functions.layout import fan_out
 from etl_finance_pipeline_spark.functions.scalar import (
@@ -176,10 +175,12 @@ def minhash_lsh_pairs(
         .drop("_n")
     )
     # The self-join references the shingle+hash+band+guard subtree
-    # twice; persist so it runs once. Band rows are tiny (id + sig +
-    # band key); at corpus scale you'd checkpoint them to a table for
-    # the same reason.
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    # twice; the branches share identical exchange subtrees, so
+    # exchange reuse (ReusedExchange, on by default) materializes the
+    # shuffle once per execution — measured FASTER than an explicit
+    # persist (which pays a separate materialization job) and leaves
+    # no cached blocks behind. At corpus scale you'd checkpoint the
+    # band rows to a table to survive executor loss across reruns.
 
     left = banded.select(
         F.col("band"), F.col("key"), F.col("_id").alias("id_a"), F.col("sig").alias("_sig_a")
@@ -323,8 +324,8 @@ def simhash_pairs(
     """
     slice_bits = bits // bands
     mask = (1 << slice_bits) - 1
-    # persisted for the same multi-branch reason as minhash_lsh_pairs
-    fps = simhash(df, id_col, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
+    # multi-branch reuse via ReusedExchange, same as minhash_lsh_pairs
+    fps = simhash(df, id_col, text_col, bits)
     banded = fps.select(
         F.col(id_col).alias("_id"),
         "simhash",
@@ -379,10 +380,9 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard), id_a < id_b.
     """
     # shingle sets are referenced three times (sizes + both join
-    # sides) — persist to avoid recomputing the explode per branch
-    sh = _doc_shingles(df, id_col, text_col, shingle_k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # sides); the shared exchange subtree is materialized once via
+    # ReusedExchange — no persist, no leaked cache
+    sh = _doc_shingles(df, id_col, text_col, shingle_k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -474,9 +474,8 @@ def cross_doc_repetition(
     join is AQE-splittable on the hot boilerplate shingles — and never
     a self-join, unlike pair-generation paths.
     """
-    sh = _doc_shingles(df, id_col, text_col, shingle_k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # two branches off the shingle explode share one reused exchange
+    sh = _doc_shingles(df, id_col, text_col, shingle_k)
     counts = sh.groupBy("shingle").agg(F.count("*").alias("_nd"))
     per_doc = (
         sh.join(counts, "shingle")
@@ -505,7 +504,4 @@ def cross_doc_repetition(
             "mostly_duplicated", F.col("shared_frac") > F.lit(flag_threshold)
         )
     )
-    # sh stays persisted until the plan runs (it feeds both the count
-    # aggregate and the join); eviction is LRU like the other sketch
-    # frames in this module.
     return out

@@ -323,6 +323,18 @@ def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
 
     Returns a 1-row (n_triangles) frame, or per-vertex counts when
     ``per_vertex`` (each triangle credited to all three corners).
+
+    Multi-branch reuse: ``canon`` feeds the degree union, the
+    orientation join, AND the wedge-closing join; ``oriented`` feeds
+    both wedge sides. These are NOT persisted — the branches share
+    identical exchange subtrees, so Spark's exchange reuse
+    (``spark.sql.exchange.reuse``, on by default; visible as
+    ``ReusedExchange`` nodes) materializes each shuffle once within
+    the execution. Measured equal-cost to an explicit persist, and —
+    unlike persist on a lazily-returned frame — leaves no cached
+    blocks behind for the caller to leak (the round-4 bench leaked
+    two edge-sized frames per call this way, degrading every query
+    that ran after it in the session).
     """
     canon = (
         edges.select(
@@ -330,10 +342,6 @@ def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        # canon feeds the degree union, the orientation join, AND the
-        # wedge-closing join — persist or the whole edge derivation
-        # (often itself a join) re-executes four times
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         canon.select(F.col("u").alias("id"))
@@ -354,7 +362,6 @@ def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
             .alias("e")
         )
         .select("e.a", "e.b")
-        .persist(StorageLevel.MEMORY_AND_DISK)  # both sides of the wedge self-join
     )
     l = oriented.alias("l")
     r = oriented.alias("r")

@@ -43,6 +43,7 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 6,
+    merges_per_round: int = 1,
 ) -> DataFrame:
     """Learn *n_merges* BPE merges from the corpus.
 
@@ -51,9 +52,24 @@ def bpe_train(
     every word, with deterministic tiebreak (count desc, left asc,
     right asc). Stops early if no pair occurs at all.
 
+    ``merges_per_round`` batches driver rounds for real vocab sizes:
+    each round accepts up to K of the top-ranked pairs that are
+    mutually NON-overlapping (no symbol of an accepted pair may equal
+    a symbol — left, right, or merged — of an earlier acceptance in
+    the round), then applies all K replaces in one vocab pass. A
+    disjoint pair's count is invariant under the other merges of its
+    round (a merge only perturbs pairs sharing one of its symbols),
+    so every recorded (pair, count) is exact; what changes vs K=1 is
+    only the GREEDY SCHEDULE — newly-formed symbols (ab, c) can't win
+    until the next round. 30k merges then need ~30k/K corpus-vocab
+    passes instead of 30k. K=1 (default) reproduces classic BPE
+    exactly and is what the oracle checks.
+
     Output: (merge_round, left_sym, right_sym, merged, pair_count) —
     one row per learned merge, ``merge_round`` starting at 1.
     """
+    if merges_per_round < 1:
+        raise ValueError("merges_per_round must be >= 1")
     spark = df.sparkSession
     words = (
         df.select(F.explode(tokens(text_col)).alias("w"))
@@ -72,7 +88,8 @@ def bpe_train(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, str, int]] = []
-    for rnd in range(1, n_merges + 1):
+    while len(merges) < n_merges:
+        k = min(merges_per_round, n_merges - len(merges))
         syms = units.select(
             F.split(
                 F.expr("substring(s, 2, length(s) - 2)"), _R + _L
@@ -95,21 +112,34 @@ def bpe_train(
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("wc").alias("cnt"))
         )
-        best = pairs.orderBy(
+        # over-fetch so the non-overlap filter can still fill K slots
+        # (TakeOrderedAndProject either way — never a global sort)
+        cand = pairs.orderBy(
             F.col("cnt").desc(), F.col("l"), F.col("r")
-        ).limit(1).collect()
-        if not best:
+        ).limit(4 * k + 4).collect()
+        if not cand:
             break
-        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
-        merges.append((rnd, left, right, left + right, cnt))
-        units = units.withColumn(
-            "s",
-            F.replace(
-                F.col("s"),
+        taken: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for row in cand:
+            if len(taken) == k:
+                break
+            left, right = row["l"], row["r"]
+            if used & {left, right, left + right}:
+                continue  # interacts with an earlier merge this round
+            taken.append((left, right, int(row["cnt"])))
+            used |= {left, right, left + right}
+        s = F.col("s")
+        for left, right, cnt in taken:
+            merges.append(
+                (len(merges) + 1, left, right, left + right, cnt)
+            )
+            s = F.replace(
+                s,
                 F.lit(_L + left + _R + _L + right + _R),
                 F.lit(_L + left + right + _R),
-            ),
-        ).localCheckpoint(eager=True)
+            )
+        units = units.withColumn("s", s).localCheckpoint(eager=True)
 
     return spark.createDataFrame(
         merges,

@@ -1275,6 +1275,57 @@ SELECT DISTINCT event_type AS symbol, ts FROM events
 """
 
 
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup lane: documents with doc_id % 10 == 0
+    arrive as a file stream; each microbatch LSH-checks against the
+    standing corpus (the rest of the table, held in the transactional
+    table format) and appends candidates to an output table via the
+    exactly-once foreachBatch sink. The oracle is the BATCH
+    incremental near-dup SQL — availableNow-vs-batch equivalence,
+    the same device ``stream_cms`` uses — so this proves the
+    streaming stage computes the identical candidate set."""
+    import tempfile
+    import uuid
+
+    from etl_finance_pipeline_spark.sources.table_format import (
+        read_table,
+        write_table,
+    )
+    from etl_finance_pipeline_spark.streaming.neardup import (
+        stream_near_dup_against_corpus,
+    )
+
+    spark = _narrow_session(spark, 8)
+    docs = load_table(spark, _t(sf_dir, "documents")).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix=f"stream_near_dup_{uuid.uuid4().hex[:8]}_")
+    corpus_table = f"{root}/corpus"
+    out_table = f"{root}/pairs"
+    write_table(docs.filter(F.col("doc_id") % 10 != 0), corpus_table)
+
+    path = _t(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(path[:-1] + "[t]")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    q = stream_near_dup_against_corpus(
+        stream,
+        corpus_table,
+        out_table,
+        checkpoint_dir=f"{root}/ckpt",
+    )
+    q.awaitTermination(300)
+    out = read_table(spark, out_table)
+    return out.select(
+        "batch_id", "corpus_id", _pr("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+SQL_STREAM_NEAR_DUP = SQL_INCREMENTAL_NEAR_DUP
+
+
 def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second mapInPandas media kernel under the gate: the audio
     decode path (fake codec = signed 8-bit PCM over the payload
@@ -2297,6 +2348,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_candles": q_stream_candles,
     "stream_sessions": q_stream_sessions,
     "stream_dedupe": q_stream_dedupe,
+    "stream_near_dup": q_stream_near_dup,
     "stream_gaps": q_stream_gaps,
     "stream_view_click": q_stream_view_click,
     "stream_enrich": q_stream_enrich,
@@ -2346,6 +2398,7 @@ ORACLES_TD: dict[str, str] = {
     "stream_candles": SQL_STREAM_CANDLES,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedupe": SQL_STREAM_DEDUPE,
+    "stream_near_dup": SQL_STREAM_NEAR_DUP,
     "stream_gaps": SQL_STREAM_GAPS,
     "stream_view_click": SQL_STREAM_VIEW_CLICK,
     "stream_enrich": SQL_STREAM_ENRICH,

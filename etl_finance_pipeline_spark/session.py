@@ -42,6 +42,15 @@ def get_spark(
             str(shuffle_partitions or int(cpus)),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # AQE's RUNTIME broadcast decision (measured post-shuffle
+        # bytes, not optimizer estimates) is safe to loosen well past
+        # the static 10m default: a mid-size build side (e.g. a
+        # 20 MB deduped edge set closing a wedge join) broadcasts
+        # instead of shuffling the large probe side; at 100 TB the
+        # same frame measures in GBs and AQE falls back to the
+        # shuffle join on its own. Measured -20% on the join-heavy
+        # bench tail at sf0.1.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         # Accept subset co-partitioning in joins: a frame hash-partitioned
         # on SYMBOL joins on (SYMBOL, TIMESTAMP) without re-shuffling both
         # sides onto the full key set. This is what lets one upfront

@@ -432,3 +432,55 @@ def test_epoch_marks_ride_checkpoints_per_app(spark, tmp_path):
     assert last_committed_epoch(table, txn_app_id="qa") == _CHECKPOINT_INTERVAL + 1
     assert write_batch_idempotent(batch(1), 1, table, txn_app_id="qa") is False
     assert last_committed_epoch(table, txn_app_id="other") is None
+
+
+def test_stream_near_dup_matches_batch_operator(spark, tmp_path):
+    """foreachBatch near-dup stage: streamed docs LSH-checked against
+    a standing transactional-table corpus produce exactly the batch
+    operator's candidate pairs, appended exactly-once."""
+    from etl_finance_pipeline_spark.operators.dedup import incremental_lsh_pairs
+    from etl_finance_pipeline_spark.sources.table_format import (
+        read_table,
+        write_table,
+    )
+    from etl_finance_pipeline_spark.streaming.neardup import (
+        stream_near_dup_against_corpus,
+    )
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "an entirely different document about spark streams"),
+        (3, "the quick brown fox jumps over the lazy cat"),
+    ]
+    batch_rows = [
+        (100, "the quick brown fox jumps over the lazy dog"),  # near-dup of 1/3
+        (101, "completely unrelated text with no overlap at all"),
+    ]
+    corpus_table = str(tmp_path / "corpus")
+    out_table = str(tmp_path / "pairs")
+    write_table(
+        spark.createDataFrame(corpus_rows, "doc_id long, text string"),
+        corpus_table,
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(batch_rows, "doc_id long, text string").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_near_dup_against_corpus(
+        stream, corpus_table, out_table, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["batch_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in read_table(spark, out_table).collect()
+    }
+    expected = {
+        (r["batch_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in incremental_lsh_pairs(
+            spark.createDataFrame(batch_rows, "doc_id long, text string"),
+            spark.createDataFrame(corpus_rows, "doc_id long, text string"),
+        ).collect()
+    }
+    assert got == expected
+    assert (100, 1) in got and got[(100, 1)] == 1.0  # exact text match
+    assert all(b == 100 for b, _ in got)  # doc 101 matched nothing

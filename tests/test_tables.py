@@ -10,6 +10,18 @@ import pandas as pd
 
 from etl_finance_pipeline_spark.sources.tables import load_table, load_sf_tables
 
+_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _needs_testdata(fn):
+    import os
+
+    import pytest
+
+    return pytest.mark.skipif(
+        not os.path.isdir(_SF_DIR), reason="driver testdata not present"
+    )(fn)
+
 
 def test_load_table_restores_nanos(spark, tmp_path):
     p = str(tmp_path / "nanos.parquet")
@@ -42,6 +54,7 @@ def test_load_table_plain_micros_untouched(spark, tmp_path):
     assert df.collect()[0]["ts"] == datetime(2024, 3, 1, 12, 0)
 
 
+@_needs_testdata
 def test_load_sf_tables(spark):
     tables = load_sf_tables(spark, "/root/testdata/sf0.001")
     assert set(tables) == {
@@ -51,6 +64,7 @@ def test_load_sf_tables(spark):
     assert dict(tables["events"].dtypes)["ts"] == "timestamp"
 
 
+@_needs_testdata
 def test_register_views_sql_gateway(spark):
     from etl_finance_pipeline_spark.sources.tables import register_views
 

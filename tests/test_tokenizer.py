@@ -75,3 +75,33 @@ def test_bpe_encode_roundtrip_with_trained_merges(spark):
     for row in enc.collect():
         # concatenating symbols restores the whitespace-stripped text
         assert "".join(row["bpe_tokens"]) == "".join(row["text"].lower().split())
+
+
+def test_bpe_train_batched_rounds_match_sequential_when_disjoint(spark):
+    """With mutually disjoint top pairs, K merges per round must learn
+    the same table as K=1 (counts are invariant under disjoint merges
+    within a round)."""
+    from etl_finance_pipeline_spark.operators.tokenizer import bpe_train
+
+    df = spark.createDataFrame(
+        [("aa bb aa bb cc dd",), ("aa bb cc dd ee",), ("aa ee",)],
+        ["text"],
+    )
+    seq = [tuple(r) for r in bpe_train(df, n_merges=4).collect()]
+    bat = [tuple(r) for r in bpe_train(df, n_merges=4, merges_per_round=4).collect()]
+    # pairs (a,a), (b,b), (c,c), (d,d) are disjoint -> identical tables
+    assert seq == bat
+    assert len(seq) == 4
+
+
+def test_bpe_train_batched_skips_interacting_pairs(spark):
+    """A candidate sharing a symbol with an earlier acceptance in the
+    round is deferred, never merged on stale counts."""
+    from etl_finance_pipeline_spark.operators.tokenizer import bpe_train
+
+    # 'ab' dominates; 'bc' shares symbol b -> must wait a round
+    df = spark.createDataFrame([("ab ab ab abc bc",)], ["text"])
+    out = bpe_train(df, n_merges=2, merges_per_round=2).collect()
+    assert out[0]["left_sym"] == "a" and out[0]["right_sym"] == "b"
+    # second merge happened (in a later round), on fresh counts
+    assert len(out) == 2 and out[1]["merge_round"] == 2
