@@ -505,3 +505,123 @@ def cross_doc_repetition(
         )
     )
     return out
+
+
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join (prefix filtering, the
+    PPJoin/AllPairs family — Bayardo et al. 2007, Xiao et al. 2008):
+    every pair of documents whose token-set Jaccard is ≥ *threshold*,
+    with NO false negatives and NO approximation — the exact
+    counterpart to :func:`minhash_lsh_pairs` for when "probably all
+    near-dups" isn't good enough (contracts, eval decontamination
+    audits).
+
+    Prefix filter: order tokens globally by (document frequency asc,
+    token asc) — rarest first; a doc of n tokens keeps its
+    ``n - ceil(t*n) + 1`` rarest as its PREFIX. Any pair with
+    Jaccard ≥ t has overlap ≥ ceil(t·min(n_a, n_b)), and two sets
+    with overlap o must share a token within their first
+    ``n - o + 1`` elements under a common order — so candidate
+    generation over prefix tokens alone is lossless. Frequent
+    (boilerplate) tokens almost never land in prefixes, which is what
+    keeps the candidate join's fan-out bounded on Zipf vocabularies.
+
+    Everything decisive is INTEGER arithmetic: *threshold* is
+    snapped to an exact fraction num/den (≤ 1e-9 off the float), the
+    prefix bound uses ``(n*num + den - 1) div den`` and the verify
+    compares ``inter*den ≥ num*(n_a + n_b - inter)`` — no FP ties, so
+    the result set is bit-deterministic and a brute-force SQL oracle
+    can confirm it independently.
+
+    Scale shape (100 TB): per-doc token explode (distinct) → token
+    document-frequency aggregate (map-side combinable) → per-doc rank
+    window (PARTITIONED BY DOC — bounded by doc length, never a
+    global sort) → prefix-token equi-join with length pruning →
+    per-pair intersection count over candidates only. All shuffles
+    hash-partition on data keys (token / doc / pair); no all-pairs
+    path exists.
+
+    Output: (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold.
+    """
+    from fractions import Fraction
+
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+    from etl_finance_pipeline_spark.functions.text import tokens as _tokens_fn
+
+    frac = Fraction(threshold).limit_denominator(10**9)
+    num, den = frac.numerator, frac.denominator
+
+    # set elements: word tokens (None) or k-word shingles — shingles
+    # are the discriminative choice on small-vocabulary corpora where
+    # token-set similarity is pervasive
+    elems = _tokens_fn(text_col)
+    if shingle_k is not None:
+        from etl_finance_pipeline_spark.functions.text import word_shingles
+
+        elems = word_shingles(elems, shingle_k)
+    # elements ride every shuffle as 60-bit hashes, not strings —
+    # ~10x fewer shuffle bytes on shingle sets; "exact" is modulo
+    # 60-bit collisions (~n² / 2^60), and the oracle hashes with the
+    # identical md5 word so both engines see the same sets
+    # fan_out first: the shingle+hash explode is CPU-bound and a
+    # small corpus file arrives as one partition (same rationale as
+    # _doc_shingles)
+    toks = (
+        fan_out(df)
+        .select(F.col(id_col).alias("_id"), elems.alias("_t"))
+        .select("_id", F.explode(F.array_distinct("_t")).alias("_e"))
+        .select("_id", portable_hash64(F.col("_e")).alias("tok"))
+    )
+    sizes = toks.groupBy("_id").agg(F.count("*").alias("_n"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .join(sizes, "_id")
+        .withColumn(
+            "_pos",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy("_df", "tok")
+            ),
+        )
+    )
+    # prefix length = n - ceil(t*n) + 1, all-integer
+    req = F.expr(f"(_n * {num} + {den - 1}) div {den}")  # ceil(t*n)
+    prefix = ranked.filter(F.col("_pos") <= F.col("_n") - req + 1).select(
+        F.col("_id"), F.col("tok"), F.col("_n")
+    )
+    a = prefix.select(
+        F.col("_id").alias("id_a"), "tok", F.col("_n").alias("_na")
+    )
+    b = prefix.select(
+        F.col("_id").alias("id_b"), "tok", F.col("_n").alias("_nb")
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length bound: Jaccard >= t forces t*n_a <= n_b (and sym.)
+        .filter(F.col("_nb") * den >= F.col("_na") * num)
+        .filter(F.col("_na") * den >= F.col("_nb") * num)
+        .select("id_a", "id_b", "_na", "_nb")
+        .distinct()
+    )
+    ta = toks.select(F.col("_id").alias("id_a"), F.col("tok"))
+    tb = toks.select(F.col("_id").alias("id_b"), F.col("tok"))
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count("*").alias("_i"))
+    )
+    keep = inter.filter(
+        F.col("_i") * den >= F.lit(num) * (F.col("_na") + F.col("_nb") - F.col("_i"))
+    )
+    jac = F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i"))
+    return keep.select(
+        "id_a", "id_b", portable_round(jac, 6).alias("jaccard")
+    )

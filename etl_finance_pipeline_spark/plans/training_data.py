@@ -295,6 +295,40 @@ WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
 """
 
 
+def q_set_similarity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join at shingle-Jaccard >= 0.5 via
+    prefix filtering (PPJoin/AllPairs family) — no LSH, no false
+    negatives: the exact-algorithm counterpart to ngram_jaccard's
+    LSH-scoped verify. The oracle is the INDEPENDENT brute-force
+    formulation (all-pairs shingle intersection in DuckDB), so the
+    check proves the prefix filter loses nothing — the same
+    equality-of-formulations device the triangles oracle uses."""
+    from etl_finance_pipeline_spark.operators.dedup import set_similarity_join
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    out = set_similarity_join(docs, threshold=0.5, shingle_k=3)
+    return out.select("id_a", "id_b", "jaccard")
+
+
+SQL_SET_SIMILARITY_EXACT = f"""
+WITH {_SHINGLES_CTE.strip()},
+hs AS (SELECT DISTINCT doc_id, {_H64.format(s='shingle')} AS tok FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM hs a JOIN hs b USING (tok)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       floor((c * 1.0 / (na.n + nb.n - c)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE c * 2 >= (na.n + nb.n - c)
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: the eval set (doc_id < 5 stands in
     for a held-out benchmark) reduces to its distinct 3-gram shingles,
@@ -2325,6 +2359,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_batches": q_training_batches,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "set_similarity_exact": q_set_similarity_exact,
     "decontaminate": q_decontaminate,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -2375,6 +2410,7 @@ ORACLES_TD: dict[str, str] = {
     "training_batches": SQL_TRAINING_BATCHES,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "set_similarity_exact": SQL_SET_SIMILARITY_EXACT,
     "decontaminate": SQL_DECONTAMINATE,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY_SCORE,

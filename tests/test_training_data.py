@@ -505,3 +505,66 @@ def test_cross_doc_repetition_shared_template(spark):
     assert not out[0]["mostly_duplicated"]
     assert out[2]["n_shared"] == 0 and not out[2]["mostly_duplicated"]
     assert out[3]["n_shingles"] == 0 and out[3]["shared_frac"] == 0.0
+
+
+def test_set_similarity_join_matches_bruteforce(spark):
+    """Prefix filtering must lose nothing: result equals the
+    brute-force all-pairs Jaccard join on token sets."""
+    from itertools import combinations
+
+    from etl_finance_pipeline_spark.operators.dedup import set_similarity_join
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),       # J(1,2)=3/5
+        (3, "alpha beta gamma delta"),         # J(1,3)=1.0
+        (4, "zeta eta theta"),
+        (5, "zeta eta theta iota kappa"),      # J(4,5)=3/5
+        (6, "completely different words here"),
+        (7, "alpha"),                          # tiny doc, length-pruned
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in set_similarity_join(df, threshold=0.6).collect()
+    }
+    sets = {i: set(t.split()) for i, t in rows}
+    expected = {}
+    for a, b in combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        j = i / len(sets[a] | sets[b])
+        if j >= 0.6:
+            expected[(a, b)] = round(j * 1e6 + 0.5) // 1 / 1e6 if False else j
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-6
+    assert got[(1, 3)] == 1.0
+
+
+def test_set_similarity_join_threshold_is_exact_integer(spark):
+    """A pair EXACTLY at the threshold is kept (>=, integer
+    cross-multiply — no FP boundary loss)."""
+    from etl_finance_pipeline_spark.operators.dedup import set_similarity_join
+
+    # J = 3/5 = 0.6 exactly
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    out = set_similarity_join(df, threshold=0.6).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 0.6
+    # and at a threshold just above, it is dropped
+    assert set_similarity_join(df, threshold=0.61).count() == 0
+
+
+def test_set_similarity_join_plan_is_distributed(spark):
+    """No single-partition exchange on the data path: the rank window
+    partitions by doc, candidate/verify joins by token and pair."""
+    from etl_finance_pipeline_spark.operators.dedup import set_similarity_join
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} shared common words") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = set_similarity_join(df, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
