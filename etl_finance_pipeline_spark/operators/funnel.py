@@ -108,3 +108,57 @@ def funnel_conversion(
             ),
         )
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every ordered pair of consecutive events WITHIN a user's timeline,
+    count the (from → to) transition and report its conditional
+    probability P(to | from) — the "what do users do next" model
+    behind next-action prediction, anomaly screens, and journey
+    simulation.
+
+    Ordering is (ts, tiebreak) per user, so ties are deterministic
+    across engines. The lead window partitions BY USER (bounded by a
+    user's activity, never a global sort); the transition counts are
+    one map-side-combinable groupBy; P(to|from) divides by the
+    per-from total via a window over the (tiny) event-type-pair
+    matrix, not the data.
+
+    Output: (from_event, to_event, n_transitions, p) with p rounded
+    to 6 decimals.
+    """
+    from pyspark.sql.window import Window
+
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(user_col),
+            F.col(type_col).alias("from_event"),
+            F.lead(type_col).over(w).alias("to_event"),
+        )
+        .filter(F.col("to_event").isNotNull())
+    )
+    counts = pairs.groupBy("from_event", "to_event").agg(
+        F.count("*").alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_event")
+    return counts.select(
+        "from_event",
+        "to_event",
+        "n_transitions",
+        portable_round(
+            F.col("n_transitions") / F.sum("n_transitions").over(w_from), 6
+        ).alias("p"),
+    )

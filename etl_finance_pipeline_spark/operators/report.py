@@ -326,3 +326,93 @@ def ewma_macd(
     return df.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
         lambda p: _kernel(p.drop(columns=["_g"])), out_schema
     )
+
+
+def wilder_rsi(
+    df: DataFrame,
+    value_col: str = "CLOSE",
+    ts_col: str = "TIMESTAMP",
+    key_cols: list[str] | None = None,
+    n: int = 14,
+) -> DataFrame:
+    """Relative Strength Index with Wilder-style smoothing in its
+    ``ewm(alpha=1/n, adjust=False)`` form: per step
+    ``avg = (1-α)·avg_prev + α·x`` seeded from the first gain/loss —
+    the second classic indicator recursion Spark windows cannot
+    express (non-associative carry), routed through the same
+    grouped-map pandas lane as :func:`ewma_macd`.
+
+    RSI_t = 100 − 100/(1 + avg_gain/avg_loss); 100 when avg_loss is
+    exactly 0 (all-gain prefix), 50 on a flat prefix (both zero). The
+    first row of each series has no delta and reports NULL.
+
+    Output: input columns + GAIN, LOSS, RSI. Each key's series must
+    fit one executor — same contract as ewma_macd.
+    """
+    import pandas as pd  # noqa: F401 (Arrow lane)
+
+    keys = key_cols or []
+    alpha = 1.0 / n
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["GAIN double", "LOSS double", "RSI double"]
+    )
+
+    def _kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        px = pdf[value_col].astype("float64")
+        delta = px.diff()
+        gain = delta.clip(lower=0.0)
+        loss = (-delta).clip(lower=0.0)
+        # recursion starts at the first DELTA (row 2 of the series)
+        ag = gain.iloc[1:].ewm(alpha=alpha, adjust=False).mean()
+        al = loss.iloc[1:].ewm(alpha=alpha, adjust=False).mean()
+        import numpy as np
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            body = 100.0 - 100.0 / (1.0 + ag / al)
+        body = body.where(al != 0.0, 100.0).where((al != 0.0) | (ag != 0.0), 50.0)
+        rsi = pd.Series(float("nan"), index=pdf.index)
+        rsi.loc[body.index] = body
+        pdf["GAIN"] = gain
+        pdf["LOSS"] = loss
+        pdf["RSI"] = rsi
+        return pdf
+
+    if keys:
+        return df.groupBy(*keys).applyInPandas(_kernel, out_schema)
+    probe = df.limit(_KEYLESS_EWMA_MAX_ROWS + 1).count()
+    if probe > _KEYLESS_EWMA_MAX_ROWS:
+        raise ValueError(
+            "wilder_rsi with key_cols=None sends the whole frame through "
+            f"one task; input exceeds {_KEYLESS_EWMA_MAX_ROWS:,} rows. "
+            "Pass key_cols (e.g. ['SYMBOL']) to distribute the series."
+        )
+    return df.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        lambda p: _kernel(p.drop(columns=["_g"])), out_schema
+    )
+
+
+def on_balance_volume(
+    df: DataFrame,
+    price_col: str = "CLOSE",
+    volume_col: str = "VOLUME",
+    ts_col: str = "TIMESTAMP",
+    key_cols: list[str] | None = None,
+    out_col: str = "OBV",
+) -> DataFrame:
+    """On-Balance Volume: running sum of volume signed by the price
+    direction (+V on an up-close, −V on a down-close, 0 unchanged;
+    the first row contributes 0). Unlike the EWMA recursions this IS
+    associative — a lag + signum + unbounded-preceding sum — so it
+    stays entirely in JVM window execution: one per-key ordered
+    window pass, no pandas lane."""
+    keys = key_cols or []
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    signed = F.coalesce(
+        F.signum(F.col(price_col) - F.lag(price_col).over(w)), F.lit(0.0)
+    ) * F.col(volume_col)
+    cum = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(out_col, F.sum(signed).over(cum))

@@ -1213,6 +1213,44 @@ SELECT priority,
 FROM j GROUP BY 1
 """
 
+# --------------------------------------------------------------------
+# Markov transition matrix over user event sequences
+# --------------------------------------------------------------------
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of the event stream: P(next event type
+    | current) from per-user timelines — lead window partitioned by
+    user, counts map-side combined, probabilities normalized over the
+    tiny transition matrix."""
+    from etl_finance_pipeline_spark.operators.funnel import event_transitions
+
+    ev = load_table(spark, _t(sf_dir, "events"))
+    out = event_transitions(ev)
+    return out.select(
+        "from_event", "to_event",
+        F.col("n_transitions").cast("long").alias("n_transitions"), "p",
+    )
+
+
+SQL_MARKOV_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS from_event,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_event
+  FROM events
+),
+cnt AS (
+  SELECT from_event, to_event, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE to_event IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_event, to_event, n_transitions,
+       floor((n_transitions * 1.0 /
+              sum(n_transitions) OVER (PARTITION BY from_event))
+             * 1000000 + 0.5) / 1000000 AS p
+FROM cnt
+"""
+
 
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
@@ -1233,6 +1271,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cms": q_stream_cms,
     "audience_overlap": q_audience_overlap,
     "hist_quantiles": q_hist_quantiles,
+    "markov_transitions": q_markov_transitions,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -1254,4 +1293,5 @@ ORACLES_AN: dict[str, str] = {
     "stream_cms": SQL_STREAM_CMS,
     "audience_overlap": SQL_AUDIENCE_OVERLAP,
     "hist_quantiles": SQL_HIST_QUANTILES,
+    "markov_transitions": SQL_MARKOV_TRANSITIONS,
 }

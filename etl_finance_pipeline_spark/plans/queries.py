@@ -2339,6 +2339,112 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder-style RSI(14) over 5-minute candles via the grouped-map
+    pandas lane (operators.report.wilder_rsi). Oracle: recursive CTE
+    mirroring pandas ``ewm(alpha=1/14, adjust=False)`` exactly — the
+    ((1-a)*y + a*x) / ((1-a)+a) update INCLUDING pandas' skip-update-
+    when-equal guard — so the 6-decimal rounded hash matches the
+    kernel bit-for-bit (same device as SQL_MACD)."""
+    from etl_finance_pipeline_spark.operators.report import wilder_rsi
+
+    c = _candles_5m_raw(spark, sf_dir)
+    out = wilder_rsi(c, key_cols=["SYMBOL"], n=14)
+    return out.select(
+        F.col("SYMBOL").alias("symbol"),
+        F.col("TIMESTAMP").alias("ts"),
+        F.col("CLOSE").alias("close"),
+        _pr("RSI", 6).alias("rsi"),
+    )
+
+
+_RSI_A = "(1.0/14.0)"
+
+SQL_RSI = f"""
+WITH RECURSIVE dedup AS (
+  SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) = 1
+), c5 AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL 5 MINUTE, ts) AS ts,
+         arg_max(value, ts) AS close
+  FROM dedup GROUP BY 1, 2
+), ord AS (
+  SELECT symbol, ts, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn
+  FROM c5
+), rec AS (
+  SELECT o2.symbol, o2.ts, o2.close, o2.rn,
+         greatest(o2.close - o1.close, 0.0) AS ag,
+         greatest(o1.close - o2.close, 0.0) AS al
+  FROM ord o1 JOIN ord o2 ON o2.symbol = o1.symbol AND o1.rn = 1 AND o2.rn = 2
+  UNION ALL
+  SELECT symbol, ts, close, rn,
+         CASE WHEN pag = g THEN pag
+              ELSE ((1.0 - {_RSI_A}) * pag + {_RSI_A} * g)
+                   / ((1.0 - {_RSI_A}) + {_RSI_A}) END AS ag,
+         CASE WHEN pal = l THEN pal
+              ELSE ((1.0 - {_RSI_A}) * pal + {_RSI_A} * l)
+                   / ((1.0 - {_RSI_A}) + {_RSI_A}) END AS al
+  FROM (
+    SELECT o.symbol, o.ts, o.close, o.rn,
+           greatest(o.close - r.close, 0.0) AS g,
+           greatest(r.close - o.close, 0.0) AS l,
+           r.ag AS pag, r.al AS pal
+    FROM rec r JOIN ord o ON o.symbol = r.symbol AND o.rn = r.rn + 1
+  )
+)
+SELECT symbol, ts, close, CAST(NULL AS DOUBLE) AS rsi FROM ord WHERE rn = 1
+UNION ALL
+SELECT symbol, ts, close,
+       floor((CASE WHEN al = 0.0 AND ag = 0.0 THEN 50.0
+                   WHEN al = 0.0 THEN 100.0
+                   ELSE 100.0 - 100.0 / (1.0 + ag / al) END)
+             * 1000000 + 0.5) / 1000000 AS rsi
+FROM rec
+"""
+
+
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-Balance Volume over the 5-minute candles — the associative
+    counterpart to the RSI/MACD recursions: lag + signum + running
+    sum, one JVM window pass, no pandas lane."""
+    from etl_finance_pipeline_spark.operators.report import on_balance_volume
+
+    c = _candles_5m_raw(spark, sf_dir)
+    out = on_balance_volume(c, key_cols=["SYMBOL"])
+    return out.select(
+        F.col("SYMBOL").alias("symbol"),
+        F.col("TIMESTAMP").alias("ts"),
+        F.col("CLOSE").alias("close"),
+        _pr("OBV", 6).alias("obv"),
+    )
+
+
+SQL_OBV = """
+WITH dedup AS (
+  SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) = 1
+), c5 AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL 5 MINUTE, ts) AS ts,
+         arg_max(value, ts) AS close,
+         sum(value) AS volume
+  FROM dedup GROUP BY 1, 2
+), signed AS (
+  SELECT symbol, ts, close,
+         coalesce(sign(close - lag(close) OVER (PARTITION BY symbol ORDER BY ts)),
+                  0.0) * volume AS sv
+  FROM c5
+)
+SELECT symbol, ts, close,
+       floor(sum(sv) OVER (PARTITION BY symbol ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING)
+             * 1000000 + 0.5) / 1000000 AS obv
+FROM signed
+"""
+
+
 def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation under the oracle gate. The
     events table's handful of event_type groups is the classic
@@ -2770,6 +2876,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "acctbal_percentiles": q_acctbal_percentiles,
     "risk_indicators": q_risk_indicators,
     "macd": q_macd,
+    "rsi": q_rsi,
+    "obv": q_obv,
     "salted_event_stats": q_salted_event_stats,
     "salted_purchase_join": q_salted_purchase_join,
     "bm25_search": q_bm25_search,
@@ -2836,6 +2944,8 @@ ORACLES: dict[str, str] = {
     "acctbal_percentiles": SQL_ACCTBAL_PERCENTILES,
     "risk_indicators": SQL_RISK_INDICATORS,
     "macd": SQL_MACD,
+    "rsi": SQL_RSI,
+    "obv": SQL_OBV,
     "salted_event_stats": SQL_SALTED_EVENT_STATS,
     "salted_purchase_join": SQL_SALTED_PURCHASE_JOIN,
     "bm25_search": SQL_BM25_SEARCH,

@@ -444,3 +444,32 @@ def test_histogram_quantile_edges_and_interpolation(spark):
     assert out["q0_0"] is not None and out["q0_0"] <= 10.0  # first bin
     assert abs(out["q0_5"] - 500.0) <= 10.0  # within one bin width
     assert out["q1_0"] is not None and out["q1_0"] <= 1000.0
+
+
+def test_event_transitions_counts_and_probabilities(spark):
+    """Hand-computed first-order transition matrix: per-user ordered
+    pairs, P(to|from) normalized over each from-row."""
+    from datetime import datetime, timedelta
+
+    from etl_finance_pipeline_spark.operators.funnel import event_transitions
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: view > click > view > purchase
+        (1, t0, 1, "view"), (2, t0 + timedelta(minutes=1), 1, "click"),
+        (3, t0 + timedelta(minutes=2), 1, "view"),
+        (4, t0 + timedelta(minutes=3), 1, "purchase"),
+        # user 2: view > view
+        (5, t0, 2, "view"), (6, t0 + timedelta(minutes=1), 2, "view"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {
+        (r["from_event"], r["to_event"]): (r["n_transitions"], r["p"])
+        for r in event_transitions(df).collect()
+    }
+    # from 'view': click 1, purchase 1, view 1 -> p = 1/3 each
+    assert got[("view", "click")] == (1, 0.333333)
+    assert got[("view", "purchase")] == (1, 0.333333)
+    assert got[("view", "view")] == (1, 0.333333)
+    assert got[("click", "view")] == (1, 1.0)
+    assert ("purchase", "view") not in got  # last event has no successor

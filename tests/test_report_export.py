@@ -278,3 +278,46 @@ def test_binned_quartile_profile_buckets_and_rollup(spark):
     assert out[1]["min_value"] == 7500.0
     assert out[4]["min_value"] == 0.0 and out[4]["max_value"] == 2400.0
     assert out[4]["avg_value"] == sum(i * 100.0 for i in range(25)) / 25
+
+
+def test_wilder_rsi_matches_pandas_reference(spark):
+    """RSI kernel reproduces the hand-computed ewm(adjust=False)
+    recursion, handles all-gain (100) and flat (50) prefixes, and
+    leaves the first row NULL."""
+    from datetime import datetime, timedelta
+
+    from etl_finance_pipeline_spark.operators.report import wilder_rsi
+
+    t0 = datetime(2024, 1, 1)
+    closes = [100.0, 101.0, 102.0, 101.5, 101.5, 103.0]
+    rows = [("A", t0 + timedelta(minutes=i), c) for i, c in enumerate(closes)]
+    df = spark.createDataFrame(rows, "SYMBOL string, TIMESTAMP timestamp, CLOSE double")
+    out = (
+        wilder_rsi(df, key_cols=["SYMBOL"], n=14)
+        .orderBy("TIMESTAMP")
+        .collect()
+    )
+    assert out[0]["RSI"] is None
+    # rows 1-2 are all-gain -> RSI 100
+    assert out[1]["RSI"] == 100.0 and out[2]["RSI"] == 100.0
+    # reference recursion
+    import pandas as pd
+
+    px = pd.Series(closes)
+    d = px.diff()
+    ag = d.clip(lower=0.0).iloc[1:].ewm(alpha=1 / 14, adjust=False).mean()
+    al = (-d).clip(lower=0.0).iloc[1:].ewm(alpha=1 / 14, adjust=False).mean()
+    want = 100.0 - 100.0 / (1.0 + ag.iloc[-1] / al.iloc[-1])
+    assert abs(out[5]["RSI"] - want) < 1e-12
+
+
+def test_wilder_rsi_flat_series_is_50(spark):
+    from datetime import datetime, timedelta
+
+    from etl_finance_pipeline_spark.operators.report import wilder_rsi
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("A", t0 + timedelta(minutes=i), 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "SYMBOL string, TIMESTAMP timestamp, CLOSE double")
+    out = wilder_rsi(df, key_cols=["SYMBOL"]).orderBy("TIMESTAMP").collect()
+    assert [r["RSI"] for r in out[1:]] == [50.0, 50.0, 50.0]
