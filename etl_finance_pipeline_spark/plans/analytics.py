@@ -1251,6 +1251,96 @@ SELECT from_event, to_event, n_transitions,
 FROM cnt
 """
 
+# --------------------------------------------------------------------
+# Label-propagation communities over the co-purchase graph
+# --------------------------------------------------------------------
+
+def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection: synchronous label propagation (3 fixed
+    rounds, deterministic mode/min tiebreak) over the part
+    co-purchase graph restricted to support >= 2 (parts bought
+    together in at least two orders). The oracle unrolls the same
+    three rounds in SQL — vote count, per-vertex argmax, relabel."""
+    from etl_finance_pipeline_spark.operators.graph import label_propagation
+
+    li = load_table(spark, _t(sf_dir, "lineitem")).select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("src", "dst")
+    )
+    out = label_propagation(edges, rounds=3)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+SQL_COMMUNITIES_LPA = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+und AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+verts AS (SELECT DISTINCT u AS id FROM und),
+l0 AS (SELECT id, id AS label FROM verts),
+v1 AS (
+  SELECT id, label, count(*) AS c FROM (
+    SELECT e.u AS id, l.label FROM und e JOIN l0 l ON l.id = e.v
+    UNION ALL
+    SELECT id, label FROM l0
+  ) GROUP BY 1, 2
+),
+l1 AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+    FROM v1
+  ) WHERE rn = 1
+),
+v2 AS (
+  SELECT id, label, count(*) AS c FROM (
+    SELECT e.u AS id, l.label FROM und e JOIN l1 l ON l.id = e.v
+    UNION ALL
+    SELECT id, label FROM l1
+  ) GROUP BY 1, 2
+),
+l2 AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+    FROM v2
+  ) WHERE rn = 1
+),
+v3 AS (
+  SELECT id, label, count(*) AS c FROM (
+    SELECT e.u AS id, l.label FROM und e JOIN l2 l ON l.id = e.v
+    UNION ALL
+    SELECT id, label FROM l2
+  ) GROUP BY 1, 2
+),
+l3 AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+    FROM v3
+  ) WHERE rn = 1
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label FROM l3
+"""
+
 
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
@@ -1272,6 +1362,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audience_overlap": q_audience_overlap,
     "hist_quantiles": q_hist_quantiles,
     "markov_transitions": q_markov_transitions,
+    "communities_lpa": q_communities_lpa,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -1294,4 +1385,5 @@ ORACLES_AN: dict[str, str] = {
     "audience_overlap": SQL_AUDIENCE_OVERLAP,
     "hist_quantiles": SQL_HIST_QUANTILES,
     "markov_transitions": SQL_MARKOV_TRANSITIONS,
+    "communities_lpa": SQL_COMMUNITIES_LPA,
 }

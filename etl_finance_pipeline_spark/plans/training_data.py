@@ -1309,6 +1309,37 @@ SELECT DISTINCT event_type AS symbol, ts FROM events
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis-Spirakis A-Res)
+    of 50 documents with weight = n_chars: the deterministic
+    data-mixing draw (upweight long/rare content) — global top-k by
+    hash-derived priority, TakeOrderedAndProject, no global sort."""
+    from etl_finance_pipeline_spark.operators.corpus import weighted_sample_topk
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        "doc_id", "source", "n_chars"
+    )
+    out = weighted_sample_topk(docs, "doc_id", "n_chars", k=50)
+    return out.select(
+        "doc_id", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        _pr("priority", 6).alias("priority"),
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH pri AS (
+  SELECT doc_id, source, n_chars,
+         ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            / 1152921504606846976.0) / n_chars AS priority
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       floor(priority * 1000000 + 0.5) / 1000000 AS priority
+FROM pri ORDER BY pri.priority DESC, doc_id LIMIT 50
+"""
+
+
 def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING near-dup lane: documents with doc_id % 10 == 0
     arrive as a file stream; each microbatch LSH-checks against the
@@ -2383,6 +2414,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_candles": q_stream_candles,
     "stream_sessions": q_stream_sessions,
     "stream_dedupe": q_stream_dedupe,
+    "weighted_sample": q_weighted_sample,
     "stream_near_dup": q_stream_near_dup,
     "stream_gaps": q_stream_gaps,
     "stream_view_click": q_stream_view_click,
@@ -2434,6 +2466,7 @@ ORACLES_TD: dict[str, str] = {
     "stream_candles": SQL_STREAM_CANDLES,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedupe": SQL_STREAM_DEDUPE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "stream_near_dup": SQL_STREAM_NEAR_DUP,
     "stream_gaps": SQL_STREAM_GAPS,
     "stream_view_click": SQL_STREAM_VIEW_CLICK,

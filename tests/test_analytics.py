@@ -473,3 +473,29 @@ def test_event_transitions_counts_and_probabilities(spark):
     assert got[("view", "view")] == (1, 0.333333)
     assert got[("click", "view")] == (1, 1.0)
     assert ("purchase", "view") not in got  # last event has no successor
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: after a few rounds
+    each clique converges to its min id; deterministic tiebreak."""
+    from itertools import combinations
+
+    from etl_finance_pipeline_spark.operators.graph import label_propagation
+
+    edges = [(a, b) for a, b in combinations([1, 2, 3, 4], 2)]
+    edges += [(a, b) for a, b in combinations([10, 11, 12, 13], 2)]
+    edges.append((4, 10))  # bridge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["id"]: r["label"] for r in label_propagation(df, rounds=4).collect()}
+    assert {out[1], out[2], out[3]} == {1}
+    assert {out[11], out[12], out[13]} == {10}
+
+
+def test_label_propagation_isolated_vertex_self_loop_dropped(spark):
+    from etl_finance_pipeline_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2), (3, 3)], "src long, dst long")
+    out = {r["id"]: r["label"] for r in label_propagation(df, rounds=2).collect()}
+    # self-loop-only vertex 3 is dropped (no real edges); 1-2 merge
+    assert 3 not in out
+    assert out[1] == out[2] == 1

@@ -115,3 +115,29 @@ def test_feature_hash_sign_cancellation_and_bounds(spark):
     a_idx, a_val = next(iter(by_doc[2].items()))
     assert by_doc[1][a_idx] == 3 * a_val
     assert abs(a_val) == 1
+
+
+def test_weighted_sample_topk_is_weighted_and_deterministic(spark):
+    """Higher weight -> higher inclusion odds; the draw is a pure
+    function of the key hash, so two runs agree exactly."""
+    from etl_finance_pipeline_spark.operators.corpus import weighted_sample_topk
+
+    rows = [(i, 1000.0 if i % 10 == 0 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got1 = sorted(r["doc_id"] for r in weighted_sample_topk(df, "doc_id", "w", 50).collect())
+    got2 = sorted(r["doc_id"] for r in weighted_sample_topk(df, "doc_id", "w", 50).collect())
+    assert got1 == got2 and len(got1) == 50
+    heavy = sum(1 for d in got1 if d % 10 == 0)
+    # 100 heavy items at weight 1000 vs 900 at weight 1: the sample
+    # should be dominated by heavy items
+    assert heavy >= 40
+
+
+def test_weighted_sample_topk_excludes_nonpositive_weights(spark):
+    from etl_finance_pipeline_spark.operators.corpus import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, 2.0)], "doc_id long, w double"
+    )
+    got = [r["doc_id"] for r in weighted_sample_topk(df, "doc_id", "w", 10).collect()]
+    assert got == [3]
