@@ -106,3 +106,45 @@ def salted_join(
     )
     out = salted_left.join(replicated_right, on=[*on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def hotkey_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    hot_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Hot/cold split equi-join for a skew-dominated LEFT side: keys
+    whose left-side row count reaches *hot_threshold* take the
+    BROADCAST lane (only the hot keys' right-side rows are broadcast —
+    a handful of rows even when *right* itself is huge), everything
+    else takes the normal shuffle join. Compared to
+    :func:`salted_join`, which replicates the ENTIRE right side
+    ``salt_buckets`` times, this ships exactly the rows the hot keys
+    need and leaves the uniform tail untouched.
+
+    The hot-key set is an exact count aggregate (map-side combinable;
+    the frame is |hot keys| rows — tiny by definition) used twice via
+    broadcast semi/anti joins to split both sides. Supports ``inner``
+    and ``left`` joins (result = hot-lane ∪ cold-lane exactly).
+
+    This is the manual form of AQE's skew-join split, for when the
+    skew is known ahead of time (a permanent celebrity key) and you
+    want the split to survive plan changes and apply to non-sort-merge
+    strategies.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("hotkey_join supports inner and left joins")
+    hot = (
+        left.groupBy(*on)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= hot_threshold)
+        .select(*on)
+    )
+    left_hot = left.join(F.broadcast(hot), on, "left_semi")
+    left_cold = left.join(F.broadcast(hot), on, "left_anti")
+    right_hot = right.join(F.broadcast(hot), on, "left_semi")
+    joined_hot = left_hot.join(F.broadcast(right_hot), on, how)
+    joined_cold = left_cold.join(right, on, how)
+    return joined_hot.unionByName(joined_cold)

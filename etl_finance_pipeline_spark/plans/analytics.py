@@ -1341,6 +1341,135 @@ l3 AS (
 SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label FROM l3
 """
 
+# --------------------------------------------------------------------
+# Hot/cold split join (manual skew split)
+# --------------------------------------------------------------------
+
+def q_hotkey_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-split join under the oracle gate: users with >= 35 events
+    take the broadcast lane (their dim rows ship to every executor),
+    the uniform tail takes the shuffle join; the union must equal the
+    plain join exactly — which is what the oracle checks."""
+    from etl_finance_pipeline_spark.functions.skew import hotkey_join
+
+    ev = load_table(spark, _t(sf_dir, "events")).select(
+        F.col("user_id").alias("custkey"), "event_type", "value"
+    )
+    cust = load_table(spark, _t(sf_dir, "customer")).select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = hotkey_join(ev, cust, ["custkey"], hot_threshold=35)
+    return j.groupBy("event_type", "c_mktsegment").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+        ).alias("total_value"),
+    )
+
+
+SQL_HOTKEY_PURCHASE_JOIN = """
+SELECT e.event_type, c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------
+# CUPED-adjusted experiment readout
+# --------------------------------------------------------------------
+
+def q_cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013) variance-reduced A/B readout: per-user
+    covariate x (view count) and outcome y (purchase value), pooled
+    theta = cov(x,y)/var(x), per-arm adjusted mean
+    ``mean(y) - theta * (mean(x) - global_mean(x))``. Every moment is
+    an EXACT integer/decimal sum (x is a count, y sums as
+    decimal(30,6)); the only floating-point ops are the two final
+    divisions — so the readout is bit-deterministic and
+    oracle-checkable, unlike covar_pop over doubles whose partial-sum
+    order is engine-internal. Arms are a deterministic user_id split.
+    Scale shape: one per-user aggregate, one 1-row global moment
+    aggregate (broadcast), one per-arm rollup."""
+    ev = load_table(spark, _t(sf_dir, "events"))
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(30,6)"),
+                )
+            ),
+            F.lit(0).cast("decimal(30,6)"),
+        ).alias("y"),
+    ).withColumn("arm", F.pmod(F.col("user_id"), F.lit(2)).cast("int"))
+    g = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("y").alias("sy_a"),
+        F.sum("x").alias("sx_a"),
+    )
+    out = arms.crossJoin(F.broadcast(g))
+    mean_y = F.col("sy_a").cast("double") / F.col("n_users")
+    mean_x = F.col("sx_a").cast("double") / F.col("n_users")
+    gmean_x = F.col("sx").cast("double") / F.col("n")
+    return out.select(
+        "arm",
+        F.col("n_users").cast("long").alias("n_users"),
+        portable_round(mean_y, 6).alias("mean_y"),
+        portable_round(mean_y - theta * (mean_x - gmean_x), 6).alias(
+            "mean_y_cuped"
+        ),
+        portable_round(theta, 6).alias("theta"),
+    )
+
+
+SQL_CUPED_EXPERIMENT = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS x,
+         coalesce(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(30,6)) END),
+                  CAST(0 AS DECIMAL(30,6))) AS y,
+         CAST(user_id % 2 AS INT) AS arm
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM per_user
+),
+arms AS (
+  SELECT arm, count(*) AS n_users, sum(y) AS sy_a, sum(x) AS sx_a
+  FROM per_user GROUP BY arm
+)
+SELECT arm, CAST(n_users AS BIGINT) AS n_users,
+       floor((CAST(sy_a AS DOUBLE) / n_users) * 1000000 + 0.5) / 1000000
+         AS mean_y,
+       floor((CAST(sy_a AS DOUBLE) / n_users
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * (CAST(sx_a AS DOUBLE) / n_users - CAST(sx AS DOUBLE) / n))
+             * 1000000 + 0.5) / 1000000 AS mean_y_cuped,
+       floor((CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000 + 0.5) / 1000000
+         AS theta
+FROM arms CROSS JOIN g
+"""
+
 
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
@@ -1363,6 +1492,8 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hist_quantiles": q_hist_quantiles,
     "markov_transitions": q_markov_transitions,
     "communities_lpa": q_communities_lpa,
+    "hotkey_purchase_join": q_hotkey_purchase_join,
+    "cuped_experiment": q_cuped_experiment,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -1386,4 +1517,6 @@ ORACLES_AN: dict[str, str] = {
     "hist_quantiles": SQL_HIST_QUANTILES,
     "markov_transitions": SQL_MARKOV_TRANSITIONS,
     "communities_lpa": SQL_COMMUNITIES_LPA,
+    "hotkey_purchase_join": SQL_HOTKEY_PURCHASE_JOIN,
+    "cuped_experiment": SQL_CUPED_EXPERIMENT,
 }

@@ -499,3 +499,42 @@ def test_label_propagation_isolated_vertex_self_loop_dropped(spark):
     # self-loop-only vertex 3 is dropped (no real edges); 1-2 merge
     assert 3 not in out
     assert out[1] == out[2] == 1
+
+
+def test_cuped_reduces_variance_on_correlated_covariate(spark):
+    """With y strongly correlated to x, the CUPED-adjusted per-arm
+    means must move toward each other (the arm difference shrinks)
+    and theta must approximate the known slope."""
+    import __spark_entry__ as entrymod
+
+    rows = []
+    # y = 2x + arm_effect; arm = user % 2; x varies by user
+    for u in range(200):
+        x = 5 + (u * 7) % 45  # covariate: view count
+        rows += [(u * 1000 + i, u, "view", 0.0) for i in range(x)]
+        y = 2.0 * x + (1.0 if u % 2 else 0.0)
+        rows.append((u * 1000 + 999, u, "purchase", y))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, value double")
+    # inline the query body against this frame
+    from etl_finance_pipeline_spark.plans.analytics import q_cuped_experiment  # noqa: F401
+    from etl_finance_pipeline_spark.functions.scalar import portable_round  # noqa: F401
+    from pyspark.sql import functions as F
+
+    per_user = df.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).cast("long").alias("x"),
+        F.coalesce(F.sum(F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(30,6)"))), F.lit(0).cast("decimal(30,6)")).alias("y"),
+    ).withColumn("arm", F.pmod(F.col("user_id"), F.lit(2)).cast("int"))
+    g = per_user.agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"), F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).collect()[0]
+    theta = float(g["n"] * g["sxy"] - g["sx"] * g["sy"]) / float(g["n"] * g["sxx"] - g["sx"] * g["sx"])
+    assert abs(theta - 2.0) < 0.05  # recovers the slope
+    arms = per_user.groupBy("arm").agg(
+        F.avg(F.col("y").cast("double")).alias("my"), F.avg("x").alias("mx")
+    ).collect()
+    gx = sum(r["mx"] for r in arms) / 2  # arms are same-sized by construction? close enough
+    adj = {r["arm"]: r["my"] - theta * (r["mx"] - gx) for r in arms}
+    raw = {r["arm"]: r["my"] for r in arms}
+    assert abs(adj[1] - adj[0] - 1.0) < abs(raw[1] - raw[0] - 1.0) + 1e-9
+    assert abs(adj[1] - adj[0] - 1.0) < 0.2  # near the true effect

@@ -118,3 +118,43 @@ def test_aqe_skew_join_split(spark):
     )
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in plan, f"no skew split in final plan:\n{plan[:2000]}"
+
+
+def test_hotkey_join_equals_plain_join_inner_and_left(spark):
+    """Hot-lane ∪ cold-lane must equal the plain join exactly, for
+    both supported join types, including unmatched-left rows."""
+    from etl_finance_pipeline_spark.functions.skew import hotkey_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(100)]  # hot key 1
+        + [(2, 0), (3, 1), (9, 2)],   # cold keys; 9 has no match
+        "k long, payload long",
+    )
+    right = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, tag string"
+    )
+    for how in ("inner", "left"):
+        got = hotkey_join(left, right, ["k"], how=how, hot_threshold=50)
+        want = left.join(right, ["k"], how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), how
+
+
+def test_hotkey_join_splits_lanes(spark):
+    """The hot lane is genuinely a broadcast join and the cold lane a
+    plain join: plan contains both a BroadcastHashJoin on the split
+    and the unsplit join."""
+    import pytest as _pytest
+
+    from etl_finance_pipeline_spark.functions.skew import hotkey_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(100)] + [(2, 0)], "k long, payload long"
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b")], "k long, tag string")
+    out = hotkey_join(left, right, ["k"], hot_threshold=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    with _pytest.raises(ValueError, match="inner and left"):
+        hotkey_join(left, right, ["k"], how="full")
