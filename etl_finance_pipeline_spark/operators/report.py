@@ -416,3 +416,79 @@ def on_balance_volume(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn(out_col, F.sum(signed).over(cum))
+
+
+def cusum_monitor(
+    df: DataFrame,
+    value_col: str = "CLOSE",
+    ts_col: str = "TIMESTAMP",
+    key_cols: list[str] | None = None,
+    kappa_frac: float = 0.005,
+    h_frac: float = 0.05,
+) -> DataFrame:
+    """Two-sided CUSUM change-point monitor (Page 1954): per key,
+    ``S+_t = max(0, S+_{t-1} + (x_t − μ) − κ)`` and
+    ``S−_t = max(0, S−_{t-1} − (x_t − μ) − κ)``, alarming when either
+    statistic exceeds the decision threshold h — the classic
+    drift/level-shift detector for series monitoring. μ is the key's
+    exact mean (decimal sum ÷ count — reference-period mean in
+    production); κ = *kappa_frac*·μ (slack) and h = *h_frac*·μ.
+
+    The clamped recursion is non-associative (the max(0,·) floor
+    carries), so like the EWMA family it runs in the grouped-map
+    pandas lane; every update is +/−/max over doubles, so a recursive
+    SQL oracle reproduces it bit-for-bit.
+
+    Output: input columns + CUSUM_HIGH, CUSUM_LOW, ALARM.
+    """
+    import pandas as pd  # noqa: F401 (Arrow lane)
+
+    keys = key_cols or []
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["CUSUM_HIGH double", "CUSUM_LOW double", "ALARM boolean"]
+    )
+
+    def _kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        x = pdf[value_col].astype("float64").to_numpy()
+        # μ arrives precomputed (exact decimal mean, engine-side) so
+        # the kernel never does its own summation
+        mu = float(pdf["_MU"].iloc[0])
+        kappa = kappa_frac * mu
+        h = h_frac * mu
+        s_hi, s_lo = 0.0, 0.0
+        his, los, alarms = [], [], []
+        for v in x:
+            s_hi = max(0.0, s_hi + (v - mu) - kappa)
+            s_lo = max(0.0, s_lo - (v - mu) - kappa)
+            his.append(s_hi)
+            los.append(s_lo)
+            alarms.append(s_hi > h or s_lo > h)
+        pdf["CUSUM_HIGH"] = his
+        pdf["CUSUM_LOW"] = los
+        pdf["ALARM"] = alarms
+        return pdf.drop(columns=["_MU"])
+
+    mu_expr = (
+        F.sum(F.col(value_col).cast("decimal(30,6)")).cast("double")
+        / F.count("*")
+    ).alias("_MU")
+    if keys:
+        mu_df = df.groupBy(*keys).agg(mu_expr)
+        return df.join(mu_df, keys).groupBy(*keys).applyInPandas(
+            _kernel, out_schema
+        )
+    probe = df.limit(_KEYLESS_EWMA_MAX_ROWS + 1).count()
+    if probe > _KEYLESS_EWMA_MAX_ROWS:
+        raise ValueError(
+            "cusum_monitor with key_cols=None sends the whole frame "
+            f"through one task; input exceeds {_KEYLESS_EWMA_MAX_ROWS:,} "
+            "rows. Pass key_cols to distribute the series."
+        )
+    return (
+        df.crossJoin(F.broadcast(df.agg(mu_expr)))
+        .withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda p: _kernel(p.drop(columns=["_g"])), out_schema)
+    )

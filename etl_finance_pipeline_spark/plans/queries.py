@@ -2445,6 +2445,61 @@ FROM signed
 """
 
 
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM level-shift monitor over the 5-minute candles
+    (operators.report.cusum_monitor). Oracle: recursive CTE running
+    the identical clamped recursion — every update is +/−/max over
+    doubles seeded from the same exact decimal mean, so the rounded
+    hash matches bit-for-bit."""
+    from etl_finance_pipeline_spark.operators.report import cusum_monitor
+
+    c = _candles_5m_raw(spark, sf_dir)
+    out = cusum_monitor(c, key_cols=["SYMBOL"])
+    return out.select(
+        F.col("SYMBOL").alias("symbol"),
+        F.col("TIMESTAMP").alias("ts"),
+        _pr("CUSUM_HIGH", 6).alias("cusum_high"),
+        _pr("CUSUM_LOW", 6).alias("cusum_low"),
+        F.col("ALARM").alias("alarm"),
+    )
+
+
+SQL_CUSUM = """
+WITH RECURSIVE dedup AS (
+  SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) = 1
+), c5 AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL 5 MINUTE, ts) AS ts,
+         arg_max(value, ts) AS close
+  FROM dedup GROUP BY 1, 2
+), mu AS (
+  SELECT symbol,
+         CAST(sum(CAST(close AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS mu
+  FROM c5 GROUP BY 1
+), ord AS (
+  SELECT c5.symbol, c5.ts, c5.close, mu.mu,
+         row_number() OVER (PARTITION BY c5.symbol ORDER BY c5.ts) AS rn
+  FROM c5 JOIN mu ON mu.symbol = c5.symbol
+), rec AS (
+  SELECT symbol, ts, close, mu, rn,
+         greatest(0.0, 0.0 + (close - mu) - 0.005 * mu) AS s_hi,
+         greatest(0.0, 0.0 - (close - mu) - 0.005 * mu) AS s_lo
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.symbol, o.ts, o.close, o.mu, o.rn,
+         greatest(0.0, r.s_hi + (o.close - o.mu) - 0.005 * o.mu) AS s_hi,
+         greatest(0.0, r.s_lo - (o.close - o.mu) - 0.005 * o.mu) AS s_lo
+  FROM rec r JOIN ord o ON o.symbol = r.symbol AND o.rn = r.rn + 1
+)
+SELECT symbol, ts,
+       floor(s_hi * 1000000 + 0.5) / 1000000 AS cusum_high,
+       floor(s_lo * 1000000 + 0.5) / 1000000 AS cusum_low,
+       (s_hi > 0.05 * mu OR s_lo > 0.05 * mu) AS alarm
+FROM rec
+"""
+
+
 def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation under the oracle gate. The
     events table's handful of event_type groups is the classic
@@ -2878,6 +2933,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "macd": q_macd,
     "rsi": q_rsi,
     "obv": q_obv,
+    "cusum": q_cusum,
     "salted_event_stats": q_salted_event_stats,
     "salted_purchase_join": q_salted_purchase_join,
     "bm25_search": q_bm25_search,
@@ -2946,6 +3002,7 @@ ORACLES: dict[str, str] = {
     "macd": SQL_MACD,
     "rsi": SQL_RSI,
     "obv": SQL_OBV,
+    "cusum": SQL_CUSUM,
     "salted_event_stats": SQL_SALTED_EVENT_STATS,
     "salted_purchase_join": SQL_SALTED_PURCHASE_JOIN,
     "bm25_search": SQL_BM25_SEARCH,

@@ -321,3 +321,27 @@ def test_wilder_rsi_flat_series_is_50(spark):
     df = spark.createDataFrame(rows, "SYMBOL string, TIMESTAMP timestamp, CLOSE double")
     out = wilder_rsi(df, key_cols=["SYMBOL"]).orderBy("TIMESTAMP").collect()
     assert [r["RSI"] for r in out[1:]] == [50.0, 50.0, 50.0]
+
+
+def test_cusum_detects_level_shift(spark):
+    """A mid-series level shift drives CUSUM_HIGH over the threshold;
+    the pre-shift segment stays quiet (statistic clamped near zero)."""
+    from datetime import datetime, timedelta
+
+    from etl_finance_pipeline_spark.operators.report import cusum_monitor
+
+    t0 = datetime(2024, 1, 1)
+    closes = [100.0] * 30 + [110.0] * 30  # +10% shift at the midpoint
+    rows = [("A", t0 + timedelta(minutes=i), c) for i, c in enumerate(closes)]
+    df = spark.createDataFrame(rows, "SYMBOL string, TIMESTAMP timestamp, CLOSE double")
+    out = cusum_monitor(df, key_cols=["SYMBOL"]).orderBy("TIMESTAMP").collect()
+    # mu is the whole-series mean (105): the pre-shift segment sits
+    # BELOW it, so the low-side statistic climbs and alarms; after the
+    # shift the low side drains back to zero while the high side
+    # climbs and alarms — the signature of a level shift
+    assert out[0]["ALARM"] is False  # one sample is not enough
+    assert out[29]["CUSUM_LOW"] > out[0]["CUSUM_LOW"]
+    assert out[29]["CUSUM_HIGH"] == 0.0
+    assert out[-1]["CUSUM_LOW"] == 0.0
+    assert out[-1]["CUSUM_HIGH"] > 100.0
+    assert all(r["ALARM"] for r in out[-20:])
