@@ -799,3 +799,128 @@ def sample_video_frames(
             )
 
     return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)
+
+
+def frame_delta_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("media_id",),
+    frame_bytes: int = 64,
+    cut_threshold: float = 30.0,
+) -> DataFrame:
+    """Scene-cut detection over the frame-sampling lane: the payload
+    is read as consecutive *frame_bytes*-sized frames; every adjacent
+    pair reports its mean absolute byte difference (numpy-vectorized
+    over the whole clip at once) and a cut flag at *cut_threshold* —
+    the shot-boundary heuristic video pipelines run before keyframe
+    extraction. Exact integer sums, one float division per frame, so
+    a SQL oracle reproduces the deltas bit-for-bit.
+
+    Output: id columns + (frame_index, delta, is_cut), one row per
+    frame AFTER the first (index is the later frame's).
+    """
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("delta", T.DoubleType()),
+            T.StructField("is_cut", T.BooleanType()),
+        ]
+    )
+    id_list = list(id_cols)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r[content_col]
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                n_frames = len(b) // frame_bytes
+                if n_frames < 2:
+                    continue
+                arr = (
+                    np.frombuffer(b, dtype=np.uint8, count=n_frames * frame_bytes)
+                    .reshape(n_frames, frame_bytes)
+                    .astype(np.int16)
+                )
+                sums = np.abs(arr[1:] - arr[:-1]).sum(
+                    axis=1, dtype=np.int64
+                )
+                deltas = sums / float(frame_bytes)
+                for i, d in enumerate(deltas, start=1):
+                    rows.append(
+                        {
+                            **{c: r[c] for c in id_list},
+                            "frame_index": i,
+                            "delta": float(d),
+                            "is_cut": bool(d > cut_threshold),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=id_list + ["frame_index", "delta", "is_cut"]
+            )
+
+    return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)
+
+
+def detect_silence(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("media_id",),
+    window_samples: int = 100,
+    rms_threshold: float = 80.0,
+) -> DataFrame:
+    """Silence detection over signed-8-bit PCM payloads: the clip is
+    cut into *window_samples*-sized windows, each window's RMS is an
+    exact integer sum of squares with one sqrt, and windows under
+    *rms_threshold* count as silent — the trim/segment primitive for
+    audio corpus prep (drop dead air before transcription). One
+    numpy pass per clip; trailing partial windows are ignored.
+
+    Output: id columns + (n_windows, n_silent, silence_frac).
+    """
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [
+            T.StructField("n_windows", T.LongType()),
+            T.StructField("n_silent", T.LongType()),
+            T.StructField("silence_frac", T.DoubleType()),
+        ]
+    )
+    id_list = list(id_cols)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            out_rows = {c: [] for c in ("n_windows", "n_silent", "silence_frac")}
+            for payload in pdf[content_col]:
+                if payload is None or len(payload) < window_samples:
+                    out_rows["n_windows"].append(0)
+                    out_rows["n_silent"].append(0)
+                    out_rows["silence_frac"].append(None)
+                    continue
+                samples = np.frombuffer(bytes(payload), dtype=np.int8)
+                nw = samples.size // window_samples
+                wins = (
+                    samples[: nw * window_samples]
+                    .reshape(nw, window_samples)
+                    .astype(np.int64)
+                )
+                sq = (wins * wins).sum(axis=1)
+                rms = np.sqrt(sq / float(window_samples))
+                n_silent = int(np.count_nonzero(rms < rms_threshold))
+                out_rows["n_windows"].append(nw)
+                out_rows["n_silent"].append(n_silent)
+                out_rows["silence_frac"].append(n_silent / nw)
+            out = pdf[id_list].copy()
+            for c, v in out_rows.items():
+                out[c] = v
+            yield out
+
+    return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)

@@ -1464,6 +1464,103 @@ FROM idx
 """
 
 
+def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection on the fake-video lane: adjacent
+    64-byte frames report their mean absolute byte difference and a
+    cut flag — numpy-vectorized per clip inside mapInPandas; integer
+    sums + one division, so the oracle recomputes every delta from
+    the character codes exactly."""
+    from etl_finance_pipeline_spark.operators.multimodal import frame_delta_stats
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    out = frame_delta_stats(docs, frame_bytes=64, cut_threshold=30.0)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_index").cast("long").alias("frame_index"),
+        _pr("delta", 6).alias("delta"),
+        F.col("is_cut"),
+    )
+
+
+SQL_SCENE_CUTS = """
+WITH f AS (
+  SELECT doc_id, text, CAST(len(text) // 64 AS BIGINT) AS nf FROM documents
+),
+idx AS (
+  SELECT doc_id, text, unnest(range(1, nf)) AS i FROM f WHERE nf >= 2
+),
+d AS (
+  SELECT doc_id, i,
+         list_sum(list_transform(generate_series(1, 64),
+           j -> abs(ord(substr(text, CAST(i * 64 + j AS BIGINT), 1))
+                    - ord(substr(text, CAST((i - 1) * 64 + j AS BIGINT), 1)))
+         )) / 64.0 AS delta
+  FROM idx
+)
+SELECT doc_id, CAST(i AS BIGINT) AS frame_index,
+       floor(delta * 1000000 + 0.5) / 1000000 AS delta,
+       delta > 30.0 AS is_cut
+FROM d
+"""
+
+
+def q_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation on the fake-PCM lane: 100-sample windows,
+    exact integer sum-of-squares RMS, threshold 80 (ASCII character
+    codes run ~32-126, so real text straddles the line). The oracle
+    recomputes every window from character codes."""
+    from etl_finance_pipeline_spark.operators.multimodal import detect_silence
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    out = detect_silence(docs, window_samples=100, rms_threshold=80.0)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_silent").cast("long").alias("n_silent"),
+        _pr("silence_frac", 6).alias("silence_frac"),
+    )
+
+
+SQL_AUDIO_SILENCE = """
+WITH f AS (
+  SELECT doc_id, text, CAST(len(text) // 100 AS BIGINT) AS nw FROM documents
+),
+win AS (
+  SELECT doc_id, text, unnest(range(0, nw)) AS w FROM f WHERE nw >= 1
+),
+r AS (
+  SELECT doc_id, w,
+         sqrt(list_sum(list_transform(generate_series(1, 100),
+           j -> CAST(
+             (CASE WHEN ord(substr(text, CAST(w * 100 + j AS BIGINT), 1)) > 127
+                   THEN ord(substr(text, CAST(w * 100 + j AS BIGINT), 1)) - 256
+                   ELSE ord(substr(text, CAST(w * 100 + j AS BIGINT), 1)) END)
+             * (CASE WHEN ord(substr(text, CAST(w * 100 + j AS BIGINT), 1)) > 127
+                     THEN ord(substr(text, CAST(w * 100 + j AS BIGINT), 1)) - 256
+                     ELSE ord(substr(text, CAST(w * 100 + j AS BIGINT), 1)) END)
+             AS DOUBLE)
+         )) / 100.0) AS rms
+  FROM win
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_windows,
+         sum(CASE WHEN rms < 80.0 THEN 1 ELSE 0 END) AS n_silent
+  FROM r GROUP BY 1
+)
+SELECT f.doc_id,
+       CAST(coalesce(agg.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(agg.n_silent, 0) AS BIGINT) AS n_silent,
+       CASE WHEN agg.n_windows IS NULL THEN NULL
+            ELSE floor((agg.n_silent * 1.0 / agg.n_windows) * 1000000 + 0.5)
+                 / 1000000 END AS silence_frac
+FROM f LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_audio_stats_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec path under the oracle gate: document text
     bytes → a genuine RIFF/WAV container (16-bit PCM mono, written by
@@ -2411,6 +2508,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_stats_wav": q_audio_stats_wav,
     "image_stats_ppm": q_image_stats_ppm,
     "video_frames": q_video_frames,
+    "scene_cuts": q_scene_cuts,
+    "audio_silence": q_audio_silence,
     "stream_candles": q_stream_candles,
     "stream_sessions": q_stream_sessions,
     "stream_dedupe": q_stream_dedupe,
@@ -2463,6 +2562,8 @@ ORACLES_TD: dict[str, str] = {
     "audio_stats_wav": SQL_AUDIO_STATS_WAV,
     "image_stats_ppm": SQL_IMAGE_STATS_PPM,
     "video_frames": SQL_VIDEO_FRAMES,
+    "scene_cuts": SQL_SCENE_CUTS,
+    "audio_silence": SQL_AUDIO_SILENCE,
     "stream_candles": SQL_STREAM_CANDLES,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedupe": SQL_STREAM_DEDUPE,

@@ -353,3 +353,38 @@ def test_audio_zcr_single_sample_is_null(spark):
     df = spark.createDataFrame([(1, bytearray([5]))], ["media_id", "content"])
     stats = decode_audio_stats(df, decode="fake").collect()[0]["stats"]
     assert stats["zcr"] is None
+
+
+def test_frame_delta_scene_cut_detection(spark):
+    """A payload of constant frames with one abrupt change yields
+    near-zero deltas everywhere except the cut, which is flagged."""
+    from etl_finance_pipeline_spark.operators.multimodal import frame_delta_stats
+
+    payload = bytes([10] * 192 + [200] * 128)  # 3 quiet frames, cut, 2 loud
+    df = spark.createDataFrame([(1, payload)], "media_id long, content binary")
+    out = {
+        r["frame_index"]: r
+        for r in frame_delta_stats(df, frame_bytes=64).collect()
+    }
+    assert sorted(out) == [1, 2, 3, 4]
+    assert out[1]["delta"] == 0.0 and not out[1]["is_cut"]
+    assert out[3]["delta"] == 190.0 and out[3]["is_cut"]
+    assert out[4]["delta"] == 0.0 and not out[4]["is_cut"]
+
+
+def test_detect_silence_windows(spark):
+    """Quiet windows (|sample| small) count as silent; loud ones not;
+    the trailing partial window is ignored."""
+    from etl_finance_pipeline_spark.operators.multimodal import detect_silence
+
+    quiet = bytes([2] * 100)          # rms 2
+    loud = bytes([120] * 100)         # rms 120
+    payload = quiet + loud + quiet + bytes([5] * 30)  # partial tail
+    df = spark.createDataFrame([(1, payload)], "media_id long, content binary")
+    r = detect_silence(df, window_samples=100, rms_threshold=80.0).collect()[0]
+    assert r["n_windows"] == 3 and r["n_silent"] == 2
+    assert abs(r["silence_frac"] - 2 / 3) < 1e-12
+    # too-short payload -> zero windows, NULL fraction
+    df2 = spark.createDataFrame([(2, bytes([1] * 50))], "media_id long, content binary")
+    r2 = detect_silence(df2).collect()[0]
+    assert r2["n_windows"] == 0 and r2["silence_frac"] is None
