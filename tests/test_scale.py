@@ -340,3 +340,49 @@ def test_scale_binned_quartiles(bigspark):
     )
     rows, dt = _timed_count(out, "binned quartiles 50M x 5 groups")
     assert rows == 20
+
+
+def test_scale_hotkey_join(bigspark):
+    """50M-row left side where ONE key holds 20% of all rows joined to
+    a 1M-row right side: the hot lane broadcasts a single right row,
+    the cold lane shuffles normally, and the union count equals the
+    plain join exactly."""
+    from etl_finance_pipeline_spark.functions.skew import hotkey_join
+
+    left = bigspark.range(50_000_000).select(
+        F.when(F.col("id") % 5 == 0, F.lit(7)).otherwise(F.col("id") % 1_000_000)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = bigspark.range(1_000_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("tag")
+    )
+    out = hotkey_join(left, right, ["k"], hot_threshold=1_000_000)
+    _assert_only_scalar_single_partition(out, "hotkey_join")
+    rows, _ = _timed_count(out, "hotkey join 50M skewed")
+    assert rows == 50_000_000
+
+
+def test_scale_set_similarity_join(bigspark):
+    """200k docs (20k 10-copy groups, distinct rare tokens per group):
+    the prefix filter must keep candidate generation proportional to
+    true near-dup volume, not all pairs."""
+    from etl_finance_pipeline_spark.operators.dedup import set_similarity_join
+
+    df = bigspark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.format_string("alpha%d beta%d gamma%d delta%d", *([(F.col("id") / 10).cast("long")] * 4)),
+            F.format_string("tail%d", F.col("id") % 3),
+        ).alias("text"),
+    )
+    out = set_similarity_join(df, threshold=0.8)
+    _assert_distributed_plan(out, "set_similarity_join")
+    rows, _ = _timed_count(out, "set-sim 200k docs")
+    # each 10-copy group with equal tail tokens pairs up: groups have
+    # tails 0,0,0,0 pattern per id%3 -> within group, docs sharing the
+    # same tail are identical (J=1); cross-tail J = 4/6 < 0.8
+    # per group: tails of ids 10g..10g+9 = g*10+i mod 3 -> counts {4,3,3}
+    # pairs per group: C(4,2)+C(3,2)+C(3,2) = 6+3+3 = 12
+    assert rows == 20_000 * 12
