@@ -35,28 +35,19 @@ _SHOWCASE_FIRST = (
     "candles_5m",
     "dedupe_keep_first",
     "missing_minutes",
-    "gap_islands",
     "interpolate_linear",
     "dq_profile",
-    "macd",
     "revenue_rollup",
     "market_share",
-    "grouping_sets_sql",
     "salted_event_stats",
-    "salted_purchase_join",
     "tfidf_top_terms",
     "bm25_search",
     "exact_dedup_docs",
     "minhash_lsh_pairs",
-    "incremental_near_dup",
-    "simhash_pairs",
     "embed_near_dup",
     "near_dup_clusters",
-    "ann_topk",
     "ann_ivf_trained",
     "lang_id",
-    "quality_score",
-    "token_counts",
     "bpe_train",
     "pack_sequences",
     "audio_stats_wav",  # real WAV codec path (stdlib wave round-trip)
@@ -81,6 +72,15 @@ _SHOWCASE_FIRST = (
     "image_resize_ppm",
     "hist_quantiles",  # mergeable fixed-grid histogram quantiles (round 5)
     "order_quartiles",  # binned-histogram quartile rewrite (round 5)
+    "set_similarity_exact",  # PPJoin prefix filter (round 5)
+    "rsi",  # Wilder recursion via pandas lane (round 5)
+    "cusum",  # change-point monitor (round 5)
+    "communities_lpa",  # label propagation (round 5)
+    "cuped_experiment",  # variance-reduced A/B readout (round 5)
+    "markov_transitions",  # sequence analytics (round 5)
+    "stream_near_dup",  # streaming LSH vs standing corpus (round 5)
+    "weighted_sample",  # A-Res weighted draw (round 5)
+    "hotkey_purchase_join",  # hot/cold split join (round 5)
 )
 
 
