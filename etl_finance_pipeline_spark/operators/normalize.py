@@ -402,3 +402,61 @@ def normalize_df(
         report["ts_coerced_to_null"] = agg_row["ts_coerced_to_null"]
         report["coercions"] = coercion_report.collect()[0].asDict() if coercion_report.columns else {}
     return NormalizeResult(df=out, report=report)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two table snapshots on a business key:
+    classify every key as ``added`` (only in *new*), ``removed``
+    (only in *old*) or ``changed`` (present in both with any compared
+    column differing; identical rows are omitted). The reconciliation
+    primitive behind snapshot-feed ingestion (no CDC stream — just
+    yesterday's file and today's) and table-migration sign-off;
+    complements the table format's commit-level ``read_changes``,
+    which diffs versions of ONE table rather than two arbitrary
+    frames.
+
+    One full outer join hash-partitioned on the key; column
+    comparison is null-safe (``<=>``), so NULL→value and value→NULL
+    both count as changes while NULL==NULL does not.
+
+    Output: key columns + change_type.
+    """
+    cmp_cols = compare_cols or [
+        c for c in old.columns if c not in key_cols and c in new.columns
+    ]
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_ov_{c}") for c in cmp_cols],
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_n_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_nv_{c}") for c in cmp_cols],
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"_o_{k}") == F.col(f"_n_{k}")
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_o_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"_n_{key_cols[0]}").isNotNull()
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"_o_{k}"), F.col(f"_n_{k}")).alias(k)
+        for k in key_cols
+    ]
+    return (
+        j.select(*out_keys, change.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )

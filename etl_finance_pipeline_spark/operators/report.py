@@ -492,3 +492,56 @@ def cusum_monitor(
         .groupBy("_g")
         .applyInPandas(lambda p: _kernel(p.drop(columns=["_g"])), out_schema)
     )
+
+
+def trend_ols(
+    df: DataFrame,
+    value_col: str = "CLOSE",
+    ts_col: str = "TIMESTAMP",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend line over the
+    time-ordered series: slope and intercept of y against the row
+    index x = 0..n−1 (index regression sidesteps epoch-scale x²
+    overflow and makes the slope "value change per bar"). Every
+    moment is an exact sum — x is a small integer, y sums as
+    decimal(30,6), Σxy as decimal — so slope/intercept are one
+    deterministic double division each, like the CUPED readout.
+
+    One per-key ordered window (row index) + one aggregate. Output:
+    key columns + (n, slope, intercept) — slope NULL for 1-row keys.
+    """
+    keys = key_cols or []
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    idx = (F.row_number().over(w) - 1).cast("long")
+    with_x = df.select(
+        *keys,
+        idx.alias("_x"),
+        F.col(value_col).cast("decimal(30,6)").alias("_y"),
+    )
+    g = with_x.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    denom = (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    slope = F.when(
+        F.col("n") > 1,
+        (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+            "double"
+        )
+        / denom,
+    )
+    intercept = (
+        F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
+    ) / F.col("n")
+    return g.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )

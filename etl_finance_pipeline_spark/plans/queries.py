@@ -2500,6 +2500,104 @@ FROM rec
 """
 
 
+def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol OLS trend over the 5-minute candle series: exact
+    integer/decimal moments, one double division per coefficient —
+    deterministic cross-engine like the CUPED readout."""
+    from etl_finance_pipeline_spark.operators.report import trend_ols
+
+    c = _candles_5m_raw(spark, sf_dir)
+    out = trend_ols(c, key_cols=["SYMBOL"])
+    return out.select(
+        F.col("SYMBOL").alias("symbol"),
+        "n",
+        _pr("slope", 6).alias("slope"),
+        _pr("intercept", 6).alias("intercept"),
+    )
+
+
+SQL_TREND_OLS = """
+WITH dedup AS (
+  SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) = 1
+), c5 AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL 5 MINUTE, ts) AS ts,
+         arg_max(value, ts) AS close
+  FROM dedup GROUP BY 1, 2
+), xy AS (
+  SELECT symbol,
+         CAST(row_number() OVER (PARTITION BY symbol ORDER BY ts) - 1
+              AS BIGINT) AS x,
+         CAST(close AS DECIMAL(30,6)) AS y
+  FROM c5
+), g AS (
+  SELECT symbol, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT symbol, CAST(n AS BIGINT) AS n,
+       floor((CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000 + 0.5) / 1000000
+         AS slope,
+       floor(((CAST(sy AS DOUBLE)
+               - (CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE)) / n) * 1000000 + 0.5) / 1000000
+         AS intercept
+FROM g
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation under the gate: two deterministic
+    customer-table variants (rows dropped on each side + an acctbal
+    bump on a third stripe) diffed on the business key — added /
+    removed / changed, unchanged rows omitted, null-safe comparison."""
+    from etl_finance_pipeline_spark.operators.normalize import snapshot_diff
+
+    cust = load_table(spark, _t(sf_dir, "customer"))
+    old = cust.filter(F.col("c_custkey") % 97 != 3)
+    new = cust.filter(F.col("c_custkey") % 97 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    out = snapshot_diff(
+        old, new, ["c_custkey"], compare_cols=["c_acctbal", "c_mktsegment"]
+    )
+    return out.select(F.col("c_custkey").alias("custkey"), "change_type")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+  WHERE c_custkey % 97 != 3
+),
+new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 97 != 0
+),
+j AS (
+  SELECT o.c_custkey AS ok, n.c_custkey AS nk,
+         coalesce(o.c_custkey, n.c_custkey) AS custkey,
+         CASE
+           WHEN o.c_custkey IS NULL THEN 'added'
+           WHEN n.c_custkey IS NULL THEN 'removed'
+           WHEN NOT (o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+                     AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+             THEN 'changed'
+         END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT custkey, change_type FROM j WHERE change_type IS NOT NULL
+"""
+
+
 def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation under the oracle gate. The
     events table's handful of event_type groups is the classic
@@ -2934,6 +3032,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rsi": q_rsi,
     "obv": q_obv,
     "cusum": q_cusum,
+    "trend_ols": q_trend_ols,
+    "snapshot_diff": q_snapshot_diff,
     "salted_event_stats": q_salted_event_stats,
     "salted_purchase_join": q_salted_purchase_join,
     "bm25_search": q_bm25_search,
@@ -3003,6 +3103,8 @@ ORACLES: dict[str, str] = {
     "rsi": SQL_RSI,
     "obv": SQL_OBV,
     "cusum": SQL_CUSUM,
+    "trend_ols": SQL_TREND_OLS,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "salted_event_stats": SQL_SALTED_EVENT_STATS,
     "salted_purchase_join": SQL_SALTED_PURCHASE_JOIN,
     "bm25_search": SQL_BM25_SEARCH,

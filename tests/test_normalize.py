@@ -186,3 +186,30 @@ def test_remove_duplicates_multi_order_cols(spark):
     out = remove_duplicates(df, ["sym", "ts"], ["o1", "o2"]).collect()
     assert len(out) == 1
     assert out[0]["val"] == 30.0  # (4, 9) < (5, 1) < (5, 2)
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from etl_finance_pipeline_spark.operators.normalize import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged -> omitted
+         (2, "b", 21.0),        # changed value
+         (3, "c", None),        # NULL == NULL -> unchanged, omitted
+         (5, "e", 50.0)],       # added; 4 removed
+        "k long, name string, v double",
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {2: "changed", 4: "removed", 5: "added"}
+
+
+def test_snapshot_diff_null_to_value_counts_as_change(spark):
+    from etl_finance_pipeline_spark.operators.normalize import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, v double")
+    new = spark.createDataFrame([(1, 7.0)], "k long, v double")
+    got = snapshot_diff(old, new, ["k"]).collect()
+    assert got[0]["change_type"] == "changed"
