@@ -1,0 +1,111 @@
+"""Tabular ML / privacy preparation operators: k-anonymity audit,
+group-mean imputation, deterministic categorical indexing.
+
+Each is one or two hash-partitioned aggregates plus a broadcast-sized
+mapping — the standard feature-prep steps a training pipeline runs
+after dedup/filtering and before encoding, expressed so a SQL oracle
+reproduces them exactly (decimal-exact means, frequency/lexical
+tiebreaks instead of arrival order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier combination: every
+    equivalence class (distinct quasi-id tuple) reports its size and
+    whether it violates k (fewer than *k* rows ⇒ those rows are
+    re-identifiable within the release). The privacy gate a dataset
+    publisher runs before sharing; the follow-up (suppress or
+    generalize violating classes) is a semi-join on the output.
+
+    One map-side-combinable groupBy on the quasi-id columns.
+
+    Output: quasi columns + (class_size, violates_k).
+    """
+    return df.groupBy(*quasi_cols).agg(
+        F.count("*").alias("class_size")
+    ).select(
+        *quasi_cols,
+        F.col("class_size").cast("long").alias("class_size"),
+        (F.col("class_size") < k).alias("violates_k"),
+    )
+
+
+def impute_group_mean(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fill NULLs in *value_col* with the column's per-group mean
+    (computed over the non-null rows, as an exact decimal sum ÷ count
+    so engines agree bit-for-bit) — the baseline tabular imputer.
+    Groups that are entirely NULL stay NULL (no global fallback —
+    silently mixing group and global statistics is how imputers leak
+    across strata).
+
+    One aggregate + one broadcast-or-shuffle join on the group key;
+    flag column ``<out>_imputed`` records which rows were filled.
+    """
+    out = out_col or value_col
+    means = df.groupBy(*group_cols).agg(
+        (
+            F.sum(F.col(value_col).cast("decimal(30,6)")).cast("double")
+            / F.count(value_col)
+        ).alias("_gmean")
+    )
+    j = df.join(means, group_cols, "left")
+    return j.select(
+        *[c for c in df.columns if c != value_col],
+        F.coalesce(F.col(value_col), F.col("_gmean")).alias(out),
+        (
+            F.col(value_col).isNull() & F.col("_gmean").isNotNull()
+        ).alias(f"{out}_imputed"),
+    )
+
+
+def string_index(
+    df: DataFrame,
+    col: str,
+    out_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic categorical indexer (StringIndexer semantics with
+    a portable tiebreak): labels are ranked by frequency descending,
+    then lexically — index 0 is the most frequent value — and every
+    row gets its label's index. NULL values index to NULL.
+
+    The vocabulary frame is |distinct values| rows; its ranking window
+    is unpartitioned BY DESIGN (a vocabulary is broadcast-sized by
+    definition — if yours isn't, you want feature hashing, not an
+    index map). The encode join broadcasts the mapping.
+
+    Returns (encoded_df, mapping_df) — mapping is (value, index,
+    freq) for export alongside the model.
+    """
+    out = out_col or f"{col}_idx"
+    freq = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col(col))
+    mapping = freq.select(
+        F.col(col).alias("value"),
+        (F.row_number().over(w) - 1).cast("long").alias("index"),
+        F.col("freq").cast("long").alias("freq"),
+    )
+    encoded = df.join(
+        F.broadcast(mapping.withColumnRenamed("value", col)),
+        col,
+        "left",
+    ).select(*df.columns, F.col("index").alias(out))
+    return encoded, mapping

@@ -1470,6 +1470,96 @@ SELECT arm, CAST(n_users AS BIGINT) AS n_users,
 FROM arms CROSS JOIN g
 """
 
+# --------------------------------------------------------------------
+# ML / privacy prep: k-anonymity, imputation, categorical indexing
+# --------------------------------------------------------------------
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit on (mktsegment, nationkey) quasi-identifiers
+    at k=200: equivalence-class sizes + violation flags."""
+    from etl_finance_pipeline_spark.operators.mlprep import k_anonymity_audit
+
+    cust = load_table(spark, _t(sf_dir, "customer"))
+    return k_anonymity_audit(cust, ["c_mktsegment", "c_nationkey"], k=200)
+
+
+SQL_K_ANONYMITY = """
+SELECT c_mktsegment, c_nationkey,
+       CAST(count(*) AS BIGINT) AS class_size,
+       count(*) < 200 AS violates_k
+FROM customer GROUP BY 1, 2
+"""
+
+
+def q_impute_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation under the gate: acctbal values on a
+    deterministic stripe are nulled out, then refilled with the
+    per-segment mean of the REMAINING rows (exact decimal mean);
+    all-NULL groups would stay NULL by contract."""
+    from etl_finance_pipeline_spark.operators.mlprep import impute_group_mean
+
+    cust = load_table(spark, _t(sf_dir, "customer")).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 11 != 0, F.col("c_acctbal")).alias(
+            "c_acctbal"
+        ),
+    )
+    out = impute_group_mean(cust, "c_acctbal", ["c_mktsegment"])
+    return out.select(
+        F.col("c_custkey").alias("custkey"),
+        portable_round(F.col("c_acctbal"), 6).alias("acctbal"),
+        F.col("c_acctbal_imputed").alias("imputed"),
+    )
+
+
+SQL_IMPUTE_ACCTBAL = """
+WITH masked AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 11 != 0 THEN c_acctbal END AS v
+  FROM customer
+),
+m AS (
+  SELECT c_mktsegment,
+         CAST(sum(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / count(v) AS gmean
+  FROM masked GROUP BY 1
+)
+SELECT c_custkey AS custkey,
+       floor(coalesce(v, gmean) * 1000000 + 0.5) / 1000000 AS acctbal,
+       (v IS NULL AND gmean IS NOT NULL) AS imputed
+FROM masked JOIN m USING (c_mktsegment)
+"""
+
+
+def q_segment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic categorical indexing: market segments ranked by
+    frequency desc then lexically; every customer row carries its
+    segment's index."""
+    from etl_finance_pipeline_spark.operators.mlprep import string_index
+
+    cust = load_table(spark, _t(sf_dir, "customer"))
+    encoded, _ = string_index(cust, "c_mktsegment")
+    return encoded.select(
+        F.col("c_custkey").alias("custkey"),
+        "c_mktsegment",
+        F.col("c_mktsegment_idx").alias("segment_idx"),
+    )
+
+
+SQL_SEGMENT_INDEX = """
+WITH freq AS (
+  SELECT c_mktsegment, count(*) AS f FROM customer GROUP BY 1
+),
+m AS (
+  SELECT c_mktsegment,
+         CAST(row_number() OVER (ORDER BY f DESC, c_mktsegment) - 1
+              AS BIGINT) AS idx
+  FROM freq
+)
+SELECT c.c_custkey AS custkey, c.c_mktsegment, m.idx AS segment_idx
+FROM customer c JOIN m USING (c_mktsegment)
+"""
+
 
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
@@ -1494,6 +1584,9 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "communities_lpa": q_communities_lpa,
     "hotkey_purchase_join": q_hotkey_purchase_join,
     "cuped_experiment": q_cuped_experiment,
+    "k_anonymity": q_k_anonymity,
+    "impute_acctbal": q_impute_acctbal,
+    "segment_index": q_segment_index,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -1519,4 +1612,7 @@ ORACLES_AN: dict[str, str] = {
     "communities_lpa": SQL_COMMUNITIES_LPA,
     "hotkey_purchase_join": SQL_HOTKEY_PURCHASE_JOIN,
     "cuped_experiment": SQL_CUPED_EXPERIMENT,
+    "k_anonymity": SQL_K_ANONYMITY,
+    "impute_acctbal": SQL_IMPUTE_ACCTBAL,
+    "segment_index": SQL_SEGMENT_INDEX,
 }

@@ -538,3 +538,47 @@ def test_cuped_reduces_variance_on_correlated_covariate(spark):
     raw = {r["arm"]: r["my"] for r in arms}
     assert abs(adj[1] - adj[0] - 1.0) < abs(raw[1] - raw[0] - 1.0) + 1e-9
     assert abs(adj[1] - adj[0] - 1.0) < 0.2  # near the true effect
+
+
+# ------------------------------------------------------------ ml prep
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from etl_finance_pipeline_spark.operators.mlprep import k_anonymity_audit
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("b", 2)] * 2, "seg string, nat long"
+    )
+    got = {(r["seg"], r["nat"]): (r["class_size"], r["violates_k"])
+           for r in k_anonymity_audit(df, ["seg", "nat"], k=3).collect()}
+    assert got[("a", 1)] == (5, False)
+    assert got[("b", 2)] == (2, True)
+
+
+def test_impute_group_mean_fills_and_flags(spark):
+    from etl_finance_pipeline_spark.operators.mlprep import impute_group_mean
+
+    df = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g1", 20.0), (3, "g1", None),
+         (4, "g2", None)],  # g2 all-NULL -> stays NULL
+        "k long, g string, v double",
+    )
+    got = {r["k"]: (r["v"], r["v_imputed"])
+           for r in impute_group_mean(df, "v", ["g"]).collect()}
+    assert got[3] == (15.0, True)
+    assert got[1] == (10.0, False)
+    assert got[4] == (None, False)
+
+
+def test_string_index_frequency_then_lexical(spark):
+    from etl_finance_pipeline_spark.operators.mlprep import string_index
+
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), ("c",), (None,)], "x string"
+    )
+    encoded, mapping = string_index(df, "x")
+    m = {r["value"]: r["index"] for r in mapping.collect()}
+    # a and b tie at freq 2 -> lexical: a=0, b=1; c=2
+    assert m == {"a": 0, "b": 1, "c": 2}
+    got = {r["x"]: r["x_idx"] for r in encoded.collect()}
+    assert got["c"] == 2 and got[None] is None
