@@ -345,3 +345,78 @@ def test_connected_components_raise_without_convergence(spark):
     # and with enough rounds both converge to one component
     ok = connected_components(chain, max_iter=20).collect()
     assert {r["component"] for r in ok} == {0}
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta eta".split()),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.75]),
+)
+@settings(**SETTINGS)
+def test_set_similarity_join_matches_bruteforce_property(spark, docs, threshold):
+    """Prefix filtering is LOSSLESS: on arbitrary small corpora the
+    result equals the brute-force all-pairs token-set Jaccard join."""
+    from itertools import combinations
+
+    from etl_finance_pipeline_spark.operators.dedup import set_similarity_join
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in set_similarity_join(df, threshold=threshold).collect()
+    }
+    sets = {i: set(w) for i, w in ((i, ws) for i, ws in enumerate(docs))}
+    expected = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        jac = inter / len(sets[a] | sets[b])
+        if jac >= threshold:
+            expected[(a, b)] = jac
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-6
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=1.0, max_value=1e4, allow_nan=False, width=32),
+        min_size=2,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_wilder_rsi_matches_pandas_property(spark, vals):
+    """RSI kernel equals the pandas ewm(adjust=False) reference on
+    arbitrary positive series."""
+    from etl_finance_pipeline_spark.operators.report import wilder_rsi
+
+    rows = [("A", T0 + timedelta(minutes=i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "SYMBOL string, TIMESTAMP timestamp, CLOSE double")
+    got = [
+        r["RSI"]
+        for r in wilder_rsi(df, key_cols=["SYMBOL"], n=14)
+        .orderBy("TIMESTAMP")
+        .collect()
+    ]
+    px = pd.Series([float(v) for v in vals])
+    d = px.diff()
+    ag = d.clip(lower=0.0).iloc[1:].ewm(alpha=1 / 14, adjust=False).mean()
+    al = (-d).clip(lower=0.0).iloc[1:].ewm(alpha=1 / 14, adjust=False).mean()
+    assert got[0] is None
+    for i in range(1, len(vals)):
+        g, l = ag.iloc[i - 1], al.iloc[i - 1]
+        if g == 0.0 and l == 0.0:
+            want = 50.0
+        elif l == 0.0:
+            want = 100.0
+        else:
+            want = 100.0 - 100.0 / (1.0 + g / l)
+        assert abs(got[i] - want) < 1e-9, i
