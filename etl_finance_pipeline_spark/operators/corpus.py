@@ -294,3 +294,76 @@ def weighted_sample_topk(
         .orderBy(F.col("priority").desc(), F.col(key_col))
         .limit(k)
     )
+
+
+def domain_cap_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    cap: int,
+) -> DataFrame:
+    """Per-domain volume cap for training-mix balance: domains at or
+    under *cap* documents keep everything; larger domains keep a
+    hash-gated fraction ≈ cap/n — the standard guard against one bulk
+    domain (crawl dumps, boilerplate mirrors) swamping the mixture.
+
+    Deliberately PROBABILISTIC at the boundary (kept count is
+    binomial around the cap, not exactly it): an exact cap needs a
+    per-domain ranking window — one task sorting the biggest domain,
+    the classic skew cliff — while the hash gate is a narrow map over
+    a broadcast of per-domain counts. Deterministic per key: the same
+    document survives every rerun and engine.
+
+    Output: input rows that survive the cap + ``domain_total``.
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("domain_total"))
+    gate = F.pmod(
+        portable_hash64(F.col(key_col).cast("string")), _SAMPLE_SCALE
+    )
+    keep = (F.col("domain_total") <= cap) | (
+        gate
+        < F.floor(
+            F.lit(cap) * _SAMPLE_SCALE / F.col("domain_total")
+        ).cast("long")
+    )
+    return df.join(F.broadcast(counts), domain_col).filter(keep)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test by default,
+    0.9/0.05/0.05): each key hashes into [0, 1e6) and the splits own
+    consecutive ranges in the given order. A pure narrow map — the
+    same key lands in the same split on every run, engine, and
+    partitioning, and (unlike ``randomSplit``) membership survives
+    corpus appends: new keys join splits in proportion, old keys
+    never migrate (no train/test leakage across retrains).
+    """
+    w = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(w.values()) - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1")
+    bucket = F.pmod(
+        portable_hash64(F.col(key_col).cast("string")), _SAMPLE_SCALE
+    )
+    expr = None
+    acc = 0.0
+    items = list(w.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        bound = int(acc * _SAMPLE_SCALE)
+        cond = bucket < bound
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    expr = (
+        expr.otherwise(F.lit(items[-1][0]))
+        if expr is not None
+        else F.lit(items[-1][0])
+    )
+    return df.withColumn(out_col, expr)

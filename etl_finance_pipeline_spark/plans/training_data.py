@@ -1340,6 +1340,64 @@ FROM pri ORDER BY pri.priority DESC, doc_id LIMIT 50
 """
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source volume cap (training-mix balance) under the gate:
+    sources over 80 docs keep a hash-gated ≈80/n fraction; smaller
+    sources keep everything. Output = per-source kept counts."""
+    from etl_finance_pipeline_spark.operators.corpus import domain_cap_sample
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    kept = domain_cap_sample(docs, "doc_id", "source", cap=80)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.max("domain_total").cast("long").alias("domain_total"),
+    )
+
+
+SQL_DOMAIN_CAP = """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS domain_total
+  FROM documents GROUP BY 1
+),
+kept AS (
+  SELECT d.source, c.domain_total
+  FROM documents d JOIN counts c USING (source)
+  WHERE c.domain_total <= 80
+     OR (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % 1000000)
+        < CAST(floor(80 * 1000000 / c.domain_total) AS BIGINT)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       max(domain_total) AS domain_total
+FROM kept GROUP BY 1
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 0.9/0.05/0.05 train/val/test split: per-split
+    per-source counts — stable under reruns and corpus appends."""
+    from etl_finance_pipeline_spark.operators.corpus import hash_split
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    out = hash_split(docs, "doc_id")
+    return out.groupBy("split", "source").agg(F.count("*").alias("n"))
+
+
+SQL_HASH_SPLIT = """
+WITH b AS (
+  SELECT source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 900000 THEN 'train'
+            WHEN bucket < 950000 THEN 'val'
+            ELSE 'test' END AS split,
+       source, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
 def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING near-dup lane: documents with doc_id % 10 == 0
     arrive as a file stream; each microbatch LSH-checks against the
@@ -2514,6 +2572,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessions": q_stream_sessions,
     "stream_dedupe": q_stream_dedupe,
     "weighted_sample": q_weighted_sample,
+    "domain_cap": q_domain_cap,
+    "hash_split": q_hash_split,
     "stream_near_dup": q_stream_near_dup,
     "stream_gaps": q_stream_gaps,
     "stream_view_click": q_stream_view_click,
@@ -2568,6 +2628,8 @@ ORACLES_TD: dict[str, str] = {
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedupe": SQL_STREAM_DEDUPE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "domain_cap": SQL_DOMAIN_CAP,
+    "hash_split": SQL_HASH_SPLIT,
     "stream_near_dup": SQL_STREAM_NEAR_DUP,
     "stream_gaps": SQL_STREAM_GAPS,
     "stream_view_click": SQL_STREAM_VIEW_CLICK,

@@ -141,3 +141,44 @@ def test_weighted_sample_topk_excludes_nonpositive_weights(spark):
     )
     got = [r["doc_id"] for r in weighted_sample_topk(df, "doc_id", "w", 10).collect()]
     assert got == [3]
+
+
+def test_domain_cap_keeps_small_thins_large(spark):
+    from pyspark.sql import functions as F
+
+    from etl_finance_pipeline_spark.operators.corpus import domain_cap_sample
+
+    rows = [(i, "big") for i in range(1000)] + [(10_000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = domain_cap_sample(df, "doc_id", "source", cap=50)
+    by = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by["small"] == 10  # under cap: everything survives
+    # big domain: binomial around 50 (p=0.05, n=1000) — generous band
+    assert 20 <= by["big"] <= 90
+    # deterministic: identical survivor set on a second run
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in domain_cap_sample(df, "doc_id", "source", cap=50).collect())
+    assert a == b
+
+
+def test_hash_split_fractions_and_stability(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_finance_pipeline_spark.operators.corpus import hash_split
+
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    out = hash_split(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 20_000 - 0.9) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.05) < 0.01
+    assert abs(counts["test"] / 20_000 - 0.05) < 0.01
+    # appending new keys never migrates old ones
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    bigger = hash_split(
+        spark.range(40_000).select(F.col("id").alias("doc_id")), "doc_id"
+    )
+    second = {r["doc_id"]: r["split"] for r in bigger.collect()}
+    assert all(second[k] == v for k, v in first.items())
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "doc_id", weights={"a": 0.5, "b": 0.2})
