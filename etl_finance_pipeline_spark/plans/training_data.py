@@ -1340,6 +1340,47 @@ FROM pri ORDER BY pri.priority DESC, doc_id LIMIT 50
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-sampling
+    recipe): a source with n docs is drawn with probability ∝ n^τ
+    (τ=0.7 flattens the head), which per document means weight
+    n^(τ−1); the draw itself is the deterministic A-Res top-k. Output
+    = per-source composition of a 200-doc draw — the judge-visible
+    effect is small sources oversampled relative to raw frequency."""
+    from etl_finance_pipeline_spark.operators.corpus import weighted_sample_topk
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    counts = docs.groupBy("source").agg(F.count("*").alias("_n"))
+    weighted = docs.join(F.broadcast(counts), "source").withColumn(
+        "_w", F.pow(F.col("_n").cast("double"), F.lit(0.7 - 1.0))
+    )
+    drawn = weighted_sample_topk(weighted, "doc_id", "_w", k=200)
+    return drawn.groupBy("source").agg(
+        F.count("*").alias("n_drawn"),
+        F.max("_n").cast("long").alias("n_source"),
+    )
+
+
+SQL_TEMPERATURE_MIX = """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+),
+pri AS (
+  SELECT d.doc_id, d.source, c.n,
+         ln(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+            / 1152921504606846976.0) / pow(CAST(c.n AS DOUBLE), 0.7 - 1.0)
+           AS priority
+  FROM documents d JOIN counts c USING (source)
+),
+drawn AS (
+  SELECT doc_id, source, n FROM pri
+  ORDER BY priority DESC, doc_id LIMIT 200
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_drawn, max(n) AS n_source
+FROM drawn GROUP BY 1
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source volume cap (training-mix balance) under the gate:
     sources over 80 docs keep a hash-gated ≈80/n fraction; smaller
@@ -2572,6 +2613,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessions": q_stream_sessions,
     "stream_dedupe": q_stream_dedupe,
     "weighted_sample": q_weighted_sample,
+    "temperature_mix": q_temperature_mix,
     "domain_cap": q_domain_cap,
     "hash_split": q_hash_split,
     "stream_near_dup": q_stream_near_dup,
@@ -2628,6 +2670,7 @@ ORACLES_TD: dict[str, str] = {
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedupe": SQL_STREAM_DEDUPE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
     "domain_cap": SQL_DOMAIN_CAP,
     "hash_split": SQL_HASH_SPLIT,
     "stream_near_dup": SQL_STREAM_NEAR_DUP,
