@@ -324,8 +324,13 @@ def simhash_pairs(
     """
     slice_bits = bits // bands
     mask = (1 << slice_bits) - 1
-    # multi-branch reuse via ReusedExchange, same as minhash_lsh_pairs
-    fps = simhash(df, id_col, text_col, bits)
+    # the fingerprint frame feeds the bucket census AND both join
+    # sides; unlike minhash (whose banded window pre-shuffles into one
+    # reusable exchange) the branches here diverge before any
+    # exchange, so the md5 token chain would run 3x — materialize once
+    # (measured 3.1 s -> 2.3 s at sf0.1; ContextCleaner frees the
+    # blocks when the frame is collected)
+    fps = simhash(df, id_col, text_col, bits).localCheckpoint(eager=True)
     banded = fps.select(
         F.col(id_col).alias("_id"),
         "simhash",
