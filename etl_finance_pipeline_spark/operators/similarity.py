@@ -623,3 +623,38 @@ def semdedup(
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|v|/127,
+    q_i = floor(v_i/scale + 0.5) ∈ [−127, 127] — the 4× memory cut
+    that makes billion-vector ANN serving affordable (int8 dot
+    products; the scale pair rides along for exact-cosine re-rank of
+    the shortlist). Zero vectors quantize to zeros with scale 0.
+
+    Pure column algebra (zip_with/transform — JVM-side, no UDF), and
+    the floor(x + 0.5) form executes the same IEEE ops in any engine,
+    so the quantized codes are bit-portable. Output: (id, scale,
+    qvec array<int>, max_abs_err) — the error column is the per-vector
+    reconstruction check ``max|v − q·scale|`` (≤ scale/2 by
+    construction, 0 for zero vectors).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = max_abs / F.lit(127.0)
+    q = F.when(max_abs == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    )
+    out = df.select(F.col(id_col), scale.alias("scale"), v.alias("_v"), q.alias("qvec"))
+    err = F.array_max(
+        F.zip_with(
+            "_v",
+            "qvec",
+            lambda a, b: F.abs(a - b.cast("double") * F.col("scale")),
+        )
+    )
+    return out.select(id_col, "scale", "qvec", err.alias("max_abs_err"))

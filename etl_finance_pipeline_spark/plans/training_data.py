@@ -2540,6 +2540,61 @@ GROUP BY t.doc_id
 # SemDedup — semantic dedup via cluster-bounded pairwise cosine
 # --------------------------------------------------------------------
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization under the gate: per-vector scale,
+    the quantized codes' checksum, and the max reconstruction error
+    (bounded by scale/2) — floor(x+0.5) arithmetic is bit-portable."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    out = quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        _pr("scale", 6).alias("scale"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("q_sum"),
+        F.aggregate(
+            "qvec",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.abs(x).cast("long"),
+        ).alias("q_l1"),
+        _pr("max_abs_err", 6).alias("max_abs_err"),
+    )
+
+
+SQL_EMBED_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, vec,
+         list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, vec, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(vec, x -> CAST(floor(x / scale + 0.5)
+                                                 AS BIGINT)) END AS qvec
+  FROM s
+)
+SELECT vec_id,
+       floor(scale * 1000000 + 0.5) / 1000000 AS scale,
+       CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT) AS q_l1,
+       floor(list_max(list_transform(generate_series(1, len(vec)),
+               i -> abs(vec[i] - qvec[i] * scale)))
+             * 1000000 + 0.5) / 1000000 AS max_abs_err
+FROM q
+"""
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_finance_pipeline_spark.operators.similarity import semdedup
 
@@ -2624,6 +2679,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters_star": q_near_dup_clusters_star,
     "repetition_stats": q_repetition_stats,
     "unigram_logprob": q_unigram_logprob,
+    "embed_quantize": q_embed_quantize,
     "semdedup": q_semdedup,
     "image_stats_png": q_image_stats_png,
     "pagerank": q_pagerank,
@@ -2681,6 +2737,7 @@ ORACLES_TD: dict[str, str] = {
     "near_dup_clusters_star": SQL_NEAR_DUP_CLUSTERS,
     "repetition_stats": SQL_REPETITION_STATS,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "embed_quantize": SQL_EMBED_QUANTIZE,
     "semdedup": SQL_SEMDEDUP,
     "image_stats_png": SQL_IMAGE_STATS_PNG,
     "pagerank": SQL_PAGERANK,

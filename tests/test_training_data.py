@@ -568,3 +568,31 @@ def test_set_similarity_join_plan_is_distributed(spark):
     out = set_similarity_join(df, threshold=0.5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_quantize_embeddings_bounds_and_zero_vector(spark):
+    """Codes stay in [-127, 127], reconstruction error is bounded by
+    scale/2, and zero vectors quantize to zeros with scale 0."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5, 2.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-0.001, 0.001, 0.0005, -0.0002]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    r1 = out[1]
+    assert max(abs(q) for q in r1["qvec"]) == 127  # max element saturates
+    assert r1["max_abs_err"] <= r1["scale"] / 2 + 1e-15
+    # reconstruction: q * scale ~ v
+    recon = [q * r1["scale"] for q in r1["qvec"]]
+    assert all(abs(a - b) <= r1["scale"] / 2 + 1e-15 for a, b in zip(recon, [1.0, -2.0, 0.5, 2.0]))
+    r2 = out[2]
+    assert r2["scale"] == 0.0 and r2["qvec"] == [0, 0, 0, 0] and r2["max_abs_err"] == 0.0
+    r3 = out[3]
+    assert max(abs(q) for q in r3["qvec"]) == 127  # scale adapts to tiny vectors
