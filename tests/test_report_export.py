@@ -345,3 +345,37 @@ def test_cusum_detects_level_shift(spark):
     assert out[-1]["CUSUM_LOW"] == 0.0
     assert out[-1]["CUSUM_HIGH"] > 100.0
     assert all(r["ALARM"] for r in out[-20:])
+
+
+def test_overwrite_partitions_rewrites_only_touched_days(spark, tmp_path):
+    """Dynamic partition overwrite: re-running one day replaces that
+    day's partition and leaves the others untouched — idempotent
+    backfill, no whole-dataset truncate, no duplicates."""
+    from datetime import datetime
+
+    from etl_finance_pipeline_spark.sources.exporter import (
+        overwrite_partitions,
+        write_parquet_with_metadata,
+    )
+
+    out = str(tmp_path / "ds")
+    d1, d2 = datetime(2024, 3, 1, 10), datetime(2024, 4, 1, 10)
+    base = spark.createDataFrame(
+        [("A", d1, 1.0), ("A", d2, 2.0)],
+        "SYMBOL string, TIMESTAMP timestamp, CLOSE double",
+    )
+    write_parquet_with_metadata(base, out, partition_cols=["YEAR", "MONTH"])
+    # backfill April only, with corrected data
+    fix = spark.createDataFrame(
+        [("A", d2, 99.0), ("B", d2, 98.0)],
+        "SYMBOL string, TIMESTAMP timestamp, CLOSE double",
+    )
+    rep = overwrite_partitions(fix, out, ["YEAR", "MONTH"])
+    assert rep["rows"] == 2 and rep["partitions_written"] == [(2024, 4)]
+    back = spark.read.parquet(out)
+    got = sorted((r["MONTH"], r["CLOSE"]) for r in back.collect())
+    # March untouched; April replaced (old 2.0 gone, both new rows in)
+    assert got == [(3, 1.0), (4, 98.0), (4, 99.0)]
+    # idempotence: the same backfill again changes nothing
+    overwrite_partitions(fix, out, ["YEAR", "MONTH"])
+    assert sorted((r["MONTH"], r["CLOSE"]) for r in spark.read.parquet(out).collect()) == got
