@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_finance_pipeline_spark.functions.scalar import portable_round as _pr
 from etl_finance_pipeline_spark.functions.text import LANG_PRIORITY, STOPWORDS
@@ -1439,6 +1440,56 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending report: 6-hour tumbling-window counts per
+    event type maintained BY STREAMING aggregation (complete mode →
+    availableNow → memory sink), then the top-3 per window ranked
+    from the materialized counts (ranking windows aren't allowed on
+    an unaggregated stream — serve-side rank over the tiny state IS
+    the production shape). Oracle = the batch windowed count + rank."""
+    import uuid
+
+    spark = _narrow_session(spark, 8)
+    stream = _read_event_stream(spark, sf_dir)
+    counts = stream.groupBy(
+        F.window("ts", "6 hours").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    name = f"stream_trending_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    mat = spark.table(name).select(
+        F.col("w.start").alias("window_start"), "event_type", "n"
+    )
+    rk = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        mat.withColumn("rank", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "event_type", F.col("n").cast("long").alias("n"), "rank")
+    )
+
+
+SQL_STREAM_TRENDING = """
+WITH c AS (
+  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n,
+       CAST(row_number() OVER (
+         PARTITION BY window_start ORDER BY n DESC, event_type
+       ) AS BIGINT) AS rank
+FROM c QUALIFY rank <= 3
+"""
+
+
 def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING near-dup lane: documents with doc_id % 10 == 0
     arrive as a file stream; each microbatch LSH-checks against the
@@ -2671,6 +2722,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix": q_temperature_mix,
     "domain_cap": q_domain_cap,
     "hash_split": q_hash_split,
+    "stream_trending": q_stream_trending,
     "stream_near_dup": q_stream_near_dup,
     "stream_gaps": q_stream_gaps,
     "stream_view_click": q_stream_view_click,
@@ -2729,6 +2781,7 @@ ORACLES_TD: dict[str, str] = {
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "domain_cap": SQL_DOMAIN_CAP,
     "hash_split": SQL_HASH_SPLIT,
+    "stream_trending": SQL_STREAM_TRENDING,
     "stream_near_dup": SQL_STREAM_NEAR_DUP,
     "stream_gaps": SQL_STREAM_GAPS,
     "stream_view_click": SQL_STREAM_VIEW_CLICK,
