@@ -386,3 +386,29 @@ def test_scale_set_similarity_join(bigspark):
     # per group: tails of ids 10g..10g+9 = g*10+i mod 3 -> counts {4,3,3}
     # pairs per group: C(4,2)+C(3,2)+C(3,2) = 6+3+3 = 12
     assert rows == 20_000 * 12
+
+
+def test_scale_label_propagation(bigspark):
+    """1M vertices in 100k 10-cliques (4.5M edges): with the
+    self-vote min tiebreak every clique collapses to its min id in
+    round 1 and stays there — asserts full convergence and that the
+    per-round vote plan keeps data paths keyed."""
+    from etl_finance_pipeline_spark.operators.graph import label_propagation
+
+    base = bigspark.range(1_000_000).select(
+        (F.col("id") / 10).cast("long").alias("g"), F.col("id").alias("v")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    edges = (
+        a.join(b, F.col("a.g") == F.col("b.g"))
+        .filter(F.col("a.v") < F.col("b.v"))
+        .select(F.col("a.v").alias("src"), F.col("b.v").alias("dst"))
+    )
+    t0 = time.time()
+    labels = label_propagation(edges, rounds=2)
+    bad = labels.filter(
+        F.col("label") != (F.col("id") / 10).cast("long") * 10
+    ).count()
+    n = labels.count()
+    print(f"\nSCALE lpa 4.5M edges: {n:,} vertices in {time.time() - t0:.1f}s")
+    assert n == 1_000_000 and bad == 0
