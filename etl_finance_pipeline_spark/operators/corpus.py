@@ -367,3 +367,42 @@ def hash_split(
         else F.lit(items[-1][0])
     )
     return df.withColumn(out_col, expr)
+
+
+def negative_pairs(
+    df: DataFrame,
+    key_col: str,
+    n_total: int,
+    k: int = 4,
+) -> DataFrame:
+    """Pseudo-random negative partners for contrastive training: each
+    anchor draws *k* partners as ``hash(key, j) mod n_total`` over a
+    dense 0..n_total−1 id space — a narrow map (explode of k struct
+    literals, no shuffle, no join) that is reproducible across runs
+    and engines, so the training pairs a run saw can always be
+    re-derived. Self-draws are dropped (an anchor never partners
+    itself); callers needing hard-negative hygiene anti-join the
+    output against their near-dup pair set (the same frame
+    minhash_lsh_pairs / set_similarity_join emit).
+
+    Output: (anchor, draw, partner), draw in 0..k−1.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("draw"),
+                F.pmod(
+                    portable_hash64(
+                        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(j)))
+                    ),
+                    F.lit(n_total),
+                ).alias("partner"),
+            )
+            for j in range(k)
+        ]
+    )
+    return (
+        df.select(F.col(key_col).alias("anchor"), F.explode(cells).alias("_c"))
+        .select("anchor", F.col("_c.draw").alias("draw"), F.col("_c.partner").alias("partner"))
+        .filter(F.col("partner") != F.col("anchor"))
+    )

@@ -1382,6 +1382,39 @@ FROM drawn GROUP BY 1
 """
 
 
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative sampling under the gate: 4 hash-derived
+    partners per document over the dense doc_id space; self-draws
+    dropped. Pure narrow map — the oracle re-derives every draw."""
+    from etl_finance_pipeline_spark.operators.corpus import negative_pairs
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    n_total = docs.count()
+    out = negative_pairs(docs, "doc_id", n_total=n_total, k=4)
+    return out.select(
+        "anchor",
+        F.col("draw").cast("long").alias("draw"),
+        F.col("partner").cast("long").alias("partner"),
+    )
+
+
+SQL_NEGATIVE_PAIRS = """
+WITH n AS (SELECT count(*) AS total FROM documents),
+d AS (
+  SELECT doc_id AS anchor, unnest(range(0, 4)) AS draw FROM documents
+)
+SELECT * FROM (
+  SELECT anchor, CAST(draw AS BIGINT) AS draw,
+         CAST(
+           ((('0x' || substr(md5(CAST(anchor AS VARCHAR) || ':'
+                                 || CAST(draw AS VARCHAR)), 1, 15))::BIGINT
+             % n.total) + n.total) % n.total
+         AS BIGINT) AS partner
+  FROM d CROSS JOIN n
+) WHERE partner != anchor
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source volume cap (training-mix balance) under the gate:
     sources over 80 docs keep a hash-gated ≈80/n fraction; smaller
@@ -2720,6 +2753,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedupe": q_stream_dedupe,
     "weighted_sample": q_weighted_sample,
     "temperature_mix": q_temperature_mix,
+    "negative_pairs": q_negative_pairs,
     "domain_cap": q_domain_cap,
     "hash_split": q_hash_split,
     "stream_trending": q_stream_trending,
@@ -2779,6 +2813,7 @@ ORACLES_TD: dict[str, str] = {
     "stream_dedupe": SQL_STREAM_DEDUPE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "temperature_mix": SQL_TEMPERATURE_MIX,
+    "negative_pairs": SQL_NEGATIVE_PAIRS,
     "domain_cap": SQL_DOMAIN_CAP,
     "hash_split": SQL_HASH_SPLIT,
     "stream_trending": SQL_STREAM_TRENDING,

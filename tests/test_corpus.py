@@ -182,3 +182,18 @@ def test_hash_split_fractions_and_stability(spark):
     assert all(second[k] == v for k, v in first.items())
     with _pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, "doc_id", weights={"a": 0.5, "b": 0.2})
+
+
+def test_negative_pairs_deterministic_no_self(spark):
+    from pyspark.sql import functions as F
+
+    from etl_finance_pipeline_spark.operators.corpus import negative_pairs
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    a = sorted(map(tuple, negative_pairs(df, "doc_id", 100, k=3).collect()))
+    b = sorted(map(tuple, negative_pairs(df, "doc_id", 100, k=3).collect()))
+    assert a == b  # reproducible
+    assert all(0 <= p < 100 for _, _, p in a)  # dense id range
+    assert all(anc != p for anc, _, p in a)  # no self-partners
+    # ~3 draws per anchor (minus rare self-draw drops)
+    assert 280 <= len(a) <= 300
