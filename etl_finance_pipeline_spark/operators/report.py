@@ -204,6 +204,26 @@ def returns_and_volatility(
 _KEYLESS_EWMA_MAX_ROWS = 5_000_000
 
 
+def _apply_per_key(df, keys, kernel, out_schema, op_name):
+    """Dispatch a grouped-map pandas kernel: per-key when *keys* is
+    non-empty; otherwise the WHOLE frame runs as one series through
+    one task — guarded by a cheap limit-probe so a caller who forgot
+    key_cols fails loudly instead of silently serializing billions of
+    rows into one executor."""
+    if keys:
+        return df.groupBy(*keys).applyInPandas(kernel, out_schema)
+    probe = df.limit(_KEYLESS_EWMA_MAX_ROWS + 1).count()
+    if probe > _KEYLESS_EWMA_MAX_ROWS:
+        raise ValueError(
+            f"{op_name} with key_cols=None sends the whole frame through "
+            f"one task; input exceeds {_KEYLESS_EWMA_MAX_ROWS:,} rows. "
+            "Pass key_cols (e.g. ['SYMBOL']) to distribute the series."
+        )
+    return df.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        lambda p: kernel(p.drop(columns=["_g"])), out_schema
+    )
+
+
 def binned_quartile_profile(
     df: DataFrame,
     group_col: str,
@@ -310,22 +330,7 @@ def ewma_macd(
         pdf["MACD_HIST"] = macd - signal
         return pdf
 
-    if keys:
-        return df.groupBy(*keys).applyInPandas(_kernel, out_schema)
-    # Keyless fallback = the ENTIRE frame through ONE task (the EWMA
-    # recursion is a single series). Cheap probe so a caller who
-    # forgot key_cols fails loudly instead of silently serializing
-    # billions of rows into one executor.
-    probe = df.limit(_KEYLESS_EWMA_MAX_ROWS + 1).count()
-    if probe > _KEYLESS_EWMA_MAX_ROWS:
-        raise ValueError(
-            "ewma_macd with key_cols=None sends the whole frame through "
-            f"one task; input exceeds {_KEYLESS_EWMA_MAX_ROWS:,} rows. "
-            "Pass key_cols (e.g. ['SYMBOL']) to distribute the series."
-        )
-    return df.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
-        lambda p: _kernel(p.drop(columns=["_g"])), out_schema
-    )
+    return _apply_per_key(df, keys, _kernel, out_schema, "ewma_macd")
 
 
 def wilder_rsi(
@@ -379,18 +384,7 @@ def wilder_rsi(
         pdf["RSI"] = rsi
         return pdf
 
-    if keys:
-        return df.groupBy(*keys).applyInPandas(_kernel, out_schema)
-    probe = df.limit(_KEYLESS_EWMA_MAX_ROWS + 1).count()
-    if probe > _KEYLESS_EWMA_MAX_ROWS:
-        raise ValueError(
-            "wilder_rsi with key_cols=None sends the whole frame through "
-            f"one task; input exceeds {_KEYLESS_EWMA_MAX_ROWS:,} rows. "
-            "Pass key_cols (e.g. ['SYMBOL']) to distribute the series."
-        )
-    return df.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
-        lambda p: _kernel(p.drop(columns=["_g"])), out_schema
-    )
+    return _apply_per_key(df, keys, _kernel, out_schema, "wilder_rsi")
 
 
 def on_balance_volume(
@@ -479,18 +473,12 @@ def cusum_monitor(
         return df.join(mu_df, keys).groupBy(*keys).applyInPandas(
             _kernel, out_schema
         )
-    probe = df.limit(_KEYLESS_EWMA_MAX_ROWS + 1).count()
-    if probe > _KEYLESS_EWMA_MAX_ROWS:
-        raise ValueError(
-            "cusum_monitor with key_cols=None sends the whole frame "
-            f"through one task; input exceeds {_KEYLESS_EWMA_MAX_ROWS:,} "
-            "rows. Pass key_cols to distribute the series."
-        )
-    return (
-        df.crossJoin(F.broadcast(df.agg(mu_expr)))
-        .withColumn("_g", F.lit(1))
-        .groupBy("_g")
-        .applyInPandas(lambda p: _kernel(p.drop(columns=["_g"])), out_schema)
+    return _apply_per_key(
+        df.crossJoin(F.broadcast(df.agg(mu_expr))),
+        [],
+        _kernel,
+        out_schema,
+        "cusum_monitor",
     )
 
 
