@@ -1560,6 +1560,102 @@ SELECT c.c_custkey AS custkey, c.c_mktsegment, m.idx AS segment_idx
 FROM customer c JOIN m USING (c_mktsegment)
 """
 
+# --------------------------------------------------------------------
+# Rolling 7-day distinct users from merged daily HLL sketches
+# --------------------------------------------------------------------
+
+def q_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE canonical composable-sketch shape: one tiny HLL sketch per
+    day, each exploded to the 7 trailing windows it serves and merged
+    by bucket-max — rolling distinct users answered WITHOUT rescanning
+    7 days of raw events per window (at 100 TB the daily sketches are
+    KBs; the rescan is the thing you can't afford). Exact trailing
+    distinct rides along so the estimate error stays visible. Explode
+    + equi-aggregation only — no range join, no BNL."""
+    from etl_finance_pipeline_spark.operators.sketch import (
+        hll_estimate_from_sketch,
+        hll_merge,
+        hll_sketch,
+    )
+
+    ev = load_table(spark, _t(sf_dir, "events")).withColumn(
+        "day", F.to_date("ts")
+    )
+    days = ev.select("day").distinct()
+    daily = hll_sketch(ev, ["day"], "user_id", b=_HLL_B)
+    fanned = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", 6))
+        ).alias("day"),
+        "_bucket",
+        "_mrank",
+    ).join(F.broadcast(days), "day", "left_semi")
+    est = hll_estimate_from_sketch(
+        hll_merge(fanned, ["day"]), ["day"], b=_HLL_B
+    )
+    exact = (
+        ev.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add("day", 6))
+            ).alias("day"),
+            "user_id",
+        )
+        .join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "day").select(
+        # date -> timestamp so the driver's dtype-sensitive comparator
+        # sees the same physical type DuckDB's DATE maps to
+        F.col("day").cast("timestamp").alias("day"),
+        "hll_estimate",
+        "exact_distinct",
+    )
+
+
+SQL_ROLLING_DISTINCT_7D = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, user_id, {_h1("user_id")} AS h FROM events
+),
+days AS (SELECT DISTINCT day FROM ev),
+fanned AS (
+  SELECT t.tday AS day, e.user_id, e.h
+  FROM ev e,
+       LATERAL (SELECT unnest(generate_series(e.day, e.day + INTERVAL 6 DAY,
+                                              INTERVAL 1 DAY))::DATE AS tday) t
+  WHERE t.tday IN (SELECT day FROM days)
+),
+bk AS (
+  SELECT day, h % {_HLL_M} AS bucket,
+         CASE WHEN (h >> {_HLL_B}) = 0 THEN {_HLL_W + 1}
+              ELSE {_HLL_W + 1} - length(bin(h >> {_HLL_B})) END AS rank
+  FROM fanned
+),
+mx AS (SELECT day, bucket, max(rank) AS mrank FROM bk GROUP BY 1, 2),
+ag AS (
+  SELECT day,
+         CAST(sum((1::BIGINT << ({_HLL_S} - mrank))) AS BIGINT)
+           + ({_HLL_M} - count(*)) * (1::BIGINT << {_HLL_S}) AS intsum,
+         {_HLL_M} - count(*) AS empty
+  FROM mx GROUP BY 1
+),
+est AS (
+  SELECT day,
+         CASE WHEN ({_HLL_C!r} / intsum) <= {2.5 * _HLL_M} AND empty > 0
+              THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST(empty AS DOUBLE))
+              ELSE {_HLL_C!r} / intsum END AS e
+  FROM ag
+)
+SELECT est.day,
+       floor(e * 1000000 + 0.5) / 1000000 AS hll_estimate,
+       x.exact_distinct
+FROM est
+JOIN (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM fanned GROUP BY 1
+) x ON est.day = x.day
+"""
+
 
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
@@ -1587,6 +1683,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity": q_k_anonymity,
     "impute_acctbal": q_impute_acctbal,
     "segment_index": q_segment_index,
+    "rolling_distinct_7d": q_rolling_distinct_7d,
 }
 
 ORACLES_AN: dict[str, str] = {
@@ -1615,4 +1712,5 @@ ORACLES_AN: dict[str, str] = {
     "k_anonymity": SQL_K_ANONYMITY,
     "impute_acctbal": SQL_IMPUTE_ACCTBAL,
     "segment_index": SQL_SEGMENT_INDEX,
+    "rolling_distinct_7d": SQL_ROLLING_DISTINCT_7D,
 }
