@@ -282,7 +282,11 @@ def weighted_sample_topk(
         hash_word,
     )
 
-    u = hash_word(F.col(key_col).cast("string"), 1) / F.lit(
+    # +1 clamps u strictly away from 0: a hash of exactly 0 (one md5
+    # prefix in 2^60) would make log(u) NULL in Spark but -inf in
+    # ANSI engines, silently dropping that row from the sample. With
+    # the shift u ∈ (0, 1] and both engines agree.
+    u = (hash_word(F.col(key_col).cast("string"), 1) + F.lit(1)) / F.lit(
         float(1 << HASH_BITS)
     )
     pri = F.log(u) / F.col(weight_col)

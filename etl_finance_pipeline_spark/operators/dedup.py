@@ -385,9 +385,14 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard), id_a < id_b.
     """
     # shingle sets are referenced three times (sizes + both join
-    # sides); the shared exchange subtree is materialized once via
-    # ReusedExchange — no persist, no leaked cache
-    sh = _doc_shingles(df, id_col, text_col, shingle_k)
+    # sides). ReusedExchange only covers the two join sides (both
+    # exchange on shingle); the sizes branch exchanges on the id, so
+    # without materialization the CPU-bound explode would run a
+    # second time for it. localCheckpoint truncates the lineage once
+    # — same device as set_similarity_join — with no leaked cache.
+    sh = _doc_shingles(df, id_col, text_col, shingle_k).localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -64,8 +64,12 @@ def impute_group_mean(
         ).alias("_gmean")
     )
     j = df.join(means, group_cols, "left")
+    # When out_col names a NEW column, the raw value column stays in
+    # the output — requesting a separate imputed column must not lose
+    # the originals.
+    keep = df.columns if out != value_col else [c for c in df.columns if c != value_col]
     return j.select(
-        *[c for c in df.columns if c != value_col],
+        *keep,
         F.coalesce(F.col(value_col), F.col("_gmean")).alias(out),
         (
             F.col(value_col).isNull() & F.col("_gmean").isNotNull()

@@ -429,21 +429,27 @@ def snapshot_diff(
     cmp_cols = compare_cols or [
         c for c in old.columns if c not in key_cols and c in new.columns
     ]
+    # Presence is tracked with explicit marker columns (not key-column
+    # null checks) and keys join null-safely (``<=>``): a business key
+    # whose first column is legitimately NULL would otherwise never
+    # match its counterpart and be misreported as added+removed.
     o = old.select(
         *[F.col(c).alias(f"_o_{c}") for c in key_cols],
         *[F.col(c).alias(f"_ov_{c}") for c in cmp_cols],
+        F.lit(True).alias("_o_present"),
     )
     n = new.select(
         *[F.col(c).alias(f"_n_{c}") for c in key_cols],
         *[F.col(c).alias(f"_nv_{c}") for c in cmp_cols],
+        F.lit(True).alias("_n_present"),
     )
     cond = None
     for k in key_cols:
-        c = F.col(f"_o_{k}") == F.col(f"_n_{k}")
+        c = F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}"))
         cond = c if cond is None else (cond & c)
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"_o_{key_cols[0]}").isNotNull()
-    in_new = F.col(f"_n_{key_cols[0]}").isNotNull()
+    in_old = F.col("_o_present").isNotNull()
+    in_new = F.col("_n_present").isNotNull()
     same = F.lit(True)
     for c in cmp_cols:
         same = same & F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))

@@ -204,14 +204,11 @@ def returns_and_volatility(
 _KEYLESS_EWMA_MAX_ROWS = 5_000_000
 
 
-def _apply_per_key(df, keys, kernel, out_schema, op_name):
-    """Dispatch a grouped-map pandas kernel: per-key when *keys* is
-    non-empty; otherwise the WHOLE frame runs as one series through
-    one task — guarded by a cheap limit-probe so a caller who forgot
-    key_cols fails loudly instead of silently serializing billions of
-    rows into one executor."""
-    if keys:
-        return df.groupBy(*keys).applyInPandas(kernel, out_schema)
+def _guard_keyless(df, op_name):
+    """Cheap limit-probe shared by every keyless single-series lane
+    (pandas kernels AND unpartitioned JVM windows): a caller who
+    forgot key_cols fails loudly instead of silently funneling
+    billions of rows through one task."""
     probe = df.limit(_KEYLESS_EWMA_MAX_ROWS + 1).count()
     if probe > _KEYLESS_EWMA_MAX_ROWS:
         raise ValueError(
@@ -219,6 +216,15 @@ def _apply_per_key(df, keys, kernel, out_schema, op_name):
             f"one task; input exceeds {_KEYLESS_EWMA_MAX_ROWS:,} rows. "
             "Pass key_cols (e.g. ['SYMBOL']) to distribute the series."
         )
+
+
+def _apply_per_key(df, keys, kernel, out_schema, op_name):
+    """Dispatch a grouped-map pandas kernel: per-key when *keys* is
+    non-empty; otherwise the WHOLE frame runs as one series through
+    one task — guarded by _guard_keyless."""
+    if keys:
+        return df.groupBy(*keys).applyInPandas(kernel, out_schema)
+    _guard_keyless(df, op_name)
     return df.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
         lambda p: kernel(p.drop(columns=["_g"])), out_schema
     )
@@ -400,8 +406,11 @@ def on_balance_volume(
     the first row contributes 0). Unlike the EWMA recursions this IS
     associative — a lag + signum + unbounded-preceding sum — so it
     stays entirely in JVM window execution: one per-key ordered
-    window pass, no pandas lane."""
+    window pass, no pandas lane. Keyless calls run one global window
+    task and share the same size guard as the pandas lanes."""
     keys = key_cols or []
+    if not keys:
+        _guard_keyless(df, "on_balance_volume")
     w = Window.partitionBy(*keys).orderBy(ts_col)
     signed = F.coalesce(
         F.signum(F.col(price_col) - F.lag(price_col).over(w)), F.lit(0.0)
@@ -498,8 +507,12 @@ def trend_ols(
 
     One per-key ordered window (row index) + one aggregate. Output:
     key columns + (n, slope, intercept) — slope NULL for 1-row keys.
+    Keyless calls run one global window task and share the same size
+    guard as the pandas lanes.
     """
     keys = key_cols or []
+    if not keys:
+        _guard_keyless(df, "trend_ols")
     w = Window.partitionBy(*keys).orderBy(ts_col)
     idx = (F.row_number().over(w) - 1).cast("long")
     with_x = df.select(

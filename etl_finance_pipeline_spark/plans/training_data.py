@@ -1331,7 +1331,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WEIGHTED_SAMPLE = """
 WITH pri AS (
   SELECT doc_id, source, n_chars,
-         ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
             / 1152921504606846976.0) / n_chars AS priority
   FROM documents WHERE n_chars > 0
 )
@@ -1368,7 +1368,7 @@ WITH counts AS (
 ),
 pri AS (
   SELECT d.doc_id, d.source, c.n,
-         ln(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         ln((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
             / 1152921504606846976.0) / pow(CAST(c.n AS DOUBLE), 0.7 - 1.0)
            AS priority
   FROM documents d JOIN counts c USING (source)
