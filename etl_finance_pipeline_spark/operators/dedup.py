@@ -642,3 +642,184 @@ def set_similarity_join(
     return keep.select(
         "id_a", "id_b", portable_round(jac, 6).alias("jaccard")
     )
+
+
+def duplicate_token_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level dedup, stage 1 (the ExactSubstr lane of
+    "Deduplicating Training Data Makes Language Models Better", Lee
+    et al. 2021): find every maximal token span that is part of a
+    *k*-token substring occurring ≥ *min_count* times corpus-wide
+    (cross-document AND within-document repeats both count, as in the
+    paper). Doc-level dedup (exact/MinHash/SimHash above) removes
+    whole near-copies; this removes the repeated PASSAGES — license
+    headers, boilerplate navigation, quoted templates — that survive
+    doc-level filters because the surrounding text differs.
+
+    Not a suffix array. Lee et al. build one giant suffix array,
+    which needs global sorted adjacency — the worst possible shape
+    for a shuffle engine. The distributed equivalent: every k-token
+    window is a fixed-size shingle, a shingle occurring ≥ min_count
+    times witnesses a duplicated substring of length ≥ k, and any
+    duplicated substring of length L ≥ k is covered by exactly
+    L − k + 1 such shingles — so marking all positions covered by
+    duplicated shingles and merging overlapping/adjacent covers
+    reconstructs the maximal duplicated spans without materializing
+    any suffix structure. Resolution is k tokens: duplicated runs
+    shorter than k are (deliberately) invisible, matching the
+    paper's min-length threshold.
+
+    Scale shape (100 TB): tokenize (narrow) → posexplode k-gram
+    windows (narrow, ~n_tokens rows) → frequency aggregate keyed on
+    the 64-bit shingle hash (map-side combinable; the hash — not the
+    k-token string — is what shuffles) → semi-join marks back on the
+    same hash key (ReusedExchange: both branches exchange the same
+    explode on the same key) → per-doc ordered window merges covers
+    (PARTITIONED BY DOC — bounded by doc length, never global).
+    Hash collisions (64-bit) can only ADD a false duplicate mark at
+    ~n²/2⁶⁵ expected sites — at 10¹² shingles that is ~10⁻⁸ of
+    positions, noise for corpus cleaning; there are no false
+    negatives.
+
+    Tokenization is trim + whitespace-collapse + single-space split,
+    lowercased — chosen because every mainstream engine reproduces it
+    bit-for-bit, which is what lets an independent brute-force SQL
+    oracle confirm the span set exactly.
+
+    Output: (id, span_start, span_end, span_tokens) — 1-based
+    inclusive token positions of each maximal duplicated span,
+    span_tokens = span_end − span_start + 1 ≥ k.
+    """
+    t = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    toks = df.select(F.col(id_col), t.alias("_t")).filter(F.size("_t") >= k)
+    # one gram per window start: transform over 1..n-k+1, then
+    # posexplode (0-based _i → 1-based pos)
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(_t) - {k} + 1), "
+                f"i -> xxhash64(array_join(slice(_t, i, {k}), ' ')))"
+            )
+        ).alias("_i", "_gh"),
+    ).select(id_col, (F.col("_i") + 1).alias("pos"), "_gh")
+    dup = (
+        grams.groupBy("_gh")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_gh")
+    )
+    marked = grams.join(dup, "_gh", "left_semi")
+    # gaps-and-islands merge of the k-wide covers, per doc
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        marked.select(
+            id_col,
+            F.col("pos").alias("_s"),
+            (F.col("pos") + k - 1).alias("_e"),
+        )
+        .withColumn("_prev_e", F.max("_e").over(w_prev))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_prev_e").isNull()
+                | (F.col("_s") > F.col("_prev_e") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_brk").over(w_run))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("_s").cast("long").alias("span_start"),
+            F.max("_e").cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+    return spans
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level dedup, stage 2: rewrite each document with its
+    duplicated spans (per :func:`duplicate_token_spans`) removed —
+    the actual corpus-cleaning lane. Documents with no duplicated
+    span pass through with their normalized token stream intact.
+
+    One extra join + per-doc aggregate over stage 1: re-tokenize,
+    anti-mark positions falling inside any span (range join on doc —
+    spans per doc are few, positions bounded by doc length), then
+    reassemble the survivors in order with a per-doc sort-aggregate.
+
+    Output: (id, clean_text, n_tokens_kept, n_tokens_removed).
+    """
+    spans = duplicate_token_spans(df, id_col, text_col, k, min_count)
+    t = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    toks = df.select(F.col(id_col), F.posexplode(t).alias("_i", "tok")).select(
+        id_col, (F.col("_i") + 1).alias("pos"), "tok"
+    )
+    j = toks.join(
+        spans,
+        (toks[id_col] == spans[id_col])
+        & (F.col("pos") >= F.col("span_start"))
+        & (F.col("pos") <= F.col("span_end")),
+        "left_anti",
+    )
+    kept = (
+        j.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ).tok,
+                " ",
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_tokens_kept"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col), F.size(t).cast("long").alias("_n_total")
+    )
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_tokens_kept"), F.lit(0)).alias(
+                "n_tokens_kept"
+            ),
+            (
+                F.col("_n_total")
+                - F.coalesce(F.col("n_tokens_kept"), F.lit(0))
+            ).alias("n_tokens_removed"),
+        )
+    )

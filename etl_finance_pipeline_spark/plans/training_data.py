@@ -2713,7 +2713,110 @@ FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup, span discovery (Lee et al. 2021
+    ExactSubstr, re-expressed as fixed-k shingle frequency + cover
+    merge — no suffix array; see operators/dedup.py
+    duplicate_token_spans). The oracle below is the INDEPENDENT
+    brute-force formulation — it joins raw k-gram strings and merges
+    intervals with gaps-and-islands SQL, sharing no hashing with the
+    engine — so a green hash certifies the shingle-cover
+    reconstruction end-to-end."""
+    from etl_finance_pipeline_spark.operators.dedup import (
+        duplicate_token_spans,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return duplicate_token_spans(docs, "doc_id", "text", k=8, min_count=2)
+
+
+SQL_SUBSTRING_DEDUP = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+  WHERE len(t) >= 8
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+ordered AS (
+  SELECT doc_id, pos AS s, pos + 7 AS e,
+         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+  FROM marked
+),
+islands AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_e IS NULL OR s > prev_e + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM ordered
+)
+SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(max(e) - min(s) + 1 AS BIGINT) AS span_tokens
+FROM islands GROUP BY doc_id, isl
+"""
+
+
+def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup, corpus-cleaning stage: documents
+    rewritten with every duplicated >= 8-token span removed (see
+    operators/dedup.py remove_duplicate_spans)."""
+    from etl_finance_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return remove_duplicate_spans(docs, "doc_id", "text", k=8, min_count=2)
+
+
+SQL_SUBSTRING_DEDUP_CLEAN = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+  WHERE len(t) >= 8
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+covered AS (
+  SELECT DISTINCT g.doc_id, g.pos + d.o AS pos
+  FROM grams g JOIN dup USING (gram),
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS o) d
+),
+positions AS (
+  SELECT doc_id, i AS pos, t[i] AS tok, len(t) AS n_total
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+),
+kept AS (
+  SELECT p.doc_id,
+         string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_tokens_kept
+  FROM positions p LEFT JOIN covered c
+    ON p.doc_id = c.doc_id AND p.pos = c.pos
+  WHERE c.pos IS NULL
+  GROUP BY p.doc_id
+),
+totals AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_total FROM toks)
+SELECT t.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       coalesce(k.n_tokens_kept, 0) AS n_tokens_kept,
+       t.n_total - coalesce(k.n_tokens_kept, 0) AS n_tokens_removed
+FROM totals t LEFT JOIN kept k USING (doc_id)
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "substring_dedup": q_substring_dedup,
+    "substring_dedup_clean": q_substring_dedup_clean,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "incremental_near_dup": q_incremental_near_dup,
     "chunk_docs": q_chunk_docs,
@@ -2811,6 +2914,8 @@ ORACLES_TD: dict[str, str] = {
     "stream_candles": SQL_STREAM_CANDLES,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedupe": SQL_STREAM_DEDUPE,
+    "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "substring_dedup_clean": SQL_SUBSTRING_DEDUP_CLEAN,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "negative_pairs": SQL_NEGATIVE_PAIRS,

@@ -596,3 +596,64 @@ def test_quantize_embeddings_bounds_and_zero_vector(spark):
     assert r2["scale"] == 0.0 and r2["qvec"] == [0, 0, 0, 0] and r2["max_abs_err"] == 0.0
     r3 = out[3]
     assert max(abs(q) for q in r3["qvec"]) == 127  # scale adapts to tiny vectors
+
+
+def test_duplicate_token_spans_hand_built(spark):
+    """Spans: a shared 8-token passage marks both docs; a WITHIN-doc
+    repeat counts (Lee et al. semantics); runs shorter than k are
+    invisible; overlapping covers merge to one maximal span."""
+    from etl_finance_pipeline_spark.operators.dedup import (
+        duplicate_token_spans,
+    )
+
+    boiler = "all rights reserved see license file for details"  # 8 toks
+    docs = spark.createDataFrame(
+        [
+            # boiler at positions 3..10, unique tail
+            (1, "alpha beta gamma " + boiler + " tail one two"),
+            # boiler at positions 1..8 then again 9..16 (within-doc
+            # repeat ALSO witnesses the gram) and they merge into one
+            # span 1..16
+            (2, boiler + " " + boiler),
+            # shares only a 4-token run with boiler -> below k, no span
+            (3, "all rights reserved see nothing else here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_token_spans(docs, k=8).collect()
+    }
+    assert out == {1: (4, 11, 8), 2: (1, 16, 16)}
+
+
+def test_remove_duplicate_spans_rewrites_and_counts(spark):
+    from etl_finance_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    boiler = "all rights reserved see license file for details"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + boiler + " tail one two"),
+            (2, boiler + " " + boiler),
+            (3, "completely unique content with no duplication at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (
+            r["clean_text"],
+            r["n_tokens_kept"],
+            r["n_tokens_removed"],
+        )
+        for r in remove_duplicate_spans(docs, k=8).collect()
+    }
+    assert out[1] == ("alpha beta gamma tail one two", 6, 8)
+    # doc 2 is ALL boilerplate: everything removed
+    assert out[2] == ("", 0, 16)
+    assert out[3] == (
+        "completely unique content with no duplication at all",
+        8,
+        0,
+    )
