@@ -81,6 +81,8 @@ _SHOWCASE_FIRST = (
     # (all still registered + full-artifact-verified every round)
     "substring_dedup",  # ExactSubstr span discovery, no suffix array (round 6)
     "substring_dedup_clean",  # corpus rewrite with spans removed (round 6)
+    "video_frames_real",  # real YUV4MPEG2 container parse (round 6)
+    "scene_cuts_real",  # shot boundaries over parsed y4m luma planes (round 6)
 )
 
 

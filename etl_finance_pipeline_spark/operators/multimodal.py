@@ -7,9 +7,12 @@ Codec coverage is stdlib-deep, native-dep-stubbed:
  * REAL codecs, no external deps: WAV (RIFF container via the stdlib
    ``wave`` module — ``decode="wav"`` / :func:`encode_wav_pcm16`),
    PPM P6 and uncompressed 24-bit BMP byte parsing
-   (``decode="ppm"`` / ``decode="bmp"`` / :func:`encode_bmp24`), and
+   (``decode="ppm"`` / ``decode="bmp"`` / :func:`encode_bmp24`),
    PNG 8-bit RGB via stdlib ``zlib`` — chunk walk, DEFLATE, full
-   5-filter scanline reversal (``decode="png"`` / :func:`encode_png`).
+   5-filter scanline reversal (``decode="png"`` / :func:`encode_png`)
+   — and the YUV4MPEG2 (y4m) video container: header parameter line,
+   per-frame FRAME markers, planar mono/420/422/444 geometry
+   (``decode="y4m"`` in the video lanes / :func:`encode_y4m`).
  * Formats that genuinely need native codecs (jpeg/mp4/...):
    ``decode="real"`` raises ``NotImplementedError`` with the
    dependency named (no PIL/ffmpeg in this container), and the
@@ -751,6 +754,115 @@ def encode_wav_pcm16(
     return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)
 
 
+#: Chroma subsampling → bytes per frame as a multiple of W*H (the Y
+#: plane is always the first W*H bytes of a frame).
+_Y4M_FRAME_FACTORS = {
+    "mono": 1.0,
+    "420": 1.5,
+    "420jpeg": 1.5,
+    "420mpeg2": 1.5,
+    "420paldv": 1.5,
+    "422": 2.0,
+    "444": 3.0,
+}
+
+
+def _parse_y4m(b: bytes) -> tuple[int, int, int, int, str, list[bytes]]:
+    """Parse a YUV4MPEG2 (y4m) stream — the uncompressed video
+    container every codec toolchain round-trips (mjpegtools spec):
+    one ``YUV4MPEG2`` header line of space-separated tagged
+    parameters, then per frame a ``FRAME`` line followed by the raw
+    planar picture. Returns (width, height, fps_num, fps_den,
+    colorspace, [Y planes]) — the luma plane is what the analysis
+    lanes consume; chroma planes are validated for length and
+    skipped. Raises ValueError on bad magic, missing W/H, unknown
+    colorspace, or a truncated frame — fail-loud like the PNG/WAV
+    parsers."""
+    nl = b.find(b"\n")
+    if not b.startswith(b"YUV4MPEG2") or nl < 0:
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = 0
+    fps_num, fps_den = 25, 1
+    colorspace = "420jpeg"  # spec default when no C tag is present
+    for tok in b[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:].decode("ascii", "strict")
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"F":
+            num, den = val.split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag == b"C":
+            colorspace = val
+    if width <= 0 or height <= 0:
+        raise ValueError("y4m header missing W/H")
+    if colorspace not in _Y4M_FRAME_FACTORS:
+        raise ValueError(f"unsupported y4m colorspace C{colorspace}")
+    y_size = width * height
+    frame_size = int(y_size * _Y4M_FRAME_FACTORS[colorspace])
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(b):
+        fnl = b.find(b"\n", pos)
+        if not b.startswith(b"FRAME", pos) or fnl < 0:
+            raise ValueError(f"bad FRAME marker at offset {pos}")
+        data_start = fnl + 1
+        if data_start + frame_size > len(b):
+            raise ValueError("truncated y4m frame")
+        frames.append(b[data_start : data_start + y_size])
+        pos = data_start + frame_size
+    return width, height, fps_num, fps_den, colorspace, frames
+
+
+def encode_y4m(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("media_id",),
+    width: int = 8,
+    height: int = 8,
+    fps_num: int = 25,
+    fps_den: int = 1,
+    pad_byte: int = 0x20,
+) -> DataFrame:
+    """Encode a binary payload as a REAL YUV4MPEG2 container (Cmono —
+    luma-only, part of the y4m spec): the payload is cut into
+    ``width*height``-byte luma frames (the last frame padded with
+    *pad_byte*), each wrapped in the spec's ``FRAME\\n`` marker under
+    a full parameter header. Any y4m reader (ffmpeg, mjpegtools, the
+    parser above) round-trips the result; this is the genuine
+    container, not a byte-blob convention — frame boundaries come
+    from the header geometry, not a caller-supplied stride."""
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols] + [T.StructField(content_col, T.BinaryType())]
+    )
+    id_list = list(id_cols)
+    header = (
+        f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} Ip A1:1 Cmono\n"
+    ).encode("ascii")
+    fs = width * height
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf[content_col]:
+                raw = bytes(payload or b"")
+                nf = max(1, -(-len(raw) // fs))
+                raw = raw.ljust(nf * fs, bytes([pad_byte]))
+                parts = [header]
+                for i in range(nf):
+                    parts.append(b"FRAME\n")
+                    parts.append(raw[i * fs : (i + 1) * fs])
+                payloads.append(b"".join(parts))
+            out = pdf[id_list].copy()
+            out[content_col] = payloads
+            yield out
+
+    return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)
+
+
 def sample_video_frames(
     df: DataFrame,
     content_col: str = "content",
@@ -759,10 +871,14 @@ def sample_video_frames(
     frame_bytes: int = 64,
     decode: str = "fake",
 ) -> DataFrame:
-    """Frame-sampling stub: ``fake`` mode treats the payload as
-    concatenated *frame_bytes*-sized frames and emits every *every_n*-th
-    one (one output row per sampled frame — a 1→N mapInPandas, the real
-    shape of video frame extraction). ``real`` mode raises (ffmpeg)."""
+    """Frame sampling, the 1→N mapInPandas lane of video frame
+    extraction: emit every *every_n*-th frame as its own row.
+    ``decode="y4m"`` is the REAL container path — frames are the luma
+    planes parsed out of a YUV4MPEG2 stream (geometry from the
+    header; *frame_bytes* is ignored). ``fake`` treats the payload as
+    concatenated *frame_bytes*-sized frames (the blob convention for
+    formats with no in-container codec). ``real`` raises (ffmpeg for
+    compressed containers)."""
     if decode == "real":  # pragma: no cover
         _require_real_codec("video", "ffmpeg/pyav")
 
@@ -785,13 +901,19 @@ def sample_video_frames(
                 if payload is None:
                     continue
                 b = bytes(payload)
-                n_frames = len(b) // frame_bytes
-                for i in range(0, n_frames, every_n):
+                if decode == "y4m":
+                    frames = _parse_y4m(b)[5]
+                else:
+                    frames = [
+                        b[i * frame_bytes : (i + 1) * frame_bytes]
+                        for i in range(len(b) // frame_bytes)
+                    ]
+                for i in range(0, len(frames), every_n):
                     rows.append(
                         {
                             **{c: r[c] for c in id_list},
                             "frame_index": i,
-                            "frame": b[i * frame_bytes : (i + 1) * frame_bytes],
+                            "frame": frames[i],
                         }
                     )
             yield pd.DataFrame(
@@ -807,18 +929,23 @@ def frame_delta_stats(
     id_cols: tuple[str, ...] = ("media_id",),
     frame_bytes: int = 64,
     cut_threshold: float = 30.0,
+    decode: str = "fake",
 ) -> DataFrame:
-    """Scene-cut detection over the frame-sampling lane: the payload
-    is read as consecutive *frame_bytes*-sized frames; every adjacent
-    pair reports its mean absolute byte difference (numpy-vectorized
-    over the whole clip at once) and a cut flag at *cut_threshold* —
-    the shot-boundary heuristic video pipelines run before keyframe
-    extraction. Exact integer sums, one float division per frame, so
-    a SQL oracle reproduces the deltas bit-for-bit.
+    """Scene-cut detection over the frame-sampling lane: every
+    adjacent frame pair reports its mean absolute byte difference
+    (numpy-vectorized over the whole clip at once) and a cut flag at
+    *cut_threshold* — the shot-boundary heuristic video pipelines run
+    before keyframe extraction. ``decode="y4m"`` parses frames (luma
+    planes) out of a REAL YUV4MPEG2 container; ``fake`` reads the
+    payload as consecutive *frame_bytes*-sized frames. Exact integer
+    sums, one float division per frame, so a SQL oracle reproduces
+    the deltas bit-for-bit.
 
     Output: id columns + (frame_index, delta, is_cut), one row per
     frame AFTER the first (index is the later frame's).
     """
+    if decode == "real":  # pragma: no cover
+        _require_real_codec("video", "ffmpeg/pyav")
     out_schema = T.StructType(
         [df.schema[c] for c in id_cols]
         + [
@@ -840,18 +967,29 @@ def frame_delta_stats(
                 if payload is None:
                     continue
                 b = bytes(payload)
-                n_frames = len(b) // frame_bytes
-                if n_frames < 2:
-                    continue
-                arr = (
-                    np.frombuffer(b, dtype=np.uint8, count=n_frames * frame_bytes)
-                    .reshape(n_frames, frame_bytes)
-                    .astype(np.int16)
-                )
+                if decode == "y4m":
+                    w, h, _, _, _, frames = _parse_y4m(b)
+                    fb = w * h
+                    n_frames = len(frames)
+                    if n_frames < 2:
+                        continue
+                    arr = np.frombuffer(
+                        b"".join(frames), dtype=np.uint8
+                    ).reshape(n_frames, fb).astype(np.int16)
+                else:
+                    fb = frame_bytes
+                    n_frames = len(b) // fb
+                    if n_frames < 2:
+                        continue
+                    arr = (
+                        np.frombuffer(b, dtype=np.uint8, count=n_frames * fb)
+                        .reshape(n_frames, fb)
+                        .astype(np.int16)
+                    )
                 sums = np.abs(arr[1:] - arr[:-1]).sum(
                     axis=1, dtype=np.int64
                 )
-                deltas = sums / float(frame_bytes)
+                deltas = sums / float(fb)
                 for i, d in enumerate(deltas, start=1):
                     rows.append(
                         {

@@ -2814,7 +2814,101 @@ FROM totals t LEFT JOIN kept k USING (doc_id)
 """
 
 
+def q_video_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container path under the oracle gate: text bytes →
+    a genuine YUV4MPEG2 stream (mono luma, 8×8 frames, FRAME markers,
+    written by encode_y4m) → sample_video_frames(decode="y4m") which
+    re-parses the container — frame geometry comes from the y4m
+    HEADER, frame boundaries from the FRAME markers, not from a
+    caller-supplied stride. Sampled luma planes hash to md5 hex; the
+    oracle reconstructs each frame from the text directly (64-char
+    slices, last frame space-padded like the encoder), so a header or
+    marker parsing bug breaks the hash match."""
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        encode_y4m,
+        sample_video_frames,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    clips = encode_y4m(docs, width=8, height=8)
+    out = sample_video_frames(clips, every_n=2, decode="y4m")
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("long").alias("n_bytes"),
+    )
+
+
+SQL_VIDEO_FRAMES_REAL = """
+WITH f AS (
+  SELECT doc_id, rpad(text, CAST(greatest(1, ceil(len(text) / 64.0)) * 64 AS INTEGER), ' ') AS p,
+         greatest(1, CAST(ceil(len(text) / 64.0) AS BIGINT)) AS nf
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, p, unnest(range(0, nf, 2)) AS i FROM f
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_index,
+       md5(substr(p, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5,
+       CAST(64 AS BIGINT) AS n_bytes
+FROM idx
+"""
+
+
+def q_scene_cuts_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the REAL y4m container lane:
+    adjacent luma planes parsed out of the YUV4MPEG2 stream report
+    their mean absolute difference — same exact-integer kernel as the
+    fake lane, but frame geometry comes from the parsed header."""
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        encode_y4m,
+        frame_delta_stats,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    clips = encode_y4m(docs, width=8, height=8)
+    out = frame_delta_stats(clips, cut_threshold=30.0, decode="y4m")
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_index").cast("long").alias("frame_index"),
+        _pr("delta", 6).alias("delta"),
+        F.col("is_cut"),
+    )
+
+
+SQL_SCENE_CUTS_REAL = """
+WITH f AS (
+  SELECT doc_id, rpad(text, CAST(greatest(1, ceil(len(text) / 64.0)) * 64 AS INTEGER), ' ') AS p,
+         greatest(1, CAST(ceil(len(text) / 64.0) AS BIGINT)) AS nf
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, p, unnest(range(1, nf)) AS i FROM f WHERE nf >= 2
+),
+d AS (
+  SELECT doc_id, i,
+         list_sum(list_transform(generate_series(1, 64),
+           j -> abs(ord(substr(p, CAST(i * 64 + j AS BIGINT), 1))
+                    - ord(substr(p, CAST((i - 1) * 64 + j AS BIGINT), 1)))
+         )) / 64.0 AS delta
+  FROM idx
+)
+SELECT doc_id, CAST(i AS BIGINT) AS frame_index,
+       floor(delta * 1000000 + 0.5) / 1000000 AS delta,
+       delta > 30.0 AS is_cut
+FROM d
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "video_frames_real": q_video_frames_real,
+    "scene_cuts_real": q_scene_cuts_real,
     "substring_dedup": q_substring_dedup,
     "substring_dedup_clean": q_substring_dedup_clean,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2914,6 +3008,8 @@ ORACLES_TD: dict[str, str] = {
     "stream_candles": SQL_STREAM_CANDLES,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedupe": SQL_STREAM_DEDUPE,
+    "video_frames_real": SQL_VIDEO_FRAMES_REAL,
+    "scene_cuts_real": SQL_SCENE_CUTS_REAL,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "substring_dedup_clean": SQL_SUBSTRING_DEDUP_CLEAN,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,

@@ -388,3 +388,87 @@ def test_detect_silence_windows(spark):
     df2 = spark.createDataFrame([(2, bytes([1] * 50))], "media_id long, content binary")
     r2 = detect_silence(df2).collect()[0]
     assert r2["n_windows"] == 0 and r2["silence_frac"] is None
+
+
+def test_y4m_parser_roundtrip_mono():
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        _parse_y4m,
+    )
+
+    y = b"YUV4MPEG2 W4 H2 F30:1 Ip A1:1 Cmono\n"
+    f0, f1 = bytes(range(8)), bytes(range(8, 16))
+    w, h, num, den, cs, frames = _parse_y4m(
+        y + b"FRAME\n" + f0 + b"FRAME\n" + f1
+    )
+    assert (w, h, num, den, cs) == (4, 2, 30, 1, "mono")
+    assert frames == [f0, f1]
+
+
+def test_y4m_parser_skips_chroma_planes():
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        _parse_y4m,
+    )
+
+    # C420: frame = 8 luma + 2 U + 2 V bytes; parser returns luma only
+    y = b"YUV4MPEG2 W4 H2 C420\n"
+    luma = bytes(range(8))
+    frame = luma + b"\xaa\xbb" + b"\xcc\xdd"
+    w, h, num, den, cs, frames = _parse_y4m(y + b"FRAME\n" + frame)
+    assert (w, h) == (4, 2)
+    assert (num, den) == (25, 1)  # spec default when no F tag
+    assert frames == [luma]
+
+
+def test_y4m_parser_fail_loud():
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        _parse_y4m,
+    )
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        _parse_y4m(b"RIFF....")
+    with pytest.raises(ValueError, match="missing W/H"):
+        _parse_y4m(b"YUV4MPEG2 F25:1\nFRAME\n")
+    with pytest.raises(ValueError, match="unsupported y4m colorspace"):
+        _parse_y4m(b"YUV4MPEG2 W2 H2 C999\nFRAME\n" + b"\x00" * 4)
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_y4m(b"YUV4MPEG2 W4 H2 Cmono\nFRAME\n" + b"\x00" * 7)
+    with pytest.raises(ValueError, match="bad FRAME marker"):
+        _parse_y4m(b"YUV4MPEG2 W2 H2 Cmono\nJUNK!\n" + b"\x00" * 4)
+
+
+def test_y4m_encode_decode_spark_roundtrip(spark):
+    """Container round-trip through the Spark lanes: encode_y4m wraps
+    payload bytes, sample_video_frames(decode='y4m') re-parses them —
+    frame boundaries from the container, last frame space-padded."""
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        encode_y4m,
+        sample_video_frames,
+    )
+
+    payload = bytes(range(100))  # 1 full 64-byte frame + 36 remainder
+    df = spark.createDataFrame([(1, bytearray(payload))], ["media_id", "content"])
+    clips = encode_y4m(df, width=8, height=8)
+    frames = {
+        r["frame_index"]: bytes(r["frame"])
+        for r in sample_video_frames(clips, every_n=1, decode="y4m").collect()
+    }
+    assert set(frames) == {0, 1}
+    assert frames[0] == payload[:64]
+    assert frames[1] == payload[64:] + b" " * 28
+
+
+def test_y4m_frame_delta_uses_header_geometry(spark):
+    """frame_delta_stats(decode='y4m') must take the frame size from
+    the parsed header (16 here), ignoring the frame_bytes default."""
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        encode_y4m,
+        frame_delta_stats,
+    )
+
+    payload = bytes([0] * 16 + [10] * 16)  # two 4x4 frames, delta 10
+    df = spark.createDataFrame([(1, bytearray(payload))], ["media_id", "content"])
+    clips = encode_y4m(df, width=4, height=4)
+    rows = frame_delta_stats(clips, cut_threshold=5.0, decode="y4m").collect()
+    assert len(rows) == 1
+    assert rows[0]["delta"] == 10.0
+    assert rows[0]["is_cut"] is True
