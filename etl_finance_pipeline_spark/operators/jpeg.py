@@ -1,0 +1,450 @@
+"""Pure-numpy baseline JPEG (ITU-T T.81) grayscale codec — closes the
+last fake multimodal lane without native dependencies (no PIL/libjpeg
+in this environment).
+
+Decoder scope — REAL baseline sequential DCT, grayscale:
+ * full marker walk (SOI/APPn/COM/DQT/DHT/SOF0/DRI/SOS/RSTn/EOI),
+ * canonical Huffman decode of the entropy stream with 0xFF00
+   byte-unstuffing and restart-interval resync,
+ * differential DC + run-length AC coefficient decode (EOB/ZRL),
+ * dequantization, zigzag de-scan, and a vectorized 8×8 inverse DCT
+   over all blocks of the image at once (one einsum, no per-pixel
+   Python),
+ * level shift, clamp, and edge-crop to the SOF dimensions.
+Progressive (SOF2), arithmetic coding (SOF9+), 12-bit precision,
+hierarchical modes, and multi-component (color) scans raise
+``NotImplementedError`` loudly — the documented boundary, exactly
+like the PNG decoder rejects non-8-bit-RGB color types.
+
+Encoder scope: baseline grayscale with caller-supplied quantization,
+standard Annex K Huffman tables, correct category/one's-complement
+coefficient coding and byte stuffing. Any JPEG reader round-trips its
+output; with a flat quant table the round-trip error is bounded by
+DCT rounding (≤2 LSB), and constant 8×8 blocks with DC quant 8
+round-trip BIT-EXACTLY (DC = 8·(v−128) is an exact multiple of the
+quantizer and every AC coefficient is exactly zero) — which is what
+lets a SQL oracle verify the full codec path hash-for-hash
+(plans/training_data.py image_stats_jpeg).
+
+Scale note: runs inside the same Arrow-batched mapInPandas lanes as
+the other codecs (operators/multimodal.py) — narrow transformation,
+no shuffle, memory bounded per Arrow batch.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+#: Zigzag scan order: _ZIGZAG[i] = raster index of the i-th zigzag
+#: coefficient (T.81 Figure 5).
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Standard Annex K luminance Huffman tables (T.81 Tables K.3/K.5):
+# BITS = count of codes per length 1..16, VALUES = symbols in code
+# order. Public-spec constants, same in every JFIF writer.
+_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_VALUES = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_VALUES = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+#: Flat 8×8 quantization table with DC step 8: constant blocks
+#: quantize losslessly (see module docstring); ACs use step 1 so
+#: general images round-trip within DCT rounding.
+FLAT_QTABLE = np.array([8] + [1] * 63, dtype=np.int64)[_ZIGZAG.argsort()].reshape(8, 8)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix C: F = C·B·Cᵀ, B = Cᵀ·F·C."""
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    c = np.cos((2 * n + 1) * k * np.pi / 16) * 0.5
+    c[0, :] *= 1.0 / np.sqrt(2.0)
+    return c
+
+
+_C = _dct_matrix()
+
+
+def _canonical_codes(bits, values) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 canonical construction."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[idx]] = (code, length)
+            code += 1
+            idx += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self._out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            byte = (self._acc >> (self._nbits - 8)) & 0xFF
+            self._out.append(byte)
+            if byte == 0xFF:
+                self._out.append(0x00)
+            self._nbits -= 8
+        self._acc &= (1 << self._nbits) - 1
+
+    def finish(self) -> bytes:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self._out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data: unstuffs 0xFF00,
+    stops at any real marker (leaves it for the caller)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self._d = data
+        self._pos = pos
+        self._acc = 0
+        self._nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        d, p = self._d, self._pos
+        if p >= len(d):
+            return False
+        byte = d[p]
+        if byte == 0xFF:
+            if p + 1 >= len(d):
+                return False
+            nxt = d[p + 1]
+            if nxt == 0x00:  # stuffed
+                self._pos = p + 2
+            else:  # real marker: stop here
+                self.marker = nxt
+                return False
+        else:
+            self._pos = p + 1
+        self._acc = (self._acc << 8) | byte
+        self._nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self._nbits == 0 and not self._fill():
+            raise ValueError("truncated JPEG entropy stream")
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_pos(self) -> int:
+        """Drop partial byte (restart alignment) and return stream pos."""
+        self._acc = 0
+        self._nbits = 0
+        return self._pos
+
+
+def _decode_huffman_symbol(br: _BitReader, table) -> int:
+    """table: (mincode, maxcode, valptr, values) per code length."""
+    mincode, maxcode, valptr, values = table
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        if maxcode[length] >= 0 and code <= maxcode[length]:
+            return values[valptr[length] + code - mincode[length]]
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _decoder_table(bits, values):
+    """Build (mincode, maxcode, valptr, values) arrays (T.81 F.2.2.3)."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        if n:
+            valptr[length] = idx
+            mincode[length] = code
+            code += n
+            idx += n
+            maxcode[length] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, list(values)
+
+
+def _extend(value: int, size: int) -> int:
+    """T.81 EXTEND: map *size* raw bits to a signed coefficient."""
+    if size == 0:
+        return 0
+    if value < (1 << (size - 1)):
+        return value - (1 << size) + 1
+    return value
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg_gray(pixels: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+    """Encode a (H, W) uint8 array as a baseline grayscale JFIF JPEG.
+
+    Dimensions are padded to 8-multiples by edge replication (standard
+    encoder behavior; the decoder crops back via SOF). Quantization
+    defaults to :data:`FLAT_QTABLE`; Huffman coding uses the Annex K
+    luminance tables.
+    """
+    q = (FLAT_QTABLE if qtable is None else np.asarray(qtable)).astype(np.int64)
+    if q.shape != (8, 8) or (q <= 0).any() or (q > 255).any():
+        raise ValueError("qtable must be 8x8 with entries in 1..255")
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    h, w = pixels.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(pixels, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    # FDCT + quantization, vectorized over all blocks at once
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coeffs = np.einsum("ij,bjk,lk->bil", _C, blocks, _C)
+    quant = np.round(coeffs / q).astype(np.int64)
+    zz = quant.reshape(-1, 64)[:, _ZIGZAG]  # (n_blocks, 64) zigzag order
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALUES)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALUES)
+    bw = _BitWriter()
+    pred = 0
+    for blk in zz:
+        diff = int(blk[0]) - pred
+        pred = int(blk[0])
+        size = _category(diff)
+        code, length = dc_codes[size]
+        bw.write(code, length)
+        if size:
+            bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        run = 0
+        last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) else 0
+        for i in range(1, last_nz + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                zc, zl = ac_codes[0xF0]  # ZRL
+                bw.write(zc, zl)
+                run -= 16
+            size = _category(v)
+            code, length = ac_codes[(run << 4) | size]
+            bw.write(code, length)
+            bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_codes[0x00]  # EOB
+            bw.write(code, length)
+    entropy = bw.finish()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(int(x) for x in q.reshape(64)[_ZIGZAG]))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += seg(
+        0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALUES)
+    )
+    out += seg(
+        0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALUES)
+    )
+    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg_gray(b: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline grayscale JPEG to (width, height, pixel
+    bytes, row-major). See module docstring for the supported subset;
+    everything outside it raises (NotImplementedError for other JPEG
+    modes, ValueError for corrupt streams)."""
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], tuple] = {}  # (class, id) -> decoder table
+    width = height = 0
+    restart_interval = 0
+    comp_q = comp_dc = comp_ac = 0
+    sof_seen = False
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at offset {pos}")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG stream has no scan data")
+        (length,) = struct.unpack_from(">H", b, pos + 2)
+        payload = b[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(payload, dtype=np.uint8, count=64, offset=p).astype(np.int64)
+                    p += 64
+                else:  # 16-bit precision table
+                    tbl = np.frombuffer(payload, dtype=">u2", count=64, offset=p).astype(np.int64)
+                    p += 128
+                raster = np.empty(64, dtype=np.int64)
+                raster[_ZIGZAG] = tbl
+                qtables[tq] = raster.reshape(8, 8)
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = tuple(payload[p + 1 : p + 17])
+                n = sum(bits)
+                values = tuple(payload[p + 17 : p + 17 + n])
+                htables[(tc, th)] = _decoder_table(bits, values)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if precision != 8:
+                raise NotImplementedError("only 8-bit JPEG precision supported")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "only grayscale (1-component) JPEG supported — color "
+                    "needs chroma upsampling + YCbCr conversion"
+                )
+            # per-component: id, sampling (H<<4|V), qtable id
+            if payload[7] != 0x11:
+                raise NotImplementedError("subsampled grayscale not supported")
+            comp_q = payload[8]
+            sof_seen = True
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/"
+                f"hierarchical) not supported — baseline (SOF0) only"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if not sof_seen:
+                raise ValueError("SOS before SOF0")
+            if payload[0] != 1:
+                raise NotImplementedError("multi-component scan")
+            comp_dc = payload[2] >> 4
+            comp_ac = payload[2] & 0x0F
+            break
+        # APPn / COM / anything else: skipped
+    else:
+        raise ValueError("JPEG stream has no SOS marker")
+
+    if comp_q not in qtables:
+        raise ValueError(f"missing quantization table {comp_q}")
+    for key in ((0, comp_dc), (1, comp_ac)):
+        if key not in htables:
+            raise ValueError(f"missing Huffman table class={key[0]} id={key[1]}")
+    q = qtables[comp_q]
+    dc_tbl = htables[(0, comp_dc)]
+    ac_tbl = htables[(1, comp_ac)]
+
+    bw_blocks = -(-width // 8)
+    bh_blocks = -(-height // 8)
+    n_blocks = bw_blocks * bh_blocks
+    zz = np.zeros((n_blocks, 64), dtype=np.int64)
+    br = _BitReader(b, pos)
+    pred = 0
+    for bi in range(n_blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            p = br.align_and_pos()
+            if p + 1 < len(b) and b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7:
+                br = _BitReader(b, p + 2)
+                pred = 0
+            else:
+                raise ValueError(f"expected RST marker before MCU {bi}")
+        size = _decode_huffman_symbol(br, dc_tbl)
+        diff = _extend(br.read_bits(size), size)
+        pred += diff
+        zz[bi, 0] = pred
+        k = 1
+        while k < 64:
+            rs = _decode_huffman_symbol(br, ac_tbl)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            zz[bi, k] = _extend(br.read_bits(size), size)
+            k += 1
+
+    # dequant + de-zigzag + one vectorized IDCT over every block
+    coeffs = np.zeros((n_blocks, 64), dtype=np.float64)
+    coeffs[:, _ZIGZAG] = zz * q.reshape(64)[_ZIGZAG]
+    blocks = np.einsum(
+        "ji,bjk,kl->bil", _C, coeffs.reshape(-1, 8, 8), _C
+    )
+    pixels = (
+        blocks.reshape(bh_blocks, bw_blocks, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh_blocks * 8, bw_blocks * 8)
+    )
+    pixels = np.clip(np.round(pixels + 128.0), 0, 255).astype(np.uint8)
+    return width, height, pixels[:height, :width].tobytes()

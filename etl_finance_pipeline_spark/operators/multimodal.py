@@ -272,18 +272,20 @@ def decode_image_stats(
 
     ``decode="fake"``: deterministic byte-level kernel (treats the
     payload as raw 8-bit intensities) — exercises the full plumbing.
-    ``decode="ppm"`` / ``decode="bmp"`` / ``decode="png"``: REAL
-    container parsing (netpbm P6 / uncompressed 24-bit BMP /
-    zlib-inflated, filter-reversed 8-bit RGB PNG) — header-derived
+    ``decode="ppm"`` / ``decode="bmp"`` / ``decode="png"`` /
+    ``decode="jpeg"``: REAL container parsing (netpbm P6 /
+    uncompressed 24-bit BMP / zlib-inflated, filter-reversed 8-bit
+    RGB PNG / baseline grayscale JPEG via the pure-numpy
+    huffman+IDCT codec in operators/jpeg.py) — header-derived
     width/height, stats over the decoded pixel raster only.
-    ``decode="real"``: jpeg would need PIL; raises
+    ``decode="real"``: color/progressive jpeg would need PIL; raises
     ``NotImplementedError`` (codec not installed).
 
     Output: id columns + ``stats`` struct (IMAGE_STATS_TYPE).
     """
     if decode == "real":  # pragma: no cover - environment-dependent
-        _require_real_codec("image (jpeg)", "PIL")
-    if decode not in ("fake", "ppm", "bmp", "png"):
+        _require_real_codec("image (color/progressive jpeg)", "PIL")
+    if decode not in ("fake", "ppm", "bmp", "png", "jpeg"):
         raise ValueError(f"unknown decode mode: {decode}")
 
     out_schema = T.StructType(
@@ -315,6 +317,12 @@ def decode_image_stats(
                     w, h, pix = _parse_bmp(b)
                 elif decode == "png":
                     w, h, pix = _parse_png(b)
+                elif decode == "jpeg":
+                    from etl_finance_pipeline_spark.operators.jpeg import (
+                        decode_jpeg_gray,
+                    )
+
+                    w, h, pix = decode_jpeg_gray(b)
                 else:
                     w, h, pix = None, None, b
                 arr = np.frombuffer(pix, dtype=np.uint8)
@@ -464,6 +472,51 @@ def encode_png(
                     + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
                     + _png_chunk(b"IEND", b"")
                 )
+            out = pdf[id_list].copy()
+            out[content_col] = payloads
+            yield out
+
+    return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)
+
+
+def encode_jpeg_blocks(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("media_id",),
+    blocks_per_row: int = 8,
+    pad_byte: int = 0x20,
+) -> DataFrame:
+    """Encode a binary payload as a REAL baseline grayscale JPEG
+    (operators/jpeg.py): each payload byte becomes one constant 8×8
+    luma block, laid out *blocks_per_row* blocks wide (rows padded
+    with *pad_byte*). Constant blocks quantize losslessly under the
+    flat table (DC step 8 divides 8·(v−128) exactly, all ACs are
+    exactly zero), so the decode round-trip is BIT-exact — any JPEG
+    reader recovers the payload bytes as 8×8 pixel tiles, and the
+    oracle can verify the full huffman/DCT path hash-for-hash."""
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols] + [T.StructField(content_col, T.BinaryType())]
+    )
+    id_list = list(id_cols)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        from etl_finance_pipeline_spark.operators.jpeg import (
+            encode_jpeg_gray,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for payload in pdf[content_col]:
+                raw = bytes(payload or b"")
+                n_rows = max(1, -(-len(raw) // blocks_per_row))
+                raw = raw.ljust(n_rows * blocks_per_row, bytes([pad_byte]))
+                vals = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    n_rows, blocks_per_row
+                )
+                img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                payloads.append(encode_jpeg_gray(img))
             out = pdf[id_list].copy()
             out[content_col] = payloads
             yield out

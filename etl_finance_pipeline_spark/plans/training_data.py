@@ -2906,7 +2906,63 @@ FROM d
 """
 
 
+def q_image_stats_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG codec path under the oracle gate: text bytes → a
+    genuine baseline grayscale JFIF JPEG (each byte one constant 8×8
+    luma block — losslessly quantized under the flat table, see
+    operators/jpeg.py) → decode_image_stats(decode="jpeg") which runs
+    the full marker walk, canonical Huffman decode, dequant, and
+    vectorized IDCT. The oracle recomputes the stats from the padded
+    character codes directly: a bug anywhere in the entropy coding,
+    zigzag, quantization, or IDCT changes decoded pixels and breaks
+    the hash match. Width/height come from the PARSED SOF header."""
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_jpeg_blocks,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    jpg = encode_jpeg_blocks(docs, blocks_per_row=8)
+    out = decode_image_stats(jpg, decode="jpeg")
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("stats.n_bytes").alias("n_bytes"),
+        _pr(F.col("stats.mean_intensity"), 6).alias("mean_intensity"),
+        F.col("stats.min_byte").cast("long").alias("min_byte"),
+        F.col("stats.max_byte").cast("long").alias("max_byte"),
+        F.col("stats.width").cast("long").alias("width"),
+        F.col("stats.height").cast("long").alias("height"),
+    )
+
+
+SQL_IMAGE_STATS_JPEG = """
+WITH f AS (
+  SELECT doc_id,
+         rpad(text, CAST(greatest(1, ceil(len(text) / 8.0)) * 8 AS INTEGER), ' ') AS p,
+         greatest(1, CAST(ceil(len(text) / 8.0) AS BIGINT)) AS nr
+  FROM documents
+),
+codes AS (
+  SELECT doc_id, nr,
+         list_transform(generate_series(1, len(p)), i -> ord(substr(p, i, 1))) AS c
+  FROM f
+)
+SELECT doc_id,
+       CAST(nr * 8 * 64 AS BIGINT) AS n_bytes,
+       floor((CAST(list_sum(c) AS DOUBLE) / len(c)) * 1000000 + 0.5) / 1000000
+         AS mean_intensity,
+       CAST(list_min(c) AS BIGINT) AS min_byte,
+       CAST(list_max(c) AS BIGINT) AS max_byte,
+       CAST(64 AS BIGINT) AS width,
+       CAST(nr * 8 AS BIGINT) AS height
+FROM codes
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "image_stats_jpeg": q_image_stats_jpeg,
     "video_frames_real": q_video_frames_real,
     "scene_cuts_real": q_scene_cuts_real,
     "substring_dedup": q_substring_dedup,
@@ -3008,6 +3064,7 @@ ORACLES_TD: dict[str, str] = {
     "stream_candles": SQL_STREAM_CANDLES,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedupe": SQL_STREAM_DEDUPE,
+    "image_stats_jpeg": SQL_IMAGE_STATS_JPEG,
     "video_frames_real": SQL_VIDEO_FRAMES_REAL,
     "scene_cuts_real": SQL_SCENE_CUTS_REAL,
     "substring_dedup": SQL_SUBSTRING_DEDUP,

@@ -472,3 +472,88 @@ def test_y4m_frame_delta_uses_header_geometry(spark):
     assert len(rows) == 1
     assert rows[0]["delta"] == 10.0
     assert rows[0]["is_cut"] is True
+
+
+def test_jpeg_constant_blocks_bit_exact():
+    """Constant 8x8 blocks under the flat table quantize losslessly:
+    decode(encode(img)) == img byte-for-byte (full huffman + IDCT)."""
+    import numpy as np
+
+    from etl_finance_pipeline_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 256, size=(4, 8)).astype(np.uint8)
+    img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    w, h, pix = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert (w, h) == (64, 32)
+    assert np.array_equal(
+        np.frombuffer(pix, dtype=np.uint8).reshape(h, w), img
+    )
+
+
+def test_jpeg_random_image_bounded_error_and_crop():
+    """Arbitrary images exercise the full AC path (all categories,
+    ZRL, EOB); flat quantization bounds round-trip error to DCT
+    rounding, and non-multiple-of-8 dims crop back via SOF."""
+    import numpy as np
+
+    from etl_finance_pipeline_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(10, 13)).astype(np.uint8)
+    w, h, pix = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert (w, h) == (13, 10) and len(pix) == 130
+    dec = np.frombuffer(pix, dtype=np.uint8).reshape(h, w)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_decoder_fail_loud():
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_finance_pipeline_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    with _pytest.raises(ValueError, match="missing SOI"):
+        decode_jpeg_gray(b"\x89PNG....")
+    good = bytearray(
+        encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8))
+    )
+    # flip SOF0 -> SOF2 (progressive): must raise NotImplementedError,
+    # not mis-decode
+    idx = good.find(b"\xff\xc0")
+    good[idx + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_gray(bytes(good))
+
+
+def test_jpeg_spark_lane_oracle_shape(spark):
+    """encode_jpeg_blocks -> decode_image_stats('jpeg'): stats equal
+    the padded payload byte stats (each byte is one constant tile)."""
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_jpeg_blocks,
+    )
+
+    payload = bytes(range(65, 77))  # 12 bytes -> 2 block-rows, 4 pad
+    df = spark.createDataFrame([(1, bytearray(payload))], ["media_id", "content"])
+    row = (
+        decode_image_stats(
+            encode_jpeg_blocks(df, blocks_per_row=8), decode="jpeg"
+        )
+        .select("stats.*")
+        .first()
+    )
+    padded = payload + b" " * 4
+    assert row["width"] == 64 and row["height"] == 16
+    assert row["n_bytes"] == 64 * 16
+    assert row["min_byte"] == min(padded) and row["max_byte"] == max(padded)
+    assert abs(row["mean_intensity"] - sum(padded) / len(padded)) < 1e-12
