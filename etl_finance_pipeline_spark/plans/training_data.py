@@ -2916,13 +2916,22 @@ def q_image_stats_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     character codes directly: a bug anywhere in the entropy coding,
     zigzag, quantization, or IDCT changes decoded pixels and breaks
     the hash match. Width/height come from the PARSED SOF header."""
+    from etl_finance_pipeline_spark.functions.layout import fan_out
     from etl_finance_pipeline_spark.operators.multimodal import (
         decode_image_stats,
         encode_jpeg_blocks,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents")).select(
-        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    # fan_out IS warranted here (unlike the byte-stat media lanes,
+    # where it was measured slower — SCALE.md round-6 A/B): the JPEG
+    # encode+decode kernel is ~2 ms/doc of real CPU, so a
+    # single-partition small file serializes seconds of work onto one
+    # Python worker. No-op at real scale (many input splits).
+    docs = fan_out(
+        load_table(spark, _t(sf_dir, "documents")).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
+        )
     )
     jpg = encode_jpeg_blocks(docs, blocks_per_row=8)
     out = decode_image_stats(jpg, decode="jpeg")
