@@ -484,3 +484,93 @@ def test_stream_near_dup_matches_batch_operator(spark, tmp_path):
     assert got == expected
     assert (100, 1) in got and got[(100, 1)] == 1.0  # exact text match
     assert all(b == 100 for b, _ in got)  # doc 101 matched nothing
+
+
+def test_stream_near_dup_restart_from_checkpoint_no_duplicates(spark, tmp_path):
+    """Crash-recovery end-to-end: run the foreachBatch near-dup stage,
+    then simulate the worst-case crash window — the sink committed its
+    writes but the streaming checkpoint never recorded the epoch (we
+    delete the checkpoint's commits/ marker while keeping offsets/).
+    On restart Spark REDELIVERS that epoch before processing new
+    files; the idempotent sink must skip the replay so every candidate
+    pair appears exactly once."""
+    import glob
+    import os
+
+    from etl_finance_pipeline_spark.sources.table_format import (
+        read_table,
+        write_table,
+    )
+    from etl_finance_pipeline_spark.streaming.neardup import (
+        stream_near_dup_against_corpus,
+    )
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "an entirely different document about spark streams"),
+    ]
+    corpus_table = str(tmp_path / "corpus")
+    out_table = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    write_table(
+        spark.createDataFrame(corpus_rows, "doc_id long, text string"),
+        corpus_table,
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    ).write.parquet(os.path.join(src, "f1"))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src + "/*"
+    )
+    q = stream_near_dup_against_corpus(
+        stream, corpus_table, out_table, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+    q.stop()
+    first = [
+        (r["batch_id"], r["corpus_id"])
+        for r in read_table(spark, out_table).collect()
+    ]
+    assert (100, 1) in first
+    n_first = len(first)
+
+    # crash window: offsets/N exists, sink wrote, commits/N lost
+    commits = sorted(glob.glob(os.path.join(ckpt, "commits", "*")))
+    assert commits, "expected a committed epoch in the checkpoint"
+    os.remove(commits[-1])
+    # the local FS keeps a hidden checksum twin; it must go too or the
+    # restarted query's commit rename hits FileAlreadyExistsException
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), "." + os.path.basename(commits[-1]) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    # more data arrives while "down"
+    spark.createDataFrame(
+        [(200, "an entirely different document about spark streams")],
+        "doc_id long, text string",
+    ).write.parquet(os.path.join(src, "f2"))
+
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(
+        src + "/*"
+    )
+    q2 = stream_near_dup_against_corpus(
+        stream2, corpus_table, out_table, checkpoint_dir=ckpt
+    )
+    q2.awaitTermination(120)
+    q2.stop()
+
+    got = [
+        (r["batch_id"], r["corpus_id"])
+        for r in read_table(spark, out_table).collect()
+    ]
+    # epoch 0 was redelivered and skipped; epoch 1 appended once
+    assert len(got) == len(set(got)), f"duplicate pairs after restart: {got}"
+    assert set(got) == set(first) | {(200, 2)}
+    assert got.count((100, 1)) == 1
+    assert len(got) == n_first + 1
