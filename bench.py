@@ -73,6 +73,16 @@ def main() -> int:
             # query's own cost from a cold cache.
             spark.catalog.clearCache()
 
+    # Whole-pipeline rows: the fused multi-timeframe pipeline was
+    # plan-asserted (test_pipeline.py) but never TIMED as a whole.
+    # normalize → QA → 4×(repair+resample), dry_run (full compute via
+    # count, no export I/O), with symbol fusion off and on.
+    try:
+        _bench_pipeline(spark, sf_dir, runs, timings, all_runs)
+    except Exception as exc:  # noqa: BLE001
+        errors["pipeline_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"# pipeline_e2e: ERROR {errors['pipeline_e2e'][:120]}", file=sys.stderr)
+
     # Round-over-round deltas vs the most recent BENCH_r{N}.json.
     prev = _load_previous_bench()
     if prev:
@@ -114,6 +124,72 @@ def main() -> int:
     except OSError as exc:
         print(f"# could not write full artifact: {exc}", file=sys.stderr)
     return 0
+
+
+def _bench_pipeline(spark, sf_dir, runs, timings, all_runs) -> None:
+    """Time the finance pipeline end-to-end at the bench SF, fusion
+    off vs on, as `pipeline_e2e_unfused` / `pipeline_e2e_fused` rows.
+
+    Input: an OHLCV tick frame derived once from the events table —
+    100 synthetic symbols (event_type × user bucket), which is the
+    regime symbol fusion is FOR (symbols ≳ 2× cores; the knob is
+    documented wrong for a handful of symbols)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_finance_pipeline_spark.config import EngineConfig
+    from etl_finance_pipeline_spark.plans.pipeline import run_pipeline
+    from etl_finance_pipeline_spark.sources.tables import load_table
+
+    tmp = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        raw = os.path.join(tmp, "raw")
+        ev = load_table(spark, os.path.join(sf_dir, "events.parquet"))
+        (
+            ev.select(
+                F.concat_ws(
+                    "_", F.col("event_type"), (F.col("user_id") % 20).cast("string")
+                ).alias("SYMBOL"),
+                F.col("ts").alias("time"),
+                F.col("value").alias("open"),
+                (F.col("value") * 1.001).alias("high"),
+                (F.col("value") * 0.999).alias("low"),
+                F.col("value").alias("close"),
+                F.lit(1.0).alias("volume"),
+            )
+            .write.mode("overwrite")
+            .parquet(raw)
+        )
+        for fuse in (False, True):
+            name = f"pipeline_e2e_{'fused' if fuse else 'unfused'}"
+            samples = []
+            for _ in range(runs):
+                spark.catalog.clearCache()
+                cfg = EngineConfig.model_validate(
+                    {
+                        "paths": {
+                            "raw_path": raw,
+                            "processed_path": os.path.join(tmp, "processed"),
+                            "reports_path": os.path.join(tmp, "reports"),
+                            "logs_path": os.path.join(tmp, "logs"),
+                            "quarantine_path": os.path.join(tmp, "quarantine"),
+                        },
+                        "resample": {"timeframes": ["5T", "15T", "1H", "1D"]},
+                    }
+                )
+                cfg.performance.fuse_symbol_partitioning = fuse
+                t0 = _time.perf_counter()
+                run_pipeline(spark, cfg, dry_run=True)
+                samples.append(round(_time.perf_counter() - t0, 3))
+                spark.catalog.clearCache()
+            timings[name] = min(samples)
+            all_runs[name] = samples
+            print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _load_previous_bench() -> dict[str, float]:
