@@ -695,13 +695,30 @@ def duplicate_token_spans(
     inclusive token positions of each maximal duplicated span,
     span_tokens = span_end − span_start + 1 ≥ k.
     """
+    grams = _token_gram_hashes(df, id_col, text_col, k)
+    dup = (
+        grams.groupBy("_gh")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_gh")
+    )
+    marked = grams.join(dup, "_gh", "left_semi")
+    return _merge_gram_covers(marked, id_col, k)
+
+
+def _token_gram_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, _gh): the 64-bit hash of each k-token window of the
+    normalized token stream (trim + whitespace-collapse + lowercase +
+    single-space split), pos 1-based. Docs shorter than k emit no
+    rows. One gram per window start: transform over 1..n-k+1, then
+    posexplode (0-based _i → 1-based pos)."""
     t = F.split(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
     )
     toks = df.select(F.col(id_col), t.alias("_t")).filter(F.size("_t") >= k)
-    # one gram per window start: transform over 1..n-k+1, then
-    # posexplode (0-based _i → 1-based pos)
-    grams = toks.select(
+    return toks.select(
         id_col,
         F.posexplode(
             F.expr(
@@ -710,14 +727,13 @@ def duplicate_token_spans(
             )
         ).alias("_i", "_gh"),
     ).select(id_col, (F.col("_i") + 1).alias("pos"), "_gh")
-    dup = (
-        grams.groupBy("_gh")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") >= min_count)
-        .select("_gh")
-    )
-    marked = grams.join(dup, "_gh", "left_semi")
-    # gaps-and-islands merge of the k-wide covers, per doc
+
+
+def _merge_gram_covers(marked: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands merge of k-wide gram covers into maximal
+    spans, per doc (windows PARTITIONED BY DOC — bounded by doc
+    length, never a global sort). Input: (id, pos) marked gram
+    starts; output: (id, span_start, span_end, span_tokens)."""
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("_s")
@@ -728,7 +744,7 @@ def duplicate_token_spans(
         .orderBy("_s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    spans = (
+    return (
         marked.select(
             id_col,
             F.col("pos").alias("_s"),
@@ -758,7 +774,39 @@ def duplicate_token_spans(
             ),
         )
     )
-    return spans
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Substring-level decontamination: every maximal corpus span
+    covered by a k-token substring that ALSO appears anywhere in the
+    eval set — the surgical counterpart to :func:`decontaminate`
+    (which flags whole documents by shingle-overlap fraction). This
+    is the lane for "the eval question is quoted inside an otherwise
+    fine document": drop the span, keep the document.
+
+    Scale shape (100 TB corpus, small eval set by definition): the
+    eval set reduces to its DISTINCT gram hashes — benchmark-sized,
+    so the mark step is a BROADCAST semi-join onto one pass over the
+    corpus grams; the corpus is never shuffled for the match, only
+    the per-doc cover-merge windows run (doc-partitioned). Same
+    k-token resolution contract as :func:`duplicate_token_spans`.
+
+    Output: (id, span_start, span_end, span_tokens) over corpus docs.
+    """
+    grams = _token_gram_hashes(corpus, id_col, text_col, k)
+    ev = (
+        _token_gram_hashes(eval_df, id_col, text_col, k)
+        .select("_gh")
+        .distinct()
+    )
+    marked = grams.join(F.broadcast(ev), "_gh", "left_semi")
+    return _merge_gram_covers(marked, id_col, k)
 
 
 def remove_duplicate_spans(

@@ -2970,7 +2970,65 @@ FROM codes
 """
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level decontamination (operators/dedup.py
+    decontaminate_spans): eval docs (doc_id % 10 = 0 stand in for a
+    held-out benchmark) reduce to distinct 8-gram hashes broadcast
+    onto one corpus pass; output = the maximal corpus spans quoting
+    eval content — drop the span, keep the document, unlike the
+    doc-level overlap flag. Oracle is the independent raw-gram-string
+    brute force, no shared hashing."""
+    from etl_finance_pipeline_spark.operators.dedup import (
+        decontaminate_spans,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    out = decontaminate_spans(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        k=8,
+    )
+    return out
+
+
+SQL_DECONTAMINATE_SPANS = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+  WHERE len(t) >= 8
+),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+marked AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN ev USING (gram)
+  WHERE g.doc_id % 10 != 0
+),
+ordered AS (
+  SELECT doc_id, pos AS s, pos + 7 AS e,
+         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+  FROM marked
+),
+islands AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_e IS NULL OR s > prev_e + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM ordered
+)
+SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(max(e) - min(s) + 1 AS BIGINT) AS span_tokens
+FROM islands GROUP BY doc_id, isl
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "decontaminate_spans": q_decontaminate_spans,
     "image_stats_jpeg": q_image_stats_jpeg,
     "video_frames_real": q_video_frames_real,
     "scene_cuts_real": q_scene_cuts_real,
@@ -3073,6 +3131,7 @@ ORACLES_TD: dict[str, str] = {
     "stream_candles": SQL_STREAM_CANDLES,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedupe": SQL_STREAM_DEDUPE,
+    "decontaminate_spans": SQL_DECONTAMINATE_SPANS,
     "image_stats_jpeg": SQL_IMAGE_STATS_JPEG,
     "video_frames_real": SQL_VIDEO_FRAMES_REAL,
     "scene_cuts_real": SQL_SCENE_CUTS_REAL,

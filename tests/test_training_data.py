@@ -657,3 +657,28 @@ def test_remove_duplicate_spans_rewrites_and_counts(spark):
         8,
         0,
     )
+
+
+def test_decontaminate_spans_marks_quoted_eval_content(spark):
+    """A corpus doc quoting an eval passage gets exactly that span;
+    clean corpus docs and sub-k overlaps emit nothing; the eval set
+    itself is never scanned for output."""
+    from etl_finance_pipeline_spark.operators.dedup import (
+        decontaminate_spans,
+    )
+
+    bench = "what is the capital of france paris obviously"  # 8 toks
+    eval_df = spark.createDataFrame([(900, bench)], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text here " + bench + " trailing words"),
+            (2, "what is the capital of spain though"),  # sub-k overlap
+            (3, "totally unrelated training document content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in decontaminate_spans(corpus, eval_df, k=8).collect()
+    }
+    assert out == {1: (4, 11, 8)}
