@@ -84,6 +84,7 @@ _SHOWCASE_FIRST = (
     "video_frames_real",  # real YUV4MPEG2 container parse (round 6)
     "scene_cuts_real",  # shot boundaries over parsed y4m luma planes (round 6)
     "image_stats_jpeg",  # pure-numpy baseline JPEG decode (round 6)
+    "decontaminate_spans",  # substring-level eval decontamination (round 6)
 )
 
 

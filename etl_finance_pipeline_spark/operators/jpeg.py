@@ -1,30 +1,38 @@
-"""Pure-numpy baseline JPEG (ITU-T T.81) grayscale codec — closes the
-last fake multimodal lane without native dependencies (no PIL/libjpeg
-in this environment).
+"""Pure-numpy baseline JPEG (ITU-T T.81) codec, grayscale AND color —
+closes the last fake multimodal lane without native dependencies (no
+PIL/libjpeg in this environment).
 
-Decoder scope — REAL baseline sequential DCT, grayscale:
+Decoder scope — REAL baseline sequential DCT:
  * full marker walk (SOI/APPn/COM/DQT/DHT/SOF0/DRI/SOS/RSTn/EOI),
  * canonical Huffman decode of the entropy stream with 0xFF00
    byte-unstuffing and restart-interval resync,
+ * interleaved multi-component MCU decode with per-component
+   quant/Huffman tables, DC predictors, and arbitrary sampling
+   factors (4:4:4, 4:2:2, 4:2:0, ...),
  * differential DC + run-length AC coefficient decode (EOB/ZRL),
  * dequantization, zigzag de-scan, and a vectorized 8×8 inverse DCT
-   over all blocks of the image at once (one batched matmul, no
+   over all blocks of a component at once (one batched matmul, no
    per-pixel Python),
- * level shift, clamp, and edge-crop to the SOF dimensions.
+ * level shift, clamp, chroma upsampling by replication, edge-crop
+   to the SOF dimensions, and JFIF BT.601 YCbCr→RGB conversion with
+   SQL-reproducible floor(x+0.5) rounding.
 Progressive (SOF2), arithmetic coding (SOF9+), 12-bit precision,
-hierarchical modes, and multi-component (color) scans raise
-``NotImplementedError`` loudly — the documented boundary, exactly
-like the PNG decoder rejects non-8-bit-RGB color types.
+hierarchical modes, multi-scan streams, and CMYK raise
+``NotImplementedError``/``ValueError`` loudly — the documented
+boundary, exactly like the PNG decoder rejects non-8-bit-RGB color
+types.
 
-Encoder scope: baseline grayscale with caller-supplied quantization,
-standard Annex K Huffman tables, correct category/one's-complement
-coefficient coding and byte stuffing. Any JPEG reader round-trips its
-output; with a flat quant table the round-trip error is bounded by
-DCT rounding (≤2 LSB), and constant 8×8 blocks with DC quant 8
-round-trip BIT-EXACTLY (DC = 8·(v−128) is an exact multiple of the
-quantizer and every AC coefficient is exactly zero) — which is what
-lets a SQL oracle verify the full codec path hash-for-hash
-(plans/training_data.py image_stats_jpeg).
+Encoder scope: baseline grayscale (:func:`encode_jpeg_gray`) and
+color 4:4:4 / 4:2:0 (:func:`encode_jpeg_ycbcr`) with caller-supplied
+quantization, standard Annex K Huffman tables, correct
+category/one's-complement coefficient coding and byte stuffing. Any
+JPEG reader round-trips the output; with a flat quant table the
+round-trip error is bounded by DCT rounding (≤2 LSB), and constant
+8×8 blocks with DC quant 8 round-trip BIT-EXACTLY (DC = 8·(v−128)
+is an exact multiple of the quantizer and every AC coefficient is
+exactly zero) — which is what lets a SQL oracle verify the full
+codec path hash-for-hash (plans/training_data.py image_stats_jpeg
+and image_stats_jpeg_color).
 
 Scale note: runs inside the same Arrow-batched mapInPandas lanes as
 the other codecs (operators/multimodal.py) — narrow transformation,
@@ -220,20 +228,8 @@ def encode_jpeg_gray(pixels: np.ndarray, qtable: np.ndarray | None = None) -> by
         raise ValueError("qtable must be 8x8 with entries in 1..255")
     pixels = np.asarray(pixels, dtype=np.uint8)
     h, w = pixels.shape
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(pixels, ((0, ph - h), (0, pw - w)), mode="edge")
-
-    # FDCT + quantization, vectorized over all blocks at once
-    blocks = (
-        padded.reshape(ph // 8, 8, pw // 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(-1, 8, 8)
-        .astype(np.float64)
-        - 128.0
-    )
-    coeffs = _C @ blocks @ _C.T
-    quant = np.round(coeffs / q).astype(np.int64)
-    zz = quant.reshape(-1, 64)[:, _ZIGZAG]  # (n_blocks, 64) zigzag order
+    g = _encode_component_blocks(pixels, q)
+    zz = g.reshape(-1, 64)
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALUES)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALUES)
@@ -251,32 +247,9 @@ def encode_jpeg_gray(pixels: np.ndarray, qtable: np.ndarray | None = None) -> by
     write = bw.write
     pred = 0
     for blk, last_nz in zip(zz_rows, last_nz_arr):
-        dc = blk[0]
-        diff = dc - pred
-        pred = dc
-        size = _category(diff)
-        code, length = dc_codes[size]
-        write(code, length)
-        if size:
-            write(diff if diff >= 0 else diff + (1 << size) - 1, size)
-        run = 0
-        for i in range(1, last_nz + 1):
-            v = blk[i]
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                zc, zl = ac_codes[0xF0]  # ZRL
-                write(zc, zl)
-                run -= 16
-            size = _category(v)
-            code, length = ac_codes[(run << 4) | size]
-            write(code, length)
-            write(v if v >= 0 else v + (1 << size) - 1, size)
-            run = 0
-        if last_nz < 63:
-            code, length = ac_codes[0x00]  # EOB
-            write(code, length)
+        pred = _entropy_encode_block(
+            blk, last_nz, pred, dc_codes, ac_codes, write
+        )
     entropy = bw.finish()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -298,11 +271,167 @@ def encode_jpeg_gray(pixels: np.ndarray, qtable: np.ndarray | None = None) -> by
     return bytes(out)
 
 
-def decode_jpeg_gray(b: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline grayscale JPEG to (width, height, pixel
-    bytes, row-major). See module docstring for the supported subset;
-    everything outside it raises (NotImplementedError for other JPEG
-    modes, ValueError for corrupt streams)."""
+def _encode_component_blocks(
+    plane: np.ndarray, q: np.ndarray
+) -> np.ndarray:
+    """Pad a plane to 8-multiples (edge replication), FDCT + quantize
+    all blocks at once; returns (bh, bw, 64) zigzag coefficients."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coeffs = _C @ blocks @ _C.T
+    quant = np.round(coeffs / q).astype(np.int64)
+    return quant.reshape(ph // 8, pw // 8, 64)[:, :, _ZIGZAG]
+
+
+def _entropy_encode_block(blk, last_nz, pred, dc_codes, ac_codes, write):
+    """Huffman-encode one zigzag block; returns the new DC pred."""
+    dc = blk[0]
+    diff = dc - pred
+    size = _category(diff)
+    code, length = dc_codes[size]
+    write(code, length)
+    if size:
+        write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for i in range(1, last_nz + 1):
+        v = blk[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]  # ZRL
+            write(zc, zl)
+            run -= 16
+        size = _category(v)
+        code, length = ac_codes[(run << 4) | size]
+        write(code, length)
+        write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        write(code, length)
+    return dc
+
+
+def encode_jpeg_ycbcr(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    qtable: np.ndarray | None = None,
+    luma_sampling: tuple[int, int] = (1, 1),
+) -> bytes:
+    """Encode YCbCr planes as a baseline COLOR JFIF JPEG. *y* is
+    (H, W); *cb*/*cr* are supplied at their natural (already
+    subsampled) resolution — (H, W) for 4:4:4 (luma_sampling (1,1))
+    or (ceil(H/2), ceil(W/2)) for 4:2:0 (luma_sampling (2,2)). All
+    three scan components share the Annex K luminance Huffman tables
+    and one quantization table (legal JPEG; real encoders often split
+    tables, the decoder handles either). Interleaved single-scan MCU
+    layout, per-component DC prediction — the stream any baseline
+    JPEG reader accepts."""
+    q = (FLAT_QTABLE if qtable is None else np.asarray(qtable)).astype(np.int64)
+    if q.shape != (8, 8) or (q <= 0).any() or (q > 255).any():
+        raise ValueError("qtable must be 8x8 with entries in 1..255")
+    sh, sv = luma_sampling
+    if (sh, sv) not in ((1, 1), (2, 2)):
+        raise ValueError("luma_sampling must be (1,1) [4:4:4] or (2,2) [4:2:0]")
+    y = np.asarray(y, dtype=np.uint8)
+    cb = np.asarray(cb, dtype=np.uint8)
+    cr = np.asarray(cr, dtype=np.uint8)
+    h, w = y.shape
+    exp = (-(-h // sv), -(-w // sh))
+    if cb.shape != exp or cr.shape != exp:
+        raise ValueError(
+            f"chroma planes must be {exp} for luma_sampling {luma_sampling}"
+        )
+
+    # per-component zigzag coefficient grids, padded to the MCU grid
+    mcus_x = -(-w // (8 * sh))
+    mcus_y = -(-h // (8 * sv))
+
+    def grid(plane, bw_t, bh_t):
+        g = _encode_component_blocks(plane, q)
+        if g.shape[0] < bh_t or g.shape[1] < bw_t:
+            g = np.pad(
+                g,
+                ((0, bh_t - g.shape[0]), (0, bw_t - g.shape[1]), (0, 0)),
+                mode="edge",
+            )
+        return g
+
+    gy = grid(y, mcus_x * sh, mcus_y * sv)
+    gcb = grid(cb, mcus_x, mcus_y)
+    gcr = grid(cr, mcus_x, mcus_y)
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALUES)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALUES)
+
+    def last_nz_grid(g):
+        flat = g.reshape(-1, 64)
+        mask = flat != 0
+        mask[:, 0] = False
+        has = mask.any(axis=1)
+        return np.where(has, 63 - np.argmax(mask[:, ::-1], axis=1), 0).reshape(
+            g.shape[0], g.shape[1]
+        )
+
+    lnz_y, lnz_cb, lnz_cr = (last_nz_grid(g) for g in (gy, gcb, gcr))
+    bw = _BitWriter()
+    write = bw.write
+    preds = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(sv):
+                for bx in range(sh):
+                    r, c = my * sv + by, mx * sh + bx
+                    preds[0] = _entropy_encode_block(
+                        gy[r, c].tolist(), int(lnz_y[r, c]), preds[0],
+                        dc_codes, ac_codes, write,
+                    )
+            preds[1] = _entropy_encode_block(
+                gcb[my, mx].tolist(), int(lnz_cb[my, mx]), preds[1],
+                dc_codes, ac_codes, write,
+            )
+            preds[2] = _entropy_encode_block(
+                gcr[my, mx].tolist(), int(lnz_cr[my, mx]), preds[2],
+                dc_codes, ac_codes, write,
+            )
+    entropy = bw.finish()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(int(x) for x in q.reshape(64)[_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (sh << 4) | sv, 0])  # Y
+    sof += bytes([2, 0x11, 0])  # Cb
+    sof += bytes([3, 0x11, 0])  # Cr
+    out += seg(0xC0, sof)
+    out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALUES))
+    out += seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALUES))
+    out += seg(0xDA, b"\x03" + bytes([1, 0, 2, 0, 3, 0]) + b"\x00\x3f\x00")
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _decode_baseline(b: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """General baseline-sequential decode: marker walk, interleaved
+    MCU entropy decode with per-component tables/predictors and
+    arbitrary sampling factors, dequant + batched IDCT per component,
+    chroma upsampling by replication, crop to SOF dims. Returns
+    (width, height, [full-resolution uint8 plane per component in
+    SOF order])."""
     if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
@@ -310,8 +439,10 @@ def decode_jpeg_gray(b: bytes) -> tuple[int, int, bytes]:
     htables: dict[tuple[int, int], list[int]] = {}  # (class, id) -> 16-bit LUT
     width = height = 0
     restart_interval = 0
-    comp_q = comp_dc = comp_ac = 0
-    sof_seen = False
+    # per SOF component: (id, h, v, qtable id); scan adds table ids
+    sof_comps: list[tuple[int, int, int, int]] = []
+    scan_tables: dict[int, tuple[int, int]] = {}  # comp id -> (dc, ac)
+    scan_order: list[int] = []  # comp ids in scan order
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at offset {pos}")
@@ -348,16 +479,12 @@ def decode_jpeg_gray(b: bytes) -> tuple[int, int, bytes]:
             precision, height, width, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if precision != 8:
                 raise NotImplementedError("only 8-bit JPEG precision supported")
-            if ncomp != 1:
-                raise NotImplementedError(
-                    "only grayscale (1-component) JPEG supported — color "
-                    "needs chroma upsampling + YCbCr conversion"
+            for ci in range(ncomp):
+                cid = payload[6 + 3 * ci]
+                samp = payload[7 + 3 * ci]
+                sof_comps.append(
+                    (cid, samp >> 4, samp & 0x0F, payload[8 + 3 * ci])
                 )
-            # per-component: id, sampling (H<<4|V), qtable id
-            if payload[7] != 0x11:
-                raise NotImplementedError("subsampled grayscale not supported")
-            comp_q = payload[8]
-            sof_seen = True
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/"
@@ -366,121 +493,219 @@ def decode_jpeg_gray(b: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
-            if not sof_seen:
+            if not sof_comps:
                 raise ValueError("SOS before SOF0")
-            if payload[0] != 1:
-                raise NotImplementedError("multi-component scan")
-            comp_dc = payload[2] >> 4
-            comp_ac = payload[2] & 0x0F
+            ns = payload[0]
+            if ns != len(sof_comps):
+                raise NotImplementedError(
+                    "multi-scan JPEG (scan components != frame components)"
+                )
+            for si in range(ns):
+                cid = payload[1 + 2 * si]
+                tsel = payload[2 + 2 * si]
+                scan_tables[cid] = (tsel >> 4, tsel & 0x0F)
+                scan_order.append(cid)
             break
         # APPn / COM / anything else: skipped
     else:
         raise ValueError("JPEG stream has no SOS marker")
 
-    if comp_q not in qtables:
-        raise ValueError(f"missing quantization table {comp_q}")
-    for key in ((0, comp_dc), (1, comp_ac)):
-        if key not in htables:
-            raise ValueError(f"missing Huffman table class={key[0]} id={key[1]}")
-    q = qtables[comp_q]
-    dc_tbl = htables[(0, comp_dc)]
-    ac_tbl = htables[(1, comp_ac)]
+    # resolve per-component geometry + tables, scan order
+    by_id = {c[0]: c for c in sof_comps}
+    hmax = max(c[1] for c in sof_comps)
+    vmax = max(c[2] for c in sof_comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("invalid sampling factors")
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    comps = []  # (h, v, bw_c, q, dc_lut, ac_lut, zz array)
+    for cid in scan_order:
+        _, h, v, tq = by_id[cid]
+        if tq not in qtables:
+            raise ValueError(f"missing quantization table {tq}")
+        dc_id, ac_id = scan_tables[cid]
+        if (0, dc_id) not in htables or (1, ac_id) not in htables:
+            raise ValueError(
+                f"missing Huffman table for component {cid}"
+            )
+        bw_c, bh_c = mcus_x * h, mcus_y * v
+        comps.append(
+            [
+                h,
+                v,
+                bw_c,
+                qtables[tq],
+                htables[(0, dc_id)],
+                htables[(1, ac_id)],
+                np.zeros((bh_c * bw_c, 64), dtype=np.int64),
+            ]
+        )
 
-    bw_blocks = -(-width // 8)
-    bh_blocks = -(-height // 8)
-    n_blocks = bw_blocks * bh_blocks
-    zz = np.zeros((n_blocks, 64), dtype=np.int64)
+    n_mcus = mcus_x * mcus_y
     segments = _entropy_segments(b, pos)
-    n_per_seg = restart_interval or n_blocks
-    if len(segments) < -(-n_blocks // n_per_seg):
+    n_per_seg = restart_interval or n_mcus
+    if len(segments) < -(-n_mcus // n_per_seg):
         raise ValueError(
-            f"expected {-(-n_blocks // n_per_seg)} restart segments, "
+            f"expected {-(-n_mcus // n_per_seg)} restart segments, "
             f"found {len(segments)}"
         )
 
     # Tight bit loop over each unstuffed segment: `acc` holds the
     # unread bits (local ints only — no attribute lookups in the hot
     # path); two 0xFF pad bytes emulate the spec's 1-bit fill so the
-    # final peek never underruns, and the block counter — not the
-    # stream — terminates the scan.
-    bi = 0
+    # final peek never underruns, and the MCU counter — not the
+    # stream — terminates the scan. Restart intervals count MCUs and
+    # reset every DC predictor.
+    mi = 0
     for seg in segments:
         data = seg + b"\xff\xff"
         dlen = len(data)
         acc = 0
         nbits = 0
         dpos = 0
-        pred = 0
-        seg_end = min(bi + n_per_seg, n_blocks)
-        while bi < seg_end:
-            # DC: one LUT probe on a 16-bit window + category bits
-            while nbits < 16:
-                if dpos >= dlen:
-                    raise ValueError("truncated JPEG entropy stream")
-                acc = (acc << 8) | data[dpos]
-                dpos += 1
-                nbits += 8
-            entry = dc_tbl[(acc >> (nbits - 16)) & 0xFFFF]
-            if entry == 0:
-                raise ValueError("invalid Huffman code in JPEG stream")
-            nbits -= entry >> 8
-            size = entry & 0xFF
-            if size:
-                while nbits < size:
-                    if dpos >= dlen:
-                        raise ValueError("truncated JPEG entropy stream")
-                    acc = (acc << 8) | data[dpos]
-                    dpos += 1
-                    nbits += 8
-                raw = (acc >> (nbits - size)) & ((1 << size) - 1)
-                nbits -= size
-                pred += _extend(raw, size)
-            zz[bi, 0] = pred
-            k = 1
-            while k < 64:
-                while nbits < 16:
-                    if dpos >= dlen:
-                        raise ValueError("truncated JPEG entropy stream")
-                    acc = (acc << 8) | data[dpos]
-                    dpos += 1
-                    nbits += 8
-                entry = ac_tbl[(acc >> (nbits - 16)) & 0xFFFF]
-                if entry == 0:
-                    raise ValueError("invalid Huffman code in JPEG stream")
-                nbits -= entry >> 8
-                rs = entry & 0xFF
-                size = rs & 0x0F
-                if size == 0:
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += rs >> 4
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                while nbits < size:
-                    if dpos >= dlen:
-                        raise ValueError("truncated JPEG entropy stream")
-                    acc = (acc << 8) | data[dpos]
-                    dpos += 1
-                    nbits += 8
-                raw = (acc >> (nbits - size)) & ((1 << size) - 1)
-                nbits -= size
-                zz[bi, k] = _extend(raw, size)
-                k += 1
-            acc &= (1 << nbits) - 1  # keep acc bounded (stay in small-int land)
-            bi += 1
-        if bi >= n_blocks:
+        preds = [0] * len(comps)
+        seg_end = min(mi + n_per_seg, n_mcus)
+        while mi < seg_end:
+            mcu_y, mcu_x = divmod(mi, mcus_x)
+            for ci, comp in enumerate(comps):
+                h, v, bw_c, _q, dc_tbl, ac_tbl, zz = comp
+                pred = preds[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        row = zz[(mcu_y * v + by) * bw_c + (mcu_x * h + bx)]
+                        # DC: one LUT probe on a 16-bit window + bits
+                        while nbits < 16:
+                            if dpos >= dlen:
+                                raise ValueError("truncated JPEG entropy stream")
+                            acc = (acc << 8) | data[dpos]
+                            dpos += 1
+                            nbits += 8
+                        entry = dc_tbl[(acc >> (nbits - 16)) & 0xFFFF]
+                        if entry == 0:
+                            raise ValueError("invalid Huffman code in JPEG stream")
+                        nbits -= entry >> 8
+                        size = entry & 0xFF
+                        if size:
+                            while nbits < size:
+                                if dpos >= dlen:
+                                    raise ValueError("truncated JPEG entropy stream")
+                                acc = (acc << 8) | data[dpos]
+                                dpos += 1
+                                nbits += 8
+                            raw = (acc >> (nbits - size)) & ((1 << size) - 1)
+                            nbits -= size
+                            pred += _extend(raw, size)
+                        row[0] = pred
+                        k = 1
+                        while k < 64:
+                            while nbits < 16:
+                                if dpos >= dlen:
+                                    raise ValueError("truncated JPEG entropy stream")
+                                acc = (acc << 8) | data[dpos]
+                                dpos += 1
+                                nbits += 8
+                            entry = ac_tbl[(acc >> (nbits - 16)) & 0xFFFF]
+                            if entry == 0:
+                                raise ValueError("invalid Huffman code in JPEG stream")
+                            nbits -= entry >> 8
+                            rs = entry & 0xFF
+                            size = rs & 0x0F
+                            if size == 0:
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            while nbits < size:
+                                if dpos >= dlen:
+                                    raise ValueError("truncated JPEG entropy stream")
+                                acc = (acc << 8) | data[dpos]
+                                dpos += 1
+                                nbits += 8
+                            raw = (acc >> (nbits - size)) & ((1 << size) - 1)
+                            nbits -= size
+                            row[k] = _extend(raw, size)
+                            k += 1
+                        # keep acc bounded (stay in small-int land)
+                        acc &= (1 << nbits) - 1
+                preds[ci] = pred
+            mi += 1
+        if mi >= n_mcus:
             break
 
-    # dequant + de-zigzag + one vectorized IDCT over every block
-    coeffs = np.zeros((n_blocks, 64), dtype=np.float64)
-    coeffs[:, _ZIGZAG] = zz * q.reshape(64)[_ZIGZAG]
-    blocks = _C.T @ coeffs.reshape(-1, 8, 8) @ _C
-    pixels = (
-        blocks.reshape(bh_blocks, bw_blocks, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(bh_blocks * 8, bw_blocks * 8)
+    # per component: dequant + de-zigzag + one batched IDCT, then
+    # upsample to full resolution by replication and crop
+    planes: list[np.ndarray] = []
+    for h, v, bw_c, q, _dc, _ac, zz in comps:
+        bh_c = zz.shape[0] // bw_c
+        coeffs = np.zeros((zz.shape[0], 64), dtype=np.float64)
+        coeffs[:, _ZIGZAG] = zz * q.reshape(64)[_ZIGZAG]
+        blocks = _C.T @ coeffs.reshape(-1, 8, 8) @ _C
+        plane = (
+            blocks.reshape(bh_c, bw_c, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_c * 8, bw_c * 8)
+        )
+        plane = np.clip(np.round(plane + 128.0), 0, 255).astype(np.uint8)
+        if h < hmax or v < vmax:
+            plane = plane.repeat(hmax // h, axis=1).repeat(vmax // v, axis=0)
+        planes.append(plane[:height, :width])
+    return width, height, planes
+
+
+#: JFIF YCbCr→RGB coefficients (ITU-R BT.601, the constants every
+#: JFIF codec uses). Rounding is floor(x+0.5) — deterministic and
+#: SQL-reproducible, unlike banker's rounding.
+_YCC = (1.402, 0.344136, 0.714136, 1.772)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + _YCC[0] * crf
+    g = yf - _YCC[1] * cbf - _YCC[2] * crf
+    bl = yf + _YCC[3] * cbf
+    rgb = np.stack([r, g, bl], axis=-1)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_gray(b: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline grayscale JPEG to (width, height, pixel
+    bytes, row-major). Raises ValueError if the stream is color —
+    use :func:`decode_jpeg` for component-agnostic decoding."""
+    width, height, planes = _decode_baseline(b)
+    if len(planes) != 1:
+        raise ValueError(
+            f"expected grayscale JPEG, found {len(planes)} components"
+        )
+    return width, height, planes[0].tobytes()
+
+
+def decode_jpeg_rgb(b: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline color JPEG to (width, height, interleaved
+    RGB bytes): YCbCr planes per the general baseline decode, chroma
+    replicated up, JFIF BT.601 conversion with floor(x+0.5)
+    rounding."""
+    width, height, planes = _decode_baseline(b)
+    if len(planes) != 3:
+        raise ValueError(
+            f"expected 3-component (YCbCr) JPEG, found {len(planes)}"
+        )
+    return width, height, _ycbcr_to_rgb(*planes).tobytes()
+
+
+def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
+    """Component-agnostic decode: (width, height, n_components,
+    raster bytes) — luma bytes for grayscale streams, interleaved
+    RGB for 3-component YCbCr streams."""
+    width, height, planes = _decode_baseline(b)
+    if len(planes) == 1:
+        return width, height, 1, planes[0].tobytes()
+    if len(planes) == 3:
+        return width, height, 3, _ycbcr_to_rgb(*planes).tobytes()
+    raise NotImplementedError(
+        f"{len(planes)}-component JPEG (CMYK/unknown) not supported"
     )
-    pixels = np.clip(np.round(pixels + 128.0), 0, 255).astype(np.uint8)
-    return width, height, pixels[:height, :width].tobytes()

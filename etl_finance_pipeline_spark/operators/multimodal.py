@@ -319,10 +319,12 @@ def decode_image_stats(
                     w, h, pix = _parse_png(b)
                 elif decode == "jpeg":
                     from etl_finance_pipeline_spark.operators.jpeg import (
-                        decode_jpeg_gray,
+                        decode_jpeg,
                     )
 
-                    w, h, pix = decode_jpeg_gray(b)
+                    # component-agnostic: luma bytes for grayscale
+                    # streams, interleaved RGB for YCbCr streams
+                    w, h, _nc, pix = decode_jpeg(b)
                 else:
                     w, h, pix = None, None, b
                 arr = np.frombuffer(pix, dtype=np.uint8)
@@ -517,6 +519,53 @@ def encode_jpeg_blocks(
                 )
                 img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
                 payloads.append(encode_jpeg_gray(img))
+            out = pdf[id_list].copy()
+            out[content_col] = payloads
+            yield out
+
+    return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)
+
+
+def encode_jpeg_color_blocks(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("media_id",),
+    blocks_per_row: int = 8,
+    pad_byte: int = 0x20,
+) -> DataFrame:
+    """Color counterpart of :func:`encode_jpeg_blocks`: each payload
+    byte v becomes one constant 8×8 YCbCr tile (Y=v, Cb=255−v,
+    Cr=(7v) mod 256 — a deterministic byte→color mapping that spans
+    the gamut) encoded as a REAL baseline 4:4:4 color JFIF JPEG.
+    Constant tiles quantize losslessly per plane, so decode recovers
+    the exact YCbCr values and the RGB conversion is a deterministic
+    per-byte formula an oracle can recompute."""
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols] + [T.StructField(content_col, T.BinaryType())]
+    )
+    id_list = list(id_cols)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        from etl_finance_pipeline_spark.operators.jpeg import (
+            encode_jpeg_ycbcr,
+        )
+
+        ones = np.ones((8, 8), dtype=np.uint8)
+        for pdf in batches:
+            payloads = []
+            for payload in pdf[content_col]:
+                raw = bytes(payload or b"")
+                n_rows = max(1, -(-len(raw) // blocks_per_row))
+                raw = raw.ljust(n_rows * blocks_per_row, bytes([pad_byte]))
+                vals = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    n_rows, blocks_per_row
+                )
+                y = np.kron(vals, ones)
+                cb = np.kron(255 - vals, ones)
+                cr = np.kron((vals.astype(np.int64) * 7 % 256).astype(np.uint8), ones)
+                payloads.append(encode_jpeg_ycbcr(y, cb, cr))
             out = pdf[id_list].copy()
             out[content_col] = payloads
             yield out

@@ -3027,7 +3027,77 @@ FROM islands GROUP BY doc_id, isl
 """
 
 
+def q_image_stats_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COLOR JPEG path under the oracle gate: text bytes → a
+    baseline 4:4:4 YCbCr JFIF JPEG (byte v → constant tile Y=v,
+    Cb=255−v, Cr=(7v) mod 256) → decode_image_stats(decode="jpeg"),
+    which runs the interleaved 3-component MCU decode, per-component
+    dequant/IDCT, and the JFIF BT.601 RGB conversion with
+    floor(x+0.5) rounding. The oracle recomputes every RGB value from
+    the character codes with the same double arithmetic — a bug in
+    the MCU interleave, per-component DC prediction, or the color
+    convert changes decoded bytes and breaks the hash."""
+    from etl_finance_pipeline_spark.functions.layout import fan_out
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_jpeg_color_blocks,
+    )
+
+    docs = fan_out(
+        load_table(spark, _t(sf_dir, "documents")).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
+        )
+    )
+    jpg = encode_jpeg_color_blocks(docs, blocks_per_row=8)
+    out = decode_image_stats(jpg, decode="jpeg")
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("stats.n_bytes").alias("n_bytes"),
+        _pr(F.col("stats.mean_intensity"), 6).alias("mean_intensity"),
+        F.col("stats.min_byte").cast("long").alias("min_byte"),
+        F.col("stats.max_byte").cast("long").alias("max_byte"),
+        F.col("stats.width").cast("long").alias("width"),
+        F.col("stats.height").cast("long").alias("height"),
+    )
+
+
+SQL_IMAGE_STATS_JPEG_COLOR = """
+WITH f AS (
+  SELECT doc_id,
+         rpad(text, CAST(greatest(1, ceil(len(text) / 8.0)) * 8 AS INTEGER), ' ') AS p,
+         greatest(1, CAST(ceil(len(text) / 8.0) AS BIGINT)) AS nr
+  FROM documents
+),
+rgb AS (
+  SELECT doc_id, nr,
+         list_transform(generate_series(1, len(p)), i -> ord(substr(p, i, 1))) AS v
+  FROM f
+),
+chan AS (
+  SELECT doc_id, nr,
+         list_transform(v, x -> least(greatest(floor(
+           x + 1.402 * ((x * 7) % 256 - 128) + 0.5), 0), 255)) AS r,
+         list_transform(v, x -> least(greatest(floor(
+           x - 0.344136 * ((255 - x) - 128) - 0.714136 * ((x * 7) % 256 - 128) + 0.5), 0), 255)) AS g,
+         list_transform(v, x -> least(greatest(floor(
+           x + 1.772 * ((255 - x) - 128) + 0.5), 0), 255)) AS b
+  FROM rgb
+)
+SELECT doc_id,
+       CAST(nr * 8 * 64 * 3 AS BIGINT) AS n_bytes,
+       floor(((list_sum(r) + list_sum(g) + list_sum(b)) / (3.0 * len(r)))
+             * 1000000 + 0.5) / 1000000 AS mean_intensity,
+       CAST(least(list_min(r), list_min(g), list_min(b)) AS BIGINT) AS min_byte,
+       CAST(greatest(list_max(r), list_max(g), list_max(b)) AS BIGINT) AS max_byte,
+       CAST(64 AS BIGINT) AS width,
+       CAST(nr * 8 AS BIGINT) AS height
+FROM chan
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "image_stats_jpeg_color": q_image_stats_jpeg_color,
     "decontaminate_spans": q_decontaminate_spans,
     "image_stats_jpeg": q_image_stats_jpeg,
     "video_frames_real": q_video_frames_real,
@@ -3131,6 +3201,7 @@ ORACLES_TD: dict[str, str] = {
     "stream_candles": SQL_STREAM_CANDLES,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedupe": SQL_STREAM_DEDUPE,
+    "image_stats_jpeg_color": SQL_IMAGE_STATS_JPEG_COLOR,
     "decontaminate_spans": SQL_DECONTAMINATE_SPANS,
     "image_stats_jpeg": SQL_IMAGE_STATS_JPEG,
     "video_frames_real": SQL_VIDEO_FRAMES_REAL,

@@ -557,3 +557,85 @@ def test_jpeg_spark_lane_oracle_shape(spark):
     assert row["n_bytes"] == 64 * 16
     assert row["min_byte"] == min(padded) and row["max_byte"] == max(padded)
     assert abs(row["mean_intensity"] - sum(padded) / len(padded)) < 1e-12
+
+
+def _jfif_rgb(y, cb, cr):
+    import numpy as np
+
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.floor(np.stack([r, g, b], -1) + 0.5), 0, 255).astype(
+        np.uint8
+    )
+
+
+def test_jpeg_color_444_constant_tiles_exact():
+    """4:4:4 color: constant YCbCr tiles round-trip losslessly per
+    plane, so decoded RGB equals the deterministic JFIF conversion."""
+    import numpy as np
+
+    from etl_finance_pipeline_spark.operators.jpeg import (
+        decode_jpeg_rgb,
+        encode_jpeg_ycbcr,
+    )
+
+    rng = np.random.RandomState(5)
+    ones = np.ones((8, 8), np.uint8)
+    y = np.kron(rng.randint(0, 256, (2, 3)).astype(np.uint8), ones)
+    cb = np.kron(rng.randint(0, 256, (2, 3)).astype(np.uint8), ones)
+    cr = np.kron(rng.randint(0, 256, (2, 3)).astype(np.uint8), ones)
+    w, h, rgb = decode_jpeg_rgb(encode_jpeg_ycbcr(y, cb, cr))
+    dec = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    assert np.array_equal(
+        dec, _jfif_rgb(y.astype(float), cb.astype(float), cr.astype(float))
+    )
+
+
+def test_jpeg_color_420_subsampled_exact():
+    """4:2:0: chroma at half resolution, decoder replicates up —
+    exercises the interleaved 4-luma-blocks-per-MCU walk and
+    per-component DC prediction."""
+    import numpy as np
+
+    from etl_finance_pipeline_spark.operators.jpeg import (
+        decode_jpeg_rgb,
+        encode_jpeg_ycbcr,
+    )
+
+    rng = np.random.RandomState(6)
+    y = np.kron(rng.randint(0, 256, (2, 2)).astype(np.uint8), np.ones((16, 16), np.uint8))
+    cb = np.kron(rng.randint(0, 256, (2, 2)).astype(np.uint8), np.ones((8, 8), np.uint8))
+    cr = np.kron(rng.randint(0, 256, (2, 2)).astype(np.uint8), np.ones((8, 8), np.uint8))
+    w, h, rgb = decode_jpeg_rgb(
+        encode_jpeg_ycbcr(y, cb, cr, luma_sampling=(2, 2))
+    )
+    dec = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    up = lambda p: p.repeat(2, 0).repeat(2, 1).astype(float)  # noqa: E731
+    assert np.array_equal(dec, _jfif_rgb(y.astype(float), up(cb), up(cr)))
+
+
+def test_jpeg_color_odd_dims_and_dispatch():
+    """Odd dimensions crop via SOF through the color path; the
+    component-agnostic decode_jpeg dispatches by stream content; gray
+    streams via decode_jpeg_rgb fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_finance_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_rgb,
+        encode_jpeg_gray,
+        encode_jpeg_ycbcr,
+    )
+
+    rng = np.random.RandomState(7)
+    y = rng.randint(0, 256, (10, 13)).astype(np.uint8)
+    neutral = np.full((10, 13), 128, np.uint8)
+    w, h, nc, raster = decode_jpeg(encode_jpeg_ycbcr(y, neutral, neutral))
+    assert (w, h, nc) == (13, 10, 3) and len(raster) == 390
+    # neutral chroma -> R=G=B=Y within DCT rounding
+    dec = np.frombuffer(raster, np.uint8).reshape(10, 13, 3)
+    assert np.abs(dec[:, :, 0].astype(int) - y.astype(int)).max() <= 2
+    with _pytest.raises(ValueError, match="expected 3-component"):
+        decode_jpeg_rgb(encode_jpeg_gray(y))
