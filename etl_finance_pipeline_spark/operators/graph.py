@@ -123,17 +123,21 @@ def connected_components_star(
     tiny aggregates, no full-set comparison join. Default for
     near-dup clustering stays label propagation (content-sharing
     graphs are shallow); switch here when cluster chains run deep."""
-    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
-        F.col("u") != F.col("v")
-    )
+    # materialize the input ONCE: the pair frame is usually the tail
+    # of an expensive pipeline (LSH banding etc.) and is referenced by
+    # the vertex universe AND both branches of round 1's symmetrize —
+    # without truncation that pipeline re-executes up to 3×
+    p0 = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    p0 = p0.localCheckpoint(eager=True)
+    e = p0.filter(F.col("u") != F.col("v"))
     # canonical directed form: child > parent
     e = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct()
     # original vertex universe (self-pairs included: they label as
     # their own singleton, matching connected_components)
-    universe = pairs.select(F.col(id_a).alias("id")).union(
-        pairs.select(F.col(id_b).alias("id"))
+    universe = p0.select(F.col("u").alias("id")).union(
+        p0.select(F.col("v").alias("id"))
     ).distinct()
 
     def signature(edges: DataFrame) -> tuple:
