@@ -37,6 +37,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -965,6 +966,126 @@ def encode_y4m(
     return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)
 
 
+def _parse_avi_mjpeg(b: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse a Motion-JPEG AVI (RIFF): validate the RIFF/AVI magic,
+    read frame geometry from the ``avih`` main header, and collect
+    the compressed video chunks (``00dc``/``00db``) out of the
+    ``movi`` list — each one a complete JPEG stream for
+    operators.jpeg to decode. Returns (width, height, [jpeg bytes]).
+    Raises ValueError on bad magic, missing headers, or truncated
+    chunks — fail-loud like every other parser here."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    width = height = 0
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height
+        pos = start
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", b, pos + 4)
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError(f"truncated AVI chunk {cid!r} at {pos}")
+            if cid == b"LIST":
+                # list type is the first 4 bytes of the body
+                walk(body_start + 4, body_start + size)
+            elif cid == b"avih":
+                if size < 40:
+                    raise ValueError("short avih header")
+                width, height = struct.unpack_from("<II", b, body_start + 32)
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(b[body_start : body_start + size])
+            # strh/strf/JUNK/idx1/anything else: skipped
+            pos = body_start + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(b))
+    if width <= 0 or height <= 0:
+        raise ValueError("AVI stream missing avih dimensions")
+    return width, height, frames
+
+
+def encode_avi_mjpeg(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("media_id",),
+    frame_bytes: int = 64,
+    blocks_per_row: int = 8,
+    fps: int = 25,
+    pad_byte: int = 0x20,
+) -> DataFrame:
+    """Encode a binary payload as a REAL Motion-JPEG AVI: the payload
+    is cut into *frame_bytes*-sized slices (last padded with
+    *pad_byte*); each slice becomes one grayscale JPEG frame of
+    constant 8×8 tiles (one per byte, *blocks_per_row* wide) written
+    by the in-module baseline encoder; frames wrap in a
+    spec-compliant RIFF container (avih/strh/strf headers, ``movi``
+    ``00dc`` chunks, word alignment). This is COMPRESSED video in a
+    real container — the composition every MJPEG camera/file uses —
+    and the constant-tile construction keeps the decode round-trip
+    bit-exact for the oracle."""
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols] + [T.StructField(content_col, T.BinaryType())]
+    )
+    id_list = list(id_cols)
+    n_rows_f = -(-frame_bytes // blocks_per_row)
+    w_px, h_px = blocks_per_row * 8, n_rows_f * 8
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        from etl_finance_pipeline_spark.operators.jpeg import (
+            encode_jpeg_gray,
+        )
+
+        ones = np.ones((8, 8), dtype=np.uint8)
+
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) & 1 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        for pdf in batches:
+            payloads = []
+            for payload in pdf[content_col]:
+                raw = bytes(payload or b"")
+                nf = max(1, -(-len(raw) // frame_bytes))
+                raw = raw.ljust(nf * frame_bytes, bytes([pad_byte]))
+                jpegs = []
+                for i in range(nf):
+                    vals = np.frombuffer(
+                        raw[i * frame_bytes : (i + 1) * frame_bytes],
+                        dtype=np.uint8,
+                    ).reshape(n_rows_f, blocks_per_row)
+                    jpegs.append(encode_jpeg_gray(np.kron(vals, ones)))
+                avih = struct.pack(
+                    "<IIIIIIIIII4I",
+                    1_000_000 // fps, 0, 0, 0, nf, 0, 1, 0, w_px, h_px,
+                    0, 0, 0, 0,
+                )
+                strh = (
+                    b"vidsMJPG"
+                    + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, nf, 0, 0, 0, 0)
+                    + struct.pack("<4h", 0, 0, w_px, h_px)
+                )
+                strf = struct.pack(
+                    "<IiiHH4sIiiII",
+                    40, w_px, h_px, 1, 24, b"MJPG", w_px * h_px * 3, 0, 0, 0, 0,
+                )
+                strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+                hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"LIST", strl)
+                movi = b"movi" + b"".join(chunk(b"00dc", j) for j in jpegs)
+                body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", len(body)) + body
+                )
+            out = pdf[id_list].copy()
+            out[content_col] = payloads
+            yield out
+
+    return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)
+
+
 def sample_video_frames(
     df: DataFrame,
     content_col: str = "content",
@@ -975,12 +1096,15 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame sampling, the 1→N mapInPandas lane of video frame
     extraction: emit every *every_n*-th frame as its own row.
-    ``decode="y4m"`` is the REAL container path — frames are the luma
-    planes parsed out of a YUV4MPEG2 stream (geometry from the
-    header; *frame_bytes* is ignored). ``fake`` treats the payload as
-    concatenated *frame_bytes*-sized frames (the blob convention for
-    formats with no in-container codec). ``real`` raises (ffmpeg for
-    compressed containers)."""
+    ``decode="y4m"`` is the REAL uncompressed-container path — frames
+    are the luma planes parsed out of a YUV4MPEG2 stream (geometry
+    from the header; *frame_bytes* is ignored). ``decode="avi"`` is
+    the REAL compressed path — Motion-JPEG frames parsed out of a
+    RIFF/AVI container and decoded by the in-module baseline JPEG
+    codec (emitted frames are the decoded rasters). ``fake`` treats
+    the payload as concatenated *frame_bytes*-sized frames (the blob
+    convention for formats with no in-container codec). ``real``
+    raises (ffmpeg, for codecs beyond baseline JPEG)."""
     if decode == "real":  # pragma: no cover
         _require_real_codec("video", "ffmpeg/pyav")
 
@@ -1005,6 +1129,14 @@ def sample_video_frames(
                 b = bytes(payload)
                 if decode == "y4m":
                     frames = _parse_y4m(b)[5]
+                elif decode == "avi":
+                    from etl_finance_pipeline_spark.operators.jpeg import (
+                        decode_jpeg,
+                    )
+
+                    frames = [
+                        decode_jpeg(j)[3] for j in _parse_avi_mjpeg(b)[2]
+                    ]
                 else:
                     frames = [
                         b[i * frame_bytes : (i + 1) * frame_bytes]
@@ -1038,10 +1170,12 @@ def frame_delta_stats(
     (numpy-vectorized over the whole clip at once) and a cut flag at
     *cut_threshold* — the shot-boundary heuristic video pipelines run
     before keyframe extraction. ``decode="y4m"`` parses frames (luma
-    planes) out of a REAL YUV4MPEG2 container; ``fake`` reads the
-    payload as consecutive *frame_bytes*-sized frames. Exact integer
-    sums, one float division per frame, so a SQL oracle reproduces
-    the deltas bit-for-bit.
+    planes) out of a REAL YUV4MPEG2 container; ``decode="avi"``
+    decodes Motion-JPEG frames out of a RIFF/AVI container with the
+    in-module JPEG codec and diffs the decoded rasters; ``fake``
+    reads the payload as consecutive *frame_bytes*-sized frames.
+    Exact integer sums, one float division per frame, so a SQL
+    oracle reproduces the deltas bit-for-bit.
 
     Output: id columns + (frame_index, delta, is_cut), one row per
     frame AFTER the first (index is the later frame's).
@@ -1069,9 +1203,18 @@ def frame_delta_stats(
                 if payload is None:
                     continue
                 b = bytes(payload)
-                if decode == "y4m":
-                    w, h, _, _, _, frames = _parse_y4m(b)
-                    fb = w * h
+                if decode in ("y4m", "avi"):
+                    if decode == "y4m":
+                        w, h, _, _, _, frames = _parse_y4m(b)
+                        fb = w * h
+                    else:
+                        from etl_finance_pipeline_spark.operators.jpeg import (
+                            decode_jpeg,
+                        )
+
+                        w, h, jpegs = _parse_avi_mjpeg(b)
+                        frames = [decode_jpeg(j)[3] for j in jpegs]
+                        fb = len(frames[0]) if frames else 0
                     n_frames = len(frames)
                     if n_frames < 2:
                         continue

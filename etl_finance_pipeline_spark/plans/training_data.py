@@ -3096,7 +3096,99 @@ FROM chan
 """
 
 
+def q_video_frames_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED video path under the oracle gate: text bytes →
+    Motion-JPEG AVI (64-byte slices rendered as constant-tile
+    grayscale JPEGs inside a spec-compliant RIFF container) →
+    sample_video_frames(decode="avi"), which walks the RIFF chunks,
+    pulls each 00dc frame, and DECODES it with the in-module baseline
+    JPEG codec — the emitted frames are decoded 64×64 rasters. The
+    oracle rebuilds each raster from the text directly (8×8 byte
+    grid, each byte an 8×8 tile) and compares md5 — container walk,
+    entropy decode, and IDCT all sit under the hash."""
+    from etl_finance_pipeline_spark.functions.layout import fan_out
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        sample_video_frames,
+    )
+
+    docs = fan_out(
+        load_table(spark, _t(sf_dir, "documents")).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
+        )
+    )
+    avi = encode_avi_mjpeg(docs)
+    out = sample_video_frames(avi, every_n=2, decode="avi")
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("long").alias("n_bytes"),
+    )
+
+
+SQL_VIDEO_FRAMES_AVI = """
+WITH f AS (
+  SELECT doc_id, rpad(text, CAST(greatest(1, ceil(len(text) / 64.0)) * 64 AS INTEGER), ' ') AS p,
+         greatest(1, CAST(ceil(len(text) / 64.0) AS BIGINT)) AS nf
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, substr(p, CAST(i * 64 + 1 AS BIGINT), 64) AS s, i
+  FROM f, LATERAL (SELECT unnest(range(0, nf, 2)) AS i) g
+),
+expanded AS (
+  SELECT doc_id, i,
+         array_to_string(list_transform(generate_series(0, 7), r ->
+           repeat(
+             array_to_string(list_transform(generate_series(1, 8), c ->
+               repeat(substr(s, CAST(r * 8 + c AS BIGINT), 1), 8)), ''),
+             8)
+         ), '') AS raster
+  FROM idx
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_index,
+       md5(raster) AS frame_md5,
+       CAST(4096 AS BIGINT) AS n_bytes
+FROM expanded
+"""
+
+
+def q_scene_cuts_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the COMPRESSED video lane:
+    adjacent Motion-JPEG frames are fully decoded (RIFF walk + JPEG
+    entropy decode + IDCT) and diffed as rasters. Because each source
+    byte expands to one constant 8×8 tile, the decoded-raster mean
+    absolute difference equals the byte-level one — which is exactly
+    what lets the independent byte-formulated oracle certify the
+    whole decode path."""
+    from etl_finance_pipeline_spark.functions.layout import fan_out
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        frame_delta_stats,
+    )
+
+    docs = fan_out(
+        load_table(spark, _t(sf_dir, "documents")).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
+        )
+    )
+    avi = encode_avi_mjpeg(docs)
+    out = frame_delta_stats(avi, cut_threshold=30.0, decode="avi")
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_index").cast("long").alias("frame_index"),
+        _pr("delta", 6).alias("delta"),
+        F.col("is_cut"),
+    )
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "video_frames_avi": q_video_frames_avi,
+    "scene_cuts_avi": q_scene_cuts_avi,
     "image_stats_jpeg_color": q_image_stats_jpeg_color,
     "decontaminate_spans": q_decontaminate_spans,
     "image_stats_jpeg": q_image_stats_jpeg,
@@ -3201,6 +3293,8 @@ ORACLES_TD: dict[str, str] = {
     "stream_candles": SQL_STREAM_CANDLES,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedupe": SQL_STREAM_DEDUPE,
+    "video_frames_avi": SQL_VIDEO_FRAMES_AVI,
+    "scene_cuts_avi": SQL_SCENE_CUTS_REAL,
     "image_stats_jpeg_color": SQL_IMAGE_STATS_JPEG_COLOR,
     "decontaminate_spans": SQL_DECONTAMINATE_SPANS,
     "image_stats_jpeg": SQL_IMAGE_STATS_JPEG,

@@ -639,3 +639,47 @@ def test_jpeg_color_odd_dims_and_dispatch():
     assert np.abs(dec[:, :, 0].astype(int) - y.astype(int)).max() <= 2
     with _pytest.raises(ValueError, match="expected 3-component"):
         decode_jpeg_rgb(encode_jpeg_gray(y))
+
+
+def test_avi_mjpeg_container_roundtrip(spark):
+    """RIFF/AVI + Motion-JPEG end-to-end: encode_avi_mjpeg wraps
+    constant-tile JPEG frames in a spec-compliant container;
+    sample_video_frames(decode='avi') walks the chunks and decodes
+    each frame with the in-module codec — decoded rasters are
+    bit-exact expansions of the source bytes."""
+    import numpy as np
+
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        sample_video_frames,
+    )
+
+    payload = bytes(range(32, 132))  # 2 frames: 64 + 36 (space-padded)
+    df = spark.createDataFrame([(1, bytearray(payload))], ["media_id", "content"])
+    frames = {
+        r["frame_index"]: bytes(r["frame"])
+        for r in sample_video_frames(
+            encode_avi_mjpeg(df), every_n=1, decode="avi"
+        ).collect()
+    }
+    pad = payload + b" " * 28
+    for i in (0, 1):
+        vals = np.frombuffer(pad[i * 64 : (i + 1) * 64], np.uint8).reshape(8, 8)
+        assert frames[i] == np.kron(vals, np.ones((8, 8), np.uint8)).tobytes()
+
+
+def test_avi_parser_fail_loud():
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        _parse_avi_mjpeg,
+    )
+
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        _parse_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    # RIFF/AVI magic but no avih header
+    bad = b"RIFF" + (12).to_bytes(4, "little") + b"AVI " + b"JUNK" + (0).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="missing avih"):
+        _parse_avi_mjpeg(bad)
+    # truncated chunk: declared size exceeds the container
+    trunc = b"RIFF" + (20).to_bytes(4, "little") + b"AVI " + b"avih" + (999).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="truncated AVI chunk"):
+        _parse_avi_mjpeg(trunc + b"\x00" * 4)
