@@ -658,3 +658,243 @@ def quantize_embeddings(
         )
     )
     return out.select(id_col, "scale", "qvec", err.alias("max_abs_err"))
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Product-quantization codebook training (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search") — the encode
+    path that makes billion-vector ANN feasible: each vector is split
+    into *m* subvectors; each subspace learns its own *ksub*-word
+    codebook via Lloyd's k-means; a vector then stores m small codes
+    (m bytes at ksub≤256) instead of dim floats — a 4-32× memory cut
+    that IVF-PQ pairs with the coarse IVF index at 100 TB scale.
+
+    ALL subspaces train in the same distributed passes: one explode
+    into (id, subspace, subvec) rows, then per iteration one argmin
+    projection against the broadcast literal codebooks and ONE
+    per-(subspace, code, dim) mean aggregate (map-side combinable).
+    The driver holds only m·ksub·(dim/m) = dim·ksub doubles between
+    iterations — control flow, not a data path, same structure as
+    train_kmeans_centroids.
+
+    Deterministic like the IVF trainer: hash-picked seed ids (shared
+    across subspaces), fixed iterations, argmin ties toward the lower
+    code, per-iteration portable rounding so a SQL oracle can unroll
+    the identical fixed point. Empty codes carry their previous
+    codeword.
+
+    Returns (subspace int, code int, cvec array<double> of dim/m).
+    """
+    from etl_finance_pipeline_spark.functions.scalar import portable_hash64
+
+    src = _as_double(df, vec_col).select(id_col, vec_col)
+    dim = probe_vector_dim(src, vec_col)
+    if dim is None or dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible into {m} subspaces")
+    subdim = dim // m
+
+    seeds = (
+        src.withColumn("_h", portable_hash64(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(ksub)
+        .select(vec_col)
+        .collect()
+    )
+    # codebooks[s][c] = list of subdim floats
+    books: list[list[list[float]]] = [
+        [list(r[0])[s * subdim : (s + 1) * subdim] for r in seeds]
+        for s in range(m)
+    ]
+
+    sub = src.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+    ).select(
+        id_col,
+        "s",
+        F.expr(f"slice({vec_col}, s * {subdim} + 1, {subdim})").alias("_sv"),
+    )
+
+    def _books_lit() -> Column:
+        return F.array(
+            *[
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(x)) for x in cw])
+                        for cw in books[s]
+                    ]
+                )
+                for s in range(m)
+            ]
+        )
+
+    l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scale = 10 ** round_digits
+    for _ in range(iters):
+        mywords = F.element_at(_books_lit(), F.col("s") + 1)
+        dists = F.transform(mywords, lambda cw: l2(F.col("_sv"), cw))
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        assigned = sub.select("s", code.alias("_c"), F.posexplode("_sv"))
+        means = (
+            assigned.groupBy("s", "_c", "pos")
+            .agg(
+                (
+                    F.floor(F.avg("col") * scale + F.lit(0.5)) / scale
+                ).alias("_mv")
+            )
+            .collect()
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["s"], r["_c"]), {})[r["pos"]] = r["_mv"]
+        for (s, c), dims in got.items():
+            books[s][c] = [dims[p] for p in range(subdim)]
+
+    rows = [
+        (s, c, books[s][c]) for s in range(m) for c in range(ksub)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "subspace int, code int, cvec array<double>"
+    )
+
+
+def _pq_codes_expr(vec_col: str, books: list, m: int, subdim: int) -> Column:
+    """codes array<int>: per subspace, the argmin codeword (ties to
+    the lower code via array_position's first match) — one narrow
+    expression, no explode, codebooks ride as a literal."""
+    books_lit = F.array(
+        *[
+            F.array(
+                *[F.array(*[F.lit(float(x)) for x in cw]) for cw in books[s]]
+            )
+            for s in range(m)
+        ]
+    )
+    l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def _one(s: Column) -> Column:
+        sv = F.slice(F.col(vec_col), s * subdim + 1, F.lit(subdim))
+        dists = F.transform(
+            F.element_at(books_lit, s + 1), lambda cw: l2(sv, cw)
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _one)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors to PQ codes against a trained codebook frame
+    (subspace, code, cvec): one narrow projection per row — the
+    codebook (dim·ksub doubles, broadcast-small by construction) rides
+    as a literal, no join, no shuffle. Output: (id, codes
+    array<int> of length m)."""
+    rows = codebooks.orderBy("subspace", "code").collect()
+    m = 1 + max(r["subspace"] for r in rows)
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]].append(list(r["cvec"]))
+    subdim = len(rows[0]["cvec"])
+    src = _as_double(df, vec_col)
+    return src.select(
+        F.col(id_col),
+        _pq_codes_expr(vec_col, books, m, subdim).alias("codes"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: corpus vectors are
+    represented ONLY by their m codes; each query precomputes a
+    distance table d[s][c] = ‖q_s − codeword_sc‖² and a corpus
+    vector's approximate distance is the sum of m table lookups —
+    the memory/compute shape that serves billion-vector search.
+
+    Spark shape (100 TB): corpus codes explode to (id, subspace,
+    code) — m small ints per vector, the compressed representation
+    is all that moves; the query-side distance tables
+    (n_queries·m·ksub rows, tiny by definition) BROADCAST onto that
+    stream; one map-side-combinable sum per (query, id) and a
+    per-query top-k window. The raw corpus vectors are never touched
+    after encoding — that is the entire point of PQ.
+
+    Deterministic: distances portably rounded to *round_digits*
+    before ranking, ties break toward the lower neighbor id.
+
+    Output: (query_id, neighbor_id, adc_dist, rank), rank ≤ k,
+    self-pairs excluded.
+    """
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+    rows = codebooks.orderBy("subspace", "code").collect()
+    m = 1 + max(r["subspace"] for r in rows)
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]].append(list(r["cvec"]))
+    subdim = len(rows[0]["cvec"])
+
+    codes = pq_encode(corpus, codebooks, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("s", "code"),
+    )
+    cb_rows = codebooks.select(
+        F.col("subspace").alias("s"), "code", "cvec"
+    )
+    q = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dtab = q.crossJoin(F.broadcast(cb_rows)).select(
+        "query_id",
+        "s",
+        "code",
+        l2(
+            F.slice(F.col("_qv"), F.col("s") * subdim + 1, F.lit(subdim)),
+            F.col("cvec"),
+        ).alias("_d"),
+    )
+    summed = (
+        codes.join(F.broadcast(dtab), ["s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(portable_round(F.sum("_d"), round_digits).alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

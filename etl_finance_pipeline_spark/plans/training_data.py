@@ -3186,7 +3186,134 @@ def q_scene_cuts_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_sql(m: int, ksub: int, iters: int, subdim: int) -> str:
+    """Unrolled per-subspace Lloyd chain mirroring
+    operators.similarity.pq_train(round_digits=6): shared hash-picked
+    seed ids, per-(vec, subspace) squared-L2 argmin with lower-code
+    tie-break, per-(subspace, code, dim) means rounded to 6 decimals
+    each iteration, empty codes carrying their previous codeword.
+    Produces CTE ``pc{iters}`` = (s, code, cvec DOUBLE[])."""
+    sub_slices = ", ".join(str(x) for x in range(m))
+    parts = [
+        f"""psub AS (
+  SELECT vec_id, s,
+         CAST(embedding[s * {subdim} + 1 : s * {subdim} + {subdim}] AS DOUBLE[]) AS sv
+  FROM embeddings, UNNEST([{sub_slices}]) AS t(s)
+),
+pseed AS (
+  SELECT vec_id, row_number() OVER (ORDER BY {_H64.format(s='CAST(vec_id AS VARCHAR)')}, vec_id) - 1 AS code
+  FROM embeddings
+  ORDER BY {_H64.format(s='CAST(vec_id AS VARCHAR)')}, vec_id
+  LIMIT {ksub}
+),
+pc0 AS (
+  SELECT p.s, sd.code, p.sv AS cvec
+  FROM pseed sd JOIN psub p USING (vec_id)
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""pa{i} AS (
+  SELECT vec_id, s, sv, code FROM (
+    SELECT p.vec_id, p.s, p.sv, c.code,
+           row_number() OVER (
+             PARTITION BY p.vec_id, p.s
+             ORDER BY {_L2_SQL.format(a='p.sv', b='c.cvec')} ASC, c.code
+           ) AS pr
+    FROM psub p JOIN pc{i} c USING (s)
+  ) WHERE pr = 1
+),
+pm{i} AS (
+  SELECT s, code, pos, floor(avg(CAST(v AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mv
+  FROM (
+    SELECT s, code, pos, sv[pos] AS v
+    FROM pa{i}, UNNEST(range(1, {subdim} + 1)) AS t(pos)
+  ) GROUP BY s, code, pos
+),
+pc{i + 1} AS (
+  SELECT s, code, list(mv ORDER BY pos) AS cvec FROM pm{i} GROUP BY s, code
+  UNION ALL
+  SELECT c.s, c.code, c.cvec FROM pc{i} c
+  WHERE NOT EXISTS (SELECT 1 FROM pm{i} x WHERE x.s = c.s AND x.code = c.code)
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_SUBDIM = 4, 8, 3, 16
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization END-TO-END in-engine: per-subspace Lloyd
+    codebooks (m=4 × ksub=8 over dim-64 vectors, 3 iterations,
+    6-decimal per-iteration rounding), corpus encoded to 4 codes per
+    vector, queries answered by asymmetric-distance table lookups —
+    the memory shape of billion-vector ANN. The oracle unrolls the
+    identical subspace k-means and sums the same per-subspace
+    distances in the same order, so codebook, encode, AND search are
+    all under the hash."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        pq_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    cb = pq_train(emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, round_digits=6)
+    out = pq_topk(emb, emb.filter(F.col("vec_id") < 5), cb, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "adc_dist",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_PQ_TOPK = f"""
+WITH {_pq_sql(_PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_SUBDIM)},
+books AS (SELECT s, code, cvec FROM pc{_PQ_ITERS}),
+corpus_codes AS (
+  SELECT vec_id AS neighbor_id, s, code FROM (
+    SELECT p.vec_id, p.s, b.code,
+           row_number() OVER (
+             PARTITION BY p.vec_id, p.s
+             ORDER BY {{l2_pb}} ASC, b.code
+           ) AS pr
+    FROM psub p JOIN books b USING (s)
+  ) WHERE pr = 1
+),
+dtab AS (
+  SELECT q.vec_id AS query_id, b.s, b.code,
+         {{l2_qb}} AS d
+  FROM embeddings q CROSS JOIN books b
+  WHERE q.vec_id < 5
+),
+adc AS (
+  SELECT t.query_id, c.neighbor_id,
+         floor((
+           min(CASE WHEN c.s = 0 THEN t.d END)
+           + min(CASE WHEN c.s = 1 THEN t.d END)
+           + min(CASE WHEN c.s = 2 THEN t.d END)
+           + min(CASE WHEN c.s = 3 THEN t.d END)
+         ) * 1000000 + 0.5) / 1000000 AS adc_dist
+  FROM corpus_codes c JOIN dtab t ON c.s = t.s AND c.code = t.code
+  WHERE t.query_id != c.neighbor_id
+  GROUP BY t.query_id, c.neighbor_id
+)
+SELECT query_id, neighbor_id, adc_dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS BIGINT) AS rank
+FROM adc
+QUALIFY rank <= 5
+""".format(
+    l2_pb=_L2_SQL.format(a="p.sv", b="b.cvec"),
+    l2_qb=_L2_SQL.format(
+        a=f"CAST(q.embedding[b.s * {_PQ_SUBDIM} + 1 : b.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS DOUBLE[])",
+        b="b.cvec",
+    ),
+)
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pq_topk": q_pq_topk,
     "video_frames_avi": q_video_frames_avi,
     "scene_cuts_avi": q_scene_cuts_avi,
     "image_stats_jpeg_color": q_image_stats_jpeg_color,
@@ -3293,6 +3420,7 @@ ORACLES_TD: dict[str, str] = {
     "stream_candles": SQL_STREAM_CANDLES,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedupe": SQL_STREAM_DEDUPE,
+    "pq_topk": SQL_PQ_TOPK,
     "video_frames_avi": SQL_VIDEO_FRAMES_AVI,
     "scene_cuts_avi": SQL_SCENE_CUTS_REAL,
     "image_stats_jpeg_color": SQL_IMAGE_STATS_JPEG_COLOR,

@@ -682,3 +682,34 @@ def test_decontaminate_spans_marks_quoted_eval_content(spark):
         for r in decontaminate_spans(corpus, eval_df, k=8).collect()
     }
     assert out == {1: (4, 11, 8)}
+
+
+def test_pq_roundtrip_separable_clusters(spark):
+    """PQ on well-separated synthetic clusters: every vector's codes
+    match its cluster-mates' (the codebook collapses each cluster per
+    subspace), and ADC top-k retrieves cluster-mates first."""
+    import numpy as np
+
+    from etl_finance_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(0)
+    rows = []
+    # two tight clusters in dim 8, far apart
+    for i in range(6):
+        base = 0.0 if i < 3 else 10.0
+        rows.append((i, (base + rng.uniform(-0.1, 0.1, 8)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(df, m=2, ksub=2, iters=3)
+    assert cb.count() == 4  # 2 subspaces x 2 codes
+    codes = {
+        r["vec_id"]: tuple(r["codes"]) for r in pq_encode(df, cb).collect()
+    }
+    assert codes[0] == codes[1] == codes[2]
+    assert codes[3] == codes[4] == codes[5]
+    assert codes[0] != codes[3]
+    top = pq_topk(df, df.filter("vec_id = 0"), cb, k=2).collect()
+    assert {r["neighbor_id"] for r in top} == {1, 2}
