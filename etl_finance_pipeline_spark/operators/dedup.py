@@ -569,12 +569,12 @@ def set_similarity_join(
 
     # set elements: word tokens (None) or k-word shingles — shingles
     # are the discriminative choice on small-vocabulary corpora where
-    # token-set similarity is pervasive
-    elems = _tokens_fn(text_col)
-    if shingle_k is not None:
-        from etl_finance_pipeline_spark.functions.text import word_shingles
-
-        elems = word_shingles(elems, shingle_k)
+    # token-set similarity is pervasive.
+    # The token array is materialized in its OWN projection before the
+    # shingle lambda — inlining split() into the transform re-evaluates
+    # it per element_at reference (no CSE inside higher-order
+    # functions; same trap _doc_shingles documents — fixing it here
+    # took the toks materialization 5.2 s → 0.6 s at sf0.1).
     # elements ride every shuffle as 60-bit hashes, not strings —
     # ~10x fewer shuffle bytes on shingle sets; "exact" is modulo
     # 60-bit collisions (~n² / 2^60), and the oracle hashes with the
@@ -582,9 +582,18 @@ def set_similarity_join(
     # fan_out first: the shingle+hash explode is CPU-bound and a
     # small corpus file arrives as one partition (same rationale as
     # _doc_shingles)
+    toked = fan_out(df).select(
+        F.col(id_col).alias("_id"), _tokens_fn(text_col).alias("_toks")
+    )
+    if shingle_k is not None:
+        from etl_finance_pipeline_spark.functions.text import word_shingles
+
+        elems = word_shingles(F.col("_toks"), shingle_k)
+    else:
+        elems = F.col("_toks")
     toks = (
-        fan_out(df)
-        .select(F.col(id_col).alias("_id"), elems.alias("_t"))
+        toked
+        .select("_id", elems.alias("_t"))
         .select("_id", F.explode(F.array_distinct("_t")).alias("_e"))
         .select("_id", portable_hash64(F.col("_e")).alias("tok"))
         # five consumers (sizes/dfreq/rank + both verify sides) and NO
