@@ -72,13 +72,14 @@ _SHOWCASE_FIRST = (
     "image_resize_ppm",
     "hist_quantiles",  # mergeable fixed-grid histogram quantiles (round 5)
     "order_quartiles",  # binned-histogram quartile rewrite (round 5)
-    "set_similarity_exact",  # PPJoin prefix filter (round 5)
-    "stream_near_dup",  # streaming LSH vs standing corpus (round 5)
     "weighted_sample",  # A-Res weighted draw (round 5; +1 u-clamp, round 6)
     # rotated out after being driver-recorded green in round 5: rsi,
     # cusum, cuped_experiment, markov_transitions, hotkey_purchase_join,
-    # communities_lpa (all still registered + full-artifact-verified
-    # every round)
+    # communities_lpa, set_similarity_exact, stream_near_dup (all still
+    # registered + full-artifact-verified every round)
+    "pq_topk",  # product-quantization ANN end-to-end (round 6)
+    "video_frames_avi",  # Motion-JPEG AVI container + codec decode (round 6)
+    "image_stats_jpeg_color",  # baseline COLOR JPEG decode path (round 6)
     "substring_dedup",  # ExactSubstr span discovery, no suffix array (round 6)
     "substring_dedup_clean",  # corpus rewrite with spans removed (round 6)
     "video_frames_real",  # real YUV4MPEG2 container parse (round 6)

@@ -420,3 +420,62 @@ def test_wilder_rsi_matches_pandas_property(spark, vals):
         else:
             want = 100.0 - 100.0 / (1.0 + g / l)
         assert abs(got[i] - want) < 1e-9, i
+
+
+# random word-soup documents over a tiny vocabulary: high gram-collision
+# probability, which is exactly what stresses span merging
+_WORDS = ["aa", "bb", "cc", "dd"]
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=14),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _brute_spans(docs: list[list[str]], k: int) -> set[tuple[int, int, int]]:
+    """Reference ExactSubstr: count every k-gram across all docs
+    (positions included), mark covered token positions, merge runs."""
+    from collections import Counter
+
+    grams: Counter = Counter()
+    for toks in docs:
+        for i in range(len(toks) - k + 1):
+            grams[tuple(toks[i : i + k])] += 1
+    out = set()
+    for di, toks in enumerate(docs):
+        covered = set()
+        for i in range(len(toks) - k + 1):
+            if grams[tuple(toks[i : i + k])] >= 2:
+                covered.update(range(i + 1, i + k + 1))  # 1-based
+        for pos in sorted(covered):
+            if pos - 1 not in covered:
+                end = pos
+                while end + 1 in covered:
+                    end += 1
+                out.add((di, pos, end))
+    return out
+
+
+@given(docs=docs_strategy, k=st.integers(min_value=2, max_value=4))
+@settings(**SETTINGS)
+def test_duplicate_token_spans_matches_bruteforce(spark, docs, k):
+    from etl_finance_pipeline_spark.operators.dedup import (
+        duplicate_token_spans,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs) if toks]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_token_spans(df, k=k).collect()
+    }
+    # rows carry only non-empty docs; map brute-force doc indexes back
+    # to the original ids
+    id_map = [i for i, toks in enumerate(docs) if toks]
+    expected = {
+        (id_map[di], s, e)
+        for (di, s, e) in _brute_spans([docs[i] for i in id_map], k)
+    }
+    assert got == expected
