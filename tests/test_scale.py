@@ -412,3 +412,69 @@ def test_scale_label_propagation(bigspark):
     n = labels.count()
     print(f"\nSCALE lpa 4.5M edges: {n:,} vertices in {time.time() - t0:.1f}s")
     assert n == 1_000_000 and bad == 0
+
+
+def test_scale_substring_dedup(bigspark):
+    """10M synthetic docs (tiny vocab → heavy gram collisions): span
+    discovery must stay distributed — gram-hash-keyed frequency +
+    semi-join, doc-keyed cover-merge windows; no single-partition
+    exchange anywhere on the data path."""
+    from etl_finance_pipeline_spark.operators.dedup import (
+        duplicate_token_spans,
+    )
+
+    n = 10_000_000
+    # doc text = 12 tokens drawn from id arithmetic; ~50% of docs share
+    # their template with id+1, planting real duplicated spans
+    df = bigspark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("w"), ((F.col("id") / 2 + j) % 50).cast("int").cast("string"))
+                for j in range(12)
+            ],
+        ).alias("text"),
+    )
+    out = duplicate_token_spans(df, k=8)
+    _assert_distributed_plan(out, "substring_dedup")
+    rows, _ = _timed_count(out, "substring_dedup 10M docs")
+    assert rows > 0
+
+
+def test_scale_pq_encode_no_shuffle(bigspark):
+    """PQ encode over 20M vectors is a NARROW projection: the codebook
+    rides as a literal, zero exchanges in the plan."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    dim = 16
+    train = bigspark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[((F.col("id") * (j + 3)) % 97).cast("double") for j in range(dim)]
+        ).alias("embedding"),
+    )
+    cb = pq_train(train, m=4, ksub=8, iters=2)
+    n = 20_000_000
+    corpus = bigspark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[((F.col("id") * (j + 3)) % 97).cast("double") for j in range(dim)]
+        ).alias("embedding"),
+    )
+    out = pq_encode(corpus, cb, engine="numpy")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"pq_encode must be narrow\n{plan[:2000]}"
+    # a bare count would let Catalyst prune the codes expression away —
+    # aggregate over the codes so every argmin actually evaluates
+    forced = out.select(F.element_at("codes", 1).alias("_c0"))
+    import time as _t
+
+    t0 = _t.perf_counter()
+    total = forced.agg(F.count("_c0"), F.sum("_c0")).collect()[0][0]
+    print(f"SCALE pq_encode 20M vectors (forced): {total:,} rows in "
+          f"{_t.perf_counter() - t0:.1f}s")
+    assert total == n

@@ -713,3 +713,26 @@ def test_pq_roundtrip_separable_clusters(spark):
     assert codes[0] != codes[3]
     top = pq_topk(df, df.filter("vec_id = 0"), cb, k=2).collect()
     assert {r["neighbor_id"] for r in top} == {1, 2}
+
+
+def test_pq_encode_lanes_agree(spark):
+    """The oracle-exact JVM expression lane and the Arrow/numpy scale
+    lane assign identical codes (divergence is only possible on
+    sub-ulp distance ties, which needs duplicate codewords)."""
+    import numpy as np
+
+    from etl_finance_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(2)
+    rows = [(i, rng.uniform(-1, 1, 16).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(df, m=4, ksub=4, iters=2)
+    jvm = {r["vec_id"]: tuple(r["codes"]) for r in pq_encode(df, cb).collect()}
+    np_lane = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in pq_encode(df, cb, engine="numpy").collect()
+    }
+    assert jvm == np_lane
