@@ -880,3 +880,47 @@ def remove_duplicate_spans(
             ).alias("n_tokens_removed"),
         )
     )
+
+
+def incremental_duplicate_spans(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Substring-level dedup for INGEST: the maximal spans of each
+    BATCH document that duplicate content already in the standing
+    corpus — or repeated within the batch itself (union semantics
+    match :func:`duplicate_token_spans`: a k-gram is duplicated iff
+    it occurs ≥2 times across corpus ∪ batch; any corpus occurrence
+    plus the batch occurrence already makes 2).
+
+    Scale shape (100 TB corpus, small batch by definition — the
+    incremental_lsh_pairs contract): the batch's distinct gram hashes
+    BROADCAST onto one pass over the corpus grams; the corpus is
+    never shuffled for the match, and the per-gram hit counts that
+    come back are bounded by the batch's vocabulary. In production
+    the corpus gram frequencies are precomputed at ingest (they are
+    deterministic per document) and kept in a table, making each
+    batch O(|batch| + one corpus-index probe).
+
+    Output: (id, span_start, span_end, span_tokens) over BATCH docs.
+    """
+    bg = _token_gram_hashes(batch, id_col, text_col, k)
+    batch_counts = bg.groupBy("_gh").agg(F.count("*").alias("_nb"))
+    cg = _token_gram_hashes(corpus, id_col, text_col, k).select("_gh")
+    corpus_hits = (
+        cg.join(F.broadcast(batch_counts.select("_gh")), "_gh", "left_semi")
+        .groupBy("_gh")
+        .agg(F.count("*").alias("_nc"))
+    )
+    dup = (
+        batch_counts.join(F.broadcast(corpus_hits), "_gh", "left")
+        .filter(
+            (F.col("_nb") >= 2) | (F.coalesce(F.col("_nc"), F.lit(0)) >= 1)
+        )
+        .select("_gh")
+    )
+    marked = bg.join(F.broadcast(dup), "_gh", "left_semi")
+    return _merge_gram_covers(marked, id_col, k)

@@ -3312,7 +3312,67 @@ QUALIFY rank <= 5
 )
 
 
+def q_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time substring dedup: batch docs (doc_id % 10 = 7) are
+    span-checked against the standing corpus (the rest) — the
+    corpus's grams are only semi-joined against the broadcast batch
+    vocabulary, never shuffled. Union semantics: a batch span is
+    duplicated if its grams exist anywhere in the corpus OR repeat
+    within the batch."""
+    from etl_finance_pipeline_spark.operators.dedup import (
+        incremental_duplicate_spans,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return incremental_duplicate_spans(
+        docs.filter(F.col("doc_id") % 10 == 7),
+        docs.filter(F.col("doc_id") % 10 != 7),
+        k=8,
+    )
+
+
+SQL_INCREMENTAL_SUBSTRING_DEDUP = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+  WHERE len(t) >= 8
+),
+dup AS (
+  SELECT gram FROM grams WHERE doc_id % 10 = 7 GROUP BY gram
+  HAVING count(*) >= 2
+      OR EXISTS (SELECT 1 FROM grams c WHERE c.doc_id % 10 != 7 AND c.gram = grams.gram)
+),
+marked AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+  WHERE g.doc_id % 10 = 7
+),
+ordered AS (
+  SELECT doc_id, pos AS s, pos + 7 AS e,
+         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+  FROM marked
+),
+islands AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_e IS NULL OR s > prev_e + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM ordered
+)
+SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(max(e) - min(s) + 1 AS BIGINT) AS span_tokens
+FROM islands GROUP BY doc_id, isl
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "incremental_substring_dedup": q_incremental_substring_dedup,
     "pq_topk": q_pq_topk,
     "video_frames_avi": q_video_frames_avi,
     "scene_cuts_avi": q_scene_cuts_avi,
@@ -3420,6 +3480,7 @@ ORACLES_TD: dict[str, str] = {
     "stream_candles": SQL_STREAM_CANDLES,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedupe": SQL_STREAM_DEDUPE,
+    "incremental_substring_dedup": SQL_INCREMENTAL_SUBSTRING_DEDUP,
     "pq_topk": SQL_PQ_TOPK,
     "video_frames_avi": SQL_VIDEO_FRAMES_AVI,
     "scene_cuts_avi": SQL_SCENE_CUTS_REAL,

@@ -736,3 +736,33 @@ def test_pq_encode_lanes_agree(spark):
         for r in pq_encode(df, cb, engine="numpy").collect()
     }
     assert jvm == np_lane
+
+
+def test_incremental_duplicate_spans_semantics(spark):
+    """Union semantics: a batch span duplicates if its grams exist in
+    the corpus (once is enough) OR repeat within the batch; corpus
+    docs never appear in the output; batch-only unique content emits
+    nothing."""
+    from etl_finance_pipeline_spark.operators.dedup import (
+        incremental_duplicate_spans,
+    )
+
+    passage = "the well known eight token boilerplate passage here"
+    corpus = spark.createDataFrame(
+        [(1, "corpus doc containing " + passage + " and more")],
+        ["doc_id", "text"],
+    )
+    rep = "batch internal repeated run of eight tokens x"
+    batch = spark.createDataFrame(
+        [
+            (100, "prefix words " + passage + " suffix"),  # corpus hit
+            (101, rep + " " + rep),  # batch-internal repeat
+            (102, "entirely novel content never seen anywhere before now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in incremental_duplicate_spans(batch, corpus, k=8).collect()
+    }
+    assert out == {100: (3, 10), 101: (1, 16)}
