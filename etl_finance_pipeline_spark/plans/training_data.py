@@ -3371,7 +3371,56 @@ FROM islands GROUP BY doc_id, isl
 """
 
 
+def q_stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING substring dedup: documents with doc_id % 10 == 7
+    arrive as a file stream; each microbatch span-checks against the
+    standing corpus table and appends spans via the exactly-once
+    sink. Oracle = the BATCH incremental formulation
+    (availableNow-vs-batch equivalence, same device as
+    stream_near_dup) — proving the streaming stage computes the
+    identical span set."""
+    import tempfile
+    import uuid
+
+    from etl_finance_pipeline_spark.sources.table_format import (
+        read_table,
+        write_table,
+    )
+    from etl_finance_pipeline_spark.streaming.neardup import (
+        stream_substring_dedup_against_corpus,
+    )
+
+    spark = _narrow_session(spark, 8)
+    docs = load_table(spark, _t(sf_dir, "documents")).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix=f"stream_substr_{uuid.uuid4().hex[:8]}_")
+    corpus_table = f"{root}/corpus"
+    out_table = f"{root}/spans"
+    write_table(docs.filter(F.col("doc_id") % 10 != 7), corpus_table)
+
+    path = _t(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(path[:-1] + "[t]")
+        .filter(F.col("doc_id") % 10 == 7)
+        .select("doc_id", "text")
+    )
+    q = stream_substring_dedup_against_corpus(
+        stream,
+        corpus_table,
+        out_table,
+        checkpoint_dir=f"{root}/ckpt",
+    )
+    q.awaitTermination(300)
+    out = read_table(spark, out_table)
+    return out.select("doc_id", "span_start", "span_end", "span_tokens")
+
+
+SQL_STREAM_SUBSTRING_DEDUP = SQL_INCREMENTAL_SUBSTRING_DEDUP
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_substring_dedup": q_stream_substring_dedup,
     "incremental_substring_dedup": q_incremental_substring_dedup,
     "pq_topk": q_pq_topk,
     "video_frames_avi": q_video_frames_avi,
@@ -3481,6 +3530,7 @@ ORACLES_TD: dict[str, str] = {
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedupe": SQL_STREAM_DEDUPE,
     "incremental_substring_dedup": SQL_INCREMENTAL_SUBSTRING_DEDUP,
+    "stream_substring_dedup": SQL_STREAM_SUBSTRING_DEDUP,
     "pq_topk": SQL_PQ_TOPK,
     "video_frames_avi": SQL_VIDEO_FRAMES_AVI,
     "scene_cuts_avi": SQL_SCENE_CUTS_REAL,

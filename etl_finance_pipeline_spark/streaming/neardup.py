@@ -81,3 +81,57 @@ def stream_near_dup_against_corpus(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_substring_dedup_against_corpus(
+    stream_df: DataFrame,
+    corpus_table: str,
+    out_table: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    txn_app_id: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+):
+    """Streaming substring-level dedup: for every microbatch of
+    incoming documents, find the maximal spans duplicating content in
+    the standing transactional-table corpus (or repeated within the
+    batch) and append (id, span_start, span_end, span_tokens) to
+    *out_table* exactly once per epoch.
+
+    Same foreachBatch shape as :func:`stream_near_dup_against_corpus`
+    and for the same reason: the match needs corpus-wide gram
+    frequencies, which no per-key streaming state can hold. Per epoch
+    the batch's gram vocabulary broadcasts onto one corpus pass
+    (operators.dedup.incremental_duplicate_spans — the corpus is
+    never shuffled); at 100 TB the corpus gram frequencies are
+    precomputed at ingest and the per-epoch cost is O(|batch| + one
+    index probe).
+
+    Returns the StreamingQuery handle.
+    """
+    from etl_finance_pipeline_spark.operators.dedup import (
+        incremental_duplicate_spans,
+    )
+    from etl_finance_pipeline_spark.sources.table_format import read_table
+
+    app = txn_app_id or (
+        _default_txn_app(checkpoint_dir) if checkpoint_dir else None
+    )
+
+    def _stage(batch_df: DataFrame, epoch_id: int) -> None:
+        corpus = read_table(batch_df.sparkSession, corpus_table).select(
+            id_col, text_col
+        )
+        spans = incremental_duplicate_spans(
+            batch_df, corpus, id_col=id_col, text_col=text_col, k=k
+        )
+        write_batch_idempotent(spans, epoch_id, out_table, txn_app_id=app)
+
+    writer = stream_df.writeStream.foreachBatch(_stage)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
