@@ -113,3 +113,103 @@ def string_index(
         "left",
     ).select(*df.columns, F.col("index").alias(out))
     return encoded, mapping
+
+
+def linear_probe_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    lr: float = 0.1,
+    iters: int = 5,
+    round_digits: int = 6,
+) -> tuple[list[float], float]:
+    """Train a LINEAR PROBE on an embedding column by deterministic
+    full-batch gradient descent — the standard device for turning a
+    frozen encoder into a data-quality / domain / toxicity scorer in
+    LLM-corpus curation (fit a linear head on embeddings, score the
+    whole corpus with one narrow projection).
+
+    Least-squares objective (no sigmoid — every update is +,·,÷
+    arithmetic, so with per-iteration portable rounding the fixed
+    point is bit-reproducible in any engine; a logistic link would
+    couple the oracle to libm's exp): per iteration ONE distributed
+    pass computes the gradient — residuals against the broadcast
+    literal weights, then per-dimension Σ resid·x via posexplode into
+    a map-side-combinable aggregate. The driver holds dim+1 doubles
+    of control flow between iterations, exactly like the k-means and
+    PageRank loops.
+
+    w ← w − lr·(2/n)·Xᵀ(Xw + b − y),  b ← b − lr·(2/n)·Σ(Xw + b − y)
+
+    Returns (weights list[dim], bias) — rounded to *round_digits*.
+    """
+    src = df.select(
+        F.col(vec_col).cast("array<double>").alias("_x"),
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    first = src.select(F.size("_x").alias("_d")).first()
+    if first is None:
+        raise ValueError("linear_probe_train: empty input")
+    dim = first["_d"]
+    n = src.count()
+    scale = 10 ** round_digits
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(iters):
+        w_lit = F.array(*[F.lit(x) for x in w])
+        pred = (
+            F.aggregate(
+                F.zip_with(F.col("_x"), w_lit, lambda x, wi: x * wi),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            + F.lit(b)
+        )
+        resid = src.select(
+            (pred - F.col("_y")).alias("_r"), F.posexplode("_x")
+        )
+        grads = (
+            resid.groupBy("pos")
+            .agg(F.sum(F.col("_r") * F.col("col")).alias("_g"))
+            .collect()
+        )
+        gsum = src.select(F.sum(pred - F.col("_y")).alias("_gb")).first()["_gb"]
+        gd = {r["pos"]: r["_g"] for r in grads}
+        import math
+
+        w = [
+            math.floor(
+                (w[j] - lr * 2.0 / n * gd.get(j, 0.0)) * scale + 0.5
+            )
+            / scale
+            for j in range(dim)
+        ]
+        b = math.floor((b - lr * 2.0 / n * gsum) * scale + 0.5) / scale
+    return w, b
+
+
+def linear_probe_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float,
+    vec_col: str = "embedding",
+    out_col: str = "probe_score",
+) -> DataFrame:
+    """Score every row with a trained linear probe: one narrow
+    JVM-side projection (weights ride as a literal), no shuffle —
+    the corpus-scale pass that ranks/filters documents by the probe.
+    """
+    w_lit = F.array(*[F.lit(float(x)) for x in weights])
+    score = (
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                w_lit,
+                lambda x, wi: x * wi,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        + F.lit(float(bias))
+    )
+    return df.withColumn(out_col, score)

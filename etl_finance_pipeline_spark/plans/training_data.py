@@ -3419,7 +3419,72 @@ def q_stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_SUBSTRING_DEDUP = SQL_INCREMENTAL_SUBSTRING_DEDUP
 
 
+def _linprobe_sql(dim: int, iters: int, lr: float) -> str:
+    """Unrolled full-batch GD mirroring mlprep.linear_probe_train
+    (round_digits=6): zero init, per-iteration gradient over all rows,
+    6-decimal rounding of weights and bias each step. Produces CTEs
+    ``w{iters}`` = (pos, w) and ``b{iters}`` = (b)."""
+    parts = [
+        f"""lpn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+w0 AS (SELECT pos, 0.0 AS w FROM UNNEST(range(1, {dim} + 1)) AS t(pos)),
+b0 AS (SELECT 0.0 AS b)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""p{i} AS (
+  SELECT e.vec_id, CAST(e.label AS DOUBLE) AS y, CAST(e.embedding AS DOUBLE[]) AS x,
+         list_sum(list_transform(
+           list_zip(CAST(e.embedding AS DOUBLE[]), (SELECT list(w ORDER BY pos) FROM w{i})),
+           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+           + (SELECT b FROM b{i}) AS pred
+  FROM embeddings e
+),
+g{i} AS (
+  SELECT pos, sum((pred - y) * x[pos]) AS g
+  FROM p{i}, UNNEST(range(1, {dim} + 1)) AS t(pos)
+  GROUP BY pos
+),
+gb{i} AS (SELECT sum(pred - y) AS gb FROM p{i}),
+w{i + 1} AS (
+  SELECT w.pos,
+         floor((w.w - {lr} * 2.0 / (SELECT n FROM lpn) * g.g) * 1000000 + 0.5) / 1000000 AS w
+  FROM w{i} w JOIN g{i} g USING (pos)
+),
+b{i + 1} AS (
+  SELECT floor((b.b - {lr} * 2.0 / (SELECT n FROM lpn) * gb.gb) * 1000000 + 0.5) / 1000000 AS b
+  FROM b{i} b, gb{i} gb
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-probe training END-TO-END in-engine: a least-squares
+    head fit on the embeddings table by 5 deterministic full-batch GD
+    steps (zero init, 6-decimal per-step rounding — the device that
+    pins the fixed point cross-engine, as with k-means). Output = the
+    trained weight vector (pos 1..dim) plus the bias at pos 0; the
+    oracle unrolls the identical iterations."""
+    from etl_finance_pipeline_spark.operators.mlprep import (
+        linear_probe_train,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    w, b = linear_probe_train(emb, lr=0.1, iters=5, round_digits=6)
+    rows = [(0, float(b))] + [(j + 1, float(w[j])) for j in range(len(w))]
+    return spark.createDataFrame(rows, "pos long, weight double")
+
+
+SQL_LINEAR_PROBE = f"""
+WITH {_linprobe_sql(64, 5, 0.1)}
+SELECT CAST(0 AS BIGINT) AS pos, (SELECT b FROM b5) AS weight
+UNION ALL
+SELECT CAST(pos AS BIGINT) AS pos, w AS weight FROM w5
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "linear_probe": q_linear_probe,
     "stream_substring_dedup": q_stream_substring_dedup,
     "incremental_substring_dedup": q_incremental_substring_dedup,
     "pq_topk": q_pq_topk,
@@ -3531,6 +3596,7 @@ ORACLES_TD: dict[str, str] = {
     "stream_dedupe": SQL_STREAM_DEDUPE,
     "incremental_substring_dedup": SQL_INCREMENTAL_SUBSTRING_DEDUP,
     "stream_substring_dedup": SQL_STREAM_SUBSTRING_DEDUP,
+    "linear_probe": SQL_LINEAR_PROBE,
     "pq_topk": SQL_PQ_TOPK,
     "video_frames_avi": SQL_VIDEO_FRAMES_AVI,
     "scene_cuts_avi": SQL_SCENE_CUTS_REAL,

@@ -766,3 +766,27 @@ def test_incremental_duplicate_spans_semantics(spark):
         for r in incremental_duplicate_spans(batch, corpus, k=8).collect()
     }
     assert out == {100: (3, 10), 101: (1, 16)}
+
+
+def test_linear_probe_learns_planted_relation(spark):
+    """GD on y = 2*x1 - x2 recovers the plane (within rounding) and
+    the scoring projection separates the labels."""
+    import numpy as np
+
+    from etl_finance_pipeline_spark.operators.mlprep import (
+        linear_probe_score,
+        linear_probe_train,
+    )
+
+    rng = np.random.RandomState(4)
+    rows = []
+    for i in range(200):
+        x = rng.uniform(-1, 1, 2)
+        rows.append((i, x.tolist(), float(2 * x[0] - x[1])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label double")
+    w, b = linear_probe_train(df, lr=0.3, iters=60)
+    assert abs(w[0] - 2.0) < 0.05 and abs(w[1] + 1.0) < 0.05
+    assert abs(b) < 0.05
+    scored = linear_probe_score(df, w, b)
+    err = scored.selectExpr("max(abs(probe_score - label)) AS e").first()["e"]
+    assert err < 0.1
