@@ -1307,3 +1307,92 @@ def detect_silence(
             yield out
 
     return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)
+
+
+def audio_dft_energies(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("media_id",),
+    bins: tuple[int, ...] = (1, 2, 3, 4),
+    decode: str = "wav",
+) -> DataFrame:
+    """Spectral feature extraction: per clip, the DFT energy
+    |Σ xⱼ·e^(−2πi·k·j/N)|² at each requested frequency bin *k* over
+    the NORMALIZED samples (int16 ÷ 32768 — normalization keeps
+    energies O(N), so cross-engine libm/summation noise stays ~9
+    orders below the 6-decimal output rounding; raw-int16 energies at
+    ~1e14 would drown it). The cheap band-energy signal audio corpus
+    pipelines use for content gating (speech/music/tone heuristics)
+    before any heavyweight model — and the numeric core of a mel
+    filterbank.
+
+    ``decode="wav"`` parses the RIFF container with the stdlib
+    ``wave`` module (the real codec lane); ``fake`` reads signed
+    8-bit PCM. One numpy pass per clip, 1→len(bins) rows out,
+    no shuffle.
+
+    Output: id columns + (bin, energy), energy rounded to 6 decimals.
+    """
+    if decode not in ("fake", "wav"):
+        raise ValueError(f"unknown decode mode: {decode}")
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [
+            T.StructField("bin", T.IntegerType()),
+            T.StructField("energy", T.DoubleType()),
+        ]
+    )
+    id_list = list(id_cols)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        def samples_of(b: bytes) -> "np.ndarray":
+            if decode == "wav":
+                with wave.open(io.BytesIO(b)) as wf:
+                    n = wf.getnframes() * wf.getnchannels()
+                    width = wf.getsampwidth()
+                    pcm = wf.readframes(wf.getnframes())
+                if width == 2:
+                    s = np.frombuffer(pcm, dtype="<i2", count=n).astype(np.float64)
+                elif width == 1:
+                    s = (
+                        np.frombuffer(pcm, dtype=np.uint8, count=n).astype(np.float64)
+                        - 128.0
+                    ) * 256.0
+                else:
+                    raise ValueError(f"unsupported WAV sample width: {width}")
+            else:
+                s = np.frombuffer(b, dtype=np.int8).astype(np.float64) * 256.0
+            return s / 32768.0
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r[content_col]
+                if payload is None or len(payload) == 0:
+                    continue
+                x = samples_of(bytes(payload))
+                n = x.size
+                if n == 0:
+                    continue
+                j = np.arange(n, dtype=np.float64)
+                for k in bins:
+                    ang = 2.0 * np.pi * float(k) * j / n
+                    c = float((x * np.cos(ang)).sum())
+                    s_ = float((x * np.sin(ang)).sum())
+                    e = c * c + s_ * s_
+                    rows.append(
+                        {
+                            **{cid: r[cid] for cid in id_list},
+                            "bin": k,
+                            "energy": __import__("math").floor(e * 1e6 + 0.5) / 1e6,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=id_list + ["bin", "energy"])
+
+    return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)

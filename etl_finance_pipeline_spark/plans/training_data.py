@@ -3483,7 +3483,57 @@ SELECT CAST(pos AS BIGINT) AS pos, w AS weight FROM w5
 """
 
 
+def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral band energies through the REAL WAV codec path: text →
+    16-bit PCM WAV (stdlib encoder) → container re-parse → DFT energy
+    at bins 1..4 over normalized samples. The oracle recomputes the
+    identical cos/sin sums from the character codes — normalization
+    (÷32768) is what keeps cross-engine libm noise ~9 orders below
+    the 6-decimal rounding."""
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        audio_dft_energies,
+        encode_wav_pcm16,
+    )
+
+    from etl_finance_pipeline_spark.functions.layout import fan_out
+
+    # fan_out: ~4 cos/sin passes over every clip is real CPU — the
+    # single-partition small file would serialize it (no-op at scale)
+    docs = fan_out(
+        load_table(spark, _t(sf_dir, "documents")).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
+        )
+    )
+    wav = encode_wav_pcm16(docs, sample_rate=16_000)
+    out = audio_dft_energies(wav, decode="wav", bins=(1, 2, 3, 4))
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("bin").cast("long").alias("bin"),
+        F.col("energy"),
+    )
+
+
+SQL_AUDIO_SPECTRUM = """
+WITH codes AS (
+  SELECT doc_id, len(text) AS n,
+         list_transform(generate_series(1, len(text)),
+                        i -> (ord(substr(text, i, 1)) - 128) / 128.0) AS x
+  FROM documents
+)
+SELECT doc_id, CAST(k AS BIGINT) AS bin,
+       floor((
+         pow(list_sum(list_transform(generate_series(1, n),
+           j -> x[j] * cos(2 * pi() * k * (j - 1) / n))), 2)
+         + pow(list_sum(list_transform(generate_series(1, n),
+           j -> x[j] * sin(2 * pi() * k * (j - 1) / n))), 2)
+       ) * 1000000 + 0.5) / 1000000 AS energy
+FROM codes, UNNEST([1, 2, 3, 4]) AS t(k)
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "audio_spectrum": q_audio_spectrum,
     "linear_probe": q_linear_probe,
     "stream_substring_dedup": q_stream_substring_dedup,
     "incremental_substring_dedup": q_incremental_substring_dedup,
@@ -3597,6 +3647,7 @@ ORACLES_TD: dict[str, str] = {
     "incremental_substring_dedup": SQL_INCREMENTAL_SUBSTRING_DEDUP,
     "stream_substring_dedup": SQL_STREAM_SUBSTRING_DEDUP,
     "linear_probe": SQL_LINEAR_PROBE,
+    "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "pq_topk": SQL_PQ_TOPK,
     "video_frames_avi": SQL_VIDEO_FRAMES_AVI,
     "scene_cuts_avi": SQL_SCENE_CUTS_REAL,

@@ -683,3 +683,30 @@ def test_avi_parser_fail_loud():
     trunc = b"RIFF" + (20).to_bytes(4, "little") + b"AVI " + b"avih" + (999).to_bytes(4, "little")
     with pytest.raises(ValueError, match="truncated AVI chunk"):
         _parse_avi_mjpeg(trunc + b"\x00" * 4)
+
+
+def test_audio_dft_energy_concentrates_at_tone_bin(spark):
+    """A pure tone at bin 2 puts (N/2)² energy in bin 2 and ~0
+    elsewhere — through the REAL WAV round trip."""
+    import numpy as np
+
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        audio_dft_energies,
+        encode_wav_pcm16,
+    )
+
+    n = 64
+    # encoder maps byte b -> sample (b-128)*256; build bytes whose
+    # samples trace cos(2*pi*2*j/n) scaled to +-127
+    tone = np.round(127 * np.cos(2 * np.pi * 2 * np.arange(n) / n))
+    payload = bytes((tone + 128).astype(np.uint8).tolist())
+    df = spark.createDataFrame([(1, bytearray(payload))], ["media_id", "content"])
+    wav = encode_wav_pcm16(df)
+    out = {
+        r["bin"]: r["energy"]
+        for r in audio_dft_energies(wav, decode="wav", bins=(1, 2, 3)).collect()
+    }
+    # normalized amplitude = 127*256/32768 ~ 0.992; energy at the tone
+    # bin ~ (0.992 * n/2)^2 ~ 1008; off bins ~ 0
+    assert out[2] > 900
+    assert out[1] < 1 and out[3] < 1
