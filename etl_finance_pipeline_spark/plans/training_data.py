@@ -3532,7 +3532,88 @@ FROM codes, UNNEST([1, 2, 3, 4]) AS t(k)
 """
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE at corpus scale under the gate: train the merge
+    table in-engine (same 6 merges as bpe_train), then tokenize every
+    document with it — a narrow exchange-free map where the merge
+    table compiles into a replace chain. Output per doc = token count
+    + md5 of the joined token stream; the oracle replays the
+    identical replaces over the word vocabulary and reassembles each
+    document, so the full train→encode path is hash-checked."""
+    from etl_finance_pipeline_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, n_merges=_BPE_MERGES)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    out = bpe_encode(docs, merges)
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.md5(F.encode(F.array_join("bpe_tokens", " "), "UTF-8")).alias(
+            "tokens_md5"
+        ),
+    )
+
+
+def _bpe_encode_round_sql(i: int) -> str:
+    return f"""
+e{i} AS (
+  SELECT w, replace(
+    s,
+    (SELECT chr(1) || l || chr(2) || chr(1) || r || chr(2) FROM b{i}),
+    (SELECT chr(1) || l || r || chr(2) FROM b{i})
+  ) AS s
+  FROM e{i - 1}
+)"""
+
+
+SQL_BPE_ENCODE = (
+    SQL_BPE_TRAIN[: SQL_BPE_TRAIN.index("\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_round, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    ))]
+    + ","
+    + ",".join(
+        ["""
+e0 AS (
+  SELECT w, array_to_string(list_transform(generate_series(1, len(w)),
+                                           i -> chr(1) || w[i] || chr(2)), '') AS s
+  FROM words
+)"""]
+        + [_bpe_encode_round_sql(i) for i in range(1, _BPE_MERGES + 1)]
+    )
+    + f""",
+docw AS (
+  SELECT doc_id, j, t[j] AS w FROM (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+    FROM documents
+  ), LATERAL (SELECT unnest(generate_series(1, len(t))) AS j) g
+),
+assembled AS (
+  SELECT d.doc_id,
+         string_split(substr(string_agg(e.s, '' ORDER BY d.j), 2,
+                             length(string_agg(e.s, '' ORDER BY d.j)) - 2),
+                      chr(2) || chr(1)) AS syms
+  FROM docw d JOIN e{_BPE_MERGES} e USING (w)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, CAST(len(syms) AS BIGINT) AS n_bpe_tokens,
+       md5(array_to_string(syms, ' ')) AS tokens_md5
+FROM assembled
+"""
+)
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bpe_encode_corpus": q_bpe_encode,
     "audio_spectrum": q_audio_spectrum,
     "linear_probe": q_linear_probe,
     "stream_substring_dedup": q_stream_substring_dedup,
@@ -3648,6 +3729,7 @@ ORACLES_TD: dict[str, str] = {
     "stream_substring_dedup": SQL_STREAM_SUBSTRING_DEDUP,
     "linear_probe": SQL_LINEAR_PROBE,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
+    "bpe_encode_corpus": SQL_BPE_ENCODE,
     "pq_topk": SQL_PQ_TOPK,
     "video_frames_avi": SQL_VIDEO_FRAMES_AVI,
     "scene_cuts_avi": SQL_SCENE_CUTS_REAL,
