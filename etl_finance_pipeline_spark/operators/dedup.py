@@ -322,8 +322,6 @@ def simhash_pairs(
 
     Output: (id_a, id_b, hamming), id_a < id_b.
     """
-    slice_bits = bits // bands
-    mask = (1 << slice_bits) - 1
     # the fingerprint frame feeds the bucket census AND both join
     # sides; unlike minhash (whose banded window pre-shuffles into one
     # reusable exchange) the branches here diverge before any
@@ -331,21 +329,58 @@ def simhash_pairs(
     # (measured 3.1 s -> 2.3 s at sf0.1; ContextCleaner frees the
     # blocks when the frame is collected)
     fps = simhash(df, id_col, text_col, bits).localCheckpoint(eager=True)
-    banded = fps.select(
+    return hamming_pairs(
+        fps,
+        fp_col="simhash",
+        id_col=id_col,
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_pairs(
+    df: DataFrame,
+    fp_col: str,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 6,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Generic banded Hamming self-join over any integer fingerprint
+    column (SimHash text sketches, perceptual image hashes, audio
+    chromaprints — same candidate algebra for all of them): band the
+    fingerprint into *bands* bit slices, equi-join on any matching
+    slice, verify bit_count(xor) on candidates only.
+
+    Pigeonhole guarantee: every pair with hamming < *bands* shares at
+    least one untouched band, so choosing bands > max_hamming makes
+    the banding LOSSLESS (a brute-force oracle can certify it);
+    fewer/wider bands trade recall beyond that bound for narrower
+    buckets, exactly like MinHash band tuning. Buckets wider than
+    *max_bucket_size* are dropped (degenerate-content skew guard).
+
+    Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤ max_hamming.
+    """
+    slice_bits = bits // bands
+    mask = (1 << slice_bits) - 1
+    banded = df.select(
         F.col(id_col).alias("_id"),
-        "simhash",
+        F.col(fp_col).alias("_fp"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftright("simhash", b * slice_bits)
+                    F.shiftright(F.col(fp_col), b * slice_bits)
                     .bitwiseAND(F.lit(mask))
                     .alias("key"),
                 )
                 for b in range(bands)
             ])
         ).alias("_bk"),
-    ).select("_id", "simhash", F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"))
+    ).select("_id", "_fp", F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"))
 
     bucket_counts = banded.groupBy("band", "key").agg(F.count("*").alias("_n"))
     banded = banded.join(
@@ -353,8 +388,8 @@ def simhash_pairs(
         on=["band", "key"],
     )
 
-    left = banded.select("band", "key", F.col("_id").alias("id_a"), F.col("simhash").alias("_fa"))
-    right = banded.select("band", "key", F.col("_id").alias("id_b"), F.col("simhash").alias("_fb"))
+    left = banded.select("band", "key", F.col("_id").alias("id_a"), F.col("_fp").alias("_fa"))
+    right = banded.select("band", "key", F.col("_id").alias("id_b"), F.col("_fp").alias("_fb"))
     cand = (
         left.join(right, on=["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))

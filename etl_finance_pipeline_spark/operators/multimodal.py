@@ -1396,3 +1396,105 @@ def audio_dft_energies(
             yield pd.DataFrame(rows, columns=id_list + ["bin", "energy"])
 
     return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)
+
+
+def image_phash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("media_id",),
+    decode: str = "jpeg",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Perceptual image hash (classic DCT pHash): decode to a 32×32
+    grayscale raster, 2-D DCT, keep the top-left 8×8 low-frequency
+    block minus DC, and emit one bit per coefficient — set iff the
+    coefficient exceeds the (lower) median of the 63. Near-duplicate
+    IMAGES — recompressed, brightness-shifted, lightly edited — land
+    within a few bits, which :func:`...dedup.hamming_pairs` turns
+    into an equality-join dedup, the same candidate algebra as
+    SimHash for text.
+
+    Determinism contract (what makes a SQL oracle possible):
+    coefficients are portably rounded to *round_digits* BEFORE the
+    median/threshold, the median of the odd-length 63 is an exact
+    order statistic (no averaging), and comparisons are strict — so
+    the bit pattern is reproducible bit-for-bit in any engine, with
+    float noise confined ~9 orders below the rounding.
+
+    Inputs must decode to exactly 32×32 (resize upstream with
+    :func:`resize_images` — pHash is defined at that size).
+    ``decode="jpeg"`` runs the in-module baseline codec (gray or
+    color; color converts by exact integer R+G+B sum — scale cannot
+    change the sign structure); ``fake`` reads 1024 raw gray bytes.
+
+    Output: id columns + phash (63-bit long). One numpy pass per
+    image, no shuffle.
+    """
+    if decode not in ("jpeg", "fake"):
+        raise ValueError(f"unknown decode mode: {decode}")
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols] + [T.StructField("phash", T.LongType())]
+    )
+    id_list = list(id_cols)
+    scale = 10 ** round_digits
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        # orthonormal 32-point DCT-II matrix
+        k = np.arange(32).reshape(32, 1)
+        nn = np.arange(32).reshape(1, 32)
+        c32 = np.cos((2 * nn + 1) * k * np.pi / 64) * math.sqrt(2.0 / 32.0)
+        c32[0, :] *= 1.0 / math.sqrt(2.0)
+
+        for pdf in batches:
+            hashes = []
+            for payload in pdf[content_col]:
+                if payload is None or len(payload) == 0:
+                    hashes.append(None)
+                    continue
+                b = bytes(payload)
+                if decode == "jpeg":
+                    from etl_finance_pipeline_spark.operators.jpeg import (
+                        decode_jpeg,
+                    )
+
+                    w, h, nc, raster = decode_jpeg(b)
+                    if (w, h) != (32, 32):
+                        raise ValueError(
+                            f"pHash needs a 32x32 input, got {w}x{h} — "
+                            "resize upstream"
+                        )
+                    arr = np.frombuffer(raster, dtype=np.uint8)
+                    if nc == 3:
+                        # exact integer luma proxy: R+G+B (scaling is
+                        # sign-invariant through DCT + median)
+                        gray = arr.reshape(32, 32, 3).astype(np.int64).sum(axis=2)
+                    else:
+                        gray = arr.reshape(32, 32).astype(np.int64)
+                else:
+                    if len(b) < 1024:
+                        raise ValueError("fake pHash input needs 1024 bytes")
+                    gray = (
+                        np.frombuffer(b, dtype=np.uint8, count=1024)
+                        .reshape(32, 32)
+                        .astype(np.int64)
+                    )
+                coefs = c32 @ gray.astype(np.float64) @ c32.T
+                block = coefs[:8, :8].reshape(64)[1:]  # row-major minus DC
+                block = np.floor(block * scale + 0.5) / scale
+                med = np.sort(block)[31]  # lower median of 63, exact
+                bits = block > med
+                hval = 0
+                for j in range(63):
+                    if bits[j]:
+                        hval |= 1 << j
+                hashes.append(hval)
+            out = pdf[id_list].copy()
+            out["phash"] = pd.Series(hashes, dtype="object")
+            yield out
+
+    return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)

@@ -3612,7 +3612,111 @@ FROM assembled
 )
 
 
+_PHASH_CTE = """
+f AS (
+  SELECT doc_id, rpad(substr(text, 1, 16), 16, ' ') AS p FROM documents
+),
+rmat AS (
+  SELECT rk.k, rt.t,
+         list_sum(list_transform(generate_series(0, 7), m ->
+           CASE WHEN rk.k = 0 THEN sqrt(1.0 / 32.0)
+                ELSE sqrt(2.0 / 32.0) * cos((2 * (rt.t * 8 + m) + 1) * rk.k * pi() / 64)
+           END)) AS rv
+  FROM range(0, 8) rk(k), range(0, 4) rt(t)
+),
+tiles AS (
+  SELECT doc_id, CAST((i - 1) // 4 AS BIGINT) AS tr, CAST((i - 1) % 4 AS BIGINT) AS tc,
+         ord(substr(p, CAST(i AS INTEGER), 1)) AS s
+  FROM f, LATERAL (SELECT unnest(generate_series(1, 16)) AS i) g
+),
+coefs AS (
+  SELECT t.doc_id, ra.k AS a, rb.k AS b,
+         floor(sum(t.s * ra.rv * rb.rv) * 1000000 + 0.5) / 1000000 AS c
+  FROM tiles t
+  JOIN rmat ra ON ra.t = t.tr
+  JOIN rmat rb ON rb.t = t.tc
+  GROUP BY t.doc_id, ra.k, rb.k
+),
+meds AS (
+  SELECT doc_id, list_sort(list(c))[32] AS med
+  FROM coefs WHERE NOT (a = 0 AND b = 0) GROUP BY doc_id
+),
+hashes AS (
+  SELECT c.doc_id,
+         sum(CASE WHEN c.c > m.med THEN CAST(1 AS BIGINT) << CAST(c.a * 8 + c.b - 1 AS INTEGER)
+                  ELSE CAST(0 AS BIGINT) END) AS phash
+  FROM coefs c JOIN meds m USING (doc_id)
+  WHERE NOT (c.a = 0 AND c.b = 0)
+  GROUP BY c.doc_id
+)
+"""
+
+
+def _phash_frame(spark: SparkSession, sf_dir: str):
+    """(media_id, phash) over 32×32 images built from each doc's
+    first 16 bytes (4×4 constant tiles through the real JPEG codec)."""
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        encode_jpeg_blocks,
+        image_phash,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 16), "UTF-8").alias("content"),
+    )
+    jpg = encode_jpeg_blocks(docs, blocks_per_row=4)
+    return image_phash(jpg, decode="jpeg")
+
+
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hashes through the REAL JPEG path: 4×4 constant
+    tiles → baseline JPEG → decode → 32×32 DCT → top-left 8×8 minus
+    DC → 6-decimal rounding → exact lower-median threshold → 63-bit
+    hash. The oracle reconstructs every DCT coefficient from the
+    character codes via the constant-tile decomposition (coef(a,b) =
+    Σ_tiles s·R(a,row)·R(b,col)) — codec, DCT, and thresholding all
+    sit under the hash."""
+    return _phash_frame(spark, sf_dir).select(
+        F.col("media_id").alias("doc_id"), F.col("phash")
+    )
+
+
+SQL_IMAGE_PHASH = f"""
+WITH {_PHASH_CTE.strip()}
+SELECT doc_id, CAST(phash AS BIGINT) AS phash FROM hashes
+"""
+
+
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGES via banded Hamming join over the
+    perceptual hashes (dedup.hamming_pairs — the generic candidate
+    algebra shared with SimHash). bands=8 > max_hamming=2 makes the
+    banding LOSSLESS by pigeonhole, so the oracle is the independent
+    all-pairs brute force and a green hash certifies no candidate was
+    missed."""
+    from etl_finance_pipeline_spark.operators.dedup import hamming_pairs
+
+    ph = _phash_frame(spark, sf_dir)
+    out = hamming_pairs(
+        ph, "phash", id_col="media_id", bits=64, bands=8, max_hamming=2
+    )
+    return out.select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+SQL_PHASH_NEAR_DUP = f"""
+WITH {_PHASH_CTE.strip()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "image_phash": q_image_phash,
+    "phash_near_dup": q_phash_near_dup,
     "bpe_encode_corpus": q_bpe_encode,
     "audio_spectrum": q_audio_spectrum,
     "linear_probe": q_linear_probe,
@@ -3730,6 +3834,8 @@ ORACLES_TD: dict[str, str] = {
     "linear_probe": SQL_LINEAR_PROBE,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "bpe_encode_corpus": SQL_BPE_ENCODE,
+    "image_phash": SQL_IMAGE_PHASH,
+    "phash_near_dup": SQL_PHASH_NEAR_DUP,
     "pq_topk": SQL_PQ_TOPK,
     "video_frames_avi": SQL_VIDEO_FRAMES_AVI,
     "scene_cuts_avi": SQL_SCENE_CUTS_REAL,

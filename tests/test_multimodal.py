@@ -710,3 +710,37 @@ def test_audio_dft_energy_concentrates_at_tone_bin(spark):
     # bin ~ (0.992 * n/2)^2 ~ 1008; off bins ~ 0
     assert out[2] > 900
     assert out[1] < 1 and out[3] < 1
+
+
+def test_image_phash_similarity_structure(spark):
+    """pHash places a lightly perturbed image within a few bits of the
+    original and an unrelated image far away; identical images hash
+    identically — through the real JPEG round trip."""
+    import numpy as np
+
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        encode_jpeg_blocks,
+        image_phash,
+    )
+
+    rng = np.random.RandomState(9)
+    base = rng.randint(0, 256, 16).astype(np.uint8)
+    perturbed = base.copy()
+    perturbed[7] = (int(perturbed[7]) + 6) % 256  # small luma nudge
+    unrelated = rng.randint(0, 256, 16).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(base.tobytes())),
+            (2, bytearray(base.tobytes())),
+            (3, bytearray(perturbed.tobytes())),
+            (4, bytearray(unrelated.tobytes())),
+        ],
+        ["media_id", "content"],
+    )
+    jpg = encode_jpeg_blocks(df, blocks_per_row=4)
+    h = {r["media_id"]: r["phash"] for r in image_phash(jpg).collect()}
+    assert h[1] == h[2]
+    near = bin(h[1] ^ h[3]).count("1")
+    far = bin(h[1] ^ h[4]).count("1")
+    assert near <= 10
+    assert far > near
