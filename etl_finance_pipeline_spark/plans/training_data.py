@@ -3714,7 +3714,102 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 2
 """
 
 
+_AFP_CTE = """
+af AS (
+  SELECT doc_id, len(text) AS n, CAST(len(text) // 8 AS BIGINT) AS wlen,
+         list_transform(generate_series(1, len(text)),
+                        i -> (ord(substr(text, i, 1)) - 128) / 128.0) AS x
+  FROM documents
+  WHERE len(text) // 8 >= 2
+),
+aener AS (
+  SELECT doc_id, w, k,
+         floor((
+           pow(list_sum(list_transform(generate_series(1, CAST(wlen AS INTEGER)),
+             j -> x[CAST(w * wlen + j AS BIGINT)] * cos(2 * pi() * k * (j - 1) / wlen))), 2)
+           + pow(list_sum(list_transform(generate_series(1, CAST(wlen AS INTEGER)),
+             j -> x[CAST(w * wlen + j AS BIGINT)] * sin(2 * pi() * k * (j - 1) / wlen))), 2)
+         ) * 1000000 + 0.5) / 1000000 AS e
+  FROM af, range(0, 8) rw(w), range(1, 9) rk(k)
+),
+afp AS (
+  SELECT a.doc_id,
+         sum(CASE WHEN b.e > a.e
+                  THEN CAST(1 AS BIGINT) << CAST(a.w * 8 + a.k - 1 AS INTEGER)
+                  ELSE CAST(0 AS BIGINT) END) AS fingerprint
+  FROM aener a JOIN aener b
+    ON a.doc_id = b.doc_id AND b.w = a.w + 1 AND b.k = a.k
+  GROUP BY a.doc_id
+)
+"""
+
+
+def _audio_fp_frame(spark: SparkSession, sf_dir: str):
+    from etl_finance_pipeline_spark.functions.layout import fan_out
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        encode_wav_pcm16,
+    )
+
+    docs = fan_out(
+        load_table(spark, _t(sf_dir, "documents")).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
+        )
+    )
+    wav = encode_wav_pcm16(docs, sample_rate=16_000)
+    return audio_fingerprint(wav, decode="wav", n_windows=8, n_bins=8)
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral audio fingerprints through the REAL WAV codec path:
+    8 windows × 8 DFT bins, one bit per energy transition — the
+    Chromaprint-family construction. The oracle recomputes every
+    windowed cos/sin energy from the character codes and packs the
+    identical 56 bits."""
+    out = _audio_fp_frame(spark, sf_dir)
+    return out.filter(F.col("fingerprint").isNotNull()).select(
+        F.col("media_id").alias("doc_id"), F.col("fingerprint")
+    )
+
+
+SQL_AUDIO_FINGERPRINT = f"""
+WITH {_AFP_CTE.strip()}
+SELECT doc_id, CAST(fingerprint AS BIGINT) AS fingerprint FROM afp
+"""
+
+
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO via the banded Hamming join over spectral
+    fingerprints — the fourth modality on the shared hamming_pairs
+    algebra (text SimHash, image pHash, embeddings LSH). bands=8 >
+    max_hamming=3 ⇒ lossless candidates; the all-pairs brute-force
+    oracle certifies it."""
+    from etl_finance_pipeline_spark.operators.dedup import hamming_pairs
+
+    fp = _audio_fp_frame(spark, sf_dir).filter(
+        F.col("fingerprint").isNotNull()
+    )
+    out = hamming_pairs(
+        fp, "fingerprint", id_col="media_id", bits=64, bands=8, max_hamming=3
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+SQL_AUDIO_NEAR_DUP = f"""
+WITH {_AFP_CTE.strip()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT) AS hamming
+FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "audio_fingerprint": q_audio_fingerprint,
+    "audio_near_dup": q_audio_near_dup,
     "image_phash": q_image_phash,
     "phash_near_dup": q_phash_near_dup,
     "bpe_encode_corpus": q_bpe_encode,
@@ -3835,6 +3930,8 @@ ORACLES_TD: dict[str, str] = {
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "bpe_encode_corpus": SQL_BPE_ENCODE,
     "image_phash": SQL_IMAGE_PHASH,
+    "audio_fingerprint": SQL_AUDIO_FINGERPRINT,
+    "audio_near_dup": SQL_AUDIO_NEAR_DUP,
     "phash_near_dup": SQL_PHASH_NEAR_DUP,
     "pq_topk": SQL_PQ_TOPK,
     "video_frames_avi": SQL_VIDEO_FRAMES_AVI,

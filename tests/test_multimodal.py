@@ -744,3 +744,41 @@ def test_image_phash_similarity_structure(spark):
     far = bin(h[1] ^ h[4]).count("1")
     assert near <= 10
     assert far > near
+
+
+def test_audio_fingerprint_invariance_and_distance(spark):
+    """Volume scaling preserves the fingerprint (energy-transition
+    SIGNS are scale-invariant); different audio lands far away; short
+    clips emit NULL — through the real WAV round trip."""
+    import numpy as np
+
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.RandomState(12)
+    sig = rng.randint(-100, 100, 160)
+    loud = bytes((sig + 128).astype(np.uint8).tolist())
+    # half volume: same transitions, scaled energies
+    quiet = bytes(((sig / 2).astype(int) + 128).astype(np.uint8).tolist())
+    other = bytes((rng.randint(-100, 100, 160) + 128).astype(np.uint8).tolist())
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(loud)),
+            (2, bytearray(quiet)),
+            (3, bytearray(other)),
+            (4, bytearray(b"\x80" * 10)),  # too short: 10 // 8 < 2
+        ],
+        ["media_id", "content"],
+    )
+    wav = encode_wav_pcm16(df)
+    fp = {
+        r["media_id"]: r["fingerprint"]
+        for r in audio_fingerprint(wav, decode="wav").collect()
+    }
+    assert fp[4] is None
+    near = bin(fp[1] ^ fp[2]).count("1")
+    far = bin(fp[1] ^ fp[3]).count("1")
+    assert near <= 4  # integer halving perturbs a few boundary bits
+    assert far > 10
