@@ -3807,7 +3807,93 @@ WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
 """
 
 
+_VFP_CTE = """
+vf AS (
+  SELECT doc_id, rpad(text, CAST(greatest(1, ceil(len(text) / 64.0)) * 64 AS INTEGER), ' ') AS p,
+         greatest(1, CAST(ceil(len(text) / 64.0) AS BIGINT)) AS nf
+  FROM documents
+  WHERE greatest(1, CAST(ceil(len(text) / 64.0) AS BIGINT)) >= 2
+),
+vrows AS (
+  SELECT doc_id, t, r,
+         list_sum(list_transform(generate_series(1, 8),
+           c -> ord(substr(p, CAST((t * nf // 8) * 64 + r * 8 + c AS BIGINT), 1)))) AS rs
+  FROM vf, range(0, 8) rt(t), range(0, 8) rr(r)
+),
+vfp AS (
+  SELECT a.doc_id,
+         sum(CASE WHEN b.rs > a.rs
+                  THEN CAST(1 AS BIGINT) << CAST(a.t * 8 + a.r AS INTEGER)
+                  ELSE CAST(0 AS BIGINT) END) AS fingerprint
+  FROM vrows a JOIN vrows b
+    ON a.doc_id = b.doc_id AND b.t = a.t + 1 AND b.r = a.r
+  GROUP BY a.doc_id
+)
+"""
+
+
+def _video_fp_frame(spark: SparkSession, sf_dir: str):
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        encode_y4m,
+        video_fingerprint,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    clips = encode_y4m(docs, width=8, height=8)
+    return video_fingerprint(clips, decode="y4m")
+
+
+def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal video fingerprints through the REAL y4m
+    container: 8 time slots × 8 per-row luma sums, one bit per
+    temporal rise — ALL-INTEGER, so the oracle reproduces it with
+    plain integer sums and strict compares, no rounding contract."""
+    out = _video_fp_frame(spark, sf_dir)
+    return out.filter(F.col("fingerprint").isNotNull()).select(
+        F.col("media_id").alias("doc_id"), F.col("fingerprint")
+    )
+
+
+SQL_VIDEO_FINGERPRINT = f"""
+WITH {_VFP_CTE.strip()}
+SELECT doc_id, CAST(fingerprint AS BIGINT) AS fingerprint FROM vfp
+"""
+
+
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO via the banded Hamming join — completing
+    the modality matrix on the one shared candidate algebra (text
+    SimHash, image pHash, audio spectral fingerprint, embedding LSH,
+    video temporal-gradient hash). Lossless banding (bands=8 >
+    max_hamming=3), brute-force all-pairs oracle."""
+    from etl_finance_pipeline_spark.operators.dedup import hamming_pairs
+
+    fp = _video_fp_frame(spark, sf_dir).filter(
+        F.col("fingerprint").isNotNull()
+    )
+    out = hamming_pairs(
+        fp, "fingerprint", id_col="media_id", bits=64, bands=8, max_hamming=3
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+SQL_VIDEO_NEAR_DUP = f"""
+WITH {_VFP_CTE.strip()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT) AS hamming
+FROM vfp a JOIN vfp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "video_fingerprint": q_video_fingerprint,
+    "video_near_dup": q_video_near_dup,
     "audio_fingerprint": q_audio_fingerprint,
     "audio_near_dup": q_audio_near_dup,
     "image_phash": q_image_phash,
@@ -3931,6 +4017,8 @@ ORACLES_TD: dict[str, str] = {
     "bpe_encode_corpus": SQL_BPE_ENCODE,
     "image_phash": SQL_IMAGE_PHASH,
     "audio_fingerprint": SQL_AUDIO_FINGERPRINT,
+    "video_fingerprint": SQL_VIDEO_FINGERPRINT,
+    "video_near_dup": SQL_VIDEO_NEAR_DUP,
     "audio_near_dup": SQL_AUDIO_NEAR_DUP,
     "phash_near_dup": SQL_PHASH_NEAR_DUP,
     "pq_topk": SQL_PQ_TOPK,

@@ -782,3 +782,40 @@ def test_audio_fingerprint_invariance_and_distance(spark):
     far = bin(fp[1] ^ fp[3]).count("1")
     assert near <= 4  # integer halving perturbs a few boundary bits
     assert far > 10
+
+
+def test_video_fingerprint_speed_invariance(spark):
+    """Slot resampling makes the fingerprint robust to playback-speed
+    changes: doubling every frame (half speed) preserves the hash
+    exactly; different content lands far away; 1-frame clips NULL."""
+    import numpy as np
+
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        encode_y4m,
+        video_fingerprint,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, 64).astype(np.uint8) for _ in range(8)]
+    normal = b"".join(f.tobytes() for f in frames)
+    # half speed: every frame twice -> slot t picks frame t*16//8's
+    # half-index twin, same content per slot
+    slow = b"".join(f.tobytes() * 2 for f in frames)
+    other = bytes(rng.randint(0, 256, 512).astype(np.uint8).tolist())
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(normal)),
+            (2, bytearray(slow)),
+            (3, bytearray(other)),
+            (4, bytearray(b"\x00" * 64)),  # 1 frame
+        ],
+        ["media_id", "content"],
+    )
+    clips = encode_y4m(df, width=8, height=8)
+    fp = {
+        r["media_id"]: r["fingerprint"]
+        for r in video_fingerprint(clips).collect()
+    }
+    assert fp[1] == fp[2]
+    assert bin(fp[1] ^ fp[3]).count("1") > 10
+    assert fp[4] is None
