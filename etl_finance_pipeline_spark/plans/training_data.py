@@ -3696,7 +3696,11 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     missed."""
     from etl_finance_pipeline_spark.operators.dedup import hamming_pairs
 
-    ph = _phash_frame(spark, sf_dir)
+    # materialize once: hamming_pairs references the fingerprint frame
+    # from the bucket census AND both join sides, and the JPEG
+    # decode+DCT pipeline is the expensive part (same device as
+    # simhash_pairs; measured 7.6 -> ~3 s at sf0.1)
+    ph = _phash_frame(spark, sf_dir).localCheckpoint(eager=True)
     out = hamming_pairs(
         ph, "phash", id_col="media_id", bits=64, bands=8, max_hamming=2
     )
@@ -3787,8 +3791,10 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle certifies it."""
     from etl_finance_pipeline_spark.operators.dedup import hamming_pairs
 
-    fp = _audio_fp_frame(spark, sf_dir).filter(
-        F.col("fingerprint").isNotNull()
+    fp = (
+        _audio_fp_frame(spark, sf_dir)
+        .filter(F.col("fingerprint").isNotNull())
+        .localCheckpoint(eager=True)  # 3 consumers; trig kernel is the cost
     )
     out = hamming_pairs(
         fp, "fingerprint", id_col="media_id", bits=64, bands=8, max_hamming=3
@@ -3871,8 +3877,10 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_hamming=3), brute-force all-pairs oracle."""
     from etl_finance_pipeline_spark.operators.dedup import hamming_pairs
 
-    fp = _video_fp_frame(spark, sf_dir).filter(
-        F.col("fingerprint").isNotNull()
+    fp = (
+        _video_fp_frame(spark, sf_dir)
+        .filter(F.col("fingerprint").isNotNull())
+        .localCheckpoint(eager=True)  # 3 consumers; container parse is the cost
     )
     out = hamming_pairs(
         fp, "fingerprint", id_col="media_id", bits=64, bands=8, max_hamming=3
