@@ -819,3 +819,72 @@ def test_video_fingerprint_speed_invariance(spark):
     assert fp[1] == fp[2]
     assert bin(fp[1] ^ fp[3]).count("1") > 10
     assert fp[4] is None
+
+
+def test_jpeg_restart_interval_resync():
+    """DRI/RSTn handling: a hand-built stream with restart_interval=1
+    (every MCU its own byte-aligned segment, DC predictor reset)
+    decodes exactly; a stream MISSING a promised restart segment
+    fails loudly."""
+    import struct
+
+    import numpy as np
+
+    from etl_finance_pipeline_spark.operators.jpeg import (
+        FLAT_QTABLE,
+        _AC_BITS,
+        _AC_VALUES,
+        _BitWriter,
+        _DC_BITS,
+        _DC_VALUES,
+        _ZIGZAG,
+        _canonical_codes,
+        _category,
+        decode_jpeg_gray,
+    )
+
+    # two constant 8x8 blocks side by side: values 100 and 200
+    vals = [100, 200]
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALUES)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALUES)
+
+    def block_bits(v):
+        """one DC-only MCU with pred=0 (restart resets the pred)."""
+        bw = _BitWriter()
+        dc = v - 128  # DC quant step 8 divides 8*(v-128)
+        size = _category(dc)
+        c, ln = dc_codes[size]
+        bw.write(c, ln)
+        if size:
+            bw.write(dc if dc >= 0 else dc + (1 << size) - 1, size)
+        c, ln = ac_codes[0x00]  # EOB
+        bw.write(c, ln)
+        return bw.finish()
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    q = FLAT_QTABLE
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes(int(x) for x in q.reshape(64)[_ZIGZAG]))
+    out += seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + b"\x01\x11\x00")
+    out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALUES))
+    out += seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALUES))
+    out += seg(0xDD, struct.pack(">H", 1))  # DRI: restart every MCU
+    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += block_bits(vals[0]) + b"\xff\xd0" + block_bits(vals[1])
+    out += b"\xff\xd9"
+
+    w, h, pix = decode_jpeg_gray(bytes(out))
+    dec = np.frombuffer(pix, np.uint8).reshape(h, w)
+    assert (w, h) == (16, 8)
+    assert (dec[:, :8] == 100).all() and (dec[:, 8:] == 200).all()
+
+    # drop the second segment: promised 2 restart segments, found 1
+    bad = bytearray(b"\xff\xd8")
+    bad += bytes(out[2 : out.index(b"\xff\xd0")])  # headers + seg 0
+    bad += b"\xff\xd9"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="restart segments"):
+        decode_jpeg_gray(bytes(bad))
