@@ -517,3 +517,65 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int = 2,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop
+    vertices whose degree in the SURVIVING subgraph is < *k* until a
+    fixpoint — the standard device for separating the dense core of a
+    similarity/interaction graph from its sparse periphery (spam-farm
+    detection, dense-cluster seeds, graph-sampling cutoffs).
+
+    Per round: one degree aggregate over surviving edges + one
+    semi-join filter, both hash-partitioned on the vertex id —
+    peeling needs at most O(|V|) rounds in theory but converges in a
+    handful on real degree distributions; per-round frames
+    localCheckpoint so plan depth stays O(1). Fail-loud at *max_iter*
+    like the other iterative operators.
+
+    Output: (id, core_degree) — vertices of the k-core with their
+    degree INSIDE the core.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = sym.groupBy("u").agg(F.count("*").alias("_d"))
+        keep = deg.filter(F.col("_d") >= k).select("u")
+        n_before = e.count()
+        e2 = (
+            e.join(keep.withColumnRenamed("u", "u"), "u", "left_semi")
+            .join(
+                keep.select(F.col("u").alias("v")), "v", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        if e2.count() == n_before:
+            sym_f = e2.select("u", "v").union(
+                e2.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            return (
+                sym_f.groupBy("u")
+                .agg(F.count("*").cast("long").alias("core_degree"))
+                .select(F.col("u").alias("id"), "core_degree")
+            )
+        e = e2
+    raise RuntimeError(
+        f"k_core: no fixpoint after {max_iter} peeling rounds — "
+        "raise max_iter"
+    )

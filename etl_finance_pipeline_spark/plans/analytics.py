@@ -1657,7 +1657,59 @@ JOIN (
 """
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the customer–supplier purchase graph (k=40):
+    iterative peeling drops low-degree periphery until the dense
+    trading core remains — the dense-subgraph primitive for spam-farm
+    detection and cluster seeding. The oracle unrolls the peeling
+    rounds (extra rounds past the fixpoint are no-ops, so a fixed
+    unroll with slack is exact)."""
+    from etl_finance_pipeline_spark.operators.graph import k_core
+
+    orders = load_table(spark, _t(sf_dir, "orders"))
+    li = load_table(spark, _t(sf_dir, "lineitem"))
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("id_a"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("id_b"),
+    )
+    return k_core(edges, k=40)
+
+
+def _kcore_round_sql(i: int, k: int) -> str:
+    return f"""
+kdeg{i} AS (
+  SELECT u, count(*) AS d FROM (
+    SELECT u FROM ke{i - 1} UNION ALL SELECT v FROM ke{i - 1}
+  ) GROUP BY u
+),
+kkeep{i} AS (SELECT u FROM kdeg{i} WHERE d >= {k}),
+ke{i} AS (
+  SELECT e.u, e.v FROM ke{i - 1} e
+  WHERE EXISTS (SELECT 1 FROM kkeep{i} x WHERE x.u = e.u)
+    AND EXISTS (SELECT 1 FROM kkeep{i} y WHERE y.u = e.v)
+)"""
+
+
+SQL_K_CORE = (
+    """
+WITH ke0 AS (
+  SELECT DISTINCT
+    least('c' || CAST(o_custkey AS VARCHAR), 's' || CAST(l_suppkey AS VARCHAR)) AS u,
+    greatest('c' || CAST(o_custkey AS VARCHAR), 's' || CAST(l_suppkey AS VARCHAR)) AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE 'c' || CAST(o_custkey AS VARCHAR) != 's' || CAST(l_suppkey AS VARCHAR)
+),"""
+    + ",".join(_kcore_round_sql(i, 40) for i in range(1, 5))
+    + """
+SELECT u AS id, CAST(count(*) AS BIGINT) AS core_degree FROM (
+  SELECT u FROM ke4 UNION ALL SELECT v FROM ke4
+) GROUP BY u
+"""
+)
+
+
 QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "k_core": q_k_core,
     "hll_distinct_users": q_hll_distinct_users,
     "kmv_distinct_users": q_kmv_distinct_users,
     "triangles": q_triangles,
@@ -1687,6 +1739,7 @@ QUERIES_AN: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_AN: dict[str, str] = {
+    "k_core": SQL_K_CORE,
     "hll_distinct_users": SQL_HLL_DISTINCT_USERS,
     "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
     "triangles": SQL_TRIANGLES,

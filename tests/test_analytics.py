@@ -582,3 +582,18 @@ def test_string_index_frequency_then_lexical(spark):
     assert m == {"a": 0, "b": 1, "c": 2}
     got = {r["x"]: r["x_idx"] for r in encoded.collect()}
     assert got["c"] == 2 and got[None] is None
+
+
+def test_k_core_peels_periphery(spark):
+    """A 4-clique with pendant chains: the 3-core is exactly the
+    clique (every pendant peels, including cascades); 2-core keeps
+    the clique only; k above the max degree empties the graph."""
+    from etl_finance_pipeline_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    pendants = [(1, 10), (10, 11), (11, 12), (2, 20)]
+    pairs = spark.createDataFrame(clique + pendants, ["id_a", "id_b"])
+    core3 = {r["id"]: r["core_degree"] for r in k_core(pairs, k=3).collect()}
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
+    core9 = k_core(pairs, k=9).collect()
+    assert core9 == []
