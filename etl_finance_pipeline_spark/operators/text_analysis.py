@@ -262,3 +262,54 @@ def unigram_logprob(
         F.count("*").alias("n_tokens"),
         (F.floor(F.avg("_lp") * 1e6 + F.lit(0.5)) / 1e6).alias("avg_logprob"),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Shannon entropy of the character distribution per document —
+    the cheap compressibility proxy quality pipelines use to drop
+    low-entropy boilerplate (repeated padding, template dumps, key
+    mashing) and flag high-entropy non-text (base64 blobs, minified
+    code): H = −Σ p_c · log₂ p_c over the document's characters.
+
+    One explode + one (doc, char) count aggregate + one per-doc
+    rollup, all map-side combinable and keyed by the document —
+    at corpus scale this is two cheap shuffles on high-cardinality
+    keys. Probabilities are exact rationals (count/len); the log only
+    touches O(1) magnitudes, so 6-decimal portable rounding pins the
+    value cross-engine.
+
+    Output: (id, n_chars, n_distinct_chars, entropy) — empty docs
+    carry entropy 0.
+    """
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+    chars = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("_n"),
+        F.explode(F.split(text_col, "")).alias("_c"),
+    ).filter(F.col("_c") != "")
+    counts = chars.groupBy(id_col, "_n", "_c").agg(
+        F.count("*").alias("_k")
+    )
+    p = F.col("_k") / F.col("_n")
+    ent = counts.groupBy(id_col, "_n").agg(
+        F.count("*").cast("long").alias("n_distinct_chars"),
+        portable_round(-F.sum(p * F.log2(p)), round_digits).alias("entropy"),
+    )
+    return (
+        df.select(id_col)
+        .join(ent, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce(F.col("n_distinct_chars"), F.lit(0)).alias(
+                "n_distinct_chars"
+            ),
+            F.coalesce(F.col("entropy"), F.lit(0.0)).alias("entropy"),
+        )
+    )

@@ -3899,7 +3899,42 @@ WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
 """
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (compressibility proxy: drop
+    low-entropy boilerplate, flag high-entropy non-text). Exact
+    rational probabilities + O(1) log magnitudes under 6-decimal
+    rounding make the oracle a direct SQL transcription."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        char_entropy,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return char_entropy(docs)
+
+
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, len(text) AS n, substr(text, i, 1) AS c
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text))) AS i) g
+),
+counts AS (
+  SELECT doc_id, n, c, count(*) AS k FROM chars GROUP BY doc_id, n, c
+),
+ent AS (
+  SELECT doc_id, n, CAST(count(*) AS BIGINT) AS n_distinct_chars,
+         floor((-sum((k * 1.0 / n) * log2(k * 1.0 / n))) * 1000000 + 0.5) / 1000000 AS entropy
+  FROM counts GROUP BY doc_id, n
+)
+SELECT d.doc_id,
+       CAST(coalesce(e.n, 0) AS BIGINT) AS n_chars,
+       coalesce(e.n_distinct_chars, 0) AS n_distinct_chars,
+       coalesce(e.entropy, 0.0) AS entropy
+FROM documents d LEFT JOIN ent e USING (doc_id)
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "char_entropy": q_char_entropy,
     "video_fingerprint": q_video_fingerprint,
     "video_near_dup": q_video_near_dup,
     "audio_fingerprint": q_audio_fingerprint,
@@ -4026,6 +4061,7 @@ ORACLES_TD: dict[str, str] = {
     "image_phash": SQL_IMAGE_PHASH,
     "audio_fingerprint": SQL_AUDIO_FINGERPRINT,
     "video_fingerprint": SQL_VIDEO_FINGERPRINT,
+    "char_entropy": SQL_CHAR_ENTROPY,
     "video_near_dup": SQL_VIDEO_NEAR_DUP,
     "audio_near_dup": SQL_AUDIO_NEAR_DUP,
     "phash_near_dup": SQL_PHASH_NEAR_DUP,

@@ -790,3 +790,22 @@ def test_linear_probe_learns_planted_relation(spark):
     scored = linear_probe_score(df, w, b)
     err = scored.selectExpr("max(abs(probe_score - label)) AS e").first()["e"]
     assert err < 0.1
+
+
+def test_char_entropy_bounds_and_known_values(spark):
+    """H=0 for a constant string, exactly 1 bit for a 50/50 two-char
+    string, log2(n) for all-distinct; empty docs carry 0."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        char_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abababab"), (3, "abcd"), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert out[1]["entropy"] == 0.0
+    assert out[2]["entropy"] == 1.0
+    assert out[3]["entropy"] == 2.0
+    assert out[4]["entropy"] == 0.0 and out[4]["n_chars"] == 0
+    assert out[3]["n_distinct_chars"] == 4
