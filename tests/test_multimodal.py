@@ -888,3 +888,25 @@ def test_jpeg_restart_interval_resync():
 
     with _pytest.raises(ValueError, match="restart segments"):
         decode_jpeg_gray(bytes(bad))
+
+
+def test_y4m_parser_422_geometry():
+    """C422: frame = 2*W*H bytes (Y + half-width U + half-width V);
+    the parser validates the length and returns the luma plane."""
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        _parse_y4m,
+    )
+
+    luma = bytes(range(8))  # W4 H2
+    # C422 planes: Y = W*H = 8 bytes, U and V = (W/2)*H = 4 bytes each
+    frame = luma + b"\x10" * 4 + b"\x20" * 4
+    w, h, _, _, cs, frames = _parse_y4m(
+        b"YUV4MPEG2 W4 H2 C422\nFRAME\n" + frame
+    )
+    assert (w, h, cs) == (4, 2, "422")
+    assert frames == [luma]
+    # truncated chroma fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated"):
+        _parse_y4m(b"YUV4MPEG2 W4 H2 C422\nFRAME\n" + luma + b"\x10" * 7)

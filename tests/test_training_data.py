@@ -809,3 +809,39 @@ def test_char_entropy_bounds_and_known_values(spark):
     assert out[3]["entropy"] == 2.0
     assert out[4]["entropy"] == 0.0 and out[4]["n_chars"] == 0
     assert out[3]["n_distinct_chars"] == 4
+
+
+def test_hamming_pairs_lossless_when_bands_exceed_threshold(spark):
+    """Pigeonhole property: with bands > max_hamming every qualifying
+    pair is caught — checked against brute force over adversarial
+    fingerprints (bit flips spread to DEFEAT any single band)."""
+    import itertools
+    import random
+
+    from etl_finance_pipeline_spark.operators.dedup import hamming_pairs
+
+    rng = random.Random(17)
+    base = rng.getrandbits(63)
+    fps = [base]
+    # neighbors at hamming 1..7 with flips spread across all 8 bands
+    for d in range(1, 8):
+        fp = base
+        positions = [(i * 61) % 63 for i in range(d)]  # hits many bands
+        for p in set(positions):
+            fp ^= 1 << p
+        fps.append(fp)
+    fps += [rng.getrandbits(63) for _ in range(20)]
+    rows = [(i, f) for i, f in enumerate(fps)]
+    df = spark.createDataFrame(rows, "doc_id long, fp long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(
+            df, "fp", id_col="doc_id", bits=64, bands=8, max_hamming=7
+        ).collect()
+    }
+    expected = {}
+    for (ia, fa), (ib, fb) in itertools.combinations(rows, 2):
+        h = bin(fa ^ fb).count("1")
+        if h <= 7:
+            expected[(min(ia, ib), max(ia, ib))] = h
+    assert got == expected and len(expected) >= 7
