@@ -559,10 +559,8 @@ def k_core(
         keep = deg.filter(F.col("_d") >= k).select("u")
         n_before = e.count()
         e2 = (
-            e.join(keep.withColumnRenamed("u", "u"), "u", "left_semi")
-            .join(
-                keep.select(F.col("u").alias("v")), "v", "left_semi"
-            )
+            e.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
         if e2.count() == n_before:

@@ -155,6 +155,8 @@ def linear_probe_train(
     scale = 10 ** round_digits
     w = [0.0] * dim
     b = 0.0
+    import math
+
     for _ in range(iters):
         w_lit = F.array(*[F.lit(x) for x in w])
         pred = (
@@ -175,8 +177,6 @@ def linear_probe_train(
         )
         gsum = src.select(F.sum(pred - F.col("_y")).alias("_gb")).first()["_gb"]
         gd = {r["pos"]: r["_g"] for r in grads}
-        import math
-
         w = [
             math.floor(
                 (w[j] - lr * 2.0 / n * gd.get(j, 0.0)) * scale + 0.5

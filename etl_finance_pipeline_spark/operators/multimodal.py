@@ -1309,6 +1309,35 @@ def detect_silence(
     return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)
 
 
+def _pcm_samples_normalized(b: bytes, decode: str):
+    """Normalized float64 samples in [-1, 1) from a payload: ``wav``
+    re-parses the RIFF container (stdlib ``wave``; 8/16-bit, any
+    channel count); ``fake`` reads signed 8-bit PCM. Shared by the
+    spectral kernels (DFT energies, fingerprints)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if decode == "wav":
+        with wave.open(io.BytesIO(b)) as wf:
+            n = wf.getnframes() * wf.getnchannels()
+            width = wf.getsampwidth()
+            pcm = wf.readframes(wf.getnframes())
+        if width == 2:
+            s = np.frombuffer(pcm, dtype="<i2", count=n).astype(np.float64)
+        elif width == 1:
+            s = (
+                np.frombuffer(pcm, dtype=np.uint8, count=n).astype(np.float64)
+                - 128.0
+            ) * 256.0
+        else:
+            raise ValueError(f"unsupported WAV sample width: {width}")
+    else:
+        s = np.frombuffer(b, dtype=np.int8).astype(np.float64) * 256.0
+    return s / 32768.0
+
+
 def audio_dft_energies(
     df: DataFrame,
     content_col: str = "content",
@@ -1345,30 +1374,8 @@ def audio_dft_energies(
     id_list = list(id_cols)
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import io
-        import wave
-
         import numpy as np
         import pandas as pd
-
-        def samples_of(b: bytes) -> "np.ndarray":
-            if decode == "wav":
-                with wave.open(io.BytesIO(b)) as wf:
-                    n = wf.getnframes() * wf.getnchannels()
-                    width = wf.getsampwidth()
-                    pcm = wf.readframes(wf.getnframes())
-                if width == 2:
-                    s = np.frombuffer(pcm, dtype="<i2", count=n).astype(np.float64)
-                elif width == 1:
-                    s = (
-                        np.frombuffer(pcm, dtype=np.uint8, count=n).astype(np.float64)
-                        - 128.0
-                    ) * 256.0
-                else:
-                    raise ValueError(f"unsupported WAV sample width: {width}")
-            else:
-                s = np.frombuffer(b, dtype=np.int8).astype(np.float64) * 256.0
-            return s / 32768.0
 
         for pdf in batches:
             rows = []
@@ -1376,7 +1383,7 @@ def audio_dft_energies(
                 payload = r[content_col]
                 if payload is None or len(payload) == 0:
                     continue
-                x = samples_of(bytes(payload))
+                x = _pcm_samples_normalized(bytes(payload), decode)
                 n = x.size
                 if n == 0:
                     continue
@@ -1539,30 +1546,8 @@ def audio_fingerprint(
     scale = 10 ** round_digits
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import io
-        import wave
-
         import numpy as np
         import pandas as pd
-
-        def samples_of(b: bytes) -> "np.ndarray":
-            if decode == "wav":
-                with wave.open(io.BytesIO(b)) as wf:
-                    n = wf.getnframes() * wf.getnchannels()
-                    width = wf.getsampwidth()
-                    pcm = wf.readframes(wf.getnframes())
-                if width == 2:
-                    s = np.frombuffer(pcm, dtype="<i2", count=n).astype(np.float64)
-                elif width == 1:
-                    s = (
-                        np.frombuffer(pcm, dtype=np.uint8, count=n).astype(np.float64)
-                        - 128.0
-                    ) * 256.0
-                else:
-                    raise ValueError(f"unsupported WAV sample width: {width}")
-            else:
-                s = np.frombuffer(b, dtype=np.int8).astype(np.float64) * 256.0
-            return s / 32768.0
 
         for pdf in batches:
             fps = []
@@ -1570,7 +1555,7 @@ def audio_fingerprint(
                 if payload is None or len(payload) == 0:
                     fps.append(None)
                     continue
-                x = samples_of(bytes(payload))
+                x = _pcm_samples_normalized(bytes(payload), decode)
                 n = x.size
                 wlen = n // n_windows
                 if wlen < 2:

@@ -883,6 +883,7 @@ def pq_topk(
     id_col: str = "vec_id",
     k: int = 5,
     round_digits: int = 6,
+    encode_engine: str = "jvm",
 ) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k: corpus vectors are
     represented ONLY by their m codes; each query precomputes a
@@ -900,6 +901,8 @@ def pq_topk(
 
     Deterministic: distances portably rounded to *round_digits*
     before ranking, ties break toward the lower neighbor id.
+    *encode_engine* passes through to :func:`pq_encode` — "jvm"
+    (default, oracle-exact) or "numpy" (the ~50× corpus-scale lane).
 
     Output: (query_id, neighbor_id, adc_dist, rank), rank ≤ k,
     self-pairs excluded.
@@ -913,7 +916,7 @@ def pq_topk(
         books[r["subspace"]].append(list(r["cvec"]))
     subdim = len(rows[0]["cvec"])
 
-    codes = pq_encode(corpus, codebooks, vec_col, id_col).select(
+    codes = pq_encode(corpus, codebooks, vec_col, id_col, encode_engine).select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode("codes").alias("s", "code"),
     )
