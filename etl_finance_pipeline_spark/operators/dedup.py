@@ -311,7 +311,7 @@ def simhash_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 6,
-    max_bucket_size: int = 1000,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ *max_hamming*.
 
@@ -347,7 +347,7 @@ def hamming_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 6,
-    max_bucket_size: int = 1000,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Generic banded Hamming self-join over any integer fingerprint
     column (SimHash text sketches, perceptual image hashes, audio
@@ -357,10 +357,16 @@ def hamming_pairs(
 
     Pigeonhole guarantee: every pair with hamming < *bands* shares at
     least one untouched band, so choosing bands > max_hamming makes
-    the banding LOSSLESS (a brute-force oracle can certify it);
-    fewer/wider bands trade recall beyond that bound for narrower
-    buckets, exactly like MinHash band tuning. Buckets wider than
-    *max_bucket_size* are dropped (degenerate-content skew guard).
+    the banding LOSSLESS (a brute-force oracle can certify it) —
+    PROVIDED no bucket is dropped: callers relying on the lossless
+    contract must pass ``max_bucket_size=None`` (the phash/audio/video
+    near-dup queries do), since the skew guard below silently trades
+    recall for bounded fan-out on degenerate fingerprint
+    distributions. Fewer/wider bands trade recall beyond the
+    pigeonhole bound for narrower buckets, exactly like MinHash band
+    tuning. Buckets wider than *max_bucket_size* are dropped
+    (degenerate-content skew guard); None disables the guard (and
+    skips its census shuffle entirely).
 
     Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤ max_hamming.
     """
@@ -382,11 +388,14 @@ def hamming_pairs(
         ).alias("_bk"),
     ).select("_id", "_fp", F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"))
 
-    bucket_counts = banded.groupBy("band", "key").agg(F.count("*").alias("_n"))
-    banded = banded.join(
-        bucket_counts.filter(F.col("_n") <= max_bucket_size).drop("_n"),
-        on=["band", "key"],
-    )
+    if max_bucket_size is not None:
+        bucket_counts = banded.groupBy("band", "key").agg(
+            F.count("*").alias("_n")
+        )
+        banded = banded.join(
+            bucket_counts.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+            on=["band", "key"],
+        )
 
     left = banded.select("band", "key", F.col("_id").alias("id_a"), F.col("_fp").alias("_fa"))
     right = banded.select("band", "key", F.col("_id").alias("id_b"), F.col("_fp").alias("_fb"))

@@ -425,6 +425,28 @@ def encode_jpeg_ycbcr(
     return bytes(out)
 
 
+def _upsample_plane(
+    plane: np.ndarray,
+    h: int,
+    v: int,
+    hmax: int,
+    vmax: int,
+    width: int,
+    height: int,
+) -> np.ndarray:
+    """Nearest-neighbor chroma upsample + crop to SOF dims: full-res
+    pixel (r, c) reads plane[(r*v)//vmax, (c*h)//hmax]. For integer
+    factor ratios this is exactly byte replication; unlike
+    .repeat(hmax//h) it also handles legal non-divisor factor pairs
+    (e.g. luma 3 / chroma 2) instead of feeding an undersized plane
+    into the color transform."""
+    if h == hmax and v == vmax:
+        return plane[:height, :width]
+    rows = (np.arange(height, dtype=np.intp) * v) // vmax
+    cols = (np.arange(width, dtype=np.intp) * h) // hmax
+    return plane[rows[:, None], cols]
+
+
 def _decode_baseline(b: bytes) -> tuple[int, int, list[np.ndarray]]:
     """General baseline-sequential decode: marker walk, interleaved
     MCU entropy decode with per-component tables/predictors and
@@ -649,9 +671,7 @@ def _decode_baseline(b: bytes) -> tuple[int, int, list[np.ndarray]]:
             .reshape(bh_c * 8, bw_c * 8)
         )
         plane = np.clip(np.round(plane + 128.0), 0, 255).astype(np.uint8)
-        if h < hmax or v < vmax:
-            plane = plane.repeat(hmax // h, axis=1).repeat(vmax // v, axis=0)
-        planes.append(plane[:height, :width])
+        planes.append(_upsample_plane(plane, h, v, hmax, vmax, width, height))
     return width, height, planes
 
 

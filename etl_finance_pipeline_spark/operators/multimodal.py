@@ -857,16 +857,20 @@ def encode_wav_pcm16(
     return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)
 
 
-#: Chroma subsampling → bytes per frame as a multiple of W*H (the Y
-#: plane is always the first W*H bytes of a frame).
-_Y4M_FRAME_FACTORS = {
-    "mono": 1.0,
-    "420": 1.5,
-    "420jpeg": 1.5,
-    "420mpeg2": 1.5,
-    "420paldv": 1.5,
-    "422": 2.0,
-    "444": 3.0,
+#: Chroma subsampling → (horizontal divisor, vertical divisor) for
+#: each of the two chroma planes; None = no chroma planes at all.
+#: The Y plane is always the first W*H bytes of a frame; each chroma
+#: plane is ceil(W/hdiv) * ceil(H/vdiv) bytes (the mjpegtools spec
+#: rounds odd dimensions UP per plane, so a W3 H3 C420 frame is
+#: 9 + 2*2*2 = 17 bytes, not int(9*1.5) = 13).
+_Y4M_CHROMA_DIVS: dict[str, tuple[int, int] | None] = {
+    "mono": None,
+    "420": (2, 2),
+    "420jpeg": (2, 2),
+    "420mpeg2": (2, 2),
+    "420paldv": (2, 2),
+    "422": (2, 1),
+    "444": (1, 1),
 }
 
 
@@ -902,10 +906,15 @@ def _parse_y4m(b: bytes) -> tuple[int, int, int, int, str, list[bytes]]:
             colorspace = val
     if width <= 0 or height <= 0:
         raise ValueError("y4m header missing W/H")
-    if colorspace not in _Y4M_FRAME_FACTORS:
+    if colorspace not in _Y4M_CHROMA_DIVS:
         raise ValueError(f"unsupported y4m colorspace C{colorspace}")
     y_size = width * height
-    frame_size = int(y_size * _Y4M_FRAME_FACTORS[colorspace])
+    divs = _Y4M_CHROMA_DIVS[colorspace]
+    if divs is None:
+        frame_size = y_size
+    else:
+        hdiv, vdiv = divs
+        frame_size = y_size + 2 * (-(-width // hdiv)) * (-(-height // vdiv))
     frames: list[bytes] = []
     pos = nl + 1
     while pos < len(b):

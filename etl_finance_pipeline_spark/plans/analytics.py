@@ -1663,7 +1663,12 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     trading core remains — the dense-subgraph primitive for spam-farm
     detection and cluster seeding. The oracle unrolls the peeling
     rounds (extra rounds past the fixpoint are no-ops, so a fixed
-    unroll with slack is exact)."""
+    unroll with slack is exact — PROVIDED the engine converges within
+    the unroll depth; max_iter below pins that: 4 changing rounds + 1
+    fixpoint-confirming round matches the oracle's 4-round unroll, so
+    a dataset needing more rounds raises in the ENGINE instead of
+    silently producing an oracle superset and a false hash mismatch.
+    Observed at sf0.001/0.01/0.1: fixpoint in ≤3 changing rounds)."""
     from etl_finance_pipeline_spark.operators.graph import k_core
 
     orders = load_table(spark, _t(sf_dir, "orders"))
@@ -1672,7 +1677,7 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("id_a"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("id_b"),
     )
-    return k_core(edges, k=40)
+    return k_core(edges, k=40, max_iter=5)
 
 
 def _kcore_round_sql(i: int, k: int) -> str:

@@ -217,9 +217,12 @@ JOIN sig b ON b.doc_id = c.corpus_id
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_hamming=3 with bands=4: the pigeonhole guarantee makes
     candidate recall EXACT (any pair at distance ≤ 3 must agree on at
-    least one 8-bit band)."""
+    least one 8-bit band) — so the skew guard is disabled to honor the
+    lossless contract (the oracle bands but never drops buckets)."""
     docs = load_table(spark, _t(sf_dir, "documents"))
-    return simhash_pairs(docs, bits=32, bands=4, max_hamming=3).select(
+    return simhash_pairs(
+        docs, bits=32, bands=4, max_hamming=3, max_bucket_size=None
+    ).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
 
@@ -3660,9 +3663,15 @@ def _phash_frame(spark: SparkSession, sf_dir: str):
         image_phash,
     )
 
+    # rpad to EXACTLY 16 bytes (mirrors the oracle's rpad(...,16,' ')):
+    # encode_jpeg_blocks pads only to a multiple of blocks_per_row, so
+    # a <13-char document would otherwise yield a 32×(<32) image and a
+    # ValueError in image_phash.
     docs = load_table(spark, _t(sf_dir, "documents")).select(
         F.col("doc_id").alias("media_id"),
-        F.encode(F.substring("text", 1, 16), "UTF-8").alias("content"),
+        F.encode(F.rpad(F.substring("text", 1, 16), 16, " "), "UTF-8").alias(
+            "content"
+        ),
     )
     jpg = encode_jpeg_blocks(docs, blocks_per_row=4)
     return image_phash(jpg, decode="jpeg")
@@ -3702,7 +3711,13 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simhash_pairs; measured 7.6 -> ~3 s at sf0.1)
     ph = _phash_frame(spark, sf_dir).localCheckpoint(eager=True)
     out = hamming_pairs(
-        ph, "phash", id_col="media_id", bits=64, bands=8, max_hamming=2
+        ph,
+        "phash",
+        id_col="media_id",
+        bits=64,
+        bands=8,
+        max_hamming=2,
+        max_bucket_size=None,  # lossless contract: no silent bucket drops
     )
     return out.select(
         F.col("id_a"), F.col("id_b"), F.col("hamming").cast("long").alias("hamming")
@@ -3797,7 +3812,13 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # 3 consumers; trig kernel is the cost
     )
     out = hamming_pairs(
-        fp, "fingerprint", id_col="media_id", bits=64, bands=8, max_hamming=3
+        fp,
+        "fingerprint",
+        id_col="media_id",
+        bits=64,
+        bands=8,
+        max_hamming=3,
+        max_bucket_size=None,  # lossless contract: no silent bucket drops
     )
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
@@ -3883,7 +3904,13 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # 3 consumers; container parse is the cost
     )
     out = hamming_pairs(
-        fp, "fingerprint", id_col="media_id", bits=64, bands=8, max_hamming=3
+        fp,
+        "fingerprint",
+        id_col="media_id",
+        bits=64,
+        bands=8,
+        max_hamming=3,
+        max_bucket_size=None,  # lossless contract: no silent bucket drops
     )
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")

@@ -910,3 +910,59 @@ def test_y4m_parser_422_geometry():
 
     with _pytest.raises(ValueError, match="truncated"):
         _parse_y4m(b"YUV4MPEG2 W4 H2 C422\nFRAME\n" + luma + b"\x10" * 7)
+
+
+def test_y4m_parser_odd_dimension_subsampled_geometry():
+    """Odd-dimension subsampled streams are legal y4m: chroma planes
+    are ceil(W/hdiv)*ceil(H/vdiv) bytes PER PLANE (mjpegtools spec),
+    not a float multiple of W*H — a W3 H3 C420 frame is
+    9 + 2*2*2 = 17 bytes, where int(9*1.5) = 13 would misparse."""
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        _parse_y4m,
+    )
+
+    luma = bytes(range(9))  # W3 H3
+    frame = luma + b"\x10" * 4 + b"\x20" * 4  # U, V = ceil(3/2)^2 = 4 each
+    w, h, _, _, cs, frames = _parse_y4m(
+        b"YUV4MPEG2 W3 H3 C420\n" + (b"FRAME\n" + frame) * 2
+    )
+    assert (w, h, cs) == (3, 3, "420")
+    assert frames == [luma, luma]
+    # odd-width C422: U, V = ceil(3/2)*3 = 6 each
+    frame422 = luma + b"\x10" * 6 + b"\x20" * 6
+    w, h, _, _, cs, frames = _parse_y4m(
+        b"YUV4MPEG2 W3 H3 C422\nFRAME\n" + frame422
+    )
+    assert (w, h, cs, frames) == (3, 3, "422", [luma])
+    # C444 odd dims: 3 full planes
+    frame444 = luma * 3
+    assert _parse_y4m(b"YUV4MPEG2 W3 H3 C444\nFRAME\n" + frame444)[5] == [
+        luma
+    ]
+
+
+def test_jpeg_upsample_non_integer_factor_ratio():
+    """_upsample_plane handles legal non-divisor sampling-factor
+    pairs (luma 3 / chroma 2 -> 3:2) via index mapping, and matches
+    byte replication exactly on integer ratios."""
+    import numpy as np
+
+    from etl_finance_pipeline_spark.operators.jpeg import _upsample_plane
+
+    rng = np.random.RandomState(11)
+    # integer ratio (2:1 both axes) == replication + crop
+    p = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    got = _upsample_plane(p, 1, 1, 2, 2, 13, 11)
+    exp = p.repeat(2, 0).repeat(2, 1)[:11, :13]
+    assert np.array_equal(got, exp)
+    # non-integer ratio 3:2 horizontal: output col c reads plane col
+    # (c*2)//3 — correct size, no broadcast error
+    p = rng.randint(0, 256, (8, 16)).astype(np.uint8)
+    got = _upsample_plane(p, 2, 3, 3, 3, 21, 8)
+    assert got.shape == (8, 21)
+    cols = (np.arange(21) * 2) // 3
+    assert np.array_equal(got, p[:8, cols])
+    # full-resolution component: pure crop
+    assert np.array_equal(
+        _upsample_plane(p, 3, 3, 3, 3, 5, 4), p[:4, :5]
+    )
