@@ -724,11 +724,22 @@ def pq_train(
         F.expr(f"slice({vec_col}, s * {subdim} + 1, {subdim})").alias("_sv"),
     )
 
-    def _books_lit() -> Column:
-        # ONE nested literal, not m*ksub*subdim CreateArray nodes: the
-        # per-iteration plan re-analysis/codegen over 512 expression
-        # nodes dominated training time (measured 10 -> ~2 s at sf0.1)
-        return F.lit([[list(map(float, cw)) for cw in books[s]] for s in range(m)])
+    spark = df.sparkSession
+
+    def _books_frame() -> DataFrame:
+        # the whole nested codebook as ONE broadcast-joined row, not a
+        # literal: embedding m*ksub*subdim values as expression nodes
+        # made every Lloyd pass re-analyze and re-codegen the full
+        # plan (the literal changes each pass), which dominated
+        # training time. With the codebook arriving as a column from a
+        # 1-row LocalRelation, the expression tree is IDENTICAL across
+        # passes, so analysis is O(plan shape) and the whole-stage
+        # codegen cache hits (the generated source is unchanged) —
+        # only the tiny broadcast payload differs per pass.
+        return spark.createDataFrame(
+            [([[list(map(float, cw)) for cw in books[s]] for s in range(m)],)],
+            "_books array<array<array<double>>>",
+        )
 
     l2 = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
@@ -737,7 +748,7 @@ def pq_train(
     )
     scale = 10 ** round_digits
     for _ in range(iters):
-        mywords = F.element_at(_books_lit(), F.col("s") + 1)
+        mywords = F.element_at(F.col("_books"), F.col("s") + 1)
         # argmin via ONE min over [dist, idx] pairs: array_position(
         # d, array_min(d)) would evaluate the whole interpreted
         # distance chain twice per row; array ordering is elementwise
@@ -752,7 +763,9 @@ def pq_train(
             ),
             2,
         ).cast("int")
-        assigned = sub.select("s", code.alias("_c"), F.posexplode("_sv"))
+        assigned = sub.crossJoin(F.broadcast(_books_frame())).select(
+            "s", code.alias("_c"), F.posexplode("_sv")
+        )
         means = (
             assigned.groupBy("s", "_c", "pos")
             .agg(
