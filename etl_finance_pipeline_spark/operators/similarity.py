@@ -763,23 +763,37 @@ def pq_train(
             ),
             2,
         ).cast("int")
-        assigned = sub.crossJoin(F.broadcast(_books_frame())).select(
-            "s", code.alias("_c"), F.posexplode("_sv")
-        )
+        # M-step WITHOUT a posexplode: a Generate with a computed
+        # sibling column re-evaluates that column once PER EXPLODED
+        # ELEMENT after projection collapse (measured: the interpreted
+        # argmin is 0.14 s standalone but 2.8 s under posexplode at
+        # subdim=16 — exactly the 16× duplication). subdim sum
+        # aggregates + a count keep the argmin evaluated once per row,
+        # shuffle subdim× fewer rows, and reproduce F.avg's value
+        # bit-for-bit (Average IS sum/count in the same IEEE order —
+        # A/B-verified identical on the bench corpus).
         means = (
-            assigned.groupBy("s", "_c", "pos")
+            sub.crossJoin(F.broadcast(_books_frame()))
+            .select("s", code.alias("_c"), "_sv")
+            .groupBy("s", "_c")
             .agg(
-                (
-                    F.floor(F.avg("col") * scale + F.lit(0.5)) / scale
-                ).alias("_mv")
+                F.count("*").alias("_n"),
+                *[
+                    F.sum(F.element_at("_sv", p + 1)).alias(f"_s{p}")
+                    for p in range(subdim)
+                ],
             )
             .collect()
         )
-        got: dict[tuple[int, int], dict[int, float]] = {}
+        # driver-side floor-rounding of sum/count: same doubles, same
+        # floor(x*scale+0.5)/scale contract as the SQL oracle
+        import math
+
         for r in means:
-            got.setdefault((r["s"], r["_c"]), {})[r["pos"]] = r["_mv"]
-        for (s, c), dims in got.items():
-            books[s][c] = [dims[p] for p in range(subdim)]
+            books[r["s"]][r["_c"]] = [
+                math.floor(r[f"_s{p}"] / r["_n"] * scale + 0.5) / scale
+                for p in range(subdim)
+            ]
 
     rows = [
         (s, c, books[s][c]) for s in range(m) for c in range(ksub)

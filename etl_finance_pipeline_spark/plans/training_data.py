@@ -3262,7 +3262,13 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, _t(sf_dir, "embeddings"))
     cb = pq_train(emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, round_digits=6)
-    out = pq_topk(emb, emb.filter(F.col("vec_id") < 5), cb, k=5)
+    # encode via the Arrow/numpy lane — the corpus-scale path (~50×
+    # the interpreted HOF); codes differ from the jvm lane only on
+    # sub-ulp distance ties, which need duplicate codewords — the
+    # oracle hash certifies the equivalence every round
+    out = pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), cb, k=5, encode_engine="numpy"
+    )
     return out.select(
         "query_id",
         "neighbor_id",
