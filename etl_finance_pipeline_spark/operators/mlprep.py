@@ -133,11 +133,16 @@ def linear_probe_train(
     arithmetic, so with per-iteration portable rounding the fixed
     point is bit-reproducible in any engine; a logistic link would
     couple the oracle to libm's exp): per iteration ONE distributed
-    pass computes the gradient — residuals against the broadcast
-    literal weights, then per-dimension Σ resid·x via posexplode into
-    a map-side-combinable aggregate. The driver holds dim+1 doubles
-    of control flow between iterations, exactly like the k-means and
-    PageRank loops.
+    pass computes the WHOLE gradient — the residual against the
+    broadcast-joined weight row, then dim per-dimension Σ resid·x_j
+    sums PLUS Σ resid in a single map-side-combinable global
+    aggregate. No posexplode (a Generate re-evaluates a computed
+    sibling column once per exploded element — the residual's dot
+    product would run dim× per row) and no second pass for the bias
+    gradient. The weights arrive as a 1-row broadcast frame, not a
+    literal, so every iteration reuses one compiled plan. The driver
+    holds dim+1 doubles of control flow between iterations, exactly
+    like the k-means and PageRank loops.
 
     w ← w − lr·(2/n)·Xᵀ(Xw + b − y),  b ← b − lr·(2/n)·Σ(Xw + b − y)
 
@@ -157,34 +162,42 @@ def linear_probe_train(
     b = 0.0
     import math
 
+    spark = df.sparkSession
+    pred = (
+        F.aggregate(
+            F.zip_with(F.col("_x"), F.col("_w"), lambda x, wi: x * wi),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        + F.col("_b")
+    )
     for _ in range(iters):
-        w_lit = F.array(*[F.lit(x) for x in w])
-        pred = (
-            F.aggregate(
-                F.zip_with(F.col("_x"), w_lit, lambda x, wi: x * wi),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+        wdf = spark.createDataFrame(
+            [(list(map(float, w)), float(b))], "_w array<double>, _b double"
+        )
+        row = (
+            src.crossJoin(F.broadcast(wdf))
+            .select((pred - F.col("_y")).alias("_r"), "_x")
+            .groupBy()
+            .agg(
+                F.sum("_r").alias("_gb"),
+                *[
+                    F.sum(F.col("_r") * F.element_at("_x", j + 1)).alias(
+                        f"_g{j}"
+                    )
+                    for j in range(dim)
+                ],
             )
-            + F.lit(b)
+            .first()
         )
-        resid = src.select(
-            (pred - F.col("_y")).alias("_r"), F.posexplode("_x")
-        )
-        grads = (
-            resid.groupBy("pos")
-            .agg(F.sum(F.col("_r") * F.col("col")).alias("_g"))
-            .collect()
-        )
-        gsum = src.select(F.sum(pred - F.col("_y")).alias("_gb")).first()["_gb"]
-        gd = {r["pos"]: r["_g"] for r in grads}
         w = [
             math.floor(
-                (w[j] - lr * 2.0 / n * gd.get(j, 0.0)) * scale + 0.5
+                (w[j] - lr * 2.0 / n * (row[f"_g{j}"] or 0.0)) * scale + 0.5
             )
             / scale
             for j in range(dim)
         ]
-        b = math.floor((b - lr * 2.0 / n * gsum) * scale + 0.5) / scale
+        b = math.floor((b - lr * 2.0 / n * row["_gb"]) * scale + 0.5) / scale
     return w, b
 
 
