@@ -185,3 +185,265 @@ def bpe_encode(
         )
     )
     return df.withColumn(out_col, toks_out).drop("_units")
+
+
+# ---------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training — Kudo 2018,
+# "Subword Regularization": the other mainstream vocabulary algorithm
+# next to BPE. Pieces carry unigram log-probabilities; a word's
+# tokenization is the max-probability segmentation (Viterbi over the
+# piece lattice).
+#
+# This trainer runs hard-EM (Viterbi-EM) over the Zipf-bounded
+# distinct-word frame, the same corpus-size-independence device as
+# bpe_train: one corpus pass builds (word, count); every EM round then
+# touches only the vocab frame. Determinism mirrors the unrolled-Lloyd
+# kmeans contract — fixed seed vocabulary (all ≤max_piece_len
+# substrings: every single char, plus the top multi-char pieces by
+# (count desc, piece asc)), fixed iteration count, per-round portable
+# rounding of -ln(p), DP ties broken toward the smaller split point,
+# and pieces unseen in a round carrying their previous cost (the
+# "empty codes keep their codeword" device) — so a DuckDB oracle can
+# unroll the identical rounds positionally and hash-match the table.
+# ---------------------------------------------------------------------
+
+#: Cost of a substring absent from the vocabulary. Large enough that
+#: no real path uses it (corpus costs are < ~20 nats/piece), small
+#: enough that the arithmetic stays exact in any engine.
+_UNI_MISS = 1.0e9
+
+
+def _uni_words(df: DataFrame, text_col: str, max_word_len: int) -> DataFrame:
+    """(w, wc): distinct whitespace words with corpus counts, capped
+    at *max_word_len* chars (the SentencePiece-style max-length
+    training filter — the positional oracle unroll is bounded by the
+    same cap)."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter((F.length("w") >= 1) & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+
+
+def _uni_dp(L: int):
+    """Viterbi DP over one word against the broadcast cost map
+    ``_costs``: returns an array column dp[0..n] of [cost, j] pairs —
+    dp[i] = cheapest segmentation cost of the first i chars, j = the
+    split point it came from. Candidates are the pieces of length
+    1..min(L, i) ending at i; argmin via lexicographic array_min over
+    [cost, j], so equal costs break toward the smaller j in any
+    engine."""
+
+    def inner(acc, i):
+        return F.concat(
+            acc,
+            F.array(
+                F.array_min(
+                    F.transform(
+                        F.sequence(F.lit(1), F.least(F.lit(L), i)),
+                        lambda l: F.array(
+                            F.element_at(F.element_at(acc, i - l + 1), 1)
+                            + F.coalesce(
+                                F.element_at(
+                                    F.col("_costs"),
+                                    F.col("w").substr(i - l + F.lit(1), l),
+                                ),
+                                F.lit(_UNI_MISS),
+                            ),
+                            (i - l).cast("double"),
+                        ),
+                    )
+                )
+            ),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.array(F.array(F.lit(0.0), F.lit(-1.0))),
+        inner,
+    )
+
+
+def _uni_backtrack():
+    """Walk ``_dp`` from position n back to 0, collecting the piece
+    substrings of the optimal segmentation (emitted end-first; order
+    is irrelevant to counting). n no-op steps once pos hits 0 — an
+    aggregate cannot early-exit, and n is ≤ the word-length cap."""
+    j_at = lambda pos: F.element_at(  # noqa: E731
+        F.element_at(F.col("_dp"), pos + 1), 2
+    ).cast("int")
+
+    def step(acc, _i):
+        j = j_at(acc["pos"])
+        return F.when(acc["pos"] <= F.lit(0), acc).otherwise(
+            F.struct(
+                j.alias("pos"),
+                F.concat(
+                    acc["ps"],
+                    F.array(F.col("w").substr(j + 1, acc["pos"] - j)),
+                ).alias("ps"),
+            )
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.struct(
+            F.length("w").cast("int").alias("pos"),
+            F.expr("CAST(array() AS array<string>)").alias("ps"),
+        ),
+        step,
+    )["ps"]
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_multi: int = 48,
+    iters: int = 2,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Train a unigram-LM vocabulary: seed with every single char plus
+    the *n_multi* most frequent multi-char substrings (length ≤
+    *max_piece_len*), initialize piece costs -ln(count/total), then
+    *iters* rounds of Viterbi-EM — E: segment every distinct word by
+    cheapest path; M: re-estimate costs from the segmentation counts
+    (word-count weighted). Single chars are always in the vocabulary,
+    so every word has a finite path.
+
+    Scale shape (100 TB): one corpus pass for the word counts; per EM
+    round one vocab-frame DP pass (the cost table broadcasts as a
+    1-row map, so all rounds reuse one compiled plan) and one
+    map-side-combinable count aggregate; the driver holds only the
+    vocab-sized cost table between rounds.
+
+    Output: (piece, cost, piece_count) — final per-piece -ln p rounded
+    to *round_digits*, and the final round's Viterbi count (0 for
+    pieces unused in the last segmentation, which keep their previous
+    cost).
+    """
+    import math
+
+    spark = df.sparkSession
+    scale = 10.0 ** round_digits
+    words = _uni_words(df, text_col, max_word_len).localCheckpoint(eager=True)
+
+    # seed counts: every substring of length 1..max_piece_len, with
+    # multiplicity, weighted by word count
+    spans = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(max_piece_len), F.length("w") - i + 1)
+                ),
+                lambda l: F.col("w").substr(i, l),
+            ),
+        )
+    )
+    seed = (
+        words.select(F.explode(spans).alias("piece"), "wc")
+        .groupBy("piece")
+        .agg(F.sum("wc").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    chars = seed.filter(F.length("piece") == 1).collect()
+    multi = (
+        seed.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece"))
+        .limit(n_multi)
+        .collect()
+    )
+    counts = {r["piece"]: int(r["cnt"]) for r in chars}
+    counts.update({r["piece"]: int(r["cnt"]) for r in multi})
+    total = sum(counts.values())
+    costs = {
+        p: math.floor(-math.log(c / total) * scale + 0.5) / scale
+        for p, c in counts.items()
+    }
+
+    last_counts: dict[str, int] = {}
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(costs,)], "_costs map<string,double>"
+        )
+        # dp materialized BEFORE the backtrack consumes it (the
+        # backtrack references the dp array once per walk step)
+        dpf = (
+            words.crossJoin(F.broadcast(cdf))
+            .select("w", "wc", _uni_dp(max_piece_len).alias("_dp"))
+            .localCheckpoint(eager=True)
+        )
+        segs = dpf.select("wc", F.explode(_uni_backtrack()).alias("piece"))
+        rows = segs.groupBy("piece").agg(F.sum("wc").alias("cnt")).collect()
+        last_counts = {r["piece"]: int(r["cnt"]) for r in rows}
+        rtotal = sum(last_counts.values())
+        # M-step: seen pieces get -ln(cnt/total); unseen keep cost
+        costs = {
+            p: (
+                math.floor(
+                    -math.log(last_counts[p] / rtotal) * scale + 0.5
+                )
+                / scale
+                if p in last_counts
+                else costs[p]
+            )
+            for p in costs
+        }
+
+    out = [
+        (p, costs[p], last_counts.get(p, 0)) for p in sorted(costs)
+    ]
+    return spark.createDataFrame(
+        out, "piece string, cost double, piece_count bigint"
+    )
+
+
+def unigram_segment(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Tokenize a corpus with a trained unigram vocabulary: per
+    document, Viterbi-segment each (length-capped) word and aggregate
+    piece count and total cost. The DP runs once per DISTINCT word
+    (vocab-frame work), then joins back to the document word list —
+    the corpus never carries the lattice.
+
+    Output: (id, n_pieces, total_cost) — total_cost portably rounded.
+    """
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+    spark = df.sparkSession
+    costs = {r["piece"]: float(r["cost"]) for r in vocab.collect()}
+    cdf = spark.createDataFrame([(costs,)], "_costs map<string,double>")
+
+    doc_words = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    ).filter((F.length("w") >= 1) & (F.length("w") <= max_word_len))
+    words = doc_words.select("w").distinct()
+    dpf = (
+        words.crossJoin(F.broadcast(cdf))
+        .select("w", _uni_dp(max_piece_len).alias("_dp"))
+        .select(
+            "w",
+            F.size(_uni_backtrack()).alias("_np"),
+            F.element_at(F.element_at("_dp", F.length("w") + 1), 1).alias(
+                "_wcost"
+            ),
+        )
+    )
+    return (
+        doc_words.join(dpf, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_np").cast("long").alias("n_pieces"),
+            portable_round(F.sum("_wcost"), round_digits).alias("total_cost"),
+        )
+    )

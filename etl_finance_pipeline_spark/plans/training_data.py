@@ -3966,7 +3966,222 @@ FROM documents d LEFT JOIN ent e USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer: Viterbi-EM training +
+# corpus segmentation. The oracle unrolls the per-word Viterbi DP
+# positionally (word length capped at _UNI_W) and the EM rounds
+# explicitly — the same fixed-unroll device as the Lloyd/PQ oracles.
+# --------------------------------------------------------------------
+
+_UNI_W, _UNI_L, _UNI_MULTI, _UNI_ITERS = 16, 4, 48, 2
+_UNI_BIG = "1000000000.0"
+
+_UNI_WORDS_SQL = """
+  SELECT w, count(*) AS wc FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE len(w) >= 1 AND len(w) <= {W}
+  GROUP BY w
+""".format(W=_UNI_W)
+
+
+def _uni_dp_sql(cost_cte: str, tag: str) -> str:
+    """Positionally unrolled Viterbi DP of every distinct word against
+    cost table *cost_cte*: emits CTEs uspan{tag} → upv{tag} (pivoted
+    span costs) → a CHAIN of one-column-per-step CTEs for dp d1..dW
+    (argmin as list_sort([[cost, j], ...])[1]) and the backtrack
+    b1..bW, ending in ubt{tag}. A chain, not lateral column aliases:
+    DuckDB substitutes lateral aliases textually, so a 16-deep chain
+    with multi-reference steps explodes exponentially in the binder
+    (measured: never returns); CTE steps reference previous columns
+    by name only. Mirrors operators.tokenizer._uni_dp /
+    _uni_backtrack exactly, including the smaller-j tie-break."""
+    W, L = _UNI_W, _UNI_L
+    pv_cols = ",\n         ".join(
+        f"min(CASE WHEN e = {e} AND l = {l} THEN pc END) AS c{e}_{l}"
+        for e in range(1, W + 1)
+        for l in range(1, min(L, e) + 1)
+    )
+    parts = [
+        f"""uspan{tag} AS (
+  SELECT uw.w, uw.wc, t1.e, t2.l, coalesce(c.cost, {_UNI_BIG}) AS pc
+  FROM uw
+  CROSS JOIN range(1, {W + 1}) t1(e)
+  CROSS JOIN range(1, {L + 1}) t2(l)
+  LEFT JOIN {cost_cte} c
+    ON c.piece = substr(uw.w, CAST(t1.e - t2.l + 1 AS INT), CAST(t2.l AS INT))
+  WHERE t2.l <= t1.e AND t1.e <= len(uw.w)
+),
+upv{tag} AS MATERIALIZED (
+  SELECT w, wc, len(w) AS n,
+         {pv_cols}
+  FROM uspan{tag} GROUP BY w, wc
+),
+ud{tag}0 AS MATERIALIZED (SELECT *, [0.0, -1.0] AS d0 FROM upv{tag})"""
+    ]
+    for e in range(1, W + 1):
+        cands = ", ".join(
+            f"[d{e - l}[1] + coalesce(c{e}_{l}, {_UNI_BIG}), "
+            f"CAST({e - l} AS DOUBLE)]"
+            for l in range(1, min(L, e) + 1)
+        )
+        parts.append(
+            f"ud{tag}{e} AS MATERIALIZED (SELECT *, list_sort([{cands}])[1] AS d{e} "
+            f"FROM ud{tag}{e - 1})"
+        )
+    jl = "[" + ", ".join(f"d{e}[2]" for e in range(1, W + 1)) + "]"
+    dl = "[" + ", ".join(f"d{e}[1]" for e in range(1, W + 1)) + "]"
+    parts.append(
+        f"ubt{tag}0 AS MATERIALIZED (SELECT w, wc, n, {jl} AS jl, {dl} AS dl, "
+        f"CAST(n AS INT) AS b0 FROM ud{tag}{W})"
+    )
+    for t in range(W):
+        parts.append(
+            f"ubt{tag}{t + 1} AS MATERIALIZED (SELECT *, CASE WHEN b{t} > 0 "
+            f"THEN CAST(jl[b{t}] AS INT) ELSE 0 END AS b{t + 1} "
+            f"FROM ubt{tag}{t})"
+        )
+    parts.append(f"ubt{tag} AS MATERIALIZED (SELECT * FROM ubt{tag}{W})")
+    return ",\n".join(parts)
+
+
+def _uni_round_sql(r: int) -> str:
+    """One Viterbi-EM round: DP against ucost{r-1}, piece counts from
+    the unrolled backtrack, re-estimated costs (unseen pieces keep
+    their previous cost)."""
+    W = _UNI_W
+    seg_selects = "\n  UNION ALL\n".join(
+        f"  SELECT wc, substr(w, b{t + 1} + 1, b{t} - b{t + 1}) AS piece "
+        f"FROM ubt{r} WHERE b{t} > 0"
+        for t in range(W)
+    )
+    return f"""{_uni_dp_sql(f"ucost{r - 1}", str(r))},
+useg{r} AS (
+{seg_selects}
+),
+ucnt{r} AS (SELECT piece, sum(wc) AS cnt FROM useg{r} GROUP BY piece),
+ucost{r} AS (
+  SELECT v.piece,
+         CASE WHEN c.cnt IS NOT NULL
+              THEN floor(-ln(CAST(c.cnt AS DOUBLE)
+                   / CAST((SELECT sum(cnt) FROM ucnt{r}) AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000
+              ELSE v.cost END AS cost
+  FROM ucost{r - 1} v LEFT JOIN ucnt{r} c USING (piece)
+)"""
+
+
+_UNI_BASE_SQL = f"""uw AS (
+{_UNI_WORDS_SQL}
+),
+useed AS (
+  SELECT piece, sum(wc) AS cnt FROM (
+    SELECT substr(uw.w, CAST(t1.i AS INT), CAST(t2.l AS INT)) AS piece, uw.wc
+    FROM uw
+    CROSS JOIN range(1, {_UNI_W + 1}) t1(i)
+    CROSS JOIN range(1, {_UNI_L + 1}) t2(l)
+    WHERE t1.i + t2.l - 1 <= len(uw.w)
+  ) GROUP BY piece
+),
+uvocab AS (
+  SELECT piece, cnt FROM useed WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM useed WHERE len(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT {_UNI_MULTI}
+  )
+),
+ucost0 AS (
+  SELECT piece,
+         floor(-ln(CAST(cnt AS DOUBLE)
+               / CAST((SELECT sum(cnt) FROM uvocab) AS DOUBLE))
+               * 1000000 + 0.5) / 1000000 AS cost
+  FROM uvocab
+)"""
+
+
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) vocabulary training — the
+    mainstream alternative to BPE (Kudo 2018): seed with all ≤4-char
+    substrings (every single char + top-48 multi-char), then 2 rounds
+    of Viterbi-EM over the distinct-word frame. The oracle unrolls the
+    per-word Viterbi lattice positionally and the EM rounds explicitly,
+    so seeding, segmentation, counting, and cost re-estimation all sit
+    under the hash."""
+    from etl_finance_pipeline_spark.operators.tokenizer import unigram_train
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return unigram_train(
+        docs, n_multi=_UNI_MULTI, iters=_UNI_ITERS,
+        max_piece_len=_UNI_L, max_word_len=_UNI_W,
+    )
+
+
+SQL_UNIGRAM_TRAIN = f"""
+WITH {_UNI_BASE_SQL},
+{",".join(_uni_round_sql(r) for r in range(1, _UNI_ITERS + 1))}
+SELECT v.piece, v.cost, CAST(coalesce(c.cnt, 0) AS BIGINT) AS piece_count
+FROM ucost{_UNI_ITERS} v LEFT JOIN ucnt{_UNI_ITERS} c USING (piece)
+"""
+
+
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus segmentation with the trained unigram vocabulary: per
+    document, Viterbi-tokenize each (≤16-char) word and report piece
+    count + total path cost. The DP runs on the DISTINCT-word frame
+    and joins back to the document word list — the corpus never
+    carries the lattice."""
+    from etl_finance_pipeline_spark.operators.tokenizer import (
+        unigram_segment,
+        unigram_train,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    vocab = unigram_train(
+        docs, n_multi=_UNI_MULTI, iters=_UNI_ITERS,
+        max_piece_len=_UNI_L, max_word_len=_UNI_W,
+    )
+    return unigram_segment(
+        docs, vocab, max_piece_len=_UNI_L, max_word_len=_UNI_W
+    )
+
+
+def _uni_seg_stats_sql() -> str:
+    """Per-distinct-word piece count + path cost against the FINAL
+    cost table (one more unrolled DP block, tag S)."""
+    W = _UNI_W
+    npieces = " + ".join(
+        f"CASE WHEN b{t} > 0 THEN 1 ELSE 0 END" for t in range(W)
+    )
+    dlist = "[" + ", ".join(f"d{e}[1]" for e in range(1, W + 1)) + "]"
+    return f"""{_uni_dp_sql(f"ucost{_UNI_ITERS}", "S")},
+ustats AS (
+  SELECT w, {npieces} AS npieces, dl[n] AS wcost FROM ubtS
+)"""
+
+
+SQL_UNIGRAM_SEGMENT = f"""
+WITH {_UNI_BASE_SQL},
+{",".join(_uni_round_sql(r) for r in range(1, _UNI_ITERS + 1))},
+{_uni_seg_stats_sql()},
+udw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE len(w) >= 1 AND len(w) <= {_UNI_W}
+)
+SELECT doc_id,
+       CAST(sum(npieces) AS BIGINT) AS n_pieces,
+       floor(sum(wcost) * 1000000 + 0.5) / 1000000 AS total_cost
+FROM udw JOIN ustats USING (w)
+GROUP BY doc_id
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "unigram_train": q_unigram_train,
+    "unigram_segment": q_unigram_segment,
     "char_entropy": q_char_entropy,
     "video_fingerprint": q_video_fingerprint,
     "video_near_dup": q_video_near_dup,
@@ -4049,6 +4264,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_TD: dict[str, str] = {
+    "unigram_train": SQL_UNIGRAM_TRAIN,
+    "unigram_segment": SQL_UNIGRAM_SEGMENT,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
     "chunk_docs": SQL_CHUNK_DOCS,

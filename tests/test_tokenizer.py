@@ -105,3 +105,56 @@ def test_bpe_train_batched_skips_interacting_pairs(spark):
     assert out[0]["left_sym"] == "a" and out[0]["right_sym"] == "b"
     # second merge happened (in a later round), on fresh counts
     assert len(out) == 2 and out[1]["merge_round"] == 2
+
+
+def test_unigram_train_vocab_structure(spark):
+    """Seed = every single char + top-N multi-char pieces; costs are
+    -ln(count/total) rounded portably; EM keeps coverage (every char
+    stays in the vocabulary with a finite cost)."""
+    import math
+
+    from etl_finance_pipeline_spark.operators.tokenizer import unigram_train
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the cat ate the hat",)], ["text"]
+    )
+    out = {r["piece"]: r for r in unigram_train(df, n_multi=6, iters=2).collect()}
+    chars = {c for c in "thecatsonm " if c != " "}
+    assert chars <= set(out)  # all single chars kept
+    multi = [p for p in out if len(p) > 1]
+    assert 0 < len(multi) <= 6 and all(len(p) <= 4 for p in multi)
+    # frequent whole words win low costs; costs are finite and positive
+    assert "the" in out
+    assert all(0 < r["cost"] < 25 for r in out.values())
+    # counts are the final Viterbi counts: 'the' appears 4x
+    assert out["the"]["piece_count"] == 4
+    # cost is portably rounded to 6 decimals
+    for r in out.values():
+        assert abs(r["cost"] * 1e6 - round(r["cost"] * 1e6)) < 1e-6
+
+
+def test_unigram_segment_optimality_and_coverage(spark):
+    """Viterbi picks the cheapest segmentation: a word equal to one
+    low-cost piece segments as ONE piece, never chars; per-doc piece
+    counts and costs aggregate over words; words over the length cap
+    are skipped."""
+    from etl_finance_pipeline_spark.operators.tokenizer import (
+        unigram_segment,
+        unigram_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abab abab abab"), (2, "abab x " + "y" * 40)], ["doc_id", "text"]
+    )
+    vocab = unigram_train(df, n_multi=4, iters=2)
+    vp = {r["piece"] for r in vocab.collect()}
+    assert "abab" in vp  # dominant substring seeded and kept
+    seg = {r["doc_id"]: r for r in unigram_segment(df, vocab).collect()}
+    # doc 1: three words, each one piece
+    assert seg[1]["n_pieces"] == 3
+    # doc 2: the 41-char word is skipped by the length cap; only
+    # 'abab' (1 piece) + 'x' (1 piece) remain
+    assert seg[2]["n_pieces"] == 2
+    # segmentation cost of doc1 = 3 * cost('abab')
+    cost_abab = next(r["cost"] for r in vocab.collect() if r["piece"] == "abab")
+    assert abs(seg[1]["total_cost"] - 3 * cost_abab) < 1e-5
