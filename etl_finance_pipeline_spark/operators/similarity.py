@@ -980,3 +980,136 @@ def pq_topk(
         summed.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ composed ANN — the standard billion-vector layout (Jégou
+    et al. 2011): a coarse inverted index prunes the search to *nprobe*
+    cells, and within cells vectors are represented only by PQ codes of
+    their RESIDUAL (vector − cell centroid), searched by asymmetric
+    distance tables. Composes the two halves this engine already has:
+    IVF cell assignment (:func:`ivf_assign` family) and PQ
+    train/encode/ADC (:func:`pq_train`).
+
+    Spark shape (100 TB): the coarse codebook broadcasts (k×dim
+    doubles); corpus assignment is a broadcast join + per-vector top-1
+    window; residual PQ training/encoding touch the residual frame
+    (localCheckpointed once — it feeds every Lloyd pass and the
+    encode); the search joins (id, cid, s, code) int tuples against a
+    BROADCAST distance-table frame (n_queries·nprobe·m·ksub rows, tiny
+    by definition) and reduces with one map-side-combinable sum — the
+    raw vectors are never touched after encoding.
+
+    Deterministic: L2 coarse assignment with lower-cid tie-break, PQ
+    training per :func:`pq_train`'s portable contract, ADC distances
+    portably rounded, final ties to the lower neighbor id.
+
+    Output: (query_id, neighbor_id, adc_dist, rank), rank ≤ k,
+    self-pairs excluded.
+    """
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+    l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    corpus_d = _as_double(corpus, vec_col)
+    coarse_d = _as_double(coarse, "cvec").select("cid", "cvec")
+
+    # nearest cell by squared L2, ties to the lower cid
+    w1 = Window.partitionBy(id_col).orderBy(F.col("_cd").asc(), F.col("cid"))
+    asg = (
+        corpus_d.crossJoin(F.broadcast(coarse_d))
+        .select(
+            id_col,
+            vec_col,
+            "cid",
+            "cvec",
+            l2(F.col(vec_col), F.col("cvec")).alias("_cd"),
+        )
+        .withColumn("_pr", F.row_number().over(w1))
+        .filter(F.col("_pr") == 1)
+    )
+    # residuals feed every Lloyd pass of pq_train AND the encode —
+    # materialize once (the upstream broadcast+window assignment is
+    # the expensive part)
+    resid = asg.select(
+        id_col,
+        "cid",
+        F.zip_with(vec_col, "cvec", lambda x, y: x - y).alias("_res"),
+    ).localCheckpoint(eager=True)
+
+    cb = pq_train(
+        resid, vec_col="_res", id_col=id_col, m=m, ksub=ksub,
+        iters=iters, round_digits=round_digits,
+    )
+    rows = cb.orderBy("subspace", "code").collect()
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]].append(list(r["cvec"]))
+    subdim = len(rows[0]["cvec"])
+
+    # residual codes with the cell id riding along (same argmin
+    # expression as pq_encode's jvm lane)
+    codes = resid.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cid",
+        _pq_codes_expr("_res", books, m, subdim).alias("codes"),
+    ).select("neighbor_id", "cid", F.posexplode("codes").alias("s", "code"))
+
+    # query probes: top-nprobe cells by L2, residual per probed cell
+    queries_d = _as_double(
+        queries.withColumnRenamed(id_col, "query_id"), vec_col
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("_cd").asc(), F.col("cid")
+    )
+    probes = (
+        queries_d.crossJoin(F.broadcast(coarse_d))
+        .select(
+            "query_id",
+            "cid",
+            F.zip_with(vec_col, "cvec", lambda x, y: x - y).alias("_qres"),
+            l2(F.col(vec_col), F.col("cvec")).alias("_cd"),
+        )
+        .withColumn("_pr", F.row_number().over(w2))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "cid", "_qres")
+    )
+    cb_rows = cb.select(F.col("subspace").alias("s"), "code", "cvec")
+    dtab = probes.crossJoin(F.broadcast(cb_rows)).select(
+        "query_id",
+        "cid",
+        "s",
+        "code",
+        l2(
+            F.slice(F.col("_qres"), F.col("s") * subdim + 1, F.lit(subdim)),
+            F.col("cvec"),
+        ).alias("_d"),
+    )
+    summed = (
+        codes.join(F.broadcast(dtab), ["cid", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(portable_round(F.sum("_d"), round_digits).alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w3 = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        summed.withColumn("rank", F.row_number().over(w3))
+        .filter(F.col("rank") <= k)
+    )

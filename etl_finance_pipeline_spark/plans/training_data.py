@@ -3189,23 +3189,25 @@ def q_scene_cuts_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_sql(m: int, ksub: int, iters: int, subdim: int) -> str:
+def _pq_sql(m: int, ksub: int, iters: int, subdim: int, src: str = "embeddings") -> str:
     """Unrolled per-subspace Lloyd chain mirroring
     operators.similarity.pq_train(round_digits=6): shared hash-picked
     seed ids, per-(vec, subspace) squared-L2 argmin with lower-code
     tie-break, per-(subspace, code, dim) means rounded to 6 decimals
     each iteration, empty codes carrying their previous codeword.
-    Produces CTE ``pc{iters}`` = (s, code, cvec DOUBLE[])."""
+    *src* is any CTE/table with (vec_id, embedding) — the IVF-PQ
+    composition points it at the residual frame. Produces CTE
+    ``pc{iters}`` = (s, code, cvec DOUBLE[])."""
     sub_slices = ", ".join(str(x) for x in range(m))
     parts = [
         f"""psub AS (
   SELECT vec_id, s,
          CAST(embedding[s * {subdim} + 1 : s * {subdim} + {subdim}] AS DOUBLE[]) AS sv
-  FROM embeddings, UNNEST([{sub_slices}]) AS t(s)
+  FROM {src}, UNNEST([{sub_slices}]) AS t(s)
 ),
 pseed AS (
   SELECT vec_id, row_number() OVER (ORDER BY {_H64.format(s='CAST(vec_id AS VARCHAR)')}, vec_id) - 1 AS code
-  FROM embeddings
+  FROM {src}
   ORDER BY {_H64.format(s='CAST(vec_id AS VARCHAR)')}, vec_id
   LIMIT {ksub}
 ),
@@ -3319,6 +3321,119 @@ QUALIFY rank <= 5
         b="b.cvec",
     ),
 )
+
+
+# --------------------------------------------------------------------
+# IVF-PQ composed ANN
+# --------------------------------------------------------------------
+
+_IVFPQ_COARSE_K, _IVFPQ_COARSE_ITERS = 8, 2
+_IVFPQ_ITERS, _IVFPQ_NPROBE = 2, 2
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ END-TO-END in-engine — the standard billion-vector
+    layout: Lloyd-trained coarse cells (k=8, 2 iterations), PQ
+    codebooks trained on the RESIDUALS (m=4 × ksub=8, 2 iterations),
+    queries probe their 2 nearest cells and rank by residual ADC.
+    The oracle unrolls BOTH trainings (coarse k-means over vectors,
+    subspace k-means over residuals) plus assignment, encoding, and
+    the ordered ADC sum — the full composition sits under the hash."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        train_kmeans_centroids,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    coarse = train_kmeans_centroids(
+        emb, k=_IVFPQ_COARSE_K, iters=_IVFPQ_COARSE_ITERS, round_digits=6
+    ).select(F.col("cluster_id").alias("cid"), "cvec")
+    out = ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        coarse,
+        k=5,
+        nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M,
+        ksub=_PQ_KSUB,
+        iters=_IVFPQ_ITERS,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "adc_dist",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_IVFPQ_ADC_TERMS = "\n           + ".join(
+    f"min(CASE WHEN c.s = {s} THEN t.d END)" for s in range(_PQ_M)
+)
+
+SQL_ANN_IVFPQ_TOPK = f"""
+WITH {_kmeans_sql(k=_IVFPQ_COARSE_K, iters=_IVFPQ_COARSE_ITERS)},
+cent AS (SELECT cid, cvec FROM c{_IVFPQ_COARSE_ITERS}),
+cassign AS (
+  SELECT vec_id, embedding, cid, cvec FROM (
+    SELECT e.vec_id, e.embedding, c.cid, c.cvec,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_L2_SQL.format(a='e.embedding', b='c.cvec')} ASC, c.cid
+           ) AS pr
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE pr = 1
+),
+resid AS (
+  SELECT vec_id, cid,
+         list_transform(list_zip(embedding, cvec),
+           p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS embedding
+  FROM cassign
+),
+{_pq_sql(_PQ_M, _PQ_KSUB, _IVFPQ_ITERS, _PQ_SUBDIM, src="resid")},
+rbooks AS (SELECT s, code, cvec FROM pc{_IVFPQ_ITERS}),
+rcodes AS (
+  SELECT neighbor_id, cid, s, code FROM (
+    SELECT r.vec_id AS neighbor_id, r.cid, b.s, b.code,
+           row_number() OVER (
+             PARTITION BY r.vec_id, b.s
+             ORDER BY {_L2_SQL.format(a=f'CAST(r.embedding[b.s * {_PQ_SUBDIM} + 1 : b.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS DOUBLE[])', b='b.cvec')} ASC, b.code
+           ) AS pr
+    FROM resid r CROSS JOIN rbooks b
+  ) WHERE pr = 1
+),
+probes AS (
+  SELECT query_id, cid, qres FROM (
+    SELECT e.vec_id AS query_id, c.cid,
+           list_transform(list_zip(e.embedding, c.cvec),
+             p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS qres,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_L2_SQL.format(a='e.embedding', b='c.cvec')} ASC, c.cid
+           ) AS pr
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < 5
+  ) WHERE pr <= {_IVFPQ_NPROBE}
+),
+dtab AS (
+  SELECT p.query_id, p.cid, b.s, b.code,
+         {_L2_SQL.format(a=f'p.qres[b.s * {_PQ_SUBDIM} + 1 : b.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}]', b='b.cvec')} AS d
+  FROM probes p CROSS JOIN rbooks b
+),
+adc AS (
+  SELECT t.query_id, c.neighbor_id,
+         floor((
+           {_IVFPQ_ADC_TERMS}
+         ) * 1000000 + 0.5) / 1000000 AS adc_dist
+  FROM rcodes c
+  JOIN dtab t ON c.cid = t.cid AND c.s = t.s AND c.code = t.code
+  WHERE t.query_id != c.neighbor_id
+  GROUP BY t.query_id, c.neighbor_id
+)
+SELECT query_id, neighbor_id, adc_dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS BIGINT) AS rank
+FROM adc
+QUALIFY rank <= 5
+"""
 
 
 def q_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4182,6 +4297,7 @@ GROUP BY doc_id
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_train": q_unigram_train,
     "unigram_segment": q_unigram_segment,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "char_entropy": q_char_entropy,
     "video_fingerprint": q_video_fingerprint,
     "video_near_dup": q_video_near_dup,
@@ -4266,6 +4382,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_TD: dict[str, str] = {
     "unigram_train": SQL_UNIGRAM_TRAIN,
     "unigram_segment": SQL_UNIGRAM_SEGMENT,
+    "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
     "chunk_docs": SQL_CHUNK_DOCS,
