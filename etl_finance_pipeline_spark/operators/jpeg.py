@@ -1,38 +1,51 @@
-"""Pure-numpy baseline JPEG (ITU-T T.81) codec, grayscale AND color —
-closes the last fake multimodal lane without native dependencies (no
-PIL/libjpeg in this environment).
+"""Pure-numpy JPEG (ITU-T T.81) codec — baseline AND progressive,
+grayscale AND color — closes the last fake multimodal lane without
+native dependencies (no PIL/libjpeg in this environment).
 
-Decoder scope — REAL baseline sequential DCT:
- * full marker walk (SOI/APPn/COM/DQT/DHT/SOF0/DRI/SOS/RSTn/EOI),
+Decoder scope — REAL baseline sequential + progressive DCT:
+ * full marker walk (SOI/APPn/COM/DQT/DHT/SOF0/SOF2/DRI/SOS/RSTn/EOI),
  * canonical Huffman decode of the entropy stream with 0xFF00
    byte-unstuffing and restart-interval resync,
  * interleaved multi-component MCU decode with per-component
    quant/Huffman tables, DC predictors, and arbitrary sampling
    factors (4:4:4, 4:2:2, 4:2:0, ...),
  * differential DC + run-length AC coefficient decode (EOB/ZRL),
+ * PROGRESSIVE (SOF2) multi-scan decode per T.81 Annex G.1.2 —
+   spectral selection, successive approximation (DC and AC first +
+   refinement scans), EOB runs with correction bits, tables
+   redefinable between scans, non-interleaved component block grids
+   (web corpora are heavily progressive; the per-round oracle query
+   image_stats_jpeg_mixed certifies this path hash-for-hash),
  * dequantization, zigzag de-scan, and a vectorized 8×8 inverse DCT
    over all blocks of a component at once (one batched matmul, no
    per-pixel Python),
- * level shift, clamp, chroma upsampling by replication, edge-crop
-   to the SOF dimensions, and JFIF BT.601 YCbCr→RGB conversion with
-   SQL-reproducible floor(x+0.5) rounding.
-Progressive (SOF2), arithmetic coding (SOF9+), 12-bit precision,
-hierarchical modes, multi-scan streams, and CMYK raise
-``NotImplementedError``/``ValueError`` loudly — the documented
-boundary, exactly like the PNG decoder rejects non-8-bit-RGB color
-types.
+ * level shift, clamp, chroma upsampling by index-mapped replication,
+   edge-crop to the SOF dimensions, and JFIF BT.601 YCbCr→RGB
+   conversion with SQL-reproducible floor(x+0.5) rounding.
+Arithmetic coding (SOF9+), 12-bit precision, hierarchical modes, and
+CMYK raise ``NotImplementedError``/``ValueError`` loudly — the
+documented boundary, exactly like the PNG decoder rejects
+non-8-bit-RGB color types.
 
-Encoder scope: baseline grayscale (:func:`encode_jpeg_gray`) and
-color 4:4:4 / 4:2:0 (:func:`encode_jpeg_ycbcr`) with caller-supplied
-quantization, standard Annex K Huffman tables, correct
-category/one's-complement coefficient coding and byte stuffing. Any
-JPEG reader round-trips the output; with a flat quant table the
-round-trip error is bounded by DCT rounding (≤2 LSB), and constant
-8×8 blocks with DC quant 8 round-trip BIT-EXACTLY (DC = 8·(v−128)
-is an exact multiple of the quantizer and every AC coefficient is
-exactly zero) — which is what lets a SQL oracle verify the full
-codec path hash-for-hash (plans/training_data.py image_stats_jpeg
-and image_stats_jpeg_color).
+Encoder scope: baseline grayscale (:func:`encode_jpeg_gray`), color
+4:4:4 / 4:2:0 (:func:`encode_jpeg_ycbcr`), and progressive
+(:func:`encode_jpeg_progressive` — the standard scan script: DC
+first at Al=1, per-component AC first scans with EOB-run coding,
+then DC/AC successive-approximation refinements) with
+caller-supplied quantization, Annex K Huffman tables (progressive AC
+scans ship a custom flat table carrying the EOBn symbols Annex K
+lacks), correct category/one's-complement coefficient coding and
+byte stuffing. Any JPEG reader round-trips the output; with a flat
+quant table the round-trip error is bounded by DCT rounding (≤2
+LSB), and constant 8×8 blocks with DC quant 8 round-trip BIT-EXACTLY
+(DC = 8·(v−128) is an exact multiple of the quantizer and every AC
+coefficient is exactly zero) — which is what lets a SQL oracle
+verify the full codec path hash-for-hash (plans/training_data.py
+image_stats_jpeg, image_stats_jpeg_color, image_stats_jpeg_mixed).
+A progressive stream reconstructs the IDENTICAL quantized
+coefficients as its baseline counterpart, so progressive and
+baseline encodings of the same pixels decode bit-identically — the
+equivalence the tests fuzz.
 
 Scale note: runs inside the same Arrow-batched mapInPandas lanes as
 the other codecs (operators/multimodal.py) — narrow transformation,
@@ -507,10 +520,13 @@ def _decode_baseline(b: bytes) -> tuple[int, int, list[np.ndarray]]:
                 sof_comps.append(
                     (cid, samp >> 4, samp & 0x0F, payload[8 + 3 * ci])
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2 progressive — dedicated multi-scan decoder
+            return _decode_progressive(b)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/"
-                f"hierarchical) not supported — baseline (SOF0) only"
+                f"JPEG SOF{marker - 0xC0} (extended/arithmetic/"
+                f"hierarchical) not supported — baseline (SOF0) and "
+                f"progressive (SOF2) only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
@@ -659,20 +675,39 @@ def _decode_baseline(b: bytes) -> tuple[int, int, list[np.ndarray]]:
 
     # per component: dequant + de-zigzag + one batched IDCT, then
     # upsample to full resolution by replication and crop
-    planes: list[np.ndarray] = []
-    for h, v, bw_c, q, _dc, _ac, zz in comps:
-        bh_c = zz.shape[0] // bw_c
-        coeffs = np.zeros((zz.shape[0], 64), dtype=np.float64)
-        coeffs[:, _ZIGZAG] = zz * q.reshape(64)[_ZIGZAG]
-        blocks = _C.T @ coeffs.reshape(-1, 8, 8) @ _C
-        plane = (
-            blocks.reshape(bh_c, bw_c, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(bh_c * 8, bw_c * 8)
-        )
-        plane = np.clip(np.round(plane + 128.0), 0, 255).astype(np.uint8)
-        planes.append(_upsample_plane(plane, h, v, hmax, vmax, width, height))
+    planes = [
+        _reconstruct_plane(h, v, bw_c, q, zz, hmax, vmax, width, height)
+        for h, v, bw_c, q, _dc, _ac, zz in comps
+    ]
     return width, height, planes
+
+
+def _reconstruct_plane(
+    h: int,
+    v: int,
+    bw_c: int,
+    q: np.ndarray,
+    zz: np.ndarray,
+    hmax: int,
+    vmax: int,
+    width: int,
+    height: int,
+) -> np.ndarray:
+    """Dequant + de-zigzag + one batched IDCT over a component's
+    (n_blocks, 64) zigzag coefficients, then upsample/crop — shared by
+    the baseline and progressive decoders (a progressive stream's
+    coefficients reconstruct identically once every scan is applied)."""
+    bh_c = zz.shape[0] // bw_c
+    coeffs = np.zeros((zz.shape[0], 64), dtype=np.float64)
+    coeffs[:, _ZIGZAG] = zz * q.reshape(64)[_ZIGZAG]
+    blocks = _C.T @ coeffs.reshape(-1, 8, 8) @ _C
+    plane = (
+        blocks.reshape(bh_c, bw_c, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh_c * 8, bw_c * 8)
+    )
+    plane = np.clip(np.round(plane + 128.0), 0, 255).astype(np.uint8)
+    return _upsample_plane(plane, h, v, hmax, vmax, width, height)
 
 
 #: JFIF YCbCr→RGB coefficients (ITU-R BT.601, the constants every
@@ -729,3 +764,638 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     raise NotImplementedError(
         f"{len(planes)}-component JPEG (CMYK/unknown) not supported"
     )
+
+
+# ---------------------------------------------------------------------
+# Progressive JPEG (SOF2) — T.81 Annex G.1.2: spectral selection +
+# successive approximation, DC and AC first/refinement scans, EOB
+# runs, correction bits, restart resync. Scans accumulate into the
+# same per-component coefficient grids the baseline decoder fills in
+# one pass; reconstruction is shared (_reconstruct_plane).
+# ---------------------------------------------------------------------
+
+
+def _entropy_segments_end(b: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Like :func:`_entropy_segments`, but also returns the offset of
+    the first non-RST marker after the scan — a progressive stream has
+    several scans, so the marker walk must resume there."""
+    segments: list[bytes] = []
+    start = pos
+    i = pos
+    n = len(b)
+    while True:
+        j = b.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            segments.append(b[start:n].replace(b"\xff\x00", b"\xff"))
+            return segments, n
+        nxt = b[j + 1]
+        if nxt == 0x00:
+            i = j + 2
+            continue
+        segments.append(b[start:j].replace(b"\xff\x00", b"\xff"))
+        if 0xD0 <= nxt <= 0xD7:  # RSTn: next segment follows
+            start = i = j + 2
+            continue
+        return segments, j
+
+
+class _BitReader:
+    """MSB-first bit reader over one unstuffed entropy segment, with
+    the 16-bit Huffman LUT probe the baseline decoder uses. Two 0xFF
+    pad bytes emulate the spec's 1-bit fill so the final peek never
+    underruns; the block counter, not the stream, ends a scan."""
+
+    __slots__ = ("data", "dlen", "acc", "nbits", "dpos")
+
+    def __init__(self, seg: bytes) -> None:
+        self.data = seg + b"\xff\xff"
+        self.dlen = len(self.data)
+        self.acc = 0
+        self.nbits = 0
+        self.dpos = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.dpos >= self.dlen:
+                raise ValueError("truncated JPEG entropy stream")
+            self.acc = (self.acc << 8) | self.data[self.dpos]
+            self.dpos += 1
+            self.nbits += 8
+
+    def huff(self, lut: list[int]) -> int:
+        self._fill(16)
+        entry = lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        if entry == 0:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        self.nbits -= entry >> 8
+        self.acc &= (1 << self.nbits) - 1
+        return entry & 0xFF
+
+    def bits(self, size: int) -> int:
+        if size == 0:
+            return 0
+        self._fill(size)
+        raw = (self.acc >> (self.nbits - size)) & ((1 << size) - 1)
+        self.nbits -= size
+        self.acc &= (1 << self.nbits) - 1
+        return raw
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+
+def _decode_progressive(b: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Decode a progressive (SOF2) JPEG: walk every scan in stream
+    order (tables may be redefined between scans), apply each to the
+    per-component coefficient grids per its (Ss, Se, Ah, Al) band and
+    approximation bits, then reconstruct like the baseline path."""
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    hluts: dict[tuple[int, int], list[int]] = {}
+    width = height = 0
+    restart_interval = 0
+    sof_comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
+    # per component id: geometry + coefficient grid, built at SOF
+    geom: dict[int, dict] = {}
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    eob_seen = False
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at offset {pos}")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            eob_seen = True
+            break
+        (length,) = struct.unpack_from(">H", b, pos + 2)
+        payload = b[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(payload, dtype=np.uint8, count=64, offset=p).astype(np.int64)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(payload, dtype=">u2", count=64, offset=p).astype(np.int64)
+                    p += 128
+                raster = np.empty(64, dtype=np.int64)
+                raster[_ZIGZAG] = tbl
+                qtables[tq] = raster.reshape(8, 8)
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = tuple(payload[p + 1 : p + 17])
+                n = sum(bits)
+                values = tuple(payload[p + 17 : p + 17 + n])
+                hluts[(tc, th)] = _decoder_lut(bits, values)
+                p += 17 + n
+        elif marker == 0xC2:
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if precision != 8:
+                raise NotImplementedError("only 8-bit JPEG precision supported")
+            for ci in range(ncomp):
+                cid = payload[6 + 3 * ci]
+                samp = payload[7 + 3 * ci]
+                sof_comps.append((cid, samp >> 4, samp & 0x0F, payload[8 + 3 * ci]))
+            hmax = max(c[1] for c in sof_comps)
+            vmax = max(c[2] for c in sof_comps)
+            if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+                raise ValueError("invalid sampling factors")
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            for cid, h, v, tq in sof_comps:
+                bw_c, bh_c = mcus_x * h, mcus_y * v
+                # non-interleaved scans cover the component's OWN
+                # block grid (ceil of its sample dims), which may be
+                # narrower than the MCU-padded grid
+                cw = -(-(width * h) // hmax)
+                ch = -(-(height * v) // vmax)
+                geom[cid] = {
+                    "h": h, "v": v, "tq": tq,
+                    "bw": bw_c, "bh": bh_c,
+                    "nbw": -(-cw // 8), "nbh": -(-ch // 8),
+                    "zz": np.zeros((bh_c * bw_c, 64), dtype=np.int64),
+                    "eobrun_guard": 0,
+                }
+        elif marker == 0xC0:
+            raise ValueError("mixed SOF0+SOF2 stream")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} not supported"
+            )
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:
+            if not sof_comps:
+                raise ValueError("SOS before SOF2")
+            ns = payload[0]
+            scan_comps = []
+            for si in range(ns):
+                cid = payload[1 + 2 * si]
+                tsel = payload[2 + 2 * si]
+                if cid not in geom:
+                    raise ValueError(f"scan references unknown component {cid}")
+                scan_comps.append((cid, tsel >> 4, tsel & 0x0F))
+            ss = payload[1 + 2 * ns]
+            se = payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            segments, pos = _entropy_segments_end(b, pos)
+            _progressive_scan(
+                scan_comps, ss, se, ah, al, segments, restart_interval,
+                geom, hluts, mcus_x, mcus_y,
+            )
+        # APPn / COM: skipped
+    if not geom:
+        raise ValueError("JPEG stream has no SOF2 frame")
+    del eob_seen  # EOI optional for robustness — scans already applied
+    planes = [
+        _reconstruct_plane(
+            g["h"], g["v"], g["bw"], qtables[g["tq"]], g["zz"],
+            hmax, vmax, width, height,
+        )
+        for g in (geom[c[0]] for c in sof_comps)
+    ]
+    return width, height, planes
+
+
+def _progressive_scan(
+    scan_comps, ss, se, ah, al, segments, restart_interval,
+    geom, hluts, mcus_x, mcus_y,
+) -> None:
+    """Apply ONE progressive scan to the coefficient grids. Restart
+    segments reset DC predictors and the EOB run."""
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if not is_dc and len(scan_comps) != 1:
+        raise ValueError("progressive AC scans are single-component")
+    if not is_dc and ss > se or se > 63:
+        raise ValueError("bad spectral band")
+
+    if len(scan_comps) > 1:
+        # interleaved (DC) scan: MCU walk — T.81 allows interleaving
+        # only when ns > 1, and progressive AC scans are always ns=1
+        units_total = mcus_x * mcus_y
+        interleaved = True
+    else:
+        cid = scan_comps[0][0]
+        g = geom[cid]
+        units_total = g["nbw"] * g["nbh"]
+        interleaved = False
+    n_per_seg = restart_interval or units_total
+    if len(segments) < -(-units_total // n_per_seg):
+        raise ValueError(
+            f"expected {-(-units_total // n_per_seg)} restart segments, "
+            f"found {len(segments)}"
+        )
+
+    ui = 0
+    for seg in segments:
+        br = _BitReader(seg)
+        preds = {cid: 0 for cid, _, _ in scan_comps}
+        eobrun = 0
+        seg_end = min(ui + n_per_seg, units_total)
+        while ui < seg_end:
+            if interleaved:
+                mcu_y, mcu_x = divmod(ui, mcus_x)
+                for cid, dc_id, _ac_id in scan_comps:
+                    g = geom[cid]
+                    h, v, bw_c = g["h"], g["v"], g["bw"]
+                    zz = g["zz"]
+                    for by in range(v):
+                        for bx in range(h):
+                            row = zz[(mcu_y * v + by) * bw_c + (mcu_x * h + bx)]
+                            preds[cid] = _dc_prog_block(
+                                row, br, hluts, dc_id, ah, al, preds[cid]
+                            )
+            else:
+                cid, dc_id, ac_id = scan_comps[0]
+                g = geom[cid]
+                by, bx = divmod(ui, g["nbw"])
+                row = g["zz"][by * g["bw"] + bx]
+                if is_dc:
+                    preds[cid] = _dc_prog_block(
+                        row, br, hluts, dc_id, ah, al, preds[cid]
+                    )
+                elif ah == 0:
+                    eobrun = _ac_first_block(
+                        row, br, hluts[(1, ac_id)], ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine_block(
+                        row, br, hluts[(1, ac_id)], ss, se, al, eobrun
+                    )
+            ui += 1
+        if ui >= units_total:
+            break
+
+
+def _dc_prog_block(row, br, hluts, dc_id, ah, al, pred):
+    """DC scan contribution for one block: first scan (Ah=0) decodes
+    the point-transformed differential DC and stores pred << Al; a
+    refinement scan appends one magnitude bit at position Al."""
+    if ah == 0:
+        size = br.huff(hluts[(0, dc_id)])
+        if size:
+            pred += _extend(br.bits(size), size)
+        row[0] = pred << al
+        return pred
+    if br.bit():
+        row[0] |= 1 << al  # two's-complement OR — correct for negatives
+    return pred
+
+
+def _ac_first_block(row, br, ac_lut, ss, se, al, eobrun):
+    """AC first scan (Ah=0) for one block: run-length decode of the
+    point-transformed band with EOBn run codes (T.81 G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.huff(ac_lut)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                return eobrun - 1  # this block ends the current run
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        row[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(row, br, ac_lut, ss, se, al, eobrun):
+    """AC refinement scan (Ah=Al+1) for one block: newly-significant
+    coefficients arrive as ±1<<Al with zero-history run lengths;
+    every already-nonzero coefficient crossed (or remaining once the
+    EOB run starts) reads one correction bit (T.81 G.1.2.3)."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.huff(ac_lut)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid newly-significant size in AC refinement")
+                val = p1 if br.bit() else -p1
+            while k <= se:
+                c = row[k]
+                if c != 0:
+                    if br.bit() and (abs(c) & p1) == 0:
+                        row[k] = c + (p1 if c > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                row[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = row[k]
+            if c != 0:
+                if br.bit() and (abs(c) & p1) == 0:
+                    row[k] = c + (p1 if c > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+# Custom AC Huffman table for progressive scans: the Annex K AC table
+# lacks the EOBn symbols (0x10..0xE0) progressive EOB runs need, so
+# the encoder ships a flat canonical table — every symbol it can emit
+# at length 8 (176 < 255 codes, so the all-ones prefix stays reserved
+# per Annex C). Legal JPEG: progressive encoders routinely define
+# custom tables; the decoder builds its LUT from whatever DHT carries.
+_PROG_AC_VALUES = tuple(sorted(set(_AC_VALUES) | {r << 4 for r in range(15)}))
+_PROG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_VALUES), 0, 0, 0, 0, 0, 0, 0, 0)
+
+
+class _ProgACWriter:
+    """AC-scan emitter state: EOB run accumulation plus the buffered
+    correction bits that trail it (T.81 G.1.2.2/G.1.2.3 — correction
+    bits of blocks inside an EOB run are emitted when the run is)."""
+
+    def __init__(self, write, ac_codes) -> None:
+        self.write = write
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.bits: list[int] = []  # buffered correction bits
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            code, length = self.ac_codes[n << 4]
+            self.write(code, length)
+            if n:
+                self.write(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+        for bit in self.bits:
+            self.write(bit, 1)
+        self.bits = []
+
+    def bump_eobrun(self) -> None:
+        self.eobrun += 1
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+
+def _enc_ac_first_block(st: _ProgACWriter, band, al) -> None:
+    """Encode one block's AC first-scan contribution (band = zigzag
+    coefficients Ss..Se, pre point-transform)."""
+    vals = [
+        (v >> al) if v >= 0 else -((-v) >> al) for v in band
+    ]
+    last = -1
+    for i, v in enumerate(vals):
+        if v:
+            last = i
+    if last < 0:
+        st.bump_eobrun()
+        return
+    st.flush_eobrun()
+    write, ac_codes = st.write, st.ac_codes
+    run = 0
+    for v in vals[: last + 1]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            write(code, length)
+            run -= 16
+        size = _category(v)
+        code, length = ac_codes[(run << 4) | size]
+        write(code, length)
+        write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < len(vals) - 1:
+        st.bump_eobrun()
+
+
+def _enc_ac_refine_block(st: _ProgACWriter, band, al) -> None:
+    """Encode one block's AC refinement contribution: newly
+    significant coefficients (|v|>>Al == 1) as (run<<4)|1 + sign,
+    correction bits for already-nonzero coefficients buffered and
+    flushed after the codeword (or with the EOB run)."""
+    absv = [(-v if v < 0 else v) >> al for v in band]
+    eob = -1  # index of last newly-significant coefficient
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob = i
+    write, ac_codes = st.write, st.ac_codes
+    run = 0
+    pending: list[int] = []  # correction bits since the last codeword
+    for i, a in enumerate(absv):
+        if a == 0:
+            run += 1
+            continue
+        # the ZRL check runs at EVERY nonzero (old or new): a ZRL's
+        # correction bits must be exactly those of the old-nonzeros
+        # inside its 16-zero-history span, so an old-nonzero reached
+        # with run already > 15 forces the ZRL out BEFORE its own bit
+        # is buffered (this is the positional contract the decoder's
+        # skip loop enforces). Only emitted while a newly-significant
+        # coefficient is still ahead (i <= eob) — a trailing run
+        # joins the EOB run instead.
+        while run > 15 and i <= eob:
+            st.flush_eobrun()
+            code, length = ac_codes[0xF0]
+            write(code, length)
+            run -= 16
+            for bit in pending:
+                write(bit, 1)
+            pending = []
+        if a > 1:
+            # old nonzero: correction bit (next lower magnitude bit)
+            pending.append(a & 1)
+            continue
+        # newly significant (a == 1)
+        st.flush_eobrun()
+        code, length = ac_codes[(run << 4) | 1]
+        write(code, length)
+        write(1 if band[i] >= 0 else 0, 1)
+        for bit in pending:
+            write(bit, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        # block tail has no more newly-significant coefficients:
+        # joins the EOB run, its correction bits ride with the run
+        st.bits.extend(pending)
+        st.bump_eobrun()
+
+
+def encode_jpeg_progressive(
+    y: np.ndarray,
+    cb: np.ndarray | None = None,
+    cr: np.ndarray | None = None,
+    qtable: np.ndarray | None = None,
+    luma_sampling: tuple[int, int] = (1, 1),
+) -> bytes:
+    """Encode gray or YCbCr planes as a PROGRESSIVE (SOF2) JFIF JPEG
+    with the standard scan shape real encoders emit: an interleaved
+    DC first scan at Al=1, per-component AC first scans (Ss=1..63,
+    Al=1) with EOB-run coding, then the DC and AC successive-
+    approximation refinement scans at Al=0. The quantized coefficients
+    reconstruct EXACTLY the ones the baseline encoder would ship, so
+    a progressive stream of the same pixels decodes bit-identically
+    to its baseline counterpart — the test/oracle contract."""
+    q = (FLAT_QTABLE if qtable is None else np.asarray(qtable)).astype(np.int64)
+    if q.shape != (8, 8) or (q <= 0).any() or (q > 255).any():
+        raise ValueError("qtable must be 8x8 with entries in 1..255")
+    y = np.asarray(y, dtype=np.uint8)
+    color = cb is not None
+    if color:
+        sh, sv = luma_sampling
+        if (sh, sv) not in ((1, 1), (2, 2)):
+            raise ValueError("luma_sampling must be (1,1) or (2,2)")
+        cb = np.asarray(cb, dtype=np.uint8)
+        cr = np.asarray(cr, dtype=np.uint8)
+    else:
+        sh = sv = 1
+    h, w = y.shape
+    mcus_x = -(-w // (8 * sh))
+    mcus_y = -(-h // (8 * sv))
+
+    def grid(plane, bw_t, bh_t):
+        g = _encode_component_blocks(plane, q)
+        if g.shape[0] < bh_t or g.shape[1] < bw_t:
+            g = np.pad(
+                g,
+                ((0, bh_t - g.shape[0]), (0, bw_t - g.shape[1]), (0, 0)),
+                mode="edge",
+            )
+        return g
+
+    if color:
+        exp = (-(-h // sv), -(-w // sh))
+        if cb.shape != exp or cr.shape != exp:
+            raise ValueError(f"chroma planes must be {exp}")
+        comps = [
+            (1, sh, sv, grid(y, mcus_x * sh, mcus_y * sv)),
+            (2, 1, 1, grid(cb, mcus_x, mcus_y)),
+            (3, 1, 1, grid(cr, mcus_x, mcus_y)),
+        ]
+    else:
+        comps = [(1, 1, 1, grid(y, mcus_x, mcus_y))]
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALUES)
+    ac_codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALUES)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])  # DC table 0, AC table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(int(x) for x in q.reshape(64)[_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, ch_, cv_, _g in comps:
+        sof += bytes([cid, (ch_ << 4) | cv_, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALUES))
+    out += seg(
+        0xC4, b"\x10" + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALUES)
+    )
+
+    # ---- scan 1: interleaved DC first, Al=1 -------------------------
+    bw = _BitWriter()
+    preds = {cid: 0 for cid, *_ in comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, ch_, cv_, g in comps:
+                for by in range(cv_):
+                    for bx in range(ch_):
+                        dc = int(g[my * cv_ + by, mx * ch_ + bx, 0]) >> 1
+                        diff = dc - preds[cid]
+                        preds[cid] = dc
+                        size = _category(diff)
+                        code, length = dc_codes[size]
+                        bw.write(code, length)
+                        if size:
+                            bw.write(
+                                diff if diff >= 0 else diff + (1 << size) - 1,
+                                size,
+                            )
+    out += sos([c[0] for c in comps], 0, 0, 0, 1)
+    out += bw.finish()
+
+    # ---- per-component AC first scans, Ss=1..63, Al=1 ---------------
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    def comp_blocks(ch_: int, cv_: int) -> tuple[int, int]:
+        # non-interleaved scans cover the component's OWN block grid:
+        # ceil(ceil(dim * factor / max_factor) / 8)
+        cw = -(-(w * ch_) // hmax)
+        chh = -(-(h * cv_) // vmax)
+        return -(-cw // 8), -(-chh // 8)
+
+    for cid, ch_, cv_, g in comps:
+        nbw_c, nbh_c = comp_blocks(ch_, cv_)
+        bw = _BitWriter()
+        st = _ProgACWriter(bw.write, ac_codes)
+        for by in range(nbh_c):
+            for bx in range(nbw_c):
+                band = g[by, bx, 1:64].tolist()
+                _enc_ac_first_block(st, band, 1)
+        st.flush_eobrun()
+        out += sos([cid], 1, 63, 0, 1)
+        out += bw.finish()
+
+    # ---- DC refinement scan (interleaved), Ah=1 Al=0 ----------------
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, ch_, cv_, g in comps:
+                for by in range(cv_):
+                    for bx in range(ch_):
+                        bw.write(int(g[my * cv_ + by, mx * ch_ + bx, 0]) & 1, 1)
+    out += sos([c[0] for c in comps], 0, 0, 1, 0)
+    out += bw.finish()
+
+    # ---- per-component AC refinement scans, Ah=1 Al=0 ---------------
+    for cid, ch_, cv_, g in comps:
+        nbw_c, nbh_c = comp_blocks(ch_, cv_)
+        bw = _BitWriter()
+        st = _ProgACWriter(bw.write, ac_codes)
+        for by in range(nbh_c):
+            for bx in range(nbw_c):
+                band = g[by, bx, 1:64].tolist()
+                _enc_ac_refine_block(st, band, 0)
+        st.flush_eobrun()
+        out += sos([cid], 1, 63, 1, 0)
+        out += bw.finish()
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -488,15 +488,25 @@ def encode_jpeg_blocks(
     id_cols: tuple[str, ...] = ("media_id",),
     blocks_per_row: int = 8,
     pad_byte: int = 0x20,
+    mode: str = "baseline",
 ) -> DataFrame:
-    """Encode a binary payload as a REAL baseline grayscale JPEG
+    """Encode a binary payload as a REAL grayscale JPEG
     (operators/jpeg.py): each payload byte becomes one constant 8×8
     luma block, laid out *blocks_per_row* blocks wide (rows padded
     with *pad_byte*). Constant blocks quantize losslessly under the
     flat table (DC step 8 divides 8·(v−128) exactly, all ACs are
     exactly zero), so the decode round-trip is BIT-exact — any JPEG
     reader recovers the payload bytes as 8×8 pixel tiles, and the
-    oracle can verify the full huffman/DCT path hash-for-hash."""
+    oracle can verify the full huffman/DCT path hash-for-hash.
+
+    *mode*: ``"baseline"`` (SOF0), ``"progressive"`` (SOF2 —
+    multi-scan successive approximation, the format most web corpora
+    ship), or ``"mixed"`` (rows alternate by a hash of the first id
+    column — the realistic crawl shape: the decoder must dispatch per
+    stream). Decoded pixels are identical in every mode, so the same
+    oracle covers all three."""
+    if mode not in ("baseline", "progressive", "mixed"):
+        raise ValueError(f"unknown encode_jpeg_blocks mode: {mode}")
     out_schema = T.StructType(
         [df.schema[c] for c in id_cols] + [T.StructField(content_col, T.BinaryType())]
     )
@@ -507,11 +517,12 @@ def encode_jpeg_blocks(
 
         from etl_finance_pipeline_spark.operators.jpeg import (
             encode_jpeg_gray,
+            encode_jpeg_progressive,
         )
 
         for pdf in batches:
             payloads = []
-            for payload in pdf[content_col]:
+            for rid, payload in zip(pdf[id_list[0]], pdf[content_col]):
                 raw = bytes(payload or b"")
                 n_rows = max(1, -(-len(raw) // blocks_per_row))
                 raw = raw.ljust(n_rows * blocks_per_row, bytes([pad_byte]))
@@ -519,7 +530,12 @@ def encode_jpeg_blocks(
                     n_rows, blocks_per_row
                 )
                 img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
-                payloads.append(encode_jpeg_gray(img))
+                prog = mode == "progressive" or (
+                    mode == "mixed" and int(rid) % 2 == 1
+                )
+                payloads.append(
+                    encode_jpeg_progressive(img) if prog else encode_jpeg_gray(img)
+                )
             out = pdf[id_list].copy()
             out[content_col] = payloads
             yield out

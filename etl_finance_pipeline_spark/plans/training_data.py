@@ -2973,6 +2973,41 @@ FROM codes
 """
 
 
+def q_image_stats_jpeg_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A MIXED baseline/progressive JPEG corpus through the real
+    decoder — the realistic crawl shape (most web images ship SOF2):
+    odd doc_ids encode as multi-scan progressive (successive
+    approximation, DC+AC refinement, EOB runs), even as baseline; the
+    decoder dispatches per stream off the SOF marker. Decoded pixels
+    are identical either way, so the SAME byte-level oracle certifies
+    both entropy coders — a bug anywhere in the progressive scan
+    algebra (point transforms, correction bits, EOB-run skips)
+    changes pixels and breaks the hash."""
+    from etl_finance_pipeline_spark.functions.layout import fan_out
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_jpeg_blocks,
+    )
+
+    docs = fan_out(
+        load_table(spark, _t(sf_dir, "documents")).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
+        )
+    )
+    jpg = encode_jpeg_blocks(docs, blocks_per_row=8, mode="mixed")
+    out = decode_image_stats(jpg, decode="jpeg")
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("stats.n_bytes").alias("n_bytes"),
+        _pr(F.col("stats.mean_intensity"), 6).alias("mean_intensity"),
+        F.col("stats.min_byte").cast("long").alias("min_byte"),
+        F.col("stats.max_byte").cast("long").alias("max_byte"),
+        F.col("stats.width").cast("long").alias("width"),
+        F.col("stats.height").cast("long").alias("height"),
+    )
+
+
 def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level decontamination (operators/dedup.py
     decontaminate_spans): eval docs (doc_id % 10 = 0 stand in for a
@@ -4298,6 +4333,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_train": q_unigram_train,
     "unigram_segment": q_unigram_segment,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "image_stats_jpeg_mixed": q_image_stats_jpeg_mixed,
     "char_entropy": q_char_entropy,
     "video_fingerprint": q_video_fingerprint,
     "video_near_dup": q_video_near_dup,
@@ -4383,6 +4419,7 @@ ORACLES_TD: dict[str, str] = {
     "unigram_train": SQL_UNIGRAM_TRAIN,
     "unigram_segment": SQL_UNIGRAM_SEGMENT,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
+    "image_stats_jpeg_mixed": SQL_IMAGE_STATS_JPEG,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
     "chunk_docs": SQL_CHUNK_DOCS,

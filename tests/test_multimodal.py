@@ -527,11 +527,16 @@ def test_jpeg_decoder_fail_loud():
     good = bytearray(
         encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8))
     )
-    # flip SOF0 -> SOF2 (progressive): must raise NotImplementedError,
-    # not mis-decode
+    # flip SOF0 -> SOF2: the stream claims progressive but carries a
+    # baseline scan header (Ss=0, Se=63 — illegal for a progressive
+    # DC scan) — must fail loudly, not mis-decode
     idx = good.find(b"\xff\xc0")
     good[idx + 1] = 0xC2
-    with _pytest.raises(NotImplementedError, match="progressive"):
+    with _pytest.raises(ValueError, match="DC scan must have Se=0"):
+        decode_jpeg_gray(bytes(good))
+    # genuinely unsupported frame types still raise NotImplementedError
+    good[idx + 1] = 0xC9  # SOF9: arithmetic coding
+    with _pytest.raises(NotImplementedError, match="SOF9"):
         decode_jpeg_gray(bytes(good))
 
 
@@ -966,3 +971,118 @@ def test_jpeg_upsample_non_integer_factor_ratio():
     assert np.array_equal(
         _upsample_plane(p, 3, 3, 3, 3, 5, 4), p[:4, :5]
     )
+
+
+def test_jpeg_progressive_equals_baseline_bit_exact():
+    """A progressive (SOF2) stream reconstructs the identical
+    quantized coefficients as its baseline counterpart, so both
+    encodings of the same pixels decode bit-identically — across
+    gray/4:4:4/4:2:0, odd dimensions, EOB-run-heavy constant images,
+    and refinement-heavy near-flat images (|coef| ∈ {0,1,2})."""
+    import numpy as np
+
+    from etl_finance_pipeline_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        decode_jpeg_rgb,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        encode_jpeg_ycbcr,
+    )
+
+    rng = np.random.RandomState(3)
+    cases = [
+        rng.randint(0, 256, (24, 37)).astype(np.uint8),  # random odd dims
+        (128 + rng.randint(-2, 3, (30, 18))).astype(np.uint8),  # refine-heavy
+        np.full((40, 40), 77, np.uint8),  # constant: EOB-run heavy
+    ]
+    sparse = np.full((64, 64), 100, np.uint8)
+    sparse[50:, 50:] = rng.randint(0, 256, (14, 14))
+    cases.append(sparse)  # long EOB runs then content
+    for y in cases:
+        assert decode_jpeg_gray(encode_jpeg_progressive(y)) == decode_jpeg_gray(
+            encode_jpeg_gray(y)
+        )
+    # color, both samplings
+    y = rng.randint(0, 256, (21, 19)).astype(np.uint8)
+    cb = rng.randint(0, 256, (21, 19)).astype(np.uint8)
+    cr = rng.randint(0, 256, (21, 19)).astype(np.uint8)
+    assert decode_jpeg_rgb(encode_jpeg_progressive(y, cb, cr)) == decode_jpeg_rgb(
+        encode_jpeg_ycbcr(y, cb, cr)
+    )
+    cbs = rng.randint(0, 256, (11, 10)).astype(np.uint8)
+    crs = rng.randint(0, 256, (11, 10)).astype(np.uint8)
+    assert decode_jpeg_rgb(
+        encode_jpeg_progressive(y, cbs, crs, luma_sampling=(2, 2))
+    ) == decode_jpeg_rgb(encode_jpeg_ycbcr(y, cbs, crs, luma_sampling=(2, 2)))
+
+
+def test_jpeg_progressive_stream_is_sof2_and_multiscan():
+    """The progressive encoder ships a genuine SOF2 multi-scan stream
+    (not a re-labeled baseline): SOF2 marker, one DHT carrying EOBn
+    symbols, and 4+ SOS scans with the successive-approximation
+    Ss/Se/Ah/Al progression."""
+    import struct
+
+    import numpy as np
+
+    from etl_finance_pipeline_spark.operators.jpeg import (
+        _entropy_segments_end,
+        encode_jpeg_progressive,
+    )
+
+    y = np.random.RandomState(4).randint(0, 256, (17, 25)).astype(np.uint8)
+    b = encode_jpeg_progressive(y)
+    pos, scans, markers = 2, [], []
+    while pos + 2 <= len(b) and b[pos + 1] != 0xD9:
+        m = b[pos + 1]
+        markers.append(m)
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        if m == 0xDA:
+            pl = b[pos + 4 : pos + 2 + ln]
+            ns = pl[0]
+            scans.append((ns, pl[1 + 2 * ns], pl[2 + 2 * ns], pl[3 + 2 * ns]))
+            pos += 2 + ln
+            _, pos = _entropy_segments_end(b, pos)
+        else:
+            pos += 2 + ln
+    assert 0xC2 in markers and 0xC0 not in markers
+    # DC first (Al=1), AC first (Ss=1 Se=63 Al=1), DC refine, AC refine
+    assert scans[0] == (1, 0, 0, 0x01)
+    assert scans[1] == (1, 1, 63, 0x01)
+    assert scans[2] == (1, 0, 0, 0x10)
+    assert scans[3] == (1, 1, 63, 0x10)
+
+
+def test_jpeg_mixed_corpus_spark_lane(spark):
+    """encode_jpeg_blocks(mode='mixed') alternates SOF0/SOF2 by id;
+    decode_image_stats dispatches per stream and recovers identical
+    pixel stats for both — the crawl-shaped lane the oracle query
+    image_stats_jpeg_mixed certifies per round."""
+    from pyspark.sql import functions as F
+
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_jpeg_blocks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"payload number {i} with some text") for i in range(6)],
+        "media_id long, text string",
+    ).select("media_id", F.encode("text", "UTF-8").alias("content"))
+    jpg = encode_jpeg_blocks(docs, blocks_per_row=8, mode="mixed")
+    raw = {r["media_id"]: bytes(r["content"]) for r in jpg.collect()}
+    # odd ids are SOF2 streams, even are SOF0
+    for mid, payload in raw.items():
+        marker = b"\xff\xc2" if mid % 2 == 1 else b"\xff\xc0"
+        assert marker in payload, mid
+    stats = {
+        r["media_id"]: r["stats"]
+        for r in decode_image_stats(jpg, decode="jpeg").collect()
+    }
+    base = {
+        r["media_id"]: r["stats"]
+        for r in decode_image_stats(
+            encode_jpeg_blocks(docs, blocks_per_row=8), decode="jpeg"
+        ).collect()
+    }
+    assert stats == base

@@ -2,8 +2,10 @@
 (post-AQE) plans must keep their shuffle/broadcast/pushdown shape —
 a regression here is a scale bug even when results stay correct.
 
-Counts come from tools.audit_plans.audit over the FINAL adaptive plan
-(same code path as PLANS.md)."""
+Counts come from tools.audit_plans.audit_executions over the SQL
+status store (same code path as PLANS.md): every execution the query
+triggers is aggregated, so localCheckpoint lineage truncation cannot
+hide a shuffle from these guards."""
 
 from __future__ import annotations
 
@@ -14,7 +16,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.audit_plans import audit  # noqa: E402
+from tools.audit_plans import _max_exec_id, audit_executions  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -27,9 +29,12 @@ pytestmark = pytest.mark.skipif(
 def _executed_audit(spark, name):
     import __spark_entry__ as entrymod
 
+    store = spark._jsparkSession.sharedState().statusStore()
+    last = _max_exec_id(store)
     df = entrymod.queries()[name](spark, SF_DIR)
     df.collect()
-    return audit(df._jdf.queryExecution().executedPlan().toString())
+    agg, _ = audit_executions(store, last)
+    return agg
 
 
 def test_text_queries_are_exchange_free(spark):
@@ -56,8 +61,19 @@ def test_scans_prune_columns(spark):
     a = _executed_audit(spark, "pricing_summary")
     # the Q1 analog reads a handful of lineitem columns, never the table
     assert a["scans"], a
-    for cols in a["scans"]:
-        assert len([c for c in cols.split(",") if c.strip()]) <= 8, a
+    for ncols in a["scans"]:
+        assert 0 < ncols <= 8, a
+
+
+def test_iterative_audit_sees_through_checkpoints(spark):
+    # pagerank localCheckpoints per round: the final frame's own plan
+    # starts at a Scan ExistingRDD, but the aggregated audit must
+    # still report the real per-round shuffles and parquet scans —
+    # this is the round-6 verdict's audit blind spot, pinned here.
+    a = _executed_audit(spark, "pagerank")
+    assert a["execs"] > 1, a
+    assert a["exchanges"] >= 3, a
+    assert a["scans"], a
 
 
 def test_topk_uses_take_ordered(spark):
