@@ -77,15 +77,20 @@ _SHOWCASE_FIRST = (
     # cusum, cuped_experiment, markov_transitions, hotkey_purchase_join,
     # communities_lpa, set_similarity_exact, stream_near_dup (all still
     # registered + full-artifact-verified every round)
-    "pq_topk",  # product-quantization ANN end-to-end (round 6)
-    "video_frames_avi",  # Motion-JPEG AVI container + codec decode (round 6)
-    "image_stats_jpeg_color",  # baseline COLOR JPEG decode path (round 6)
-    "substring_dedup",  # ExactSubstr span discovery, no suffix array (round 6)
-    "substring_dedup_clean",  # corpus rewrite with spans removed (round 6)
-    "video_frames_real",  # real YUV4MPEG2 container parse (round 6)
-    "scene_cuts_real",  # shot boundaries over parsed y4m luma planes (round 6)
-    "image_stats_jpeg",  # pure-numpy baseline JPEG decode (round 6)
-    "decontaminate_spans",  # substring-level eval decontamination (round 6)
+    # rotated out after being driver-recorded green in round 6:
+    # video_frames_avi, image_stats_jpeg_color, substring_dedup,
+    # substring_dedup_clean, video_frames_real, scene_cuts_real,
+    # image_stats_jpeg, decontaminate_spans (all still registered +
+    # full-artifact-verified every round)
+    "pq_topk",  # PQ ANN end-to-end; round 7: numpy encode lane + faster train
+    "unigram_train",  # Unigram-LM (SentencePiece-style) Viterbi-EM (round 7)
+    "unigram_segment",  # corpus segmentation with the trained vocab (round 7)
+    "ann_ivfpq_topk",  # IVF-PQ composed ANN: cells + residual codes (round 7)
+    "image_stats_jpeg_mixed",  # PROGRESSIVE (SOF2) + baseline mixed corpus (round 7)
+    "phash_near_dup",  # lossless banded Hamming now uncapped (round 7 fix)
+    "video_near_dup",  # same lossless-contract fix (round 7)
+    "simhash_pairs",  # same lossless-contract fix (round 7)
+    "k_core",  # oracle unroll-depth pin via max_iter (round 7 fix)
 )
 
 

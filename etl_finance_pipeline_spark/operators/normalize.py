@@ -230,11 +230,21 @@ def normalize_datetime(
       ``ambiguous="NaT"``); nonexistent values are shifted forward by
       ``to_utc_timestamp``'s resolution and flagged (D3).
     * If no *source_tz*, stamps are assumed UTC and the report carries
-      ``needs_review=True`` (parity: normalize.py:190-197).
+      ``needs_review=True`` (parity: normalize.py:190-197) — as the
+      CONSERVATIVE static default. String inputs whose values all
+      carry explicit UTC offsets (``+02:00``/``Z`` suffixes) need no
+      assumption, exactly as the reference's tz-aware-index path
+      (normalize.py:198-199) skips the flag: the lazy
+      ``_naive_count_expr`` lets :func:`normalize_df` refine the flag
+      from the data (offset-less parsed rows > 0 ⇔ review needed).
 
     Returns (df, policy_report). The returned df always has *ts_col* as
-    TimestampType in UTC. The report's count fields are lazy Columns
-    aggregated by the caller (see :func:`normalize_df`).
+    TimestampType in UTC, plus the ``_ts_was_null`` helper flag column
+    (listed in the report's ``_helper_cols``; :func:`normalize_df`
+    drops it after aggregating the report) — the count expressions
+    must see the PRE-coercion nullness, and a Column captured before
+    ``withColumn`` re-resolves BY NAME against the replaced column,
+    so the flag has to be materialized alongside the replacement.
     """
     ts = ts_col or detect_datetime_column(df)
     dtype = dict(df.dtypes)[ts]
@@ -250,7 +260,7 @@ def normalize_datetime(
         coerced = F.try_to_timestamp(original.cast("string"))
 
     report: dict = {"needs_review": False, "source_tz": source_tz or "UTC(assumed)"}
-    naive_was_null = original.isNull()
+    helper_cols = ["_ts_was_null"]
 
     if source_tz and source_tz.upper() != "UTC":
         windows = dst_transition_windows(source_tz, *data_years)
@@ -273,22 +283,42 @@ def normalize_datetime(
         localized = F.when(is_ambiguous, F.lit(None).cast("timestamp")).otherwise(
             F.to_utc_timestamp(coerced, source_tz)
         )
-        # single withColumns: both expressions must resolve against the
+        # single withColumns: all expressions must resolve against the
         # ORIGINAL ts column (a second withColumn would see the
-        # already-localized value and the flag would never fire)
-        df2 = df.withColumns({ts: localized, "_dst_nonexistent": is_nonexistent})
+        # already-localized value and the flags would never fire)
+        df2 = df.withColumns(
+            {
+                ts: localized,
+                "_dst_nonexistent": is_nonexistent,
+                "_ts_was_null": original.isNull(),
+            }
+        )
         report["ambiguous_policy"] = "NaT"
         report["nonexistent_policy"] = "shift_forward"
     else:
-        df2 = df.withColumn(ts, coerced)
+        cols = {ts: coerced, "_ts_was_null": original.isNull()}
         if not source_tz:
             report["needs_review"] = True
+            if not dtype.startswith("timestamp"):
+                # explicit-offset strings (+HH:MM / +HHMM / Z) carry
+                # their own zone — only offset-less parsed rows make
+                # the UTC assumption real
+                has_offset = original.cast("string").rlike(
+                    r"([+-]\d{2}:?\d{2}|Z)\s*$"
+                )
+                cols["_ts_no_offset"] = coerced.isNotNull() & ~has_offset
+                helper_cols.append("_ts_no_offset")
+                report["_naive_count_expr"] = F.sum(
+                    F.col("_ts_no_offset").cast("long")
+                ).alias("ts_naive_no_offset")
+        df2 = df.withColumns(cols)
 
     # target tz: Spark timestamps are UTC-internal; conversion is a
     # display concern (D4). We record the contract only.
     report["target_tz"] = target_tz
+    report["_helper_cols"] = helper_cols
     report["_null_count_expr"] = F.sum(
-        (F.col(ts).isNull() & ~naive_was_null).cast("long")
+        (F.col(ts).isNull() & ~F.col("_ts_was_null")).cast("long")
     ).alias("ts_coerced_to_null")
     return df2, report
 
@@ -388,18 +418,29 @@ def normalize_df(
         out, source_tz=source_tz, target_tz=target_tz
     )
     null_count_expr = dt_report.pop("_null_count_expr")
+    naive_count_expr = dt_report.pop("_naive_count_expr", None)
+    helper_cols = dt_report.pop("_helper_cols", [])
     report["timezone"] = dt_report
 
+    before = out  # keeps the helper flag columns for the report agg
+    out = out.drop(*helper_cols)
     keys = dedupe_keys or (["SYMBOL", "TIMESTAMP"] if "SYMBOL" in out.columns else ["TIMESTAMP"])
-    before = out
     out = remove_duplicates(out, keys, dedupe_order)
 
     if collect_report:
-        agg_row = before.agg(
-            F.count("*").alias("rows_before"), null_count_expr
-        ).collect()[0]
+        aggs = [F.count("*").alias("rows_before"), null_count_expr]
+        if naive_count_expr is not None:
+            aggs.append(naive_count_expr)
+        agg_row = before.agg(*aggs).collect()[0]
         report["rows_before_dedupe"] = agg_row["rows_before"]
         report["ts_coerced_to_null"] = agg_row["ts_coerced_to_null"]
+        if naive_count_expr is not None:
+            # refine the conservative static flag from the data: all
+            # stamps carried explicit offsets -> no UTC assumption was
+            # actually made (reference tz-aware-index parity)
+            report["timezone"]["needs_review"] = bool(
+                (agg_row["ts_naive_no_offset"] or 0) > 0
+            )
         report["coercions"] = coercion_report.collect()[0].asDict() if coercion_report.columns else {}
     return NormalizeResult(df=out, report=report)
 

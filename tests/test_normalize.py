@@ -213,3 +213,107 @@ def test_snapshot_diff_null_to_value_counts_as_change(spark):
     new = spark.createDataFrame([(1, 7.0)], "k long, v double")
     got = snapshot_diff(old, new, ["k"]).collect()
     assert got[0]["change_type"] == "changed"
+
+
+# --------------------------------------------------------------------
+# Reference-fixture regression pack (FIXTURES.md F1-F4): the
+# reference's tests/test_transform_normalize.py ships 5 tests whose
+# CSV fixtures are .gitignored out of the repo (they fail with
+# FileNotFoundError from a fresh checkout). The frames below are the
+# FIXTURES.md reconstructions from the test assertions + default
+# config, asserting the same test intent through this engine's
+# normalize_df.
+# --------------------------------------------------------------------
+
+
+def _fixture_ok_rows():
+    # F1 sample_ok.csv: tz-naive 1-min unique stamps, valid OHLCV
+    return [
+        ("2024-01-01 00:0%d:00" % i, 1.1000 + i / 1e4, 1.1010 + i / 1e4,
+         1.0995 + i / 1e4, 1.1005 + i / 1e4, 100.0 + i)
+        for i in range(5)
+    ]
+
+
+def test_fixture_sample_ok_normalizes(spark):
+    """F1 / reference test_normalize_ok + test_normalization_report_
+    exists (tests/test_transform_normalize.py:17-48): synonym rename
+    to the canonical schema, timestamp parsed tz-aware (UTC), OHLC
+    numeric, no duplicate stamps, and a normalization report with
+    dtype/coercion content."""
+    df = spark.createDataFrame(
+        _fixture_ok_rows(),
+        ["timestamp", "open", "high", "low", "close", "volume"],
+    )
+    res = normalize_df(df)
+    out = res.df
+    for col in ("OPEN", "HIGH", "LOW", "CLOSE"):
+        assert col in out.columns
+        assert dict(out.dtypes)[col] == "double"
+    # tz-aware UTC-internal timestamp column, unique
+    assert dict(out.dtypes)["TIMESTAMP"].startswith("timestamp")
+    rows = out.orderBy("TIMESTAMP").collect()
+    assert len(rows) == 5
+    assert len({r["TIMESTAMP"] for r in rows}) == 5
+    # the report carries the dtype/coercion evidence the reference
+    # asserts under "columns"/"dtypes"
+    assert res.report["rows_before_dedupe"] == 5
+    assert all(v == 0 for v in res.report["coercions"].values())
+
+
+def test_fixture_sample_duplicates_keep_first(spark):
+    """F2 / reference test_remove_duplicates (:52-60): 3 rows with
+    one duplicated timestamp -> exactly 2 remain, and the FIRST
+    occurrence's values win."""
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", 1.10, 1.11, 1.09, 1.105, 100.0, 1),
+            ("2024-01-01 00:00:00", 9.99, 9.99, 9.99, 9.990, 999.0, 2),
+            ("2024-01-01 00:01:00", 1.11, 1.12, 1.10, 1.115, 101.0, 3),
+        ],
+        ["timestamp", "open", "high", "low", "close", "volume", "seq"],
+    )
+    res = normalize_df(df, dedupe_order=[F.col("seq")])
+    assert res.df.count() == 2
+    kept = {r["seq"] for r in res.df.collect()}
+    assert kept == {1, 3}  # keep-first: seq 2 (the later dup) dropped
+
+
+def test_fixture_sample_tzaware_parses_offsets(spark):
+    """F3 / reference test_tzaware (:64-72): timestamp strings carry
+    explicit UTC offsets and source_tz=None — the parsed column is
+    tz-aware (UTC-internal) honoring each row's own offset."""
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00+02:00", 1.10, 1.11, 1.09, 1.105, 100.0),
+            ("2024-01-01 01:00:00+02:00", 1.11, 1.12, 1.10, 1.115, 101.0),
+        ],
+        ["timestamp", "open", "high", "low", "close", "volume"],
+    )
+    res = normalize_df(df, source_tz=None, target_tz="UTC")
+    rows = res.df.orderBy("TIMESTAMP").collect()
+    assert len(rows) == 2
+    # +02:00 offset honored: 00:00+02:00 == 22:00 UTC the day before
+    assert rows[0]["TIMESTAMP"].strftime("%Y-%m-%d %H:%M") == "2023-12-31 22:00"
+    # tz-aware assumption satisfied without the needs_review flag the
+    # assumed-UTC path raises
+    assert not res.report["timezone"].get("needs_review", False)
+
+
+def test_fixture_sample_strings_coerce_to_null(spark):
+    """F4 / reference test_string_close_becomes_nan (:76-84): a
+    non-numeric CLOSE string coerces to NULL (pandas NaN analog), is
+    counted in the coercion report, and the row survives."""
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", 1.10, 1.11, 1.09, "abc", 100.0),
+            ("2024-01-01 00:01:00", 1.11, 1.12, 1.10, "1.115", 101.0),
+        ],
+        ["timestamp", "open", "high", "low", "close", "volume"],
+    )
+    res = normalize_df(df)
+    rows = {r["TIMESTAMP"].strftime("%H:%M"): r for r in res.df.collect()}
+    assert len(rows) == 2
+    assert rows["00:00"]["CLOSE"] is None
+    assert abs(rows["00:01"]["CLOSE"] - 1.115) < 1e-12
+    assert res.report["coercions"]["coerced_CLOSE"] == 1
