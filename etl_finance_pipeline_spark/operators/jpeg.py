@@ -176,6 +176,11 @@ def _decoder_lut(bits: tuple, values: tuple) -> list[int]:
     the same Annex K tables, and a per-image rebuild of the 65536
     entries would dominate small-image decode (profiled 0.3 of
     0.5 s per 50 images before caching)."""
+    if len(bits) != 16 or sum(bits) != len(values):
+        raise ValueError(
+            "malformed DHT: BITS counts do not match VALUES length "
+            "(truncated table?)"
+        )
     lut = np.zeros(65536, dtype=np.int64)
     code = 0
     idx = 0

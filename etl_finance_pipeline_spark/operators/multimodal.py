@@ -1675,3 +1675,109 @@ def video_fingerprint(
             yield out
 
     return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)
+
+
+def image_decode_audit(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("media_id",),
+    decode: str = "jpeg",
+) -> DataFrame:
+    """Row-level decode AUDIT — the quarantine accounting a 100 TB
+    media run needs (the reference's quarantine idea,
+    src/etl/extract/extractor.py:56-59, applied to the codec lane):
+    every payload is decoded under a per-row try, so one corrupt
+    image can never kill the job; the output records per row whether
+    the decode succeeded, WHICH codec variant the stream is (for
+    JPEG: baseline SOF0 vs progressive SOF2 — the skip-rate split
+    that matters on web corpora), and the loud-failure error for
+    quarantined rows. Aggregate it for the per-variant skip-rate
+    report; anti-join it to route quarantined payloads to a side
+    table.
+
+    Same Arrow-batched mapInPandas shape as decode_image_stats:
+    narrow, no shuffle, memory bounded per batch. Error strings come
+    from the in-module parsers and are deterministic, so the whole
+    audit sits under a value-hash oracle.
+
+    Output: id columns + (status 'ok'|'quarantined'|'empty',
+    variant, error, width, height).
+    """
+    if decode not in ("ppm", "bmp", "png", "jpeg"):
+        raise ValueError(f"unknown decode mode: {decode}")
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [
+            T.StructField("status", T.StringType()),
+            T.StructField("variant", T.StringType()),
+            T.StructField("error", T.StringType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+        ]
+    )
+    id_list = list(id_cols)
+
+    def _jpeg_variant(b: bytes) -> str | None:
+        # marker scan only (no entropy decode): SOF kind if present
+        import struct as _struct
+
+        pos = 2
+        while pos + 4 <= len(b) and b[pos] == 0xFF:
+            marker = b[pos + 1]
+            if marker == 0xC0:
+                return "baseline"
+            if marker == 0xC2:
+                return "progressive"
+            if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if pos + 4 > len(b):
+                break
+            (ln,) = _struct.unpack_from(">H", b, pos + 2)
+            pos += 2 + ln
+        return None
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from etl_finance_pipeline_spark.operators.jpeg import decode_jpeg
+
+        parsers = {
+            "ppm": _parse_ppm,
+            "bmp": _parse_bmp,
+            "png": _parse_png,
+        }
+        for pdf in batches:
+            rows = []
+            for payload in pdf[content_col]:
+                if payload is None or len(payload) == 0:
+                    rows.append(("empty", None, None, None, None))
+                    continue
+                b = bytes(payload)
+                variant = _jpeg_variant(b) if decode == "jpeg" else decode
+                try:
+                    if decode == "jpeg":
+                        w, h, _nc, _pix = decode_jpeg(b)
+                    else:
+                        w, h, _pix = parsers[decode](b)
+                    rows.append(("ok", variant, None, w, h))
+                # broad catch is the POINT of a quarantine lane: any
+                # decode failure (parse error, unsupported mode, or a
+                # malformed stream tripping an unexpected corner)
+                # becomes a quarantined row, never a dead job
+                except Exception as ex:  # noqa: BLE001
+                    rows.append(
+                        (
+                            "quarantined",
+                            variant,
+                            f"{type(ex).__name__}: {ex}",
+                            None,
+                            None,
+                        )
+                    )
+            out = pdf[id_list].copy()
+            for i, name in enumerate(
+                ("status", "variant", "error", "width", "height")
+            ):
+                out[name] = [r[i] for r in rows]
+            yield out
+
+    return df.select(*id_cols, content_col).mapInPandas(kernel, out_schema)

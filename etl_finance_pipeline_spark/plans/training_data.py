@@ -3008,6 +3008,70 @@ def q_image_stats_jpeg_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant quarantine accounting for the media lane — what a
+    100 TB run reports instead of dying on the first corrupt image:
+    a corpus that is one-third baseline JPEG, one-third progressive
+    JPEG, one-third NOT A JPEG AT ALL (raw text bytes) flows through
+    the row-level decode audit; the output is the per-(status,
+    variant, error) census with the decoded geometry bound for the
+    healthy rows. The corrupt third exercises the quarantine path
+    end-to-end (deterministic loud-failure error strings sit under
+    the hash); nothing throws."""
+    from etl_finance_pipeline_spark.functions.layout import fan_out
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        encode_jpeg_blocks,
+        image_decode_audit,
+    )
+
+    docs = fan_out(
+        load_table(spark, _t(sf_dir, "documents")).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
+        )
+    )
+    b0 = encode_jpeg_blocks(
+        docs.filter(F.col("media_id") % 3 == 0), blocks_per_row=8
+    )
+    b1 = encode_jpeg_blocks(
+        docs.filter(F.col("media_id") % 3 == 1),
+        blocks_per_row=8,
+        mode="progressive",
+    )
+    b2 = docs.filter(F.col("media_id") % 3 == 2)  # raw text: not a JPEG
+    audit = image_decode_audit(b0.unionByName(b1).unionByName(b2))
+    return audit.groupBy("status", "variant", "error").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("height").alias("max_height"),
+    )
+
+
+SQL_MEDIA_DECODE_AUDIT = """
+WITH rows_ AS (
+  SELECT doc_id,
+         CASE WHEN len(text) = 0 THEN 'empty'
+              WHEN doc_id % 3 = 2 THEN 'quarantined'
+              ELSE 'ok' END AS status,
+         CASE WHEN len(text) = 0 THEN NULL
+              WHEN doc_id % 3 = 0 THEN 'baseline'
+              WHEN doc_id % 3 = 1 THEN 'progressive'
+              ELSE NULL END AS variant,
+         CASE WHEN len(text) > 0 AND doc_id % 3 = 2
+              THEN 'ValueError: not a JPEG stream (missing SOI)'
+              ELSE NULL END AS error,
+         CASE WHEN len(text) > 0 AND doc_id % 3 < 2
+              THEN CAST(greatest(1, ceil(len(text) / 8.0)) * 8 AS BIGINT)
+              ELSE NULL END AS height
+  FROM documents
+)
+SELECT status, variant, error,
+       CAST(count(*) AS BIGINT) AS n,
+       max(height) AS max_height
+FROM rows_
+GROUP BY status, variant, error
+"""
+
+
 def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level decontamination (operators/dedup.py
     decontaminate_spans): eval docs (doc_id % 10 = 0 stand in for a
@@ -4334,6 +4398,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_segment": q_unigram_segment,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "image_stats_jpeg_mixed": q_image_stats_jpeg_mixed,
+    "media_decode_audit": q_media_decode_audit,
     "char_entropy": q_char_entropy,
     "video_fingerprint": q_video_fingerprint,
     "video_near_dup": q_video_near_dup,
@@ -4420,6 +4485,7 @@ ORACLES_TD: dict[str, str] = {
     "unigram_segment": SQL_UNIGRAM_SEGMENT,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
     "image_stats_jpeg_mixed": SQL_IMAGE_STATS_JPEG,
+    "media_decode_audit": SQL_MEDIA_DECODE_AUDIT,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
     "chunk_docs": SQL_CHUNK_DOCS,

@@ -1086,3 +1086,52 @@ def test_jpeg_mixed_corpus_spark_lane(spark):
         ).collect()
     }
     assert stats == base
+
+
+def test_image_decode_audit_quarantines_per_row(spark):
+    """image_decode_audit never throws: corrupt payloads quarantine
+    with the parser's deterministic error, healthy baseline AND
+    progressive streams report their variant + geometry, empty
+    payloads flag 'empty' — the per-variant skip-rate accounting a
+    100 TB media run needs."""
+    from pyspark.sql import functions as F
+
+    from etl_finance_pipeline_spark.operators.multimodal import (
+        encode_jpeg_blocks,
+        image_decode_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "baseline payload"), (1, "progressive payload")],
+        "media_id long, text string",
+    ).select("media_id", F.encode("text", "UTF-8").alias("content"))
+    good = encode_jpeg_blocks(docs, blocks_per_row=8, mode="mixed")
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"definitely not a jpeg")), (3, bytearray(b""))],
+        "media_id long, content binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in image_decode_audit(good.unionByName(bad)).collect()
+    }
+    assert out[0]["status"] == "ok" and out[0]["variant"] == "baseline"
+    assert out[1]["status"] == "ok" and out[1]["variant"] == "progressive"
+    assert out[0]["width"] == 64 and out[0]["height"] == 16
+    assert out[2]["status"] == "quarantined"
+    assert out[2]["error"] == "ValueError: not a JPEG stream (missing SOI)"
+    assert out[2]["width"] is None
+    assert out[3]["status"] == "empty"
+    # truncated-but-real stream: starts like a JPEG, dies mid-entropy
+    trunc = {
+        r["media_id"]: r
+        for r in image_decode_audit(
+            good.select(
+                "media_id",
+                F.expr(
+                    "substring(content, 1, CAST(length(content) / 2 AS INT))"
+                ).alias("content"),
+            )
+        ).collect()
+    }
+    assert trunc[0]["status"] == "quarantined"
+    assert trunc[0]["variant"] == "baseline"  # variant known from markers
