@@ -37,8 +37,6 @@ _SHOWCASE_FIRST = (
     "missing_minutes",
     "interpolate_linear",
     "dq_profile",
-    "revenue_rollup",
-    "market_share",
     "salted_event_stats",
     "tfidf_top_terms",
     "bm25_search",
@@ -77,7 +75,8 @@ _SHOWCASE_FIRST = (
     # cusum, cuped_experiment, markov_transitions, hotkey_purchase_join,
     # communities_lpa, set_similarity_exact, stream_near_dup (all still
     # registered + full-artifact-verified every round)
-    # rotated out after being driver-recorded green in round 6:
+    # rotated out after being driver-recorded green in rounds 1-6:
+    # market_share, revenue_rollup,
     # video_frames_avi, image_stats_jpeg_color, substring_dedup,
     # substring_dedup_clean, video_frames_real, scene_cuts_real,
     # image_stats_jpeg, decontaminate_spans (all still registered +
@@ -85,8 +84,10 @@ _SHOWCASE_FIRST = (
     "pq_topk",  # PQ ANN end-to-end; round 7: numpy encode lane + faster train
     "unigram_train",  # Unigram-LM (SentencePiece-style) Viterbi-EM (round 7)
     "unigram_segment",  # corpus segmentation with the trained vocab (round 7)
+    "unigram_train_pruned",  # SentencePiece-style vocab shrink + re-norm (round 7)
     "ann_ivfpq_topk",  # IVF-PQ composed ANN: cells + residual codes (round 7)
     "image_stats_jpeg_mixed",  # PROGRESSIVE (SOF2) + baseline mixed corpus (round 7)
+    "media_decode_audit",  # per-variant quarantine accounting, corrupt third (round 7)
     "phash_near_dup",  # lossless banded Hamming now uncapped (round 7 fix)
     "video_near_dup",  # same lossless-contract fix (round 7)
     "simhash_pairs",  # same lossless-contract fix (round 7)

@@ -304,6 +304,7 @@ def unigram_train(
     max_piece_len: int = 4,
     max_word_len: int = 16,
     round_digits: int = 6,
+    prune_to: int | None = None,
 ) -> DataFrame:
     """Train a unigram-LM vocabulary: seed with every single char plus
     the *n_multi* most frequent multi-char substrings (length ≤
@@ -312,6 +313,16 @@ def unigram_train(
     cheapest path; M: re-estimate costs from the segmentation counts
     (word-count weighted). Single chars are always in the vocabulary,
     so every word has a finite path.
+
+    *prune_to* adds the SentencePiece-style vocabulary shrink step:
+    after the EM rounds, keep every single char plus the most-USED
+    multi-char pieces (final Viterbi count desc, piece asc) up to the
+    target size, then run one more EM round so the survivors'
+    probabilities re-normalize over the pruned lattice. (Greedy
+    usage-based pruning — the deterministic counterpart of
+    SentencePiece's likelihood-loss prune, which needs soft
+    alternative-segmentation mass this hard-EM trainer does not
+    compute.)
 
     Scale shape (100 TB): one corpus pass for the word counts; per EM
     round one vocab-frame DP pass (the cost table broadcasts as a
@@ -364,11 +375,8 @@ def unigram_train(
         for p, c in counts.items()
     }
 
-    last_counts: dict[str, int] = {}
-    for _ in range(iters):
-        cdf = spark.createDataFrame(
-            [(costs,)], "_costs map<string,double>"
-        )
+    def _em_round(cur: dict[str, float]) -> tuple[dict[str, float], dict[str, int]]:
+        cdf = spark.createDataFrame([(cur,)], "_costs map<string,double>")
         # dp materialized BEFORE the backtrack consumes it (the
         # backtrack references the dp array once per walk step)
         dpf = (
@@ -378,20 +386,33 @@ def unigram_train(
         )
         segs = dpf.select("wc", F.explode(_uni_backtrack()).alias("piece"))
         rows = segs.groupBy("piece").agg(F.sum("wc").alias("cnt")).collect()
-        last_counts = {r["piece"]: int(r["cnt"]) for r in rows}
-        rtotal = sum(last_counts.values())
+        cnts = {r["piece"]: int(r["cnt"]) for r in rows}
+        rtotal = sum(cnts.values())
         # M-step: seen pieces get -ln(cnt/total); unseen keep cost
-        costs = {
+        return {
             p: (
-                math.floor(
-                    -math.log(last_counts[p] / rtotal) * scale + 0.5
-                )
-                / scale
-                if p in last_counts
-                else costs[p]
+                math.floor(-math.log(cnts[p] / rtotal) * scale + 0.5) / scale
+                if p in cnts
+                else cur[p]
             )
-            for p in costs
-        }
+            for p in cur
+        }, cnts
+
+    last_counts: dict[str, int] = {}
+    for _ in range(iters):
+        costs, last_counts = _em_round(costs)
+
+    if prune_to is not None:
+        n_chars = sum(1 for p in costs if len(p) == 1)
+        n_keep = max(0, prune_to - n_chars)
+        survivors = sorted(
+            (p for p in costs if len(p) > 1),
+            key=lambda p: (-last_counts.get(p, 0), p),
+        )[:n_keep]
+        keep = {p for p in costs if len(p) == 1} | set(survivors)
+        costs = {p: c for p, c in costs.items() if p in keep}
+        # survivors' probabilities re-normalize over the pruned lattice
+        costs, last_counts = _em_round(costs)
 
     out = [
         (p, costs[p], last_counts.get(p, 0)) for p in sorted(costs)

@@ -4259,17 +4259,19 @@ ud{tag}0 AS MATERIALIZED (SELECT *, [0.0, -1.0] AS d0 FROM upv{tag})"""
     return ",\n".join(parts)
 
 
-def _uni_round_sql(r: int) -> str:
-    """One Viterbi-EM round: DP against ucost{r-1}, piece counts from
-    the unrolled backtrack, re-estimated costs (unseen pieces keep
-    their previous cost)."""
+def _uni_round_sql(r: int, src_cost: str | None = None) -> str:
+    """One Viterbi-EM round: DP against *src_cost* (default
+    ucost{r-1}; the prune step points it at the pruned table), piece
+    counts from the unrolled backtrack, re-estimated costs (unseen
+    pieces keep their previous cost)."""
     W = _UNI_W
+    src_cost = src_cost or f"ucost{r - 1}"
     seg_selects = "\n  UNION ALL\n".join(
         f"  SELECT wc, substr(w, b{t + 1} + 1, b{t} - b{t + 1}) AS piece "
         f"FROM ubt{r} WHERE b{t} > 0"
         for t in range(W)
     )
-    return f"""{_uni_dp_sql(f"ucost{r - 1}", str(r))},
+    return f"""{_uni_dp_sql(src_cost, str(r))},
 useg{r} AS (
 {seg_selects}
 ),
@@ -4281,7 +4283,7 @@ ucost{r} AS (
                    / CAST((SELECT sum(cnt) FROM ucnt{r}) AS DOUBLE))
                    * 1000000 + 0.5) / 1000000
               ELSE v.cost END AS cost
-  FROM ucost{r - 1} v LEFT JOIN ucnt{r} c USING (piece)
+  FROM {src_cost} v LEFT JOIN ucnt{r} c USING (piece)
 )"""
 
 
@@ -4336,6 +4338,51 @@ WITH {_UNI_BASE_SQL},
 {",".join(_uni_round_sql(r) for r in range(1, _UNI_ITERS + 1))}
 SELECT v.piece, v.cost, CAST(coalesce(c.cnt, 0) AS BIGINT) AS piece_count
 FROM ucost{_UNI_ITERS} v LEFT JOIN ucnt{_UNI_ITERS} c USING (piece)
+"""
+
+
+_UNI_PRUNE_TO = 24
+
+
+def q_unigram_train_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SentencePiece-style vocabulary SHRINK step: after the EM
+    rounds, keep every single char plus the most-used multi-char
+    pieces up to a 24-piece target (final Viterbi count desc, piece
+    asc), then one more EM round re-normalizes the survivors over the
+    pruned lattice. The oracle unrolls the prune (a windowed top-k
+    over the previous round's counts with a data-dependent char
+    budget) and the extra round."""
+    from etl_finance_pipeline_spark.operators.tokenizer import unigram_train
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return unigram_train(
+        docs, n_multi=_UNI_MULTI, iters=_UNI_ITERS,
+        max_piece_len=_UNI_L, max_word_len=_UNI_W,
+        prune_to=_UNI_PRUNE_TO,
+    )
+
+
+_UNI_R_FINAL = _UNI_ITERS + 1
+
+SQL_UNIGRAM_TRAIN_PRUNED = f"""
+WITH {_UNI_BASE_SQL},
+{",".join(_uni_round_sql(r) for r in range(1, _UNI_ITERS + 1))},
+uprune AS (
+  SELECT piece, cost FROM (
+    SELECT v.piece, v.cost,
+           row_number() OVER (
+             ORDER BY coalesce(c.cnt, 0) DESC, v.piece
+           ) AS pr
+    FROM ucost{_UNI_ITERS} v LEFT JOIN ucnt{_UNI_ITERS} c USING (piece)
+    WHERE len(v.piece) > 1
+  ) WHERE pr <= greatest(0, {_UNI_PRUNE_TO} - (
+      SELECT count(*) FROM ucost{_UNI_ITERS} WHERE len(piece) = 1))
+  UNION ALL
+  SELECT piece, cost FROM ucost{_UNI_ITERS} WHERE len(piece) = 1
+),
+{_uni_round_sql(_UNI_R_FINAL, src_cost="uprune")}
+SELECT v.piece, v.cost, CAST(coalesce(c.cnt, 0) AS BIGINT) AS piece_count
+FROM ucost{_UNI_R_FINAL} v LEFT JOIN ucnt{_UNI_R_FINAL} c USING (piece)
 """
 
 
@@ -4396,6 +4443,7 @@ GROUP BY doc_id
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_train": q_unigram_train,
     "unigram_segment": q_unigram_segment,
+    "unigram_train_pruned": q_unigram_train_pruned,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "image_stats_jpeg_mixed": q_image_stats_jpeg_mixed,
     "media_decode_audit": q_media_decode_audit,
@@ -4483,6 +4531,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_TD: dict[str, str] = {
     "unigram_train": SQL_UNIGRAM_TRAIN,
     "unigram_segment": SQL_UNIGRAM_SEGMENT,
+    "unigram_train_pruned": SQL_UNIGRAM_TRAIN_PRUNED,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
     "image_stats_jpeg_mixed": SQL_IMAGE_STATS_JPEG,
     "media_decode_audit": SQL_MEDIA_DECODE_AUDIT,

@@ -158,3 +158,39 @@ def test_unigram_segment_optimality_and_coverage(spark):
     # segmentation cost of doc1 = 3 * cost('abab')
     cost_abab = next(r["cost"] for r in vocab.collect() if r["piece"] == "abab")
     assert abs(seg[1]["total_cost"] - 3 * cost_abab) < 1e-5
+
+
+def test_unigram_prune_keeps_chars_and_top_used(spark):
+    """prune_to keeps every single char plus the most-USED multi-char
+    pieces; the post-prune EM round re-normalizes so probabilities
+    sum to ~1 over the survivors' final counts."""
+    import math
+
+    from etl_finance_pipeline_spark.operators.tokenizer import unigram_train
+
+    df = spark.createDataFrame(
+        [("the cat the cat abab abab",), ("the cat abab xyz",)], ["text"]
+    )
+    full = {r["piece"]: r for r in unigram_train(df, n_multi=10, iters=2).collect()}
+    chars = {p for p in full if len(p) == 1}
+    target = len(chars) + 2
+    pruned = {
+        r["piece"]: r
+        for r in unigram_train(
+            df, n_multi=10, iters=2, prune_to=target
+        ).collect()
+    }
+    assert chars <= set(pruned)  # coverage never pruned
+    multi = [p for p in pruned if len(p) > 1]
+    assert len(multi) == 2
+    # survivors are the most-used multi-char pieces of the full run
+    used = sorted(
+        (p for p in full if len(p) > 1),
+        key=lambda p: (-full[p]["piece_count"], p),
+    )[:2]
+    assert sorted(multi) == sorted(used)
+    # post-prune re-normalization: counted pieces' probs sum to ~1
+    probs = sum(
+        math.exp(-r["cost"]) for r in pruned.values() if r["piece_count"] > 0
+    )
+    assert abs(probs - 1.0) < 1e-3
