@@ -994,6 +994,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    encode_engine: str = "jvm",
 ) -> DataFrame:
     """IVF-PQ composed ANN — the standard billion-vector layout (Jégou
     et al. 2011): a coarse inverted index prunes the search to *nprobe*
@@ -1062,13 +1063,57 @@ def ivfpq_topk(
         books[r["subspace"]].append(list(r["cvec"]))
     subdim = len(rows[0]["cvec"])
 
-    # residual codes with the cell id riding along (same argmin
-    # expression as pq_encode's jvm lane)
-    codes = resid.select(
-        F.col(id_col).alias("neighbor_id"),
-        "cid",
-        _pq_codes_expr("_res", books, m, subdim).alias("codes"),
-    ).select("neighbor_id", "cid", F.posexplode("codes").alias("s", "code"))
+    # residual codes with the cell id riding along. Two lanes like
+    # pq_encode: "jvm" is the pure-expression oracle-exact path;
+    # "numpy" is the Arrow-batched corpus-scale path (~50×) with cid
+    # passed through the kernel — identical codes except on sub-ulp
+    # distance ties, which need duplicate codewords.
+    if encode_engine == "jvm":
+        coded = resid.select(
+            F.col(id_col).alias("neighbor_id"),
+            "cid",
+            _pq_codes_expr("_res", books, m, subdim).alias("codes"),
+        )
+    elif encode_engine == "numpy":
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                resid.schema[id_col],
+                resid.schema["cid"],
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+            ]
+        )
+
+        def kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            cbs = [np.asarray(books[s], dtype=np.float64) for s in range(m)]
+            cb_sq = [np.einsum("ij,ij->i", c, c) for c in cbs]
+            for pdf in batches:
+                vecs = np.asarray(pdf["_res"].tolist(), dtype=np.float64)
+                cds = np.empty((len(pdf), m), dtype=np.int32)
+                for s in range(m):
+                    sub = vecs[:, s * subdim : (s + 1) * subdim]
+                    d = cb_sq[s][None, :] - 2.0 * (sub @ cbs[s].T)
+                    cds[:, s] = np.argmin(d, axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "cid": pdf["cid"],
+                        "codes": list(cds.tolist()),
+                    }
+                )
+
+        coded = resid.mapInPandas(kernel, out_schema).withColumnRenamed(
+            id_col, "neighbor_id"
+        )
+    else:
+        raise ValueError(f"unknown ivfpq encode engine: {encode_engine}")
+    codes = coded.select(
+        "neighbor_id", "cid", F.posexplode("codes").alias("s", "code")
+    )
 
     # query probes: top-nprobe cells by L2, residual per probed cell
     queries_d = _as_double(

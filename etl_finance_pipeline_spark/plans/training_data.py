@@ -3456,6 +3456,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         ksub=_PQ_KSUB,
         iters=_IVFPQ_ITERS,
+        encode_engine="numpy",  # corpus-scale lane; oracle certifies it
     )
     return out.select(
         "query_id",

@@ -478,3 +478,79 @@ def test_scale_pq_encode_no_shuffle(bigspark):
     print(f"SCALE pq_encode 20M vectors (forced): {total:,} rows in "
           f"{_t.perf_counter() - t0:.1f}s")
     assert total == n
+
+
+def test_scale_unigram_em_corpus_independent(bigspark):
+    """Unigram-LM EM cost is corpus-size-independent after the first
+    pass: 10M documents collapse to a Zipf-bounded distinct-word
+    frame (synthetic: ~2.6k distinct words), and each EM round's DP
+    touches only that frame. The corpus pass is one
+    map-side-combinable count; nothing in the round plans funnels
+    through one partition."""
+    from etl_finance_pipeline_spark.operators.tokenizer import (
+        _uni_words,
+        unigram_train,
+    )
+
+    n = 10_000_000
+    # ~2.6k distinct 3-word documents over a synthetic vocabulary
+    docs = bigspark.range(n).select(
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("tok"), (F.col("id") % 137).cast("string")),
+            F.concat(F.lit("word"), (F.col("id") % 19).cast("string")),
+            F.concat(F.lit("x"), (F.col("id") % 7).cast("string")),
+        ).alias("text")
+    )
+    words = _uni_words(docs, "text", 16)
+    _assert_distributed_plan(words, "unigram word counts")
+    t0 = time.perf_counter()
+    vocab = unigram_train(docs, n_multi=32, iters=2)
+    rows = vocab.collect()
+    dt = time.perf_counter() - t0
+    print(f"SCALE unigram_train 10M docs: vocab={len(rows)} in {dt:.1f}s")
+    assert len(rows) > 32  # chars + multi
+    counted = [r for r in rows if r["piece_count"] > 0]
+    assert counted, rows[:5]
+
+
+def test_scale_ivfpq_codes_only_shuffle(bigspark):
+    """IVF-PQ search at 2M vectors: after encoding, only (cid, s,
+    code) int tuples shuffle — the distance tables broadcast, the
+    residual vectors never move. Assert the search output plan has no
+    single-partition exchange and the run completes."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        train_kmeans_centroids,
+    )
+
+    dim = 16
+    n = 2_000_000
+
+    def vecs(m):
+        return bigspark.range(m).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    (
+                        ((F.col("id") * (j + 3)) % 97).cast("double")
+                        + (F.col("id") % 5).cast("double")
+                    )
+                    for j in range(dim)
+                ]
+            ).alias("embedding"),
+        )
+
+    coarse = train_kmeans_centroids(vecs(2000), k=8, iters=2).select(
+        F.col("cluster_id").alias("cid"), "cvec"
+    )
+    out = ivfpq_topk(
+        vecs(n), vecs(5), coarse, k=5, nprobe=2, m=4, ksub=8, iters=2,
+        encode_engine="numpy",
+    )
+    t0 = time.perf_counter()
+    rows = out.collect()
+    dt = time.perf_counter() - t0
+    _assert_distributed_plan(out, "ivfpq search")
+    print(f"SCALE ivfpq_topk 2M vectors: {len(rows)} results in {dt:.1f}s")
+    assert len(rows) == 25
