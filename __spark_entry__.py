@@ -38,7 +38,6 @@ _SHOWCASE_FIRST = (
     "interpolate_linear",
     "dq_profile",
     "salted_event_stats",
-    "tfidf_top_terms",
     "bm25_search",
     "exact_dedup_docs",
     "minhash_lsh_pairs",
@@ -76,7 +75,7 @@ _SHOWCASE_FIRST = (
     # communities_lpa, set_similarity_exact, stream_near_dup (all still
     # registered + full-artifact-verified every round)
     # rotated out after being driver-recorded green in rounds 1-6:
-    # market_share, revenue_rollup,
+    # market_share, revenue_rollup, tfidf_top_terms,
     # video_frames_avi, image_stats_jpeg_color, substring_dedup,
     # substring_dedup_clean, video_frames_real, scene_cuts_real,
     # image_stats_jpeg, decontaminate_spans (all still registered +
@@ -85,6 +84,7 @@ _SHOWCASE_FIRST = (
     "unigram_train",  # Unigram-LM (SentencePiece-style) Viterbi-EM (round 7)
     "unigram_segment",  # corpus segmentation with the trained vocab (round 7)
     "unigram_train_pruned",  # SentencePiece-style vocab shrink + re-norm (round 7)
+    "wordpiece_train",  # BERT-vocab likelihood-ranked merges (round 7)
     "ann_ivfpq_topk",  # IVF-PQ composed ANN: cells + residual codes (round 7)
     "image_stats_jpeg_mixed",  # PROGRESSIVE (SOF2) + baseline mixed corpus (round 7)
     "media_decode_audit",  # per-variant quarantine accounting, corrupt third (round 7)

@@ -468,3 +468,125 @@ def unigram_segment(
             portable_round(F.sum("_wcost"), round_digits).alias("total_cost"),
         )
     )
+
+
+def wordpiece_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> DataFrame:
+    """WordPiece merge learning (Schuster & Nakajima 2012 — the BERT
+    vocabulary algorithm): identical mechanics to :func:`bpe_train`
+    (vocab-level rounds over the unit-string encoding) but each round
+    merges the pair maximizing ``count(ab) / (count(a)·count(b))`` —
+    the merge that most increases corpus likelihood under a unigram
+    model, rather than raw pair frequency. Ties break (likelihood
+    desc, left asc, right asc).
+
+    Determinism: the score is one IEEE division of exact int64 counts
+    (the product count(a)·count(b) stays integer), so any engine
+    computes the identical double and the identical argmax — no
+    rounding contract needed; the OUTPUT carries the three exact
+    integer counts instead of the score.
+
+    Scale shape: same as bpe_train (one corpus pass, then
+    Zipf-bounded vocab-frame rounds) plus one symbol-count aggregate
+    and two vocab-sized equi-joins per round.
+
+    Output: (merge_round, left_sym, right_sym, merged, pair_count,
+    left_count, right_count).
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    units = words.select(
+        F.array_join(
+            F.transform(
+                F.split("w", ""),
+                lambda c: F.concat(F.lit(_L), c, F.lit(_R)),
+            ),
+            "",
+        ).alias("s"),
+        "wc",
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int, int, int]] = []
+    for _ in range(n_merges):
+        syms = units.select(
+            F.split(
+                F.expr("substring(s, 2, length(s) - 2)"), _R + _L
+            ).alias("_syms"),
+            "wc",
+        ).localCheckpoint(eager=True)  # feeds pair AND symbol counts
+        pairs = (
+            syms.select(
+                F.explode(
+                    F.when(F.size("_syms") < 2, F.array()).otherwise(
+                        F.expr(
+                            "transform(sequence(1, size(_syms) - 1), i -> "
+                            "struct(element_at(_syms, i) AS l, "
+                            "element_at(_syms, i + 1) AS r))"
+                        )
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        symc = (
+            syms.select(F.explode("_syms").alias("sym"), "wc")
+            .groupBy("sym")
+            .agg(F.sum("wc").alias("c"))
+        )
+        scored = (
+            pairs.join(
+                symc.select(F.col("sym").alias("l"), F.col("c").alias("_lc")),
+                "l",
+            )
+            .join(
+                symc.select(F.col("sym").alias("r"), F.col("c").alias("_rc")),
+                "r",
+            )
+        )
+        top = (
+            scored.orderBy(
+                (F.col("cnt") / (F.col("_lc") * F.col("_rc"))).desc(),
+                F.col("l"),
+                F.col("r"),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        left, right = row["l"], row["r"]
+        merges.append(
+            (
+                len(merges) + 1,
+                left,
+                right,
+                left + right,
+                int(row["cnt"]),
+                int(row["_lc"]),
+                int(row["_rc"]),
+            )
+        )
+        units = units.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(_L + left + _R + _L + right + _R),
+                F.lit(_L + left + right + _R),
+            ),
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string, merged string, "
+        "pair_count bigint, left_count bigint, right_count bigint",
+    )

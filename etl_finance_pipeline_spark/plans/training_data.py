@@ -2455,6 +2455,87 @@ u0 AS MATERIALIZED (
 
 
 # --------------------------------------------------------------------
+# WordPiece tokenizer training (likelihood-ranked merges)
+# --------------------------------------------------------------------
+
+_WP_MERGES = 6
+
+
+def q_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece (BERT-vocabulary) merge learning: BPE mechanics but
+    each round merges the pair maximizing count(ab)/(count(a)·count(b))
+    — one IEEE division of exact int64 counts, so any engine computes
+    the identical argmax with no rounding contract; the output carries
+    the three exact integer counts. The oracle unrolls the identical
+    rounds with the same likelihood ranking."""
+    from etl_finance_pipeline_spark.operators.tokenizer import (
+        wordpiece_train,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return wordpiece_train(docs, n_merges=_WP_MERGES)
+
+
+def _wp_round_sql(i: int) -> str:
+    return f"""
+wsy{i} AS (
+  SELECT string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)) AS syms, wc
+  FROM wu{i - 1}
+),
+wpx{i} AS (
+  SELECT unnest(generate_series(1, len(syms) - 1)) AS i, syms, wc FROM wsy{i}
+),
+wpr{i} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM wpx{i} GROUP BY 1, 2
+),
+wsc{i} AS (
+  SELECT sym, CAST(sum(wc) AS BIGINT) AS c FROM (
+    SELECT unnest(syms) AS sym, wc FROM wsy{i}
+  ) GROUP BY 1
+),
+wb{i} AS MATERIALIZED (
+  SELECT p.l, p.r, p.cnt, cl.c AS lc, cr.c AS rc
+  FROM wpr{i} p
+  JOIN wsc{i} cl ON cl.sym = p.l
+  JOIN wsc{i} cr ON cr.sym = p.r
+  ORDER BY p.cnt / (cl.c * cr.c) DESC, p.l, p.r
+  LIMIT 1
+),
+wu{i} AS MATERIALIZED (
+  SELECT replace(s,
+                 chr(1) || (SELECT l FROM wb{i}) || chr(2) || chr(1) || (SELECT r FROM wb{i}) || chr(2),
+                 chr(1) || (SELECT l FROM wb{i}) || (SELECT r FROM wb{i}) || chr(2)) AS s,
+         wc
+  FROM wu{i - 1}
+)"""
+
+
+SQL_WORDPIECE_TRAIN = (
+    r"""
+WITH wtoks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+wwords AS (SELECT w, count(*) AS wc FROM wtoks GROUP BY 1),
+wu0 AS MATERIALIZED (
+  SELECT array_to_string(list_transform(generate_series(1, len(w)),
+                                        i -> chr(1) || w[i] || chr(2)), '') AS s,
+         wc
+  FROM wwords
+),"""
+    + ",".join(_wp_round_sql(i) for i in range(1, _WP_MERGES + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_round, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, cnt AS pair_count, lc AS left_count, "
+        f"rc AS right_count FROM wb{i}"
+        for i in range(1, _WP_MERGES + 1)
+    )
+)
+
+
+# --------------------------------------------------------------------
 # Cross-document repetition (MassiveText duplicate-content filter)
 # --------------------------------------------------------------------
 
@@ -4445,6 +4526,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_train": q_unigram_train,
     "unigram_segment": q_unigram_segment,
     "unigram_train_pruned": q_unigram_train_pruned,
+    "wordpiece_train": q_wordpiece_train,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "image_stats_jpeg_mixed": q_image_stats_jpeg_mixed,
     "media_decode_audit": q_media_decode_audit,
@@ -4533,6 +4615,7 @@ ORACLES_TD: dict[str, str] = {
     "unigram_train": SQL_UNIGRAM_TRAIN,
     "unigram_segment": SQL_UNIGRAM_SEGMENT,
     "unigram_train_pruned": SQL_UNIGRAM_TRAIN_PRUNED,
+    "wordpiece_train": SQL_WORDPIECE_TRAIN,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
     "image_stats_jpeg_mixed": SQL_IMAGE_STATS_JPEG,
     "media_decode_audit": SQL_MEDIA_DECODE_AUDIT,

@@ -194,3 +194,38 @@ def test_unigram_prune_keeps_chars_and_top_used(spark):
         math.exp(-r["cost"]) for r in pruned.values() if r["piece_count"] > 0
     )
     assert abs(probs - 1.0) < 1e-3
+
+
+def test_wordpiece_diverges_from_bpe_on_likelihood(spark):
+    """WordPiece ranks merges by count(ab)/(count(a)count(b)): a rare
+    pair of RARE symbols beats a frequent pair of ubiquitous ones —
+    the case where BPE and WordPiece pick opposite first merges."""
+    from etl_finance_pipeline_spark.operators.tokenizer import (
+        bpe_train,
+        wordpiece_train,
+    )
+
+    # 'ab' occurs 5x but a,b are everywhere (8 each: 1/64 density);
+    # 'qz' occurs once with q,z unique (1/1 density)
+    df = spark.createDataFrame([("abab abab ab a b a b a b qz",)], ["text"])
+    bpe_first = bpe_train(df, n_merges=1).collect()[0]
+    wp = wordpiece_train(df, n_merges=2).collect()
+    assert (bpe_first["left_sym"], bpe_first["right_sym"]) == ("a", "b")
+    assert (wp[0]["left_sym"], wp[0]["right_sym"]) == ("q", "z")
+    assert (wp[0]["pair_count"], wp[0]["left_count"], wp[0]["right_count"]) == (1, 1, 1)
+    # next round: qz merged away, a-b wins on likelihood among the rest
+    assert (wp[1]["left_sym"], wp[1]["right_sym"]) == ("a", "b")
+    assert wp[1]["left_count"] == 8 and wp[1]["right_count"] == 8
+
+
+def test_wordpiece_merged_symbol_in_later_rounds(spark):
+    """A merged symbol's count feeds later likelihood scores, and the
+    merged pair participates like any symbol (BPE-style chaining)."""
+    from etl_finance_pipeline_spark.operators.tokenizer import wordpiece_train
+
+    out = wordpiece_train(
+        spark.createDataFrame([("low low low",)], ["text"]), n_merges=2
+    ).collect()
+    # all pairs have unique-symbol density; ties break (l, r) asc
+    assert (out[0]["left_sym"], out[0]["right_sym"]) == ("l", "o")
+    assert (out[1]["left_sym"], out[1]["right_sym"]) == ("lo", "w")
