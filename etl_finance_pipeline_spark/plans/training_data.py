@@ -4522,11 +4522,97 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------
+# Kneser-Ney bigram LM: train + perplexity scoring (CCNet-style)
+# --------------------------------------------------------------------
+
+_KN_D = 0.75
+
+
+def q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM trained on the corpus —
+    every formula input is an exact int64 count (bigram count,
+    left-context total, N1+ fan-outs, distinct-type total), so the
+    oracle's identically-associated expression reproduces the same
+    IEEE doubles before the shared 6-dp portable rounding."""
+    from etl_finance_pipeline_spark.operators.ngram_lm import kn_bigram_lm
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return kn_bigram_lm(docs, discount=_KN_D)
+
+
+_KN_BASE_SQL = r"""
+kntok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+knbig AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+    FROM kntok WHERE len(toks) >= 2
+  )
+),
+knbc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM knbig GROUP BY 1, 2
+),
+knl AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS nl
+  FROM knbc GROUP BY 1
+),
+knr AS (SELECT w2, CAST(count(*) AS BIGINT) AS nr FROM knbc GROUP BY 1),
+knt AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM knbc),
+knlm AS (
+  SELECT knbc.w1, knbc.w2, c12, c1, nl, nr, bt,
+         (c12 - 0.75) / c1 + ((0.75 * nl) / c1) * (nr / CAST(bt AS DOUBLE))
+           AS p
+  FROM knbc
+  JOIN knl ON knl.w1 = knbc.w1
+  JOIN knr ON knr.w2 = knbc.w2
+  CROSS JOIN knt
+)"""
+
+
+SQL_KN_BIGRAM_LM = f"""
+WITH {_KN_BASE_SQL}
+SELECT w1, w2, c12, c1, nl, nr,
+       floor(p * 1000000 + 0.5) / 1000000 AS prob
+FROM knlm
+"""
+
+
+def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram perplexity under the corpus's own KN
+    model (the CCNet quality-bucketing signal). Probabilities stay
+    unrounded through the log2 average; only the two per-doc outputs
+    round. AVG() summation order differs across engines but the
+    doc-level sums are O(10) magnitudes with O(1e-15) reorder noise —
+    far under the 6-dp rounding granularity."""
+    from etl_finance_pipeline_spark.operators.ngram_lm import kn_perplexity
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return kn_perplexity(docs, discount=_KN_D)
+
+
+SQL_KN_PERPLEXITY = f"""
+WITH {_KN_BASE_SQL}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       floor(avg(log2(p)) * 1000000 + 0.5) / 1000000 AS avg_logprob,
+       floor(pow(2.0, -avg(log2(p))) * 1000000 + 0.5) / 1000000 AS ppl
+FROM knbig
+JOIN knlm USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_train": q_unigram_train,
     "unigram_segment": q_unigram_segment,
     "unigram_train_pruned": q_unigram_train_pruned,
     "wordpiece_train": q_wordpiece_train,
+    "kn_bigram_lm": q_kn_bigram_lm,
+    "kn_perplexity": q_kn_perplexity,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "image_stats_jpeg_mixed": q_image_stats_jpeg_mixed,
     "media_decode_audit": q_media_decode_audit,
@@ -4616,6 +4702,8 @@ ORACLES_TD: dict[str, str] = {
     "unigram_segment": SQL_UNIGRAM_SEGMENT,
     "unigram_train_pruned": SQL_UNIGRAM_TRAIN_PRUNED,
     "wordpiece_train": SQL_WORDPIECE_TRAIN,
+    "kn_bigram_lm": SQL_KN_BIGRAM_LM,
+    "kn_perplexity": SQL_KN_PERPLEXITY,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
     "image_stats_jpeg_mixed": SQL_IMAGE_STATS_JPEG,
     "media_decode_audit": SQL_MEDIA_DECODE_AUDIT,
