@@ -99,6 +99,96 @@ def quality_score(
     )
 
 
+#: Gopher's stop set (Rae et al. 2021, Table A1 heuristics): a doc
+#: must contain at least two DISTINCT of these to pass rule 7. Part
+#: of the deterministic contract, mirrored in the oracle SQL.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The Gopher corpus quality rules (Rae et al. 2021 §A1.1) as a
+    narrow per-document map — the standard web-scale pre-filter
+    applied before dedup in MassiveText-style pipelines:
+
+      1. 50 <= word count <= 100000
+      2. 3 <= mean word length <= 10
+      3. symbol-to-word ratio <= 0.1       (symbols: '#', '...', U+2026)
+      4. <= 90% of lines start with a bullet ('-', '*', U+2022)
+      5. <= 30% of lines end with an ellipsis
+      6. >= 80% of words contain an alphabetic character
+      7. >= 2 distinct Gopher stopwords present
+
+    Words are whitespace tokens of the lowercased text; lines split on
+    "\\n" (a single-line document yields one line — the line rules
+    then measure that line). Adds the seven metric columns, one
+    boolean per rule, and ``gopher_pass`` (AND of all seven). No
+    shuffle, no UDFs; every expression has an exact DuckDB twin.
+    """
+    df = df.withColumn("_toks", tokens(text_col)).withColumn(
+        "_lines", F.split(F.col(text_col), "\n")
+    )
+    toks, lines = F.col("_toks"), F.col("_lines")
+    text = F.col(text_col)
+    n_words = F.size(toks)
+    mean_wl = F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / n_words
+    hash_count = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    dots_count = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    uell_count = F.length(text) - F.length(
+        F.replace(text, F.lit("…"), F.lit(""))
+    )
+    symbol_ratio = (hash_count + dots_count + uell_count) / n_words
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).rlike("^[-*•]"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$"),
+        )
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_types = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    rules = {
+        "rule_word_count": (n_words >= 50) & (n_words <= 100000),
+        "rule_mean_word_len": (mean_wl >= 3) & (mean_wl <= 10),
+        "rule_symbol_ratio": symbol_ratio <= 0.1,
+        "rule_bullet_lines": bullet_lines <= 0.9 * n_lines,
+        "rule_ellipsis_lines": ellipsis_lines <= 0.3 * n_lines,
+        "rule_alpha_words": alpha_words >= 0.8 * n_words,
+        "rule_stopwords": stop_types >= 2,
+    }
+    out = (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("n_lines", n_lines.cast("long"))
+        .withColumn("bullet_lines", bullet_lines.cast("long"))
+        .withColumn("ellipsis_lines", ellipsis_lines.cast("long"))
+        .withColumn("alpha_words", alpha_words.cast("long"))
+        .withColumn("stop_types", stop_types.cast("long"))
+    )
+    gpass = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        gpass = gpass & cond
+    return out.withColumn("gopher_pass", gpass).drop("_toks", "_lines")
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace and BPE-ish token counts per document."""
     return df.withColumn("ws_tokens", F.size(tokens(text_col))).withColumn(

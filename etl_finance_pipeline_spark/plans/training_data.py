@@ -4523,6 +4523,95 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------
+# Gopher quality rules
+# --------------------------------------------------------------------
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seven Gopher (Rae et al. 2021) pre-filter rules per doc —
+    all-integer counts plus two exact-rational ratios; the 6-dp
+    portable rounding covers the two doubles, the rule booleans are
+    compared exactly."""
+    from etl_finance_pipeline_spark.operators.text_analysis import gopher_rules
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    out = gopher_rules(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        _pr("mean_word_len", 6).alias("mean_word_len"),
+        _pr("symbol_ratio", 6).alias("symbol_ratio"),
+        "n_lines",
+        "bullet_lines",
+        "ellipsis_lines",
+        "alpha_words",
+        "stop_types",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_bullet_lines",
+        "rule_ellipsis_lines",
+        "rule_alpha_words",
+        "rule_stopwords",
+        "gopher_pass",
+    )
+
+
+SQL_GOPHER_QUALITY = r"""
+WITH gq AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines,
+         text
+  FROM documents
+),
+gm AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    list_sum(list_transform(toks, t -> CAST(len(t) AS DOUBLE))) / len(toks)
+      AS mean_word_len,
+    (len(text) - len(replace(text, '#', ''))
+     + (len(text) - len(replace(text, '...', ''))) / 3
+     + (len(text) - len(replace(text, chr(8230), ''))))
+      * 1.0 / len(toks) AS symbol_ratio,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*' || chr(8226) || ']')))
+      AS bullet_lines,
+    len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|' || chr(8230) || ')$')))
+      AS ellipsis_lines,
+    len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS alpha_words,
+    len(list_intersect(list_distinct(toks),
+        ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+      AS stop_types
+  FROM gq
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  floor(mean_word_len * 1000000 + 0.5) / 1000000 AS mean_word_len,
+  floor(symbol_ratio * 1000000 + 0.5) / 1000000 AS symbol_ratio,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(bullet_lines AS BIGINT) AS bullet_lines,
+  CAST(ellipsis_lines AS BIGINT) AS ellipsis_lines,
+  CAST(alpha_words AS BIGINT) AS alpha_words,
+  CAST(stop_types AS BIGINT) AS stop_types,
+  (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+  (mean_word_len >= 3 AND mean_word_len <= 10) AS rule_mean_word_len,
+  (symbol_ratio <= 0.1) AS rule_symbol_ratio,
+  (bullet_lines <= 0.9 * n_lines) AS rule_bullet_lines,
+  (ellipsis_lines <= 0.3 * n_lines) AS rule_ellipsis_lines,
+  (alpha_words >= 0.8 * n_words) AS rule_alpha_words,
+  (stop_types >= 2) AS rule_stopwords,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (mean_word_len >= 3 AND mean_word_len <= 10)
+   AND (symbol_ratio <= 0.1)
+   AND (bullet_lines <= 0.9 * n_lines)
+   AND (ellipsis_lines <= 0.3 * n_lines)
+   AND (alpha_words >= 0.8 * n_words)
+   AND (stop_types >= 2)) AS gopher_pass
+FROM gm
+"""
+
+
+# --------------------------------------------------------------------
 # Kneser-Ney bigram LM: train + perplexity scoring (CCNet-style)
 # --------------------------------------------------------------------
 
@@ -4611,6 +4700,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_segment": q_unigram_segment,
     "unigram_train_pruned": q_unigram_train_pruned,
     "wordpiece_train": q_wordpiece_train,
+    "gopher_quality": q_gopher_quality,
     "kn_bigram_lm": q_kn_bigram_lm,
     "kn_perplexity": q_kn_perplexity,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -4702,6 +4792,7 @@ ORACLES_TD: dict[str, str] = {
     "unigram_segment": SQL_UNIGRAM_SEGMENT,
     "unigram_train_pruned": SQL_UNIGRAM_TRAIN_PRUNED,
     "wordpiece_train": SQL_WORDPIECE_TRAIN,
+    "gopher_quality": SQL_GOPHER_QUALITY,
     "kn_bigram_lm": SQL_KN_BIGRAM_LM,
     "kn_perplexity": SQL_KN_PERPLEXITY,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,

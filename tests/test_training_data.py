@@ -845,3 +845,28 @@ def test_hamming_pairs_lossless_when_bands_exceed_threshold(spark):
         if h <= 7:
             expected[(min(ia, ib), max(ia, ib))] = h
     assert got == expected and len(expected) >= 7
+
+
+def test_gopher_rules_per_rule_flags(spark):
+    from etl_finance_pipeline_spark.operators.text_analysis import gopher_rules
+
+    good = "the quick brown fox jumps to be of and that have with " * 6
+    bullets = "- one item\n- two item\n- three item\nplain line of the be"
+    dots = "the be to of and that have with more words here..."
+    symbols = "the be # # # # # # of words"  # 6 hashes / 9 words > 0.1
+    df = spark.createDataFrame(
+        [(1, good.strip()), (2, bullets), (3, dots), (4, symbols)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    g = out[1]
+    assert g["gopher_pass"] and g["n_words"] == 72 and g["rule_stopwords"]
+    b = out[2]
+    assert b["n_lines"] == 4 and b["bullet_lines"] == 3
+    assert b["rule_bullet_lines"]  # 3/4 = 0.75 <= 0.9
+    assert not b["rule_word_count"]  # too short
+    d = out[3]
+    assert d["ellipsis_lines"] == 1 and not d["rule_ellipsis_lines"]
+    s = out[4]
+    assert s["symbol_ratio"] > 0.1 and not s["rule_symbol_ratio"]
+    assert not s["gopher_pass"]
