@@ -410,3 +410,113 @@ def negative_pairs(
         .select("anchor", F.col("_c.draw").alias("draw"), F.col("_c.partner").alias("partner"))
         .filter(F.col("partner") != F.col("anchor"))
     )
+
+
+def segment_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    words_per_line: int | None = None,
+) -> DataFrame:
+    """Explode documents into ordered (id, pos, line) units.
+
+    Two segmentations, one contract:
+     * ``delimiter`` (default newline) — real lines/paragraphs, the
+       CCNet/RefinedWeb unit.
+     * ``words_per_line=k`` — deterministic fixed-width pseudo-lines
+       of k whitespace tokens for corpora that carry no newlines
+       (this repo's synthetic fixture); the last line may be short.
+
+    Narrow explode, no shuffle; ``pos`` is the 0-based line index so
+    callers can reassemble the document in order.
+    """
+    if words_per_line is not None:
+        from etl_finance_pipeline_spark.functions.text import tokens
+
+        toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        k = words_per_line
+        n_lines = F.ceil(F.size(F.col("_toks")) / F.lit(k)).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("_toks"), (i * k + 1).cast("int"), k)
+            ),
+        )
+        seg = toked.select(F.col(id_col), F.posexplode(lines))
+    else:
+        seg = df.select(
+            F.col(id_col), F.posexplode(F.split(F.col(text_col), delimiter))
+        )
+    return seg.select(id_col, F.col("pos"), F.col("col").alias("line"))
+
+
+def line_dedup(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    keep: str = "none",
+) -> DataFrame:
+    """Cross-document line/paragraph deduplication — the CCNet /
+    RefinedWeb boilerplate-removal pass: a line whose exact text
+    occurs in >= ``min_docs`` DISTINCT documents is boilerplate
+    (headers, navigation, license blobs) and is removed from every
+    document (``keep='none'``) or from all but its globally first
+    occurrence by (doc, pos) (``keep='first'``).
+
+    Input is the (id, pos, line) frame from :func:`segment_lines`;
+    output is one row per SURVIVING line with a ``doc_frequency``
+    column. Use :func:`reassemble_lines` to fold back to documents.
+
+    Scale shape (100 TB): one aggregate keyed by the line text
+    (map-side combinable count-distinct via the (line, doc) pre-agg)
+    and one equi-join of the exploded corpus back on the line key.
+    Line text is a high-cardinality key with Zipf head (empty lines,
+    standard boilerplate) — the pre-aggregate collapses each hot line
+    to one row per doc before the distinct count, so no single
+    reducer sees a hot line's full corpus fan-in.
+    """
+    if keep not in ("none", "first"):
+        raise ValueError("keep must be 'none' or 'first'")
+    per_doc = lines.groupBy("line", id_col).agg(F.min("pos").alias("_minpos"))
+    stats = per_doc.groupBy("line").agg(
+        F.count("*").alias("doc_frequency"),
+        F.min(F.struct(F.col(id_col), F.col("_minpos"))).alias("_first"),
+    )
+    joined = lines.join(stats, "line")
+    survive = F.col("doc_frequency") < F.lit(min_docs)
+    if keep == "first":
+        survive = survive | (
+            (F.col("_first")[id_col] == F.col(id_col))
+            & (F.col("_first._minpos") == F.col("pos"))
+        )
+    return joined.filter(survive).select(
+        id_col, "pos", "line", F.col("doc_frequency").cast("long").alias("doc_frequency")
+    )
+
+
+def reassemble_lines(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    joiner: str = "\n",
+) -> DataFrame:
+    """Fold a (id, pos, line) frame back into one document per row,
+    lines in original order: (id, n_lines, text). One aggregate keyed
+    by the document; the sort happens inside each collected array
+    (array_sort on (pos, line) structs), never as a global sort."""
+    return (
+        lines.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                joiner,
+            ).alias("text"),
+        )
+        .withColumn("n_lines", F.col("n_lines").cast("long"))
+    )

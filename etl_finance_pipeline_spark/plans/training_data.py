@@ -4523,6 +4523,90 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------
+# Cross-document line dedup (CCNet/RefinedWeb boilerplate removal)
+# --------------------------------------------------------------------
+
+_LD_K = 3  # pseudo-line width (words) for the newline-free fixture
+
+
+def _line_dedup_frames(spark: SparkSession, sf_dir: str, keep: str):
+    from etl_finance_pipeline_spark.operators.corpus import (
+        line_dedup,
+        reassemble_lines,
+        segment_lines,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    seg = segment_lines(docs, words_per_line=_LD_K)
+    kept = line_dedup(seg, min_docs=2, keep=keep)
+    return reassemble_lines(kept, joiner=" ")
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal: every 3-word pseudo-line occurring in >= 2
+    distinct documents is excised from ALL of them; documents are
+    reassembled from their surviving lines in order. Exact string
+    compare — no rounding contract at all."""
+    return _line_dedup_frames(spark, sf_dir, keep="none").select(
+        "doc_id", "n_lines", "text"
+    )
+
+
+def q_line_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-copy lane: the globally first occurrence by
+    (doc_id, pos) of each duplicated line survives; the oracle
+    reproduces the same argmin via an encoded (doc, pos) key."""
+    return _line_dedup_frames(spark, sf_dir, keep="first").select(
+        "doc_id", "n_lines", "text"
+    )
+
+
+_LD_SEG_SQL = f"""
+ldt AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+ldseg AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[(i - 1) * {_LD_K} + 1 : (i - 1) * {_LD_K} + {_LD_K}], ' ')
+           AS line
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, CAST(ceil(len(toks) / {_LD_K}.0) AS BIGINT))) AS i
+    FROM ldt
+  )
+),
+ldpd AS (
+  SELECT line, doc_id, min(pos) AS minpos FROM ldseg GROUP BY 1, 2
+),
+ldst AS (
+  SELECT line, CAST(count(*) AS BIGINT) AS dfreq,
+         min(doc_id * 100000 + minpos) AS firstkey
+  FROM ldpd GROUP BY 1
+)"""
+
+
+SQL_LINE_DEDUP = f"""
+WITH {_LD_SEG_SQL}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       string_agg(line, ' ' ORDER BY pos) AS text
+FROM ldseg JOIN ldst USING (line)
+WHERE dfreq < 2
+GROUP BY doc_id
+"""
+
+
+SQL_LINE_DEDUP_KEEP_FIRST = f"""
+WITH {_LD_SEG_SQL}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       string_agg(line, ' ' ORDER BY pos) AS text
+FROM ldseg JOIN ldst USING (line)
+WHERE dfreq < 2 OR doc_id * 100000 + pos = firstkey
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------
 # Gopher quality rules
 # --------------------------------------------------------------------
 
@@ -4700,6 +4784,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_segment": q_unigram_segment,
     "unigram_train_pruned": q_unigram_train_pruned,
     "wordpiece_train": q_wordpiece_train,
+    "line_dedup": q_line_dedup,
+    "line_dedup_keep_first": q_line_dedup_keep_first,
     "gopher_quality": q_gopher_quality,
     "kn_bigram_lm": q_kn_bigram_lm,
     "kn_perplexity": q_kn_perplexity,
@@ -4792,6 +4878,8 @@ ORACLES_TD: dict[str, str] = {
     "unigram_segment": SQL_UNIGRAM_SEGMENT,
     "unigram_train_pruned": SQL_UNIGRAM_TRAIN_PRUNED,
     "wordpiece_train": SQL_WORDPIECE_TRAIN,
+    "line_dedup": SQL_LINE_DEDUP,
+    "line_dedup_keep_first": SQL_LINE_DEDUP_KEEP_FIRST,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "kn_bigram_lm": SQL_KN_BIGRAM_LM,
     "kn_perplexity": SQL_KN_PERPLEXITY,

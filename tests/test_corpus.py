@@ -197,3 +197,59 @@ def test_negative_pairs_deterministic_no_self(spark):
     assert all(anc != p for anc, _, p in a)  # no self-partners
     # ~3 draws per anchor (minus rare self-draw drops)
     assert 280 <= len(a) <= 300
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    from etl_finance_pipeline_spark.operators.corpus import (
+        line_dedup,
+        reassemble_lines,
+        segment_lines,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique alpha\nCOOKIE BANNER"),
+            (2, "COOKIE BANNER\nunique beta"),
+            (3, "only original text"),
+            (4, "COOKIE BANNER"),
+        ],
+        ["doc_id", "text"],
+    )
+    seg = segment_lines(df)
+    out = {
+        r["doc_id"]: r
+        for r in reassemble_lines(line_dedup(seg, min_docs=2)).collect()
+    }
+    # banner occurs in 3 distinct docs -> removed everywhere; doc 4
+    # (banner only) vanishes entirely
+    assert set(out) == {1, 2, 3}
+    assert out[1]["text"] == "unique alpha"
+    assert out[2]["text"] == "unique beta"
+    assert out[3]["text"] == "only original text"
+
+    first = {
+        r["doc_id"]: r
+        for r in reassemble_lines(
+            line_dedup(seg, min_docs=2, keep="first")
+        ).collect()
+    }
+    # globally first occurrence (doc 1, pos 0) survives, others drop
+    assert first[1]["text"] == "COOKIE BANNER\nunique alpha"
+    assert first[2]["text"] == "unique beta"
+    assert 4 not in first
+
+
+def test_segment_lines_fixed_width_and_reassembly_order(spark):
+    from etl_finance_pipeline_spark.operators.corpus import (
+        reassemble_lines,
+        segment_lines,
+    )
+
+    df = spark.createDataFrame([(7, "a b c d e f g")], ["doc_id", "text"])
+    seg = segment_lines(df, words_per_line=3).collect()
+    got = {(r["pos"], r["line"]) for r in seg}
+    assert got == {(0, "a b c"), (1, "d e f"), (2, "g")}
+    back = reassemble_lines(
+        segment_lines(df, words_per_line=3), joiner=" "
+    ).collect()[0]
+    assert back["text"] == "a b c d e f g" and back["n_lines"] == 3
