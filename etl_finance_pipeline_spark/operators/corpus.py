@@ -520,3 +520,87 @@ def reassemble_lines(
         )
         .withColumn("n_lines", F.col("n_lines").cast("long"))
     )
+
+
+def c4_line_filter(
+    lines: DataFrame,
+    min_words: int = 5,
+    require_terminal: bool = True,
+    terminal_class: str = "[.!?\"']",
+) -> DataFrame:
+    """The C4 line-level heuristics (Raffel et al. 2020 §2.2): keep a
+    line only if it has >= ``min_words`` whitespace words and (when
+    ``require_terminal``) ends in terminal punctuation. Input/output
+    is the (id, pos, line) frame from :func:`segment_lines` — a
+    narrow filter, no shuffle."""
+    keep = F.size(F.split(F.trim(F.col("line")), r"\s+")) >= min_words
+    if require_terminal:
+        keep = keep & F.rtrim(F.col("line")).rlike(terminal_class + "$")
+    return lines.filter(keep)
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    words_per_line: int | None = None,
+    min_words: int = 5,
+    require_terminal: bool = True,
+    bad_substrings: tuple[str, ...] = ("{", "lorem ipsum"),
+    min_kept_lines: int = 3,
+    joiner: str = "\n",
+) -> DataFrame:
+    """Full C4 cleaning pass: line filter + document-level drops.
+
+    A document is dropped when its raw text contains any of
+    ``bad_substrings`` (C4 drops curly-brace pages as code and the
+    'lorem ipsum' placeholder), or when fewer than ``min_kept_lines``
+    lines survive the line filter (C4's >=3-sentence floor).
+    ``drop_reason`` reports the FIRST matching rule in the order
+    (bad_substring..., too_few_lines, kept) — a deterministic CASE
+    chain. Output: (id, n_lines, kept_lines, c4_drop, drop_reason,
+    text) where ``text`` is the kept lines re-joined (NULL for
+    dropped documents).
+
+    Scale shape: one narrow explode+filter, one per-doc aggregate
+    (keyed by doc, map-side combinable), one broadcast-free equi-join
+    of two doc-keyed frames that AQE plans as a single exchange each.
+    """
+    from etl_finance_pipeline_spark.operators.corpus import (  # self, for clarity
+        reassemble_lines,
+        segment_lines,
+    )
+
+    seg = segment_lines(
+        df, id_col, text_col, delimiter=delimiter, words_per_line=words_per_line
+    )
+    totals = seg.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    kept = c4_line_filter(
+        seg, min_words=min_words, require_terminal=require_terminal
+    )
+    folded = reassemble_lines(kept, id_col, joiner=joiner).withColumnRenamed(
+        "n_lines", "kept_lines"
+    ).withColumnRenamed("text", "_clean")
+    base = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_raw"))
+    out = (
+        base.join(totals, id_col, "left")
+        .join(folded, id_col, "left")
+        .withColumn("kept_lines", F.coalesce("kept_lines", F.lit(0)))
+        .withColumn("n_lines", F.coalesce("n_lines", F.lit(0)))
+    )
+    reason = F.when(
+        F.col("kept_lines") < min_kept_lines, F.lit("too_few_lines")
+    ).otherwise(F.lit("kept"))
+    for s in reversed(bad_substrings):
+        reason = F.when(
+            F.contains(F.col("_raw"), F.lit(s.lower())), F.lit("bad_substring")
+        ).otherwise(reason)
+    return out.select(
+        id_col,
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("kept_lines").cast("long").alias("kept_lines"),
+        (reason != "kept").alias("c4_drop"),
+        reason.alias("drop_reason"),
+        F.when(reason == "kept", F.col("_clean")).alias("text"),
+    )

@@ -4607,6 +4607,65 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------
+# C4 cleaning pass (line heuristics + doc-level drops)
+# --------------------------------------------------------------------
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning over the fixture corpus: 3-word pseudo-lines (the
+    corpus carries no newlines), >=3-words line rule (drops the short
+    tail line), terminal-punctuation rule OFF (the synthetic corpus
+    has no punctuation — the rule lane is pytest-covered on realistic
+    text), brace/lorem-ipsum doc drops, >=5 surviving lines floor.
+    Exact string/boolean compare, no rounding contract."""
+    from etl_finance_pipeline_spark.operators.corpus import c4_clean
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return c4_clean(
+        docs,
+        words_per_line=_LD_K,
+        min_words=_LD_K,
+        require_terminal=False,
+        min_kept_lines=5,
+        joiner=" ",
+    )
+
+
+SQL_C4_CLEAN = f"""
+WITH {_LD_SEG_SQL},
+c4k AS (
+  SELECT doc_id, pos, line FROM ldseg
+  WHERE len(regexp_split_to_array(trim(line), '\\s+')) >= {_LD_K}
+),
+c4t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM ldseg GROUP BY 1),
+c4f AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+         string_agg(line, ' ' ORDER BY pos) AS clean
+  FROM c4k GROUP BY 1
+),
+c4r AS (
+  SELECT d.doc_id,
+         coalesce(c4t.n_lines, 0) AS n_lines,
+         coalesce(c4f.kept_lines, 0) AS kept_lines,
+         c4f.clean,
+         CASE
+           WHEN position('{{' IN lower(d.text)) > 0 THEN 'bad_substring'
+           WHEN position('lorem ipsum' IN lower(d.text)) > 0 THEN 'bad_substring'
+           WHEN coalesce(c4f.kept_lines, 0) < 5 THEN 'too_few_lines'
+           ELSE 'kept'
+         END AS drop_reason
+  FROM documents d
+  LEFT JOIN c4t ON c4t.doc_id = d.doc_id
+  LEFT JOIN c4f ON c4f.doc_id = d.doc_id
+)
+SELECT doc_id, n_lines, kept_lines,
+       (drop_reason != 'kept') AS c4_drop,
+       drop_reason,
+       CASE WHEN drop_reason = 'kept' THEN clean END AS text
+FROM c4r
+"""
+
+
+# --------------------------------------------------------------------
 # Gopher quality rules
 # --------------------------------------------------------------------
 
@@ -4786,6 +4845,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wordpiece_train": q_wordpiece_train,
     "line_dedup": q_line_dedup,
     "line_dedup_keep_first": q_line_dedup_keep_first,
+    "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
     "kn_bigram_lm": q_kn_bigram_lm,
     "kn_perplexity": q_kn_perplexity,
@@ -4880,6 +4940,7 @@ ORACLES_TD: dict[str, str] = {
     "wordpiece_train": SQL_WORDPIECE_TRAIN,
     "line_dedup": SQL_LINE_DEDUP,
     "line_dedup_keep_first": SQL_LINE_DEDUP_KEEP_FIRST,
+    "c4_clean": SQL_C4_CLEAN,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "kn_bigram_lm": SQL_KN_BIGRAM_LM,
     "kn_perplexity": SQL_KN_PERPLEXITY,

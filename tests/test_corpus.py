@@ -253,3 +253,34 @@ def test_segment_lines_fixed_width_and_reassembly_order(spark):
         segment_lines(df, words_per_line=3), joiner=" "
     ).collect()[0]
     assert back["text"] == "a b c d e f g" and back["n_lines"] == 3
+
+
+def test_c4_clean_realistic_lanes(spark):
+    from etl_finance_pipeline_spark.operators.corpus import c4_clean
+
+    df = spark.createDataFrame(
+        [
+            (1, "This is a good first sentence.\nAnd a proper second one.\n"
+                "Here is a fine third line.\nshort\nno terminal punctuation here"),
+            (2, "function f() { return 1; }\nA real sentence after the code."),
+            (3, "Lorem Ipsum dolor sit amet placeholder text here.\nMore words."),
+            (4, "One good sentence is not enough for the floor."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in c4_clean(df, min_words=5, min_kept_lines=3).collect()
+    }
+    k = out[1]
+    # 5 lines; 'short' fails min_words, the last line lacks terminal punct
+    assert (k["n_lines"], k["kept_lines"]) == (5, 3)
+    assert not k["c4_drop"] and k["drop_reason"] == "kept"
+    assert k["text"].splitlines() == [
+        "This is a good first sentence.",
+        "And a proper second one.",
+        "Here is a fine third line.",
+    ]
+    assert out[2]["drop_reason"] == "bad_substring" and out[2]["text"] is None
+    assert out[3]["drop_reason"] == "bad_substring"  # lorem ipsum, lowercased
+    assert out[4]["drop_reason"] == "too_few_lines" and out[4]["c4_drop"]
