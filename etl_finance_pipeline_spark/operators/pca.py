@@ -1,0 +1,231 @@
+"""Distributed PCA over embedding columns: one covariance aggregate,
+a driver-side power iteration on the collected d×d matrix, and a
+broadcast projection — the standard dimensionality-reduction /
+whitening step before clustering, ANN indexing, or SemDeDup.
+
+Why this shape at 100 TB: the ONLY corpus-scale work is accumulating
+the d² second-moment sums plus d first-moment sums — one map-side-
+combinable aggregate whose output is a dim-table (64-dim → 4 KB of
+doubles). Eigen-analysis of a d×d matrix is control-flow, not data
+flow, so it runs on the driver (same contract as the k-means /
+PQ codebook collects elsewhere in this package); the projection back
+over the corpus is a narrow dot product against a broadcast literal.
+
+Two covariance lanes, same contract as pq_encode:
+ * ``engine="jvm"`` — pure Catalyst: explode the d² per-row products
+   and aggregate. Bit-reproducible in the DuckDB oracle.
+ * ``engine="numpy"`` — Arrow-batched mapInPandas emitting one
+   partial Gram matrix per batch (an XᵀX matmul), then the same
+   (i, j) sum. ~d× fewer exploded rows; the corpus-scale lane.
+Both lanes feed identical downstream arithmetic; they differ only in
+float summation order (sub-ulp), absorbed by the callers' 6-dp
+portable rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_finance_pipeline_spark.operators.similarity import _as_double
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    engine: str = "jvm",
+) -> DataFrame:
+    """Full covariance matrix of the embedding column as an (i, j,
+    cov) frame (1-based indices, all d² cells):
+
+        cov[i,j] = S_ij/n − (s_i/n)·(s_j/n)
+
+    computed from one pass of exact sums (population covariance, the
+    PCA convention). See module docstring for the two lanes.
+    """
+    src = _as_double(df, vec_col)
+    if engine == "jvm":
+        v = F.col(vec_col)
+        d = F.size(v)
+        cells = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), d),
+                lambda i: F.transform(
+                    F.sequence(F.lit(1), d),
+                    lambda j: F.struct(
+                        i.cast("int").alias("i"),
+                        j.cast("int").alias("j"),
+                        (
+                            F.element_at(v, i.cast("int"))
+                            * F.element_at(v, j.cast("int"))
+                        ).alias("xx"),
+                        F.element_at(v, i.cast("int")).alias("xi"),
+                    ),
+                ),
+            )
+        )
+        exploded = src.select(F.explode(cells).alias("_c")).select(
+            F.col("_c.i").alias("i"),
+            F.col("_c.j").alias("j"),
+            F.col("_c.xx").alias("xx"),
+            F.col("_c.xi").alias("xi"),
+        )
+        sums = exploded.groupBy("i", "j").agg(
+            F.sum("xx").alias("sxx"),
+            F.sum("xi").alias("sxi"),
+            F.count("*").alias("n"),
+        )
+    elif engine == "numpy":
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField("i", T.IntegerType()),
+                T.StructField("j", T.IntegerType()),
+                T.StructField("sxx", T.DoubleType()),
+                T.StructField("sxi", T.DoubleType()),
+                T.StructField("n", T.LongType()),
+            ]
+        )
+
+        def _gram(batches):
+            import numpy as np
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                d = x.shape[1]
+                g = x.T @ x
+                s = x.sum(axis=0)
+                ii, jj = np.meshgrid(
+                    np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij"
+                )
+                yield pd.DataFrame(
+                    {
+                        "i": ii.ravel().astype("int32"),
+                        "j": jj.ravel().astype("int32"),
+                        "sxx": g.ravel(),
+                        "sxi": np.repeat(s, d),
+                        "n": np.int64(len(pdf)),
+                    }
+                )
+
+        partials = src.select(vec_col).mapInPandas(_gram, out_schema)
+        sums = partials.groupBy("i", "j").agg(
+            F.sum("sxx").alias("sxx"),
+            F.sum("sxi").alias("sxi"),
+            F.sum("n").alias("n"),
+        )
+    else:
+        raise ValueError(f"unknown covariance engine: {engine}")
+    # sxi aggregated per (i, j) cell equals s_i scaled by the count of
+    # j cells contributing — it is summed once per (i, j), so for a
+    # fixed i every j row carries the same s_i. Mean of j's column
+    # comes from the transposed cell (j, i)'s sxi — avoid a second
+    # shuffle by joining the diagonal-free means frame instead:
+    means = sums.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("j"), (F.col("sxi") / F.col("n")).alias("mean_j")
+    )
+    out = (
+        sums.withColumn("mean_i", F.col("sxi") / F.col("n"))
+        .join(F.broadcast(means), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("sxx") / F.col("n") - F.col("mean_i") * F.col("mean_j")
+            ).alias("cov"),
+            "mean_i",
+            "mean_j",
+        )
+    )
+    return out
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 8,
+    engine: str = "jvm",
+) -> tuple[list[float], float, list[float]]:
+    """One-stop fit: covariance pass + power iteration. Returns
+    (loadings, eigenvalue, means) — the means come for free from the
+    covariance frame's diagonal."""
+    cov = embedding_covariance(df, vec_col, engine=engine)
+    rows = cov.collect()
+    means = [
+        r["mean_i"]
+        for r in sorted(
+            (r for r in rows if r["i"] == r["j"]), key=lambda r: r["i"]
+        )
+    ]
+    loadings, eig = _power_iterate(rows, len(means), iters)
+    return loadings, eig, means
+
+
+def pca_power_top_component(
+    cov: DataFrame, iters: int = 8
+) -> tuple[list[float], float]:
+    """Dominant eigenvector of a collected (i, j, cov) frame via a
+    FIXED-iteration power method — deterministic control flow the
+    DuckDB oracle unrolls verbatim: v₀ = 1/√d, then *iters* rounds of
+    v ← Cv / ‖Cv‖₂, final sign fixed so v[0] ≥ 0. Returns (loadings,
+    eigenvalue = vᵀCv). The matrix is a dim-table (d² doubles) — this
+    is driver control flow, same contract as the k-means codebook
+    collects."""
+    rows = cov.collect()
+    d = max(r["i"] for r in rows)
+    return _power_iterate(rows, d, iters)
+
+
+def _power_iterate(
+    rows, d: int, iters: int, round_digits: int | None = 6
+) -> tuple[list[float], float]:
+    """Fixed-iteration power method with the package's cross-engine
+    lockstep device: v is portable-rounded after every normalization
+    (same as linear_probe_train's per-step weight rounding), so the
+    oracle's unrolled SQL and this numpy loop can't drift apart over
+    iterations — each round restarts from bit-identical inputs."""
+    import numpy as np
+
+    c = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        c[r["i"] - 1, r["j"] - 1] = r["cov"]
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(iters):
+        w = c @ v
+        v = w / np.sqrt(float(w @ w))
+        if round_digits is not None:
+            scale = 10.0 ** round_digits
+            v = np.floor(v * scale + 0.5) / scale
+    if v[0] < 0:
+        v = -v
+    eig = float(v @ (c @ v))
+    return [float(x) for x in v], eig
+
+
+def pca_project(
+    df: DataFrame,
+    loadings: list[float],
+    means: list[float] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "score",
+) -> DataFrame:
+    """Project each vector onto a component: score = (x − mean)·v.
+    The loadings/means ride as literals (broadcast with the task) —
+    a narrow projection, no shuffle, no UDF."""
+    src = _as_double(df, vec_col)
+    lit_v = F.array(*[F.lit(float(x)) for x in loadings])
+    vec = F.col(vec_col)
+    if means is not None:
+        lit_m = F.array(*[F.lit(float(x)) for x in means])
+        vec = F.zip_with(vec, lit_m, lambda x, m: x - m)
+    dot = F.aggregate(
+        F.zip_with(vec, lit_v, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    return src.select(F.col(id_col), dot.alias(out_col))

@@ -4607,6 +4607,140 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------
+# PCA over embeddings: covariance, power-iteration top component,
+# projection
+# --------------------------------------------------------------------
+
+_PCA_ITERS = 8
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full d×d covariance of the embedding corpus — the one
+    corpus-scale aggregate behind PCA. Entries are sums of float
+    products (order noise ~1e-14) under 6-dp rounding."""
+    from etl_finance_pipeline_spark.operators.pca import embedding_covariance
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    return embedding_covariance(emb).select(
+        "i", "j", _pr("cov", 6).alias("cov")
+    )
+
+
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector via a FIXED 8-round power method with the
+    per-iteration 6-dp lockstep rounding (linear_probe's device), so
+    the oracle's unrolled matvec rounds can't drift from the driver's
+    numpy loop."""
+    import math
+
+    from etl_finance_pipeline_spark.operators.pca import pca_fit
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    loadings, eig, _ = pca_fit(emb, iters=_PCA_ITERS)
+    eig6 = math.floor(eig * 1e6 + 0.5) / 1e6
+    return spark.createDataFrame(
+        [(i + 1, loadings[i], eig6) for i in range(len(loadings))],
+        "i int, loading double, eigenvalue double",
+    )
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered projection of every vector onto the fitted top
+    component — a narrow dot product against broadcast literals."""
+    from etl_finance_pipeline_spark.operators.pca import pca_fit, pca_project
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    loadings, _, means = pca_fit(emb, iters=_PCA_ITERS)
+    out = pca_project(emb, loadings, means=means)
+    return out.select("vec_id", _pr("score", 6).alias("score"))
+
+
+_PCA_COV_SQL = """
+pxe AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+px AS (
+  SELECT vec_id, i, x[i] AS xi
+  FROM (SELECT vec_id, x, unnest(generate_series(1, len(x))) AS i FROM pxe)
+),
+psum AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sxx, sum(a.xi) AS sxi,
+         CAST(count(*) AS BIGINT) AS n
+  FROM px a JOIN px b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+pmean AS (SELECT i AS j, sxi / n AS mean_j FROM psum WHERE i = j),
+pcov AS MATERIALIZED (
+  SELECT psum.i, psum.j, sxx / n - (sxi / n) * mean_j AS cov
+  FROM psum JOIN pmean ON pmean.j = psum.j
+)"""
+
+
+def _pca_round_sql(k: int) -> str:
+    return f"""
+pw{k} AS MATERIALIZED (
+  SELECT c.i, sum(c.cov * v.vi) AS wi
+  FROM pcov c JOIN pv{k - 1} v ON v.i = c.j
+  GROUP BY 1
+),
+pn{k} AS MATERIALIZED (SELECT sqrt(sum(wi * wi)) AS nrm FROM pw{k}),
+pv{k} AS MATERIALIZED (
+  SELECT i, floor(wi / nrm * 1000000 + 0.5) / 1000000 AS vi
+  FROM pw{k} CROSS JOIN pn{k}
+)"""
+
+
+_PCA_POWER_SQL = (
+    _PCA_COV_SQL
+    + """,
+pv0 AS (
+  SELECT j AS i,
+         1.0 / sqrt(CAST((SELECT count(*) FROM pmean) AS DOUBLE)) AS vi
+  FROM pmean
+),"""
+    + ",".join(_pca_round_sql(k) for k in range(1, _PCA_ITERS + 1))
+    + f""",
+psgn AS (
+  SELECT CASE WHEN (SELECT vi FROM pv{_PCA_ITERS} WHERE i = 1) < 0
+              THEN -1.0 ELSE 1.0 END AS s
+),
+pfin AS MATERIALIZED (SELECT i, vi * s AS vi FROM pv{_PCA_ITERS} CROSS JOIN psgn),
+pwf AS (
+  SELECT c.i, sum(c.cov * v.vi) AS wi
+  FROM pcov c JOIN pfin v ON v.i = c.j
+  GROUP BY 1
+),
+peig AS (SELECT sum(v.vi * w.wi) AS eig FROM pfin v JOIN pwf w USING (i))"""
+)
+
+
+SQL_EMBEDDING_COVARIANCE = f"""
+WITH {_PCA_COV_SQL}
+SELECT i, j, floor(cov * 1000000 + 0.5) / 1000000 AS cov FROM pcov
+"""
+
+
+SQL_PCA_TOP_COMPONENT = f"""
+WITH {_PCA_POWER_SQL}
+SELECT CAST(i AS INT) AS i, vi AS loading,
+       floor(eig * 1000000 + 0.5) / 1000000 AS eigenvalue
+FROM pfin CROSS JOIN peig
+"""
+
+
+SQL_PCA_PROJECT = f"""
+WITH {_PCA_POWER_SQL}
+SELECT p.vec_id,
+       floor(sum((p.xi - m.mean_j) * f.vi) * 1000000 + 0.5) / 1000000
+         AS score
+FROM px p
+JOIN pmean m ON m.j = p.i
+JOIN pfin f ON f.i = p.i
+GROUP BY p.vec_id
+"""
+
+
+# --------------------------------------------------------------------
 # C4 cleaning pass (line heuristics + doc-level drops)
 # --------------------------------------------------------------------
 
@@ -4845,6 +4979,9 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wordpiece_train": q_wordpiece_train,
     "line_dedup": q_line_dedup,
     "line_dedup_keep_first": q_line_dedup_keep_first,
+    "embedding_covariance": q_embedding_covariance,
+    "pca_top_component": q_pca_top_component,
+    "pca_project": q_pca_project,
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
     "kn_bigram_lm": q_kn_bigram_lm,
@@ -4940,6 +5077,9 @@ ORACLES_TD: dict[str, str] = {
     "wordpiece_train": SQL_WORDPIECE_TRAIN,
     "line_dedup": SQL_LINE_DEDUP,
     "line_dedup_keep_first": SQL_LINE_DEDUP_KEEP_FIRST,
+    "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
+    "pca_top_component": SQL_PCA_TOP_COMPONENT,
+    "pca_project": SQL_PCA_PROJECT,
     "c4_clean": SQL_C4_CLEAN,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "kn_bigram_lm": SQL_KN_BIGRAM_LM,
