@@ -4741,6 +4741,105 @@ GROUP BY p.vec_id
 
 
 # --------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023 data selection)
+# --------------------------------------------------------------------
+
+_DSIR_B = 64
+_DSIR_K = 50
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log importance weights of the whole corpus toward the
+    English subset as target: hashed unigram+bigram bag-of-buckets
+    models, Laplace-smoothed, log-ratio summed per doc. Counts are
+    exact ints; the per-doc sum of O(1)-magnitude log ratios rounds
+    at 6 dp."""
+    from etl_finance_pipeline_spark.operators.dsir import dsir_weights
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_weights(docs, target, n_buckets=_DSIR_B)
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k selection by (logw, doc_id) — planned as
+    TakeOrderedAndProject, never a global sort."""
+    from etl_finance_pipeline_spark.operators.dsir import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_select(dsir_weights(docs, target, n_buckets=_DSIR_B), _DSIR_K)
+
+
+_DSIR_BASE_SQL = f"""
+dst AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+dsg AS (
+  SELECT doc_id, lang,
+         unnest(toks || CASE WHEN len(toks) >= 2
+           THEN list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])
+           ELSE []::VARCHAR[] END) AS gram
+  FROM dst
+),
+dsb AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % {_DSIR_B}
+           AS bucket
+  FROM dsg
+),
+dall AS (SELECT unnest(generate_series(0, {_DSIR_B} - 1)) AS bucket),
+dtb AS (
+  SELECT dall.bucket, coalesce(c.c, 0) AS c
+  FROM dall LEFT JOIN (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS c
+    FROM dsb WHERE lang = 'en' GROUP BY 1
+  ) c USING (bucket)
+),
+drb AS (
+  SELECT dall.bucket, coalesce(c.c, 0) AS c
+  FROM dall LEFT JOIN (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM dsb GROUP BY 1
+  ) c USING (bucket)
+),
+dtn AS (SELECT sum(c) AS n FROM dtb),
+drn AS (SELECT sum(c) AS n FROM drb),
+dratio AS MATERIALIZED (
+  SELECT dtb.bucket,
+         ln(CAST(dtb.c + 1 AS DOUBLE) / CAST((SELECT n FROM dtn) + {_DSIR_B} AS DOUBLE))
+         - ln(CAST(drb.c + 1 AS DOUBLE) / CAST((SELECT n FROM drn) + {_DSIR_B} AS DOUBLE))
+           AS logratio
+  FROM dtb JOIN drb USING (bucket)
+),
+dsw AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         floor(sum(logratio) * 1000000 + 0.5) / 1000000 AS logw
+  FROM dsb JOIN dratio USING (bucket)
+  GROUP BY doc_id
+)"""
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH {_DSIR_BASE_SQL}
+SELECT doc_id, n_grams, logw FROM dsw
+"""
+
+
+SQL_DSIR_SELECT = f"""
+WITH {_DSIR_BASE_SQL}
+SELECT doc_id, n_grams, logw FROM dsw
+ORDER BY logw DESC, doc_id ASC
+LIMIT {_DSIR_K}
+"""
+
+
+# --------------------------------------------------------------------
 # C4 cleaning pass (line heuristics + doc-level drops)
 # --------------------------------------------------------------------
 
@@ -4982,6 +5081,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance": q_embedding_covariance,
     "pca_top_component": q_pca_top_component,
     "pca_project": q_pca_project,
+    "dsir_weights": q_dsir_weights,
+    "dsir_select": q_dsir_select,
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
     "kn_bigram_lm": q_kn_bigram_lm,
@@ -5080,6 +5181,8 @@ ORACLES_TD: dict[str, str] = {
     "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
     "pca_top_component": SQL_PCA_TOP_COMPONENT,
     "pca_project": SQL_PCA_PROJECT,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "dsir_select": SQL_DSIR_SELECT,
     "c4_clean": SQL_C4_CLEAN,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "kn_bigram_lm": SQL_KN_BIGRAM_LM,

@@ -284,3 +284,31 @@ def test_c4_clean_realistic_lanes(spark):
     assert out[2]["drop_reason"] == "bad_substring" and out[2]["text"] is None
     assert out[3]["drop_reason"] == "bad_substring"  # lorem ipsum, lowercased
     assert out[4]["drop_reason"] == "too_few_lines" and out[4]["c4_drop"]
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from etl_finance_pipeline_spark.operators.dsir import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    # target speaks 'alpha beta', raw mixes in 'gamma delta' docs
+    target = spark.createDataFrame(
+        [(i, "alpha beta alpha beta alpha") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta"),
+            (2, "gamma delta gamma delta"),
+            (3, "alpha beta gamma delta"),
+        ],
+        ["doc_id", "text"],
+    )
+    w = {r["doc_id"]: r["logw"] for r in dsir_weights(raw, target).collect()}
+    assert w[1] > w[3] > w[2]
+    top = dsir_select(dsir_weights(raw, target), 1).collect()
+    assert top[0]["doc_id"] == 1
+    # TakeOrderedAndProject, not a global sort
+    plan = dsir_select(dsir_weights(raw, target), 1)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
