@@ -229,3 +229,72 @@ def pca_project(
         lambda a, t: a + t,
     )
     return src.select(F.col(id_col), dot.alias(out_col))
+
+
+def pca_fit2(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 8,
+    engine: str = "jvm",
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Top-2 PCA via Hotelling deflation: fit the dominant component,
+    deflate C2 = C − λ·v·vᵀ (using the ROUNDED v and a 6-dp-rounded λ
+    so the oracle deflates with bit-identical inputs), and run the
+    same lockstep power method on C2. Returns ([v1, v2], [λ1, λ2],
+    means). One covariance pass; both eigen-solves are driver
+    control flow over the collected d×d dim-table."""
+    import math
+
+    import numpy as np
+
+    cov = embedding_covariance(df, vec_col, engine=engine)
+    rows = cov.collect()
+    means = [
+        r["mean_i"]
+        for r in sorted(
+            (r for r in rows if r["i"] == r["j"]), key=lambda r: r["i"]
+        )
+    ]
+    d = len(means)
+    v1, eig1 = _power_iterate(rows, d, iters)
+    eig1r = math.floor(eig1 * 1e6 + 0.5) / 1e6
+    c = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        c[r["i"] - 1, r["j"] - 1] = r["cov"]
+    v1a = np.array(v1)
+    c2 = c - eig1r * np.outer(v1a, v1a)
+    rows2 = [
+        {"i": i + 1, "j": j + 1, "cov": float(c2[i, j])}
+        for i in range(d)
+        for j in range(d)
+    ]
+    v2, eig2 = _power_iterate(rows2, d, iters)
+    return [v1, v2], [eig1, eig2], means
+
+
+def pca_project_multi(
+    df: DataFrame,
+    components: list[list[float]],
+    means: list[float] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project onto several components in ONE narrow pass: output
+    (id, pc1, pc2, ...). Same broadcast-literal contract as
+    :func:`pca_project`."""
+    src = _as_double(df, vec_col)
+    vec = F.col(vec_col)
+    if means is not None:
+        lit_m = F.array(*[F.lit(float(x)) for x in means])
+        vec = F.zip_with(vec, lit_m, lambda x, m: x - m)
+    cols = []
+    for k, comp in enumerate(components):
+        lit_v = F.array(*[F.lit(float(x)) for x in comp])
+        cols.append(
+            F.aggregate(
+                F.zip_with(vec, lit_v, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda a, t: a + t,
+            ).alias(f"pc{k + 1}")
+        )
+    return src.select(F.col(id_col), *cols)

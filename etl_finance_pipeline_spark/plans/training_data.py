@@ -4676,18 +4676,39 @@ pcov AS MATERIALIZED (
 )"""
 
 
-def _pca_round_sql(k: int) -> str:
+def _pca_round_sql(k: int, p: str = "p") -> str:
+    """One power-method round over {p}cov: matvec, norm, 6-dp
+    lockstep rounding (prefix *p* lets the deflated second-component
+    solve reuse the identical rounds)."""
     return f"""
-pw{k} AS MATERIALIZED (
+{p}w{k} AS MATERIALIZED (
   SELECT c.i, sum(c.cov * v.vi) AS wi
-  FROM pcov c JOIN pv{k - 1} v ON v.i = c.j
+  FROM {p}cov c JOIN {p}v{k - 1} v ON v.i = c.j
   GROUP BY 1
 ),
-pn{k} AS MATERIALIZED (SELECT sqrt(sum(wi * wi)) AS nrm FROM pw{k}),
-pv{k} AS MATERIALIZED (
+{p}n{k} AS MATERIALIZED (SELECT sqrt(sum(wi * wi)) AS nrm FROM {p}w{k}),
+{p}v{k} AS MATERIALIZED (
   SELECT i, floor(wi / nrm * 1000000 + 0.5) / 1000000 AS vi
-  FROM pw{k} CROSS JOIN pn{k}
+  FROM {p}w{k} CROSS JOIN {p}n{k}
 )"""
+
+
+def _pca_finish_sql(p: str = "p") -> str:
+    """Sign fix + eigenvalue for the converged {p}v{iters}."""
+    return f"""
+{p}sgn AS (
+  SELECT CASE WHEN (SELECT vi FROM {p}v{_PCA_ITERS} WHERE i = 1) < 0
+              THEN -1.0 ELSE 1.0 END AS s
+),
+{p}fin AS MATERIALIZED (
+  SELECT i, vi * s AS vi FROM {p}v{_PCA_ITERS} CROSS JOIN {p}sgn
+),
+{p}wf AS (
+  SELECT c.i, sum(c.cov * v.vi) AS wi
+  FROM {p}cov c JOIN {p}fin v ON v.i = c.j
+  GROUP BY 1
+),
+{p}eig AS (SELECT sum(v.vi * w.wi) AS eig FROM {p}fin v JOIN {p}wf w USING (i))"""
 
 
 _PCA_POWER_SQL = (
@@ -4699,19 +4720,64 @@ pv0 AS (
   FROM pmean
 ),"""
     + ",".join(_pca_round_sql(k) for k in range(1, _PCA_ITERS + 1))
-    + f""",
-psgn AS (
-  SELECT CASE WHEN (SELECT vi FROM pv{_PCA_ITERS} WHERE i = 1) < 0
-              THEN -1.0 ELSE 1.0 END AS s
-),
-pfin AS MATERIALIZED (SELECT i, vi * s AS vi FROM pv{_PCA_ITERS} CROSS JOIN psgn),
-pwf AS (
-  SELECT c.i, sum(c.cov * v.vi) AS wi
-  FROM pcov c JOIN pfin v ON v.i = c.j
-  GROUP BY 1
-),
-peig AS (SELECT sum(v.vi * w.wi) AS eig FROM pfin v JOIN pwf w USING (i))"""
+    + ","
+    + _pca_finish_sql("p")
 )
+
+
+# deflated second-component solve: qcov = pcov − λ₁·(v₁ᵢ·v₁ⱼ) with the
+# ROUNDED λ₁/v₁ (exactly what pca_fit2 deflates with), then the same
+# unrolled rounds under prefix q
+_PCA_POWER2_SQL = (
+    _PCA_POWER_SQL
+    + """,
+peig6 AS (SELECT floor(eig * 1000000 + 0.5) / 1000000 AS e FROM peig),
+qcov AS MATERIALIZED (
+  SELECT c.i, c.j, c.cov - (SELECT e FROM peig6) * (a.vi * b.vi) AS cov
+  FROM pcov c
+  JOIN pfin a ON a.i = c.i
+  JOIN pfin b ON b.i = c.j
+),
+qv0 AS (
+  SELECT j AS i,
+         1.0 / sqrt(CAST((SELECT count(*) FROM pmean) AS DOUBLE)) AS vi
+  FROM pmean
+),"""
+    + ",".join(_pca_round_sql(k, "q") for k in range(1, _PCA_ITERS + 1))
+    + ","
+    + _pca_finish_sql("q")
+)
+
+
+def q_pca_reduce2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D PCA reduction: dominant component + Hotelling-deflated
+    second component (deflation uses the ROUNDED λ₁/v₁ so the
+    oracle's qcov is built from bit-identical inputs), both projected
+    in one narrow pass."""
+    from etl_finance_pipeline_spark.operators.pca import (
+        pca_fit2,
+        pca_project_multi,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    comps, _eigs, means = pca_fit2(emb, iters=_PCA_ITERS)
+    out = pca_project_multi(emb, comps, means=means)
+    return out.select(
+        "vec_id", _pr("pc1", 6).alias("pc1"), _pr("pc2", 6).alias("pc2")
+    )
+
+
+SQL_PCA_REDUCE2 = f"""
+WITH {_PCA_POWER2_SQL}
+SELECT p.vec_id,
+       floor(sum((p.xi - m.mean_j) * f1.vi) * 1000000 + 0.5) / 1000000 AS pc1,
+       floor(sum((p.xi - m.mean_j) * f2.vi) * 1000000 + 0.5) / 1000000 AS pc2
+FROM px p
+JOIN pmean m ON m.j = p.i
+JOIN pfin f1 ON f1.i = p.i
+JOIN qfin f2 ON f2.i = p.i
+GROUP BY p.vec_id
+"""
 
 
 SQL_EMBEDDING_COVARIANCE = f"""
@@ -5081,6 +5147,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance": q_embedding_covariance,
     "pca_top_component": q_pca_top_component,
     "pca_project": q_pca_project,
+    "pca_reduce2": q_pca_reduce2,
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
     "c4_clean": q_c4_clean,
@@ -5181,6 +5248,7 @@ ORACLES_TD: dict[str, str] = {
     "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
     "pca_top_component": SQL_PCA_TOP_COMPONENT,
     "pca_project": SQL_PCA_PROJECT,
+    "pca_reduce2": SQL_PCA_REDUCE2,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "dsir_select": SQL_DSIR_SELECT,
     "c4_clean": SQL_C4_CLEAN,

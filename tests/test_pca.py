@@ -69,3 +69,39 @@ def test_projection_centered_dot(spark, vecs):
         assert s == pytest.approx(want[i], abs=1e-6)
     # projections onto the top component are zero-mean
     assert np.mean(list(out.values())) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_fit2_components_orthogonal_and_ranked(spark, vecs):
+    from etl_finance_pipeline_spark.operators.pca import pca_fit2
+
+    x, u, df = vecs
+    comps, eigs, means = pca_fit2(df, iters=12)
+    v1, v2 = np.array(comps[0]), np.array(comps[1])
+    assert eigs[0] > eigs[1] > 0
+    assert abs(float(v1 @ v2)) < 1e-4  # deflation orthogonality
+    assert np.linalg.norm(v2) == pytest.approx(1.0, abs=1e-5)
+    # eigenvalues match numpy's top-2 spectrum
+    spec = np.linalg.eigvalsh(np.cov(x, rowvar=False, bias=True))
+    assert eigs[0] == pytest.approx(float(spec[-1]), rel=1e-3)
+    assert eigs[1] == pytest.approx(float(spec[-2]), rel=1e-2)
+
+
+def test_project_multi_matches_single(spark, vecs):
+    from etl_finance_pipeline_spark.operators.pca import (
+        pca_fit2,
+        pca_project,
+        pca_project_multi,
+    )
+
+    _, _, df = vecs
+    comps, _, means = pca_fit2(df, iters=12)
+    multi = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in pca_project_multi(df, comps, means=means).collect()
+    }
+    one = {
+        r["vec_id"]: r["score"]
+        for r in pca_project(df, comps[0], means=means).collect()
+    }
+    for k, (p1, _) in multi.items():
+        assert p1 == pytest.approx(one[k], abs=1e-12)
