@@ -5053,6 +5053,56 @@ FROM gm
 """
 
 
+def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rules as a STREAMING pre-filter: a file-stream over
+    the documents table through the same narrow gopher_rules map
+    (stateless → append mode, no watermark needed), keeping only
+    passing docs. Proves the quality lane runs unchanged under
+    Structured Streaming; the oracle is the batch rule set."""
+    import uuid
+
+    from etl_finance_pipeline_spark.operators.text_analysis import gopher_rules
+    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
+
+    spark = _narrow_session(spark, 8)
+    ensure_nanos_conf(spark)
+    path = _t(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
+    # the fixture's 31-word vocab carries one Gopher stopword, so the
+    # full 7-rule AND is vacuously empty here — the stream filters on
+    # the four structural rules (the full conjunction is exercised by
+    # the batch gopher_quality query + pytest)
+    passed = (
+        gopher_rules(stream)
+        .filter(
+            F.col("rule_word_count")
+            & F.col("rule_mean_word_len")
+            & F.col("rule_symbol_ratio")
+            & F.col("rule_alpha_words")
+        )
+        .select("doc_id", "n_words", "stop_types")
+    )
+    name = f"stream_quality_{uuid.uuid4().hex[:8]}"
+    q = (
+        passed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+SQL_STREAM_QUALITY_FILTER = f"""
+SELECT doc_id, n_words, stop_types
+FROM ({SQL_GOPHER_QUALITY})
+WHERE rule_word_count AND rule_mean_word_len
+  AND rule_symbol_ratio AND rule_alpha_words
+"""
+
+
 # --------------------------------------------------------------------
 # Kneser-Ney bigram LM: train + perplexity scoring (CCNet-style)
 # --------------------------------------------------------------------
@@ -5147,6 +5197,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance": q_embedding_covariance,
     "pca_top_component": q_pca_top_component,
     "pca_project": q_pca_project,
+    "stream_quality_filter": q_stream_quality_filter,
     "pca_reduce2": q_pca_reduce2,
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
@@ -5248,6 +5299,7 @@ ORACLES_TD: dict[str, str] = {
     "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
     "pca_top_component": SQL_PCA_TOP_COMPONENT,
     "pca_project": SQL_PCA_PROJECT,
+    "stream_quality_filter": SQL_STREAM_QUALITY_FILTER,
     "pca_reduce2": SQL_PCA_REDUCE2,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "dsir_select": SQL_DSIR_SELECT,
