@@ -226,3 +226,53 @@ def linear_probe_score(
         + F.lit(float(bias))
     )
     return df.withColumn(out_col, score)
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str = "probe_score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a 0/1 label — the Mann-Whitney
+    U statistic with average ranks for ties:
+
+        AUC = (S_pos − P(P+1)/2) / (P·N)
+
+    where S_pos is the sum over positives of the average ascending
+    rank of their score. Ranks come from the score-GROUPED frame
+    (one aggregate), then one cumulative window over distinct score
+    values. Callers should portable-round the score first so tie
+    groups are engine-independent.
+
+    Scale note: the cumulative window runs over DISTINCT scores of an
+    EVAL split — benchmark-sized by definition (same contract as the
+    decontamination eval sets); for corpus-sized inputs bin the score
+    first (fixed-width binning = the standard approximate AUC).
+    Output: one row (n, n_pos, n_neg, auc).
+    """
+    from pyspark.sql.window import Window
+
+    g = df.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col(label_col).cast("long")).alias("_np"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = g.withColumn("_cum", F.sum("_n").over(w)).withColumn(
+        "_rank_avg",
+        (F.col("_cum") - F.col("_n")).cast("double")
+        + (F.col("_n") + 1) / F.lit(2.0),
+    )
+    agg = ranked.agg(
+        F.sum("_n").alias("_tot"),
+        F.sum("_np").alias("_p"),
+        F.sum(F.col("_np") * F.col("_rank_avg")).alias("_spos"),
+    )
+    p = F.col("_p").cast("double")
+    n_neg = (F.col("_tot") - F.col("_p")).cast("double")
+    auc = (F.col("_spos") - p * (p + 1) / F.lit(2.0)) / (p * n_neg)
+    return agg.select(
+        F.col("_tot").cast("long").alias("n"),
+        F.col("_p").cast("long").alias("n_pos"),
+        (F.col("_tot") - F.col("_p")).cast("long").alias("n_neg"),
+        (F.floor(auc * 1e6 + F.lit(0.5)) / 1e6).alias("auc"),
+    )

@@ -133,6 +133,7 @@ def kn_perplexity(
     text_col: str = "text",
     discount: float = 0.75,
     lm: DataFrame | None = None,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Score each document by bigram perplexity under an interpolated
     Kneser-Ney model (default: trained on this corpus itself — the
@@ -163,8 +164,12 @@ def kn_perplexity(
     bt_total = probs.agg(F.count("*").alias("_btall"))
     d = F.lit(float(discount))
     big = _doc_bigrams(df, id_col, text_col)
+    # pass broadcast_model=False when the bigram table outgrows the
+    # broadcast threshold — the lookup becomes a standard shuffle join
+    # on the high-cardinality (w1, w2) key
+    probs_side = F.broadcast(probs) if broadcast_model else probs
     joined = (
-        big.join(F.broadcast(probs), ["w1", "w2"], "left")
+        big.join(probs_side, ["w1", "w2"], "left")
         .join(F.broadcast(ctx), "w1", "left")
         .crossJoin(F.broadcast(bt_total))
         .withColumn(
@@ -188,4 +193,41 @@ def kn_perplexity(
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         portable_round(F.col("_avg_lp"), 6).alias("avg_logprob"),
         portable_round(F.pow(F.lit(2.0), -F.col("_avg_lp")), 6).alias("ppl"),
+    )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    every document's LM perplexity and split the corpus into
+    head/middle/tail at the exact perplexity terciles — the head
+    (lowest perplexity = most target-like) is what the paper keeps
+    for pre-training.
+
+    Cuts are EXACT interpolated percentiles over the 6-dp-rounded
+    perplexities (identical inputs in both engines; the holistic
+    aggregate is a 1-row broadcast — the corpus never re-shuffles for
+    the bucketing, and approx_percentile is the documented swap at
+    raw-fact scale). Output: (id, n_bigrams, avg_logprob, ppl,
+    bucket).
+    """
+    ppl = kn_perplexity(df, id_col, text_col, discount=discount)
+    cuts = ppl.agg(
+        F.expr(
+            "percentile(ppl, array(CAST(1.0/3.0 AS DOUBLE),"
+            " CAST(2.0/3.0 AS DOUBLE)))"
+        ).alias("_c")
+    )
+    out = ppl.crossJoin(F.broadcast(cuts))
+    bucket = (
+        F.when(F.col("ppl") <= F.col("_c")[0], F.lit("head"))
+        .when(F.col("ppl") <= F.col("_c")[1], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select(
+        id_col, "n_bigrams", "avg_logprob", "ppl", bucket.alias("bucket")
     )

@@ -5187,6 +5187,106 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------
+# Probe evaluation: exact ROC-AUC (Mann-Whitney, average ranks)
+# --------------------------------------------------------------------
+
+_AUC_ITERS = 2
+_AUC_LR = 0.1
+
+
+def q_probe_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the linear probe (2 lockstep GD steps), score every
+    embedding (6-dp-rounded so tie groups are engine-independent),
+    and report the exact ROC-AUC of the score against the binarized
+    label (positive = label >= 5) — the standard eval for a
+    quality-scorer head."""
+    from etl_finance_pipeline_spark.operators.mlprep import (
+        binary_auc,
+        linear_probe_score,
+        linear_probe_train,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    w, b = linear_probe_train(emb, lr=_AUC_LR, iters=_AUC_ITERS)
+    scored = linear_probe_score(emb, w, b).select(
+        _pr("probe_score", 6).alias("probe_score"),
+        (F.col("label") >= 5).cast("int").alias("label"),
+    )
+    return binary_auc(scored)
+
+
+SQL_PROBE_AUC = f"""
+WITH {_linprobe_sql(64, _AUC_ITERS, _AUC_LR)},
+aucsc AS (
+  SELECT floor((list_sum(list_transform(
+           list_zip(CAST(e.embedding AS DOUBLE[]),
+                    (SELECT list(w ORDER BY pos) FROM w{_AUC_ITERS})),
+           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+           + (SELECT b FROM b{_AUC_ITERS})) * 1000000 + 0.5) / 1000000 AS s,
+         CASE WHEN e.label >= 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings e
+),
+aucg AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS np
+  FROM aucsc GROUP BY s
+),
+aucr AS (
+  SELECT n, np,
+         CAST(sum(n) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS DOUBLE)
+           + (n + 1) / 2.0 AS rank_avg
+  FROM aucg
+),
+auca AS (
+  SELECT sum(n) AS tot, sum(np) AS p, sum(np * rank_avg) AS spos FROM aucr
+)
+SELECT CAST(tot AS BIGINT) AS n,
+       CAST(p AS BIGINT) AS n_pos,
+       CAST(tot - p AS BIGINT) AS n_neg,
+       floor((spos - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1) / 2.0)
+             / (CAST(p AS DOUBLE) * CAST(tot - p AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS auc
+FROM auca
+"""
+
+
+# --------------------------------------------------------------------
+# CCNet perplexity bucketing (head/middle/tail terciles)
+# --------------------------------------------------------------------
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split at exact perplexity terciles —
+    cuts computed over the 6-dp-rounded ppl (identical in both
+    engines), interpolated-percentile parity per order_percentiles."""
+    from etl_finance_pipeline_spark.operators.ngram_lm import ccnet_buckets
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return ccnet_buckets(docs, discount=_KN_D)
+
+
+SQL_CCNET_BUCKETS = f"""
+WITH {_KN_BASE_SQL},
+knppl AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         floor(avg(log2(p)) * 1000000 + 0.5) / 1000000 AS avg_logprob,
+         floor(pow(2.0, -avg(log2(p))) * 1000000 + 0.5) / 1000000 AS ppl
+  FROM knbig
+  JOIN knlm USING (w1, w2)
+  GROUP BY doc_id
+),
+kncut AS (
+  SELECT quantile_cont(ppl, [1.0/3.0, 2.0/3.0]) AS c FROM knppl
+)
+SELECT doc_id, n_bigrams, avg_logprob, ppl,
+       CASE WHEN ppl <= c[1] THEN 'head'
+            WHEN ppl <= c[2] THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM knppl CROSS JOIN kncut
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_train": q_unigram_train,
     "unigram_segment": q_unigram_segment,
@@ -5205,6 +5305,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "kn_bigram_lm": q_kn_bigram_lm,
     "kn_perplexity": q_kn_perplexity,
+    "ccnet_buckets": q_ccnet_buckets,
+    "probe_auc": q_probe_auc,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "image_stats_jpeg_mixed": q_image_stats_jpeg_mixed,
     "media_decode_audit": q_media_decode_audit,
@@ -5307,6 +5409,8 @@ ORACLES_TD: dict[str, str] = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "kn_bigram_lm": SQL_KN_BIGRAM_LM,
     "kn_perplexity": SQL_KN_PERPLEXITY,
+    "ccnet_buckets": SQL_CCNET_BUCKETS,
+    "probe_auc": SQL_PROBE_AUC,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
     "image_stats_jpeg_mixed": SQL_IMAGE_STATS_JPEG,
     "media_decode_audit": SQL_MEDIA_DECODE_AUDIT,

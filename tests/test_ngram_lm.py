@@ -83,3 +83,24 @@ def test_kn_perplexity_foreign_model_fallbacks(spark, corpus):
     assert out[10].ppl == pytest.approx(1 / p_az, abs=1e-4)
     # context 'q' unknown -> uniform over types
     assert out[11].ppl == pytest.approx(float(bt), abs=1e-4)
+
+
+def test_ccnet_buckets_tercile_semantics(spark):
+    from etl_finance_pipeline_spark.operators.ngram_lm import ccnet_buckets
+
+    rows = [(i, "a b " * (i + 2)) for i in range(6)] + [
+        (6, "x y z q r s t u v w"),
+        (7, "q q q q q q"),
+        (8, "r s r s r s"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ccnet_buckets(df).collect()
+    buckets = {r["doc_id"]: r["bucket"] for r in out}
+    ppls = {r["doc_id"]: r["ppl"] for r in out}
+    assert set(buckets.values()) == {"head", "middle", "tail"}
+    # bucket order respects perplexity order
+    for a in out:
+        for b in out:
+            if ppls[a["doc_id"]] < ppls[b["doc_id"]]:
+                order = {"head": 0, "middle": 1, "tail": 2}
+                assert order[buckets[a["doc_id"]]] <= order[buckets[b["doc_id"]]]

@@ -870,3 +870,28 @@ def test_gopher_rules_per_rule_flags(spark):
     s = out[4]
     assert s["symbol_ratio"] > 0.1 and not s["rule_symbol_ratio"]
     assert not s["gopher_pass"]
+
+
+def test_binary_auc_known_values(spark):
+    from etl_finance_pipeline_spark.operators.mlprep import binary_auc
+
+    # perfect separation
+    df = spark.createDataFrame(
+        [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)], ["probe_score", "label"]
+    )
+    r = binary_auc(df).collect()[0]
+    assert (r["n"], r["n_pos"], r["n_neg"], r["auc"]) == (4, 2, 2, 1.0)
+    # random-looking interleave with a tie: hand-computed via sklearn
+    # semantics (average ranks): scores .1(0) .2(1) .2(0) .3(1)
+    # ranks: 1, 2.5, 2.5, 4 -> S_pos = 6.5 -> (6.5 - 3)/(2*2) = 0.875
+    df2 = spark.createDataFrame(
+        [(0.1, 0), (0.2, 1), (0.2, 0), (0.3, 1)], ["probe_score", "label"]
+    )
+    r2 = binary_auc(df2).collect()[0]
+    assert r2["auc"] == 0.875
+    # reversed scores -> AUC mirrors to 1 - x
+    df3 = spark.createDataFrame(
+        [(-s, y) for s, y in [(0.1, 0), (0.2, 1), (0.2, 0), (0.3, 1)]],
+        ["probe_score", "label"],
+    )
+    assert binary_auc(df3).collect()[0]["auc"] == 0.125
