@@ -1158,3 +1158,52 @@ def ivfpq_topk(
         summed.withColumn("rank", F.row_number().over(w3))
         .filter(F.col("rank") <= k)
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the k most-similar corpus vectors with a DIFFERENT label — the
+    highest-loss negatives (the easy random draw is negative_pairs in
+    operators/corpus.py; this is the in-batch-miner counterpart).
+
+    Same plan shape as cosine_topk: anchors broadcast (anchor sets
+    are training-batch-sized by definition), corpus streams through
+    one narrow cosine projection, per-anchor top-k window — the label
+    filter prunes pairs BEFORE the window. Output: (anchor_id,
+    negative_id, cosine, rank).
+    """
+    corpus = _as_double(fan_out(corpus), vec_col)
+    a = _as_double(anchors, vec_col).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("_av"),
+        F.col(label_col).alias("_alabel"),
+    )
+    sim = cosine(F.col("_av"), F.col(vec_col))
+    if round_digits is not None:
+        from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+        sim = portable_round(sim, round_digits)
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(corpus)
+        .filter(F.col(label_col) != F.col("_alabel"))
+        .select(
+            "anchor_id",
+            F.col(id_col).alias("negative_id"),
+            sim.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

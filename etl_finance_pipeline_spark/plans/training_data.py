@@ -5188,6 +5188,47 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------
+# Hard-negative mining (contrastive pair mining)
+# --------------------------------------------------------------------
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 hardest negatives (most-similar different-label vectors)
+    for the first 20 anchors — the in-batch miner for contrastive
+    embedding training. Anchors broadcast, corpus streams, label
+    filter prunes before the per-anchor top-k window."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    anchors = emb.filter(F.col("vec_id") < 20)
+    return hard_negative_topk(emb, anchors, k=3).select(
+        "anchor_id", "negative_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+SQL_HARD_NEGATIVES = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding AS av, label AS alabel
+  FROM embeddings WHERE vec_id < 20
+), pairs AS (
+  SELECT a.anchor_id, e.vec_id AS negative_id,
+         floor((
+           list_sum(list_transform(list_zip(a.av, e.embedding),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.av, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM a, embeddings e
+  WHERE e.label != a.alabel
+)
+SELECT anchor_id, negative_id, cosine,
+       CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS BIGINT) AS rank
+FROM pairs
+QUALIFY rank <= 3
+"""
+
+
+# --------------------------------------------------------------------
 # Probe evaluation: exact ROC-AUC (Mann-Whitney, average ranks)
 # --------------------------------------------------------------------
 
@@ -5307,6 +5348,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kn_perplexity": q_kn_perplexity,
     "ccnet_buckets": q_ccnet_buckets,
     "probe_auc": q_probe_auc,
+    "hard_negatives": q_hard_negatives,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "image_stats_jpeg_mixed": q_image_stats_jpeg_mixed,
     "media_decode_audit": q_media_decode_audit,
@@ -5411,6 +5453,7 @@ ORACLES_TD: dict[str, str] = {
     "kn_perplexity": SQL_KN_PERPLEXITY,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "probe_auc": SQL_PROBE_AUC,
+    "hard_negatives": SQL_HARD_NEGATIVES,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
     "image_stats_jpeg_mixed": SQL_IMAGE_STATS_JPEG,
     "media_decode_audit": SQL_MEDIA_DECODE_AUDIT,

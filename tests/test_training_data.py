@@ -895,3 +895,22 @@ def test_binary_auc_known_values(spark):
         ["probe_score", "label"],
     )
     assert binary_auc(df3).collect()[0]["auc"] == 0.125
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    from etl_finance_pipeline_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.14], 0),   # same label — must never appear
+        (2, [0.9, 0.44], 1),    # hardest negative
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    anchors = emb.filter(F.col("vec_id") == 0)
+    out = hard_negative_topk(emb, anchors, k=2).orderBy("rank").collect()
+    assert [r["negative_id"] for r in out] == [2, 3]
+    assert all(r["anchor_id"] == 0 for r in out)
