@@ -604,3 +604,43 @@ def c4_clean(
         reason.alias("drop_reason"),
         F.when(reason == "kept", F.col("_clean")).alias("text"),
     )
+
+
+#: (pattern, replacement) pairs for unicode text normalization, applied
+#: in order. Patterns stay in the Java-regex ∩ RE2 common dialect and
+#: embed the unicode characters literally, so the DuckDB oracle runs
+#: the byte-identical chain. Part of the deterministic contract.
+TEXT_NORM_RULES: list[tuple[str, str]] = [
+    ("[\u2018\u2019\u201a\u201b]", "'"),  # curly single quotes
+    ('[\u201c\u201d\u201e\u201f]', '"'),  # curly double quotes
+    ("[\u2013\u2014\u2015\u2212]", "-"),  # en/em/bar dashes, minus
+    ("\u2026", "..."),  # ellipsis
+    # exotic spaces: nbsp, figure, thin, zwsp, narrow-nbsp, ideographic
+    ("[\u00a0\u2007\u2009\u200b\u202f\u3000]", " "),
+    ("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""),  # controls (keep \n, \r)
+    ("[ \\t]+", " "),  # collapse runs
+]
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Unicode normalization for corpus prep — the standard pre-dedup
+    canonicalization (curly quotes/dashes/ellipsis folding, exotic
+    spaces, control-char strip, whitespace collapse, trim) so that
+    visually-identical documents hash identically downstream.
+
+    One regexp_replace chain inside whole-stage codegen — narrow, no
+    shuffle; adds ``{out}`` plus before/after char counts.
+    """
+    clean: Column = F.col(text_col)
+    for pat, rep in TEXT_NORM_RULES:
+        clean = F.regexp_replace(clean, pat, rep)
+    clean = F.trim(clean)
+    return (
+        df.withColumn(out_col, clean)
+        .withColumn("n_chars_before", F.length(text_col).cast("long"))
+        .withColumn("n_chars_after", F.length(out_col).cast("long"))
+    )

@@ -5188,6 +5188,126 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------
+# Unicode text normalization
+# --------------------------------------------------------------------
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization chain (quotes/dashes/ellipsis/exotic
+    spaces/controls/whitespace) — the fixture corpus is ASCII-clean,
+    so the query first seeds deterministic unicode noise via
+    translate ('a'→NBSP, 'e'→curly quote) and then proves the
+    normalizer folds it back; exact string compare."""
+    from etl_finance_pipeline_spark.operators.corpus import normalize_text
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    noisy = docs.select(
+        "doc_id", F.translate("text", "ae", " ’").alias("text")
+    )
+    out = normalize_text(noisy)
+    return out.select("doc_id", "n_chars_before", "n_chars_after", "text_norm")
+
+
+def _norm_sql_expr(col: str) -> str:
+    from etl_finance_pipeline_spark.operators.corpus import TEXT_NORM_RULES
+
+    e = col
+    for pat, rep in TEXT_NORM_RULES:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        e = f"regexp_replace({e}, '{p}', '{r}', 'g')"
+    return f"trim({e})"
+
+
+SQL_NORMALIZE_TEXT = f"""
+WITH noisy AS (
+  SELECT doc_id,
+         translate(text, 'ae', chr(160) || chr(8217)) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(text) AS BIGINT) AS n_chars_before,
+       CAST(len({_norm_sql_expr("text")}) AS BIGINT) AS n_chars_after,
+       {_norm_sql_expr("text")} AS text_norm
+FROM noisy
+"""
+
+
+# --------------------------------------------------------------------
+# Source-overlap matrix (which data sources duplicate each other)
+# --------------------------------------------------------------------
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise shingle-set Jaccard between SOURCES — the
+    curation question 'which feeds are re-crawls of each other'.
+    One distinct (source, shingle-hash) frame, one self-join keyed by
+    the 60-bit shingle hash (hot boilerplate shingles fan out at most
+    |sources|² per key), per-pair exact Jaccard. Sources are a
+    dim-sized key set; the corpus is touched once."""
+    from etl_finance_pipeline_spark.functions.scalar import portable_hash64
+    from etl_finance_pipeline_spark.functions.text import tokens, word_shingles
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    toked = docs.select("source", tokens("text").alias("_toks"))
+    sh = toked.select(
+        "source",
+        F.explode(word_shingles(F.col("_toks"), 3)).alias("_sh"),
+    ).select("source", portable_hash64(F.col("_sh")).alias("h"))
+    sets = sh.distinct()
+    sizes = sets.groupBy("source").agg(F.count("*").alias("n"))
+    a = sets.select(F.col("source").alias("source_a"), "h")
+    b = sets.select(F.col("source").alias("source_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("_na"))
+    nb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("_nb"))
+    out = inter.join(F.broadcast(na), "source_a").join(F.broadcast(nb), "source_b")
+    jac = F.col("n_common") / (F.col("_na") + F.col("_nb") - F.col("n_common"))
+    return out.select(
+        "source_a",
+        "source_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        _pr(jac, 6).alias("jaccard"),
+    )
+
+
+SQL_SOURCE_OVERLAP = r"""
+WITH sot AS (
+  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+sosh AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT source,
+           unnest(CASE WHEN len(toks) >= 3
+             THEN list_transform(generate_series(1, len(toks) - 2),
+                                 i -> array_to_string(toks[i:i+2], ' '))
+             ELSE []::VARCHAR[] END) AS sh
+    FROM sot
+  )
+),
+sosz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sosh GROUP BY 1),
+soint AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM sosh a JOIN sosh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common,
+       floor(n_common / CAST(na.n + nb.n - n_common AS DOUBLE) * 1000000 + 0.5)
+         / 1000000 AS jaccard
+FROM soint
+JOIN sosz na ON na.source = soint.source_a
+JOIN sosz nb ON nb.source = soint.source_b
+"""
+
+
+# --------------------------------------------------------------------
 # Hard-negative mining (contrastive pair mining)
 # --------------------------------------------------------------------
 
@@ -5349,6 +5469,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_buckets": q_ccnet_buckets,
     "probe_auc": q_probe_auc,
     "hard_negatives": q_hard_negatives,
+    "source_overlap": q_source_overlap,
+    "normalize_text": q_normalize_text,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "image_stats_jpeg_mixed": q_image_stats_jpeg_mixed,
     "media_decode_audit": q_media_decode_audit,
@@ -5454,6 +5576,8 @@ ORACLES_TD: dict[str, str] = {
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "probe_auc": SQL_PROBE_AUC,
     "hard_negatives": SQL_HARD_NEGATIVES,
+    "source_overlap": SQL_SOURCE_OVERLAP,
+    "normalize_text": SQL_NORMALIZE_TEXT,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
     "image_stats_jpeg_mixed": SQL_IMAGE_STATS_JPEG,
     "media_decode_audit": SQL_MEDIA_DECODE_AUDIT,

@@ -312,3 +312,17 @@ def test_dsir_weights_favor_target_like_docs(spark):
     # TakeOrderedAndProject, not a global sort
     plan = dsir_select(dsir_weights(raw, target), 1)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_normalize_text_folds_unicode(spark):
+    from etl_finance_pipeline_spark.operators.corpus import normalize_text
+
+    noisy = (
+        "“Hello” — it’s a test…"
+        "\x07 and\t\ttabs   collapse"
+    )
+    df = spark.createDataFrame([(1, noisy)], ["doc_id", "text"])
+    r = normalize_text(df).collect()[0]
+    assert r["text_norm"] == '"Hello" - it\'s a test... and tabs collapse'
+    assert r["n_chars_before"] == len(noisy)
+    assert r["n_chars_after"] == len(r["text_norm"])
