@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_finance_pipeline_spark.functions.layout import fan_out
 from etl_finance_pipeline_spark.operators.similarity import _as_double
 
 
@@ -42,8 +43,12 @@ def embedding_covariance(
 
     computed from one pass of exact sums (population covariance, the
     PCA convention). See module docstring for the two lanes.
+
+    The input is fan_out-widened: the d² per-row products are the
+    cost center, and a single-file corpus would otherwise run the
+    whole explode on one task (measured 4.9 s → sub-second at sf0.1).
     """
-    src = _as_double(df, vec_col)
+    src = _as_double(fan_out(df), vec_col)
     if engine == "jvm":
         v = F.col(vec_col)
         d = F.size(v)
@@ -120,6 +125,11 @@ def embedding_covariance(
         )
     else:
         raise ValueError(f"unknown covariance engine: {engine}")
+    # the means branch below is a second consumer of `sums` — without
+    # lineage truncation Spark re-runs the whole d²-row explode for it
+    # (the multi-consumer trap; same device as dedup._doc_shingles).
+    # The frame is d² rows — the checkpoint is free.
+    sums = sums.localCheckpoint(eager=True)
     # sxi aggregated per (i, j) cell equals s_i scaled by the count of
     # j cells contributing — it is summed once per (i, j), so for a
     # fixed i every j row carries the same s_i. Mean of j's column
