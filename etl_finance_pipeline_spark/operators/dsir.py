@@ -35,7 +35,7 @@ from etl_finance_pipeline_spark.functions.scalar import (
     portable_hash64,
     portable_round,
 )
-from etl_finance_pipeline_spark.functions.text import tokens, word_shingles
+from etl_finance_pipeline_spark.functions.text import tokens
 
 DSIR_BUCKETS = 64
 
@@ -46,7 +46,18 @@ def _doc_gram_buckets(
     """Explode each doc into hashed (unigram + bigram) feature-bucket
     ids. Token array materialized once (no CSE inside HOFs)."""
     toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-    grams = F.concat(F.col("_toks"), word_shingles(F.col("_toks"), 2))
+    # bigrams via zip_with over the array and its own 1-shifted slice
+    # (one native op; the per-index element_at transform in
+    # word_shingles is ~2.4× slower interpreted — same construction
+    # as ngram_lm._doc_bigrams, producing identical strings)
+    n = F.size(F.col("_toks"))
+    length = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(F.col("_toks"), 1, length),
+        F.slice(F.col("_toks"), 2, length),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = F.concat(F.col("_toks"), bigrams)
     exploded = toked.select(F.col(id_col), F.explode(grams).alias("gram"))
     return exploded.select(
         id_col, (portable_hash64(F.col("gram")) % n_buckets).alias("bucket")
