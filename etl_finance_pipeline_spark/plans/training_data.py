@@ -5188,6 +5188,112 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------
+# RAG retrieval composite: chunk -> hashed features -> sparse cosine
+# --------------------------------------------------------------------
+
+_RAG_QUERY = "table scan fast value window row"
+_RAG_DIM = 64
+_RAG_K = 10
+
+
+def q_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval: overlapping 200-char chunks, hashing-
+    trick chunk features (nothing to fit or broadcast but the query),
+    sparse long-form cosine against a literal query string, top-10 by
+    (cosine, chunk) — the RAG indexing pipeline with every stage an
+    existing operator. The dot product joins ONLY on the query's
+    feature buckets (broadcast, bucket-count rows); chunk norms are
+    one map-side-combinable agg."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        chunk_documents,
+        feature_hash,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    chunks = chunk_documents(docs, chunk_chars=200, overlap=50).select(
+        (F.col("doc_id") * 100 + F.col("chunk_id")).alias("cid"),
+        "chunk_text",
+    )
+    cf = feature_hash(
+        chunks, id_col="cid", text_col="chunk_text", dim=_RAG_DIM
+    ).localCheckpoint(eager=True)  # two consumers: dot + norm
+    qdf = spark.createDataFrame([(0, _RAG_QUERY)], ["qid", "text"])
+    qf = feature_hash(qdf, id_col="qid", text_col="text", dim=_RAG_DIM).select(
+        "feature_idx", F.col("feature_val").alias("_qv")
+    )
+    dots = (
+        cf.join(F.broadcast(qf), "feature_idx")
+        .groupBy("cid")
+        .agg(F.sum(F.col("feature_val") * F.col("_qv")).alias("_dot"))
+    )
+    cnorm = cf.groupBy("cid").agg(
+        F.sqrt(F.sum(F.col("feature_val") * F.col("feature_val"))).alias("_cn")
+    )
+    qnorm = qf.agg(F.sqrt(F.sum(F.col("_qv") * F.col("_qv"))).alias("_qn"))
+    out = (
+        dots.join(cnorm, "cid")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            F.expr("cid div 100").cast("long").alias("doc_id"),
+            (F.col("cid") % 100).cast("long").alias("chunk_id"),
+            _pr(F.col("_dot") / (F.col("_cn") * F.col("_qn")), 6).alias(
+                "cosine"
+            ),
+            F.col("cid"),
+        )
+    )
+    return (
+        out.orderBy(F.col("cosine").desc(), F.col("cid"))
+        .limit(_RAG_K)
+        .drop("cid")
+    )
+
+
+SQL_RAG_RETRIEVE = rf"""
+WITH rn AS (
+  SELECT doc_id, text, length(text) AS len FROM documents
+), rc AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, CAST(floor(greatest((len - 50 + 149) / 150.0, 1)) AS BIGINT) - 1
+         )) AS chunk_id
+  FROM rn
+), rch AS (
+  SELECT doc_id * 100 + chunk_id AS cid,
+         substr(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk_text
+  FROM rc
+), rtoks AS (
+  SELECT cid, unnest(regexp_split_to_array(lower(trim(chunk_text)), '\s+')) AS w
+  FROM rch
+), rcf AS MATERIALIZED (
+  SELECT cid,
+         ('0x' || substr(md5(w), 1, 15))::BIGINT % {_RAG_DIM} AS idx,
+         sum(CASE WHEN ('0x' || substr(md5(w), 16, 15))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END) AS val
+  FROM rtoks GROUP BY 1, 2
+), rqt AS (
+  SELECT unnest(regexp_split_to_array(lower(trim('{_RAG_QUERY}')), '\s+')) AS w
+), rqf AS MATERIALIZED (
+  SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT % {_RAG_DIM} AS idx,
+         sum(CASE WHEN ('0x' || substr(md5(w), 16, 15))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END) AS qv
+  FROM rqt GROUP BY 1
+), rdot AS (
+  SELECT cid, sum(val * qv) AS dot
+  FROM rcf JOIN rqf USING (idx) GROUP BY 1
+), rcn AS (
+  SELECT cid, sqrt(sum(val * val)) AS cn FROM rcf GROUP BY 1
+), rqn AS (SELECT sqrt(sum(qv * qv)) AS qn FROM rqf)
+SELECT CAST(cid // 100 AS BIGINT) AS doc_id,
+       CAST(cid % 100 AS BIGINT) AS chunk_id,
+       floor(dot / (cn * qn) * 1000000 + 0.5) / 1000000 AS cosine
+FROM rdot JOIN rcn USING (cid) CROSS JOIN rqn
+ORDER BY cosine DESC, cid
+LIMIT {_RAG_K}
+"""
+
+
+# --------------------------------------------------------------------
 # Unicode text normalization
 # --------------------------------------------------------------------
 
@@ -5471,6 +5577,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "source_overlap": q_source_overlap,
     "normalize_text": q_normalize_text,
+    "rag_retrieve": q_rag_retrieve,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "image_stats_jpeg_mixed": q_image_stats_jpeg_mixed,
     "media_decode_audit": q_media_decode_audit,
@@ -5578,6 +5685,7 @@ ORACLES_TD: dict[str, str] = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "normalize_text": SQL_NORMALIZE_TEXT,
+    "rag_retrieve": SQL_RAG_RETRIEVE,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
     "image_stats_jpeg_mixed": SQL_IMAGE_STATS_JPEG,
     "media_decode_audit": SQL_MEDIA_DECODE_AUDIT,
