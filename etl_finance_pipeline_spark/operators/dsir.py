@@ -64,16 +64,16 @@ def _doc_gram_buckets(
     )
 
 
-def dsir_weights(
+def dsir_log_ratio(
     raw: DataFrame,
     target: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
 ) -> DataFrame:
-    """Per-document DSIR log importance weight of *raw* toward
-    *target*. Output: (id, n_grams, logw). Higher = more target-like.
-    """
+    """The fitted model itself: (bucket, _logratio) with one row per
+    feature bucket — ln p_target(b) − ln q_raw(b), Laplace-smoothed.
+    B rows; broadcast it onto scoring passes (batch or streaming)."""
     spark = raw.sparkSession
     buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
 
@@ -95,13 +95,26 @@ def dsir_weights(
             ).alias(prob_col),
         )
 
-    ratio = (
+    return (
         _model(target, "_p")
         .join(_model(raw, "_q"), "bucket")
         .select(
             "bucket", (F.log("_p") - F.log("_q")).alias("_logratio")
         )
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR log importance weight of *raw* toward
+    *target*. Output: (id, n_grams, logw). Higher = more target-like.
+    """
+    ratio = dsir_log_ratio(raw, target, id_col, text_col, n_buckets)
     scored = _doc_gram_buckets(raw, id_col, text_col, n_buckets).join(
         F.broadcast(ratio), "bucket"
     )

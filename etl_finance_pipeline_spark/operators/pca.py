@@ -308,3 +308,35 @@ def pca_project_multi(
             ).alias(f"pc{k + 1}")
         )
     return src.select(F.col(id_col), *cols)
+
+
+def embed_standardize(
+    df: DataFrame,
+    means: list[float],
+    stds: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "zvec",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Per-dimension z-scoring (x − mean)/std with the fitted moments
+    riding as broadcast literals — the standard feature-scaling pass
+    before kmeans/PQ when dimensions carry different variances.
+    Narrow, no shuffle; zero-variance dims pass through unscaled
+    (std clamped to 1)."""
+    src = _as_double(df, vec_col)
+    lit_m = F.array(*[F.lit(float(x)) for x in means])
+    lit_s = F.array(
+        *[F.lit(float(s) if s > 0 else 1.0) for s in stds]
+    )
+    z = F.zip_with(
+        F.zip_with(F.col(vec_col), lit_m, lambda x, m: x - m),
+        lit_s,
+        lambda x, s: x / s,
+    )
+    if round_digits is not None:
+        scale = float(10 ** round_digits)
+        z = F.transform(
+            z, lambda v: F.floor(v * scale + F.lit(0.5)) / scale
+        )
+    return src.select(F.col(id_col), z.alias(out_col))

@@ -5188,6 +5188,120 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------
+# Streaming DSIR scoring (standing model, stateless stream)
+# --------------------------------------------------------------------
+
+def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR scoring as an INGEST-TIME stream: the log-ratio model fits
+    once on the standing batch corpus, collapses to a 64-double
+    literal, and the document stream scores itself with a fully
+    NARROW expression (per-gram map lookup + in-array sum) — no
+    state, no watermark, append mode. Same rounded outputs as the
+    batch dsir_weights, so the two lanes share one oracle."""
+    import uuid
+
+    from etl_finance_pipeline_spark.functions.scalar import (
+        portable_hash64,
+        portable_round,
+    )
+    from etl_finance_pipeline_spark.functions.text import tokens
+    from etl_finance_pipeline_spark.operators.dsir import dsir_weights
+    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
+
+    spark = _narrow_session(spark, 8)
+    ensure_nanos_conf(spark)
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    target = docs.filter(F.col("lang") == "en")
+    from etl_finance_pipeline_spark.operators.dsir import dsir_log_ratio
+
+    ratio_rows = dsir_log_ratio(docs, target, n_buckets=_DSIR_B).withColumnRenamed(
+        "_logratio", "lr"
+    ).collect()
+    lr = [0.0] * _DSIR_B
+    for r in ratio_rows:
+        lr[r["bucket"]] = r["lr"]
+    lr_lit = F.array(*[F.lit(float(x)) for x in lr])
+
+    path = _t(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
+    toked = stream.select("doc_id", tokens("text").alias("_toks"))
+    n = F.size(F.col("_toks"))
+    length = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(F.col("_toks"), 1, length),
+        F.slice(F.col("_toks"), 2, length),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = F.concat(F.col("_toks"), bigrams)
+    per_gram = F.transform(
+        grams,
+        lambda g: F.element_at(
+            lr_lit, (portable_hash64(g) % _DSIR_B + 1).cast("int")
+        ),
+    )
+    scored = toked.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        portable_round(
+            F.aggregate(per_gram, F.lit(0.0), lambda a, v: a + v), 6
+        ).alias("logw"),
+    )
+    name = f"stream_dsir_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------
+# Embedding standardization (per-dim z-score)
+# --------------------------------------------------------------------
+
+def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score every embedding with moments fitted from the
+    covariance diagonal (std = sqrt(var), zero-variance dims clamp to
+    1); moments ride as broadcast literals, the scaling pass is
+    narrow."""
+    import math
+
+    from etl_finance_pipeline_spark.operators.pca import (
+        embed_standardize,
+        embedding_covariance,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    rows = embedding_covariance(emb).collect()
+    diag = sorted((r for r in rows if r["i"] == r["j"]), key=lambda r: r["i"])
+    means = [r["mean_i"] for r in diag]
+    stds = [math.sqrt(max(r["cov"], 0.0)) for r in diag]
+    z = embed_standardize(emb, means, stds)
+    # long form for the hash gate (array cells don't sort in pandas)
+    return z.select(
+        "vec_id", F.posexplode("zvec").alias("i", "z")
+    ).select("vec_id", (F.col("i") + 1).cast("int").alias("i"), "z")
+
+
+SQL_EMBED_STANDARDIZE = f"""
+WITH {_PCA_COV_SQL},
+zstat AS (
+  SELECT i, mean_j AS m,
+         CASE WHEN cov > 0 THEN sqrt(cov) ELSE 1.0 END AS s
+  FROM pcov JOIN pmean ON pmean.j = pcov.j
+  WHERE pcov.i = pcov.j
+)
+SELECT p.vec_id, CAST(p.i AS INT) AS i,
+       floor((p.xi - z.m) / z.s * 1000000 + 0.5) / 1000000 AS z
+FROM px p JOIN zstat z ON z.i = p.i
+"""
+
+
+# --------------------------------------------------------------------
 # RAG retrieval composite: chunk -> hashed features -> sparse cosine
 # --------------------------------------------------------------------
 
@@ -5578,6 +5692,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap": q_source_overlap,
     "normalize_text": q_normalize_text,
     "rag_retrieve": q_rag_retrieve,
+    "embed_standardize": q_embed_standardize,
+    "stream_dsir": q_stream_dsir,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "image_stats_jpeg_mixed": q_image_stats_jpeg_mixed,
     "media_decode_audit": q_media_decode_audit,
@@ -5686,6 +5802,8 @@ ORACLES_TD: dict[str, str] = {
     "source_overlap": SQL_SOURCE_OVERLAP,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "rag_retrieve": SQL_RAG_RETRIEVE,
+    "embed_standardize": SQL_EMBED_STANDARDIZE,
+    "stream_dsir": SQL_DSIR_WEIGHTS,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
     "image_stats_jpeg_mixed": SQL_IMAGE_STATS_JPEG,
     "media_decode_audit": SQL_MEDIA_DECODE_AUDIT,
