@@ -5205,14 +5205,13 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round,
     )
     from etl_finance_pipeline_spark.functions.text import tokens
-    from etl_finance_pipeline_spark.operators.dsir import dsir_weights
+    from etl_finance_pipeline_spark.operators.dsir import dsir_log_ratio
     from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
 
     spark = _narrow_session(spark, 8)
     ensure_nanos_conf(spark)
     docs = load_table(spark, _t(sf_dir, "documents"))
     target = docs.filter(F.col("lang") == "en")
-    from etl_finance_pipeline_spark.operators.dsir import dsir_log_ratio
 
     ratio_rows = dsir_log_ratio(docs, target, n_buckets=_DSIR_B).withColumnRenamed(
         "_logratio", "lr"

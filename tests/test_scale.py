@@ -554,3 +554,110 @@ def test_scale_ivfpq_codes_only_shuffle(bigspark):
     _assert_distributed_plan(out, "ivfpq search")
     print(f"SCALE ivfpq_topk 2M vectors: {len(rows)} results in {dt:.1f}s")
     assert len(rows) == 25
+
+
+def test_scale_line_dedup_hot_boilerplate(bigspark):
+    """10M lines across 2M docs where ONE line appears in every doc
+    (doc frequency 2M — the worst skew case): both aggregates are
+    algebraic, so partial combine collapses the hot line per map task
+    and no reducer sees its full fan-in. Output must drop exactly the
+    boilerplate copies and keep every unique line."""
+    from etl_finance_pipeline_spark.operators.corpus import line_dedup
+
+    n_docs = 2_000_000
+    docs = bigspark.range(n_docs).select(F.col("id").alias("doc_id"))
+    lines = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("pos")
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") == 0, F.lit("ACCEPT COOKIES TO CONTINUE"))
+        .otherwise(
+            F.concat_ws("-", F.lit("u"), F.col("doc_id"), F.col("pos"))
+        )
+        .alias("line"),
+    )
+    out = line_dedup(lines, min_docs=2, keep="none")
+    _assert_distributed_plan(out, "line_dedup")
+    rows, dt = _timed_count(out, "line_dedup 10M lines, 2M-copy hot line")
+    assert rows == n_docs * 4
+    assert dt < 300
+
+
+def test_scale_kn_bigram_lm(bigspark):
+    """20M-token synthetic corpus over a 1k-word vocabulary: ONE
+    corpus-scale (w1, w2) aggregate, then vocab-table work. The model
+    row count is bounded by observed bigram types, not corpus size."""
+    from etl_finance_pipeline_spark.operators.ngram_lm import kn_bigram_lm
+
+    n_docs = 1_000_000
+    docs = bigspark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.col("id") * 31 + i * 7 + i * i, F.lit(1000)),
+                ),
+            ),
+        ).alias("text"),
+    )
+    lm = kn_bigram_lm(docs)
+    rows, dt = _timed_count(lm, "kn_bigram_lm 20M tokens, 1k vocab")
+    assert rows <= 1_000_000  # vocab^2 bound, far under corpus size
+    assert dt < 300
+
+
+def test_scale_dsir_weights(bigspark):
+    """DSIR scoring at 1M docs: two 64-key bucket aggregates + one
+    broadcast-ratio scoring pass keyed by doc — the corpus never
+    shuffles on a data-sized key."""
+    from etl_finance_pipeline_spark.operators.dsir import dsir_weights
+
+    n_docs = 1_000_000
+    docs = bigspark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(11)),
+                lambda i: F.concat(
+                    F.lit("t"), F.pmod(F.col("id") * 13 + i * 5, F.lit(500))
+                ),
+            ),
+        ).alias("text"),
+    )
+    target = docs.filter(F.col("doc_id") % 3 == 0)
+    out = dsir_weights(docs, target)
+    # the model fit carries keys=[] scalar aggregates (bucket totals)
+    # — allowed; the doc-keyed scoring path must stay partitioned
+    _assert_only_scalar_single_partition(out, "dsir_weights")
+    rows, dt = _timed_count(out, "dsir_weights 1M docs")
+    assert rows == n_docs
+    assert dt < 300
+
+
+def test_scale_pca_covariance_numpy_lane(bigspark):
+    """Covariance of 2M 16-dim vectors through the Arrow/numpy Gram
+    lane: one partial 16×16 Gram per batch, d² = 256 output rows —
+    corpus size never appears in the shuffle."""
+    from etl_finance_pipeline_spark.operators.pca import embedding_covariance
+
+    dim = 16
+    n = 2_000_000
+    vecs = bigspark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.pmod(F.col("id") * (3 + j) + j * j, F.lit(1000)) / 500.0
+                 - 1.0).alias(f"x{j}")
+                for j in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    cov = embedding_covariance(vecs, engine="numpy")
+    rows, dt = _timed_count(cov, "pca covariance numpy 2M x 16d")
+    assert rows == dim * dim
+    assert dt < 300
