@@ -32,54 +32,28 @@ def entry(spark: SparkSession) -> DataFrame:
 #: temporal joins, connected components. All registered queries are
 #: oracle-backed either way; this only chooses the documented subset.
 _SHOWCASE_FIRST = (
-    "candles_5m",
-    "dedupe_keep_first",
-    "missing_minutes",
-    "interpolate_linear",
-    "dq_profile",
-    "salted_event_stats",
-    "bm25_search",
-    "exact_dedup_docs",
-    "minhash_lsh_pairs",
-    "embed_near_dup",
-    "near_dup_clusters",
-    "ann_ivf_trained",
-    "lang_id",
-    "bpe_train",
-    "pack_sequences",
-    "audio_stats_wav",  # real WAV codec path (stdlib wave round-trip)
-    "image_stats_png",  # real compressed codec path (zlib round-trip)
-    "asof_last_click",
-    "user_sessions",
-    "stream_candles",
-    "stream_gaps",
-    "stream_view_click",
-    "pagerank",
-    "hll_distinct_users",
-    "heavy_hitters_cms",
-    "triangles",
-    "assoc_rules",
-    "bloom_semi_orders",
-    "zorder_stats",
-    "source_drift",
-    "funnel_conversion",
-    "kmv_distinct_users",
-    "bfs_reach",
-    "clustering_coeff",
-    "image_resize_ppm",
-    "hist_quantiles",  # mergeable fixed-grid histogram quantiles (round 5)
-    "order_quartiles",  # binned-histogram quartile rewrite (round 5)
-    "weighted_sample",  # A-Res weighted draw (round 5; +1 u-clamp, round 6)
-    # rotated out after being driver-recorded green in round 5: rsi,
-    # cusum, cuped_experiment, markov_transitions, hotkey_purchase_join,
-    # communities_lpa, set_similarity_exact, stream_near_dup (all still
-    # registered + full-artifact-verified every round)
-    # rotated out after being driver-recorded green in rounds 1-6:
-    # market_share, revenue_rollup, tfidf_top_terms,
-    # video_frames_avi, image_stats_jpeg_color, substring_dedup,
-    # substring_dedup_clean, video_frames_real, scene_cuts_real,
-    # image_stats_jpeg, decontaminate_spans (all still registered +
-    # full-artifact-verified every round)
+    # round-7 new capability families (need driver recording this round)
+    "kn_bigram_lm",  # interpolated Kneser-Ney bigram LM train (round 7)
+    "kn_perplexity",  # CCNet-style LM perplexity scoring (round 7)
+    "ccnet_buckets",  # head/middle/tail perplexity terciles (round 7)
+    "gopher_quality",  # Rae et al. quality-rule set (round 7)
+    "c4_clean",  # Raffel et al. line + doc filters (round 7)
+    "line_dedup",  # cross-doc boilerplate removal (round 7)
+    "line_dedup_keep_first",  # keep-one-copy lane (round 7)
+    "stream_quality_filter",  # Gopher rules under a file stream (round 7)
+    "dsir_weights",  # DSIR importance weights, Xie et al. (round 7)
+    "dsir_select",  # deterministic top-k selection (round 7)
+    "stream_dsir",  # standing model scoring an ingest stream (round 7)
+    "embedding_covariance",  # the one corpus-scale PCA aggregate (round 7)
+    "pca_top_component",  # lockstep power iteration (round 7)
+    "pca_project",  # broadcast-literal projection (round 7)
+    "pca_reduce2",  # Hotelling-deflated 2-D reduction (round 7)
+    "embed_standardize",  # per-dim z-scoring (round 7)
+    "probe_auc",  # exact Mann-Whitney ROC-AUC (round 7)
+    "hard_negatives",  # contrastive hard-negative mining (round 7)
+    "source_overlap",  # pairwise source Jaccard matrix (round 7)
+    "normalize_text",  # unicode canonicalization chain (round 7)
+    "rag_retrieve",  # chunk -> hashed features -> sparse cosine (round 7)
     "pq_topk",  # PQ ANN end-to-end; round 7: numpy encode lane + faster train
     "unigram_train",  # Unigram-LM (SentencePiece-style) Viterbi-EM (round 7)
     "unigram_segment",  # corpus segmentation with the trained vocab (round 7)
@@ -92,6 +66,38 @@ _SHOWCASE_FIRST = (
     "video_near_dup",  # same lossless-contract fix (round 7)
     "simhash_pairs",  # same lossless-contract fix (round 7)
     "k_core",  # oracle unroll-depth pin via max_iter (round 7 fix)
+    # family-spanning classics (reference parity + heavy hitters)
+    "candles_5m",
+    "dedupe_keep_first",
+    "missing_minutes",
+    "interpolate_linear",
+    "dq_profile",
+    "bm25_search",
+    "minhash_lsh_pairs",
+    "embed_near_dup",
+    "near_dup_clusters",
+    "bpe_train",
+    "audio_stats_wav",  # real WAV codec path (stdlib wave round-trip)
+    "image_stats_png",  # real compressed codec path (zlib round-trip)
+    "stream_candles",
+    "stream_view_click",
+    "pagerank",
+    "triangles",
+    "asof_last_click",
+    # rotated out after rounds 1-6 driver recordings (all still
+    # registered + full-artifact-verified every round):
+    # salted_event_stats, exact_dedup_docs, ann_ivf_trained, lang_id,
+    # pack_sequences, user_sessions, stream_gaps, hll_distinct_users,
+    # heavy_hitters_cms, assoc_rules, bloom_semi_orders, zorder_stats,
+    # source_drift, funnel_conversion, kmv_distinct_users, bfs_reach,
+    # clustering_coeff, image_resize_ppm, hist_quantiles,
+    # order_quartiles, weighted_sample, rsi, cusum, cuped_experiment,
+    # markov_transitions, hotkey_purchase_join, communities_lpa,
+    # set_similarity_exact, stream_near_dup, market_share,
+    # revenue_rollup, tfidf_top_terms, video_frames_avi,
+    # image_stats_jpeg_color, substring_dedup, substring_dedup_clean,
+    # video_frames_real, scene_cuts_real, image_stats_jpeg,
+    # decontaminate_spans
 )
 
 
