@@ -24,7 +24,7 @@ portable rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_finance_pipeline_spark.functions.layout import fan_out
