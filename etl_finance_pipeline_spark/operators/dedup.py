@@ -968,3 +968,43 @@ def incremental_duplicate_spans(
     )
     marked = bg.join(F.broadcast(dup), "_gh", "left_semi")
     return _merge_gram_covers(marked, id_col, k)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT shingle-set CONTAINMENT pairs (Broder 1997's asymmetric
+    twin of resemblance): C(A→B) = |S(A) ∩ S(B)| / |S(A)| — near 1
+    when A is quoted/extracted inside B even though their Jaccard is
+    tiny. The metric quote-detection and subset-dedup pipelines need
+    where resemblance misses (a paragraph lifted into a long page).
+
+    Emits BOTH directions of every intersecting unordered pair whose
+    containment clears *threshold*: (id_a, id_b, containment) =
+    C(id_a → id_b). Same plan shape as ngram_jaccard_pairs (this is
+    the verify-stage tool; LSH prefilters at corpus scale), one
+    checkpointed shingle frame feeding sizes + both join sides.
+    """
+    sh = _doc_shingles(df, id_col, text_col, shingle_k).localCheckpoint(
+        eager=True
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    cont = F.col("_inter") / F.col("_na")
+    return (
+        inter.join(na, "id_a")
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

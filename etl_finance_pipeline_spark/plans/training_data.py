@@ -299,6 +299,38 @@ WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment C(A→B) = |S(A)∩S(B)|/|S(A)| >= 0.4 — the
+    asymmetric quote/extraction detector (a short doc lifted into a
+    long one scores ~1 here while its Jaccard stays tiny). Directed
+    pairs, exact arithmetic, same verify-stage contract as
+    ngram_jaccard."""
+    from etl_finance_pipeline_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    out = containment_pairs(docs, threshold=0.4)
+    return out.select(
+        "id_a", "id_b", _pr("containment", 6).alias("containment")
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH {_SHINGLES_CTE.strip()},
+csizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       floor((c * 1.0 / na.n) * 1000000 + 0.5) / 1000000 AS containment
+FROM cinter
+JOIN csizes na ON na.doc_id = id_a
+WHERE c * 1.0 / na.n >= 0.4
+"""
+
+
 def q_set_similarity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join at shingle-Jaccard >= 0.5 via
     prefix filtering (PPJoin/AllPairs family) — no LSH, no false
@@ -5688,6 +5720,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_buckets": q_ccnet_buckets,
     "probe_auc": q_probe_auc,
     "hard_negatives": q_hard_negatives,
+    "containment_pairs": q_containment_pairs,
     "source_overlap": q_source_overlap,
     "normalize_text": q_normalize_text,
     "rag_retrieve": q_rag_retrieve,
@@ -5798,6 +5831,7 @@ ORACLES_TD: dict[str, str] = {
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "probe_auc": SQL_PROBE_AUC,
     "hard_negatives": SQL_HARD_NEGATIVES,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "rag_retrieve": SQL_RAG_RETRIEVE,

@@ -914,3 +914,18 @@ def test_hard_negative_topk_excludes_same_label(spark):
     out = hard_negative_topk(emb, anchors, k=2).orderBy("rank").collect()
     assert [r["negative_id"] for r in out] == [2, 3]
     assert all(r["anchor_id"] == 0 for r in out)
+
+
+def test_containment_asymmetric_quote_detection(spark):
+    from etl_finance_pipeline_spark.operators.dedup import containment_pairs
+
+    quoted = "alpha beta gamma delta epsilon"
+    page = quoted + " " + "zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+    df = spark.createDataFrame([(1, quoted), (2, page)], ["doc_id", "text"])
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.1).collect()
+    }
+    # doc 1 fully contained in doc 2: C(1->2) = 1.0; reverse is small
+    assert out[(1, 2)] == pytest.approx(1.0)
+    assert out[(2, 1)] == pytest.approx(3 / 15)  # 3 shared of 15 shingles
