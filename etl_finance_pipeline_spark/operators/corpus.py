@@ -644,3 +644,42 @@ def normalize_text(
         .withColumn("n_chars_before", F.length(text_col).cast("long"))
         .withColumn("n_chars_after", F.length(out_col).cast("long"))
     )
+
+
+def incremental_line_dedup(
+    batch_lines: DataFrame,
+    corpus_lines: DataFrame,
+    id_col: str = "doc_id",
+    min_docs: int = 1,
+) -> DataFrame:
+    """Ingest-time boilerplate removal: drop every line of an incoming
+    BATCH whose text already occurs in >= ``min_docs`` distinct
+    documents of the STANDING corpus — the incremental twin of
+    :func:`line_dedup` (same contract as incremental substring dedup:
+    the standing corpus is never reshuffled for the batch).
+
+    The batch's DISTINCT line set broadcasts onto ONE corpus pass
+    (batches are ingest-sized by definition); only the matched lines'
+    doc frequencies come back, and the batch filters against that
+    broadcast-sized table. At production scale the corpus line
+    frequencies are precomputed at ingest and this becomes a pure
+    lookup.
+
+    Input/output: (id, pos, line) frames from :func:`segment_lines`;
+    output adds ``corpus_doc_frequency`` (0 when unseen).
+    """
+    batch_set = batch_lines.select("line").distinct()
+    freqs = (
+        corpus_lines.join(F.broadcast(batch_set), "line", "left_semi")
+        .groupBy("line", id_col)
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("line")
+        .agg(F.count("*").alias("corpus_doc_frequency"))
+    )
+    out = batch_lines.join(F.broadcast(freqs), "line", "left").withColumn(
+        "corpus_doc_frequency",
+        F.coalesce("corpus_doc_frequency", F.lit(0)).cast("long"),
+    )
+    return out.filter(F.col("corpus_doc_frequency") < min_docs).select(
+        id_col, "pos", "line", "corpus_doc_frequency"
+    )

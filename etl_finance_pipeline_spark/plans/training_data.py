@@ -4996,6 +4996,45 @@ FROM c4r
 """
 
 
+def q_incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch boilerplate removal vs a standing corpus: docs
+    with doc_id % 10 == 0 arrive as the batch, the rest stand; any
+    3-word pseudo-line already present in the standing corpus is
+    dropped from the batch. The corpus is touched once (batch line
+    set broadcast), then reassembly."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        incremental_line_dedup,
+        reassemble_lines,
+        segment_lines,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    standing = docs.filter(F.col("doc_id") % 10 != 0)
+    kept = incremental_line_dedup(
+        segment_lines(batch, words_per_line=_LD_K),
+        segment_lines(standing, words_per_line=_LD_K),
+        min_docs=1,
+    )
+    return reassemble_lines(kept, joiner=" ")
+
+
+SQL_INCREMENTAL_LINE_DEDUP = f"""
+WITH {_LD_SEG_SQL},
+ilb AS (SELECT * FROM ldseg WHERE doc_id % 10 = 0),
+ils AS (
+  SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS cdf
+  FROM ldseg WHERE doc_id % 10 != 0
+  GROUP BY 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       string_agg(line, ' ' ORDER BY pos) AS text
+FROM ilb LEFT JOIN ils USING (line)
+WHERE coalesce(cdf, 0) < 1
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------
 # Gopher quality rules
 # --------------------------------------------------------------------
@@ -5706,6 +5745,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wordpiece_train": q_wordpiece_train,
     "line_dedup": q_line_dedup,
     "line_dedup_keep_first": q_line_dedup_keep_first,
+    "incremental_line_dedup": q_incremental_line_dedup,
     "embedding_covariance": q_embedding_covariance,
     "pca_top_component": q_pca_top_component,
     "pca_project": q_pca_project,
@@ -5817,6 +5857,7 @@ ORACLES_TD: dict[str, str] = {
     "wordpiece_train": SQL_WORDPIECE_TRAIN,
     "line_dedup": SQL_LINE_DEDUP,
     "line_dedup_keep_first": SQL_LINE_DEDUP_KEEP_FIRST,
+    "incremental_line_dedup": SQL_INCREMENTAL_LINE_DEDUP,
     "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
     "pca_top_component": SQL_PCA_TOP_COMPONENT,
     "pca_project": SQL_PCA_PROJECT,

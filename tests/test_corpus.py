@@ -326,3 +326,26 @@ def test_normalize_text_folds_unicode(spark):
     assert r["text_norm"] == '"Hello" - it\'s a test... and tabs collapse'
     assert r["n_chars_before"] == len(noisy)
     assert r["n_chars_after"] == len(r["text_norm"])
+
+
+def test_incremental_line_dedup_vs_standing_corpus(spark):
+    from etl_finance_pipeline_spark.operators.corpus import (
+        incremental_line_dedup,
+        segment_lines,
+    )
+
+    standing = spark.createDataFrame(
+        [(1, "KNOWN BANNER\nold original"), (2, "KNOWN BANNER\nmore text")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(10, "KNOWN BANNER\nfresh content"), (11, "all new here")],
+        ["doc_id", "text"],
+    )
+    out = incremental_line_dedup(
+        segment_lines(batch), segment_lines(standing), min_docs=1
+    ).collect()
+    kept = {(r["doc_id"], r["line"]): r["corpus_doc_frequency"] for r in out}
+    assert (10, "KNOWN BANNER") not in kept  # seen in 2 standing docs
+    assert kept[(10, "fresh content")] == 0
+    assert kept[(11, "all new here")] == 0
