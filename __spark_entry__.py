@@ -54,6 +54,8 @@ _SHOWCASE_FIRST = (
     "source_overlap",  # pairwise source Jaccard matrix (round 7)
     "normalize_text",  # unicode canonicalization chain (round 7)
     "rag_retrieve",  # chunk -> hashed features -> sparse cosine (round 7)
+    "containment_pairs",  # Broder asymmetric containment (round 7)
+    "incremental_line_dedup",  # batch vs standing-corpus lines (round 7)
     "pq_topk",  # PQ ANN end-to-end; round 7: numpy encode lane + faster train
     "unigram_train",  # Unigram-LM (SentencePiece-style) Viterbi-EM (round 7)
     "unigram_segment",  # corpus segmentation with the trained vocab (round 7)
@@ -73,10 +75,8 @@ _SHOWCASE_FIRST = (
     "interpolate_linear",
     "dq_profile",
     "bm25_search",
-    "minhash_lsh_pairs",
     "embed_near_dup",
     "near_dup_clusters",
-    "bpe_train",
     "audio_stats_wav",  # real WAV codec path (stdlib wave round-trip)
     "image_stats_png",  # real compressed codec path (zlib round-trip)
     "stream_candles",
@@ -90,6 +90,7 @@ _SHOWCASE_FIRST = (
     # pack_sequences, user_sessions, stream_gaps, hll_distinct_users,
     # heavy_hitters_cms, assoc_rules, bloom_semi_orders, zorder_stats,
     # source_drift, funnel_conversion, kmv_distinct_users, bfs_reach,
+    # minhash_lsh_pairs, bpe_train,
     # clustering_coeff, image_resize_ppm, hist_quantiles,
     # order_quartiles, weighted_sample, rsi, cusum, cuped_experiment,
     # markov_transitions, hotkey_purchase_join, communities_lpa,
