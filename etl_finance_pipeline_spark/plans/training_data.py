@@ -1119,6 +1119,58 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), F.col("component"))
 
 
+def q_near_dup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ENDGAME: rewrite the corpus keeping one canonical
+    document per near-dup cluster (the min doc_id) plus every
+    unclustered doc — pairs → connected components → one broadcast-
+    sized join back to the corpus. Output: the surviving docs with
+    their cluster id (own id when unclustered)."""
+    from etl_finance_pipeline_spark.operators.graph import connected_components
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    joined = docs.select("doc_id", "n_chars").join(
+        F.broadcast(comp), "doc_id", "left"
+    )
+    kept = joined.filter(
+        F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+    )
+    return kept.select(
+        "doc_id",
+        F.coalesce("component", "doc_id").cast("long").alias("component"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+
+
+def q_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation analytics: the 20 most widespread cross-document
+    pseudo-lines with their document frequencies — what a pipeline
+    owner reads before picking the line-dedup threshold. Ties broken
+    by line text for a deterministic top-k."""
+    from etl_finance_pipeline_spark.operators.corpus import segment_lines
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    seg = segment_lines(docs, words_per_line=_LD_K)
+    df = (
+        seg.select("line", "doc_id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("doc_frequency"))
+    )
+    return (
+        df.orderBy(F.col("doc_frequency").desc(), F.col("line"))
+        .limit(20)
+        .select("line", F.col("doc_frequency").cast("long").alias("doc_frequency"))
+    )
+
+
+
+
 def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clusters via the large-star/small-star contraction
     (diameter-free O(log² n) rounds) — both algorithms compute
@@ -1178,6 +1230,23 @@ reach AS (
 SELECT id AS doc_id, min(r) AS component
 FROM reach GROUP BY id
 """
+
+
+SQL_NEAR_DUP_REWRITE = (
+    SQL_NEAR_DUP_CLUSTERS[: SQL_NEAR_DUP_CLUSTERS.rindex("SELECT id AS doc_id")].rstrip().rstrip(")").rstrip()
+    + """
+),
+comp AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+WHERE c.component IS NULL OR c.component = d.doc_id
+"""
+)
 
 
 # --------------------------------------------------------------------
@@ -4638,6 +4707,16 @@ GROUP BY doc_id
 """
 
 
+SQL_BOILERPLATE_REPORT = f"""
+WITH {_LD_SEG_SQL}
+SELECT line, CAST(count(*) AS BIGINT) AS doc_frequency
+FROM (SELECT DISTINCT line, doc_id FROM ldseg)
+GROUP BY line
+ORDER BY doc_frequency DESC, line
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------
 # PCA over embeddings: covariance, power-iteration top component,
 # projection
@@ -5761,6 +5840,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "probe_auc": q_probe_auc,
     "hard_negatives": q_hard_negatives,
     "containment_pairs": q_containment_pairs,
+    "near_dup_rewrite": q_near_dup_rewrite,
+    "boilerplate_report": q_boilerplate_report,
     "source_overlap": q_source_overlap,
     "normalize_text": q_normalize_text,
     "rag_retrieve": q_rag_retrieve,
@@ -5873,6 +5954,8 @@ ORACLES_TD: dict[str, str] = {
     "probe_auc": SQL_PROBE_AUC,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "near_dup_rewrite": SQL_NEAR_DUP_REWRITE,
+    "boilerplate_report": SQL_BOILERPLATE_REPORT,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "rag_retrieve": SQL_RAG_RETRIEVE,
