@@ -683,3 +683,42 @@ def incremental_line_dedup(
     return out.filter(F.col("corpus_doc_frequency") < min_docs).select(
         id_col, "pos", "line", "corpus_doc_frequency"
     )
+
+
+def line_repetition_stats(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher's within-document repetition signals at LINE granularity
+    (Rae et al. §A1.1: 'fraction of duplicate lines' and 'fraction of
+    characters in duplicated lines'): a page that repeats its own
+    nav/footer blocks fails these before any cross-doc pass runs.
+
+    Input is the (id, pos, line) frame from :func:`segment_lines`.
+    For each repeated line value with in-doc count c, its c−1 extra
+    occurrences count as duplicates. Output per doc: n_lines,
+    n_distinct_lines, dup_line_frac, dup_char_frac (6-dp rounded).
+    Two map-side-combinable aggregates keyed by (doc, line) then doc —
+    no joins, no skew exposure beyond the doc key.
+    """
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+    per_line = lines.groupBy(id_col, "line").agg(
+        F.count("*").alias("_c")
+    ).withColumn("_len", F.length("line"))
+    agg = per_line.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.count("*").alias("_d"),
+        F.sum(F.col("_c") - 1).alias("_dup"),
+        F.sum((F.col("_c") - 1) * F.col("_len")).alias("_dup_chars"),
+        F.sum(F.col("_c") * F.col("_len")).alias("_chars"),
+    )
+    return agg.select(
+        id_col,
+        F.col("_n").cast("long").alias("n_lines"),
+        F.col("_d").cast("long").alias("n_distinct_lines"),
+        portable_round(F.col("_dup") / F.col("_n"), 6).alias("dup_line_frac"),
+        portable_round(
+            F.col("_dup_chars") / F.col("_chars"), 6
+        ).alias("dup_char_frac"),
+    )

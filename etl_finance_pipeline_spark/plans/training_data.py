@@ -4707,6 +4707,119 @@ GROUP BY doc_id
 """
 
 
+_TB_CAP = 0.05
+_TB_BUDGET = 1_000_000
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning: allocate a 1M-token training budget across
+    sources with a 5% per-source share cap and ONE cap-and-
+    redistribute round (capped sources pin at the cap; the freed mass
+    spreads over uncapped sources proportional to their raw share) —
+    the deterministic closed form of the standard data-mixture
+    waterfill. Everything derives from exact per-source token counts;
+    the source table is dim-sized, so after one corpus aggregate this
+    is broadcast arithmetic."""
+    from etl_finance_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    per = docs.select("source", F.size(tokens("text")).alias("_t")).groupBy(
+        "source"
+    ).agg(F.sum("_t").alias("n_tokens"))
+    total = per.agg(F.sum("n_tokens").alias("_tt"))
+    shared = per.crossJoin(F.broadcast(total)).withColumn(
+        "raw_share", F.col("n_tokens") / F.col("_tt")
+    )
+    cap = F.lit(_TB_CAP)
+    stats = shared.agg(
+        F.sum(F.least(F.col("raw_share"), cap)).alias("_capsum"),
+        F.sum(
+            F.when(F.col("raw_share") < cap, F.col("raw_share")).otherwise(0.0)
+        ).alias("_us"),
+    )
+    out = shared.crossJoin(F.broadcast(stats)).withColumn(
+        "final_share",
+        F.when(F.col("raw_share") >= cap, cap).otherwise(
+            F.col("raw_share")
+            + (F.col("raw_share") / F.col("_us"))
+            * (F.lit(1.0) - F.col("_capsum"))
+        ),
+    )
+    fs6 = _pr("final_share", 6)
+    # allocation derives from the ROUNDED share so the integer floor
+    # can't straddle engines' sub-ulp share differences
+    return out.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        _pr("raw_share", 6).alias("raw_share"),
+        fs6.alias("final_share"),
+        F.floor(fs6 * _TB_BUDGET).cast("long").alias("alloc_tokens"),
+    )
+
+
+SQL_TOKEN_BUDGET = rf"""
+WITH tbp AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tbt AS (SELECT sum(n_tokens) AS tt FROM tbp),
+tbs AS (
+  SELECT source, n_tokens, n_tokens / CAST(tt AS DOUBLE) AS raw_share
+  FROM tbp CROSS JOIN tbt
+),
+tbst AS (
+  SELECT sum(least(raw_share, {_TB_CAP})) AS capsum,
+         sum(CASE WHEN raw_share < {_TB_CAP} THEN raw_share ELSE 0.0 END)
+           AS us
+  FROM tbs
+),
+tbf AS (
+  SELECT source, n_tokens, raw_share,
+         CASE WHEN raw_share >= {_TB_CAP} THEN {_TB_CAP}
+              ELSE raw_share + (raw_share / us) * (1.0 - capsum) END
+           AS final_share
+  FROM tbs CROSS JOIN tbst
+)
+SELECT source, n_tokens,
+       floor(raw_share * 1000000 + 0.5) / 1000000 AS raw_share,
+       floor(final_share * 1000000 + 0.5) / 1000000 AS final_share,
+       CAST(floor((floor(final_share * 1000000 + 0.5) / 1000000)
+                  * {_TB_BUDGET}) AS BIGINT) AS alloc_tokens
+FROM tbf
+"""
+
+
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's within-doc duplicate-line fractions over 3-word
+    pseudo-lines — exact integer counts through the ratios."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        line_repetition_stats,
+        segment_lines,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return line_repetition_stats(segment_lines(docs, words_per_line=_LD_K))
+
+
+SQL_LINE_REPETITION = f"""
+WITH {_LD_SEG_SQL},
+lrpl AS (
+  SELECT doc_id, line, CAST(count(*) AS BIGINT) AS c, len(line) AS l
+  FROM ldseg GROUP BY doc_id, line
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_distinct_lines,
+       floor(sum(c - 1) / CAST(sum(c) AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS dup_line_frac,
+       floor(sum((c - 1) * l) / CAST(sum(c * l) AS DOUBLE) * 1000000 + 0.5)
+         / 1000000 AS dup_char_frac
+FROM lrpl GROUP BY doc_id
+"""
+
+
 SQL_BOILERPLATE_REPORT = f"""
 WITH {_LD_SEG_SQL}
 SELECT line, CAST(count(*) AS BIGINT) AS doc_frequency
@@ -5842,6 +5955,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_pairs": q_containment_pairs,
     "near_dup_rewrite": q_near_dup_rewrite,
     "boilerplate_report": q_boilerplate_report,
+    "line_repetition": q_line_repetition,
+    "token_budget": q_token_budget,
     "source_overlap": q_source_overlap,
     "normalize_text": q_normalize_text,
     "rag_retrieve": q_rag_retrieve,
@@ -5956,6 +6071,8 @@ ORACLES_TD: dict[str, str] = {
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "near_dup_rewrite": SQL_NEAR_DUP_REWRITE,
     "boilerplate_report": SQL_BOILERPLATE_REPORT,
+    "line_repetition": SQL_LINE_REPETITION,
+    "token_budget": SQL_TOKEN_BUDGET,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "rag_retrieve": SQL_RAG_RETRIEVE,

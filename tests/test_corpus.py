@@ -349,3 +349,42 @@ def test_incremental_line_dedup_vs_standing_corpus(spark):
     assert (10, "KNOWN BANNER") not in kept  # seen in 2 standing docs
     assert kept[(10, "fresh content")] == 0
     assert kept[(11, "all new here")] == 0
+
+
+def test_line_repetition_stats_known_values(spark):
+    from etl_finance_pipeline_spark.operators.corpus import (
+        line_repetition_stats,
+        segment_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "nav bar\ncontent one\nnav bar\ncontent two\nnav bar"),
+         (2, "all\nunique\nlines")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in line_repetition_stats(segment_lines(df)).collect()}
+    r = out[1]
+    # 'nav bar' x3 -> 2 duplicate occurrences of 5 lines
+    assert (r["n_lines"], r["n_distinct_lines"]) == (5, 3)
+    assert r["dup_line_frac"] == 0.4
+    # dup chars = 2*7 = 14 of total 7*3 + 11*2 = 43
+    assert r["dup_char_frac"] == round(14 / 43, 6)
+    assert out[2]["dup_line_frac"] == 0.0
+
+
+def test_token_budget_cap_and_redistribute(spark):
+    import __spark_entry__ as e
+
+    out = e.queries()["token_budget"](spark, "/root/testdata/sf0.001").collect()
+    shares = {r["source"]: (r["raw_share"], r["final_share"]) for r in out}
+    # shares form a distribution; capped sources pin at exactly the
+    # cap, uncapped get the freed mass proportionally (the documented
+    # ONE-round redistribute — on very skewed tiny corpora a boosted
+    # source may exceed the cap, which a second waterfill round would
+    # re-clip)
+    assert abs(sum(f for _, f in shares.values()) - 1.0) < 1e-3
+    for raw, fin in shares.values():
+        if raw >= 0.05:
+            assert fin == 0.05
+        else:
+            assert fin >= raw
