@@ -1171,6 +1171,54 @@ def q_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation FUNNEL in one pass: how many documents
+    survive (a) exact dedup (min-doc_id canonical per text), (b)
+    near-dup dedup (cluster canonical per MinHash-LSH component), and
+    (c) the Gopher structural rules — each predicate evaluated
+    independently over the raw corpus and intersected for the final
+    keep count (the sequential re-clustering variant differs only on
+    docs whose cluster canonical was itself exact-duplicated; the
+    single-pass semantics is what one report pass can honestly
+    compute). Output: one row of stage counts."""
+    from etl_finance_pipeline_spark.operators.graph import connected_components
+    from etl_finance_pipeline_spark.operators.text_analysis import gopher_rules
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    exact = docs.groupBy("text").agg(F.min("doc_id").alias("_keep"))
+    pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    flags = (
+        gopher_rules(docs)
+        .join(F.broadcast(exact.select(F.col("_keep").alias("doc_id")).withColumn("_ex", F.lit(1))), "doc_id", "left")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            F.coalesce("_ex", F.lit(0)).alias("exact_keep"),
+            (
+                F.col("component").isNull()
+                | (F.col("component") == F.col("doc_id"))
+            ).cast("int").alias("near_keep"),
+            (
+                F.col("rule_word_count")
+                & F.col("rule_mean_word_len")
+                & F.col("rule_symbol_ratio")
+                & F.col("rule_alpha_words")
+            ).cast("int").alias("quality_keep"),
+        )
+    )
+    return flags.agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.sum("exact_keep").cast("long").alias("n_exact"),
+        F.sum("near_keep").cast("long").alias("n_near_dup"),
+        F.sum("quality_keep").cast("long").alias("n_quality"),
+        F.sum(
+            F.col("exact_keep") * F.col("near_keep") * F.col("quality_keep")
+        ).cast("long").alias("n_final"),
+    )
+
+
 def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clusters via the large-star/small-star contraction
     (diameter-free O(log² n) rounds) — both algorithms compute
@@ -5930,6 +5978,32 @@ FROM knppl CROSS JOIN kncut
 """
 
 
+SQL_CURATION_FUNNEL = (
+    SQL_NEAR_DUP_REWRITE[: SQL_NEAR_DUP_REWRITE.index("SELECT d.doc_id")]
+    + f"""
+SELECT CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(sum(CASE WHEN ex.keep_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN c.component IS NULL OR c.component = d.doc_id
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       CAST(sum(CASE WHEN g.qpass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN ex.keep_id IS NOT NULL
+                      AND (c.component IS NULL OR c.component = d.doc_id)
+                      AND g.qpass THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+FROM documents d
+LEFT JOIN (SELECT min(doc_id) AS keep_id FROM documents GROUP BY text) ex
+       ON ex.keep_id = d.doc_id
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+JOIN (
+  SELECT doc_id,
+         (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+          AND rule_alpha_words) AS qpass
+  FROM ({SQL_GOPHER_QUALITY})
+) g ON g.doc_id = d.doc_id
+"""
+)
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_train": q_unigram_train,
     "unigram_segment": q_unigram_segment,
@@ -5957,6 +6031,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_report": q_boilerplate_report,
     "line_repetition": q_line_repetition,
     "token_budget": q_token_budget,
+    "curation_funnel": q_curation_funnel,
     "source_overlap": q_source_overlap,
     "normalize_text": q_normalize_text,
     "rag_retrieve": q_rag_retrieve,
@@ -6073,6 +6148,7 @@ ORACLES_TD: dict[str, str] = {
     "boilerplate_report": SQL_BOILERPLATE_REPORT,
     "line_repetition": SQL_LINE_REPETITION,
     "token_budget": SQL_TOKEN_BUDGET,
+    "curation_funnel": SQL_CURATION_FUNNEL,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "rag_retrieve": SQL_RAG_RETRIEVE,
