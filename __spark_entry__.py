@@ -56,6 +56,8 @@ _SHOWCASE_FIRST = (
     "rag_retrieve",  # chunk -> hashed features -> sparse cosine (round 7)
     "containment_pairs",  # Broder asymmetric containment (round 7)
     "incremental_line_dedup",  # batch vs standing-corpus lines (round 7)
+    "curation_funnel",  # exact/near-dup/quality stage-survival report (round 7)
+    "token_budget",  # capped mixture allocation (round 7)
     "pq_topk",  # PQ ANN end-to-end; round 7: numpy encode lane + faster train
     "unigram_train",  # Unigram-LM (SentencePiece-style) Viterbi-EM (round 7)
     "unigram_segment",  # corpus segmentation with the trained vocab (round 7)
@@ -75,11 +77,9 @@ _SHOWCASE_FIRST = (
     "interpolate_linear",
     "dq_profile",
     "bm25_search",
-    "embed_near_dup",
     "near_dup_clusters",
     "audio_stats_wav",  # real WAV codec path (stdlib wave round-trip)
     "image_stats_png",  # real compressed codec path (zlib round-trip)
-    "stream_candles",
     "stream_view_click",
     "pagerank",
     "triangles",
@@ -90,7 +90,7 @@ _SHOWCASE_FIRST = (
     # pack_sequences, user_sessions, stream_gaps, hll_distinct_users,
     # heavy_hitters_cms, assoc_rules, bloom_semi_orders, zorder_stats,
     # source_drift, funnel_conversion, kmv_distinct_users, bfs_reach,
-    # minhash_lsh_pairs, bpe_train,
+    # minhash_lsh_pairs, bpe_train, embed_near_dup, stream_candles,
     # clustering_coeff, image_resize_ppm, hist_quantiles,
     # order_quartiles, weighted_sample, rsi, cusum, cuped_experiment,
     # markov_transitions, hotkey_purchase_join, communities_lpa,
