@@ -479,3 +479,118 @@ def test_duplicate_token_spans_matches_bruteforce(spark, docs, k):
         for (di, s, e) in _brute_spans([docs[i] for i in id_map], k)
     }
     assert got == expected
+
+
+doc_corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=doc_corpus_strategy)
+@settings(**SETTINGS)
+def test_kn_bigram_lm_matches_reference(spark, docs):
+    """KN bigram counts + probabilities vs a direct Python reference
+    over random small corpora (including empty and 1-token docs)."""
+    from collections import Counter, defaultdict
+
+    from etl_finance_pipeline_spark.operators.ngram_lm import kn_bigram_lm
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.w1, r.w2): (r.c12, r.c1, r.nl, r.nr, r.prob)
+        for r in kn_bigram_lm(df, round_digits=None).collect()
+    }
+    bc = Counter()
+    for toks in docs:
+        toks = [t for t in " ".join(toks).lower().split()] or [""]
+        for a, b in zip(toks, toks[1:]):
+            bc[(a, b)] += 1
+    if not bc:
+        assert got == {}
+        return
+    c1 = Counter(); nl = defaultdict(set); nr = defaultdict(set)
+    for (a, b), c in bc.items():
+        c1[a] += c
+        nl[a].add(b)
+        nr[b].add(a)
+    bt = len(bc)
+    D = 0.75
+    assert set(got) == set(bc)
+    for (a, b), (gc12, gc1, gnl, gnr, gp) in got.items():
+        assert (gc12, gc1, gnl, gnr) == (bc[(a, b)], c1[a], len(nl[a]), len(nr[b]))
+        want = (bc[(a, b)] - D) / c1[a] + (D * len(nl[a]) / c1[a]) * (len(nr[b]) / bt)
+        assert gp == pytest.approx(want, rel=1e-12)
+
+
+@given(docs=doc_corpus_strategy, min_docs=st.integers(min_value=1, max_value=3))
+@settings(**SETTINGS)
+def test_line_dedup_matches_reference(spark, docs, min_docs):
+    """line_dedup keep='none' vs a direct Python reference: a line
+    survives iff its text occurs in fewer than min_docs distinct
+    documents (2-word pseudo-lines over random corpora)."""
+    from collections import defaultdict
+
+    from etl_finance_pipeline_spark.operators.corpus import (
+        line_dedup,
+        segment_lines,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    seg = segment_lines(df, words_per_line=2)
+    got = {
+        (r.doc_id, r.pos, r.line)
+        for r in line_dedup(seg, min_docs=min_docs).collect()
+    }
+    # reference segmentation mirrors segment_lines(words_per_line=2)
+    ref_lines = {}
+    for i, toks in enumerate(docs):
+        t = " ".join(toks).lower().split() or [""]
+        ref_lines[i] = [" ".join(t[j : j + 2]) for j in range(0, len(t), 2)]
+    docfreq = defaultdict(set)
+    for i, ls in ref_lines.items():
+        for line in ls:
+            docfreq[line].add(i)
+    want = {
+        (i, p, line)
+        for i, ls in ref_lines.items()
+        for p, line in enumerate(ls)
+        if len(docfreq[line]) < min_docs
+    }
+    assert got == want
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),  # score bucket (forces ties)
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_binary_auc_matches_pair_counting(spark, data):
+    """Exact AUC vs the O(P·N) pair-counting definition
+    (ties count half) on random tied score distributions."""
+    from etl_finance_pipeline_spark.operators.mlprep import binary_auc
+
+    pos = [s for s, y in data if y]
+    neg = [s for s, y in data if not y]
+    if not pos or not neg:
+        return  # AUC undefined
+    rows = [(float(s) / 8.0, int(y)) for s, y in data]
+    df = spark.createDataFrame(rows, "probe_score double, label int")
+    got = binary_auc(df).collect()[0]["auc"]
+    wins = sum(1.0 for p in pos for n in neg if p > n)
+    ties = sum(0.5 for p in pos for n in neg if p == n)
+    want = (wins + ties) / (len(pos) * len(neg))
+    assert got == pytest.approx(want, abs=2e-6)
