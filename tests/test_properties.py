@@ -594,3 +594,54 @@ def test_binary_auc_matches_pair_counting(spark, data):
     ties = sum(0.5 for p in pos for n in neg if p == n)
     want = (wins + ties) / (len(pos) * len(neg))
     assert got == pytest.approx(want, abs=2e-6)
+
+
+@given(
+    docs=doc_corpus_strategy,
+    target_mask=st.lists(st.booleans(), min_size=10, max_size=10),
+)
+@settings(**SETTINGS)
+def test_dsir_weights_match_reference(spark, docs, target_mask):
+    """DSIR log weights vs a direct Python reference reproducing the
+    md5 bucket hashing and Laplace log-ratio exactly."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from etl_finance_pipeline_spark.operators.dsir import dsir_weights
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    tgt_ids = {i for i, t in enumerate(docs) if target_mask[i % 10]}
+    if not tgt_ids:
+        tgt_ids = {0}
+    target = df.filter(F.col("doc_id").isin(*tgt_ids))
+    B = 16
+    got = {
+        r.doc_id: (r.n_grams, r.logw)
+        for r in dsir_weights(df, target, n_buckets=B).collect()
+    }
+
+    def grams(toks):
+        t = " ".join(toks).lower().split() or [""]
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    tcnt, rcnt = Counter(), Counter()
+    for i, toks in enumerate(docs):
+        for g in grams(toks):
+            rcnt[bucket(g)] += 1
+            if i in tgt_ids:
+                tcnt[bucket(g)] += 1
+    tn, rn = sum(tcnt.values()), sum(rcnt.values())
+    ratio = {
+        b: math.log((tcnt[b] + 1) / (tn + B)) - math.log((rcnt[b] + 1) / (rn + B))
+        for b in range(B)
+    }
+    for i, toks in enumerate(docs):
+        gs = grams(toks)
+        want = sum(ratio[bucket(g)] for g in gs)
+        assert got[i][0] == len(gs)
+        assert got[i][1] == pytest.approx(want, abs=2e-6)
