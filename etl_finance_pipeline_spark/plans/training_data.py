@@ -5978,6 +5978,121 @@ FROM knppl CROSS JOIN kncut
 """
 
 
+def q_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the quality signals agree? Pearson correlation between the
+    heuristic quality score and the KN-LM avg log-probability per
+    document — the sanity check a curation pipeline runs before
+    trusting either filter. Both signals are 6-dp-rounded BEFORE the
+    moment sums so the engines correlate identical inputs; one
+    doc-keyed join + one 1-row moment aggregate."""
+    from etl_finance_pipeline_spark.operators.ngram_lm import kn_perplexity
+    from etl_finance_pipeline_spark.operators.text_analysis import quality_score
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    q = quality_score(docs).select(
+        "doc_id", _pr("quality", 6).alias("_x")
+    )
+    k = kn_perplexity(docs, discount=_KN_D).select(
+        "doc_id", F.col("avg_logprob").alias("_y")
+    )
+    j = q.join(k, "doc_id")
+    m = j.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    r = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / F.sqrt(
+        (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        * (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+    )
+    return m.select(
+        F.col("_n").cast("long").alias("n_docs"),
+        _pr(r, 6).alias("pearson_r"),
+    )
+
+
+def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding sanity audit: per-vector L2 norm plus a corpus-level
+    3-sigma outlier flag (degenerate or exploded vectors are the
+    first thing a SemDeDup/ANN pipeline should quarantine). Norms are
+    6-dp-rounded before the corpus moments so both engines flag from
+    identical inputs; moments ride back as a broadcast 1-row
+    aggregate."""
+    from etl_finance_pipeline_spark.operators.similarity import _as_double, l2_norm
+
+    emb = _as_double(load_table(spark, _t(sf_dir, "embeddings")), "embedding")
+    norms = emb.select(
+        "vec_id", _pr(l2_norm(F.col("embedding")), 6).alias("norm")
+    )
+    stats = norms.agg(
+        F.avg("norm").alias("_mu"),
+        F.sqrt(
+            F.avg(F.col("norm") * F.col("norm"))
+            - F.avg("norm") * F.avg("norm")
+        ).alias("_sd"),
+    )
+    out = norms.crossJoin(F.broadcast(stats))
+    return out.select(
+        "vec_id",
+        "norm",
+        (F.abs(F.col("norm") - F.col("_mu")) > 3.0 * F.col("_sd")).alias(
+            "is_outlier"
+        ),
+    )
+
+
+SQL_SIGNAL_CORRELATION = f"""
+WITH {_KN_BASE_SQL},
+knppl AS (
+  SELECT doc_id,
+         floor(avg(log2(p)) * 1000000 + 0.5) / 1000000 AS y
+  FROM knbig JOIN knlm USING (w1, w2)
+  GROUP BY doc_id
+),
+scq AS (
+  SELECT doc_id, quality AS x FROM ({{QUALITY}})
+),
+scj AS (SELECT x, y FROM scq JOIN knppl USING (doc_id)),
+scm AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM scj
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       floor(((n * sxy - sx * sy)
+              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+             * 1000000 + 0.5) / 1000000 AS pearson_r
+FROM scm
+"""
+
+
+SQL_EMBEDDING_AUDIT = """
+WITH ean AS (
+  SELECT vec_id,
+         floor(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                            x -> x * x)))
+               * 1000000 + 0.5) / 1000000 AS norm
+  FROM embeddings
+),
+eas AS (
+  SELECT avg(norm) AS mu,
+         sqrt(avg(norm * norm) - avg(norm) * avg(norm)) AS sd
+  FROM ean
+)
+SELECT vec_id, norm, (abs(norm - mu) > 3.0 * sd) AS is_outlier
+FROM ean CROSS JOIN eas
+"""
+
+
+SQL_SIGNAL_CORRELATION = SQL_SIGNAL_CORRELATION.replace(
+    "{QUALITY}", SQL_QUALITY_SCORE
+)
+
+
 SQL_CURATION_FUNNEL = (
     SQL_NEAR_DUP_REWRITE[: SQL_NEAR_DUP_REWRITE.index("SELECT d.doc_id")]
     + f"""
@@ -6032,6 +6147,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_repetition": q_line_repetition,
     "token_budget": q_token_budget,
     "curation_funnel": q_curation_funnel,
+    "signal_correlation": q_signal_correlation,
+    "embedding_audit": q_embedding_audit,
     "source_overlap": q_source_overlap,
     "normalize_text": q_normalize_text,
     "rag_retrieve": q_rag_retrieve,
@@ -6149,6 +6266,8 @@ ORACLES_TD: dict[str, str] = {
     "line_repetition": SQL_LINE_REPETITION,
     "token_budget": SQL_TOKEN_BUDGET,
     "curation_funnel": SQL_CURATION_FUNNEL,
+    "signal_correlation": SQL_SIGNAL_CORRELATION,
+    "embedding_audit": SQL_EMBEDDING_AUDIT,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "rag_retrieve": SQL_RAG_RETRIEVE,
