@@ -645,3 +645,33 @@ def test_dsir_weights_match_reference(spark, docs, target_mask):
         want = sum(ratio[bucket(g)] for g in gs)
         assert got[i][0] == len(gs)
         assert got[i][1] == pytest.approx(want, abs=2e-6)
+
+
+@given(docs=doc_corpus_strategy)
+@settings(**SETTINGS)
+def test_containment_matches_reference(spark, docs):
+    """Containment pairs vs a direct shingle-set Python reference
+    (k=2 shingles; directed pairs, threshold 0)."""
+    from etl_finance_pipeline_spark.operators.dedup import containment_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, shingle_k=2, threshold=0.0).collect()
+    }
+    sets = {}
+    for i, toks in enumerate(docs):
+        t = " ".join(toks).lower().split() or [""]
+        sets[i] = {" ".join(t[j : j + 2]) for j in range(len(t) - 1)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a == b or not sets[a]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter:
+                want[(a, b)] = inter / len(sets[a])
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-6)
