@@ -423,7 +423,11 @@ def segment_lines(
 
     Two segmentations, one contract:
      * ``delimiter`` (default newline) — real lines/paragraphs, the
-       CCNet/RefinedWeb unit.
+       CCNet/RefinedWeb unit. Treated as a LITERAL string (quoted
+       with ``\\Q…\\E`` before reaching the regex-based split), so
+       callers can pass '.', '|' or '||' without silently splitting
+       on every character — matching the DuckDB oracle's literal
+       ``string_split`` semantics.
      * ``words_per_line=k`` — deterministic fixed-width pseudo-lines
        of k whitespace tokens for corpora that carry no newlines
        (this repo's synthetic fixture); the last line may be short.
@@ -445,8 +449,12 @@ def segment_lines(
         )
         seg = toked.select(F.col(id_col), F.posexplode(lines))
     else:
+        # \Q...\E = java.util.regex.Pattern.quote: the delimiter is a
+        # literal, never a pattern. An embedded \E cannot break out —
+        # re-quote around it the way Pattern.quote does.
+        quoted = "\\Q" + delimiter.replace("\\E", "\\E\\\\E\\Q") + "\\E"
         seg = df.select(
-            F.col(id_col), F.posexplode(F.split(F.col(text_col), delimiter))
+            F.col(id_col), F.posexplode(F.split(F.col(text_col), quoted))
         )
     return seg.select(id_col, F.col("pos"), F.col("col").alias("line"))
 

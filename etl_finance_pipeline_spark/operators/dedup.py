@@ -312,6 +312,7 @@ def simhash_pairs(
     bands: int = 4,
     max_hamming: int = 6,
     max_bucket_size: int | None = 1000,
+    identical_mode: str = "pairs",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ *max_hamming*.
 
@@ -337,6 +338,7 @@ def simhash_pairs(
         bands=bands,
         max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
+        identical_mode=identical_mode,
     )
 
 
@@ -348,67 +350,225 @@ def hamming_pairs(
     bands: int = 4,
     max_hamming: int = 6,
     max_bucket_size: int | None = 1000,
+    identical_mode: str = "pairs",
+    lossless_bucket_ceiling: int = 200_000,
 ) -> DataFrame:
     """Generic banded Hamming self-join over any integer fingerprint
     column (SimHash text sketches, perceptual image hashes, audio
-    chromaprints — same candidate algebra for all of them): band the
-    fingerprint into *bands* bit slices, equi-join on any matching
-    slice, verify bit_count(xor) on candidates only.
+    chromaprints — same candidate algebra for all of them).
+
+    Skew-safe by construction: identical fingerprints are COLLAPSED
+    before banding (group by fingerprint → representative + members),
+    so a degenerate population — millions of blank images, silent
+    audio clips, or constant frames all hashing to one value — never
+    inflates a band bucket. Their pairs are Hamming-0 by definition
+    and are emitted straight from group membership (``identical_mode``
+    below); the banding + xor-verify join then runs over DISTINCT
+    fingerprints only, whose bucket widths are bounded by fingerprint
+    diversity, not corpus size.
 
     Pigeonhole guarantee: every pair with hamming < *bands* shares at
     least one untouched band, so choosing bands > max_hamming makes
     the banding LOSSLESS (a brute-force oracle can certify it) —
     PROVIDED no bucket is dropped: callers relying on the lossless
-    contract must pass ``max_bucket_size=None`` (the phash/audio/video
-    near-dup queries do), since the skew guard below silently trades
-    recall for bounded fan-out on degenerate fingerprint
-    distributions. Fewer/wider bands trade recall beyond the
-    pigeonhole bound for narrower buckets, exactly like MinHash band
-    tuning. Buckets wider than *max_bucket_size* are dropped
-    (degenerate-content skew guard); None disables the guard (and
-    skips its census shuffle entirely).
+    contract pass ``max_bucket_size=None`` (the phash/audio/video
+    near-dup queries do). In lossless mode the distinct-fingerprint
+    census is still taken, and any bucket wider than
+    *lossless_bucket_ceiling* distinct fingerprints fails LOUDLY
+    (``assert_true`` inside the join stage) instead of running an
+    unbounded quadratic self-join — the lossless contract breaks with
+    an error, never with silent O(n²) work. Fewer/wider bands trade
+    recall beyond the pigeonhole bound for narrower buckets, exactly
+    like MinHash band tuning. With ``max_bucket_size`` set, buckets
+    whose MEMBER weight (Σ group sizes — the pre-collapse row count,
+    preserving the historical guard semantics) exceeds it are dropped.
+
+    identical_mode:
+      * ``"pairs"`` (default, oracle-exact): enumerate every
+        within-group pair. The OUTPUT is inherently quadratic in the
+        largest identical-fingerprint group — correct, but only sane
+        when duplicates are moderate.
+      * ``"star"``: emit representative→member edges per group
+        (n−1 rows) and a single representative↔representative edge
+        per near-duplicate fingerprint pair. Linear output that
+        preserves connected components exactly — the at-scale mode
+        for clustering consumers (near_dup_clusters-style).
 
     Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤ max_hamming.
     """
+    if identical_mode not in ("pairs", "star"):
+        raise ValueError(f"identical_mode must be 'pairs' or 'star', got {identical_mode!r}")
     slice_bits = bits // bands
     mask = (1 << slice_bits) - 1
-    banded = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(fp_col).alias("_fp"),
+    members = df.filter(F.col(fp_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp")
+    )
+    # one row per distinct fingerprint: representative (min id) +
+    # member weight — the SMALL frame (≤ distinct fingerprints,
+    # ≤ 2^bits). No materialization: every consumer (this agg, the
+    # intra self-join sides, the expansion joins) hash-partitions
+    # members on _fp, so ONE exchange is planned and reused
+    # (ReusedExchange) across all of them.
+    groups = members.groupBy("_fp").agg(
+        F.count("*").alias("_gn"), F.min("_id").alias("_rep")
+    )
+
+    # -------- cross-fingerprint candidates: band DISTINCT fingerprints
+    # only --------
+    # each banded row carries (fingerprint, group size, representative
+    # id), so pairs between SINGLETON groups — the overwhelming case
+    # on diverse corpora — resolve their ids INLINE with zero joins;
+    # only pairs touching a multi-member group take the member-
+    # expansion joins.
+    banded = groups.select(
+        F.struct(
+            F.col("_fp").alias("f"),
+            F.col("_gn").alias("g"),
+            F.col("_rep").alias("r"),
+        ).alias("_m"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftright(F.col(fp_col), b * slice_bits)
+                    F.shiftright(F.col("_fp"), b * slice_bits)
                     .bitwiseAND(F.lit(mask))
                     .alias("key"),
                 )
                 for b in range(bands)
             ])
         ).alias("_bk"),
-    ).select("_id", "_fp", F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"))
+    ).select("_m", F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"))
 
+    # within-bucket pairs WITHOUT a self-join: aggregate each bucket's
+    # distinct fingerprints into one sorted array (struct sort orders
+    # by the fingerprint, the leading field), then a two-level
+    # generate (posexplode → explode of the tail slice) streams the
+    # ordered pairs. One linear pipeline — no second plan subtree for
+    # a join's build side, no broadcast materialization, and the
+    # census needed for the skew guard is just size(_l).
     if max_bucket_size is not None:
-        bucket_counts = banded.groupBy("band", "key").agg(
-            F.count("*").alias("_n")
-        )
-        banded = banded.join(
-            bucket_counts.filter(F.col("_n") <= max_bucket_size).drop("_n"),
-            on=["band", "key"],
+        buckets = banded.groupBy("band", "key").agg(
+            F.sort_array(F.collect_list("_m")).alias("_l"),
+            F.sum("_m.g").alias("_nw"),
+        ).filter(F.col("_nw") <= max_bucket_size)
+    else:
+        # lossless: never drop — but refuse to run quadratic. The
+        # assert lives INSIDE the plan (filter on assert_true, which
+        # is NULL when the predicate holds), so a breach fails the
+        # job loudly with the bucket coordinates in the message.
+        buckets = banded.groupBy("band", "key").agg(
+            F.sort_array(F.collect_list("_m")).alias("_l")
+        ).filter(
+            F.assert_true(
+                F.size("_l") <= F.lit(lossless_bucket_ceiling),
+                F.concat_ws(
+                    " ",
+                    F.lit("hamming_pairs lossless mode: band bucket exceeds"),
+                    F.lit(str(lossless_bucket_ceiling)),
+                    F.lit("distinct fingerprints (band"),
+                    F.col("band").cast("string"),
+                    F.lit("key"),
+                    F.col("key").cast("string"),
+                    F.lit(") — widen bands or raise lossless_bucket_ceiling"),
+                ),
+            ).isNull()
         )
 
-    left = banded.select("band", "key", F.col("_id").alias("id_a"), F.col("_fp").alias("_fa"))
-    right = banded.select("band", "key", F.col("_id").alias("id_b"), F.col("_fp").alias("_fb"))
-    cand = (
-        left.join(right, on=["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_fa", "_fb")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
-    return (
-        cand.select("id_a", "id_b", hamming.alias("hamming"))
+    # a pair colliding in k bands would surface k times; instead of a
+    # distinct (an extra exchange over the candidate set), keep only
+    # the FIRST matching band: for every band b' < band, the slices
+    # must differ. Pure bitwise codegen, no shuffle.
+    first_match = F.lit(True)
+    for bp in range(bands):
+        sa = F.shiftright(F.col("_a.f"), bp * slice_bits).bitwiseAND(F.lit(mask))
+        sb = F.shiftright(F.col("_b.f"), bp * slice_bits).bitwiseAND(F.lit(mask))
+        first_match = first_match & ((F.col("band") <= F.lit(bp)) | (sa != sb))
+    fp_pairs = (
+        buckets.select("band", "_l", F.posexplode("_l").alias("_i", "_a"))
+        .select(
+            "band",
+            "_a",
+            F.explode(
+                F.slice(F.col("_l"), F.col("_i") + F.lit(2), F.size("_l") - F.col("_i") - 1)
+            ).alias("_b"),
+        )
+        .filter(first_match)
+        .select(
+            "_a",
+            "_b",
+            F.bit_count(F.col("_a.f").bitwiseXOR(F.col("_b.f"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+    # -------- resolve fingerprint pairs to id pairs --------
+    if identical_mode == "star":
+        # star mode needs no expansion at all: one rep↔rep edge per
+        # fingerprint pair, plus rep→member edges per multi-member
+        # group — linear output, component-preserving (any id pair
+        # connected through all-pairs edges is connected through the
+        # stars).
+        cross_fp = fp_pairs.select(
+            F.col("_a.r").alias("_ia"), F.col("_b.r").alias("_ib"), "hamming"
+        )
+        stars = (
+            members.join(groups.filter(F.col("_gn") > 1), on="_fp")
+            .filter(F.col("_id") != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("_ia"),
+                F.col("_id").alias("_ib"),
+                F.lit(0).alias("hamming"),
+            )
+        )
+        cross = cross_fp.unionByName(stars)
+    else:
+        # each multi-member group contributes its Hamming-0 self-pair
+        # through the same resolution path as the cross pairs
+        self_pairs = groups.filter(F.col("_gn") > 1).select(
+            F.struct(
+                F.col("_fp").alias("f"), F.col("_gn").alias("g"), F.col("_rep").alias("r")
+            ).alias("_a"),
+            F.struct(
+                F.col("_fp").alias("f"), F.col("_gn").alias("g"), F.col("_rep").alias("r")
+            ).alias("_b"),
+            F.lit(0).alias("hamming"),
+        )
+        all_pairs = fp_pairs.unionByName(self_pairs)
+        # member expansion via LEFT joins against members of MULTI-
+        # member groups only (a window count over the same _fp
+        # exchange the groups agg uses): singleton sides miss the
+        # join and resolve to the representative carried inline —
+        # zero join fan-out on diverse corpora, and the build side is
+        # tiny-to-empty so both joins broadcast (one reused build).
+        multi = (
+            members.withColumn(
+                "_cnt", F.count("*").over(Window.partitionBy("_fp"))
+            )
+            .filter(F.col("_cnt") > 1)
+            .drop("_cnt")
+        )
+        ea = multi.select(F.col("_fp").alias("_fpa"), F.col("_id").alias("_ja"))
+        eb = multi.select(F.col("_fp").alias("_fpb"), F.col("_id").alias("_jb"))
+        cross = (
+            all_pairs.join(ea, on=F.col("_a.f") == F.col("_fpa"), how="left")
+            .join(eb, on=F.col("_b.f") == F.col("_fpb"), how="left")
+            .select(
+                F.coalesce(F.col("_ja"), F.col("_a.r")).alias("_ia"),
+                F.coalesce(F.col("_jb"), F.col("_b.r")).alias("_ib"),
+                "hamming",
+                F.col("_a.f").alias("_fa"),
+                F.col("_b.f").alias("_fb"),
+            )
+            # self-pairs expand to the full ordered square of their
+            # group; keep each unordered pair once. Cross pairs
+            # (_fa != _fb) are already unique per (ia, ib).
+            .filter((F.col("_fa") != F.col("_fb")) | (F.col("_ia") < F.col("_ib")))
+            .select("_ia", "_ib", "hamming")
+        )
+    return cross.select(
+        F.least("_ia", "_ib").alias("id_a"),
+        F.greatest("_ia", "_ib").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
     )
 
 

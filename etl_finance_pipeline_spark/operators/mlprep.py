@@ -249,6 +249,11 @@ def binary_auc(
     decontamination eval sets); for corpus-sized inputs bin the score
     first (fixed-width binning = the standard approximate AUC).
     Output: one row (n, n_pos, n_neg, auc).
+
+    A one-class split (zero positives or zero negatives) has no
+    defined AUC; rather than returning a silent NULL that callers
+    could mistake for a score, the plan raises loudly
+    (``assert_true`` on P>0 ∧ N>0).
     """
     from pyspark.sql.window import Window
 
@@ -270,7 +275,22 @@ def binary_auc(
     p = F.col("_p").cast("double")
     n_neg = (F.col("_tot") - F.col("_p")).cast("double")
     auc = (F.col("_spos") - p * (p + 1) / F.lit(2.0)) / (p * n_neg)
-    return agg.select(
+    return agg.filter(
+        # fail loudly on a one-class split instead of emitting a
+        # silent NULL auc (assert_true is NULL when the predicate
+        # holds, so the filter keeps the row)
+        F.assert_true(
+            (p > 0) & (n_neg > 0),
+            F.concat_ws(
+                " ",
+                F.lit("binary_auc: one-class eval split (n_pos"),
+                F.col("_p").cast("string"),
+                F.lit(", n_neg"),
+                n_neg.cast("string"),
+                F.lit(") has no defined AUC"),
+            ),
+        ).isNull()
+    ).select(
         F.col("_tot").cast("long").alias("n"),
         F.col("_p").cast("long").alias("n_pos"),
         (F.col("_tot") - F.col("_p")).cast("long").alias("n_neg"),

@@ -37,6 +37,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import hashlib
 import struct
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
@@ -530,8 +531,12 @@ def encode_jpeg_blocks(
                     n_rows, blocks_per_row
                 )
                 img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                # mixed mode dispatches on a stable hash of the id's
+                # STRING form (md5 low bit) so any id type works —
+                # int(rid) would raise on string/uuid ids
                 prog = mode == "progressive" or (
-                    mode == "mixed" and int(rid) % 2 == 1
+                    mode == "mixed"
+                    and hashlib.md5(str(rid).encode("utf-8")).digest()[-1] & 1 == 1
                 )
                 payloads.append(
                     encode_jpeg_progressive(img) if prog else encode_jpeg_gray(img)

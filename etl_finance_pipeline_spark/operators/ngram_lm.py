@@ -150,8 +150,11 @@ def kn_perplexity(
     The model side is broadcast (vocabulary-bounded), so the corpus
     never shuffles for the lookup; unseen bigrams (possible when a
     caller passes a foreign ``lm``) fall back to the continuation
-    mass ``lambda(w1) * Pcont(w2)`` and, for a w1 absent from the
-    model entirely, to 1/|B| — both deterministic.
+    mass ``lambda(w1) * Pcont(w2)`` with ``Pcont(w2) = nr(w2)/|B|``
+    (nr = distinct left-extensions of w2 in the model); when w2 is
+    itself absent from the model the continuation term degrades to
+    uniform-over-types ``lambda(w1) * 1/|B|``, and for a w1 absent
+    from the model entirely, to 1/|B| — all deterministic.
     """
     if lm is None:
         lm = kn_bigram_lm(
@@ -167,6 +170,10 @@ def kn_perplexity(
     ctx = lm.groupBy("w1").agg(
         F.first("c1").alias("_c1"), F.first("nl").alias("_nl")
     )
+    # per-w2 left-extension count nr(w2) = |{w1 : (w1,w2) ∈ B}| — the
+    # numerator of the KN continuation probability, broadcast
+    # alongside ctx (vocab-bounded, one row per model w2)
+    w2c = lm.groupBy("w2").agg(F.count("*").alias("_nr"))
     bt_total = probs.agg(F.count("*").alias("_btall"))
     d = F.lit(float(discount))
     big = _doc_bigrams(df, id_col, text_col)
@@ -177,12 +184,17 @@ def kn_perplexity(
     joined = (
         big.join(probs_side, ["w1", "w2"], "left")
         .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(w2c), "w2", "left")
         .crossJoin(F.broadcast(bt_total))
         .withColumn(
             "_p",
             F.coalesce(
                 "_p",
-                # seen context, unseen continuation: lambda(w1)/|B|
+                # seen context, unseen continuation:
+                # lambda(w1) * Pcont(w2) = lambda(w1) * nr(w2)/|B|
+                ((d * F.col("_nl")) / F.col("_c1"))
+                * (F.col("_nr") / F.col("_btall")),
+                # seen context, w2 absent from the model: uniform
                 ((d * F.col("_nl")) / F.col("_c1"))
                 * (F.lit(1.0) / F.col("_btall")),
                 # context absent from the model: uniform over types

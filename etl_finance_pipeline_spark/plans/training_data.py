@@ -3206,9 +3206,10 @@ FROM codes
 def q_image_stats_jpeg_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A MIXED baseline/progressive JPEG corpus through the real
     decoder — the realistic crawl shape (most web images ship SOF2):
-    odd doc_ids encode as multi-scan progressive (successive
-    approximation, DC+AC refinement, EOB runs), even as baseline; the
-    decoder dispatches per stream off the SOF marker. Decoded pixels
+    ids hashing odd (md5 low bit of the id string) encode as
+    multi-scan progressive (successive approximation, DC+AC
+    refinement, EOB runs), the rest as baseline; the decoder
+    dispatches per stream off the SOF marker. Decoded pixels
     are identical either way, so the SAME byte-level oracle certifies
     both entropy coders — a bug anywhere in the progressive scan
     algebra (point transforms, correction bits, EOB-run skips)

@@ -388,3 +388,22 @@ def test_token_budget_cap_and_redistribute(spark):
             assert fin == 0.05
         else:
             assert fin >= raw
+
+
+def test_segment_lines_literal_delimiter(spark):
+    """The delimiter is a LITERAL, not a regex: '.' and '|' must
+    split only on themselves (a regex read would split on every
+    character / at every position)."""
+    from etl_finance_pipeline_spark.operators.corpus import segment_lines
+
+    df = spark.createDataFrame([(1, "a.b|c.d")], ["doc_id", "text"])
+    dots = [
+        r["line"]
+        for r in segment_lines(df, delimiter=".").orderBy("pos").collect()
+    ]
+    assert dots == ["a", "b|c", "d"]
+    pipes = [
+        r["line"]
+        for r in segment_lines(df, delimiter="|").orderBy("pos").collect()
+    ]
+    assert pipes == ["a.b", "c.d"]

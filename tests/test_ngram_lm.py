@@ -85,6 +85,22 @@ def test_kn_perplexity_foreign_model_fallbacks(spark, corpus):
     assert out[11].ppl == pytest.approx(float(bt), abs=1e-4)
 
 
+def test_kn_perplexity_foreign_model_continuation_mass(spark):
+    """The documented unseen-bigram fallback is lambda(w1)·Pcont(w2)
+    = lambda(w1)·nr(w2)/|B| — the per-w2 left-extension count must
+    actually be looked up (a uniform 1/|B| approximation would give a
+    2× smaller probability here)."""
+    train = spark.createDataFrame([(0, "a b c b")], ["doc_id", "text"])
+    # bigrams: (a,b), (b,c), (c,b) -> |B|=3; nr(b)=|{a,c}|=2
+    lm = kn_bigram_lm(train, round_digits=None)
+    other = spark.createDataFrame([(10, "b b")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in kn_perplexity(other, lm=lm).collect()}
+    # (b,b) unseen; context b: c1=1, nl=1 -> lambda(b)=D;
+    # Pcont(b)=nr(b)/|B|=2/3 -> p = D * 2/3 = 0.5
+    p_bb = D * (2 / 3)
+    assert out[10].ppl == pytest.approx(1 / p_bb, abs=1e-4)
+
+
 def test_ccnet_buckets_tercile_semantics(spark):
     from etl_finance_pipeline_spark.operators.ngram_lm import ccnet_buckets
 

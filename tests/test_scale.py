@@ -667,3 +667,39 @@ def test_scale_pca_covariance_numpy_lane(bigspark):
     print(f"\nSCALE pca covariance numpy 2M x 16d: {rows:,} rows in {dt:.1f}s")
     assert rows == dim * dim
     assert dt < 300
+
+
+def test_scale_hamming_identical_fingerprint_collapse(bigspark):
+    """1M ids sharing ONE fingerprint (every black-frame video hashing
+    alike — the degenerate case that made the pre-collapse lossless
+    join O(n²)): identical fingerprints collapse to a single banded
+    row, so candidate generation sees ONE distinct fingerprint and
+    star mode emits exactly n−1 rep→member edges plus the cross
+    edges — linear work, linear output. A quadratic plan would emit
+    ~5×10¹¹ candidates and blow the time bound by orders of
+    magnitude."""
+    from etl_finance_pipeline_spark.operators.dedup import hamming_pairs
+
+    n_hot = 1_000_000
+    n_tail = 100_000
+    hot = bigspark.range(n_hot).select(
+        F.col("id").alias("doc_id"), F.lit(0x5A5A5A5A).cast("long").alias("fp")
+    )
+    # diverse tail so banding still has real work to do — xxhash64
+    # spreads all 64 bits, the shape real sketches have (a tail whose
+    # high bands are constant is the lossless ceiling's territory,
+    # not the collapse's)
+    tail = bigspark.range(n_tail).select(
+        (F.col("id") + n_hot).alias("doc_id"),
+        F.xxhash64(F.col("id")).alias("fp"),
+    )
+    df = hot.unionByName(tail)
+    out = hamming_pairs(
+        df, "fp", id_col="doc_id", bits=64, bands=8, max_hamming=2,
+        max_bucket_size=None, identical_mode="star",
+    )
+    _assert_distributed_plan(out, "hamming_identical_collapse")
+    rows, dt = _timed_count(out, "hamming star, 1M-copy hot fingerprint")
+    # at least the hot group's star edges; cross edges from the tail add more
+    assert rows >= n_hot - 1
+    assert dt < 120

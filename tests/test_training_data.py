@@ -847,6 +847,86 @@ def test_hamming_pairs_lossless_when_bands_exceed_threshold(spark):
     assert got == expected and len(expected) >= 7
 
 
+def test_hamming_pairs_identical_fingerprints_collapse(spark):
+    """Degenerate skew: many ids sharing ONE fingerprint. pairs mode
+    must enumerate every within-group pair at hamming 0 (brute-force
+    parity); star mode must emit exactly rep→member edges plus one
+    rep↔rep edge per near-dup fingerprint pair, preserving connected
+    components with linear output."""
+    from etl_finance_pipeline_spark.operators.dedup import hamming_pairs
+
+    rows = [(i, 0b1010) for i in range(6)] + [
+        (10, 0b1011),  # hamming 1 from the hot fingerprint
+        (11, 0b1011),
+        (20, 1 << 40),  # far away
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, fp long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(
+            df, "fp", id_col="doc_id", bits=64, bands=8, max_hamming=2,
+            max_bucket_size=None,
+        ).collect()
+    }
+    import itertools
+
+    expected = {}
+    for (ia, fa), (ib, fb) in itertools.combinations(rows, 2):
+        h = bin(fa ^ fb).count("1")
+        if h <= 2:
+            expected[(min(ia, ib), max(ia, ib))] = h
+    assert got == expected
+    assert len([1 for h in got.values() if h == 0]) == 15 + 1  # C(6,2) + C(2,2)
+
+    star = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(
+            df, "fp", id_col="doc_id", bits=64, bands=8, max_hamming=2,
+            max_bucket_size=None, identical_mode="star",
+        ).collect()
+    }
+    # stars: 0→{1..5}, 10→11; cross edge: rep(0b1010)=0 ↔ rep(0b1011)=10
+    assert star == {**{(0, i): 0 for i in range(1, 6)}, (10, 11): 0, (0, 10): 1}
+    # component check: union of star edges connects {0..5, 10, 11}
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in star:
+        parent[find(a)] = find(b)
+    comp = {find(i) for i in [0, 1, 2, 3, 4, 5, 10, 11]}
+    assert len(comp) == 1 and find(20) != find(0)
+
+
+def test_hamming_pairs_lossless_ceiling_fails_loud(spark):
+    """The lossless contract must break with an ERROR, never silent
+    quadratic work: a band bucket wider than lossless_bucket_ceiling
+    distinct fingerprints raises from inside the plan."""
+    import pytest as _pytest
+
+    from etl_finance_pipeline_spark.operators.dedup import hamming_pairs
+
+    # 40 distinct fingerprints that all share band 0 (low byte == 0x7)
+    rows = [(i, (i << 8) | 0x7) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, fp long")
+    ok = hamming_pairs(
+        df, "fp", id_col="doc_id", bits=64, bands=8, max_hamming=1,
+        max_bucket_size=None, lossless_bucket_ceiling=40,
+    )
+    ok.count()  # at the ceiling: fine
+    bad = hamming_pairs(
+        df, "fp", id_col="doc_id", bits=64, bands=8, max_hamming=1,
+        max_bucket_size=None, lossless_bucket_ceiling=39,
+    )
+    with _pytest.raises(Exception, match="band bucket exceeds"):
+        bad.count()
+
+
 def test_gopher_rules_per_rule_flags(spark):
     from etl_finance_pipeline_spark.operators.text_analysis import gopher_rules
 
@@ -895,6 +975,25 @@ def test_binary_auc_known_values(spark):
         ["probe_score", "label"],
     )
     assert binary_auc(df3).collect()[0]["auc"] == 0.125
+
+
+def test_binary_auc_one_class_split_fails_loud(spark):
+    """A split with zero positives (or zero negatives) has no defined
+    AUC — the plan must raise, never return a silent NULL score."""
+    import pytest as _pytest
+
+    from etl_finance_pipeline_spark.operators.mlprep import binary_auc
+
+    all_neg = spark.createDataFrame(
+        [(0.1, 0), (0.2, 0)], ["probe_score", "label"]
+    )
+    with _pytest.raises(Exception, match="one-class eval split"):
+        binary_auc(all_neg).collect()
+    all_pos = spark.createDataFrame(
+        [(0.1, 1), (0.2, 1)], ["probe_score", "label"]
+    )
+    with _pytest.raises(Exception, match="one-class eval split"):
+        binary_auc(all_pos).collect()
 
 
 def test_hard_negative_topk_excludes_same_label(spark):
