@@ -22,6 +22,31 @@ import __spark_entry__ as entrymod  # noqa: E402
 from etl_finance_pipeline_spark import get_spark  # noqa: E402
 
 
+# heavy queries whose cold-run spread (max-min)/min still exceeds
+# SPREAD_LIMIT after heavy_runs samples get extra samples up to
+# SPREAD_RUNS — round-7 reported 62-70% spreads at n=4 on
+# pq_topk/pagerank, which left >1.5x delta flags unadjudicable
+SPREAD_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_RUNS", "6"))
+SPREAD_LIMIT = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD", "0.5"))
+
+
+def _needs_more(samples: list[float], runs: int, heavy_sec: float, heavy_runs: int) -> bool:
+    """min-of-N sampling policy: N=runs normally, N=heavy_runs when
+    the query is heavy (min > heavy_sec), and up to SPREAD_RUNS while
+    a heavy query's spread stays above SPREAD_LIMIT."""
+    if len(samples) < runs:
+        return True
+    lo = min(samples)
+    if lo <= heavy_sec:
+        return False
+    if len(samples) < heavy_runs:
+        return True
+    return (
+        len(samples) < max(heavy_runs, SPREAD_RUNS)
+        and (max(samples) - lo) / lo > SPREAD_LIMIT
+    )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -53,9 +78,7 @@ def main() -> int:
         try:
             samples: list[float] = []
             n = 0
-            while len(samples) < runs or (
-                min(samples) > heavy_sec and len(samples) < heavy_runs
-            ):
+            while _needs_more(samples, runs, heavy_sec, heavy_runs):
                 # clear BETWEEN runs too: an operator that persists
                 # internally would otherwise serve run 2 from run 1's
                 # cache and min-of-N would report warm-cache cost
@@ -140,6 +163,8 @@ def main() -> int:
     full["runs_per_query"] = runs
     full["heavy_threshold_sec"] = heavy_sec
     full["heavy_runs"] = heavy_runs
+    full["spread_runs"] = SPREAD_RUNS
+    full["spread_limit"] = SPREAD_LIMIT
     full["run_samples"] = all_runs
     full["query_stats"] = {
         name: _sample_stats(samples) for name, samples in all_runs.items()
@@ -219,9 +244,7 @@ def _bench_pipeline(
         for fuse in (False, True):
             name = f"pipeline_e2e_{'fused' if fuse else 'unfused'}"
             samples = []
-            while len(samples) < runs or (
-                min(samples) > heavy_sec and len(samples) < heavy_runs
-            ):
+            while _needs_more(samples, runs, heavy_sec, heavy_runs):
                 spark.catalog.clearCache()
                 cfg = EngineConfig.model_validate(
                     {

@@ -333,6 +333,80 @@ def domain_cap_sample(
     return df.join(F.broadcast(counts), domain_col).filter(keep)
 
 
+def canonical_host(col: Column) -> Column:
+    """Canonical host of a URL-ish string — RefinedWeb's first-stage
+    URL normalization (Penedo et al. 2023 §3.1): lowercase + trim,
+    then strip scheme, userinfo, path/query/fragment, port, and ONE
+    leading ``www.`` label. Pure anchored-regex codegen, no UDF; the
+    anchoring makes Spark's replace-all and the oracle's
+    replace-first semantics identical.
+    """
+    s = F.lower(F.trim(col))
+    s = F.regexp_replace(s, r"^[a-z][a-z0-9+.\-]*://", "")
+    s = F.regexp_replace(s, r"[/?#].*$", "")
+    s = F.regexp_replace(s, r"^[^@/]*@", "")
+    s = F.regexp_replace(s, r":[0-9]+$", "")
+    return F.regexp_replace(s, r"^www\.", "")
+
+
+def registrable_domain(host: Column, levels: int = 2) -> Column:
+    """Last *levels* dot-labels of a host — the registrable-domain
+    rollup key (``cdn.src3.com`` → ``src3.com``). Hosts with fewer
+    labels pass through unchanged. (A public-suffix list would
+    replace the fixed level count in a production deployment; the
+    operator contract — canonical host → rollup key → anti-join — is
+    unchanged by that swap.)"""
+    parts = F.split(host, r"\.")
+    return F.when(
+        F.size(parts) >= levels,
+        F.array_join(F.slice(parts, -levels, levels), "."),
+    ).otherwise(host)
+
+
+def domain_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    url_col: str = "url",
+    levels: int = 2,
+) -> DataFrame:
+    """URL blocklist filter — the curation stage every crawl pipeline
+    runs first (RefinedWeb, C4): canonicalize each document's URL to
+    its host, roll up to the registrable domain, and drop documents
+    whose domain is blocklisted via a BROADCAST left-anti join (the
+    blocklist is list-sized by definition; the corpus never
+    shuffles).
+
+    Output: surviving input rows + (host, domain).
+    """
+    spark = df.sparkSession
+    out = df.withColumn("host", canonical_host(F.col(url_col))).withColumn(
+        "domain", registrable_domain(F.col("host"), levels)
+    )
+    bdf = spark.createDataFrame([(b,) for b in blocklist], "domain string")
+    return out.join(F.broadcast(bdf), "domain", "left_anti")
+
+
+def domain_rollup(
+    df: DataFrame,
+    url_col: str = "url",
+    levels: int = 2,
+) -> DataFrame:
+    """Per-registrable-domain census over canonicalized URLs: document
+    count and distinct-subdomain count — the volume profile that
+    feeds blocklist curation and :func:`domain_cap_sample` caps. One
+    map-side-combinable aggregate keyed by domain.
+
+    Output: (domain, n_docs, n_hosts).
+    """
+    out = df.withColumn("host", canonical_host(F.col(url_col))).withColumn(
+        "domain", registrable_domain(F.col("host"), levels)
+    )
+    return out.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

@@ -296,3 +296,62 @@ def binary_auc(
         (F.col("_tot") - F.col("_p")).cast("long").alias("n_neg"),
         (F.floor(auc * 1e6 + F.lit(0.5)) / 1e6).alias("auc"),
     )
+
+
+def hashed_text_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 32,
+    out_col: str = "features",
+) -> DataFrame:
+    """Dense mean-pooled hashing-trick text features — the fastText
+    input representation (Joulin et al. 2016): each token lands in
+    bucket ``h1(token) % dim`` with sign from ``h2``'s low bit
+    (exactly :func:`corpus.feature_hash`'s algebra), per-document
+    bucket sums are divided by the token count (fastText's averaged
+    bag of words — length-invariant), and the buckets assemble into a
+    fixed-width dense array a linear head can consume.
+
+    Nothing to fit, broadcast, or look up — the stateless featurizer
+    that scales to any corpus. One explode + two map-side-combinable
+    aggregates, keyed by (id, bucket) then id.
+
+    Output: (id, features array<double>[dim]). Documents with zero
+    tokens are omitted (they have no feature mass).
+    """
+    from etl_finance_pipeline_spark.functions.text import tokens
+    from etl_finance_pipeline_spark.operators.sketch import hash_word
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_w"))
+    idx = (hash_word(F.col("_w"), 1) % dim).cast("int")
+    sign = F.when(hash_word(F.col("_w"), 16) % 2 == 0, F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    buckets = (
+        toks.select(F.col(id_col), idx.alias("_i"), sign.alias("_s"))
+        .groupBy(id_col, "_i")
+        .agg(
+            F.sum("_s").cast("double").alias("_v"),
+            F.count("*").alias("_c"),
+        )
+    )
+    return (
+        buckets.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_i", "_v"))
+            ).alias("_m"),
+            F.sum("_c").cast("double").alias("_nt"),
+        )
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_m"), i.cast("int")), F.lit(0.0)
+                )
+                / F.col("_nt"),
+            ).alias(out_col),
+        )
+    )

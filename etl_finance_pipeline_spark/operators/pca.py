@@ -30,6 +30,12 @@ from pyspark.sql import functions as F
 from etl_finance_pipeline_spark.functions.layout import fan_out
 from etl_finance_pipeline_spark.operators.similarity import _as_double
 
+#: pca_fit's driver eigen-solve collects d² covariance cells; past
+#: this width that pull (4M+ rows at d=2048) and the O(d²)-per-step
+#: dense power iteration stop being control-plane — refuse loudly
+#: (see pca_fit's docstring for the distributed-matvec scale path).
+_PCA_MAX_DIM = 2048
+
 
 def embedding_covariance(
     df: DataFrame,
@@ -162,7 +168,25 @@ def pca_fit(
 ) -> tuple[list[float], float, list[float]]:
     """One-stop fit: covariance pass + power iteration. Returns
     (loadings, eigenvalue, means) — the means come for free from the
-    covariance frame's diagonal."""
+    covariance frame's diagonal.
+
+    Dimensionality bound: the driver collects the d² covariance cells
+    for the eigen-solve — 4,096 rows at the declared d=64 surface,
+    still trivial at d=512 (262k rows), but a d≳2,048 embedding pulls
+    4M+ rows driver-side and the dense power iteration goes O(d²) per
+    step in driver memory. Beyond ``_PCA_MAX_DIM`` the fit refuses
+    loudly; the scale path there is a distributed matvec (keep the
+    covariance FRAME, express ``C·v`` as one map-side-combinable
+    aggregate per iteration) or a randomized/sketched solver — the
+    covariance PASS itself (one d²-cell aggregate) is unchanged.
+    """
+    first = df.select(F.size(F.col(vec_col)).alias("_d")).first()
+    if first is not None and first["_d"] is not None and first["_d"] > _PCA_MAX_DIM:
+        raise ValueError(
+            f"pca_fit: dim {first['_d']} exceeds the driver eigen-solve "
+            f"bound ({_PCA_MAX_DIM}); use a distributed matvec or a "
+            "randomized solver for wide embeddings"
+        )
     cov = embedding_covariance(df, vec_col, engine=engine)
     rows = cov.collect()
     means = [

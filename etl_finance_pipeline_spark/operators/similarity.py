@@ -1207,3 +1207,105 @@ def hard_negative_topk(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    budget: int,
+    cap: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cluster-balanced mixture sampling — the SemDedup/cluster-
+    curation follow-through (Abbas et al. 2023 §5; DoReMi-style
+    domain reweighting with k-means cells as the domains): assign
+    every vector to its nearest TRAINED centroid (squared-L2 argmin,
+    lower-id tiebreak — the metric :func:`train_kmeans_centroids`
+    itself uses), allocate a global sample *budget* across clusters
+    with a per-cluster share *cap* and ONE cap-and-redistribute round
+    (the token_budget closed form: capped cells pin at the cap, the
+    freed mass spreads over uncapped cells proportional to their raw
+    share), then take each cell's allocation deterministically by
+    portable-hash rank — so a dominant cluster cannot swamp the
+    mixture and reruns/engines select the identical set.
+
+    Scale shape: one broadcast nested-loop assign (k×dim codebook) +
+    per-vector argmin window, one dim-table allocation (k rows of
+    broadcast arithmetic), one per-cluster ranking window (clusters
+    are the balance unit — their size is bounded by design, and the
+    hash-rank window partitions by cluster, never globally).
+
+    Output: (id, cluster_id, cluster_rank) for the selected rows.
+    """
+    from etl_finance_pipeline_spark.functions.scalar import (
+        portable_hash64,
+        portable_round,
+    )
+
+    src = _as_double(corpus, vec_col)
+    cents = _as_double(
+        centroids.select(
+            F.col("cluster_id").alias("_cid"), F.col("cvec").alias("_cv")
+        ),
+        "_cv",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = src.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col("_cid"), d2.alias("_d2")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("_cid"))
+    assigned = (
+        pairs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(F.col(id_col), F.col("_cid").alias("cluster_id"))
+    )
+
+    counts = assigned.groupBy("cluster_id").agg(F.count("*").alias("_n"))
+    total = counts.agg(F.sum("_n").alias("_tt"))
+    shared = counts.crossJoin(F.broadcast(total)).withColumn(
+        "_raw", F.col("_n") / F.col("_tt")
+    )
+    capl = F.lit(float(cap))
+    stats = shared.agg(
+        F.sum(F.least(F.col("_raw"), capl)).alias("_capsum"),
+        F.sum(
+            F.when(F.col("_raw") < capl, F.col("_raw")).otherwise(0.0)
+        ).alias("_us"),
+    )
+    final = F.when(F.col("_raw") >= capl, capl).otherwise(
+        F.col("_raw")
+        + (F.col("_raw") / F.col("_us")) * (F.lit(1.0) - F.col("_capsum"))
+    )
+    alloc = (
+        shared.crossJoin(F.broadcast(stats))
+        .select(
+            "cluster_id",
+            # allocation derives from the ROUNDED share so the integer
+            # floor can't straddle engines' sub-ulp differences
+            F.floor(portable_round(final, round_digits) * budget)
+            .cast("long")
+            .alias("_alloc"),
+        )
+    )
+
+    key = portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit("#cmix"))
+    )
+    wr = Window.partitionBy("cluster_id").orderBy(F.col("_k"), F.col(id_col))
+    return (
+        assigned.withColumn("_k", key)
+        .withColumn("cluster_rank", F.row_number().over(wr))
+        .join(F.broadcast(alloc), "cluster_id")
+        .filter(F.col("cluster_rank") <= F.col("_alloc"))
+        .select(
+            F.col(id_col),
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.col("cluster_rank").cast("long").alias("cluster_rank"),
+        )
+    )

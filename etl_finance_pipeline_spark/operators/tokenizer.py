@@ -590,3 +590,88 @@ def wordpiece_train(
         "merge_round int, left_sym string, right_sym string, merged string, "
         "pair_count bigint, left_count bigint, right_count bigint",
     )
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece segmentation (Devlin et
+    al. 2018 — BERT's tokenizer): apply a vocabulary trained by
+    :func:`wordpiece_train` corpus-wide, closing the train→encode
+    loop the same way ``bpe_encode_corpus`` / ``unigram_segment`` do
+    for the other two tokenizers.
+
+    Vocabulary = the ``merged`` pieces of the merge table; every
+    single character is an implicit piece (identity fallback), so
+    segmentation is total — no [UNK] class in this synthetic lane.
+    At each position the LONGEST vocab piece that fits is consumed,
+    else one character.
+
+    The walk runs once per DISTINCT (length-capped) word as an
+    unrolled ``aggregate`` against the broadcast piece map (the
+    unigram_segment device), then joins back to the document word
+    list — the corpus never carries the walk, and the word frame is
+    Zipf-bounded, not corpus-bounded.
+
+    Output: (id, n_words, n_pieces) — both exact int64, no rounding
+    contract.
+    """
+    spark = df.sparkSession
+    # control-plane collect: the merge table is n_merges rows
+    pieces = sorted({r["merged"] for r in merges.select("merged").collect()})
+    max_piece_len = max((len(p) for p in pieces), default=1)
+    vdf = spark.createDataFrame(
+        [({p: 1 for p in pieces},)], "_wp map<string,int>"
+    )
+
+    doc_words = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    ).filter((F.length("w") >= 1) & (F.length("w") <= max_word_len))
+    words = doc_words.select("w").distinct()
+
+    def step(acc, _i):
+        rem = F.length("w") - acc["pos"] + 1
+        best = F.coalesce(
+            *[
+                F.when(
+                    (rem >= F.lit(length))
+                    & F.element_at(
+                        F.col("_wp"),
+                        F.col("w").substr(acc["pos"], F.lit(length)),
+                    ).isNotNull(),
+                    F.lit(length),
+                )
+                for length in range(max_piece_len, 1, -1)
+            ],
+            F.lit(1),
+        )
+        return F.when(acc["pos"] > F.length("w"), acc).otherwise(
+            F.struct(
+                (acc["pos"] + best).alias("pos"),
+                (acc["np"] + F.lit(1)).alias("np"),
+            )
+        )
+
+    seg = words.crossJoin(F.broadcast(vdf)).select(
+        "w",
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("w")),
+            F.struct(
+                F.lit(1).cast("int").alias("pos"),
+                F.lit(0).cast("int").alias("np"),
+            ),
+            step,
+        )["np"].alias("_np"),
+    )
+    return (
+        doc_words.join(seg, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("_np").cast("long").alias("n_pieces"),
+        )
+    )

@@ -2685,6 +2685,88 @@ wu0 AS MATERIALIZED (
 
 
 # --------------------------------------------------------------------
+# WordPiece corpus encoding (greedy longest-match-first)
+# --------------------------------------------------------------------
+
+def q_wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a WordPiece vocabulary, then tokenize the WHOLE corpus
+    with greedy longest-match-first segmentation (Devlin et al. 2018)
+    — the train→encode loop the trained vocab exists for. The oracle
+    replays the identical greedy walk over the distinct-word table
+    with a recursive CTE against the same unrolled-merge vocabulary,
+    so per-document piece counts hash-match exactly (all-integer, no
+    rounding contract)."""
+    from etl_finance_pipeline_spark.operators.tokenizer import (
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    merges = wordpiece_train(docs, n_merges=_WP_MERGES)
+    return wordpiece_encode(docs, merges).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+    )
+
+
+SQL_WORDPIECE_ENCODE_CORPUS = (
+    r"""
+WITH RECURSIVE wtoks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+wwords AS (SELECT w, count(*) AS wc FROM wtoks GROUP BY 1),
+wu0 AS MATERIALIZED (
+  SELECT array_to_string(list_transform(generate_series(1, len(w)),
+                                        i -> chr(1) || w[i] || chr(2)), '') AS s,
+         wc
+  FROM wwords
+),"""
+    + ",".join(_wp_round_sql(i) for i in range(1, _WP_MERGES + 1))
+    + ",\n"
+    + "\nwvocab AS MATERIALIZED (\n  "
+    + "\n  UNION\n  ".join(
+        f"SELECT l || r AS piece FROM wb{i}" for i in range(1, _WP_MERGES + 1)
+    )
+    + r"""
+),
+wdocw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE length(w) BETWEEN 1 AND 16
+),
+wdist AS MATERIALIZED (SELECT DISTINCT w FROM wdocw),
+-- longest vocab piece that FITS at each (word, position)
+wbest AS MATERIALIZED (
+  SELECT p.w, p.pos, max(length(v.piece)) AS bestl
+  FROM (SELECT w, unnest(generate_series(1, length(w))) AS pos FROM wdist) p
+  JOIN wvocab v
+    ON p.pos + length(v.piece) - 1 <= length(p.w)
+   AND substr(p.w, p.pos, length(v.piece)) = v.piece
+  GROUP BY 1, 2
+),
+-- deterministic greedy walk: one successor per non-terminal row
+wwalk AS (
+  SELECT w, 1 AS pos, 0 AS np FROM wdist
+  UNION ALL
+  SELECT k.w, k.pos + coalesce(b.bestl, 1), k.np + 1
+  FROM wwalk k LEFT JOIN wbest b ON b.w = k.w AND b.pos = k.pos
+  WHERE k.pos <= length(k.w)
+),
+wnp AS (SELECT w, np FROM wwalk WHERE pos > length(w))
+SELECT dw.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wnp.np) AS BIGINT) AS n_pieces
+FROM wdocw dw JOIN wnp USING (w)
+GROUP BY 1
+"""
+)
+
+
+# --------------------------------------------------------------------
 # Cross-document repetition (MassiveText duplicate-content filter)
 # --------------------------------------------------------------------
 
@@ -5944,6 +6026,398 @@ FROM auca
 
 
 # --------------------------------------------------------------------
+# fastText-style hashed-text quality classifier (Joulin et al. 2016)
+# --------------------------------------------------------------------
+
+_FT_DIM = 32
+_FT_ITERS = 3
+_FT_LR = 0.1
+
+
+def q_fasttext_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style text classifier (Joulin et al. 2016 — the
+    standard CCNet/LLaMA curation gate): a linear head over
+    mean-pooled hashing-trick bag-of-words features, trained
+    IN-ENGINE by 3 lockstep GD steps on the binarized language label
+    (en vs rest) and then scoring the whole corpus with a broadcast
+    weight row. Features are stateless (nothing to fit or look up),
+    so the lane is one corpus featurize pass + vocab-free GD — the
+    text-feature twin of the embeddings linear probe. The oracle
+    replays featurization and the unrolled GD rounds exactly."""
+    from etl_finance_pipeline_spark.operators.mlprep import (
+        hashed_text_features,
+        linear_probe_score,
+        linear_probe_train,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    # feats feeds every GD pass AND the final scoring projection —
+    # materialize once (the featurize explode is the corpus-scale
+    # cost; the frame itself is docs × dim doubles)
+    feats = hashed_text_features(docs, dim=_FT_DIM).localCheckpoint(
+        eager=True
+    )
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("_y")
+    )
+    train = feats.join(labels, "doc_id")
+    w, b = linear_probe_train(
+        train, vec_col="features", label_col="_y", lr=_FT_LR, iters=_FT_ITERS
+    )
+    scored = linear_probe_score(
+        feats, w, b, vec_col="features", out_col="fasttext_score"
+    )
+    return scored.join(labels, "doc_id").select(
+        "doc_id",
+        F.col("_y").cast("long").alias("label"),
+        _pr("fasttext_score", 6).alias("fasttext_score"),
+    )
+
+
+def _ft_feats_sql() -> str:
+    """Featurize CTEs → ``fsrc(doc_id, y, x)``: mean-pooled signed
+    hash buckets over whitespace tokens, mirroring
+    mlprep.hashed_text_features + the en-vs-rest label."""
+    return rf"""
+fttoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+ftbk AS MATERIALIZED (
+  SELECT doc_id,
+         ('0x' || substr(md5(w), 1, 15))::BIGINT % {_FT_DIM} AS idx,
+         CAST(sum(CASE WHEN ('0x' || substr(md5(w), 16, 15))::BIGINT % 2 = 0
+                       THEN 1 ELSE -1 END) AS DOUBLE) AS val,
+         count(*) AS c
+  FROM fttoks GROUP BY 1, 2
+),
+ftnt AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS nt FROM ftbk GROUP BY 1),
+ftgrid AS (SELECT doc_id, nt, unnest(range(0, {_FT_DIM})) AS pos FROM ftnt),
+fsrc AS MATERIALIZED (
+  SELECT g.doc_id,
+         CASE WHEN any_value(d.lang) = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         list(coalesce(b.val, 0.0) / g.nt ORDER BY g.pos) AS x
+  FROM ftgrid g
+  LEFT JOIN ftbk b ON b.doc_id = g.doc_id AND b.idx = g.pos
+  JOIN documents d ON d.doc_id = g.doc_id
+  GROUP BY g.doc_id
+)"""
+
+
+def _ft_gd_sql(iters: int) -> str:
+    """Unrolled full-batch GD over ``fsrc`` mirroring
+    mlprep.linear_probe_train (zero init, 6-dp per-step rounding).
+    Every reused CTE is MATERIALIZED — the chained w{i}/p{i} frames
+    otherwise expand exponentially when inlined."""
+    dim, lr = _FT_DIM, _FT_LR
+    parts = [
+        f"""ftn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM fsrc),
+fw0 AS MATERIALIZED (SELECT pos, 0.0 AS w FROM UNNEST(range(1, {dim} + 1)) AS t(pos)),
+fb0 AS MATERIALIZED (SELECT 0.0 AS b)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""fp{i} AS MATERIALIZED (
+  SELECT e.y, e.x,
+         list_sum(list_transform(
+           list_zip(e.x, (SELECT list(w ORDER BY pos) FROM fw{i})),
+           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+           + (SELECT b FROM fb{i}) AS pred
+  FROM fsrc e
+),
+fg{i} AS (
+  SELECT pos, sum((pred - y) * x[pos]) AS g
+  FROM fp{i}, UNNEST(range(1, {dim} + 1)) AS t(pos)
+  GROUP BY pos
+),
+fgb{i} AS (SELECT sum(pred - y) AS gb FROM fp{i}),
+fw{i + 1} AS MATERIALIZED (
+  SELECT w.pos,
+         floor((w.w - {lr} * 2.0 / (SELECT n FROM ftn) * g.g) * 1000000 + 0.5) / 1000000 AS w
+  FROM fw{i} w JOIN fg{i} g USING (pos)
+),
+fb{i + 1} AS MATERIALIZED (
+  SELECT floor((b.b - {lr} * 2.0 / (SELECT n FROM ftn) * gb.gb) * 1000000 + 0.5) / 1000000 AS b
+  FROM fb{i} b, fgb{i} gb
+)"""
+        )
+    return ",\n".join(parts)
+
+
+SQL_FASTTEXT_PROBE = f"""
+WITH {_ft_feats_sql().strip()},
+{_ft_gd_sql(_FT_ITERS)}
+SELECT e.doc_id, CAST(e.y AS BIGINT) AS label,
+       floor((list_sum(list_transform(
+         list_zip(e.x, (SELECT list(w ORDER BY pos) FROM fw{_FT_ITERS})),
+         z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         + (SELECT b FROM fb{_FT_ITERS})) * 1000000 + 0.5) / 1000000
+         AS fasttext_score
+FROM fsrc e
+"""
+
+
+def q_fasttext_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the fastText-style text probe against its
+    training label — the eval composition (same as probe_auc for the
+    embeddings head). Scores rounded to 6 dp BEFORE ranking so tie
+    groups are engine-independent."""
+    from etl_finance_pipeline_spark.operators.mlprep import (
+        binary_auc,
+        hashed_text_features,
+        linear_probe_score,
+        linear_probe_train,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    feats = hashed_text_features(docs, dim=_FT_DIM).localCheckpoint(
+        eager=True
+    )
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("_y")
+    )
+    train = feats.join(labels, "doc_id")
+    w, b = linear_probe_train(
+        train, vec_col="features", label_col="_y", lr=_FT_LR, iters=_FT_ITERS
+    )
+    scored = (
+        linear_probe_score(feats, w, b, vec_col="features")
+        .join(labels, "doc_id")
+        .select(
+            _pr("probe_score", 6).alias("probe_score"),
+            F.col("_y").cast("int").alias("label"),
+        )
+    )
+    return binary_auc(scored)
+
+
+SQL_FASTTEXT_AUC = f"""
+WITH {_ft_feats_sql().strip()},
+{_ft_gd_sql(_FT_ITERS)},
+ftsc AS (
+  SELECT floor((list_sum(list_transform(
+           list_zip(e.x, (SELECT list(w ORDER BY pos) FROM fw{_FT_ITERS})),
+           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+           + (SELECT b FROM fb{_FT_ITERS})) * 1000000 + 0.5) / 1000000 AS s,
+         CAST(e.y AS INT) AS y
+  FROM fsrc e
+),
+ftg AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS np
+  FROM ftsc GROUP BY s
+),
+ftr AS (
+  SELECT n, np,
+         CAST(sum(n) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS DOUBLE)
+           + (n + 1) / 2.0 AS rank_avg
+  FROM ftg
+),
+fta AS (
+  SELECT sum(n) AS tot, sum(np) AS p, sum(np * rank_avg) AS spos FROM ftr
+)
+SELECT CAST(tot AS BIGINT) AS n,
+       CAST(p AS BIGINT) AS n_pos,
+       CAST(tot - p AS BIGINT) AS n_neg,
+       floor((spos - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1) / 2.0)
+             / (CAST(p AS DOUBLE) * CAST(tot - p AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS auc
+FROM fta
+"""
+
+
+# --------------------------------------------------------------------
+# Cluster-balanced mixture sampling (SemDedup follow-through)
+# --------------------------------------------------------------------
+
+_CMIX_K = 8
+_CMIX_ITERS = 4
+_CMIX_CAP = 0.125
+_CMIX_BUDGET = 300
+
+
+def q_cluster_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced mixture sampling END-TO-END in-engine: train
+    the k-means codebook (4 lockstep Lloyd rounds, 6-dp per-iteration
+    rounding), assign every embedding to its nearest cell, allocate a
+    300-vector budget across cells with a 12.5% share cap and one
+    cap-and-redistribute round, and select each cell's allocation by
+    portable-hash rank. The oracle unrolls the identical Lloyd rounds
+    (the ann_ivf_trained device) and replays assignment, the
+    allocation closed form, and the hash-ranked selection."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        cluster_balanced_sample,
+        train_kmeans_centroids,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    cents = train_kmeans_centroids(
+        emb, k=_CMIX_K, iters=_CMIX_ITERS, round_digits=6
+    )
+    return cluster_balanced_sample(
+        emb, cents, budget=_CMIX_BUDGET, cap=_CMIX_CAP
+    )
+
+
+SQL_CLUSTER_MIX = f"""
+WITH {_kmeans_sql(k=_CMIX_K, iters=_CMIX_ITERS)},
+cmassign AS MATERIALIZED (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_L2_SQL.format(a='e.embedding', b='c.cvec')} ASC, c.cid
+           ) AS pr
+    FROM embeddings e CROSS JOIN c{_CMIX_ITERS} c
+  ) WHERE pr = 1
+),
+cmn AS (SELECT cluster_id, count(*) AS n FROM cmassign GROUP BY 1),
+cmt AS (SELECT sum(n) AS tt FROM cmn),
+cms AS (
+  SELECT cluster_id, n / CAST(tt AS DOUBLE) AS raw FROM cmn CROSS JOIN cmt
+),
+cmst AS (
+  SELECT sum(least(raw, {_CMIX_CAP})) AS capsum,
+         sum(CASE WHEN raw < {_CMIX_CAP} THEN raw ELSE 0.0 END) AS us
+  FROM cms
+),
+cmalloc AS (
+  SELECT cluster_id,
+         CAST(floor(
+           (floor((CASE WHEN raw >= {_CMIX_CAP} THEN {_CMIX_CAP}
+                        ELSE raw + (raw / us) * (1.0 - capsum) END)
+                  * 1000000 + 0.5) / 1000000) * {_CMIX_BUDGET})
+           AS BIGINT) AS alloc
+  FROM cms CROSS JOIN cmst
+),
+cmrank AS (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (
+           PARTITION BY cluster_id
+           ORDER BY {_H64.format(s="CAST(vec_id AS VARCHAR) || '#cmix'")}, vec_id
+         ) AS cluster_rank
+  FROM cmassign
+)
+SELECT r.vec_id, CAST(r.cluster_id AS INT) AS cluster_id,
+       CAST(r.cluster_rank AS BIGINT) AS cluster_rank
+FROM cmrank r JOIN cmalloc a USING (cluster_id)
+WHERE r.cluster_rank <= a.alloc
+"""
+
+
+# --------------------------------------------------------------------
+# URL / domain filter stage (RefinedWeb first-stage curation)
+# --------------------------------------------------------------------
+
+#: registrable domains dropped by the blocklist query (synthetic
+#: equivalent of a UT1/adult blocklist)
+_URL_BLOCKLIST = ["src3.com", "src7.com", "src11.com"]
+
+
+def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URL-ish strings synthesized from (source,
+    doc_id) — the fixture's ``source`` column carries no URL
+    structure, so the synthesis varies scheme presence, a www label,
+    a cdn subdomain, an explicit port, letter case, and a path, the
+    exact noise :func:`corpus.canonical_host` must strip (same
+    synthesize-from-fixture device as the media codec lanes)."""
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    d = F.col("doc_id")
+    url = F.concat(
+        F.element_at(
+            F.array(F.lit("https://"), F.lit("http://"), F.lit("")),
+            (d % 3 + 1).cast("int"),
+        ),
+        F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".com"),
+        F.when(d % 5 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        d.cast("string"),
+    )
+    url = F.when(d % 7 == 0, F.upper(url)).otherwise(url)
+    return docs.select("doc_id", "source", url.alias("url"))
+
+
+_URL_CTE = r"""
+urls AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN upper(u) ELSE u END AS url
+  FROM (
+    SELECT doc_id,
+           (CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'http://' ELSE '' END)
+           || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+           || (CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END)
+           || source || '.com'
+           || (CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END)
+           || '/p/' || CAST(doc_id AS VARCHAR) AS u
+    FROM documents
+  )
+),
+hosts AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(trim(url)), '^[a-z][a-z0-9+.\-]*://', ''),
+                 '[/?#].*$', ''),
+               '^[^@/]*@', ''),
+             ':[0-9]+$', ''),
+           '^www\.', '') AS host
+  FROM urls
+),
+doms AS (
+  SELECT doc_id, host,
+         CASE WHEN len(string_split(host, '.')) >= 2
+              THEN array_to_string(string_split(host, '.')[len(string_split(host, '.')) - 1:], '.')
+              ELSE host END AS domain
+  FROM hosts
+)"""
+
+
+def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registrable-domain blocklist (RefinedWeb
+    first stage): lowercase, strip scheme/userinfo/path/port/www, roll
+    up to the last-2-label domain, and drop blocklisted domains via a
+    broadcast anti-join. The oracle replays the identical anchored
+    regex chain — all-string output, no rounding contract."""
+    from etl_finance_pipeline_spark.operators.corpus import domain_filter
+
+    urls = _doc_urls(spark, sf_dir)
+    out = domain_filter(urls, _URL_BLOCKLIST, url_col="url")
+    return out.select("doc_id", "host", "domain")
+
+
+SQL_DOMAIN_FILTER = f"""
+WITH {_URL_CTE.strip()}
+SELECT doc_id, host, domain FROM doms
+WHERE domain NOT IN ({", ".join(f"'{b}'" for b in _URL_BLOCKLIST)})
+"""
+
+
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain census over the canonicalized URLs:
+    document volume and distinct-subdomain spread — the profile that
+    feeds blocklist review and per-domain caps."""
+    from etl_finance_pipeline_spark.operators.corpus import domain_rollup
+
+    urls = _doc_urls(spark, sf_dir)
+    return domain_rollup(urls, url_col="url")
+
+
+SQL_DOMAIN_ROLLUP = f"""
+WITH {_URL_CTE.strip()}
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM doms
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------
 # CCNet perplexity bucketing (head/middle/tail terciles)
 # --------------------------------------------------------------------
 
@@ -6125,6 +6599,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_segment": q_unigram_segment,
     "unigram_train_pruned": q_unigram_train_pruned,
     "wordpiece_train": q_wordpiece_train,
+    "wordpiece_encode_corpus": q_wordpiece_encode_corpus,
     "line_dedup": q_line_dedup,
     "line_dedup_keep_first": q_line_dedup_keep_first,
     "incremental_line_dedup": q_incremental_line_dedup,
@@ -6141,6 +6616,11 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kn_perplexity": q_kn_perplexity,
     "ccnet_buckets": q_ccnet_buckets,
     "probe_auc": q_probe_auc,
+    "fasttext_probe": q_fasttext_probe,
+    "fasttext_auc": q_fasttext_auc,
+    "domain_filter": q_domain_filter,
+    "domain_rollup": q_domain_rollup,
+    "cluster_mix": q_cluster_mix,
     "hard_negatives": q_hard_negatives,
     "containment_pairs": q_containment_pairs,
     "near_dup_rewrite": q_near_dup_rewrite,
@@ -6244,6 +6724,7 @@ ORACLES_TD: dict[str, str] = {
     "unigram_segment": SQL_UNIGRAM_SEGMENT,
     "unigram_train_pruned": SQL_UNIGRAM_TRAIN_PRUNED,
     "wordpiece_train": SQL_WORDPIECE_TRAIN,
+    "wordpiece_encode_corpus": SQL_WORDPIECE_ENCODE_CORPUS,
     "line_dedup": SQL_LINE_DEDUP,
     "line_dedup_keep_first": SQL_LINE_DEDUP_KEEP_FIRST,
     "incremental_line_dedup": SQL_INCREMENTAL_LINE_DEDUP,
@@ -6260,6 +6741,11 @@ ORACLES_TD: dict[str, str] = {
     "kn_perplexity": SQL_KN_PERPLEXITY,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "probe_auc": SQL_PROBE_AUC,
+    "fasttext_probe": SQL_FASTTEXT_PROBE,
+    "fasttext_auc": SQL_FASTTEXT_AUC,
+    "domain_filter": SQL_DOMAIN_FILTER,
+    "domain_rollup": SQL_DOMAIN_ROLLUP,
+    "cluster_mix": SQL_CLUSTER_MIX,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "near_dup_rewrite": SQL_NEAR_DUP_REWRITE,

@@ -407,3 +407,54 @@ def test_segment_lines_literal_delimiter(spark):
         for r in segment_lines(df, delimiter="|").orderBy("pos").collect()
     ]
     assert pipes == ["a.b", "c.d"]
+
+
+def test_canonical_host_and_domain_edges(spark):
+    """Scheme/userinfo/port/path/www stripping, lowercasing, and the
+    registrable-domain rollup — including the single-label host that
+    must pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    from etl_finance_pipeline_spark.operators.corpus import (
+        canonical_host,
+        registrable_domain,
+    )
+
+    rows = [
+        (1, "HTTPS://WWW.CDN.Example.COM:8443/a/b?q=1#frag"),
+        (2, "http://user:pw@sub.example.org/path"),
+        (3, "example.net:80/x"),
+        (4, "www.example.io"),
+        (5, "localhost"),
+        (6, "ftp://archive.example.com"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    out = {
+        r["id"]: (r["h"], r["d"])
+        for r in df.select(
+            "id",
+            canonical_host(F.col("url")).alias("h"),
+            registrable_domain(canonical_host(F.col("url"))).alias("d"),
+        ).collect()
+    }
+    assert out[1] == ("cdn.example.com", "example.com")
+    assert out[2] == ("sub.example.org", "example.org")
+    assert out[3] == ("example.net", "example.net")
+    assert out[4] == ("example.io", "example.io")
+    assert out[5] == ("localhost", "localhost")
+    assert out[6] == ("archive.example.com", "example.com")
+
+
+def test_domain_filter_blocklist_anti_join(spark):
+    from etl_finance_pipeline_spark.operators.corpus import domain_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.bad.com/x"),
+            (2, "http://cdn.bad.com/y"),
+            (3, "https://good.com/z"),
+        ],
+        ["id", "url"],
+    )
+    kept = {r["id"] for r in domain_filter(df, ["bad.com"]).collect()}
+    assert kept == {3}

@@ -229,3 +229,42 @@ def test_wordpiece_merged_symbol_in_later_rounds(spark):
     # all pairs have unique-symbol density; ties break (l, r) asc
     assert (out[0]["left_sym"], out[0]["right_sym"]) == ("l", "o")
     assert (out[1]["left_sym"], out[1]["right_sym"]) == ("lo", "w")
+
+
+def test_wordpiece_encode_greedy_longest_match(spark):
+    """Greedy longest-match-first: with vocab {ab, abc}, 'abcab'
+    segments abc|ab (2 pieces), never ab|c|ab; a word with no vocab
+    hits falls back to single characters."""
+    from etl_finance_pipeline_spark.operators.tokenizer import wordpiece_encode
+
+    merges = spark.createDataFrame(
+        [(1, "a", "b", "ab"), (2, "ab", "c", "abc")],
+        ["merge_round", "left_sym", "right_sym", "merged"],
+    )
+    docs = spark.createDataFrame(
+        [(1, "abcab ab xyz"), (2, "abc abcabc")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in wordpiece_encode(docs, merges).collect()}
+    # doc 1: abcab -> abc|ab (2), ab -> ab (1), xyz -> x|y|z (3)
+    assert (out[1]["n_words"], out[1]["n_pieces"]) == (3, 6)
+    # doc 2: abc -> abc (1), abcabc -> abc|abc (2)
+    assert (out[2]["n_words"], out[2]["n_pieces"]) == (2, 3)
+
+
+def test_wordpiece_encode_matches_trained_vocab_roundtrip(spark):
+    """Encoding the training corpus with its own trained vocab uses
+    the merged pieces: piece counts strictly drop versus the
+    character count wherever a merge applies."""
+    from etl_finance_pipeline_spark.operators.tokenizer import (
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "newest widest")], ["doc_id", "text"]
+    )
+    merges = wordpiece_train(docs, n_merges=3)
+    out = {r["doc_id"]: r for r in wordpiece_encode(docs, merges).collect()}
+    chars = {1: len("lowlowlowlower"), 2: len("newestwidest")}
+    assert out[1]["n_pieces"] < chars[1]
+    assert out[1]["n_words"] == 4 and out[2]["n_words"] == 2

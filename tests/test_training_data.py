@@ -1028,3 +1028,55 @@ def test_containment_asymmetric_quote_detection(spark):
     # doc 1 fully contained in doc 2: C(1->2) = 1.0; reverse is small
     assert out[(1, 2)] == pytest.approx(1.0)
     assert out[(2, 1)] == pytest.approx(3 / 15)  # 3 shared of 15 shingles
+
+
+def test_hashed_text_features_mean_pooled_and_consistent(spark):
+    """Dense features = feature_hash bucket sums ÷ token count, with
+    zero-filled empty buckets — the two featurizers must agree bucket
+    for bucket."""
+    from etl_finance_pipeline_spark.operators.corpus import feature_hash
+    from etl_finance_pipeline_spark.operators.mlprep import hashed_text_features
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "delta")], ["doc_id", "text"]
+    )
+    dim = 8
+    dense = {
+        r["doc_id"]: r["features"]
+        for r in hashed_text_features(df, dim=dim).collect()
+    }
+    sparse = feature_hash(df, dim=dim).collect()
+    n_tok = {1: 4.0, 2: 1.0}
+    expected = {1: [0.0] * dim, 2: [0.0] * dim}
+    for r in sparse:
+        expected[r["doc_id"]][r["feature_idx"]] = r["feature_val"] / n_tok[r["doc_id"]]
+    assert dense[1] == pytest.approx(expected[1])
+    assert dense[2] == pytest.approx(expected[2])
+    assert len(dense[1]) == dim
+
+
+def test_fasttext_composition_separates_planted_classes(spark):
+    """Linear head over hashed features must separate two classes
+    with disjoint vocabularies (the planted-relation sanity the
+    embeddings probe has)."""
+    from etl_finance_pipeline_spark.operators.mlprep import (
+        hashed_text_features,
+        linear_probe_score,
+        linear_probe_train,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "aardvark apple anchor", 1.0) for i in range(10)] + [
+        (i + 10, "zebra zephyr zinc", 0.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    feats = hashed_text_features(df, dim=16).join(
+        df.select("doc_id", "y"), "doc_id"
+    )
+    w, b = linear_probe_train(feats, vec_col="features", label_col="y", lr=0.3, iters=10)
+    scored = linear_probe_score(feats, w, b, vec_col="features")
+    means = {
+        r["y"]: r["m"]
+        for r in scored.groupBy("y").agg(F.avg("probe_score").alias("m")).collect()
+    }
+    assert means[1.0] > means[0.0] + 0.4

@@ -11,3 +11,6 @@ cd "$(dirname "$0")/.."
 ROUND="${1:-04}"
 VERIFY_JSON_OUT="CORRECTNESS_full_r${ROUND}.json" \
     python tools/verify_local.py "${SPARK_GRAFT_VERIFY_SF:-/root/testdata/sf0.01}"
+# keep COVERAGE.md's gate-status counts in lockstep with the artifact
+# (they drifted by hand once; now they are emitted, not written)
+python tools/update_coverage_gate.py "CORRECTNESS_full_r${ROUND}.json"
