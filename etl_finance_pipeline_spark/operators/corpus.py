@@ -804,3 +804,60 @@ def line_repetition_stats(
             F.col("_dup_chars") / F.col("_chars"), 6
         ).alias("dup_char_frac"),
     )
+
+
+def source_token_kl(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-source token-distribution divergence from the corpus —
+    KL(P_source ‖ P_corpus) over unigram frequencies, the mixture
+    diagnostic behind DoReMi-style domain reweighting (Xie et al.
+    2023): a source whose token distribution sits far from the
+    mixture is the one whose weight moves the mixture most.
+
+    P_source's support is a subset of P_corpus's by construction, so
+    the sum Σ p·ln(p/q) is always finite. Both distributions come
+    from ONE token-count aggregate keyed (source, token); the corpus
+    marginal is a second rollup of the same frame — vocabulary-sized,
+    broadcast back. ln noise across engines sits ~9 orders below the
+    6-dp rounding (normalized ratios, bounded sums).
+
+    Output: (group, n_tokens, n_types, kl).
+    """
+    from etl_finance_pipeline_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(group_col).alias("_grp"), F.explode(tokens(text_col)).alias("_w")
+    )
+    per = toks.groupBy("_grp", "_w").agg(F.count("*").alias("_c"))
+    # vocabulary-sized frames from here on
+    per = per.localCheckpoint(eager=True)  # feeds corpus rollup AND the join
+    corpus = per.groupBy("_w").agg(F.sum("_c").alias("_cq"))
+    totals = per.groupBy("_grp").agg(
+        F.sum("_c").alias("_tp"), F.count("*").alias("_types")
+    )
+    grand = corpus.agg(F.sum("_cq").alias("_tq"))
+    p = F.col("_c") / F.col("_tp")
+    q = F.col("_cq") / F.col("_tq")
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+    return (
+        per.join(corpus, "_w")
+        .join(F.broadcast(totals), "_grp")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("_grp")
+        .agg(
+            F.first("_tp").alias("_nt"),
+            F.first("_types").alias("_nty"),
+            F.sum(p * F.log(p / q)).alias("_kl"),
+        )
+        .select(
+            F.col("_grp").alias(group_col),
+            F.col("_nt").cast("long").alias("n_tokens"),
+            F.col("_nty").cast("long").alias("n_types"),
+            portable_round(F.col("_kl"), round_digits).alias("kl"),
+        )
+    )

@@ -355,3 +355,80 @@ def hashed_text_features(
             ).alias(out_col),
         )
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str = "probe_score",
+    label_col: str = "label",
+    n_bins: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reliability diagram of a probability-like score against a 0/1
+    label (Guo et al. 2017's binned calibration): scores are clamped
+    to [0,1] and split into *n_bins* fixed-width bins; each bin
+    reports its mass, mean score (confidence) and positive fraction
+    (accuracy), and the |confidence − accuracy| gap — the table a
+    curation pipeline reads before trusting a quality classifier's
+    scores as keep-probabilities.
+
+    One map-side-combinable aggregate keyed by bin (≤ n_bins rows).
+    Output: (bin, n, mean_score, frac_pos, gap), rounded portably.
+    """
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+    s = F.least(
+        F.greatest(F.col(score_col).cast("double"), F.lit(0.0)), F.lit(1.0)
+    )
+    b = F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
+    g = (
+        df.select(
+            b.alias("bin"),
+            s.alias("_s"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("_n"),
+            F.avg("_s").alias("_ms"),
+            F.avg("_y").alias("_fp"),
+        )
+    )
+    ms = portable_round(F.col("_ms"), round_digits)
+    fp = portable_round(F.col("_fp"), round_digits)
+    return g.select(
+        F.col("bin"),
+        F.col("_n").cast("long").alias("n"),
+        ms.alias("mean_score"),
+        fp.alias("frac_pos"),
+        # gap derives from the ROUNDED bin stats so the abs can't
+        # straddle engines' sub-ulp mean differences
+        portable_round(F.abs(ms - fp), round_digits).alias("gap"),
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str = "probe_score",
+    label_col: str = "label",
+    n_bins: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Expected calibration error: the bin-mass-weighted mean of the
+    reliability gaps, Σ (n_b/N)·|conf_b − acc_b| — the one-number
+    calibration summary (Naeini et al. 2015). Derived from the
+    ROUNDED :func:`calibration_report` bins so the scalar is
+    engine-portable. Output: one row (n, n_bins, ece).
+    """
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+    rep = calibration_report(df, score_col, label_col, n_bins, round_digits)
+    agg = rep.agg(
+        F.sum("n").alias("_tot"),
+        F.sum(F.col("n") * F.col("gap")).alias("_wg"),
+    )
+    return agg.select(
+        F.col("_tot").cast("long").alias("n"),
+        F.lit(n_bins).cast("int").alias("n_bins"),
+        portable_round(F.col("_wg") / F.col("_tot"), round_digits).alias("ece"),
+    )

@@ -403,3 +403,100 @@ def char_entropy(
             F.coalesce(F.col("entropy"), F.lit(0.0)).alias("entropy"),
         )
     )
+
+
+def ngram_repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Gopher's within-document n-gram repetition signals (Rae et al.
+    2021 Table A1, the repetition family `gopher_rules` does not
+    cover): per document,
+
+      * ``top_ngram_frac`` — the fraction of tokens claimed by the
+        MOST frequent n-gram (count·n / n_tokens, clamped to 1 since
+        overlapping occurrences can over-count; tie-break: count
+        desc, gram asc) — Gopher's "fraction of characters in the
+        most common n-gram", measured in tokens;
+      * ``dup_ngram_frac`` — the fraction of token POSITIONS covered
+        by any n-gram occurring more than once in the document
+        (position-distinct, so overlaps never double-count) —
+        Gopher's "fraction of characters in duplicate n-grams".
+
+    Shape: one n-gram explode (corpus pass), one (doc, gram) count,
+    one per-doc top-1 window, one position-explode + distinct for
+    coverage — all keyed by doc, never corpus-global.
+
+    Output: (id, n_tokens, top_ngram, top_count, top_ngram_frac,
+    dup_ngram_frac).
+    """
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+    from pyspark.sql.window import Window
+
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_t")).filter(
+        F.size("_t") >= n
+    )
+    grams = toked.select(
+        F.col(id_col),
+        F.size("_t").alias("_nt"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - n + 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("_t"), i.cast("int"), n)
+                ),
+            )
+        ).alias("_pos", "_g"),
+    )
+    counts = grams.groupBy(id_col, "_g").agg(
+        F.count("*").alias("_c"), F.first("_nt").alias("_nt")
+    )
+    top_w = Window.partitionBy(id_col).orderBy(
+        F.col("_c").desc(), F.col("_g")
+    )
+    top = (
+        counts.withColumn("_r", F.row_number().over(top_w))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col(id_col),
+            F.col("_nt"),
+            F.col("_g").alias("top_ngram"),
+            F.col("_c").alias("top_count"),
+        )
+    )
+    covered = (
+        grams.join(
+            counts.filter(F.col("_c") > 1).select(id_col, "_g"),
+            [id_col, "_g"],
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + n - 1)
+            ).alias("_cp"),
+        )
+        .groupBy(id_col)
+        .agg(F.countDistinct("_cp").alias("_cov"))
+    )
+    return (
+        top.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_nt").cast("long").alias("n_tokens"),
+            "top_ngram",
+            F.col("top_count").cast("long").alias("top_count"),
+            portable_round(
+                F.least(
+                    F.col("top_count") * n / F.col("_nt"), F.lit(1.0)
+                ),
+                round_digits,
+            ).alias("top_ngram_frac"),
+            portable_round(
+                F.coalesce(F.col("_cov"), F.lit(0)) / F.col("_nt"),
+                round_digits,
+            ).alias("dup_ngram_frac"),
+        )
+    )

@@ -6227,6 +6227,211 @@ FROM fta
 
 
 # --------------------------------------------------------------------
+# Gopher n-gram repetition signals (top-/duplicate-n-gram fractions)
+# --------------------------------------------------------------------
+
+_REP_N = 3
+
+
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's within-document n-gram repetition family (Rae et al.
+    2021 Table A1): per doc, the token fraction claimed by the most
+    frequent 3-gram and the fraction of token positions covered by
+    ANY duplicated 3-gram (position-distinct — overlaps never double
+    count). All-integer counts through the ratios."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        ngram_repetition_stats,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return ngram_repetition_stats(docs, n=_REP_N)
+
+
+SQL_NGRAM_REPETITION = rf"""
+WITH rtok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+rgrams AS (
+  SELECT doc_id, len(toks) AS nt, i AS pos,
+         array_to_string(toks[i:i+{_REP_N - 1}], ' ') AS g
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, len(toks) - {_REP_N} + 1)) AS i
+    FROM rtok WHERE len(toks) >= {_REP_N}
+  )
+),
+rcnt AS (
+  SELECT doc_id, g, count(*) AS c, any_value(nt) AS nt
+  FROM rgrams GROUP BY 1, 2
+),
+rtop AS (
+  SELECT doc_id, nt, g AS top_ngram, c AS top_count FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY c DESC, g
+    ) AS r FROM rcnt
+  ) WHERE r = 1
+),
+rcov AS (
+  SELECT rg.doc_id, count(DISTINCT cp) AS cov
+  FROM rgrams rg
+  JOIN rcnt rc ON rc.doc_id = rg.doc_id AND rc.g = rg.g AND rc.c > 1,
+  UNNEST(generate_series(rg.pos, rg.pos + {_REP_N} - 1)) AS t(cp)
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(t.nt AS BIGINT) AS n_tokens,
+       t.top_ngram,
+       CAST(t.top_count AS BIGINT) AS top_count,
+       floor(least(t.top_count * {_REP_N}.0 / t.nt, 1.0) * 1000000 + 0.5)
+         / 1000000 AS top_ngram_frac,
+       floor(coalesce(c.cov, 0) * 1.0 / t.nt * 1000000 + 0.5)
+         / 1000000 AS dup_ngram_frac
+FROM rtop t LEFT JOIN rcov c USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------
+# Per-source token-distribution KL divergence (mixture diagnostics)
+# --------------------------------------------------------------------
+
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(P_source ‖ P_corpus) over unigram token frequencies — the
+    DoReMi-style mixture diagnostic: which sources' token
+    distributions sit farthest from the mixture. One (source, token)
+    aggregate; everything after is vocabulary-sized."""
+    from etl_finance_pipeline_spark.operators.corpus import source_token_kl
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return source_token_kl(docs)
+
+
+SQL_SOURCE_KL = r"""
+WITH ktok AS (
+  SELECT source AS grp,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+kper AS (SELECT grp, w, count(*) AS c FROM ktok GROUP BY 1, 2),
+kcorp AS (SELECT w, sum(c) AS cq FROM kper GROUP BY 1),
+ktot AS (SELECT grp, sum(c) AS tp, count(*) AS types FROM kper GROUP BY 1),
+kgrand AS (SELECT sum(cq) AS tq FROM kcorp)
+SELECT p.grp AS source,
+       CAST(any_value(t.tp) AS BIGINT) AS n_tokens,
+       CAST(any_value(t.types) AS BIGINT) AS n_types,
+       floor(sum((p.c / CAST(t.tp AS DOUBLE))
+                 * ln((p.c / CAST(t.tp AS DOUBLE))
+                      / (q.cq / CAST(g.tq AS DOUBLE)))) * 1000000 + 0.5)
+         / 1000000 AS kl
+FROM kper p
+JOIN kcorp q USING (w)
+JOIN ktot t ON t.grp = p.grp
+CROSS JOIN kgrand g
+GROUP BY p.grp
+"""
+
+
+# --------------------------------------------------------------------
+# Probe-score calibration (reliability bins + ECE)
+# --------------------------------------------------------------------
+
+_CAL_BINS = 10
+_CAL_LEN = 150  # label: document is "long" (n_chars >= 150)
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the heuristic quality score (already in
+    [0,1] — the keep-probability every rule-based curation gate uses)
+    against a ground-truth proxy it partially tracks (document length
+    ≥ 150 chars): 6-dp-round the score, bin fixed-width, report
+    per-bin mass / confidence / accuracy / gap — the
+    read-before-you-trust table for a score used as a
+    keep-probability. (The embeddings linear probe was measured to
+    collapse into a single bin on this fixture — its scores span
+    ~0.02 — so the quality score is the calibration subject with real
+    spread.)"""
+    from etl_finance_pipeline_spark.operators.mlprep import calibration_report
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    scored = quality_score(docs).select(
+        _pr("quality", 6).alias("probe_score"),
+        (F.col("n_chars") >= _CAL_LEN).cast("int").alias("label"),
+    )
+    return calibration_report(scored, n_bins=_CAL_BINS)
+
+
+_CAL_Q_SQL = f"""
+calm AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    list_sum(list_transform(toks, t -> CAST(len(t) AS DOUBLE))) / len(toks) AS avg_token_len,
+    len(list_filter(toks, t -> t IN ({_stop_list('en')}))) * 1.0 / len(toks) AS stopword_ratio,
+    len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text) AS digit_ratio,
+    len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / len(text) AS punct_ratio,
+    len(text) AS n_chars
+  FROM (
+    SELECT doc_id, text,
+           regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+    FROM documents
+  )
+),
+calsc AS (
+  SELECT least(greatest(floor((
+           (CASE WHEN n_chars >= 50 AND n_chars <= 10000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+           + (1.0 - least(digit_ratio + punct_ratio, 1.0)) * 0.2
+         ) * 1000000 + 0.5) / 1000000, 0.0), 1.0) AS s,
+         CASE WHEN n_chars >= {_CAL_LEN} THEN 1.0 ELSE 0.0 END AS y
+  FROM calm
+),
+calg AS (
+  SELECT least(CAST(floor(s * {_CAL_BINS}) AS INT), {_CAL_BINS} - 1) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         floor(avg(s) * 1000000 + 0.5) / 1000000 AS mean_score,
+         floor(avg(y) * 1000000 + 0.5) / 1000000 AS frac_pos
+  FROM calsc GROUP BY 1
+)"""
+
+
+SQL_QUALITY_CALIBRATION = f"""
+WITH {_CAL_Q_SQL.strip()}
+SELECT bin, n, mean_score, frac_pos,
+       floor(abs(mean_score - frac_pos) * 1000000 + 0.5) / 1000000 AS gap
+FROM calg
+"""
+
+
+def q_quality_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of the quality score — the bin-mass-
+    weighted mean reliability gap (Naeini et al. 2015), derived from
+    the ROUNDED bins so the scalar is engine-portable."""
+    from etl_finance_pipeline_spark.operators.mlprep import (
+        expected_calibration_error,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    scored = quality_score(docs).select(
+        _pr("quality", 6).alias("probe_score"),
+        (F.col("n_chars") >= _CAL_LEN).cast("int").alias("label"),
+    )
+    return expected_calibration_error(scored, n_bins=_CAL_BINS)
+
+
+SQL_QUALITY_ECE = f"""
+WITH {_CAL_Q_SQL.strip()},
+calgap AS (
+  SELECT n, floor(abs(mean_score - frac_pos) * 1000000 + 0.5) / 1000000 AS gap
+  FROM calg
+)
+SELECT CAST(sum(n) AS BIGINT) AS n,
+       CAST({_CAL_BINS} AS INT) AS n_bins,
+       floor(sum(n * gap) / sum(n) * 1000000 + 0.5) / 1000000 AS ece
+FROM calgap
+"""
+
+
+# --------------------------------------------------------------------
 # Cluster-balanced mixture sampling (SemDedup follow-through)
 # --------------------------------------------------------------------
 
@@ -6621,6 +6826,10 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_filter": q_domain_filter,
     "domain_rollup": q_domain_rollup,
     "cluster_mix": q_cluster_mix,
+    "quality_calibration": q_quality_calibration,
+    "ngram_repetition": q_ngram_repetition,
+    "source_kl": q_source_kl,
+    "quality_ece": q_quality_ece,
     "hard_negatives": q_hard_negatives,
     "containment_pairs": q_containment_pairs,
     "near_dup_rewrite": q_near_dup_rewrite,
@@ -6746,6 +6955,10 @@ ORACLES_TD: dict[str, str] = {
     "domain_filter": SQL_DOMAIN_FILTER,
     "domain_rollup": SQL_DOMAIN_ROLLUP,
     "cluster_mix": SQL_CLUSTER_MIX,
+    "quality_calibration": SQL_QUALITY_CALIBRATION,
+    "ngram_repetition": SQL_NGRAM_REPETITION,
+    "source_kl": SQL_SOURCE_KL,
+    "quality_ece": SQL_QUALITY_ECE,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "near_dup_rewrite": SQL_NEAR_DUP_REWRITE,

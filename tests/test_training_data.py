@@ -1080,3 +1080,79 @@ def test_fasttext_composition_separates_planted_classes(spark):
         for r in scored.groupBy("y").agg(F.avg("probe_score").alias("m")).collect()
     }
     assert means[1.0] > means[0.0] + 0.4
+
+
+def test_calibration_report_hand_computed(spark):
+    """Fixed-width bins over the clamped score; per-bin confidence,
+    accuracy and gap — hand-checked, including the score=1.0 edge
+    landing in the LAST bin and out-of-range clamping."""
+    from etl_finance_pipeline_spark.operators.mlprep import (
+        calibration_report,
+        expected_calibration_error,
+    )
+
+    rows = [
+        (0.05, 0), (0.08, 0),          # bin 0: conf .065, acc 0
+        (0.55, 1), (0.55, 0),          # bin 5: conf .55, acc .5
+        (1.0, 1), (0.95, 1),           # bin 9: conf .975, acc 1
+        (1.7, 1), (-0.2, 0),           # clamp -> bins 9 and 0
+    ]
+    df = spark.createDataFrame(rows, ["probe_score", "label"])
+    rep = {r["bin"]: r for r in calibration_report(df).collect()}
+    assert set(rep) == {0, 5, 9}
+    assert rep[0]["n"] == 3 and rep[0]["frac_pos"] == 0.0
+    assert rep[0]["mean_score"] == pytest.approx((0.05 + 0.08 + 0.0) / 3, abs=1e-6)
+    assert rep[5]["mean_score"] == 0.55 and rep[5]["frac_pos"] == 0.5
+    assert rep[9]["n"] == 3 and rep[9]["frac_pos"] == 1.0
+    assert rep[9]["mean_score"] == pytest.approx((1.0 + 0.95 + 1.0) / 3, abs=1e-6)
+    assert rep[5]["gap"] == pytest.approx(0.05, abs=1e-6)
+
+    ece = expected_calibration_error(df).collect()[0]
+    expected = (3 * rep[0]["gap"] + 2 * rep[5]["gap"] + 3 * rep[9]["gap"]) / 8
+    assert ece["n"] == 8 and ece["ece"] == pytest.approx(expected, abs=1e-6)
+
+
+def test_ngram_repetition_hand_computed(spark):
+    """'a b a b a b': 3-grams are (a b a)x2, (b a b)x2 — top frac
+    clamps to 1.0 only when coverage saturates; here every position
+    is covered by a duplicate gram."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        ngram_repetition_stats,
+    )
+
+    rows = [
+        (1, "a b a b a b"),                   # all grams duplicated
+        (2, "one two three four five six"),   # all grams unique
+        (3, "x y"),                           # too short: dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in ngram_repetition_stats(df, n=3).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    # grams: a b a (pos 1,3), b a b (pos 2,4) -> tie break gram asc
+    assert r1["top_ngram"] == "a b a" and r1["top_count"] == 2
+    assert r1["top_ngram_frac"] == 1.0       # 2*3/6 clamped at exactly 1
+    assert r1["dup_ngram_frac"] == 1.0       # positions 1..6 all covered
+    r2 = out[2]
+    assert r2["top_count"] == 1
+    assert r2["top_ngram_frac"] == pytest.approx(3 / 6, abs=1e-6)
+    assert r2["dup_ngram_frac"] == 0.0
+
+
+def test_source_token_kl_known_values(spark):
+    """Two sources, one shared vocabulary: KL computed by hand."""
+    import math
+
+    from etl_finance_pipeline_spark.operators.corpus import source_token_kl
+
+    rows = [
+        ("s1", "a a b"),
+        ("s2", "b b a"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {r["source"]: r for r in source_token_kl(df).collect()}
+    # corpus: a=3, b=3 -> q = 1/2 each; s1: p(a)=2/3, p(b)=1/3
+    kl = (2 / 3) * math.log((2 / 3) / 0.5) + (1 / 3) * math.log((1 / 3) / 0.5)
+    assert out["s1"]["kl"] == pytest.approx(kl, abs=1e-6)
+    assert out["s2"]["kl"] == pytest.approx(kl, abs=1e-6)  # symmetric mix
+    assert out["s1"]["n_tokens"] == 3 and out["s1"]["n_types"] == 2
