@@ -6227,6 +6227,130 @@ FROM fta
 
 
 # --------------------------------------------------------------------
+# LSH recall/precision vs exact ground truth (sketch eval)
+# --------------------------------------------------------------------
+
+_LSHR_T = 0.5
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the MinHash-LSH near-dup detector against
+    the EXACT n-gram-Jaccard ground truth at the same threshold — the
+    eval every sketch deployment owes its operators before trusting
+    banded candidates at scale. Truth = exact pairs with jaccard ≥
+    0.5; predicted = banded candidates with estimated jaccard ≥ 0.5;
+    one full-outer pair join → a single counts row."""
+    from etl_finance_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    truth = ngram_jaccard_pairs(docs, threshold=_LSHR_T).select(
+        "id_a", "id_b", F.lit(1).alias("_t")
+    )
+    pred = (
+        minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+        .filter(F.col("est_jaccard") >= _LSHR_T)
+        .select("id_a", "id_b", F.lit(1).alias("_p"))
+    )
+    j = truth.join(pred, ["id_a", "id_b"], "full")
+    agg = j.agg(
+        F.sum("_t").alias("_nt"),
+        F.sum("_p").alias("_np"),
+        F.sum(F.col("_t") * F.col("_p")).alias("_nh"),
+    )
+    return agg.select(
+        F.col("_nt").cast("long").alias("n_truth"),
+        F.col("_np").cast("long").alias("n_pred"),
+        F.col("_nh").cast("long").alias("n_hit"),
+        _pr(F.col("_nh") / F.col("_nt"), 6).alias("recall"),
+        _pr(F.col("_nh") / F.col("_np"), 6).alias("precision"),
+    )
+
+
+SQL_LSH_RECALL = f"""
+WITH {_SHINGLES_CTE.strip()},
+{_SIG_CTE.strip()},
+lrbands AS (
+  {_BANDS_SQL}
+),
+lrcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM lrbands a JOIN lrbands b USING (band, k1, k2, k3, k4)
+  WHERE a.doc_id < b.doc_id
+),
+lrpred AS (
+  SELECT c.id_a, c.id_b
+  FROM lrcand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+  WHERE ({_EQ_TERMS}) / 16.0 >= {_LSHR_T}
+),
+lrsizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+lrinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+lrtruth AS (
+  SELECT id_a, id_b
+  FROM lrinter
+  JOIN lrsizes na ON na.doc_id = id_a
+  JOIN lrsizes nb ON nb.doc_id = id_b
+  WHERE c * 1.0 / (na.n + nb.n - c) >= {_LSHR_T}
+),
+lrj AS (
+  SELECT coalesce(t.id_a, p.id_a) AS id_a,
+         CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS tt,
+         CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END AS pp
+  FROM lrtruth t FULL OUTER JOIN lrpred p
+    ON t.id_a = p.id_a AND t.id_b = p.id_b
+)
+SELECT CAST(sum(tt) AS BIGINT) AS n_truth,
+       CAST(sum(pp) AS BIGINT) AS n_pred,
+       CAST(sum(tt * pp) AS BIGINT) AS n_hit,
+       floor(sum(tt * pp) * 1.0 / sum(tt) * 1000000 + 0.5) / 1000000 AS recall,
+       floor(sum(tt * pp) * 1.0 / sum(pp) * 1000000 + 0.5) / 1000000 AS precision
+FROM lrj
+"""
+
+
+# --------------------------------------------------------------------
+# Language-ID confusion matrix (labeled vs predicted)
+# --------------------------------------------------------------------
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language identifier against the
+    fixture's labeled lang — the eval that tells a curation pipeline
+    whether its lang filter is dropping the wrong languages."""
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    out = language_id(docs)
+    return out.groupBy(
+        F.col("lang").alias("labeled_lang"), F.col("pred_lang")
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
+SQL_LANGID_CONFUSION = f"""
+WITH tokd AS (
+  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+    {_LANG_SCORES}
+  FROM tokd
+)
+SELECT lang AS labeled_lang,
+       {_PRED_CHAIN} AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------
 # Gopher n-gram repetition signals (top-/duplicate-n-gram fractions)
 # --------------------------------------------------------------------
 
@@ -6827,6 +6951,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_rollup": q_domain_rollup,
     "cluster_mix": q_cluster_mix,
     "quality_calibration": q_quality_calibration,
+    "lsh_recall": q_lsh_recall,
+    "langid_confusion": q_langid_confusion,
     "ngram_repetition": q_ngram_repetition,
     "source_kl": q_source_kl,
     "quality_ece": q_quality_ece,
@@ -6956,6 +7082,8 @@ ORACLES_TD: dict[str, str] = {
     "domain_rollup": SQL_DOMAIN_ROLLUP,
     "cluster_mix": SQL_CLUSTER_MIX,
     "quality_calibration": SQL_QUALITY_CALIBRATION,
+    "lsh_recall": SQL_LSH_RECALL,
+    "langid_confusion": SQL_LANGID_CONFUSION,
     "ngram_repetition": SQL_NGRAM_REPETITION,
     "source_kl": SQL_SOURCE_KL,
     "quality_ece": SQL_QUALITY_ECE,
