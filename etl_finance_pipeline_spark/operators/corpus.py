@@ -861,3 +861,47 @@ def source_token_kl(
             portable_round(F.col("_kl"), round_digits).alias("kl"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Frequency-pruned vocabulary coverage: tokens whose CORPUS count
+    reaches *min_count* form the vocabulary; each document reports how
+    many of its tokens fall outside it — the tokenizer-prep diagnostic
+    (what does a min-count cutoff cost, per document) every vocab
+    build runs before committing to a size.
+
+    One corpus token-count aggregate + one join back on the token key
+    (hot stopwords are 1:1 with their count row — AQE-splittable) +
+    one doc-keyed rollup.
+
+    Output: (id, n_tokens, n_oov, oov_frac).
+    """
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+    from etl_finance_pipeline_spark.functions.text import tokens
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_w"))
+    counts = toks.groupBy("_w").agg(F.count("*").alias("_c"))
+    return (
+        toks.join(counts, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.when(F.col("_c") < min_count, 1).otherwise(0)).alias(
+                "_oov"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.col("_oov").cast("long").alias("n_oov"),
+            portable_round(F.col("_oov") / F.col("_n"), round_digits).alias(
+                "oov_frac"
+            ),
+        )
+    )

@@ -500,3 +500,56 @@ def ngram_repetition_stats(
             ).alias("dup_ngram_frac"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Zipf rank-frequency fit: least-squares slope/intercept of
+    ln(count) against ln(rank) over the corpus unigram distribution
+    (rank by count desc, token asc) — the corpus-health diagnostic
+    (natural text sits near slope ≈ −1; template/boilerplate corpora
+    flatten or steepen it).
+
+    One corpus token-count aggregate; the ranking window runs over the
+    VOCABULARY frame, unpartitioned BY DESIGN (a vocabulary is
+    broadcast-sized by definition — the string_index contract), and
+    the fit is one scalar aggregate over it.
+
+    Output: one row (n_types, n_tokens, slope, intercept).
+    """
+    from pyspark.sql.window import Window
+
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_c"))
+    )
+    w = Window.orderBy(F.col("_c").desc(), F.col("_w"))
+    pts = counts.select(
+        F.col("_c"),
+        F.log(F.row_number().over(w).cast("double")).alias("_x"),
+        F.log(F.col("_c").cast("double")).alias("_y"),
+    )
+    agg = pts.agg(
+        F.count("*").alias("_n"),
+        F.sum("_c").alias("_tok"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    slope = (F.col("_sxy") - F.col("_sx") * F.col("_sy") / F.col("_n")) / (
+        F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n")
+    )
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / F.col("_n")
+    return agg.select(
+        F.col("_n").cast("long").alias("n_types"),
+        F.col("_tok").cast("long").alias("n_tokens"),
+        portable_round(slope, round_digits).alias("slope"),
+        portable_round(intercept, round_digits).alias("intercept"),
+    )

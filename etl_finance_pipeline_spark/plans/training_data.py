@@ -6456,6 +6456,117 @@ GROUP BY p.grp
 
 
 # --------------------------------------------------------------------
+# Vocabulary coverage / Zipf fit / packing efficiency diagnostics
+# --------------------------------------------------------------------
+
+_VOC_MIN = 5
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV cost of a min-count-5 vocabulary cutoff —
+    the diagnostic a vocab build runs before committing to a size."""
+    from etl_finance_pipeline_spark.operators.corpus import vocab_coverage
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return vocab_coverage(docs, min_count=_VOC_MIN)
+
+
+SQL_VOCAB_COVERAGE = rf"""
+WITH vtok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+vcnt AS (SELECT w, count(*) AS c FROM vtok GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN c < {_VOC_MIN} THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       floor(sum(CASE WHEN c < {_VOC_MIN} THEN 1 ELSE 0 END) * 1.0 / count(*)
+             * 1000000 + 0.5) / 1000000 AS oov_frac
+FROM vtok JOIN vcnt USING (w)
+GROUP BY doc_id
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency least-squares fit over the corpus unigram
+    distribution — natural text sits near slope ≈ −1; template/
+    boilerplate corpora flatten or steepen it."""
+    from etl_finance_pipeline_spark.operators.text_analysis import zipf_fit
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return zipf_fit(docs)
+
+
+SQL_ZIPF_FIT = r"""
+WITH ztok AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+zcnt AS (SELECT w, count(*) AS c FROM ztok GROUP BY 1),
+zpts AS (
+  SELECT c,
+         ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM zcnt
+),
+zagg AS (
+  SELECT count(*) AS n, sum(c) AS tok, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM zpts
+)
+SELECT CAST(n AS BIGINT) AS n_types,
+       CAST(tok AS BIGINT) AS n_tokens,
+       floor(((sxy - sx * sy / n) / (sxx - sx * sx / n)) * 1000000 + 0.5)
+         / 1000000 AS slope,
+       floor(((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n)
+             * 1000000 + 0.5) / 1000000 AS intercept
+FROM zagg
+"""
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing efficiency of the concat-and-split layout:
+    token mass, sequences produced, and fill fraction (tokens /
+    sequence capacity) — the batch-prep waste metric."""
+    from etl_finance_pipeline_spark.operators.corpus import pack_sequences
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, seq_tokens=256, num_shards=4)
+    agg = packed.groupBy("shard").agg(
+        F.count("*").alias("_docs"), F.sum("n_tokens").alias("_tok")
+    )
+    n_seqs = F.ceil(F.col("_tok") / 256.0).cast("long")
+    return agg.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("_docs").cast("long").alias("n_docs"),
+        F.col("_tok").cast("long").alias("total_tokens"),
+        n_seqs.alias("n_seqs"),
+        _pr(F.col("_tok") / (n_seqs * 256.0), 6).alias("fill_frac"),
+    )
+
+
+SQL_PACK_EFFICIENCY = f"""
+WITH ptok AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         {_H64.format(s="CAST(doc_id AS VARCHAR)")} % 4 AS shard
+  FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) AS n_seqs,
+       floor(sum(n_tokens) / (ceil(sum(n_tokens) / 256.0) * 256.0)
+             * 1000000 + 0.5) / 1000000 AS fill_frac
+FROM ptok
+GROUP BY shard
+"""
+
+
+# --------------------------------------------------------------------
 # Probe-score calibration (reliability bins + ECE)
 # --------------------------------------------------------------------
 
@@ -6643,14 +6754,13 @@ WHERE r.cluster_rank <= a.alloc
 _URL_BLOCKLIST = ["src3.com", "src7.com", "src11.com"]
 
 
-def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic URL-ish strings synthesized from (source,
-    doc_id) — the fixture's ``source`` column carries no URL
-    structure, so the synthesis varies scheme presence, a www label,
-    a cdn subdomain, an explicit port, letter case, and a path, the
-    exact noise :func:`corpus.canonical_host` must strip (same
-    synthesize-from-fixture device as the media codec lanes)."""
-    docs = load_table(spark, _t(sf_dir, "documents"))
+def _url_expr():
+    """Deterministic URL-ish string from (source, doc_id) — the
+    fixture's ``source`` column carries no URL structure, so the
+    synthesis varies scheme presence, a www label, a cdn subdomain,
+    an explicit port, letter case, and a path, the exact noise
+    :func:`corpus.canonical_host` must strip (same synthesize-from-
+    fixture device as the media codec lanes)."""
     d = F.col("doc_id")
     url = F.concat(
         F.element_at(
@@ -6665,8 +6775,12 @@ def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("/p/"),
         d.cast("string"),
     )
-    url = F.when(d % 7 == 0, F.upper(url)).otherwise(url)
-    return docs.select("doc_id", "source", url.alias("url"))
+    return F.when(d % 7 == 0, F.upper(url)).otherwise(url)
+
+
+def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return docs.select("doc_id", "source", _url_expr().alias("url"))
 
 
 _URL_CTE = r"""
@@ -6724,6 +6838,45 @@ WITH {_URL_CTE.strip()}
 SELECT doc_id, host, domain FROM doms
 WHERE domain NOT IN ({", ".join(f"'{b}'" for b in _URL_BLOCKLIST)})
 """
+
+
+def q_stream_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL/domain blocklist as a STREAMING ingest filter: a
+    file-stream over documents through the same canonicalize +
+    broadcast-anti-join lane (stateless stream-static join → append
+    mode, no watermark), keeping only unblocked domains — the shape a
+    crawl-ingest pipeline actually deploys this in. Oracle = the
+    batch blocklist query."""
+    import uuid
+
+    from etl_finance_pipeline_spark.operators.corpus import domain_filter
+    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
+
+    spark = _narrow_session(spark, 8)
+    ensure_nanos_conf(spark)
+    path = _t(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(path[:-1] + "[t]")
+        .select("doc_id", "source", _url_expr().alias("url"))
+    )
+    kept = domain_filter(stream, _URL_BLOCKLIST, url_col="url").select(
+        "doc_id", "host", "domain"
+    )
+    name = f"stream_domfilter_{uuid.uuid4().hex[:8]}"
+    q = (
+        kept.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+SQL_STREAM_DOMAIN_FILTER = SQL_DOMAIN_FILTER
 
 
 def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6948,6 +7101,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fasttext_probe": q_fasttext_probe,
     "fasttext_auc": q_fasttext_auc,
     "domain_filter": q_domain_filter,
+    "stream_domain_filter": q_stream_domain_filter,
     "domain_rollup": q_domain_rollup,
     "cluster_mix": q_cluster_mix,
     "quality_calibration": q_quality_calibration,
@@ -6955,6 +7109,9 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_confusion": q_langid_confusion,
     "ngram_repetition": q_ngram_repetition,
     "source_kl": q_source_kl,
+    "vocab_coverage": q_vocab_coverage,
+    "zipf_fit": q_zipf_fit,
+    "pack_efficiency": q_pack_efficiency,
     "quality_ece": q_quality_ece,
     "hard_negatives": q_hard_negatives,
     "containment_pairs": q_containment_pairs,
@@ -7079,6 +7236,7 @@ ORACLES_TD: dict[str, str] = {
     "fasttext_probe": SQL_FASTTEXT_PROBE,
     "fasttext_auc": SQL_FASTTEXT_AUC,
     "domain_filter": SQL_DOMAIN_FILTER,
+    "stream_domain_filter": SQL_STREAM_DOMAIN_FILTER,
     "domain_rollup": SQL_DOMAIN_ROLLUP,
     "cluster_mix": SQL_CLUSTER_MIX,
     "quality_calibration": SQL_QUALITY_CALIBRATION,
@@ -7086,6 +7244,9 @@ ORACLES_TD: dict[str, str] = {
     "langid_confusion": SQL_LANGID_CONFUSION,
     "ngram_repetition": SQL_NGRAM_REPETITION,
     "source_kl": SQL_SOURCE_KL,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "zipf_fit": SQL_ZIPF_FIT,
+    "pack_efficiency": SQL_PACK_EFFICIENCY,
     "quality_ece": SQL_QUALITY_ECE,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,

@@ -1156,3 +1156,35 @@ def test_source_token_kl_known_values(spark):
     assert out["s1"]["kl"] == pytest.approx(kl, abs=1e-6)
     assert out["s2"]["kl"] == pytest.approx(kl, abs=1e-6)  # symmetric mix
     assert out["s1"]["n_tokens"] == 3 and out["s1"]["n_types"] == 2
+
+
+def test_vocab_coverage_and_zipf_fit(spark):
+    from etl_finance_pipeline_spark.operators.corpus import vocab_coverage
+    from etl_finance_pipeline_spark.operators.text_analysis import zipf_fit
+
+    rows = [
+        (1, "the the the cat"),   # 'the' x3, cat x1
+        (2, "the dog"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cov = {r["doc_id"]: r for r in vocab_coverage(df, min_count=2).collect()}
+    # corpus counts: the=4, cat=1, dog=1 -> vocab={the}
+    assert (cov[1]["n_tokens"], cov[1]["n_oov"]) == (4, 1)
+    assert cov[1]["oov_frac"] == 0.25
+    assert (cov[2]["n_tokens"], cov[2]["n_oov"]) == (2, 1)
+
+    z = zipf_fit(df).collect()[0]
+    # three types, ranks (the=1, cat=2, dog=3); x=ln(rank), y=ln(count)
+    import math
+
+    xs = [math.log(1), math.log(2), math.log(3)]
+    ys = [math.log(4), math.log(1), math.log(1)]
+    n = 3
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    intercept = (sy - slope * sx) / n
+    assert z["n_types"] == 3 and z["n_tokens"] == 6
+    assert z["slope"] == pytest.approx(slope, abs=1e-6)
+    assert z["intercept"] == pytest.approx(intercept, abs=1e-6)
