@@ -351,6 +351,7 @@ def hamming_pairs(
     max_hamming: int = 6,
     max_bucket_size: int | None = 1000,
     identical_mode: str = "pairs",
+    sub_band_threshold: int | None = None,
     lossless_bucket_ceiling: int = 200_000,
 ) -> DataFrame:
     """Generic banded Hamming self-join over any integer fingerprint
@@ -372,16 +373,35 @@ def hamming_pairs(
     the banding LOSSLESS (a brute-force oracle can certify it) —
     PROVIDED no bucket is dropped: callers relying on the lossless
     contract pass ``max_bucket_size=None`` (the phash/audio/video
-    near-dup queries do). In lossless mode the distinct-fingerprint
-    census is still taken, and any bucket wider than
+    near-dup queries do). In lossless mode, any bucket wider than
     *lossless_bucket_ceiling* distinct fingerprints fails LOUDLY
-    (``assert_true`` inside the join stage) instead of running an
-    unbounded quadratic self-join — the lossless contract breaks with
-    an error, never with silent O(n²) work. Fewer/wider bands trade
-    recall beyond the pigeonhole bound for narrower buckets, exactly
-    like MinHash band tuning. With ``max_bucket_size`` set, buckets
-    whose MEMBER weight (Σ group sizes — the pre-collapse row count,
-    preserving the historical guard semantics) exceeds it are dropped.
+    (``assert_true`` inside the plan) rather than running an
+    unbounded quadratic enumeration — the contract breaks with an
+    error, never with silent O(n²) work.
+
+    For corpora whose distinct-fingerprint distribution genuinely
+    collides (e.g. billions of uniform fingerprints: 2^bits/2^slice
+    per bucket), set *sub_band_threshold* to enable ADAPTIVE
+    MULTI-INDEXING (Norouzi et al. 2012's multi-index Hamming,
+    adapted to one extra level): buckets up to the threshold take the
+    direct pair generate, and wider buckets are SUB-BANDED instead of
+    enumerated — within a (band, key) bucket the members agree on
+    that band's bits, so a qualifying pair's ≤ max_hamming
+    differences all live in the remaining bits; slicing those into
+    max_hamming+1 sub-slices pigeonholes again, and the oversized
+    bucket's candidates group by (band, key, sub, subkey) at no
+    recall loss and no extra enumeration (Σ C(mᵢ,2) ≤ C(n,2)). The
+    split helps exactly when the residual variation SPREADS across
+    sub-slices (uniform fingerprints split ~2^rw-fold); variation
+    concentrated inside one sub-slice re-collides there, which is why
+    the ceiling assert survives at the sub-bucket level and one more
+    recursion level is the documented escape hatch. Default None:
+    the benched corpora never exceed the direct path's comfort zone,
+    and the empty sub-band branch would cost real stage latency. Fewer/wider bands trade recall beyond the pigeonhole
+    bound for narrower buckets, exactly like MinHash band tuning.
+    With ``max_bucket_size`` set, buckets whose MEMBER weight
+    (Σ group sizes — the pre-collapse row count, preserving the
+    historical guard semantics) exceeds it are dropped.
 
     identical_mode:
       * ``"pairs"`` (default, oracle-exact): enumerate every
@@ -446,16 +466,147 @@ def hamming_pairs(
     # ordered pairs. One linear pipeline — no second plan subtree for
     # a join's build side, no broadcast materialization, and the
     # census needed for the skew guard is just size(_l).
+    # a pair colliding in k bands (and, when sub-banded, in k'
+    # sub-slices of one band) would surface k·k' times; instead of a
+    # distinct (an extra exchange over the candidate set), keep only
+    # the FIRST matching band and, within it, the FIRST matching
+    # sub-slice. Pure bitwise codegen, no shuffle.
+    first_band = F.lit(True)
+    for bp in range(bands):
+        sa = F.shiftright(F.col("_a.f"), bp * slice_bits).bitwiseAND(F.lit(mask))
+        sb = F.shiftright(F.col("_b.f"), bp * slice_bits).bitwiseAND(F.lit(mask))
+        first_band = first_band & ((F.col("band") <= F.lit(bp)) | (sa != sb))
+
+    def _gen_pairs(src: DataFrame, carry: list[str], cond) -> DataFrame:
+        return (
+            src.select(*carry, "_l", F.posexplode("_l").alias("_i", "_a"))
+            .select(
+                *carry,
+                "_a",
+                F.explode(
+                    F.slice(
+                        F.col("_l"), F.col("_i") + F.lit(2), F.size("_l") - F.col("_i") - 1
+                    )
+                ).alias("_b"),
+            )
+            .filter(cond)
+            .select(
+                "_a",
+                "_b",
+                F.bit_count(F.col("_a.f").bitwiseXOR(F.col("_b.f"))).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
+    rem_bits = bits - slice_bits
+    n_subs = max_hamming + 1
     if max_bucket_size is not None:
         buckets = banded.groupBy("band", "key").agg(
             F.sort_array(F.collect_list("_m")).alias("_l"),
             F.sum("_m.g").alias("_nw"),
         ).filter(F.col("_nw") <= max_bucket_size)
+        fp_pairs = _gen_pairs(buckets, ["band"], first_band)
+    elif sub_band_threshold is not None and rem_bits > 0:
+        # lossless, ADAPTIVE multi-index (opt-in): single-level
+        # buckets up to *sub_band_threshold* distinct fingerprints
+        # take the direct pair generate; wider buckets are SUB-BANDED
+        # instead of enumerated. Members of a
+        # (band, key) bucket agree on band b's bits, so a qualifying
+        # pair's ≤ max_hamming differing bits all live in the
+        # REMAINING bits; slicing those into max_hamming+1 sub-slices
+        # pigeonholes again — grouping by (band, key, sub, subkey)
+        # stays LOSSLESS while an adversarial band collision
+        # (millions of distinct fingerprints sharing one band value)
+        # splits across sub-buckets instead of going quadratic, at no
+        # recall loss and never more enumeration (Σ C(mᵢ,2) ≤ C(n,2)).
+        buckets = banded.groupBy("band", "key").agg(
+            F.sort_array(F.collect_list("_m")).alias("_l")
+        )
+        small = buckets.select(
+            "band",
+            # oversized buckets contribute nothing to the direct path
+            # (same-typed empty array via a zero-length slice)
+            F.when(
+                F.size("_l") <= F.lit(sub_band_threshold), F.col("_l")
+            ).otherwise(F.slice(F.col("_l"), 1, 0)).alias("_l"),
+        )
+        direct_pairs = _gen_pairs(small, ["band"], first_band)
+
+        rw = -(-rem_bits // n_subs)
+        rmask = (1 << rw) - 1
+
+        def _rem_sql(fp_field: str) -> str:
+            # remaining bits = fp with band b's slice excised: low
+            # part kept, high part shifted down over it. UNSIGNED
+            # shift: an arithmetic shift would replicate a negative
+            # fingerprint's sign bit into the excised positions and
+            # break the ≤ max_hamming bound the sub-pigeonhole needs.
+            m = f"(shiftleft(CAST(1 AS BIGINT), band * {slice_bits}) - 1)"
+            return (
+                f"(({fp_field} & {m}) | "
+                f"(shiftrightunsigned({fp_field}, {slice_bits}) & ~{m}))"
+            )
+
+        big = (
+            buckets.filter(F.size("_l") > sub_band_threshold)
+            .select("band", "key", F.explode("_l").alias("_m"))
+            .select("_m", "band", "key", F.expr(_rem_sql("_m.f")).alias("_rem"))
+            .select(
+                "_m",
+                "band",
+                "key",
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(s).alias("sub"),
+                            F.shiftrightunsigned(F.col("_rem"), s * rw)
+                            .bitwiseAND(F.lit(rmask))
+                            .alias("skey"),
+                        )
+                        for s in range(n_subs)
+                    ])
+                ).alias("_sk"),
+            )
+            .select(
+                "_m", "band", "key",
+                F.col("_sk.sub").alias("sub"), F.col("_sk.skey").alias("skey"),
+            )
+        )
+        # the quadratic guard survives at the sub-bucket level (a
+        # sub-bucket = agreement on slice_bits + rw bits): past the
+        # ceiling the job fails LOUDLY from inside the plan rather
+        # than running quadratic. One more recursion level is the
+        # documented escape hatch if a real corpus ever trips this.
+        sub_buckets = big.groupBy("band", "key", "sub", "skey").agg(
+            F.sort_array(F.collect_list("_m")).alias("_l")
+        ).filter(
+            F.assert_true(
+                F.size("_l") <= F.lit(lossless_bucket_ceiling),
+                F.concat_ws(
+                    " ",
+                    F.lit("hamming_pairs lossless mode: sub-bucket exceeds"),
+                    F.lit(str(lossless_bucket_ceiling)),
+                    F.lit("distinct fingerprints (band"),
+                    F.col("band").cast("string"),
+                    F.lit("sub"),
+                    F.col("sub").cast("string"),
+                    F.lit(") — raise lossless_bucket_ceiling or add a recursion level"),
+                ),
+            ).isNull()
+        )
+        rema = F.expr(_rem_sql("_a.f"))
+        remb = F.expr(_rem_sql("_b.f"))
+        first_sub = first_band
+        for sp in range(n_subs):
+            xa = F.shiftrightunsigned(rema, sp * rw).bitwiseAND(F.lit(rmask))
+            xb = F.shiftrightunsigned(remb, sp * rw).bitwiseAND(F.lit(rmask))
+            first_sub = first_sub & ((F.col("sub") <= F.lit(sp)) | (xa != xb))
+        sub_pairs = _gen_pairs(sub_buckets, ["band", "sub"], first_sub)
+        fp_pairs = direct_pairs.unionByName(sub_pairs)
     else:
-        # lossless: never drop — but refuse to run quadratic. The
-        # assert lives INSIDE the plan (filter on assert_true, which
-        # is NULL when the predicate holds), so a breach fails the
-        # job loudly with the bucket coordinates in the message.
+        # lossless default (and bands == 1, which has no remaining
+        # bits to sub-band): single-level buckets with the loud
+        # ceiling — the lean path for every real fingerprint corpus
         buckets = banded.groupBy("band", "key").agg(
             F.sort_array(F.collect_list("_m")).alias("_l")
         ).filter(
@@ -467,39 +618,11 @@ def hamming_pairs(
                     F.lit(str(lossless_bucket_ceiling)),
                     F.lit("distinct fingerprints (band"),
                     F.col("band").cast("string"),
-                    F.lit("key"),
-                    F.col("key").cast("string"),
-                    F.lit(") — widen bands or raise lossless_bucket_ceiling"),
+                    F.lit(") — set sub_band_threshold to multi-index, or raise the ceiling"),
                 ),
             ).isNull()
         )
-
-    # a pair colliding in k bands would surface k times; instead of a
-    # distinct (an extra exchange over the candidate set), keep only
-    # the FIRST matching band: for every band b' < band, the slices
-    # must differ. Pure bitwise codegen, no shuffle.
-    first_match = F.lit(True)
-    for bp in range(bands):
-        sa = F.shiftright(F.col("_a.f"), bp * slice_bits).bitwiseAND(F.lit(mask))
-        sb = F.shiftright(F.col("_b.f"), bp * slice_bits).bitwiseAND(F.lit(mask))
-        first_match = first_match & ((F.col("band") <= F.lit(bp)) | (sa != sb))
-    fp_pairs = (
-        buckets.select("band", "_l", F.posexplode("_l").alias("_i", "_a"))
-        .select(
-            "band",
-            "_a",
-            F.explode(
-                F.slice(F.col("_l"), F.col("_i") + F.lit(2), F.size("_l") - F.col("_i") - 1)
-            ).alias("_b"),
-        )
-        .filter(first_match)
-        .select(
-            "_a",
-            "_b",
-            F.bit_count(F.col("_a.f").bitwiseXOR(F.col("_b.f"))).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-    )
+        fp_pairs = _gen_pairs(buckets, ["band"], first_band)
 
     # -------- resolve fingerprint pairs to id pairs --------
     if identical_mode == "star":

@@ -703,3 +703,29 @@ def test_scale_hamming_identical_fingerprint_collapse(bigspark):
     # at least the hot group's star edges; cross edges from the tail add more
     assert rows >= n_hot - 1
     assert dt < 120
+
+
+def test_scale_hamming_multiindex_uniform_fps(bigspark):
+    """2M DISTINCT uniform 64-bit fingerprints, 8-bit bands: every
+    (band, key) bucket holds ~7,800 distinct fps, so direct
+    enumeration would stream ~6×10¹⁰ candidates. With the opt-in
+    multi-index (sub_band_threshold=4096) oversized buckets re-band
+    their remaining 56 bits into max_hamming+1 sub-slices and the
+    uniform variation splits sub-buckets down to ~singletons —
+    the billion-scale uniform-fingerprint shape, subquadratic."""
+    from etl_finance_pipeline_spark.operators.dedup import hamming_pairs
+
+    n = 2_000_000
+    df = bigspark.range(n).select(
+        F.col("id").alias("doc_id"), F.xxhash64(F.col("id")).alias("fp")
+    )
+    out = hamming_pairs(
+        df, "fp", id_col="doc_id", bits=64, bands=8, max_hamming=2,
+        max_bucket_size=None, sub_band_threshold=4096,
+        identical_mode="star",
+    )
+    _assert_distributed_plan(out, "hamming_multiindex_uniform")
+    rows, dt = _timed_count(out, "hamming multi-index, 2M uniform fps")
+    # random 64-bit pairs within hamming 2 are essentially nonexistent
+    assert rows < 100
+    assert dt < 180

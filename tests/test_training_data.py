@@ -905,26 +905,73 @@ def test_hamming_pairs_identical_fingerprints_collapse(spark):
 
 def test_hamming_pairs_lossless_ceiling_fails_loud(spark):
     """The lossless contract must break with an ERROR, never silent
-    quadratic work: a band bucket wider than lossless_bucket_ceiling
-    distinct fingerprints raises from inside the plan."""
+    quadratic work: a SUB-bucket wider than lossless_bucket_ceiling
+    distinct fingerprints raises from inside the plan. (Fingerprints
+    differing only in high bits share band 0 AND sub-slice 0 of the
+    remaining bits — the multi-index split cannot separate them.)"""
     import pytest as _pytest
 
     from etl_finance_pipeline_spark.operators.dedup import hamming_pairs
 
-    # 40 distinct fingerprints that all share band 0 (low byte == 0x7)
-    rows = [(i, (i << 8) | 0x7) for i in range(40)]
+    # 40 distinct fps sharing band 0 (low byte 0x7) whose differences
+    # sit at bits >= 36, i.e. inside sub-slice 1 of the remaining 56
+    # bits (max_hamming=1 -> 2 sub-slices of 28) — sub-slice 0 is
+    # identical for all of them
+    rows = [(i, (i << 36) | 0x7) for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id long, fp long")
     ok = hamming_pairs(
         df, "fp", id_col="doc_id", bits=64, bands=8, max_hamming=1,
-        max_bucket_size=None, lossless_bucket_ceiling=40,
+        max_bucket_size=None, sub_band_threshold=10,
+        lossless_bucket_ceiling=40,
     )
     ok.count()  # at the ceiling: fine
     bad = hamming_pairs(
         df, "fp", id_col="doc_id", bits=64, bands=8, max_hamming=1,
-        max_bucket_size=None, lossless_bucket_ceiling=39,
+        max_bucket_size=None, sub_band_threshold=10,
+        lossless_bucket_ceiling=39,
     )
-    with _pytest.raises(Exception, match="band bucket exceeds"):
+    with _pytest.raises(Exception, match="sub-bucket exceeds"):
         bad.count()
+
+
+def test_hamming_pairs_lossless_with_negative_fingerprints(spark):
+    """64-bit fingerprints with the sign bit set (xxhash64-shaped):
+    the sub-banding's bit excision must use UNSIGNED shifts — a
+    sign-extending shift would corrupt the remaining-bits value and
+    silently lose pairs. Brute-force parity over a mixed-sign set."""
+    import itertools
+    import random
+
+    from etl_finance_pipeline_spark.operators.dedup import hamming_pairs
+
+    rng = random.Random(23)
+    base = rng.getrandbits(64) | (1 << 63)  # negative as int64
+    fps = [base]
+    for d in range(1, 6):
+        fp = base
+        for p in {(i * 53) % 64 for i in range(d)}:
+            fp ^= 1 << p
+        fps.append(fp)
+    fps += [rng.getrandbits(64) for _ in range(20)]
+
+    def to_i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = [(i, to_i64(f)) for i, f in enumerate(fps)]
+    df = spark.createDataFrame(rows, "doc_id long, fp long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(
+            df, "fp", id_col="doc_id", bits=64, bands=8, max_hamming=5,
+            max_bucket_size=None, sub_band_threshold=2,
+        ).collect()
+    }
+    expected = {}
+    for (ia, fa), (ib, fb) in itertools.combinations(rows, 2):
+        h = bin((fa ^ fb) & ((1 << 64) - 1)).count("1")
+        if h <= 5:
+            expected[(min(ia, ib), max(ia, ib))] = h
+    assert got == expected and len(expected) >= 5
 
 
 def test_gopher_rules_per_rule_flags(spark):
