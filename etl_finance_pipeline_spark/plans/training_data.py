@@ -6900,6 +6900,99 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------
+# RefinedWeb-style web-curation funnel (URL → lang → quality → dedup)
+# --------------------------------------------------------------------
+
+def q_web_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEB-curation funnel (Penedo et al. 2023's RefinedWeb stage
+    order) in one report pass: how many documents survive (a) the
+    URL/domain blocklist, (b) the language gate (n-gram lang-ID =
+    en), (c) the Gopher structural rules, and (d) exact dedup —
+    each predicate evaluated independently over the raw corpus and
+    intersected for the final keep count (the single-pass semantics
+    one report can honestly compute, as with curation_funnel).
+    Output: one row of stage counts."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        canonical_host,
+        registrable_domain,
+    )
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        gopher_rules,
+        language_id,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    domain = registrable_domain(canonical_host(_url_expr()))
+    dflag = (~domain.isin(_URL_BLOCKLIST)).cast("int")
+    exact = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    lid = language_id(docs).select(
+        "doc_id", (F.col("pred_lang") == "en").cast("int").alias("_lk")
+    )
+    flags = (
+        gopher_rules(docs)
+        .withColumn("_dk", dflag)
+        .join(lid, "doc_id")
+        .join(
+            F.broadcast(exact.select("doc_id").withColumn("_ek", F.lit(1))),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "_dk",
+            "_lk",
+            (
+                F.col("rule_word_count")
+                & F.col("rule_mean_word_len")
+                & F.col("rule_symbol_ratio")
+                & F.col("rule_alpha_words")
+            ).cast("int").alias("_qk"),
+            F.coalesce("_ek", F.lit(0)).alias("_ek"),
+        )
+    )
+    return flags.agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.sum("_dk").cast("long").alias("n_domain"),
+        F.sum("_lk").cast("long").alias("n_lang"),
+        F.sum("_qk").cast("long").alias("n_quality"),
+        F.sum("_ek").cast("long").alias("n_exact"),
+        F.sum(F.col("_dk") * F.col("_lk") * F.col("_qk") * F.col("_ek"))
+        .cast("long")
+        .alias("n_final"),
+    )
+
+
+SQL_WEB_CURATION_FUNNEL = f"""
+WITH {_URL_CTE.strip()},
+wfe AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+wfl AS (
+  SELECT d.doc_id,
+    CASE WHEN doms.domain NOT IN ({", ".join(f"'{b}'" for b in _URL_BLOCKLIST)})
+         THEN 1 ELSE 0 END AS dk,
+    CASE WHEN lid.pred_lang = 'en' THEN 1 ELSE 0 END AS lk,
+    CASE WHEN gq.rule_word_count AND gq.rule_mean_word_len
+          AND gq.rule_symbol_ratio AND gq.rule_alpha_words
+         THEN 1 ELSE 0 END AS qk,
+    CASE WHEN wfe.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ek
+  FROM documents d
+  JOIN doms ON doms.doc_id = d.doc_id
+  JOIN ({SQL_LANG_ID.strip()}) lid ON lid.doc_id = d.doc_id
+  JOIN ({SQL_GOPHER_QUALITY.strip()}) gq ON gq.doc_id = d.doc_id
+  LEFT JOIN wfe ON wfe.doc_id = d.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(sum(dk) AS BIGINT) AS n_domain,
+       CAST(sum(lk) AS BIGINT) AS n_lang,
+       CAST(sum(qk) AS BIGINT) AS n_quality,
+       CAST(sum(ek) AS BIGINT) AS n_exact,
+       CAST(sum(dk * lk * qk * ek) AS BIGINT) AS n_final
+FROM wfl
+"""
+
+
+
+
+
+# --------------------------------------------------------------------
 # CCNet perplexity bucketing (head/middle/tail terciles)
 # --------------------------------------------------------------------
 
@@ -7102,6 +7195,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fasttext_auc": q_fasttext_auc,
     "domain_filter": q_domain_filter,
     "stream_domain_filter": q_stream_domain_filter,
+    "web_curation_funnel": q_web_curation_funnel,
     "domain_rollup": q_domain_rollup,
     "cluster_mix": q_cluster_mix,
     "quality_calibration": q_quality_calibration,
@@ -7237,6 +7331,7 @@ ORACLES_TD: dict[str, str] = {
     "fasttext_auc": SQL_FASTTEXT_AUC,
     "domain_filter": SQL_DOMAIN_FILTER,
     "stream_domain_filter": SQL_STREAM_DOMAIN_FILTER,
+    "web_curation_funnel": SQL_WEB_CURATION_FUNNEL,
     "domain_rollup": SQL_DOMAIN_ROLLUP,
     "cluster_mix": SQL_CLUSTER_MIX,
     "quality_calibration": SQL_QUALITY_CALIBRATION,
