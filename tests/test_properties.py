@@ -675,3 +675,92 @@ def test_containment_matches_reference(spark, docs):
     assert set(got) == set(want)
     for k, v in want.items():
         assert got[k] == pytest.approx(v, abs=1e-6)
+
+
+@given(
+    fps=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=30,
+    ),
+    max_hamming=st.integers(min_value=0, max_value=6),
+    sub=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_hamming_pairs_match_bruteforce_property(spark, fps, max_hamming, sub):
+    """Lossless banded Hamming (bands=8 > any max_hamming here) vs
+    brute force over arbitrary int64 fingerprints INCLUDING
+    duplicates and negative values — covers the identical-fp
+    collapse, the first-match dedup, and (sub=True) the multi-index
+    sub-banding path."""
+    from etl_finance_pipeline_spark.operators.dedup import hamming_pairs
+
+    rows = [(i, f) for i, f in enumerate(fps)]
+    df = spark.createDataFrame(rows, "doc_id long, fp long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(
+            df, "fp", id_col="doc_id", bits=64, bands=8,
+            max_hamming=max_hamming, max_bucket_size=None,
+            sub_band_threshold=(2 if sub else None),
+        ).collect()
+    }
+    import itertools
+
+    expected = {}
+    for (ia, fa), (ib, fb) in itertools.combinations(rows, 2):
+        h = bin((fa ^ fb) & ((1 << 64) - 1)).count("1")
+        if h <= max_hamming:
+            expected[(min(ia, ib), max(ia, ib))] = h
+    assert got == expected
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=10),
+        min_size=1,
+        max_size=12,
+    ),
+    pieces=st.lists(
+        st.text(alphabet="abc", min_size=2, max_size=4),
+        min_size=0,
+        max_size=6,
+    ),
+)
+@settings(**SETTINGS)
+def test_wordpiece_encode_matches_greedy_reference(spark, words, pieces):
+    """Greedy longest-match-first segmentation vs a direct Python
+    re-implementation over random words and vocabularies."""
+    from etl_finance_pipeline_spark.operators.tokenizer import wordpiece_encode
+
+    vocab = set(pieces)
+    maxlen = max((len(p) for p in vocab), default=1)
+
+    def greedy(w):
+        pos, np = 0, 0
+        while pos < len(w):
+            step = 1
+            for ln in range(min(maxlen, len(w) - pos), 1, -1):
+                if w[pos:pos + ln] in vocab:
+                    step = ln
+                    break
+            pos += step
+            np += 1
+        return np
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    merges = spark.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(sorted(vocab))] or [(0, "")],
+        ["merge_round", "merged"],
+    )
+    out = wordpiece_encode(docs, merges).collect()
+    # tokens() lowercases and splits on whitespace; the alphabet is
+    # already lowercase, and hypothesis words are non-empty
+    expect_words = [w for w in text.split() if len(w) <= 16]
+    if not expect_words:
+        assert out == []
+        return
+    row = out[0]
+    assert row["n_words"] == len(expect_words)
+    assert row["n_pieces"] == sum(greedy(w) for w in expect_words)
