@@ -6032,6 +6032,7 @@ FROM auca
 _FT_DIM = 32
 _FT_ITERS = 3
 _FT_LR = 0.1
+_FT_K = 200
 
 
 def q_fasttext_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6155,6 +6156,129 @@ SELECT e.doc_id, CAST(e.y AS BIGINT) AS label,
          AS fasttext_score
 FROM fsrc e
 """
+
+SQL_FASTTEXT_SELECT = f"""
+WITH {_ft_feats_sql().strip()},
+{_ft_gd_sql(_FT_ITERS)},
+ftsel AS (
+  SELECT e.doc_id,
+         floor((list_sum(list_transform(
+           list_zip(e.x, (SELECT list(w ORDER BY pos) FROM fw{_FT_ITERS})),
+           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+           + (SELECT b FROM fb{_FT_ITERS})) * 1000000 + 0.5) / 1000000
+           AS fasttext_score
+  FROM fsrc e
+)
+SELECT doc_id, fasttext_score FROM ftsel
+ORDER BY fasttext_score DESC, doc_id
+LIMIT {_FT_K}
+"""
+
+#: the streaming lane emits the SAME rounded outputs as the batch probe
+SQL_STREAM_FASTTEXT_SCORE = SQL_FASTTEXT_PROBE
+
+
+
+def q_fasttext_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deploy the trained text probe as a SELECTION gate: top-200
+    documents by (rounded score, doc_id) — the CCNet/LLaMA 'keep the
+    most target-like' curation step; plans as TakeOrderedAndProject,
+    never a global sort (the dsir_select device)."""
+    from etl_finance_pipeline_spark.operators.mlprep import (
+        hashed_text_features,
+        linear_probe_score,
+        linear_probe_train,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    feats = hashed_text_features(docs, dim=_FT_DIM).localCheckpoint(
+        eager=True
+    )
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("_y")
+    )
+    w, b = linear_probe_train(
+        feats.join(labels, "doc_id"),
+        vec_col="features",
+        label_col="_y",
+        lr=_FT_LR,
+        iters=_FT_ITERS,
+    )
+    scored = linear_probe_score(
+        feats, w, b, vec_col="features", out_col="fasttext_score"
+    ).select("doc_id", _pr("fasttext_score", 6).alias("fasttext_score"))
+    return scored.orderBy(
+        F.col("fasttext_score").desc(), F.col("doc_id")
+    ).limit(_FT_K)
+
+
+def q_stream_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained text classifier deployed on the INGEST STREAM: the
+    head fits once on the standing batch corpus, collapses to a
+    dim-double literal, and each streaming document scores itself
+    with a fully NARROW expression — per-token signed weight lookup
+    summed in-array, divided by the token count (the mean-pooled dot
+    product distributes over tokens). No state, no watermark, append
+    mode; same rounded outputs as the batch probe, so the two lanes
+    share one oracle."""
+    import uuid
+
+    from etl_finance_pipeline_spark.functions.text import tokens
+    from etl_finance_pipeline_spark.operators.mlprep import (
+        hashed_text_features,
+        linear_probe_train,
+    )
+    from etl_finance_pipeline_spark.operators.sketch import hash_word
+    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
+
+    spark = _narrow_session(spark, 8)
+    ensure_nanos_conf(spark)
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    feats = hashed_text_features(docs, dim=_FT_DIM)
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("_y")
+    )
+    w, b = linear_probe_train(
+        feats.join(labels, "doc_id"),
+        vec_col="features",
+        label_col="_y",
+        lr=_FT_LR,
+        iters=_FT_ITERS,
+    )
+    w_lit = F.array(*[F.lit(float(x)) for x in w])
+
+    path = _t(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
+    toks = tokens("text")
+    # sign from h2's low bit — the exact feature_hash contract
+    sign = lambda t: F.when(  # noqa: E731
+        hash_word(t, 16) % 2 == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    tok_sum = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + sign(t)
+        * F.element_at(w_lit, (hash_word(t, 1) % _FT_DIM).cast("int") + 1),
+    )
+    scored = stream.filter(F.size(toks) > 0).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("long").alias("label"),
+        _pr(tok_sum / F.size(toks) + F.lit(float(b)), 6).alias(
+            "fasttext_score"
+        ),
+    )
+    name = f"stream_ft_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
 
 
 def q_fasttext_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7193,6 +7317,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "probe_auc": q_probe_auc,
     "fasttext_probe": q_fasttext_probe,
     "fasttext_auc": q_fasttext_auc,
+    "fasttext_select": q_fasttext_select,
+    "stream_fasttext_score": q_stream_fasttext_score,
     "domain_filter": q_domain_filter,
     "stream_domain_filter": q_stream_domain_filter,
     "web_curation_funnel": q_web_curation_funnel,
@@ -7329,6 +7455,8 @@ ORACLES_TD: dict[str, str] = {
     "probe_auc": SQL_PROBE_AUC,
     "fasttext_probe": SQL_FASTTEXT_PROBE,
     "fasttext_auc": SQL_FASTTEXT_AUC,
+    "fasttext_select": SQL_FASTTEXT_SELECT,
+    "stream_fasttext_score": SQL_STREAM_FASTTEXT_SCORE,
     "domain_filter": SQL_DOMAIN_FILTER,
     "stream_domain_filter": SQL_STREAM_DOMAIN_FILTER,
     "web_curation_funnel": SQL_WEB_CURATION_FUNNEL,
