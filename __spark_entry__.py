@@ -36,6 +36,8 @@ _SHOWCASE_FIRST = (
     "wordpiece_encode_corpus",  # greedy longest-match corpus tokenize (round 8)
     "fasttext_probe",  # hashed-BoW text classifier, in-engine GD (round 8)
     "fasttext_auc",  # exact ROC-AUC of the text probe (round 8)
+    "fasttext_select",  # top-k keep gate on the probe score (round 8)
+    "stream_fasttext_score",  # trained head scoring the ingest stream (round 8)
     "domain_filter",  # URL canonicalize + blocklist anti-join (round 8)
     "domain_rollup",  # per-registrable-domain census (round 8)
     "stream_domain_filter",  # the blocklist on a file stream (round 8)
@@ -82,9 +84,7 @@ _SHOWCASE_FIRST = (
     "wordpiece_train",
     "bpe_encode_corpus",
     "gopher_quality",
-    "stream_candles",
     "curation_funnel",
-    "tfidf_top_terms",
     # rotated out after rounds 1-7 driver recordings (all still
     # registered + full-artifact-verified every round): see
     # CORRECTNESS_full_r{N}.json for the uncapped 228-query gate.
