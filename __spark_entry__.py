@@ -42,6 +42,8 @@ _SHOWCASE_FIRST = (
     "domain_rollup",  # per-registrable-domain census (round 8)
     "stream_domain_filter",  # the blocklist on a file stream (round 8)
     "cluster_mix",  # k-means-cell balanced mixture sampling (round 8)
+    "cluster_profile",  # per-cell census: cohesion + label purity (round 8)
+    "pca_outliers",  # reconstruction-residual anomaly top-k (round 8)
     "quality_calibration",  # reliability bins of a keep-probability (round 8)
     "quality_ece",  # expected calibration error scalar (round 8)
     "ngram_repetition",  # Gopher duplicate-3-gram fractions (round 8)
@@ -82,8 +84,6 @@ _SHOWCASE_FIRST = (
     "pq_topk",
     "unigram_segment",
     "wordpiece_train",
-    "bpe_encode_corpus",
-    "gopher_quality",
     "curation_funnel",
     # rotated out after rounds 1-7 driver recordings (all still
     # registered + full-artifact-verified every round): see

@@ -364,3 +364,56 @@ def embed_standardize(
             z, lambda v: F.floor(v * scale + F.lit(0.5)) / scale
         )
     return src.select(F.col(id_col), z.alias(out_col))
+
+
+def pca_outliers(
+    df: DataFrame,
+    components: list[list[float]],
+    means: list[float],
+    k: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reconstruction-residual outlier scoring — the embedding-space
+    anomaly detector a curation pipeline runs after PCA: residual =
+    ‖x−μ‖² − Σ_k ((x−μ)·v_k)², the centered energy the top
+    components CANNOT explain. Vectors far off the principal
+    subspace (corrupt embeddings, off-distribution content) rank
+    first; top-*k* by (rounded residual desc, id) plans as
+    TakeOrderedAndProject, never a global sort.
+
+    One narrow pass: components/means ride as literals, every term is
+    a zip_with/aggregate expression — no shuffle before the top-k.
+
+    Output: (id, pc columns..., residual).
+    """
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+    from etl_finance_pipeline_spark.operators.similarity import _as_double
+
+    src = _as_double(df, vec_col)
+    lit_m = F.array(*[F.lit(float(x)) for x in means])
+    centered = F.zip_with(F.col(vec_col), lit_m, lambda x, m: x - m)
+    total = F.aggregate(centered, F.lit(0.0), lambda a, v: a + v * v)
+    pcs = []
+    for comp in components:
+        lit_v = F.array(*[F.lit(float(x)) for x in comp])
+        pcs.append(
+            F.aggregate(
+                F.zip_with(centered, lit_v, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda a, t: a + t,
+            )
+        )
+    residual = total
+    for p in pcs:
+        residual = residual - p * p
+    out = src.select(
+        F.col(id_col),
+        *[
+            portable_round(p, round_digits).alias(f"pc{i + 1}")
+            for i, p in enumerate(pcs)
+        ],
+        portable_round(residual, round_digits).alias("residual"),
+    )
+    return out.orderBy(F.col("residual").desc(), F.col(id_col)).limit(k)

@@ -1309,3 +1309,81 @@ def cluster_balanced_sample(
             F.col("cluster_rank").cast("long").alias("cluster_rank"),
         )
     )
+
+
+def cluster_profile(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-cell census of a trained k-means clustering — the
+    read-before-you-curate companion to SemDedup/cluster_mix: each
+    cell reports its population, mean squared-L2 distance to its
+    centroid (cohesion), and — when a label column exists — the
+    majority label and its purity (count desc, label asc tiebreak).
+
+    One broadcast assign (k×dim codebook) + two cell-keyed
+    aggregates; the per-cell top-label window partitions by cell.
+
+    Output: (cluster_id, n_vecs, mean_dist[, top_label, label_purity]).
+    """
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+    src = _as_double(corpus, vec_col)
+    cents = _as_double(
+        centroids.select(
+            F.col("cluster_id").alias("_cid"), F.col("cvec").alias("_cv")
+        ),
+        "_cv",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cols = [F.col(id_col), F.col("_cid"), d2.alias("_d2")]
+    if label_col is not None:
+        cols.append(F.col(label_col).alias("_lbl"))
+    pairs = src.crossJoin(F.broadcast(cents)).select(*cols)
+    w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("_cid"))
+    assigned = (
+        pairs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    stats = assigned.groupBy("_cid").agg(
+        F.count("*").alias("_n"), F.avg("_d2").alias("_md")
+    )
+    out = stats.select(
+        F.col("_cid").cast("int").alias("cluster_id"),
+        F.col("_n").cast("long").alias("n_vecs"),
+        portable_round(F.col("_md"), round_digits).alias("mean_dist"),
+    )
+    if label_col is None:
+        return out
+    lab = assigned.groupBy("_cid", "_lbl").agg(F.count("*").alias("_c"))
+    lw = Window.partitionBy("_cid").orderBy(F.col("_c").desc(), F.col("_lbl"))
+    top = (
+        lab.withColumn("_r", F.row_number().over(lw))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col("_cid"),
+            F.col("_lbl").alias("top_label"),
+            F.col("_c").alias("_topc"),
+        )
+    )
+    return (
+        out.join(top, out["cluster_id"] == top["_cid"])
+        .select(
+            "cluster_id",
+            "n_vecs",
+            "mean_dist",
+            F.col("top_label").cast("long").alias("top_label"),
+            portable_round(
+                F.col("_topc") / F.col("n_vecs"), round_digits
+            ).alias("label_purity"),
+        )
+    )

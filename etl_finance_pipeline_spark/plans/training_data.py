@@ -5161,6 +5161,46 @@ GROUP BY p.vec_id
 """
 
 
+_PCAO_K = 50
+
+
+def q_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-residual embedding outliers: fit top-2 PCA
+    (lockstep power iteration + rounded Hotelling deflation), then
+    score every vector by the centered energy the two components
+    cannot explain — ‖x−μ‖² − pc1² − pc2² — and keep the top 50 by
+    (rounded residual, id). The anomaly detector a curation pipeline
+    points at corrupt or off-distribution embeddings. The oracle
+    extends the pca_reduce2 CTE chain with the residual energy."""
+    from etl_finance_pipeline_spark.operators.pca import pca_fit2, pca_outliers
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    comps, _eigs, means = pca_fit2(emb, iters=_PCA_ITERS)
+    return pca_outliers(emb, comps, means, k=_PCAO_K)
+
+
+SQL_PCA_OUTLIERS = f"""
+WITH {_PCA_POWER2_SQL},
+pores AS (
+  SELECT p.vec_id,
+         floor(sum((p.xi - m.mean_j) * f1.vi) * 1000000 + 0.5) / 1000000 AS pc1,
+         floor(sum((p.xi - m.mean_j) * f2.vi) * 1000000 + 0.5) / 1000000 AS pc2,
+         floor((sum((p.xi - m.mean_j) * (p.xi - m.mean_j))
+                - pow(sum((p.xi - m.mean_j) * f1.vi), 2)
+                - pow(sum((p.xi - m.mean_j) * f2.vi), 2))
+               * 1000000 + 0.5) / 1000000 AS residual
+  FROM px p
+  JOIN pmean m ON m.j = p.i
+  JOIN pfin f1 ON f1.i = p.i
+  JOIN qfin f2 ON f2.i = p.i
+  GROUP BY p.vec_id
+)
+SELECT vec_id, pc1, pc2, residual FROM pores
+ORDER BY residual DESC, vec_id
+LIMIT {_PCAO_K}
+"""
+
+
 # --------------------------------------------------------------------
 # DSIR importance weights (Xie et al. 2023 data selection)
 # --------------------------------------------------------------------
@@ -6869,6 +6909,60 @@ WHERE r.cluster_rank <= a.alloc
 """
 
 
+def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell census of the trained k-means clustering: population,
+    mean squared-L2 cohesion, majority label + purity — the
+    read-before-you-curate companion to cluster_mix. Oracle unrolls
+    the same Lloyd rounds and replays assignment + the label-mode
+    window."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        cluster_profile,
+        train_kmeans_centroids,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    cents = train_kmeans_centroids(
+        emb, k=_CMIX_K, iters=_CMIX_ITERS, round_digits=6
+    )
+    return cluster_profile(emb, cents)
+
+
+SQL_CLUSTER_PROFILE = f"""
+WITH {_kmeans_sql(k=_CMIX_K, iters=_CMIX_ITERS)},
+cpassign AS MATERIALIZED (
+  SELECT vec_id, label, cid, d2 FROM (
+    SELECT e.vec_id, e.label, c.cid,
+           {_L2_SQL.format(a='e.embedding', b='c.cvec')} AS d2,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_L2_SQL.format(a='e.embedding', b='c.cvec')} ASC, c.cid
+           ) AS pr
+    FROM embeddings e CROSS JOIN c{_CMIX_ITERS} c
+  ) WHERE pr = 1
+),
+cpstats AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         floor(avg(d2) * 1000000 + 0.5) / 1000000 AS mean_dist
+  FROM cpassign GROUP BY 1
+),
+cplab AS (
+  SELECT cid, label, count(*) AS c FROM cpassign GROUP BY 1, 2
+),
+cptop AS (
+  SELECT cid, label AS top_label, c AS topc FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cid ORDER BY c DESC, label
+    ) AS r FROM cplab
+  ) WHERE r = 1
+)
+SELECT CAST(s.cid AS INT) AS cluster_id, s.n_vecs, s.mean_dist,
+       CAST(t.top_label AS BIGINT) AS top_label,
+       floor(t.topc * 1.0 / s.n_vecs * 1000000 + 0.5) / 1000000
+         AS label_purity
+FROM cpstats s JOIN cptop t USING (cid)
+"""
+
+
 # --------------------------------------------------------------------
 # URL / domain filter stage (RefinedWeb first-stage curation)
 # --------------------------------------------------------------------
@@ -7307,6 +7401,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pca_project": q_pca_project,
     "stream_quality_filter": q_stream_quality_filter,
     "pca_reduce2": q_pca_reduce2,
+    "pca_outliers": q_pca_outliers,
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
     "c4_clean": q_c4_clean,
@@ -7324,6 +7419,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_curation_funnel": q_web_curation_funnel,
     "domain_rollup": q_domain_rollup,
     "cluster_mix": q_cluster_mix,
+    "cluster_profile": q_cluster_profile,
     "quality_calibration": q_quality_calibration,
     "lsh_recall": q_lsh_recall,
     "langid_confusion": q_langid_confusion,
@@ -7445,6 +7541,7 @@ ORACLES_TD: dict[str, str] = {
     "pca_project": SQL_PCA_PROJECT,
     "stream_quality_filter": SQL_STREAM_QUALITY_FILTER,
     "pca_reduce2": SQL_PCA_REDUCE2,
+    "pca_outliers": SQL_PCA_OUTLIERS,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "dsir_select": SQL_DSIR_SELECT,
     "c4_clean": SQL_C4_CLEAN,
@@ -7462,6 +7559,7 @@ ORACLES_TD: dict[str, str] = {
     "web_curation_funnel": SQL_WEB_CURATION_FUNNEL,
     "domain_rollup": SQL_DOMAIN_ROLLUP,
     "cluster_mix": SQL_CLUSTER_MIX,
+    "cluster_profile": SQL_CLUSTER_PROFILE,
     "quality_calibration": SQL_QUALITY_CALIBRATION,
     "lsh_recall": SQL_LSH_RECALL,
     "langid_confusion": SQL_LANGID_CONFUSION,
