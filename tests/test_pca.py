@@ -107,3 +107,25 @@ def test_project_multi_matches_single(spark, vecs):
     }
     for k, (p1, _) in multi.items():
         assert p1 == pytest.approx(one[k], abs=1e-12)
+
+
+def test_pca_outliers_ranks_off_subspace_vectors(spark):
+    """Vectors inside the span of the top components have ~zero
+    residual; a vector pointing off the subspace ranks first."""
+    from etl_finance_pipeline_spark.operators.pca import pca_outliers
+
+    rows = [
+        (1, [2.0, 0.0, 0.0, 0.0]),
+        (2, [-2.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, -1.0, 0.0, 0.0]),
+        (5, [0.0, 0.0, 3.0, 0.0]),  # off the top-2 subspace
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    comps = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    means = [0.0, 0.0, 0.6, 0.0]
+    out = pca_outliers(df, comps, means, k=3).collect()
+    assert out[0]["vec_id"] == 5
+    assert out[0]["residual"] == pytest.approx((3.0 - 0.6) ** 2, abs=1e-6)
+    # in-subspace vectors: residual is exactly the centered e3 energy
+    assert all(r["residual"] == pytest.approx(0.36, abs=1e-6) for r in out[1:])

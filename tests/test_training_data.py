@@ -1235,3 +1235,24 @@ def test_vocab_coverage_and_zipf_fit(spark):
     assert z["n_types"] == 3 and z["n_tokens"] == 6
     assert z["slope"] == pytest.approx(slope, abs=1e-6)
     assert z["intercept"] == pytest.approx(intercept, abs=1e-6)
+
+
+def test_cluster_profile_census_and_purity(spark):
+    from etl_finance_pipeline_spark.operators.similarity import cluster_profile
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0])], ["cluster_id", "cvec"]
+    )
+    rows = [
+        (1, [0.0, 1.0], 7),
+        (2, [1.0, 0.0], 7),
+        (3, [0.0, -1.0], 3),
+        (4, [10.0, 1.0], 5),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["cluster_id"]: r for r in cluster_profile(df, cents).collect()}
+    assert out[0]["n_vecs"] == 3 and out[1]["n_vecs"] == 1
+    assert out[0]["mean_dist"] == pytest.approx(1.0, abs=1e-6)
+    assert out[0]["top_label"] == 7
+    assert out[0]["label_purity"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[1]["top_label"] == 5 and out[1]["label_purity"] == 1.0
