@@ -397,11 +397,15 @@ def hamming_pairs(
     the ceiling assert survives at the sub-bucket level and one more
     recursion level is the documented escape hatch. Default None:
     the benched corpora never exceed the direct path's comfort zone,
-    and the empty sub-band branch would cost real stage latency. Fewer/wider bands trade recall beyond the pigeonhole
-    bound for narrower buckets, exactly like MinHash band tuning.
-    With ``max_bucket_size`` set, buckets whose MEMBER weight
-    (Σ group sizes — the pre-collapse row count, preserving the
-    historical guard semantics) exceeds it are dropped.
+    and the empty sub-band branch would cost real stage latency.
+
+    Fewer/wider bands trade recall beyond the pigeonhole bound for
+    narrower buckets, exactly like MinHash band tuning. With
+    ``max_bucket_size`` set, buckets whose MEMBER weight (Σ group
+    sizes — the pre-collapse row count, preserving the historical
+    guard semantics) exceeds it are dropped; Hamming-0 pairs between
+    IDENTICAL fingerprints never pass through the banding, so the
+    guard cannot drop them — exact duplicates always surface.
 
     identical_mode:
       * ``"pairs"`` (default, oracle-exact): enumerate every
