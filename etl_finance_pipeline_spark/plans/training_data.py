@@ -6579,6 +6579,42 @@ FROM rtop t LEFT JOIN rcov c USING (doc_id)
 """
 
 
+_REP_TOP_MAX = 0.20
+_REP_DUP_MAX = 0.60
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition thresholds as a KEEP/DROP gate (Rae et
+    al. 2021 Table A1 shape: drop when the top 3-gram claims too much
+    of the document or duplicated 3-grams cover too much of it) —
+    the enforcement composition over ngram_repetition's signals.
+    Output: per-doc signals + the keep verdict."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        ngram_repetition_stats,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    rep = ngram_repetition_stats(docs, n=_REP_N)
+    return rep.select(
+        "doc_id",
+        "top_ngram_frac",
+        "dup_ngram_frac",
+        (
+            (F.col("top_ngram_frac") <= _REP_TOP_MAX)
+            & (F.col("dup_ngram_frac") <= _REP_DUP_MAX)
+        ).alias("keep"),
+    )
+
+
+SQL_REPETITION_FILTER = f"""
+WITH reps AS ({SQL_NGRAM_REPETITION.strip()})
+SELECT doc_id, top_ngram_frac, dup_ngram_frac,
+       (top_ngram_frac <= {_REP_TOP_MAX} AND dup_ngram_frac <= {_REP_DUP_MAX})
+         AS keep
+FROM reps
+"""
+
+
 # --------------------------------------------------------------------
 # Per-source token-distribution KL divergence (mixture diagnostics)
 # --------------------------------------------------------------------
@@ -7424,6 +7460,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_recall": q_lsh_recall,
     "langid_confusion": q_langid_confusion,
     "ngram_repetition": q_ngram_repetition,
+    "repetition_filter": q_repetition_filter,
     "source_kl": q_source_kl,
     "vocab_coverage": q_vocab_coverage,
     "zipf_fit": q_zipf_fit,
@@ -7564,6 +7601,7 @@ ORACLES_TD: dict[str, str] = {
     "lsh_recall": SQL_LSH_RECALL,
     "langid_confusion": SQL_LANGID_CONFUSION,
     "ngram_repetition": SQL_NGRAM_REPETITION,
+    "repetition_filter": SQL_REPETITION_FILTER,
     "source_kl": SQL_SOURCE_KL,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "zipf_fit": SQL_ZIPF_FIT,
