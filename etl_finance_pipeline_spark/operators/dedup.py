@@ -403,9 +403,18 @@ def hamming_pairs(
     narrower buckets, exactly like MinHash band tuning. With
     ``max_bucket_size`` set, buckets whose MEMBER weight (Σ group
     sizes — the pre-collapse row count, preserving the historical
-    guard semantics) exceeds it are dropped; Hamming-0 pairs between
+    guard semantics) exceeds it are dropped; a pair surfaces from ANY
+    surviving bucket that contains it (duplicates across surviving
+    bands are collapsed by a dedupe over the post-Hamming-filter
+    result set — the bitwise first-matching-band shortcut the
+    lossless paths use would silently drop a pair whose first
+    matching band's bucket was guarded away). Hamming-0 pairs between
     IDENTICAL fingerprints never pass through the banding, so the
     guard cannot drop them — exact duplicates always surface.
+    ``max_bucket_size`` (the lossy skew guard) and
+    ``sub_band_threshold`` (the lossless multi-index escape hatch)
+    are mutually exclusive: asking for both raises rather than
+    silently picking one contract over the other.
 
     identical_mode:
       * ``"pairs"`` (default, oracle-exact): enumerate every
@@ -422,6 +431,12 @@ def hamming_pairs(
     """
     if identical_mode not in ("pairs", "star"):
         raise ValueError(f"identical_mode must be 'pairs' or 'star', got {identical_mode!r}")
+    if max_bucket_size is not None and sub_band_threshold is not None:
+        raise ValueError(
+            "hamming_pairs: max_bucket_size (lossy skew guard) and "
+            "sub_band_threshold (lossless multi-index) are mutually "
+            "exclusive — pass max_bucket_size=None to multi-index"
+        )
     slice_bits = bits // bands
     mask = (1 << slice_bits) - 1
     members = df.filter(F.col(fp_col).isNotNull()).select(
@@ -509,7 +524,19 @@ def hamming_pairs(
             F.sort_array(F.collect_list("_m")).alias("_l"),
             F.sum("_m.g").alias("_nw"),
         ).filter(F.col("_nw") <= max_bucket_size)
-        fp_pairs = _gen_pairs(buckets, ["band"], first_band)
+        # guarded mode must emit a pair found in ANY surviving bucket:
+        # the bitwise first-matching-band shortcut tests bit equality,
+        # not bucket survival, so a pair whose earlier matching band
+        # was dropped by the guard would be silently discarded even
+        # though a surviving later band still holds it. Dedupe the
+        # emitted pairs instead — one extra exchange, but over the
+        # post-Hamming-filter RESULT set (≤ bands-fold multiplicity),
+        # restoring the historical equi-join + distinct semantics.
+        fp_pairs = (
+            _gen_pairs(buckets, [], F.lit(True))
+            .groupBy("_a", "_b")
+            .agg(F.min("hamming").alias("hamming"))
+        )
     elif sub_band_threshold is not None and rem_bits > 0:
         # lossless, ADAPTIVE multi-index (opt-in): single-level
         # buckets up to *sub_band_threshold* distinct fingerprints

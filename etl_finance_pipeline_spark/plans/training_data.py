@@ -6256,11 +6256,13 @@ def q_stream_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained text classifier deployed on the INGEST STREAM: the
     head fits once on the standing batch corpus, collapses to a
     dim-double literal, and each streaming document scores itself
-    with a fully NARROW expression — per-token signed weight lookup
-    summed in-array, divided by the token count (the mean-pooled dot
-    product distributes over tokens). No state, no watermark, append
-    mode; same rounded outputs as the batch probe, so the two lanes
-    share one oracle."""
+    with a fully NARROW expression — signed token counts grouped by
+    bucket in-array, divided by the token count, then dotted with the
+    weight literal in bucket order, the EXACT floating-point
+    evaluation order of the batch featurizer + probe (not merely
+    algebraically equal), so the rounded outputs match bitwise. No
+    state, no watermark, append mode; the two lanes share one
+    oracle."""
     import uuid
 
     from etl_finance_pipeline_spark.functions.text import tokens
@@ -6295,19 +6297,40 @@ def q_stream_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign = lambda t: F.when(  # noqa: E731
         hash_word(t, 16) % 2 == 0, F.lit(1.0)
     ).otherwise(F.lit(-1.0))
-    tok_sum = F.aggregate(
-        toks,
-        F.lit(0.0),
-        lambda acc, t: acc
-        + sign(t)
-        * F.element_at(w_lit, (hash_word(t, 1) % _FT_DIM).cast("int") + 1),
+
+    # replicate the BATCH lane's floating-point evaluation order
+    # bitwise, not just algebraically: hashed_text_features sums signed
+    # counts PER BUCKET (integer-valued — exact in any order), divides
+    # each bucket by the token count, and linear_probe_score folds
+    # x[pos]·w[pos] left-to-right over pos. A flat per-token weight sum
+    # is equal only in exact arithmetic; a different summation order
+    # can land on the other side of a 6-dp rounding boundary and
+    # hash-mismatch the shared oracle.
+    def _bucket_count(p: int):
+        return F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.when(
+                (hash_word(t, 1) % _FT_DIM).cast("int") == p, sign(t)
+            ).otherwise(F.lit(0.0)),
+        )
+
+    x_arr = F.array(
+        *[_bucket_count(p) / F.size(toks) for p in range(_FT_DIM)]
+    )
+    score = (
+        F.aggregate(
+            F.zip_with(x_arr, w_lit, lambda x, wi: x * wi),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        + F.lit(float(b))
     )
     scored = stream.filter(F.size(toks) > 0).select(
         "doc_id",
         (F.col("lang") == "en").cast("long").alias("label"),
-        _pr(tok_sum / F.size(toks) + F.lit(float(b)), 6).alias(
-            "fasttext_score"
-        ),
+        _pr(score, 6).alias("fasttext_score"),
     )
     name = f"stream_ft_{uuid.uuid4().hex[:8]}"
     q = (
@@ -6419,10 +6442,16 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.lit(1).alias("_p"))
     )
     j = truth.join(pred, ["id_a", "id_b"], "full")
+    # coalesce the outer-join flags to 0 BEFORE aggregating: with zero
+    # overlap (or an empty side) a bare sum(_t * _p) is NULL while the
+    # oracle's CASE-based 0/1 flags sum to 0 — the counts must agree
+    # on the empty-intersection edge case too
+    t0 = F.coalesce(F.col("_t"), F.lit(0))
+    p0 = F.coalesce(F.col("_p"), F.lit(0))
     agg = j.agg(
-        F.sum("_t").alias("_nt"),
-        F.sum("_p").alias("_np"),
-        F.sum(F.col("_t") * F.col("_p")).alias("_nh"),
+        F.sum(t0).alias("_nt"),
+        F.sum(p0).alias("_np"),
+        F.sum(t0 * p0).alias("_nh"),
     )
     return agg.select(
         F.col("_nt").cast("long").alias("n_truth"),

@@ -716,6 +716,81 @@ def test_hamming_pairs_match_bruteforce_property(spark, fps, max_hamming, sub):
 
 
 @given(
+    fps=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=24,
+    ),
+    max_hamming=st.integers(min_value=0, max_value=6),
+    cap=st.integers(min_value=1, max_value=5),
+)
+@settings(**SETTINGS)
+def test_hamming_pairs_guarded_mode_property(spark, fps, max_hamming, cap):
+    """Guarded mode (max_bucket_size set) must emit every pair present
+    in ANY surviving bucket — including a pair whose FIRST matching
+    band's bucket was dropped by the skew guard but that still shares
+    a surviving later band (the bitwise first-band shortcut would
+    discard it). Identical fingerprints bypass the banding entirely,
+    so Hamming-0 duplicate pairs always surface regardless of cap."""
+    from etl_finance_pipeline_spark.operators.dedup import hamming_pairs
+
+    bits, bands = 64, 8
+    sb = bits // bands
+    rows = [(i, f) for i, f in enumerate(fps)]
+    df = spark.createDataFrame(rows, "doc_id long, fp long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(
+            df, "fp", id_col="doc_id", bits=bits, bands=bands,
+            max_hamming=max_hamming, max_bucket_size=cap,
+        ).collect()
+    }
+
+    # bucket member weight = pre-collapse row count per (band, key)
+    m64 = (1 << 64) - 1
+    weight: dict = {}
+    for _i, f in rows:
+        u = f & m64
+        for b in range(bands):
+            k = (b, (u >> (b * sb)) & ((1 << sb) - 1))
+            weight[k] = weight.get(k, 0) + 1
+
+    import itertools
+
+    expected = {}
+    for (ia, fa), (ib, fb) in itertools.combinations(rows, 2):
+        h = bin((fa ^ fb) & m64).count("1")
+        if h > max_hamming:
+            continue
+        if fa == fb:
+            expected[(min(ia, ib), max(ia, ib))] = 0
+            continue
+        ua, ub = fa & m64, fb & m64
+        survives = any(
+            (ua >> (b * sb)) & ((1 << sb) - 1) == (ub >> (b * sb)) & ((1 << sb) - 1)
+            and weight[(b, (ua >> (b * sb)) & ((1 << sb) - 1))] <= cap
+            for b in range(bands)
+        )
+        if survives:
+            expected[(min(ia, ib), max(ia, ib))] = h
+    assert got == expected
+
+
+def test_hamming_pairs_rejects_conflicting_knobs(spark):
+    """max_bucket_size (lossy guard) and sub_band_threshold (lossless
+    multi-index) are contradictory contracts — asking for both raises
+    instead of silently ignoring one."""
+    from etl_finance_pipeline_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame([(1, 5), (2, 7)], "doc_id long, fp long")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        hamming_pairs(
+            df, "fp", id_col="doc_id",
+            max_bucket_size=100, sub_band_threshold=64,
+        )
+
+
+@given(
     words=st.lists(
         st.text(alphabet="abc", min_size=1, max_size=10),
         min_size=1,
