@@ -505,30 +505,48 @@ def ngram_repetition_stats(
 def zipf_fit(
     df: DataFrame,
     text_col: str = "text",
+    min_count: int = 2,
+    top_n: int | None = 100_000,
     round_digits: int = 6,
 ) -> DataFrame:
     """Zipf rank-frequency fit: least-squares slope/intercept of
-    ln(count) against ln(rank) over the corpus unigram distribution
-    (rank by count desc, token asc) — the corpus-health diagnostic
-    (natural text sits near slope ≈ −1; template/boilerplate corpora
-    flatten or steepen it).
+    ln(count) against ln(rank) over the HEAD of the corpus unigram
+    distribution (rank by count desc, token asc) — the corpus-health
+    diagnostic (natural text sits near slope ≈ −1; template/
+    boilerplate corpora flatten or steepen it).
 
-    One corpus token-count aggregate; the ranking window runs over the
-    VOCABULARY frame, unpartitioned BY DESIGN (a vocabulary is
-    broadcast-sized by definition — the string_index contract), and
-    the fit is one scalar aggregate over it.
+    The raw type vocabulary of a web corpus is NOT bounded — hapax
+    legomena (URLs, numbers, typos) grow with corpus size — so the
+    fit frame is cut twice before any ranking: *min_count* drops the
+    hapax tail with a map-side filter pushed upstream of the sort,
+    and *top_n* keeps the head via an orderBy+limit that plans as
+    TakeOrderedAndProject (per-partition partial top-N, never a
+    global single-partition sort of the vocabulary). The ranking
+    window then runs over ≤ top_n surviving rows — bounded by the
+    knob, not by the corpus. Both cuts preserve the head's ranks
+    exactly (every dropped type has a strictly lower count, or a
+    worse (count, token) order at the boundary, than every kept one),
+    and the Zipf fit only needs the head. ``top_n=None`` disables the
+    head cap for vocabularies the caller KNOWS are bounded.
 
-    Output: one row (n_types, n_tokens, slope, intercept).
+    Output: one row (n_fit_types, n_fit_tokens, slope, intercept) —
+    the type/token mass OF THE FITTED HEAD (corpus-wide totals are
+    ``vocab_coverage``'s job).
     """
     from pyspark.sql.window import Window
 
     from etl_finance_pipeline_spark.functions.scalar import portable_round
 
+    if min_count < 1:
+        raise ValueError(f"zipf_fit: min_count must be ≥ 1, got {min_count}")
     counts = (
         df.select(F.explode(tokens(text_col)).alias("_w"))
         .groupBy("_w")
         .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= F.lit(min_count))
     )
+    if top_n is not None:
+        counts = counts.orderBy(F.col("_c").desc(), F.col("_w")).limit(top_n)
     w = Window.orderBy(F.col("_c").desc(), F.col("_w"))
     pts = counts.select(
         F.col("_c"),
@@ -543,13 +561,16 @@ def zipf_fit(
         F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
         F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
     )
-    slope = (F.col("_sxy") - F.col("_sx") * F.col("_sy") / F.col("_n")) / (
-        F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n")
+    # a 0- or 1-point fit frame has no defined regression: try_divide
+    # yields NULL slope/intercept instead of an ANSI divide-by-zero
+    slope = F.try_divide(
+        F.col("_sxy") - F.col("_sx") * F.col("_sy") / F.col("_n"),
+        F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n"),
     )
     intercept = (F.col("_sy") - slope * F.col("_sx")) / F.col("_n")
     return agg.select(
-        F.col("_n").cast("long").alias("n_types"),
-        F.col("_tok").cast("long").alias("n_tokens"),
+        F.col("_n").cast("long").alias("n_fit_types"),
+        F.col("_tok").cast("long").alias("n_fit_tokens"),
         portable_round(slope, round_digits).alias("slope"),
         portable_round(intercept, round_digits).alias("intercept"),
     )

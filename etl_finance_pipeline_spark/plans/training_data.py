@@ -6717,35 +6717,45 @@ GROUP BY doc_id
 """
 
 
+_ZIPF_MIN = 2
+_ZIPF_TOPN = 100_000
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipf rank-frequency least-squares fit over the corpus unigram
-    distribution — natural text sits near slope ≈ −1; template/
-    boilerplate corpora flatten or steepen it."""
+    """Zipf rank-frequency least-squares fit over the HEAD of the
+    corpus unigram distribution (min_count ≥ 2 drops the hapax tail
+    upstream of any sort; top-N plans as TakeOrderedAndProject) —
+    natural text sits near slope ≈ −1; template/boilerplate corpora
+    flatten or steepen it."""
     from etl_finance_pipeline_spark.operators.text_analysis import zipf_fit
 
     docs = load_table(spark, _t(sf_dir, "documents"))
-    return zipf_fit(docs)
+    return zipf_fit(docs, min_count=_ZIPF_MIN, top_n=_ZIPF_TOPN)
 
 
-SQL_ZIPF_FIT = r"""
+SQL_ZIPF_FIT = rf"""
 WITH ztok AS (
   SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
   FROM documents
 ),
-zcnt AS (SELECT w, count(*) AS c FROM ztok GROUP BY 1),
+zcnt AS (
+  SELECT w, count(*) AS c FROM ztok GROUP BY 1
+  HAVING count(*) >= {_ZIPF_MIN}
+),
+zrn AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM zcnt
+),
 zpts AS (
-  SELECT c,
-         ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
-         ln(CAST(c AS DOUBLE)) AS y
-  FROM zcnt
+  SELECT c, ln(CAST(rn AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+  FROM zrn WHERE rn <= {_ZIPF_TOPN}
 ),
 zagg AS (
   SELECT count(*) AS n, sum(c) AS tok, sum(x) AS sx, sum(y) AS sy,
          sum(x * y) AS sxy, sum(x * x) AS sxx
   FROM zpts
 )
-SELECT CAST(n AS BIGINT) AS n_types,
-       CAST(tok AS BIGINT) AS n_tokens,
+SELECT CAST(n AS BIGINT) AS n_fit_types,
+       CAST(tok AS BIGINT) AS n_fit_tokens,
        floor(((sxy - sx * sy / n) / (sxx - sx * sx / n)) * 1000000 + 0.5)
          / 1000000 AS slope,
        floor(((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n)

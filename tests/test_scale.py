@@ -729,3 +729,35 @@ def test_scale_hamming_multiindex_uniform_fps(bigspark):
     # random 64-bit pairs within hamming 2 are essentially nonexistent
     assert rows < 100
     assert dt < 180
+
+
+def test_scale_zipf_fit_hapax_heavy_vocab(bigspark):
+    """2M docs, each contributing ONE unique hapax token (the web-corpus
+    URL/number/typo tail that grows with corpus size) plus head tokens:
+    the min_count cutoff must kill the 2M-type tail with a map-side
+    filter BEFORE any ranking, and the head cap must plan as
+    TakeOrderedAndProject — never a single-partition sort of the full
+    vocabulary."""
+    from etl_finance_pipeline_spark.operators.text_analysis import zipf_fit
+
+    n = 2_000_000
+    docs = bigspark.range(n).select(
+        F.concat_ws(
+            " ",
+            F.lit("the"),
+            F.concat(F.lit("w"), (F.col("id") % 1000).cast("string")),
+            F.concat(F.lit("u"), F.col("id").cast("string")),
+        ).alias("text")
+    )
+    out = zipf_fit(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    t0 = time.time()
+    row = out.collect()[0]
+    dt = time.time() - t0
+    print(f"\nSCALE zipf_fit hapax-heavy: 2M hapax types filtered in {dt:.1f}s")
+    # survivors: 'the' (2M) + w0..w999 (2000 each); the 2M u-tokens are hapax
+    assert row["n_fit_types"] == 1001
+    assert row["n_fit_tokens"] == 4_000_000
+    assert row["slope"] < 0
+    assert dt < 120

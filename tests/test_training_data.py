@@ -1220,8 +1220,9 @@ def test_vocab_coverage_and_zipf_fit(spark):
     assert cov[1]["oov_frac"] == 0.25
     assert (cov[2]["n_tokens"], cov[2]["n_oov"]) == (2, 1)
 
-    z = zipf_fit(df).collect()[0]
-    # three types, ranks (the=1, cat=2, dog=3); x=ln(rank), y=ln(count)
+    # min_count=1, no head cap: fit over the full 3-type vocabulary —
+    # ranks (the=1, cat=2, dog=3); x=ln(rank), y=ln(count)
+    z = zipf_fit(df, min_count=1, top_n=None).collect()[0]
     import math
 
     xs = [math.log(1), math.log(2), math.log(3)]
@@ -1232,9 +1233,26 @@ def test_vocab_coverage_and_zipf_fit(spark):
     sxx = sum(a * a for a in xs)
     slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
     intercept = (sy - slope * sx) / n
-    assert z["n_types"] == 3 and z["n_tokens"] == 6
+    assert z["n_fit_types"] == 3 and z["n_fit_tokens"] == 6
     assert z["slope"] == pytest.approx(slope, abs=1e-6)
     assert z["intercept"] == pytest.approx(intercept, abs=1e-6)
+
+    # default min_count=2 drops the hapax tail (cat, dog) before any
+    # ranking; with one surviving type the fit frame is degenerate on
+    # purpose — counts confirm the cutoff, not the regression
+    z2 = zipf_fit(df).collect()[0]
+    assert z2["n_fit_types"] == 1 and z2["n_fit_tokens"] == 4
+
+    # top_n caps the head AFTER min_count: keep the 2 best (count,
+    # token) ranks of the full vocabulary
+    z3 = zipf_fit(df, min_count=1, top_n=2).collect()[0]
+    # ranks kept: the(4) rank 1, cat(1) rank 2 (token asc beats dog)
+    assert z3["n_fit_types"] == 2 and z3["n_fit_tokens"] == 5
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="min_count"):
+        zipf_fit(df, min_count=0)
 
 
 def test_cluster_profile_census_and_purity(spark):
