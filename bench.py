@@ -59,6 +59,13 @@ def main() -> int:
     # Warm up the JVM / codegen / parquet footer caches.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # machine-speed calibration BEFORE the query loop (and again after):
+    # three pinned probes whose plans never change round to round, so a
+    # cross-round delta on real queries is mechanically attributable —
+    # if the probes drifted too, it's the machine, not the plan.
+    calib_pre = _calibration(spark, sf_dir)
+    print(f"# calibration pre: {calib_pre}", file=sys.stderr)
+
     # min-of-N runs per query: single-run numbers on a shared JVM swing
     # ±50% with GC/codegen noise; the min is the stable estimate of the
     # plan's actual cost. Heavy queries (min > ~2 s) get extra samples:
@@ -143,6 +150,9 @@ def main() -> int:
                         "ratio": round(ratio, 3),
                     }
 
+    calib_post = _calibration(spark, sf_dir)
+    print(f"# calibration post: {calib_post}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_query_seconds",
@@ -160,6 +170,7 @@ def main() -> int:
     # query, every run sample, run count) to a file so claims about heavy
     # queries are auditable. $BENCH_JSON_OUT overrides the destination.
     full = dict(out)
+    full["calibration"] = {"pre": calib_pre, "post": calib_post}
     full["runs_per_query"] = runs
     full["heavy_threshold_sec"] = heavy_sec
     full["heavy_runs"] = heavy_runs
@@ -183,6 +194,52 @@ def main() -> int:
     except OSError as exc:
         print(f"# could not write full artifact: {exc}", file=sys.stderr)
     return 0
+
+
+def _calibration(spark, sf_dir: str) -> dict[str, float]:
+    """Three PINNED machine-speed probes (min-of-3 each), run before
+    and after the query loop and committed into the full artifact.
+    These plans must NEVER change between rounds — they are the
+    fixed ruler that turns next round's 'is this 1.7× a regression
+    or a slower machine?' into arithmetic (compare the probes first).
+
+    probes: scan  = full parquet scan + count (I/O + decode path)
+            shuffle = 5M-row hash aggregate (exchange + agg path)
+            window  = 1M-row partitioned running sum (sort + window)
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def probe_scan():
+        return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    def probe_shuffle():
+        return (
+            spark.range(5_000_000)
+            .groupBy((F.col("id") % 1000).alias("k"))
+            .agg(F.sum("id").alias("s"))
+            .count()
+        )
+
+    def probe_window():
+        w = Window.partitionBy(F.col("id") % 100).orderBy("id")
+        return (
+            spark.range(1_000_000)
+            .select(F.sum("id").over(w).alias("r"))
+            .filter(F.col("r") >= 0)
+            .count()
+        )
+
+    out: dict[str, float] = {}
+    for name, fn in (("scan", probe_scan), ("shuffle", probe_shuffle), ("window", probe_window)):
+        samples = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn()
+            samples.append(round(time.perf_counter() - t0, 3))
+        out[name] = min(samples)
+    return out
 
 
 def _sample_stats(samples: list[float]) -> dict[str, float]:
