@@ -905,3 +905,164 @@ def vocab_coverage(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# HTML/markup text extraction (jusText-lite) — the curation funnel's
+# stage 0. Every web pipeline (C4, RefinedWeb, FineWeb) starts from
+# raw HTML; everything downstream (c4_clean, gopher_rules, dedup)
+# assumes already-clean text. No reference counterpart.
+# ---------------------------------------------------------------------
+
+#: block-level tags that delimit candidate text blocks; inline tags
+#: (<a>, <b>, <span>) stay INSIDE their block so anchor text can be
+#: measured against the block that contains it. Non-capturing groups:
+#: capture groups change split semantics in some engines.
+HTML_BLOCK_SPLIT_RE = (
+    r"(?i)</?(?:p|div|nav|footer|header|h[1-6]|li|ul|ol|br|title|body"
+    r"|html|head|table|tr|td|th|section|article|aside|blockquote)"
+    r"(?:\s[^>]*)?/?>"
+)
+
+#: invisible/markup-only regions removed wholesale before block
+#: splitting, in order. Lazy quantifiers; RE2 ∩ Java-regex dialect so
+#: the DuckDB oracle runs the identical chain.
+HTML_STRIP_RES: tuple[str, ...] = (
+    r"(?s)<!--.*?-->",
+    r"(?is)<head[^>]*>.*?</head>",
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+)
+
+_HTML_ANCHOR_RE = r"(?is)<a[^>]*>(.*?)</a>"
+_HTML_TAG_RE = r"<[^>]*>"
+
+
+def _ws_norm(c: Column) -> Column:
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_extract(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text",
+    max_link_density: float = 0.3,
+    block_joiner: str = " ",
+) -> DataFrame:
+    """jusText-lite main-text extraction (Pomikálek 2011's
+    link-density heuristic, reduced to its deterministic core): strip
+    comments, <head>, <script> and <style> regions; split the rest
+    into blocks at block-level tags; keep a block iff its tag-stripped
+    text is non-empty AND its anchor-text share is at most
+    *max_link_density* (navigation, footers, share bars and ad units
+    are link-dominated; body prose is not); re-join kept blocks with
+    *block_joiner* (pass ``"\\n"`` to hand each block to a line-based
+    downstream pass like :func:`c4_clean` as its own line).
+
+    One whole-stage-codegen projection chain — regexp_replace cascade,
+    one split, one transform-to-(text, keep)-struct per block (each
+    block's features are computed exactly once — no HOF sibling
+    re-evaluation), filter, array_join. Zero shuffles, zero UDFs; at
+    100 TB this is a narrow map over the raw crawl.
+
+    The density compare multiplies integer lengths by an IEEE double
+    literal — bit-identical in any engine, so the DuckDB twin running
+    the same chain is an exact oracle.
+
+    Output: input columns + *out_col* (extracted text, possibly '').
+    """
+    h = F.col(html_col)
+    for pat in HTML_STRIP_RES:
+        h = F.regexp_replace(h, pat, " ")
+    blocks = F.split(h, HTML_BLOCK_SPLIT_RE)
+
+    def _feat(b: Column) -> Column:
+        btext = _ws_norm(F.regexp_replace(b, _HTML_TAG_RE, " "))
+        ltext = _ws_norm(
+            F.regexp_replace(
+                F.array_join(
+                    F.regexp_extract_all(b, F.lit(_HTML_ANCHOR_RE), 1), " "
+                ),
+                _HTML_TAG_RE,
+                " ",
+            )
+        )
+        keep = (F.length(btext) > 0) & (
+            F.length(ltext).cast("double")
+            <= F.length(btext).cast("double") * F.lit(float(max_link_density))
+        )
+        return F.struct(btext.alias("t"), keep.alias("k"))
+
+    structs = F.transform(blocks, _feat)
+    # every kept block is non-empty and already ws-normalized, so the
+    # join needs no final collapse — and a structural joiner (newline)
+    # must survive untouched for line-based downstream passes
+    out = F.array_join(
+        F.transform(F.filter(structs, lambda s: s["k"]), lambda s: s["t"]),
+        block_joiner,
+    )
+    return df.withColumn(out_col, out)
+
+
+def synthesize_html(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "html",
+) -> DataFrame:
+    """Wrap fixture text in a deterministic HTML page — the same
+    synthesize-the-payload-in-engine device the media lanes use for
+    WAV/PNG/JPEG bytes (multimodal.py), applied to markup: a <head>
+    with title/style/script, a nav bar, per-id noise variants (an
+    inline script + ad unit, or a comment + pagination list), the
+    document text as body prose under an <h1>, a share bar, and a
+    link-heavy footer. Every byte is a function of (id, text), so the
+    DuckDB oracle concatenates the identical payload and the
+    extraction contract can be verified end to end.
+
+    Expected :func:`html_extract` output for this payload:
+    ``Latest post {ws-normalized text}`` — the <h1> is deliberately
+    CONSTANT so exact-duplicate documents stay exact duplicates after
+    extraction (the funnel's dedup stage runs downstream of this).
+    """
+    d = F.col(id_col)
+    i = d.cast("string")
+    extra = (
+        F.when(
+            d % 3 == 1,
+            F.lit(
+                '<script>inline()</script>'
+                '<div class="ad"><a href="/buy">Buy now</a></div>'
+            ),
+        )
+        .when(
+            d % 3 == 2,
+            F.lit(
+                '<!-- rendered 2026 -->'
+                '<ul><li><a href="/p1">Prev</a></li>'
+                '<li><a href="/p2">Next</a></li></ul>'
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        i,
+        F.lit(
+            "</title><style>body{margin:0}</style>"
+            "<script>var a=1;</script></head><body>"
+            '<nav><a href="/">Home</a> <a href="/about">About</a> '
+            '<a href="/tags">Tags</a></nav>'
+        ),
+        extra,
+        F.lit('<h1>Latest post</h1><div class="main"><p>'),
+        F.col(text_col),
+        F.lit(
+            '</p></div><div class="share"><a href="/s/tw">Tweet</a> '
+            '<a href="/s/fb">Share</a></div>'
+            '<footer><a href="/terms">Terms</a> '
+            '<a href="/privacy">Privacy</a> (c) 2026 example.com</footer>'
+            "</body></html>"
+        ),
+    )
+    return df.withColumn(out_col, html)

@@ -7276,18 +7276,178 @@ GROUP BY 1
 # RefinedWeb-style web-curation funnel (URL → lang → quality → dedup)
 # --------------------------------------------------------------------
 
+# --------------------------------------------------------------------
+# HTML/markup text extraction (jusText-lite) — curation stage 0
+# --------------------------------------------------------------------
+
+def _html_sql_ctes(joiner: str = " ") -> str:
+    """``hx_pay → hx_clean → hx_blocks → hxdocs`` CTE chain: the
+    DuckDB twin of synthesize_html + html_extract, generated from the
+    SAME regex constants the Spark operator compiles so the two
+    engines run the byte-identical chain. ``hxdocs`` exposes
+    (doc_id, source, lang, text=extracted). array_to_string of an
+    empty list is NULL in DuckDB where Spark's array_join is '' —
+    hence the coalesces."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        HTML_BLOCK_SPLIT_RE,
+        HTML_STRIP_RES,
+    )
+
+    strip = "html"
+    for pat in HTML_STRIP_RES:
+        strip = f"regexp_replace({strip}, '{pat}', ' ', 'g')"
+    j = "chr(10)" if joiner == "\n" else f"'{joiner}'"
+    return f"""hx_pay AS (
+  SELECT doc_id, source, lang,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || '</title><style>body{{margin:0}}</style><script>var a=1;</script></head><body>'
+    || '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/tags">Tags</a></nav>'
+    || (CASE doc_id % 3
+        WHEN 1 THEN '<script>inline()</script><div class="ad"><a href="/buy">Buy now</a></div>'
+        WHEN 2 THEN '<!-- rendered 2026 --><ul><li><a href="/p1">Prev</a></li><li><a href="/p2">Next</a></li></ul>'
+        ELSE '' END)
+    || '<h1>Latest post</h1><div class="main"><p>' || text
+    || '</p></div><div class="share"><a href="/s/tw">Tweet</a> <a href="/s/fb">Share</a></div>'
+    || '<footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> (c) 2026 example.com</footer></body></html>'
+    AS html
+  FROM documents
+),
+hx_clean AS (
+  SELECT doc_id, source, lang, {strip} AS h FROM hx_pay
+),
+hx_blocks AS (
+  SELECT doc_id, source, lang,
+    list_filter(
+      list_transform(
+        regexp_split_to_array(h, '{HTML_BLOCK_SPLIT_RE}'),
+        b -> struct_pack(
+          t := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+          l := trim(regexp_replace(regexp_replace(
+                 coalesce(array_to_string(regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''),
+                 '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))
+        )
+      ),
+      s -> len(s.t) > 0 AND CAST(len(s.l) AS DOUBLE) <= CAST(len(s.t) AS DOUBLE) * 0.3
+    ) AS ks
+  FROM hx_clean
+),
+hxdocs AS (
+  SELECT doc_id, source, lang,
+    coalesce(array_to_string(list_transform(ks, s -> s.t), {j}), '') AS text
+  FROM hx_blocks
+)"""
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation stage 0: main-text extraction from raw HTML. The
+    payload is synthesized deterministically around the fixture text
+    (the media lanes' build-the-bytes-in-engine device, applied to
+    markup: head/script/style noise, nav, per-id ad/pagination
+    variants, a link-heavy footer), then the jusText-lite extractor
+    strips invisible regions, splits at block tags, and keeps only
+    low-link-density non-empty blocks — one codegen projection chain,
+    zero shuffles. The DuckDB oracle replays the identical regex
+    chain over the identical payload bytes."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        html_extract,
+        synthesize_html,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return html_extract(synthesize_html(docs)).select("doc_id", "text")
+
+
+SQL_HTML_EXTRACT = f"""
+WITH {_html_sql_ctes()}
+SELECT doc_id, text FROM hxdocs
+"""
+
+
+def q_html_c4_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractor → C4 composition: blocks come out of html_extract as
+    NEWLINE-joined lines, so c4_clean's line filter (≥5 words; the
+    terminal-punctuation rule is off — the fixture corpus carries
+    none) judges each extracted block independently — the 2-word
+    <h1> block dies, the prose block survives, and the document
+    keeps/drops on what's left. This is the funnel order every web
+    pipeline runs: extract first, THEN line-level cleaning."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        c4_clean,
+        html_extract,
+        synthesize_html,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    hx = html_extract(synthesize_html(docs), block_joiner="\n").select(
+        "doc_id", "text"
+    )
+    out = c4_clean(
+        hx, min_words=5, require_terminal=False, min_kept_lines=1, joiner=" "
+    )
+    return out.select(
+        "doc_id", "n_lines", "kept_lines", "c4_drop", "drop_reason", "text"
+    )
+
+
+SQL_HTML_C4_GATE = f"""
+WITH {_html_sql_ctes(joiner=chr(10))},
+hcl AS (
+  SELECT doc_id, lines[i] AS line, i AS pos
+  FROM (
+    SELECT doc_id, string_split(text, chr(10)) AS lines,
+           unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+    FROM hxdocs
+  )
+),
+hct AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM hcl GROUP BY 1),
+hck AS (
+  SELECT doc_id, pos, line FROM hcl
+  WHERE len(regexp_split_to_array(trim(line), '\\s+')) >= 5
+),
+hcf AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+         string_agg(line, ' ' ORDER BY pos) AS clean
+  FROM hck GROUP BY 1
+),
+hcr AS (
+  SELECT d.doc_id,
+         coalesce(hct.n_lines, 0) AS n_lines,
+         coalesce(hcf.kept_lines, 0) AS kept_lines,
+         hcf.clean,
+         CASE
+           WHEN position('{{' IN lower(d.text)) > 0 THEN 'bad_substring'
+           WHEN position('lorem ipsum' IN lower(d.text)) > 0 THEN 'bad_substring'
+           WHEN coalesce(hcf.kept_lines, 0) < 1 THEN 'too_few_lines'
+           ELSE 'kept'
+         END AS drop_reason
+  FROM hxdocs d
+  LEFT JOIN hct ON hct.doc_id = d.doc_id
+  LEFT JOIN hcf ON hcf.doc_id = d.doc_id
+)
+SELECT doc_id, n_lines, kept_lines,
+       (drop_reason != 'kept') AS c4_drop,
+       drop_reason,
+       CASE WHEN drop_reason = 'kept' THEN clean END AS text
+FROM hcr
+"""
+
+
 def q_web_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WEB-curation funnel (Penedo et al. 2023's RefinedWeb stage
-    order) in one report pass: how many documents survive (a) the
-    URL/domain blocklist, (b) the language gate (n-gram lang-ID =
-    en), (c) the Gopher structural rules, and (d) exact dedup —
-    each predicate evaluated independently over the raw corpus and
+    order) in one report pass, now starting from RAW HTML: stage 0
+    extracts main text from the synthesized markup payloads
+    (jusText-lite), then every downstream gate — (a) the URL/domain
+    blocklist, (b) the language gate (n-gram lang-ID = en), (c) the
+    Gopher structural rules, (d) exact dedup — evaluates over the
+    EXTRACTED text, each predicate independently over the corpus and
     intersected for the final keep count (the single-pass semantics
     one report can honestly compute, as with curation_funnel).
     Output: one row of stage counts."""
     from etl_finance_pipeline_spark.operators.corpus import (
         canonical_host,
+        html_extract,
         registrable_domain,
+        synthesize_html,
     )
     from etl_finance_pipeline_spark.operators.text_analysis import (
         gopher_rules,
@@ -7295,14 +7455,18 @@ def q_web_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, _t(sf_dir, "documents"))
+    docs_x = html_extract(synthesize_html(docs)).select(
+        "doc_id", "source", "lang", "text"
+    )
     domain = registrable_domain(canonical_host(_url_expr()))
     dflag = (~domain.isin(_URL_BLOCKLIST)).cast("int")
-    exact = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    lid = language_id(docs).select(
+    exact = docs_x.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    lid = language_id(docs_x).select(
         "doc_id", (F.col("pred_lang") == "en").cast("int").alias("_lk")
     )
     flags = (
-        gopher_rules(docs)
+        gopher_rules(docs_x)
+        .withColumn("_xk", (F.length("text") > 0).cast("int"))
         .withColumn("_dk", dflag)
         .join(lid, "doc_id")
         .join(
@@ -7311,6 +7475,7 @@ def q_web_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .select(
+            "_xk",
             "_dk",
             "_lk",
             (
@@ -7324,21 +7489,26 @@ def q_web_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return flags.agg(
         F.count("*").cast("long").alias("n_raw"),
+        F.sum("_xk").cast("long").alias("n_extract"),
         F.sum("_dk").cast("long").alias("n_domain"),
         F.sum("_lk").cast("long").alias("n_lang"),
         F.sum("_qk").cast("long").alias("n_quality"),
         F.sum("_ek").cast("long").alias("n_exact"),
-        F.sum(F.col("_dk") * F.col("_lk") * F.col("_qk") * F.col("_ek"))
+        F.sum(
+            F.col("_xk") * F.col("_dk") * F.col("_lk") * F.col("_qk") * F.col("_ek")
+        )
         .cast("long")
         .alias("n_final"),
     )
 
 
 SQL_WEB_CURATION_FUNNEL = f"""
-WITH {_URL_CTE.strip()},
-wfe AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+WITH {_html_sql_ctes()},
+{_URL_CTE.strip()},
+wfe AS (SELECT min(doc_id) AS doc_id FROM hxdocs GROUP BY text),
 wfl AS (
   SELECT d.doc_id,
+    CASE WHEN len(d.text) > 0 THEN 1 ELSE 0 END AS xk,
     CASE WHEN doms.domain NOT IN ({", ".join(f"'{b}'" for b in _URL_BLOCKLIST)})
          THEN 1 ELSE 0 END AS dk,
     CASE WHEN lid.pred_lang = 'en' THEN 1 ELSE 0 END AS lk,
@@ -7346,18 +7516,21 @@ wfl AS (
           AND gq.rule_symbol_ratio AND gq.rule_alpha_words
          THEN 1 ELSE 0 END AS qk,
     CASE WHEN wfe.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ek
-  FROM documents d
+  FROM hxdocs d
   JOIN doms ON doms.doc_id = d.doc_id
-  JOIN ({SQL_LANG_ID.strip()}) lid ON lid.doc_id = d.doc_id
-  JOIN ({SQL_GOPHER_QUALITY.strip()}) gq ON gq.doc_id = d.doc_id
+  JOIN ({SQL_LANG_ID.replace("FROM documents", "FROM hxdocs").strip()}) lid
+    ON lid.doc_id = d.doc_id
+  JOIN ({SQL_GOPHER_QUALITY.replace("FROM documents", "FROM hxdocs").strip()}) gq
+    ON gq.doc_id = d.doc_id
   LEFT JOIN wfe ON wfe.doc_id = d.doc_id
 )
 SELECT CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(sum(xk) AS BIGINT) AS n_extract,
        CAST(sum(dk) AS BIGINT) AS n_domain,
        CAST(sum(lk) AS BIGINT) AS n_lang,
        CAST(sum(qk) AS BIGINT) AS n_quality,
        CAST(sum(ek) AS BIGINT) AS n_exact,
-       CAST(sum(dk * lk * qk * ek) AS BIGINT) AS n_final
+       CAST(sum(xk * dk * lk * qk * ek) AS BIGINT) AS n_final
 FROM wfl
 """
 
@@ -7571,6 +7744,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_fasttext_score": q_stream_fasttext_score,
     "domain_filter": q_domain_filter,
     "stream_domain_filter": q_stream_domain_filter,
+    "html_extract": q_html_extract,
+    "html_c4_gate": q_html_c4_gate,
     "web_curation_funnel": q_web_curation_funnel,
     "domain_rollup": q_domain_rollup,
     "cluster_mix": q_cluster_mix,
@@ -7713,6 +7888,8 @@ ORACLES_TD: dict[str, str] = {
     "stream_fasttext_score": SQL_STREAM_FASTTEXT_SCORE,
     "domain_filter": SQL_DOMAIN_FILTER,
     "stream_domain_filter": SQL_STREAM_DOMAIN_FILTER,
+    "html_extract": SQL_HTML_EXTRACT,
+    "html_c4_gate": SQL_HTML_C4_GATE,
     "web_curation_funnel": SQL_WEB_CURATION_FUNNEL,
     "domain_rollup": SQL_DOMAIN_ROLLUP,
     "cluster_mix": SQL_CLUSTER_MIX,

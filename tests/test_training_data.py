@@ -1274,3 +1274,75 @@ def test_cluster_profile_census_and_purity(spark):
     assert out[0]["top_label"] == 7
     assert out[0]["label_purity"] == pytest.approx(2 / 3, abs=1e-6)
     assert out[1]["top_label"] == 5 and out[1]["label_purity"] == 1.0
+
+
+def test_html_extract_drops_boilerplate_keeps_prose(spark):
+    from etl_finance_pipeline_spark.operators.corpus import (
+        html_extract,
+        synthesize_html,
+    )
+
+    rows = [
+        (0, "alpha beta gamma."),
+        (1, "delta epsilon zeta."),
+        (2, "eta theta <b>iota</b> kappa."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["x"]
+        for r in html_extract(
+            synthesize_html(df), out_col="x"
+        ).collect()
+    }
+    # head/title/style/script stripped; nav, ad, pagination, share bar
+    # and footer dropped by link density; inline tags stripped in kept
+    # prose; the constant <h1> survives
+    assert out[0] == "Latest post alpha beta gamma."
+    assert out[1] == "Latest post delta epsilon zeta."
+    assert out[2] == "Latest post eta theta iota kappa."
+
+
+def test_html_extract_direct_payloads(spark):
+    from etl_finance_pipeline_spark.operators.corpus import html_extract
+
+    rows = [
+        # all-link page -> nothing survives
+        (0, '<body><nav><a href="/">A</a> <a href="/">B</a></nav></body>'),
+        # under the density threshold: 3 link chars of 11 -> kept
+        (1, "<p>abc <a href='/'>def</a>ghj</p>"),
+        # above: 4 of 11 -> dropped
+        (2, "<p>ab <a href='/'>defg</a>hij</p>"),
+        # newline block joiner exercised by test below; here whitespace noise
+        (3, "<div>  spaced   out\ttext </div>"),
+        # body script + comment removed even outside <head>
+        (4, "<p>keep me now</p><script>x()</script><!-- no -->"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    out = {r["doc_id"]: r["x"] for r in html_extract(df, out_col="x").collect()}
+    assert out[0] == ""
+    assert out[1] == "abc def ghj"
+    assert out[2] == ""
+    assert out[3] == "spaced out text"
+    assert out[4] == "keep me now"
+
+
+def test_html_extract_newline_joiner_feeds_c4(spark):
+    from etl_finance_pipeline_spark.operators.corpus import (
+        c4_clean,
+        html_extract,
+        synthesize_html,
+    )
+
+    rows = [(7, "one two three four five six seven.")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hx = html_extract(synthesize_html(df), block_joiner="\n").select(
+        "doc_id", "text"
+    )
+    [row] = hx.collect()
+    assert row["text"] == "Latest post\none two three four five six seven."
+    [c4] = c4_clean(
+        hx, min_words=5, require_terminal=False, min_kept_lines=1, joiner=" "
+    ).collect()
+    # the 2-word h1 line dies, the 7-word prose line survives
+    assert (c4["n_lines"], c4["kept_lines"], c4["c4_drop"]) == (2, 1, False)
+    assert c4["text"] == "one two three four five six seven."
