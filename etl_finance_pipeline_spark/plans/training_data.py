@@ -1147,6 +1147,52 @@ def q_near_dup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_near_dup_rewrite_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: same clusters as
+    near_dup_rewrite, but each cluster keeps its HIGHEST-quality
+    member (max_by over the 6-dp-rounded heuristic quality score,
+    ties to the lower doc_id) instead of the min id — what a real
+    curation run wants, since near-duplicates often differ exactly in
+    the junk the quality score measures. Cluster membership is
+    UNCHANGED; only the canonical choice moves. One extra broadcast
+    join (the per-cluster winner frame is cluster-count-sized)."""
+    from etl_finance_pipeline_spark.operators.graph import connected_components
+    from etl_finance_pipeline_spark.operators.text_analysis import quality_score
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    q = quality_score(docs).select("doc_id", _pr("quality", 6).alias("_q"))
+    member = (
+        docs.select("doc_id", "n_chars")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            "n_chars",
+        )
+        .join(q, "doc_id")
+    )
+    best = member.groupBy("component").agg(
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("_q"), (-F.col("doc_id")).alias("_nid"))
+        ).alias("_keep")
+    )
+    kept = member.join(F.broadcast(best), "component").filter(
+        F.col("doc_id") == F.col("_keep")
+    )
+    return kept.select(
+        "doc_id",
+        F.col("component").cast("long").alias("component"),
+        F.col("_q").alias("quality"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+
+
 def q_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation analytics: the 20 most widespread cross-document
     pseudo-lines with their document frequencies — what a pipeline
@@ -1293,6 +1339,37 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN comp c ON c.doc_id = d.doc_id
 WHERE c.component IS NULL OR c.component = d.doc_id
+"""
+)
+
+
+SQL_NEAR_DUP_REWRITE_BEST = (
+    SQL_NEAR_DUP_CLUSTERS[: SQL_NEAR_DUP_CLUSTERS.rindex("SELECT id AS doc_id")].rstrip().rstrip(")").rstrip()
+    + f"""
+),
+comp AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+),
+ndq AS ({SQL_QUALITY_SCORE.strip()}),
+ndm AS (
+  SELECT d.doc_id,
+         coalesce(c.component, d.doc_id) AS component,
+         d.n_chars,
+         q.quality
+  FROM documents d
+  LEFT JOIN comp c ON c.doc_id = d.doc_id
+  JOIN ndq q ON q.doc_id = d.doc_id
+),
+ndr AS (
+  SELECT doc_id, component, n_chars, quality,
+         row_number() OVER (
+           PARTITION BY component ORDER BY quality DESC, doc_id
+         ) AS rn
+  FROM ndm
+)
+SELECT doc_id, CAST(component AS BIGINT) AS component, quality,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM ndr WHERE rn = 1
 """
 )
 
@@ -4835,6 +4912,140 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------
+# Tokenizer compression-ratio eval (which tokenizer for this corpus?)
+# --------------------------------------------------------------------
+
+def q_tokenizer_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The which-tokenizer-for-this-corpus readout: chars/token and
+    tokens/word per source × tokenizer for all three in-engine
+    trainers (BPE, WordPiece, unigram) — the standard compression-
+    ratio eval run before committing a vocabulary to a training mix.
+    Pure composition: each encode lane already produces per-doc token
+    counts; the char/word mass comes from one narrow expression over
+    the SAME length-capped word set each tokenizer actually encodes
+    (BPE: all words; WordPiece: ≤16 chars; unigram: ≤ max_word_len),
+    then one per-source aggregate per lane and a 3-way union. All
+    ratios are IEEE divisions of exact integer sums — no rounding
+    contract beyond the output's own 6 dp."""
+    from etl_finance_pipeline_spark.functions.text import tokens
+    from etl_finance_pipeline_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_train,
+        unigram_segment,
+        unigram_train,
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    toks = tokens("text")
+
+    def meta(cap: int | None):
+        t = (
+            toks
+            if cap is None
+            else F.filter(toks, lambda w: F.length(w) <= F.lit(cap))
+        )
+        return docs.select(
+            "doc_id",
+            "source",
+            F.size(t).cast("long").alias("_w"),
+            F.aggregate(
+                t, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+            ).alias("_c"),
+        )
+
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, n_merges=_BPE_MERGES)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    bpe = bpe_encode(docs, merges).select(
+        "doc_id", F.size("bpe_tokens").cast("long").alias("_t")
+    )
+    wp = wordpiece_encode(
+        docs, wordpiece_train(docs, n_merges=_WP_MERGES)
+    ).select("doc_id", F.col("n_pieces").cast("long").alias("_t"))
+    uni = unigram_segment(
+        docs,
+        unigram_train(
+            docs, n_multi=_UNI_MULTI, iters=_UNI_ITERS,
+            max_piece_len=_UNI_L, max_word_len=_UNI_W,
+        ),
+        max_piece_len=_UNI_L,
+        max_word_len=_UNI_W,
+    ).select("doc_id", F.col("n_pieces").cast("long").alias("_t"))
+
+    outs = []
+    for name, enc, cap in (
+        ("bpe", bpe, None), ("wordpiece", wp, 16), ("unigram", uni, _UNI_W),
+    ):
+        j = enc.join(meta(cap), "doc_id")
+        outs.append(
+            j.groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("_w").cast("long").alias("n_words"),
+                F.sum("_c").cast("long").alias("n_chars"),
+                F.sum("_t").cast("long").alias("n_tokens"),
+            )
+            .select(
+                F.lit(name).alias("tokenizer"),
+                "source",
+                "n_docs",
+                "n_words",
+                "n_chars",
+                "n_tokens",
+                _pr(F.col("n_chars") / F.col("n_tokens"), 6).alias(
+                    "chars_per_token"
+                ),
+                _pr(F.col("n_tokens") / F.col("n_words"), 6).alias(
+                    "tokens_per_word"
+                ),
+            )
+        )
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])
+
+
+SQL_TOKENIZER_EFFICIENCY = f"""
+WITH tkm AS (
+  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+tke AS (
+  SELECT 'bpe' AS tokenizer, m.source,
+         len(m.toks) AS w,
+         list_sum(list_transform(m.toks, t -> CAST(len(t) AS BIGINT))) AS c,
+         enc.n_bpe_tokens AS t
+  FROM ({SQL_BPE_ENCODE.strip()}) enc JOIN tkm m ON m.doc_id = enc.doc_id
+  UNION ALL
+  SELECT 'wordpiece', m.source,
+         len(list_filter(m.toks, t -> len(t) <= 16)),
+         list_sum(list_transform(list_filter(m.toks, t -> len(t) <= 16),
+                                 t -> CAST(len(t) AS BIGINT))),
+         enc.n_pieces
+  FROM ({SQL_WORDPIECE_ENCODE_CORPUS.strip()}) enc JOIN tkm m ON m.doc_id = enc.doc_id
+  UNION ALL
+  SELECT 'unigram', m.source,
+         len(list_filter(m.toks, t -> len(t) <= {_UNI_W})),
+         list_sum(list_transform(list_filter(m.toks, t -> len(t) <= {_UNI_W}),
+                                 t -> CAST(len(t) AS BIGINT))),
+         enc.n_pieces
+  FROM ({SQL_UNIGRAM_SEGMENT.strip()}) enc JOIN tkm m ON m.doc_id = enc.doc_id
+)
+SELECT tokenizer, source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(w) AS BIGINT) AS n_words,
+  CAST(sum(c) AS BIGINT) AS n_chars,
+  CAST(sum(t) AS BIGINT) AS n_tokens,
+  floor(sum(c) / sum(t) * 1000000 + 0.5) / 1000000 AS chars_per_token,
+  floor(sum(t) / sum(w) * 1000000 + 0.5) / 1000000 AS tokens_per_word
+FROM tke GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------
 # Cross-document line dedup (CCNet/RefinedWeb boilerplate removal)
 # --------------------------------------------------------------------
 
@@ -7721,6 +7932,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_train_pruned": q_unigram_train_pruned,
     "wordpiece_train": q_wordpiece_train,
     "wordpiece_encode_corpus": q_wordpiece_encode_corpus,
+    "tokenizer_efficiency": q_tokenizer_efficiency,
     "line_dedup": q_line_dedup,
     "line_dedup_keep_first": q_line_dedup_keep_first,
     "incremental_line_dedup": q_incremental_line_dedup,
@@ -7763,6 +7975,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "containment_pairs": q_containment_pairs,
     "near_dup_rewrite": q_near_dup_rewrite,
+    "near_dup_rewrite_best": q_near_dup_rewrite_best,
     "boilerplate_report": q_boilerplate_report,
     "line_repetition": q_line_repetition,
     "token_budget": q_token_budget,
@@ -7865,6 +8078,7 @@ ORACLES_TD: dict[str, str] = {
     "unigram_train_pruned": SQL_UNIGRAM_TRAIN_PRUNED,
     "wordpiece_train": SQL_WORDPIECE_TRAIN,
     "wordpiece_encode_corpus": SQL_WORDPIECE_ENCODE_CORPUS,
+    "tokenizer_efficiency": SQL_TOKENIZER_EFFICIENCY,
     "line_dedup": SQL_LINE_DEDUP,
     "line_dedup_keep_first": SQL_LINE_DEDUP_KEEP_FIRST,
     "incremental_line_dedup": SQL_INCREMENTAL_LINE_DEDUP,
@@ -7907,6 +8121,7 @@ ORACLES_TD: dict[str, str] = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "near_dup_rewrite": SQL_NEAR_DUP_REWRITE,
+    "near_dup_rewrite_best": SQL_NEAR_DUP_REWRITE_BEST,
     "boilerplate_report": SQL_BOILERPLATE_REPORT,
     "line_repetition": SQL_LINE_REPETITION,
     "token_budget": SQL_TOKEN_BUDGET,
