@@ -3013,6 +3013,165 @@ GROUP BY t.doc_id
 
 
 # --------------------------------------------------------------------
+# DoReMi-style mixture reweighting (iterative domain weights)
+# --------------------------------------------------------------------
+
+_DM_ROUNDS = 5
+_DM_C = 0.1  # uniform-smoothing mass per round (DoReMi's c)
+
+
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style iterative domain reweighting (Xie et al. 2023):
+    per-source excess loss (here the unigram-LM surprisal proxy —
+    −mean per-doc avg logprob, relative to the easiest source) drives
+    exponentiated-gradient updates with uniform smoothing,
+
+        uᵢ = αᵢ·exp(η·excessᵢ);  α′ᵢ = (1−c)·uᵢ/Z + c/k   (η=1)
+
+    for a fixed number of lockstep rounds. The per-source frame
+    collapses to ONE sorted array row, so each round is a pure array
+    expression — the sum Z is a deterministic LEFT FOLD in source
+    order (never a parallel aggregate whose FP order could differ
+    between engines), and every intermediate is rounded to 6 dp per
+    round (the pagerank/GD unrolled-oracle device), so the DuckDB
+    twin replays the identical arithmetic. k sources is control-plane
+    sized by definition; the corpus-scale work is the one logprob
+    aggregate upstream."""
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    lp = unigram_logprob(docs).select("doc_id", "avg_logprob")
+    src = (
+        lp.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            _pr(-F.avg("avg_logprob"), 6).alias("loss"),
+        )
+    )
+    mn = src.agg(F.min("loss").alias("_ml"))
+    ex = src.crossJoin(F.broadcast(mn)).select(
+        "source",
+        "n_docs",
+        "loss",
+        _pr(F.col("loss") - F.col("_ml"), 6).alias("ex"),
+    )
+    arr = ex.agg(
+        F.sort_array(
+            F.collect_list(F.struct("source", "n_docs", "loss", "ex"))
+        ).alias("_xs")
+    )
+    xs = F.col("_xs")
+    k = F.size(xs)
+    # each round lands in its own projection: a nested single-expression
+    # unroll re-resolves the whole subtree per round (u appears in both
+    # Z and the update lambda), which blows past the analyzer's
+    # fixed-point iteration cap — named columns keep every step's tree
+    # one round deep, exactly like the oracle's MATERIALIZED frames
+    arr = arr.select(
+        xs, F.transform(xs, lambda x: _pr(F.lit(1.0) / k, 6)).alias("_a")
+    )
+    for _ in range(_DM_ROUNDS):
+        u = F.zip_with(
+            F.col("_a"), xs, lambda w, x: _pr(w * _pr(F.exp(x["ex"]), 6), 6)
+        )
+        arr = arr.select(xs, u.alias("_u"))
+        z = F.aggregate(F.col("_u"), F.lit(0.0), lambda p, q: p + q)
+        a = F.transform(
+            F.col("_u"),
+            lambda v: _pr(
+                F.lit(1.0 - _DM_C) * v / z + F.lit(_DM_C) / k, 6
+            ),
+        )
+        arr = arr.select(xs, a.alias("_a"))
+    zipped = F.zip_with(
+        xs,
+        F.col("_a"),
+        lambda x, w: F.struct(
+            x["source"].alias("source"),
+            x["n_docs"].alias("n_docs"),
+            x["loss"].alias("loss"),
+            x["ex"].alias("excess_loss"),
+            w.alias("weight"),
+        ),
+    )
+    return (
+        arr.select(F.explode(zipped).alias("_z"))
+        .select(
+            F.col("_z.source").alias("source"),
+            F.col("_z.n_docs").alias("n_docs"),
+            F.col("_z.loss").alias("loss"),
+            F.col("_z.excess_loss").alias("excess_loss"),
+            F.col("_z.weight").alias("weight"),
+        )
+    )
+
+
+def _dm_round_sql(t: int) -> str:
+    return f"""
+dmu{t} AS (
+  SELECT list_transform(generate_series(1, k),
+           i -> floor(a[i] * (floor(exp(xs[i].ex) * 1000000 + 0.5) / 1000000)
+                      * 1000000 + 0.5) / 1000000) AS u
+  FROM dma{t - 1}, dmarr, dmk
+),
+dma{t} AS (
+  SELECT list_transform(generate_series(1, k),
+           i -> floor(({1.0 - _DM_C} * u[i]
+                        / CAST(list_reduce(u, (p, q) -> p + q) AS DOUBLE)
+                       + {_DM_C} / k) * 1000000 + 0.5) / 1000000) AS a
+  FROM dmu{t}, dmk
+)"""
+
+
+SQL_DOREMI_WEIGHTS = (
+    r"""
+WITH dmtok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+dmfrq AS (SELECT tok, count(*) AS tf FROM dmtok GROUP BY 1),
+dmtot AS (SELECT sum(tf) AS n FROM dmfrq),
+dmlp AS (
+  SELECT t.doc_id,
+         floor(avg(ln(f.tf * 1.0 / dmtot.n)) * 1000000 + 0.5) / 1000000 AS lp
+  FROM dmtok t JOIN dmfrq f USING (tok), dmtot
+  GROUP BY t.doc_id
+),
+dmsrc AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         floor(-avg(lp) * 1000000 + 0.5) / 1000000 AS loss
+  FROM dmlp JOIN documents d USING (doc_id) GROUP BY 1
+),
+dmmin AS (SELECT min(loss) AS ml FROM dmsrc),
+dmex AS (
+  SELECT source, n_docs, loss,
+         floor((loss - ml) * 1000000 + 0.5) / 1000000 AS ex
+  FROM dmsrc, dmmin
+),
+dmarr AS MATERIALIZED (
+  SELECT list(struct_pack(source := source, n_docs := n_docs,
+                          loss := loss, ex := ex) ORDER BY source) AS xs
+  FROM dmex
+),
+dmk AS (SELECT len(xs) AS k FROM dmarr),
+dma0 AS (
+  SELECT list_transform(xs, x -> floor(1.0 / k * 1000000 + 0.5) / 1000000) AS a
+  FROM dmarr, dmk
+),"""
+    + ",".join(_dm_round_sql(t) for t in range(1, _DM_ROUNDS + 1))
+    + f"""
+SELECT xs[i].source AS source,
+       CAST(xs[i].n_docs AS BIGINT) AS n_docs,
+       xs[i].loss AS loss,
+       xs[i].ex AS excess_loss,
+       a[i] AS weight
+FROM dma{_DM_ROUNDS}, dmarr, dmk,
+     (SELECT unnest(generate_series(1, (SELECT k FROM dmk))) AS i)
+"""
+)
+
+
+# --------------------------------------------------------------------
 # SemDedup — semantic dedup via cluster-bounded pairwise cosine
 # --------------------------------------------------------------------
 
@@ -8064,6 +8223,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters_star": q_near_dup_clusters_star,
     "repetition_stats": q_repetition_stats,
     "unigram_logprob": q_unigram_logprob,
+    "doremi_weights": q_doremi_weights,
     "embed_quantize": q_embed_quantize,
     "semdedup": q_semdedup,
     "image_stats_png": q_image_stats_png,
@@ -8210,6 +8370,7 @@ ORACLES_TD: dict[str, str] = {
     "near_dup_clusters_star": SQL_NEAR_DUP_CLUSTERS,
     "repetition_stats": SQL_REPETITION_STATS,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "doremi_weights": SQL_DOREMI_WEIGHTS,
     "embed_quantize": SQL_EMBED_QUANTIZE,
     "semdedup": SQL_SEMDEDUP,
     "image_stats_png": SQL_IMAGE_STATS_PNG,
