@@ -1066,3 +1066,76 @@ def synthesize_html(
         ),
     )
     return df.withColumn(out_col, html)
+
+
+def pack_bins(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    seq_tokens: int = 2048,
+    num_shards: int = 8,
+) -> DataFrame:
+    """First-fit-decreasing bin packing per shard WITHOUT splitting
+    documents — the packer real pretraining pipelines want when a
+    document must not straddle a sequence boundary (contrast
+    :func:`pack_sequences`, the concat-and-split layout). Documents
+    are hash-sharded (same deterministic shard as pack_sequences),
+    then each shard runs the classic FFD walk: sort by
+    (tokens desc, id asc), place each document into the FIRST open
+    bin with room, else open a new bin. A document longer than
+    *seq_tokens* gets a bin of its own (reported overfull rather
+    than split or dropped — the caller's length filter runs
+    upstream).
+
+    The walk is inherently sequential IN ITS SHARD, so shards are
+    the parallelism unit (size num_shards ≥ cluster cores at scale;
+    the per-shard kernel is O(docs × open bins), and open bins stay
+    small because FFD fills front bins first). One shuffle to group
+    by shard; the kernel is an Arrow-batched applyInPandas — pure
+    integer arithmetic, deterministic, replayable by a recursive-CTE
+    oracle walking the identical order.
+
+    Output: (shard, bin_id, id, n_tokens, bin_fill) — bin_id is
+    0-based per shard; bin_fill is the bin's FINAL fill, repeated on
+    every member row (the per-bin efficiency readout without a
+    second join).
+    """
+    import pandas as pd
+
+    cap = int(seq_tokens)
+    shard = F.pmod(portable_hash64(F.col(id_col).cast("string")), num_shards)
+    src = df.select(
+        shard.cast("int").alias("shard"),
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    id_type = src.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"shard int, bin_id long, {id_col} {id_type}, "
+        "n_tokens long, bin_fill long"
+    )
+
+    def _ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        bins: list[int] = []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            b = next(
+                (j for j, f in enumerate(fills) if f + t <= cap), None
+            )
+            if b is None:
+                fills.append(t)
+                b = len(fills) - 1
+            else:
+                fills[b] += t
+            bins.append(b)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(
+            [fills[b] for b in bins], dtype="int64"
+        )
+        return pdf[["shard", "bin_id", id_col, "n_tokens", "bin_fill"]]
+
+    return src.groupBy("shard").applyInPandas(_ffd, out_schema)

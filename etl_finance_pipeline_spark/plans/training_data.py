@@ -603,6 +603,68 @@ FROM c
 """
 
 
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing (no document splitting): 4
+    shards, 256-token bins over whitespace token counts — the
+    document-preserving alternative to pack_sequences' concat-split
+    layout. The oracle replays the IDENTICAL greedy walk with a
+    recursive CTE whose state row carries each shard's open-bin fill
+    vector as a list (one successor per shard per step — the
+    WordPiece-walk device with vector state)."""
+    from etl_finance_pipeline_spark.operators.corpus import pack_bins
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
+    )
+    return pack_bins(docs, seq_tokens=256, num_shards=4)
+
+
+_PB_FIT = (
+    "(list_filter(generate_series(1, len(w.fills)),"
+    " j -> w.fills[j] + r.n_tokens <= 256))[1]"
+)
+
+SQL_PACK_BINS = f"""
+WITH RECURSIVE pbt AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         CAST({_H64.format(s="CAST(doc_id AS VARCHAR)")} % 4 AS INT) AS shard
+  FROM documents
+),
+pbr AS (
+  SELECT shard, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS rnk
+  FROM pbt
+),
+pbn AS (SELECT shard, count(*) AS n FROM pbr GROUP BY 1),
+pbw AS (
+  SELECT shard, 0 AS i, CAST(NULL AS BIGINT) AS doc_id,
+         CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS bin_id,
+         CAST([] AS BIGINT[]) AS fills
+  FROM pbn
+  UNION ALL
+  SELECT w.shard, w.i + 1, r.doc_id, r.n_tokens,
+         CAST(coalesce({_PB_FIT}, len(w.fills) + 1) - 1 AS BIGINT) AS bin_id,
+         list_transform(
+           generate_series(1, greatest(CAST(len(w.fills) AS BIGINT),
+                                       coalesce({_PB_FIT}, len(w.fills) + 1))),
+           j -> CASE WHEN j = coalesce({_PB_FIT.replace("j ->", "j2 ->").replace("fills[j]", "fills[j2]")}, len(w.fills) + 1)
+                     THEN coalesce(w.fills[j], CAST(0 AS BIGINT)) + r.n_tokens
+                     ELSE w.fills[j] END) AS fills
+  FROM pbw w JOIN pbr r ON r.shard = w.shard AND r.rnk = w.i + 1
+),
+pbl AS (
+  SELECT w.shard, w.fills
+  FROM pbw w JOIN pbn ON pbn.shard = w.shard
+  WHERE w.i = pbn.n
+)
+SELECT a.shard, a.bin_id, a.doc_id, a.n_tokens,
+       l.fills[CAST(a.bin_id + 1 AS INT)] AS bin_fill
+FROM pbw a JOIN pbl l ON l.shard = a.shard
+WHERE a.i > 0
+"""
+
+
 def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle of the corpus into 8 shards with
     per-shard positions (seeded, engine-portable)."""
@@ -7215,10 +7277,17 @@ FROM zagg
 
 
 def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-shard packing efficiency of the concat-and-split layout:
-    token mass, sequences produced, and fill fraction (tokens /
-    sequence capacity) — the batch-prep waste metric."""
-    from etl_finance_pipeline_spark.operators.corpus import pack_sequences
+    """Per-shard packing efficiency, BOTH layouts side by side: the
+    concat-and-split layout (documents straddle boundaries — maximal
+    fill by construction) vs first-fit-decreasing bins (documents
+    never split — the fill fraction is the price paid for document
+    integrity). Token mass, sequences/bins produced, and fill
+    fraction per (layout, shard) — the batch-prep waste readout that
+    justifies choosing one packer over the other."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        pack_bins,
+        pack_sequences,
+    )
 
     docs = load_table(spark, _t(sf_dir, "documents")).select(
         "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
@@ -7228,13 +7297,29 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("_docs"), F.sum("n_tokens").alias("_tok")
     )
     n_seqs = F.ceil(F.col("_tok") / 256.0).cast("long")
-    return agg.select(
+    concat = agg.select(
+        F.lit("concat_split").alias("layout"),
         F.col("shard").cast("long").alias("shard"),
         F.col("_docs").cast("long").alias("n_docs"),
         F.col("_tok").cast("long").alias("total_tokens"),
         n_seqs.alias("n_seqs"),
         _pr(F.col("_tok") / (n_seqs * 256.0), 6).alias("fill_frac"),
     )
+    binned = pack_bins(docs, seq_tokens=256, num_shards=4)
+    bagg = binned.groupBy("shard").agg(
+        F.count("*").alias("_docs"),
+        F.sum("n_tokens").alias("_tok"),
+        (F.max("bin_id") + 1).cast("long").alias("_bins"),
+    )
+    ffd = bagg.select(
+        F.lit("ffd").alias("layout"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("_docs").cast("long").alias("n_docs"),
+        F.col("_tok").cast("long").alias("total_tokens"),
+        F.col("_bins").alias("n_seqs"),
+        _pr(F.col("_tok") / (F.col("_bins") * 256.0), 6).alias("fill_frac"),
+    )
+    return concat.unionByName(ffd)
 
 
 SQL_PACK_EFFICIENCY = f"""
@@ -7244,13 +7329,24 @@ WITH ptok AS (
          {_H64.format(s="CAST(doc_id AS VARCHAR)")} % 4 AS shard
   FROM documents
 )
-SELECT CAST(shard AS BIGINT) AS shard,
+SELECT 'concat_split' AS layout,
+       CAST(shard AS BIGINT) AS shard,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) AS n_seqs,
        floor(sum(n_tokens) / (ceil(sum(n_tokens) / 256.0) * 256.0)
              * 1000000 + 0.5) / 1000000 AS fill_frac
 FROM ptok
+GROUP BY shard
+UNION ALL
+SELECT 'ffd' AS layout,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(bin_id) + 1 AS BIGINT) AS n_seqs,
+       floor(sum(n_tokens) / ((max(bin_id) + 1) * 256.0)
+             * 1000000 + 0.5) / 1000000 AS fill_frac
+FROM ({SQL_PACK_BINS.strip()})
 GROUP BY shard
 """
 
@@ -8178,6 +8274,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redact_docs": q_redact_docs,
     "sample_docs": q_sample_docs,
     "pack_sequences": q_pack_sequences,
+    "pack_bins": q_pack_bins,
     "prep_corpus": q_prep_corpus,
     "shuffle_shard": q_shuffle_shard,
     "training_batches": q_training_batches,
@@ -8302,6 +8399,7 @@ ORACLES_TD: dict[str, str] = {
     "redact_docs": SQL_REDACT_DOCS,
     "sample_docs": SQL_SAMPLE_DOCS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "pack_bins": SQL_PACK_BINS,
     "prep_corpus": SQL_PREP_CORPUS,
     "shuffle_shard": SQL_SHUFFLE_SHARD,
     "training_batches": SQL_TRAINING_BATCHES,

@@ -1346,3 +1346,25 @@ def test_html_extract_newline_joiner_feeds_c4(spark):
     # the 2-word h1 line dies, the 7-word prose line survives
     assert (c4["n_lines"], c4["kept_lines"], c4["c4_drop"]) == (2, 1, False)
     assert c4["text"] == "one two three four five six seven."
+
+
+def test_pack_bins_ffd_known_walk(spark):
+    """FFD on one shard with hand-checkable sizes: cap 10, lengths
+    sorted desc = [7, 6, 4, 3, 2] -> bins [7+3], [6+4], [2]; an
+    overlong doc (len 12) gets its own overfull bin."""
+    from etl_finance_pipeline_spark.operators.corpus import pack_bins
+
+    rows = [(1, 7), (2, 6), (3, 4), (4, 3), (5, 2), (6, 12)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = pack_bins(df, seq_tokens=10, num_shards=1).collect()
+    got = {r["doc_id"]: (r["bin_id"], r["bin_fill"]) for r in out}
+    # sorted desc: 12, 7, 6, 4, 3, 2
+    # doc6 (12) -> bin0 overfull(12); doc1 (7) -> bin1; doc2 (6) -> bin2;
+    # doc3 (4) -> bin2 (6+4=10); doc4 (3) -> bin1 (7+3=10); doc5 (2) -> bin0? no:
+    # bin0 fill 12 > 10 already, bin1 full, bin2 full -> new bin3
+    assert got[6] == (0, 12)
+    assert got[1] == (1, 10) and got[4] == (1, 10)
+    assert got[2] == (2, 10) and got[3] == (2, 10)
+    assert got[5] == (3, 2)
+    # every shard value identical (num_shards=1)
+    assert {r["shard"] for r in out} == {0}
