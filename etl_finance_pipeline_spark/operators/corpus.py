@@ -1116,26 +1116,33 @@ def pack_bins(
     )
 
     def _ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(
             ["n_tokens", id_col], ascending=[False, True]
         ).reset_index(drop=True)
-        fills: list[int] = []
-        bins: list[int] = []
-        for t in pdf["n_tokens"]:
-            t = int(t)
-            b = next(
-                (j for j, f in enumerate(fills) if f + t <= cap), None
-            )
-            if b is None:
-                fills.append(t)
-                b = len(fills) - 1
-            else:
+        n = len(pdf)
+        # first-fit scan vectorized per document: fills[:nbins] is a
+        # C-contiguous int64 array, so "first open bin" is one argmax
+        # over a boolean mask instead of a Python loop over bins —
+        # the same O(docs × bins) bound, ~100× lower constant
+        fills = np.zeros(n, dtype=np.int64)
+        bins = np.empty(n, dtype=np.int64)
+        nbins = 0
+        toks = pdf["n_tokens"].to_numpy(dtype=np.int64)
+        for i in range(n):
+            t = toks[i]
+            ok = fills[:nbins] <= cap - t
+            if ok.any():
+                b = int(ok.argmax())
                 fills[b] += t
-            bins.append(b)
-        pdf["bin_id"] = pd.Series(bins, dtype="int64")
-        pdf["bin_fill"] = pd.Series(
-            [fills[b] for b in bins], dtype="int64"
-        )
+            else:
+                b = nbins
+                fills[b] = t
+                nbins += 1
+            bins[i] = b
+        pdf["bin_id"] = bins
+        pdf["bin_fill"] = fills[bins]
         return pdf[["shard", "bin_id", id_col, "n_tokens", "bin_fill"]]
 
     return src.groupBy("shard").applyInPandas(_ffd, out_schema)

@@ -7898,6 +7898,42 @@ FROM hcr
 """
 
 
+def q_stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-text extraction on the INGEST STREAM — the shape a
+    crawl pipeline actually deploys stage 0 in: a file-stream over
+    raw pages through the same synthesize + extract projection chain
+    (fully stateless and narrow: no watermark, no state store, append
+    mode). Oracle = the batch extraction query, because the lane is a
+    pure per-row map."""
+    import uuid
+
+    from etl_finance_pipeline_spark.operators.corpus import (
+        html_extract,
+        synthesize_html,
+    )
+    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
+
+    spark = _narrow_session(spark, 8)
+    ensure_nanos_conf(spark)
+    path = _t(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
+    out = html_extract(synthesize_html(stream)).select("doc_id", "text")
+    name = f"stream_htmlx_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+SQL_STREAM_HTML_EXTRACT = SQL_HTML_EXTRACT
+
+
 def q_web_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WEB-curation funnel (Penedo et al. 2023's RefinedWeb stage
     order) in one report pass, now starting from RAW HTML: stage 0
@@ -8212,6 +8248,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_filter": q_domain_filter,
     "stream_domain_filter": q_stream_domain_filter,
     "html_extract": q_html_extract,
+    "stream_html_extract": q_stream_html_extract,
     "html_c4_gate": q_html_c4_gate,
     "web_curation_funnel": q_web_curation_funnel,
     "domain_rollup": q_domain_rollup,
@@ -8360,6 +8397,7 @@ ORACLES_TD: dict[str, str] = {
     "domain_filter": SQL_DOMAIN_FILTER,
     "stream_domain_filter": SQL_STREAM_DOMAIN_FILTER,
     "html_extract": SQL_HTML_EXTRACT,
+    "stream_html_extract": SQL_STREAM_HTML_EXTRACT,
     "html_c4_gate": SQL_HTML_C4_GATE,
     "web_curation_funnel": SQL_WEB_CURATION_FUNNEL,
     "domain_rollup": SQL_DOMAIN_ROLLUP,

@@ -761,3 +761,47 @@ def test_scale_zipf_fit_hapax_heavy_vocab(bigspark):
     assert row["n_fit_tokens"] == 4_000_000
     assert row["slope"] < 0
     assert dt < 120
+
+
+def test_scale_pack_bins_sharded_ffd(bigspark):
+    """10M documents into 256-token FFD bins across 512 shards: the
+    sequential greedy walk is per-shard (the parallelism unit), so
+    the plan is ONE hash exchange on shard feeding the Arrow kernel —
+    never a global sort or single-partition funnel."""
+    from etl_finance_pipeline_spark.operators.corpus import pack_bins
+
+    n = 10_000_000
+    docs = bigspark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 90 + 10).alias("n_tokens"),  # 10..99 tokens
+    )
+    out = pack_bins(docs, seq_tokens=256, num_shards=512)
+    _assert_distributed_plan(out, "pack_bins")
+    rows, dt = _timed_count(out, "pack_bins 10M docs, 512 shards")
+    assert rows == n
+    assert dt < 240
+
+
+def test_scale_html_extract_narrow_map(bigspark):
+    """2M synthesized HTML pages through the jusText-lite extractor:
+    a pure projection chain — ZERO exchanges in the plan, wall-clock
+    bound by regex throughput only."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        html_extract,
+        synthesize_html,
+    )
+
+    n = 2_000_000
+    docs = bigspark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon text body "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    out = html_extract(synthesize_html(docs)).filter(F.length("text") > 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    rows, dt = _timed_count(out, "html_extract 2M pages")
+    assert rows == n
+    assert dt < 180
