@@ -1136,6 +1136,75 @@ QUALIFY rank <= 5
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-eval for the EMBEDDING index (the lsh_recall /
+    langid_confusion family applied to ANN): recall@5 of the
+    IVF-flat index (seeded codebook, nprobe=2 — the ann_ivf_topk
+    configuration) against brute-force exact cosine top-5 per query —
+    the is-my-index-good-enough readout every ANN deployment owes its
+    operators before trusting banded candidates at corpus scale.
+    Cosines are rounded to 6 dp BEFORE ranking in both lanes so tie
+    groups are engine-independent."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    pred = ivf_ann_topk(emb, queries, centroids, k=5, nprobe=2).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_p")
+    )
+    j = truth.join(pred, ["query_id", "neighbor_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_truth"),
+            F.sum(F.coalesce(F.col("_p"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            "n_hit",
+            _pr(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+        )
+    )
+
+
+SQL_ANN_RECALL = f"""
+WITH abq AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+abp AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         floor(({_COS_SQL.format(a='q.qv', b='e.embedding')}) * 1000000 + 0.5) / 1000000 AS c
+  FROM abq q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+),
+abt AS (
+  SELECT query_id, neighbor_id FROM abp
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) <= 5
+),
+abv AS (
+  SELECT query_id, neighbor_id FROM ({SQL_ANN_IVF_TOPK.strip()})
+)
+SELECT t.query_id,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(sum(CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       floor(sum(CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*) * 1000000 + 0.5) / 1000000 AS recall
+FROM abt t
+LEFT JOIN abv v ON v.query_id = t.query_id AND v.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, _t(sf_dir, "embeddings"))
     # 0.25: the synthetic embeddings carry no true near-dups (max
@@ -8325,6 +8394,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprints": q_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_recall": q_ann_recall,
     "ann_ivf_trained": q_ann_ivf_trained,
     "embed_near_dup": q_embed_near_dup,
     "asof_last_click": q_asof_last_click,
@@ -8451,6 +8521,7 @@ ORACLES_TD: dict[str, str] = {
     "fingerprints": SQL_FINGERPRINTS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_recall": SQL_ANN_RECALL,
     "ann_ivf_trained": SQL_ANN_IVF_TRAINED,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "asof_last_click": SQL_ASOF_LAST_CLICK,

@@ -805,3 +805,33 @@ def test_scale_html_extract_narrow_map(bigspark):
     rows, dt = _timed_count(out, "html_extract 2M pages")
     assert rows == n
     assert dt < 180
+
+
+def test_scale_hamming_guarded_mode(bigspark):
+    """Guarded mode (max_bucket_size) at 2M fps: the any-surviving-
+    bucket dedupe (round-9 recall fix) adds one exchange over the
+    RESULT pair set, not the candidate set — the plan stays
+    distributed and the skew guard still drops the hot bucket."""
+    from etl_finance_pipeline_spark.operators.dedup import hamming_pairs
+
+    n = 2_000_000
+    # uniform fps plus one 100k-copy hot fingerprint whose buckets the
+    # guard must drop (weight 100k >> cap) without dropping its exact
+    # Hamming-0 pairs (emitted via the identical-fp path, not banding)
+    hot = bigspark.range(100_000).select(
+        F.col("id").alias("doc_id"), F.lit(123456789).alias("fp")
+    )
+    tail = bigspark.range(n).select(
+        (F.col("id") + 100_000).alias("doc_id"),
+        F.xxhash64(F.col("id")).alias("fp"),
+    )
+    out = hamming_pairs(
+        hot.unionByName(tail), "fp", id_col="doc_id", bits=64, bands=8,
+        max_hamming=2, max_bucket_size=1000, identical_mode="star",
+    )
+    _assert_distributed_plan(out, "hamming_guarded")
+    rows, dt = _timed_count(out, "hamming guarded, 2M fps + 100k-copy hot")
+    # star edges of the hot group always surface; uniform tail pairs
+    # within hamming 2 are essentially nonexistent
+    assert rows >= 100_000 - 1
+    assert dt < 180
