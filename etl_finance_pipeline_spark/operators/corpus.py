@@ -969,6 +969,12 @@ def html_extract(
     literal — bit-identical in any engine, so the DuckDB twin running
     the same chain is an exact oracle.
 
+    Tag model: a regex over well-formed-ish markup (a '>' inside a
+    quoted attribute value closes the tag early, as in every
+    regex-based extractor). Malformed pages degrade to extra/merged
+    blocks, never to an error — and both engines degrade identically,
+    so the oracle contract holds on any input.
+
     Output: input columns + *out_col* (extracted text, possibly '').
     """
     h = F.col(html_col)

@@ -1368,3 +1368,17 @@ def test_pack_bins_ffd_known_walk(spark):
     assert got[5] == (3, 2)
     # every shard value identical (num_shards=1)
     assert {r["shard"] for r in out} == {0}
+
+
+def test_pack_bins_string_ids(spark):
+    """The kernel's output schema is derived from the input id dtype —
+    string ids pack identically (sort ties break on the string)."""
+    from etl_finance_pipeline_spark.operators.corpus import pack_bins
+
+    rows = [("a", 6), ("b", 6), ("c", 6)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = pack_bins(df, seq_tokens=12, num_shards=1).collect()
+    got = {r["doc_id"]: (r["bin_id"], r["bin_fill"]) for r in out}
+    # desc ties -> id asc: a,b share bin0 (12), c opens bin1
+    assert got["a"] == (0, 12) and got["b"] == (0, 12)
+    assert got["c"] == (1, 6)
