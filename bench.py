@@ -127,7 +127,7 @@ def main() -> int:
     # stderr notes at ±20%, and MACHINE-READABLE flags at >1.5× either
     # way (the judge's adjudication threshold) carried into the full
     # artifact so regressions can't hide in a truncated stdout tail.
-    prev, prev_sf = _load_previous_bench()
+    prev, prev_sf, prev_calib = _load_previous_bench()
     delta_flags: dict[str, dict[str, float]] = {}
     if prev and str(prev_sf) != str(out_sf := (float(sf) if sf.replace(".", "").isdigit() else sf)):
         print(
@@ -152,6 +152,9 @@ def main() -> int:
 
     calib_post = _calibration(spark, sf_dir)
     print(f"# calibration post: {calib_post}", file=sys.stderr)
+    calib_drift = _calibration_drift(prev_calib, calib_pre, calib_post)
+    if calib_drift:
+        print(f"# calibration drift vs previous artifact: {calib_drift}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -171,6 +174,8 @@ def main() -> int:
     # queries are auditable. $BENCH_JSON_OUT overrides the destination.
     full = dict(out)
     full["calibration"] = {"pre": calib_pre, "post": calib_post}
+    if calib_drift:
+        full["calibration_drift_vs_prev"] = calib_drift
     full["runs_per_query"] = runs
     full["heavy_threshold_sec"] = heavy_sec
     full["heavy_runs"] = heavy_runs
@@ -327,7 +332,7 @@ def _bench_pipeline(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _load_previous_bench() -> tuple[dict[str, float], object]:
+def _load_previous_bench() -> tuple[dict[str, float], object, object]:
     """(per-query timings, sf) from the highest-numbered committed
     FULL artifact (BENCH_full_r{N}.json — the driver's BENCH_r{N}.json
     is a wrapper holding only a truncated stdout tail, no queries
@@ -342,14 +347,37 @@ def _load_previous_bench() -> tuple[dict[str, float], object]:
         if m and int(m.group(1)) > best_n:
             best_n, best_path = int(m.group(1)), p
     if not best_path:
-        return {}, None
+        return {}, None, None
     try:
         with open(best_path) as f:
             data = json.load(f)
         q = data.get("queries", {})
-        return (q if isinstance(q, dict) else {}), data.get("sf")
+        return (q if isinstance(q, dict) else {}), data.get("sf"), data.get("calibration")
     except (OSError, ValueError):
-        return {}, None
+        return {}, None, None
+
+
+def _calibration_drift(
+    prev_calib, pre: dict[str, float], post: dict[str, float]
+) -> dict[str, float] | None:
+    """Per-probe machine-speed ratio vs the previous committed
+    artifact (this run's best probe time / previous run's best) — the
+    MECHANICAL divisor for adjudicating cross-round query deltas: a
+    1.7× query flag on a machine whose probes drifted 1.6× is noise,
+    not a plan regression."""
+    if not isinstance(prev_calib, dict):
+        return None
+    out: dict[str, float] = {}
+    for probe in ("scan", "shuffle", "window"):
+        cur = min(pre.get(probe, 1e9), post.get(probe, 1e9))
+        ps = [
+            side.get(probe)
+            for side in (prev_calib.get("pre"), prev_calib.get("post"))
+            if isinstance(side, dict) and isinstance(side.get(probe), (int, float))
+        ]
+        if ps and cur < 1e9 and min(ps) > 0:
+            out[probe] = round(cur / min(ps), 3)
+    return out or None
 
 
 if __name__ == "__main__":

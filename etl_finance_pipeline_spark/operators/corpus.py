@@ -937,6 +937,21 @@ HTML_STRIP_RES: tuple[str, ...] = (
 _HTML_ANCHOR_RE = r"(?is)<a[^>]*>(.*?)</a>"
 _HTML_TAG_RE = r"<[^>]*>"
 
+#: the common named/numeric entities real pages carry, unescaped in
+#: THIS order — ``&amp;`` must come last or ``&amp;lt;`` would
+#: double-unescape to ``<`` instead of the literal ``&lt;`` the page
+#: encoded. ``&nbsp;`` becomes a plain space BEFORE whitespace
+#: collapsing so it merges with neighboring runs. Literal (non-regex)
+#: replaces in both engines.
+HTML_ENTITY_RULES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
 
 def _ws_norm(c: Column) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
@@ -955,7 +970,9 @@ def html_extract(
     into blocks at block-level tags; keep a block iff its tag-stripped
     text is non-empty AND its anchor-text share is at most
     *max_link_density* (navigation, footers, share bars and ad units
-    are link-dominated; body prose is not); re-join kept blocks with
+    are link-dominated; body prose is not); unescape the common HTML
+    entities (``HTML_ENTITY_RULES`` — ``&amp;`` last, so encoded
+    entities round-trip correctly); re-join kept blocks with
     *block_joiner* (pass ``"\\n"`` to hand each block to a line-based
     downstream pass like :func:`c4_clean` as its own line).
 
@@ -982,15 +999,22 @@ def html_extract(
         h = F.regexp_replace(h, pat, " ")
     blocks = F.split(h, HTML_BLOCK_SPLIT_RE)
 
+    def _unescape(c: Column) -> Column:
+        for ent, rep in HTML_ENTITY_RULES:
+            c = F.replace(c, F.lit(ent), F.lit(rep))
+        return c
+
     def _feat(b: Column) -> Column:
-        btext = _ws_norm(F.regexp_replace(b, _HTML_TAG_RE, " "))
+        btext = _ws_norm(_unescape(F.regexp_replace(b, _HTML_TAG_RE, " ")))
         ltext = _ws_norm(
-            F.regexp_replace(
-                F.array_join(
-                    F.regexp_extract_all(b, F.lit(_HTML_ANCHOR_RE), 1), " "
-                ),
-                _HTML_TAG_RE,
-                " ",
+            _unescape(
+                F.regexp_replace(
+                    F.array_join(
+                        F.regexp_extract_all(b, F.lit(_HTML_ANCHOR_RE), 1), " "
+                    ),
+                    _HTML_TAG_RE,
+                    " ",
+                )
             )
         )
         keep = (F.length(btext) > 0) & (
@@ -1019,15 +1043,17 @@ def synthesize_html(
     """Wrap fixture text in a deterministic HTML page — the same
     synthesize-the-payload-in-engine device the media lanes use for
     WAV/PNG/JPEG bytes (multimodal.py), applied to markup: a <head>
-    with title/style/script, a nav bar, per-id noise variants (an
-    inline script + ad unit, or a comment + pagination list), the
+    with title/style/script, a nav bar, per-id variants (an
+    entity-encoded prose block, an inline script + ad unit, or a
+    comment + pagination list), the
     document text as body prose under an <h1>, a share bar, and a
     link-heavy footer. Every byte is a function of (id, text), so the
     DuckDB oracle concatenates the identical payload and the
     extraction contract can be verified end to end.
 
     Expected :func:`html_extract` output for this payload:
-    ``Latest post {ws-normalized text}`` — the <h1> is deliberately
+    ``Latest post {ws-normalized text}`` (variant 0 prepends the
+    unescaped ``Q&A section <closed>`` block) — the <h1> is deliberately
     CONSTANT so exact-duplicate documents stay exact duplicates after
     extraction (the funnel's dedup stage runs downstream of this).
     """
@@ -1049,7 +1075,11 @@ def synthesize_html(
                 '<li><a href="/p2">Next</a></li></ul>'
             ),
         )
-        .otherwise(F.lit(""))
+        .otherwise(
+            # variant 0: an entity-encoded prose block — the extractor
+            # must unescape what the page encoded
+            F.lit("<p>Q&amp;A section &lt;closed&gt;</p>")
+        )
     )
     html = F.concat(
         F.lit("<html><head><title>Doc "),

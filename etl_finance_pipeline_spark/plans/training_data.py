@@ -7841,12 +7841,19 @@ def _html_sql_ctes(joiner: str = " ") -> str:
     hence the coalesces."""
     from etl_finance_pipeline_spark.operators.corpus import (
         HTML_BLOCK_SPLIT_RE,
+        HTML_ENTITY_RULES,
         HTML_STRIP_RES,
     )
 
     strip = "html"
     for pat in HTML_STRIP_RES:
         strip = f"regexp_replace({strip}, '{pat}', ' ', 'g')"
+
+    def _unesc(expr: str) -> str:
+        for ent, rep in HTML_ENTITY_RULES:
+            expr = f"replace({expr}, '{ent}', '{rep.replace(chr(39), chr(39) * 2)}')"
+        return expr
+
     j = "chr(10)" if joiner == "\n" else f"'{joiner}'"
     return f"""hx_pay AS (
   SELECT doc_id, source, lang,
@@ -7856,7 +7863,7 @@ def _html_sql_ctes(joiner: str = " ") -> str:
     || (CASE doc_id % 3
         WHEN 1 THEN '<script>inline()</script><div class="ad"><a href="/buy">Buy now</a></div>'
         WHEN 2 THEN '<!-- rendered 2026 --><ul><li><a href="/p1">Prev</a></li><li><a href="/p2">Next</a></li></ul>'
-        ELSE '' END)
+        ELSE '<p>Q&amp;A section &lt;closed&gt;</p>' END)
     || '<h1>Latest post</h1><div class="main"><p>' || text
     || '</p></div><div class="share"><a href="/s/tw">Tweet</a> <a href="/s/fb">Share</a></div>'
     || '<footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> (c) 2026 example.com</footer></body></html>'
@@ -7872,10 +7879,8 @@ hx_blocks AS (
       list_transform(
         regexp_split_to_array(h, '{HTML_BLOCK_SPLIT_RE}'),
         b -> struct_pack(
-          t := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
-          l := trim(regexp_replace(regexp_replace(
-                 coalesce(array_to_string(regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''),
-                 '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))
+          t := trim(regexp_replace({_unesc("regexp_replace(b, '<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g')),
+          l := trim(regexp_replace({_unesc("regexp_replace(coalesce(array_to_string(regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''), '<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g'))
         )
       ),
       s -> len(s.t) > 0 AND CAST(len(s.l) AS DOUBLE) <= CAST(len(s.t) AS DOUBLE) * 0.3

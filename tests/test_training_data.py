@@ -1297,7 +1297,8 @@ def test_html_extract_drops_boilerplate_keeps_prose(spark):
     # head/title/style/script stripped; nav, ad, pagination, share bar
     # and footer dropped by link density; inline tags stripped in kept
     # prose; the constant <h1> survives
-    assert out[0] == "Latest post alpha beta gamma."
+    # variant 0 carries an entity-encoded prose block that must unescape
+    assert out[0] == "Q&A section <closed> Latest post alpha beta gamma."
     assert out[1] == "Latest post delta epsilon zeta."
     assert out[2] == "Latest post eta theta iota kappa."
 
@@ -1316,6 +1317,8 @@ def test_html_extract_direct_payloads(spark):
         (3, "<div>  spaced   out\ttext </div>"),
         # body script + comment removed even outside <head>
         (4, "<p>keep me now</p><script>x()</script><!-- no -->"),
+        # entity unescape order: &amp;lt; is an ENCODED '&lt;' -> '&lt;'
+        (5, "<p>a &amp; b &lt;x&gt; &amp;lt; &nbsp; c</p>"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "html"])
     out = {r["doc_id"]: r["x"] for r in html_extract(df, out_col="x").collect()}
@@ -1324,6 +1327,7 @@ def test_html_extract_direct_payloads(spark):
     assert out[2] == ""
     assert out[3] == "spaced out text"
     assert out[4] == "keep me now"
+    assert out[5] == "a & b <x> &lt; c"
 
 
 def test_html_extract_newline_joiner_feeds_c4(spark):
