@@ -937,6 +937,11 @@ HTML_STRIP_RES: tuple[str, ...] = (
 _HTML_ANCHOR_RE = r"(?is)<a[^>]*>(.*?)</a>"
 _HTML_TAG_RE = r"<[^>]*>"
 
+#: default anchor-text share above which a block is boilerplate; the
+#: oracle CTE builder reads THIS constant, so engine and twin cannot
+#: drift apart.
+HTML_MAX_LINK_DENSITY = 0.3
+
 #: the common named/numeric entities real pages carry, unescaped in
 #: THIS order — ``&amp;`` must come last or ``&amp;lt;`` would
 #: double-unescape to ``<`` instead of the literal ``&lt;`` the page
@@ -961,7 +966,7 @@ def html_extract(
     df: DataFrame,
     html_col: str = "html",
     out_col: str = "text",
-    max_link_density: float = 0.3,
+    max_link_density: float = HTML_MAX_LINK_DENSITY,
     block_joiner: str = " ",
 ) -> DataFrame:
     """jusText-lite main-text extraction (Pomikálek 2011's
@@ -1140,7 +1145,9 @@ def pack_bins(
 
     cap = int(seq_tokens)
     shard = F.pmod(portable_hash64(F.col(id_col).cast("string")), num_shards)
-    src = df.select(
+    # rows without a token count carry no packable mass — dropped
+    # explicitly here rather than crashing the kernel's int() on NaN
+    src = df.filter(F.col(tokens_col).isNotNull()).select(
         shard.cast("int").alias("shard"),
         F.col(id_col),
         F.col(tokens_col).cast("long").alias("n_tokens"),

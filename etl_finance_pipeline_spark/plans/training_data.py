@@ -7842,6 +7842,7 @@ def _html_sql_ctes(joiner: str = " ") -> str:
     from etl_finance_pipeline_spark.operators.corpus import (
         HTML_BLOCK_SPLIT_RE,
         HTML_ENTITY_RULES,
+        HTML_MAX_LINK_DENSITY,
         HTML_STRIP_RES,
     )
 
@@ -7883,7 +7884,7 @@ hx_blocks AS (
           l := trim(regexp_replace({_unesc("regexp_replace(coalesce(array_to_string(regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''), '<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g'))
         )
       ),
-      s -> len(s.t) > 0 AND CAST(len(s.l) AS DOUBLE) <= CAST(len(s.t) AS DOUBLE) * 0.3
+      s -> len(s.t) > 0 AND CAST(len(s.l) AS DOUBLE) <= CAST(len(s.t) AS DOUBLE) * {HTML_MAX_LINK_DENSITY}
     ) AS ks
   FROM hx_clean
 ),
