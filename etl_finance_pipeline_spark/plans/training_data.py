@@ -1137,17 +1137,21 @@ QUALIFY rank <= 5
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-eval for the EMBEDDING index (the lsh_recall /
-    langid_confusion family applied to ANN): recall@5 of the
-    IVF-flat index (seeded codebook, nprobe=2 — the ann_ivf_topk
-    configuration) against brute-force exact cosine top-5 per query —
-    the is-my-index-good-enough readout every ANN deployment owes its
-    operators before trusting banded candidates at corpus scale.
-    Cosines are rounded to 6 dp BEFORE ranking in both lanes so tie
-    groups are engine-independent."""
+    """Sketch-eval for the EMBEDDING indexes (the lsh_recall /
+    langid_confusion family applied to ANN): recall@5 per query of
+    the IVF-flat index (seeded codebook, nprobe=2 — the ann_ivf_topk
+    configuration) AND the fully-trained IVF-PQ index (the
+    ann_ivfpq_topk configuration) against brute-force exact cosine
+    top-5 — the which-index-is-good-enough readout every ANN
+    deployment owes its operators before trusting quantized
+    candidates at corpus scale, with the two index families
+    side by side. Cosines are rounded to 6 dp BEFORE ranking in
+    every lane so tie groups are engine-independent."""
     from etl_finance_pipeline_spark.operators.similarity import (
         cosine_topk,
         ivf_ann_topk,
+        ivfpq_topk,
+        train_kmeans_centroids,
     )
 
     emb = load_table(spark, _t(sf_dir, "embeddings"))
@@ -1155,52 +1159,48 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = cosine_topk(emb, queries, k=5).select(
         "query_id", "neighbor_id"
     )
-    centroids = emb.filter(F.col("vec_id") < 8).select(
+    seed_cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    pred = ivf_ann_topk(emb, queries, centroids, k=5, nprobe=2).select(
-        "query_id", "neighbor_id", F.lit(1).alias("_p")
+    ivf = ivf_ann_topk(emb, queries, seed_cents, k=5, nprobe=2)
+    coarse = train_kmeans_centroids(
+        emb, k=_IVFPQ_COARSE_K, iters=_IVFPQ_COARSE_ITERS, round_digits=6
+    ).select(F.col("cluster_id").alias("cid"), "cvec")
+    pq = ivfpq_topk(
+        emb, queries, coarse, k=5, nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M, ksub=_PQ_KSUB, iters=_IVFPQ_ITERS, encode_engine="numpy",
     )
-    j = truth.join(pred, ["query_id", "neighbor_id"], "left")
-    return (
-        j.groupBy("query_id")
-        .agg(
-            F.count("*").cast("long").alias("n_truth"),
-            F.sum(F.coalesce(F.col("_p"), F.lit(0))).cast("long").alias("n_hit"),
+    outs = []
+    for label, pred in (("ivf_flat", ivf), ("ivf_pq", pq)):
+        p = pred.select("query_id", "neighbor_id", F.lit(1).alias("_p"))
+        j = truth.join(p, ["query_id", "neighbor_id"], "left")
+        outs.append(
+            j.groupBy("query_id")
+            .agg(
+                F.count("*").cast("long").alias("n_truth"),
+                F.sum(F.coalesce(F.col("_p"), F.lit(0)))
+                .cast("long")
+                .alias("n_hit"),
+            )
+            .select(
+                F.lit(label).alias("index"),
+                "query_id",
+                "n_truth",
+                "n_hit",
+                _pr(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+            )
         )
-        .select(
-            "query_id",
-            "n_truth",
-            "n_hit",
-            _pr(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
-        )
-    )
+    return outs[0].unionByName(outs[1])
 
 
-SQL_ANN_RECALL = f"""
-WITH abq AS (
-  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
-),
-abp AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         floor(({_COS_SQL.format(a='q.qv', b='e.embedding')}) * 1000000 + 0.5) / 1000000 AS c
-  FROM abq q CROSS JOIN embeddings e
-  WHERE e.vec_id != q.query_id
-),
-abt AS (
-  SELECT query_id, neighbor_id FROM abp
-  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) <= 5
-),
-abv AS (
-  SELECT query_id, neighbor_id FROM ({SQL_ANN_IVF_TOPK.strip()})
-)
-SELECT t.query_id,
+_ANN_RECALL_GROUPED = """
+SELECT '{label}' AS index, t.query_id,
        CAST(count(*) AS BIGINT) AS n_truth,
        CAST(sum(CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        floor(sum(CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
              / count(*) * 1000000 + 0.5) / 1000000 AS recall
 FROM abt t
-LEFT JOIN abv v ON v.query_id = t.query_id AND v.neighbor_id = t.neighbor_id
+LEFT JOIN ({pred}) v ON v.query_id = t.query_id AND v.neighbor_id = t.neighbor_id
 GROUP BY t.query_id
 """
 
@@ -4213,6 +4213,29 @@ SELECT query_id, neighbor_id, adc_dist,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS BIGINT) AS rank
 FROM adc
 QUALIFY rank <= 5
+"""
+
+
+# defined HERE because it inlines both index oracles (SQL_ANN_IVF_TOPK
+# above, SQL_ANN_IVFPQ_TOPK just defined); the query function lives
+# with the ANN family
+SQL_ANN_RECALL = f"""
+WITH abq AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+abp AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         floor(({_COS_SQL.format(a='q.qv', b='e.embedding')}) * 1000000 + 0.5) / 1000000 AS c
+  FROM abq q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+),
+abt AS (
+  SELECT query_id, neighbor_id FROM abp
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) <= 5
+)
+{_ANN_RECALL_GROUPED.format(label="ivf_flat", pred=SQL_ANN_IVF_TOPK.strip())}
+UNION ALL
+{_ANN_RECALL_GROUPED.format(label="ivf_pq", pred=SQL_ANN_IVFPQ_TOPK.strip())}
 """
 
 
