@@ -1386,3 +1386,39 @@ def test_pack_bins_string_ids(spark):
     # desc ties -> id asc: a,b share bin0 (12), c opens bin1
     assert got["a"] == (0, 12) and got["b"] == (0, 12)
     assert got["c"] == (1, 6)
+
+
+def test_doremi_weights_invariants(spark, tmp_path):
+    """Engine-side invariants of the EG mixture update on a tiny
+    corpus: weights stay a distribution (sum ~ 1 up to per-weight
+    rounding), every weight >= the smoothing floor c/k, and the
+    hardest source (highest excess loss) gets the largest weight."""
+    import shutil
+
+    from etl_finance_pipeline_spark.plans.training_data import (
+        _DM_C,
+        q_doremi_weights,
+    )
+
+    # 3 sources: s_easy repeats one common token (low surprisal),
+    # s_hard uses rarer tokens (high surprisal)
+    rows = [
+        (1, "the the the the", "s_easy"),
+        (2, "the the the cat", "s_mid"),
+        (3, "qux zle vorn blik", "s_hard"),
+        (4, "the the the the", "s_easy"),
+    ]
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(
+        str(d)
+    )
+    out = {r["source"]: r for r in q_doremi_weights(spark, str(tmp_path)).collect()}
+    k = len(out)
+    assert k == 3
+    total = sum(r["weight"] for r in out.values())
+    assert abs(total - 1.0) < k * 1e-6 + 1e-9
+    assert all(r["weight"] >= _DM_C / k - 1e-9 for r in out.values())
+    hardest = max(out.values(), key=lambda r: r["excess_loss"])["source"]
+    assert hardest == "s_hard"
+    assert out["s_hard"]["weight"] > out["s_easy"]["weight"]
+    shutil.rmtree(tmp_path, ignore_errors=True)
