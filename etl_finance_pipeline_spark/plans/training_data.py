@@ -3236,6 +3236,38 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doremi_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned mixture DEPLOYED: doremi_weights' final per-source
+    weights become deterministic hash-gate keep fractions over the
+    corpus (stratified_sample's device — keep iff
+    hash(doc_id) mod 1e6 < weight·1e6), so the training mix the EG
+    rounds converged to is what the sampler actually emits. The k
+    weights are a control-plane collect (the bpe-merge-table
+    pattern); the corpus pass is one narrow hash filter. The
+    threshold is floor(weight·1e6 + 0.5) in BOTH engines — a bare
+    integer cast would truncate in Spark and round in DuckDB on the
+    weight-boundary doubles."""
+    weights = {
+        r["source"]: float(r["weight"])
+        for r in q_doremi_weights(spark, sf_dir).collect()
+    }
+    import math
+
+    from etl_finance_pipeline_spark.functions.scalar import portable_hash64
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    bucket = F.pmod(
+        portable_hash64(F.col("doc_id").cast("string")), 1_000_000
+    )
+    thr = None
+    for src_name in sorted(weights):
+        t = int(math.floor(weights[src_name] * 1_000_000 + 0.5))
+        cond = F.when(F.col("source") == src_name, F.lit(t))
+        thr = cond.otherwise(F.lit(0)) if thr is None else cond.otherwise(thr)
+    kept = docs.filter(bucket < thr)
+    return kept.select("doc_id", "source")
+
+
 def _dm_round_sql(t: int) -> str:
     return f"""
 dmu{t} AS (
@@ -3300,6 +3332,16 @@ FROM dma{_DM_ROUNDS}, dmarr, dmk,
      (SELECT unnest(generate_series(1, (SELECT k FROM dmk))) AS i)
 """
 )
+
+
+SQL_DOREMI_MIX_APPLY = f"""
+WITH dmw AS ({SQL_DOREMI_WEIGHTS.strip()})
+SELECT d.doc_id, d.source
+FROM documents d JOIN dmw w ON w.source = d.source
+WHERE {_H64.format(s="CAST(d.doc_id AS VARCHAR)")} % 1000000
+      < CAST(floor(w.weight * 1000000 + 0.5) AS BIGINT)
+"""
+
 
 
 # --------------------------------------------------------------------
@@ -8473,6 +8515,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "unigram_logprob": q_unigram_logprob,
     "doremi_weights": q_doremi_weights,
+    "doremi_mix_apply": q_doremi_mix_apply,
     "embed_quantize": q_embed_quantize,
     "semdedup": q_semdedup,
     "image_stats_png": q_image_stats_png,
@@ -8623,6 +8666,7 @@ ORACLES_TD: dict[str, str] = {
     "repetition_stats": SQL_REPETITION_STATS,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "doremi_weights": SQL_DOREMI_WEIGHTS,
+    "doremi_mix_apply": SQL_DOREMI_MIX_APPLY,
     "embed_quantize": SQL_EMBED_QUANTIZE,
     "semdedup": SQL_SEMDEDUP,
     "image_stats_png": SQL_IMAGE_STATS_PNG,
