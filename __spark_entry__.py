@@ -32,33 +32,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #: temporal joins, connected components. All registered queries are
 #: oracle-backed either way; this only chooses the documented subset.
 _SHOWCASE_FIRST = (
-    # round-8 new capability families (need driver recording this round)
-    "wordpiece_encode_corpus",  # greedy longest-match corpus tokenize (round 8)
-    "fasttext_probe",  # hashed-BoW text classifier, in-engine GD (round 8)
-    "fasttext_auc",  # exact ROC-AUC of the text probe (round 8)
-    "fasttext_select",  # top-k keep gate on the probe score (round 8)
-    "stream_fasttext_score",  # trained head scoring the ingest stream (round 8)
-    "domain_filter",  # URL canonicalize + blocklist anti-join (round 8)
-    "domain_rollup",  # per-registrable-domain census (round 8)
-    "stream_domain_filter",  # the blocklist on a file stream (round 8)
-    "cluster_mix",  # k-means-cell balanced mixture sampling (round 8)
-    "cluster_profile",  # per-cell census: cohesion + label purity (round 8)
-    "pca_outliers",  # reconstruction-residual anomaly top-k (round 8)
-    "quality_calibration",  # reliability bins of a keep-probability (round 8)
-    "quality_ece",  # expected calibration error scalar (round 8)
-    "ngram_repetition",  # Gopher duplicate-3-gram fractions (round 8)
-    "source_kl",  # per-source token KL vs the mixture (round 8)
-    "lsh_recall",  # MinHash-LSH recall/precision vs exact truth (round 8)
-    "langid_confusion",  # labeled-vs-predicted lang matrix (round 8)
-    "vocab_coverage",  # min-count vocabulary OOV cost (round 8)
-    "zipf_fit",  # rank-frequency log-log least squares (round 8)
-    "pack_efficiency",  # per-shard packing fill fraction (round 8)
-    # round-8 Hamming redesign (identical-fp collapse; re-record)
-    "simhash_pairs",
-    "phash_near_dup",
-    "audio_near_dup",
-    "video_near_dup",
-    "kn_perplexity",  # round 8: real Pcont(w2) unseen-bigram fallback
+    # round-9 families (the round-9 driver artifact missed these: the
+    # showcase was not rotated that round — record them now)
+    "html_extract",  # jusText-lite main-text extraction (round 9)
+    "stream_html_extract",  # the extractor on the ingest stream (round 9)
+    "html_c4_gate",  # extracted blocks composed into C4 cleaning (round 9)
+    "web_curation_funnel",  # funnel rebased on raw HTML stage 0 (round 9)
+    "pack_bins",  # first-fit-decreasing context packing (round 9)
+    "pack_efficiency",  # concat-split vs FFD fill fractions (round 9)
+    "doremi_weights",  # iterative EG domain reweighting (round 9)
+    "doremi_mix_apply",  # learned mixture as a hash sampling gate (round 9)
+    "tokenizer_efficiency",  # 3-tokenizer compression-ratio eval (round 9)
+    "near_dup_rewrite_best",  # quality-aware canonical selection (round 9)
+    "ann_recall",  # IVF-flat + IVF-PQ recall vs brute truth (round 9)
+    "hamming_near_dup_200k",  # scale-proportional banded-Hamming lane (round 9)
+    "zipf_fit",  # round 9 fix: min_count + top_n head bound
+    # round-10 new families
+    "corpus_build_e2e",  # funnel→canonical→DoReMi gate→pack→shard (round 10)
+    "warc_extract",  # crawl-record envelope parsing, stage -1 (round 10)
+    "warc_curation_funnel",  # funnel from raw WARC records (round 10)
+    "bpe_bytes_train",  # byte-level BPE trainer, no OOV (round 10)
+    "bpe_bytes_encode",  # byte-level encode via distinct-word walk (round 10)
+    "tokenizer_oov_cost",  # word-level trainers' OOV blind spot (round 10)
+    "doremi_proxy_compare",  # EG under two excess-loss proxies (round 10)
     # family-spanning classics (reference parity + heavy hitters)
     "candles_5m",
     "dedupe_keep_first",
@@ -70,6 +66,7 @@ _SHOWCASE_FIRST = (
     "audio_stats_wav",  # real WAV codec path (stdlib wave round-trip)
     "image_stats_png",  # real compressed codec path (zlib round-trip)
     "stream_view_click",
+    "stream_fasttext_score",
     "pagerank",
     "triangles",
     "asof_last_click",
@@ -81,13 +78,15 @@ _SHOWCASE_FIRST = (
     "substring_dedup",
     "semdedup",
     "ann_ivfpq_topk",
-    "pq_topk",
     "unigram_segment",
     "wordpiece_train",
     "curation_funnel",
-    # rotated out after rounds 1-7 driver recordings (all still
+    "fasttext_probe",
+    "simhash_pairs",
+    "audio_near_dup",
+    # rotated out after rounds 1-9 driver recordings (all still
     # registered + full-artifact-verified every round): see
-    # CORRECTNESS_full_r{N}.json for the uncapped 228-query gate.
+    # CORRECTNESS_full_r{N}.json for the uncapped full-registry gate.
 )
 
 
