@@ -3151,33 +3151,50 @@ _DM_ROUNDS = 5
 _DM_C = 0.1  # uniform-smoothing mass per round (DoReMi's c)
 
 
-def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DoReMi-style iterative domain reweighting (Xie et al. 2023):
-    per-source excess loss (here the unigram-LM surprisal proxy —
-    −mean per-doc avg logprob, relative to the easiest source) drives
-    exponentiated-gradient updates with uniform smoothing,
-
-        uᵢ = αᵢ·exp(η·excessᵢ);  α′ᵢ = (1−c)·uᵢ/Z + c/k   (η=1)
-
-    for a fixed number of lockstep rounds. The per-source frame
-    collapses to ONE sorted array row, so each round is a pure array
-    expression — the sum Z is a deterministic LEFT FOLD in source
-    order (never a parallel aggregate whose FP order could differ
-    between engines), and every intermediate is rounded to 6 dp per
-    round (the pagerank/GD unrolled-oracle device), so the DuckDB
-    twin replays the identical arithmetic. k sources is control-plane
-    sized by definition; the corpus-scale work is the one logprob
-    aggregate upstream."""
-    docs = load_table(spark, _t(sf_dir, "documents"))
+def _doremi_src_loss(docs: DataFrame) -> DataFrame:
+    """Per-source (n_docs, loss) under the unigram-surprisal proxy,
+    computed in ORDER-INDEPENDENT fixed-point arithmetic: every
+    per-doc avg_logprob is already 6-dp-rounded, so
+    ``floor(lp·1e6 + 0.5)`` recovers its exact integer and the
+    per-source SUM is exact int64 — there is no FP summation order to
+    differ between Spark partitions and the DuckDB oracle (a plain
+    ``avg()`` near a 0.5e-6 rounding boundary could flip the 6-dp
+    loss and diverge every EG round downstream). The mean is then one
+    IEEE division of two exact integers — bit-identical anywhere."""
     lp = unigram_logprob(docs).select("doc_id", "avg_logprob")
-    src = (
+    return (
         lp.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            _pr(-F.avg("avg_logprob"), 6).alias("loss"),
+            F.sum(
+                F.floor(
+                    F.col("avg_logprob") * 1_000_000 + F.lit(0.5)
+                ).cast("long")
+            ).alias("_s6"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.floor(-F.col("_s6") / F.col("n_docs") + F.lit(0.5))
+                / 1_000_000
+            ).alias("loss"),
         )
     )
+
+
+def _doremi_eg(src: DataFrame) -> DataFrame:
+    """EG rounds over a per-source (source, n_docs, loss) frame →
+    (source, n_docs, loss, excess_loss, weight). The frame collapses
+    to ONE sorted array row, so each round is a pure array expression
+    — the sum Z is a deterministic LEFT FOLD in source order (never a
+    parallel aggregate whose FP order could differ between engines),
+    and every intermediate is rounded to 6 dp per round (the
+    pagerank/GD unrolled-oracle device), so the DuckDB twin replays
+    the identical arithmetic. k sources is control-plane sized by
+    definition; the corpus-scale work is the loss aggregate
+    upstream."""
     mn = src.agg(F.min("loss").alias("_ml"))
     ex = src.crossJoin(F.broadcast(mn)).select(
         "source",
@@ -3236,26 +3253,32 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_doremi_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The learned mixture DEPLOYED: doremi_weights' final per-source
-    weights become deterministic hash-gate keep fractions over the
-    corpus (stratified_sample's device — keep iff
-    hash(doc_id) mod 1e6 < weight·1e6), so the training mix the EG
-    rounds converged to is what the sampler actually emits. The k
-    weights are a control-plane collect (the bpe-merge-table
-    pattern); the corpus pass is one narrow hash filter. The
-    threshold is floor(weight·1e6 + 0.5) in BOTH engines — a bare
-    integer cast would truncate in Spark and round in DuckDB on the
-    weight-boundary doubles."""
-    weights = {
-        r["source"]: float(r["weight"])
-        for r in q_doremi_weights(spark, sf_dir).collect()
-    }
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style iterative domain reweighting (Xie et al. 2023):
+    per-source excess loss (the unigram-LM surprisal proxy — −mean
+    per-doc avg logprob, relative to the easiest source) drives
+    exponentiated-gradient updates with uniform smoothing,
+
+        uᵢ = αᵢ·exp(η·excessᵢ);  α′ᵢ = (1−c)·uᵢ/Z + c/k   (η=1)
+
+    for a fixed number of lockstep rounds (see :func:`_doremi_eg`;
+    the per-source loss is the order-independent fixed-point mean of
+    :func:`_doremi_src_loss`)."""
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return _doremi_eg(_doremi_src_loss(docs))
+
+
+def _doremi_gate(docs: DataFrame, weights: dict[str, float]) -> DataFrame:
+    """Deploy learned per-source weights as a deterministic hash-gate
+    sampler: keep iff hash(doc_id) mod 1e6 < floor(weight·1e6 + 0.5)
+    (stratified_sample's device). The k weights are control-plane
+    sized; the corpus pass is one narrow hash filter. floor(w·1e6 +
+    0.5) in BOTH engines — a bare integer cast would truncate in
+    Spark and round in DuckDB on the weight-boundary doubles."""
     import math
 
     from etl_finance_pipeline_spark.functions.scalar import portable_hash64
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
     bucket = F.pmod(
         portable_hash64(F.col("doc_id").cast("string")), 1_000_000
     )
@@ -3264,74 +3287,100 @@ def q_doremi_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = int(math.floor(weights[src_name] * 1_000_000 + 0.5))
         cond = F.when(F.col("source") == src_name, F.lit(t))
         thr = cond.otherwise(F.lit(0)) if thr is None else cond.otherwise(thr)
-    kept = docs.filter(bucket < thr)
-    return kept.select("doc_id", "source")
+    return docs.filter(bucket < thr)
 
 
-def _dm_round_sql(t: int) -> str:
+def q_doremi_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned mixture DEPLOYED: doremi_weights' final per-source
+    weights become deterministic hash-gate keep fractions over the
+    corpus (:func:`_doremi_gate`), so the training mix the EG rounds
+    converged to is what the sampler actually emits."""
+    weights = {
+        r["source"]: float(r["weight"])
+        for r in q_doremi_weights(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return _doremi_gate(docs, weights).select("doc_id", "source")
+
+
+def _dm_round_sql(t: int, p: str = "dm") -> str:
     return f"""
-dmu{t} AS (
+{p}u{t} AS (
   SELECT list_transform(generate_series(1, k),
            i -> floor(a[i] * (floor(exp(xs[i].ex) * 1000000 + 0.5) / 1000000)
                       * 1000000 + 0.5) / 1000000) AS u
-  FROM dma{t - 1}, dmarr, dmk
+  FROM {p}a{t - 1}, {p}arr, {p}k
 ),
-dma{t} AS (
+{p}a{t} AS (
   SELECT list_transform(generate_series(1, k),
            i -> floor(({1.0 - _DM_C} * u[i]
-                        / CAST(list_reduce(u, (p, q) -> p + q) AS DOUBLE)
+                        / CAST(list_reduce(u, (ac, el) -> ac + el) AS DOUBLE)
                        + {_DM_C} / k) * 1000000 + 0.5) / 1000000) AS a
-  FROM dmu{t}, dmk
+  FROM {p}u{t}, {p}k
 )"""
 
 
-SQL_DOREMI_WEIGHTS = (
-    r"""
-WITH dmtok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
-  FROM documents
+def _dm_loss_ctes(p: str = "dm", src: str = "documents") -> str:
+    """CTE chain ``{p}tok → … → {p}src(source, n_docs, loss)``: the
+    per-source fixed-point surprisal loss over table/CTE *src* — the
+    exact-integer-sum twin of :func:`_doremi_src_loss`."""
+    return f"""{p}tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM {src}
 ),
-dmfrq AS (SELECT tok, count(*) AS tf FROM dmtok GROUP BY 1),
-dmtot AS (SELECT sum(tf) AS n FROM dmfrq),
-dmlp AS (
+{p}frq AS (SELECT tok, count(*) AS tf FROM {p}tok GROUP BY 1),
+{p}tot AS (SELECT sum(tf) AS n FROM {p}frq),
+{p}lp AS (
   SELECT t.doc_id,
-         floor(avg(ln(f.tf * 1.0 / dmtot.n)) * 1000000 + 0.5) / 1000000 AS lp
-  FROM dmtok t JOIN dmfrq f USING (tok), dmtot
+         floor(avg(ln(f.tf * 1.0 / {p}tot.n)) * 1000000 + 0.5) / 1000000 AS lp
+  FROM {p}tok t JOIN {p}frq f USING (tok), {p}tot
   GROUP BY t.doc_id
 ),
-dmsrc AS (
+{p}src AS (
   SELECT d.source,
          CAST(count(*) AS BIGINT) AS n_docs,
-         floor(-avg(lp) * 1000000 + 0.5) / 1000000 AS loss
-  FROM dmlp JOIN documents d USING (doc_id) GROUP BY 1
-),
-dmmin AS (SELECT min(loss) AS ml FROM dmsrc),
-dmex AS (
+         floor(-sum(CAST(floor(lp * 1000000 + 0.5) AS BIGINT))
+               / CAST(count(*) AS DOUBLE) + 0.5) / 1000000 AS loss
+  FROM {p}lp JOIN {src} d USING (doc_id) GROUP BY 1
+)"""
+
+
+def _dm_eg_ctes(p: str, src_cte: str) -> str:
+    """EG chain from CTE *src_cte* (source, n_docs, loss) through the
+    final weight array ``{p}a{_DM_ROUNDS}``."""
+    return f"""{p}min AS (SELECT min(loss) AS ml FROM {src_cte}),
+{p}ex AS (
   SELECT source, n_docs, loss,
          floor((loss - ml) * 1000000 + 0.5) / 1000000 AS ex
-  FROM dmsrc, dmmin
+  FROM {src_cte}, {p}min
 ),
-dmarr AS MATERIALIZED (
+{p}arr AS MATERIALIZED (
   SELECT list(struct_pack(source := source, n_docs := n_docs,
                           loss := loss, ex := ex) ORDER BY source) AS xs
-  FROM dmex
+  FROM {p}ex
 ),
-dmk AS (SELECT len(xs) AS k FROM dmarr),
-dma0 AS (
+{p}k AS (SELECT len(xs) AS k FROM {p}arr),
+{p}a0 AS (
   SELECT list_transform(xs, x -> floor(1.0 / k * 1000000 + 0.5) / 1000000) AS a
-  FROM dmarr, dmk
-),"""
-    + ",".join(_dm_round_sql(t) for t in range(1, _DM_ROUNDS + 1))
-    + f"""
-SELECT xs[i].source AS source,
+  FROM {p}arr, {p}k
+),""" + ",".join(_dm_round_sql(t, p) for t in range(1, _DM_ROUNDS + 1))
+
+
+def _dm_final_select(p: str = "dm") -> str:
+    return f"""SELECT xs[i].source AS source,
        CAST(xs[i].n_docs AS BIGINT) AS n_docs,
        xs[i].loss AS loss,
        xs[i].ex AS excess_loss,
        a[i] AS weight
-FROM dma{_DM_ROUNDS}, dmarr, dmk,
-     (SELECT unnest(generate_series(1, (SELECT k FROM dmk))) AS i)
+FROM {p}a{_DM_ROUNDS}, {p}arr, {p}k,
+     (SELECT unnest(generate_series(1, (SELECT k FROM {p}k))) AS i)"""
+
+
+SQL_DOREMI_WEIGHTS = f"""
+WITH {_dm_loss_ctes()},
+{_dm_eg_ctes("dm", "dmsrc")}
+{_dm_final_select()}
 """
-)
 
 
 SQL_DOREMI_MIX_APPLY = f"""
@@ -7911,13 +7960,26 @@ def _html_sql_ctes(joiner: str = " ") -> str:
         HTML_STRIP_RES,
     )
 
+    # the regex constants are interpolated into single-quoted SQL
+    # literals UNescaped (doubling quotes inside a regex would change
+    # the pattern) — so a quote in any of them is a build error here,
+    # not silently broken oracle SQL downstream
+    for pat in (*HTML_STRIP_RES, HTML_BLOCK_SPLIT_RE):
+        if "'" in pat:
+            raise ValueError(
+                f"HTML regex constant contains a single quote: {pat!r}"
+            )
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
     strip = "html"
     for pat in HTML_STRIP_RES:
         strip = f"regexp_replace({strip}, '{pat}', ' ', 'g')"
 
     def _unesc(expr: str) -> str:
         for ent, rep in HTML_ENTITY_RULES:
-            expr = f"replace({expr}, '{ent}', '{rep.replace(chr(39), chr(39) * 2)}')"
+            expr = f"replace({expr}, '{_q(ent)}', '{_q(rep)}')"
         return expr
 
     j = "chr(10)" if joiner == "\n" else f"'{joiner}'"
