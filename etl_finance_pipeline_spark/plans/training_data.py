@@ -619,49 +619,62 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_bins(docs, seq_tokens=256, num_shards=4)
 
 
-_PB_FIT = (
-    "(list_filter(generate_series(1, len(w.fills)),"
-    " j -> w.fills[j] + r.n_tokens <= 256))[1]"
-)
-
-SQL_PACK_BINS = f"""
-WITH RECURSIVE pbt AS (
-  SELECT doc_id,
-         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
-         CAST({_H64.format(s="CAST(doc_id AS VARCHAR)")} % 4 AS INT) AS shard
-  FROM documents
-),
-pbr AS (
+def _pack_bins_ctes(p: str, src: str, cap: int) -> str:
+    """Recursive FFD-walk CTE chain over CTE *src* exposing
+    (shard, doc_id, n_tokens) → ``{p}out(shard, bin_id, doc_id,
+    n_tokens, bin_fill)``: one successor per shard per step, the
+    shard's open-bin fill vector carried as a LIST column in the
+    recursion state (the WordPiece-walk device with vector state).
+    Must live under a ``WITH RECURSIVE`` header."""
+    fit = (
+        "(list_filter(generate_series(1, len(w.fills)),"
+        f" j -> w.fills[j] + r.n_tokens <= {cap}))[1]"
+    )
+    fit2 = fit.replace("j ->", "j2 ->").replace("fills[j]", "fills[j2]")
+    return f"""{p}r AS (
   SELECT shard, doc_id, n_tokens,
          row_number() OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS rnk
-  FROM pbt
+  FROM {src}
 ),
-pbn AS (SELECT shard, count(*) AS n FROM pbr GROUP BY 1),
-pbw AS (
+{p}n AS (SELECT shard, count(*) AS n FROM {p}r GROUP BY 1),
+{p}w AS (
   SELECT shard, 0 AS i, CAST(NULL AS BIGINT) AS doc_id,
          CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS bin_id,
          CAST([] AS BIGINT[]) AS fills
-  FROM pbn
+  FROM {p}n
   UNION ALL
   SELECT w.shard, w.i + 1, r.doc_id, r.n_tokens,
-         CAST(coalesce({_PB_FIT}, len(w.fills) + 1) - 1 AS BIGINT) AS bin_id,
+         CAST(coalesce({fit}, len(w.fills) + 1) - 1 AS BIGINT) AS bin_id,
          list_transform(
            generate_series(1, greatest(CAST(len(w.fills) AS BIGINT),
-                                       coalesce({_PB_FIT}, len(w.fills) + 1))),
-           j -> CASE WHEN j = coalesce({_PB_FIT.replace("j ->", "j2 ->").replace("fills[j]", "fills[j2]")}, len(w.fills) + 1)
+                                       coalesce({fit}, len(w.fills) + 1))),
+           j -> CASE WHEN j = coalesce({fit2}, len(w.fills) + 1)
                      THEN coalesce(w.fills[j], CAST(0 AS BIGINT)) + r.n_tokens
                      ELSE w.fills[j] END) AS fills
-  FROM pbw w JOIN pbr r ON r.shard = w.shard AND r.rnk = w.i + 1
+  FROM {p}w w JOIN {p}r r ON r.shard = w.shard AND r.rnk = w.i + 1
 ),
-pbl AS (
+{p}l AS (
   SELECT w.shard, w.fills
-  FROM pbw w JOIN pbn ON pbn.shard = w.shard
-  WHERE w.i = pbn.n
-)
-SELECT a.shard, a.bin_id, a.doc_id, a.n_tokens,
-       l.fills[CAST(a.bin_id + 1 AS INT)] AS bin_fill
-FROM pbw a JOIN pbl l ON l.shard = a.shard
-WHERE a.i > 0
+  FROM {p}w w JOIN {p}n ON {p}n.shard = w.shard
+  WHERE w.i = {p}n.n
+),
+{p}out AS (
+  SELECT a.shard, a.bin_id, a.doc_id, a.n_tokens,
+         l.fills[CAST(a.bin_id + 1 AS INT)] AS bin_fill
+  FROM {p}w a JOIN {p}l l ON l.shard = a.shard
+  WHERE a.i > 0
+)"""
+
+
+SQL_PACK_BINS = f"""
+WITH RECURSIVE pbt AS (
+  SELECT CAST({_H64.format(s="CAST(doc_id AS VARCHAR)")} % 4 AS INT) AS shard,
+         doc_id,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+{_pack_bins_ctes("pb", "pbt", 256)}
+SELECT shard, bin_id, doc_id, n_tokens, bin_fill FROM pbout
 """
 
 
@@ -8255,6 +8268,263 @@ FROM wfl
 """
 
 
+# --------------------------------------------------------------------
+# End-to-end corpus build (the LLM-side flagship composition)
+# --------------------------------------------------------------------
+
+_CB_CAP = 256  # FFD bin capacity (tokens) for the e2e packing stage
+_CB_SHARDS = 4
+_CB_SEED = 11
+
+
+def q_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly corpus-build lane END-TO-END, one oracle-backed
+    query — the LLM-side analog of ``pipeline_e2e_fused``: raw HTML →
+    jusText-lite extraction → curation gates (non-empty extract,
+    domain blocklist, lang-ID = en, Gopher structural rules, exact
+    dedup canonical) → MinHash-LSH near-dup clusters with
+    QUALITY-AWARE canonical selection → DoReMi mixture weights
+    learned ON the survivors and deployed as the hash sampling gate →
+    deterministic shuffle-shard → first-fit-decreasing bin packing
+    WITHIN each output shard → per-shard emission stats. Every stage
+    is an already-verified operator; what this query adds is the
+    CROSS-STAGE CONTRACT (a canonical-rewrite column rename or a gate
+    re-keying breaks here even when each per-stage oracle stays
+    green).
+
+    Scale shape: the funnel is narrow maps + doc-keyed joins; dedup
+    is the banded LSH (never all-pairs); DoReMi's corpus work is one
+    fixed-point logprob aggregate (k weights are a control-plane
+    collect); the shuffle+pack is one hash shuffle and the per-shard
+    Arrow FFD kernel. Two localCheckpoints cut the multi-consumer
+    frames (funnel survivors feed 4 consumers; canonical feeds 2).
+
+    Output: (shard, n_docs, n_tokens, n_bins, fill_frac) — the
+    training-shard manifest a real run would write next to the data.
+    """
+    from etl_finance_pipeline_spark.operators.corpus import (
+        canonical_host,
+        html_extract,
+        pack_bins,
+        registrable_domain,
+        shuffle_shard,
+        synthesize_html,
+    )
+    from etl_finance_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        gopher_rules,
+        language_id,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    hx = html_extract(synthesize_html(docs)).select(
+        "doc_id", "source", "lang", "text"
+    )
+    dkeep = ~registrable_domain(canonical_host(_url_expr())).isin(
+        _URL_BLOCKLIST
+    )
+    lid = language_id(hx).select(
+        "doc_id", (F.col("pred_lang") == "en").alias("_lk")
+    )
+    gq = gopher_rules(hx).select(
+        "doc_id",
+        (
+            F.col("rule_word_count")
+            & F.col("rule_mean_word_len")
+            & F.col("rule_symbol_ratio")
+            & F.col("rule_alpha_words")
+        ).alias("_qk"),
+    )
+    exact = hx.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", F.lit(True).alias("_ek")
+    )
+    cbdocs = (
+        hx.withColumn("_xk", F.length("text") > 0)
+        .withColumn("_dk", dkeep)
+        .join(lid, "doc_id")
+        .join(gq, "doc_id")
+        .join(exact, "doc_id", "left")  # AQE sizes the exact-keep side
+        .filter(
+            F.col("_xk")
+            & F.col("_dk")
+            & F.col("_lk")
+            & F.col("_qk")
+            & F.coalesce("_ek", F.lit(False))
+        )
+        .select("doc_id", "source", "lang", "text")
+        .localCheckpoint(eager=True)  # feeds LSH, quality, loss, gate
+    )
+
+    pairs = minhash_lsh_pairs(cbdocs).filter(F.col("est_jaccard") >= 0.5)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    qs = quality_score(cbdocs).select(
+        "doc_id", _pr("quality", 6).alias("_q")
+    )
+    member = (
+        cbdocs.join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+        .join(qs, "doc_id")
+    )
+    best = member.groupBy("component").agg(
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col("_q"), (-F.col("doc_id")).alias("_nid")),
+        ).alias("_keep")
+    )
+    canon = (
+        member.join(F.broadcast(best), "component")
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=True)  # feeds the loss agg AND the gate
+    )
+
+    weights = {
+        r["source"]: float(r["weight"])
+        for r in _doremi_eg(_doremi_src_loss(canon)).collect()
+    }
+    gated = _doremi_gate(canon, weights)
+
+    sharded = shuffle_shard(
+        gated.select(
+            "doc_id",
+            F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+        ),
+        num_shards=_CB_SHARDS,
+        seed=_CB_SEED,
+    )
+    packed = pack_bins(sharded, seq_tokens=_CB_CAP, shard_col="shard")
+    per_bin = packed.groupBy("shard", "bin_id").agg(
+        F.count("*").alias("_docs"), F.max("bin_fill").alias("_fill")
+    )
+    return (
+        per_bin.groupBy("shard")
+        .agg(
+            F.sum("_docs").cast("long").alias("n_docs"),
+            F.sum("_fill").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_bins"),
+            _pr(
+                F.sum("_fill") / (F.count("*") * _CB_CAP), 6
+            ).alias("fill_frac"),
+        )
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            "n_docs",
+            "n_tokens",
+            "n_bins",
+            "fill_frac",
+        )
+    )
+
+
+SQL_CORPUS_BUILD_E2E = f"""
+WITH RECURSIVE {_html_sql_ctes()},
+{_URL_CTE.strip()},
+cbex AS (SELECT min(doc_id) AS doc_id FROM hxdocs GROUP BY text),
+cbdocs AS MATERIALIZED (
+  SELECT d.doc_id, d.source, d.lang, d.text
+  FROM hxdocs d
+  JOIN doms ON doms.doc_id = d.doc_id
+  JOIN ({SQL_LANG_ID.replace("FROM documents", "FROM hxdocs").strip()}) lid
+    ON lid.doc_id = d.doc_id
+  JOIN ({SQL_GOPHER_QUALITY.replace("FROM documents", "FROM hxdocs").strip()}) gq
+    ON gq.doc_id = d.doc_id
+  JOIN cbex ON cbex.doc_id = d.doc_id
+  WHERE len(d.text) > 0
+    AND doms.domain NOT IN ({", ".join(f"'{b}'" for b in _URL_BLOCKLIST)})
+    AND lid.pred_lang = 'en'
+    AND gq.rule_word_count AND gq.rule_mean_word_len
+    AND gq.rule_symbol_ratio AND gq.rule_alpha_words
+),
+{_SHINGLES_CTE.replace("FROM documents", "FROM cbdocs").strip()},
+{_SIG_CTE.strip()},
+bands AS (
+  {_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, k1, k2, k3, k4)
+  WHERE a.doc_id < b.doc_id
+),
+near AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+  WHERE ({_EQ_TERMS}) / 16.0 >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM near
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM near
+),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.dst AS id, reach.r
+  FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+),
+ndq AS ({SQL_QUALITY_SCORE.replace("FROM documents", "FROM cbdocs").strip()}),
+ndm AS (
+  SELECT d.doc_id, d.source, d.text,
+         coalesce(c.component, d.doc_id) AS component,
+         q.quality
+  FROM cbdocs d
+  LEFT JOIN comp c ON c.doc_id = d.doc_id
+  JOIN ndq q ON q.doc_id = d.doc_id
+),
+canon AS MATERIALIZED (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           row_number() OVER (
+             PARTITION BY component ORDER BY quality DESC, doc_id
+           ) AS rn
+    FROM ndm
+  ) WHERE rn = 1
+),
+{_dm_loss_ctes("cdm", "canon")},
+{_dm_eg_ctes("cdm", "cdmsrc")},
+cbw AS ({_dm_final_select("cdm")}),
+cbgate AS (
+  SELECT c.doc_id, c.text
+  FROM canon c JOIN cbw w ON w.source = c.source
+  WHERE {_H64.format(s="CAST(c.doc_id AS VARCHAR)")} % 1000000
+        < CAST(floor(w.weight * 1000000 + 0.5) AS BIGINT)
+),
+cbsh AS (
+  SELECT CAST({_H64.format(s=f"CAST(doc_id AS VARCHAR) || '#shuffle{_CB_SEED}'")}
+              % {_CB_SHARDS} AS INT) AS shard,
+         doc_id,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM cbgate
+),
+{_pack_bins_ctes("cbp", "cbsh", _CB_CAP)},
+cbbin AS (
+  SELECT shard, bin_id, CAST(count(*) AS BIGINT) AS docs,
+         max(bin_fill) AS fill
+  FROM cbpout GROUP BY 1, 2
+)
+SELECT shard,
+       CAST(sum(docs) AS BIGINT) AS n_docs,
+       CAST(sum(fill) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       floor(sum(fill) * 1.0 / (count(*) * {_CB_CAP}) * 1000000 + 0.5)
+         / 1000000 AS fill_frac
+FROM cbbin GROUP BY 1
+"""
+
+
 
 
 
@@ -8578,6 +8848,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": q_unigram_logprob,
     "doremi_weights": q_doremi_weights,
     "doremi_mix_apply": q_doremi_mix_apply,
+    "corpus_build_e2e": q_corpus_build_e2e,
     "embed_quantize": q_embed_quantize,
     "semdedup": q_semdedup,
     "image_stats_png": q_image_stats_png,
@@ -8729,6 +9000,7 @@ ORACLES_TD: dict[str, str] = {
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "doremi_weights": SQL_DOREMI_WEIGHTS,
     "doremi_mix_apply": SQL_DOREMI_MIX_APPLY,
+    "corpus_build_e2e": SQL_CORPUS_BUILD_E2E,
     "embed_quantize": SQL_EMBED_QUANTIZE,
     "semdedup": SQL_SEMDEDUP,
     "image_stats_png": SQL_IMAGE_STATS_PNG,
