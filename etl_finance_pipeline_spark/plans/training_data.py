@@ -7958,14 +7958,40 @@ GROUP BY 1
 # HTML/markup text extraction (jusText-lite) — curation stage 0
 # --------------------------------------------------------------------
 
-def _html_sql_ctes(joiner: str = " ") -> str:
-    """``hx_pay → hx_clean → hx_blocks → hxdocs`` CTE chain: the
-    DuckDB twin of synthesize_html + html_extract, generated from the
-    SAME regex constants the Spark operator compiles so the two
-    engines run the byte-identical chain. ``hxdocs`` exposes
-    (doc_id, source, lang, text=extracted). array_to_string of an
-    empty list is NULL in DuckDB where Spark's array_join is '' —
-    hence the coalesces."""
+def _html_pay_cte(p: str = "hx_pay") -> str:
+    """``{p}(doc_id, source, lang, html)``: the DuckDB twin of
+    synthesize_html over the documents fixture."""
+    return f"""{p} AS (
+  SELECT doc_id, source, lang,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || '</title><style>body{{margin:0}}</style><script>var a=1;</script></head><body>'
+    || '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/tags">Tags</a></nav>'
+    || (CASE doc_id % 3
+        WHEN 1 THEN '<script>inline()</script><div class="ad"><a href="/buy">Buy now</a></div>'
+        WHEN 2 THEN '<!-- rendered 2026 --><ul><li><a href="/p1">Prev</a></li><li><a href="/p2">Next</a></li></ul>'
+        ELSE '<p>Q&amp;A section &lt;closed&gt;</p>' END)
+    || '<h1>Latest post</h1><div class="main"><p>' || text
+    || '</p></div><div class="share"><a href="/s/tw">Tweet</a> <a href="/s/fb">Share</a></div>'
+    || '<footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> (c) 2026 example.com</footer></body></html>'
+    AS html
+  FROM documents
+)"""
+
+
+def _html_extract_ctes(
+    src: str,
+    keys: str = "doc_id, source, lang",
+    p: str = "hx",
+    joiner: str = " ",
+    html_col: str = "html",
+) -> str:
+    """``{p}_clean → {p}_blocks → {p}docs`` CTE chain: the DuckDB
+    twin of html_extract over CTE *src* (which must expose *keys* +
+    *html_col*), generated from the SAME regex constants the Spark
+    operator compiles so the two engines run the byte-identical
+    chain. ``{p}docs`` exposes (keys..., text=extracted).
+    array_to_string of an empty list is NULL in DuckDB where Spark's
+    array_join is '' — hence the coalesces."""
     from etl_finance_pipeline_spark.operators.corpus import (
         HTML_BLOCK_SPLIT_RE,
         HTML_ENTITY_RULES,
@@ -7986,7 +8012,7 @@ def _html_sql_ctes(joiner: str = " ") -> str:
     def _q(s: str) -> str:
         return s.replace("'", "''")
 
-    strip = "html"
+    strip = html_col
     for pat in HTML_STRIP_RES:
         strip = f"regexp_replace({strip}, '{pat}', ' ', 'g')"
 
@@ -7996,26 +8022,11 @@ def _html_sql_ctes(joiner: str = " ") -> str:
         return expr
 
     j = "chr(10)" if joiner == "\n" else f"'{joiner}'"
-    return f"""hx_pay AS (
-  SELECT doc_id, source, lang,
-    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-    || '</title><style>body{{margin:0}}</style><script>var a=1;</script></head><body>'
-    || '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/tags">Tags</a></nav>'
-    || (CASE doc_id % 3
-        WHEN 1 THEN '<script>inline()</script><div class="ad"><a href="/buy">Buy now</a></div>'
-        WHEN 2 THEN '<!-- rendered 2026 --><ul><li><a href="/p1">Prev</a></li><li><a href="/p2">Next</a></li></ul>'
-        ELSE '<p>Q&amp;A section &lt;closed&gt;</p>' END)
-    || '<h1>Latest post</h1><div class="main"><p>' || text
-    || '</p></div><div class="share"><a href="/s/tw">Tweet</a> <a href="/s/fb">Share</a></div>'
-    || '<footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> (c) 2026 example.com</footer></body></html>'
-    AS html
-  FROM documents
+    return f"""{p}_clean AS (
+  SELECT {keys}, {strip} AS h FROM {src}
 ),
-hx_clean AS (
-  SELECT doc_id, source, lang, {strip} AS h FROM hx_pay
-),
-hx_blocks AS (
-  SELECT doc_id, source, lang,
+{p}_blocks AS (
+  SELECT {keys},
     list_filter(
       list_transform(
         regexp_split_to_array(h, '{HTML_BLOCK_SPLIT_RE}'),
@@ -8026,13 +8037,24 @@ hx_blocks AS (
       ),
       s -> len(s.t) > 0 AND CAST(len(s.l) AS DOUBLE) <= CAST(len(s.t) AS DOUBLE) * {HTML_MAX_LINK_DENSITY}
     ) AS ks
-  FROM hx_clean
+  FROM {p}_clean
 ),
-hxdocs AS (
-  SELECT doc_id, source, lang,
+{p}docs AS (
+  SELECT {keys},
     coalesce(array_to_string(list_transform(ks, s -> s.t), {j}), '') AS text
-  FROM hx_blocks
+  FROM {p}_blocks
 )"""
+
+
+def _html_sql_ctes(joiner: str = " ") -> str:
+    """``hx_pay → hx_clean → hx_blocks → hxdocs``: synthesized
+    payload + extraction over the documents fixture (the composed
+    form every HTML-lane oracle uses)."""
+    return (
+        _html_pay_cte()
+        + ",\n"
+        + _html_extract_ctes("hx_pay", joiner=joiner)
+    )
 
 
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8525,6 +8547,229 @@ FROM cbbin GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------
+# WARC-style crawl-record parsing (curation stage -1)
+# --------------------------------------------------------------------
+
+_WARC_BLOBS = 32  # crawl files per corpus in the synthetic lane
+
+_CRLF = "chr(13) || chr(10)"
+_CRLF2 = "chr(13) || chr(10) || chr(13) || chr(10)"
+
+#: the urls CTE alone (the synthesis half of _URL_CTE, without the
+#: canonicalization chain)
+_URL_CTE_URLS = _URL_CTE[: _URL_CTE.index("hosts AS")].rstrip().rstrip(",")
+
+#: the canonicalization half (hosts → doms), rebasable onto any CTE
+#: exposing (doc_id, url)
+_URL_CTE_DOMS = _URL_CTE[_URL_CTE.index("hosts AS") :]
+
+
+def _warc_parse_ctes() -> str:
+    """``wpay → urls → wrec → wblob → wrecs → wparse`` CTE chain: the
+    DuckDB twin of synthesize_html + synthesize_warc + warc_parse —
+    build the record envelopes, concatenate per blob in id order,
+    then split at the record magic and recover each payload by
+    Content-Length framing from the header terminator."""
+    cl = "CAST(regexp_extract(r, 'Content-Length: ([0-9]+)', 1) AS BIGINT)"
+    return f"""{_html_pay_cte("wpay")},
+{_URL_CTE_URLS.strip()},
+wrec AS (
+  SELECT d.doc_id % {_WARC_BLOBS} AS blob_id, d.doc_id,
+         'WARC/1.0' || {_CRLF} || 'WARC-Type: response' || {_CRLF}
+         || 'WARC-Record-ID: <urn:doc:' || CAST(d.doc_id AS VARCHAR) || '>' || {_CRLF}
+         || 'WARC-Target-URI: ' || u.url || {_CRLF}
+         || 'Content-Length: ' || CAST(len(d.html) AS VARCHAR) || {_CRLF} || {_CRLF}
+         || d.html || {_CRLF} || {_CRLF} AS rec
+  FROM wpay d JOIN urls u USING (doc_id)
+),
+wblob AS (
+  SELECT blob_id, string_agg(rec, '' ORDER BY doc_id) AS warc
+  FROM wrec GROUP BY 1
+),
+wrecs AS (
+  SELECT unnest(list_filter(
+    string_split_regex(warc, 'WARC/1\\.0\\r\\n'), r -> len(r) > 0)) AS r
+  FROM wblob
+),
+wparse AS (
+  SELECT CAST(regexp_extract(r, '<urn:doc:([0-9]+)>', 1) AS BIGINT) AS doc_id,
+         regexp_extract(r, 'WARC-Target-URI: ([^\\r]+)', 1) AS uri,
+         {cl} AS content_length,
+         substr(r, strpos(r, {_CRLF2}) + 4, {cl}) AS payload,
+         (CAST(len(r) AS BIGINT) = CAST(strpos(r, {_CRLF2}) + 7 AS BIGINT) + {cl})
+           AS length_ok
+  FROM wrecs
+)"""
+
+
+def _warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → synthesized HTML pages with url + blob grouping —
+    the input a crawl writer would have had."""
+    from etl_finance_pipeline_spark.operators.corpus import synthesize_html
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return (
+        synthesize_html(docs)
+        .withColumn("url", _url_expr())
+        .withColumn(
+            "blob_id", (F.col("doc_id") % _WARC_BLOBS).cast("int")
+        )
+    )
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation stage −1: crawl-record (WARC-style) parsing. The
+    payload device one framing level below html_extract: pages are
+    wrapped in deterministic record envelopes and concatenated into
+    multi-record blobs IN-ENGINE (synthesize_warc), then the parser
+    splits the blobs back into records, reads the headers, recovers
+    each payload by Content-Length framing (length_ok flags any
+    framing damage), and hands the payload to the jusText-lite
+    extractor — the raw-crawl-to-text front door, entirely string
+    primitives, zero UDFs. The DuckDB oracle replays the identical
+    build + parse + extract chain."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        html_extract,
+        synthesize_warc,
+        warc_parse,
+    )
+
+    parsed = warc_parse(synthesize_warc(_warc_pages(spark, sf_dir)))
+    out = html_extract(parsed, html_col="payload", out_col="text")
+    return out.select(
+        "doc_id", "uri", "content_length", "length_ok", "text"
+    )
+
+
+SQL_WARC_EXTRACT = f"""
+WITH {_warc_parse_ctes()},
+{_html_extract_ctes("wparse", "doc_id, uri, content_length, length_ok", "wx", " ", "payload")}
+SELECT doc_id, uri, content_length, length_ok, text FROM wxdocs
+"""
+
+
+def q_warc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-curation funnel FROM RAW CRAWL RECORDS: stage −1
+    parses the WARC-style blobs (framing check), stage 0 extracts
+    main text from each recovered payload, and every downstream gate
+    — domain blocklist over the PARSED Target-URI (not a synthesized
+    column), lang-ID, Gopher rules, exact dedup — evaluates over the
+    extracted text. source/lang metadata joins in by the parsed
+    record id (the crawl catalog lookup a real pipeline does).
+    Output: one row of stage counts, n_records down to n_final."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        canonical_host,
+        html_extract,
+        registrable_domain,
+        synthesize_warc,
+        warc_parse,
+    )
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        gopher_rules,
+        language_id,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    parsed = warc_parse(synthesize_warc(_warc_pages(spark, sf_dir)))
+    wx = html_extract(parsed, html_col="payload", out_col="text")
+    meta = wx.join(docs.select("doc_id", "source", "lang"), "doc_id")
+    dflag = (
+        ~registrable_domain(canonical_host(F.col("uri"))).isin(
+            _URL_BLOCKLIST
+        )
+    ).cast("int")
+    lid = language_id(meta).select(
+        "doc_id", (F.col("pred_lang") == "en").cast("int").alias("_lk")
+    )
+    gq = gopher_rules(meta).select(
+        "doc_id",
+        (
+            F.col("rule_word_count")
+            & F.col("rule_mean_word_len")
+            & F.col("rule_symbol_ratio")
+            & F.col("rule_alpha_words")
+        ).cast("int").alias("_qk"),
+    )
+    exact = meta.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    flags = (
+        meta.select(
+            "doc_id",
+            F.col("length_ok").cast("int").alias("_fk"),
+            (F.length("text") > 0).cast("int").alias("_xk"),
+            dflag.alias("_dk"),
+        )
+        .join(lid, "doc_id")
+        .join(gq, "doc_id")
+        .join(
+            F.broadcast(exact.select("doc_id").withColumn("_ek", F.lit(1))),
+            "doc_id",
+            "left",
+        )
+        .withColumn("_ek", F.coalesce("_ek", F.lit(0)))
+    )
+    return flags.agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.sum("_fk").cast("long").alias("n_framed"),
+        F.sum("_xk").cast("long").alias("n_extract"),
+        F.sum("_dk").cast("long").alias("n_domain"),
+        F.sum("_lk").cast("long").alias("n_lang"),
+        F.sum("_qk").cast("long").alias("n_quality"),
+        F.sum("_ek").cast("long").alias("n_exact"),
+        F.sum(
+            F.col("_fk")
+            * F.col("_xk")
+            * F.col("_dk")
+            * F.col("_lk")
+            * F.col("_qk")
+            * F.col("_ek")
+        )
+        .cast("long")
+        .alias("n_final"),
+    )
+
+
+SQL_WARC_CURATION_FUNNEL = f"""
+WITH {_warc_parse_ctes()},
+{_html_extract_ctes("wparse", "doc_id, uri, content_length, length_ok", "wx", " ", "payload")},
+wmeta AS (
+  SELECT w.doc_id, d.source, d.lang, w.text, w.uri, w.length_ok
+  FROM wxdocs w JOIN documents d USING (doc_id)
+),
+wuri AS (SELECT doc_id, uri AS url FROM wxdocs),
+{_URL_CTE_DOMS.replace("FROM urls", "FROM wuri").strip()},
+wfex AS (SELECT min(doc_id) AS doc_id FROM wmeta GROUP BY text),
+wffl AS (
+  SELECT m.doc_id,
+    CASE WHEN m.length_ok THEN 1 ELSE 0 END AS fk,
+    CASE WHEN len(m.text) > 0 THEN 1 ELSE 0 END AS xk,
+    CASE WHEN doms.domain NOT IN ({", ".join(f"'{b}'" for b in _URL_BLOCKLIST)})
+         THEN 1 ELSE 0 END AS dk,
+    CASE WHEN lid.pred_lang = 'en' THEN 1 ELSE 0 END AS lk,
+    CASE WHEN gq.rule_word_count AND gq.rule_mean_word_len
+          AND gq.rule_symbol_ratio AND gq.rule_alpha_words
+         THEN 1 ELSE 0 END AS qk,
+    CASE WHEN wfex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ek
+  FROM wmeta m
+  JOIN doms ON doms.doc_id = m.doc_id
+  JOIN ({SQL_LANG_ID.replace("FROM documents", "FROM wmeta").strip()}) lid
+    ON lid.doc_id = m.doc_id
+  JOIN ({SQL_GOPHER_QUALITY.replace("FROM documents", "FROM wmeta").strip()}) gq
+    ON gq.doc_id = m.doc_id
+  LEFT JOIN wfex ON wfex.doc_id = m.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(fk) AS BIGINT) AS n_framed,
+       CAST(sum(xk) AS BIGINT) AS n_extract,
+       CAST(sum(dk) AS BIGINT) AS n_domain,
+       CAST(sum(lk) AS BIGINT) AS n_lang,
+       CAST(sum(qk) AS BIGINT) AS n_quality,
+       CAST(sum(ek) AS BIGINT) AS n_exact,
+       CAST(sum(fk * xk * dk * lk * qk * ek) AS BIGINT) AS n_final
+FROM wffl
+"""
+
+
 
 
 
@@ -8849,6 +9094,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doremi_weights": q_doremi_weights,
     "doremi_mix_apply": q_doremi_mix_apply,
     "corpus_build_e2e": q_corpus_build_e2e,
+    "warc_extract": q_warc_extract,
+    "warc_curation_funnel": q_warc_curation_funnel,
     "embed_quantize": q_embed_quantize,
     "semdedup": q_semdedup,
     "image_stats_png": q_image_stats_png,
@@ -9001,6 +9248,8 @@ ORACLES_TD: dict[str, str] = {
     "doremi_weights": SQL_DOREMI_WEIGHTS,
     "doremi_mix_apply": SQL_DOREMI_MIX_APPLY,
     "corpus_build_e2e": SQL_CORPUS_BUILD_E2E,
+    "warc_extract": SQL_WARC_EXTRACT,
+    "warc_curation_funnel": SQL_WARC_CURATION_FUNNEL,
     "embed_quantize": SQL_EMBED_QUANTIZE,
     "semdedup": SQL_SEMDEDUP,
     "image_stats_png": SQL_IMAGE_STATS_PNG,
