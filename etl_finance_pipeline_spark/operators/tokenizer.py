@@ -39,11 +39,32 @@ _L = "\x01"
 _R = "\x02"
 
 
+def _word_units(w, byte_level: bool):
+    """A word's initial unit-string: every base symbol wrapped as
+    ``\\x01sym\\x02``. Char-level: one symbol per character.
+    Byte-level (GPT-2 lineage, Radford et al. 2019): one symbol per
+    UTF-8 BYTE, rendered as its uppercase two-hex-digit pair — a
+    closed 256-symbol base alphabet, so encoding can NEVER go out of
+    vocabulary (the hex rendering keeps the symbols printable and
+    engine-portable; DuckDB twin: ``upper(hex(encode(w)))`` split
+    into pairs)."""
+    if byte_level:
+        syms = F.regexp_extract_all(
+            F.upper(F.hex(F.encode(w, "UTF-8"))), F.lit("(..)"), 1
+        )
+    else:
+        syms = F.split(w, "")
+    return F.array_join(
+        F.transform(syms, lambda c: F.concat(F.lit(_L), c, F.lit(_R))), ""
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 6,
     merges_per_round: int = 1,
+    byte_level: bool = False,
 ) -> DataFrame:
     """Learn *n_merges* BPE merges from the corpus.
 
@@ -65,6 +86,10 @@ def bpe_train(
     passes instead of 30k. K=1 (default) reproduces classic BPE
     exactly and is what the oracle checks.
 
+    ``byte_level=True`` seeds the walk from UTF-8 BYTES (hex-pair
+    symbols, :func:`_word_units`) instead of characters — the GPT-2
+    no-OOV base alphabet; the merge mechanics are identical.
+
     Output: (merge_round, left_sym, right_sym, merged, pair_count) —
     one row per learned merge, ``merge_round`` starting at 1.
     """
@@ -77,13 +102,7 @@ def bpe_train(
         .agg(F.count("*").alias("wc"))
     )
     units = words.select(
-        F.array_join(
-            F.transform(
-                F.split("w", ""),
-                lambda c: F.concat(F.lit(_L), c, F.lit(_R)),
-            ),
-            "",
-        ).alias("s"),
+        _word_units(F.col("w"), byte_level).alias("s"),
         "wc",
     ).localCheckpoint(eager=True)
 
@@ -153,20 +172,16 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Apply a learned merge table: tokenize each document's words
     with the trained BPE vocabulary (merges applied in training
     order) and emit the symbol array per document. A narrow,
     exchange-free map — the merge table compiles into a chain of
-    ``replace`` expressions over the unit-string encoding."""
+    ``replace`` expressions over the unit-string encoding.
+    ``byte_level`` must match how the table was trained."""
     word_units = F.transform(
-        tokens(text_col),
-        lambda w: F.array_join(
-            F.transform(
-                F.split(w, ""), lambda c: F.concat(F.lit(_L), c, F.lit(_R))
-            ),
-            "",
-        ),
+        tokens(text_col), lambda w: _word_units(w, byte_level)
     )
     df = df.withColumn("_units", word_units)
 

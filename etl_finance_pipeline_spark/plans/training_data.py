@@ -2778,26 +2778,38 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, n_merges=_BPE_MERGES)
 
 
-def _bpe_round_sql(i: int) -> str:
+def _bpe_round_sql(i: int, p: str = "") -> str:
     return f"""
-sy{i} AS (
+{p}sy{i} AS (
   SELECT string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)) AS syms, wc
-  FROM u{i - 1}
+  FROM {p}u{i - 1}
 ),
-px{i} AS (
-  SELECT unnest(generate_series(1, len(syms) - 1)) AS i, syms, wc FROM sy{i}
+{p}px{i} AS (
+  SELECT unnest(generate_series(1, len(syms) - 1)) AS i, syms, wc FROM {p}sy{i}
 ),
-pr{i} AS (
+{p}pr{i} AS (
   SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(wc) AS BIGINT) AS cnt
-  FROM px{i} GROUP BY 1, 2
+  FROM {p}px{i} GROUP BY 1, 2
 ),
-b{i} AS MATERIALIZED (SELECT l, r, cnt FROM pr{i} ORDER BY cnt DESC, l, r LIMIT 1),
-u{i} AS MATERIALIZED (
+{p}b{i} AS MATERIALIZED (SELECT l, r, cnt FROM {p}pr{i} ORDER BY cnt DESC, l, r LIMIT 1),
+{p}u{i} AS MATERIALIZED (
   SELECT replace(s,
-                 chr(1) || (SELECT l FROM b{i}) || chr(2) || chr(1) || (SELECT r FROM b{i}) || chr(2),
-                 chr(1) || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || chr(2)) AS s,
+                 chr(1) || (SELECT l FROM {p}b{i}) || chr(2) || chr(1) || (SELECT r FROM {p}b{i}) || chr(2),
+                 chr(1) || (SELECT l FROM {p}b{i}) || (SELECT r FROM {p}b{i}) || chr(2)) AS s,
          wc
-  FROM u{i - 1}
+  FROM {p}u{i - 1}
+)"""
+
+
+def _bpe_encode_round_sql(i: int, p: str = "") -> str:
+    return f"""
+{p}e{i} AS (
+  SELECT w, replace(
+    s,
+    (SELECT chr(1) || l || chr(2) || chr(1) || r || chr(2) FROM {p}b{i}),
+    (SELECT chr(1) || l || r || chr(2) FROM {p}b{i})
+  ) AS s
+  FROM {p}e{i - 1}
 )"""
 
 
@@ -2822,6 +2834,314 @@ u0 AS MATERIALIZED (
         for i in range(1, _BPE_MERGES + 1)
     )
 )
+
+
+# --------------------------------------------------------------------
+# Byte-level BPE (GPT-2 lineage: closed 256-symbol base alphabet)
+# --------------------------------------------------------------------
+
+#: unit-string constructor over a word column ``w`` — byte-level: the
+#: word's UTF-8 bytes as uppercase hex pairs (DuckDB twin of
+#: tokenizer._word_units(byte_level=True))
+_BYTE_UNITS_SQL = (
+    "array_to_string(list_transform("
+    "regexp_extract_all(upper(hex(encode(w))), '..'),"
+    " b -> chr(1) || b || chr(2)), '')"
+)
+
+_CHAR_UNITS_SQL = (
+    "array_to_string(list_transform(generate_series(1, len(w)),"
+    " i -> chr(1) || w[i] || chr(2)), '')"
+)
+
+
+def q_bpe_bytes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level BPE training (Radford et al. 2019's GPT-2 recipe
+    reduced to its vocabulary algorithm): identical merge mechanics
+    to bpe_train but seeded from each word's UTF-8 bytes as hex-pair
+    symbols — a closed 256-symbol base alphabet, so the resulting
+    vocabulary can encode ANY text with zero OOV (the property the
+    char-level trainers lack; tokenizer_oov_cost measures the gap).
+    The oracle unrolls the identical rounds over the identical hex
+    seeding."""
+    from etl_finance_pipeline_spark.operators.tokenizer import bpe_train
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return bpe_train(docs, n_merges=_BPE_MERGES, byte_level=True)
+
+
+SQL_BPE_BYTES_TRAIN = (
+    r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+words AS (SELECT w, count(*) AS wc FROM toks GROUP BY 1),
+u0 AS MATERIALIZED (
+  SELECT """
+    + _BYTE_UNITS_SQL
+    + r""" AS s, wc
+  FROM words
+),"""
+    + ",".join(_bpe_round_sql(i) for i in range(1, _BPE_MERGES + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_round, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+)
+
+
+def q_bpe_bytes_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE train→encode at corpus scale: the learned
+    hex-pair merge table compiles into the same replace chain as the
+    char lane (narrow, exchange-free); output per doc = byte-token
+    count + md5 of the joined symbol stream, so the full byte-level
+    path is hash-checked."""
+    from etl_finance_pipeline_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, n_merges=_BPE_MERGES, byte_level=True)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    out = bpe_encode(docs, merges, byte_level=True)
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_byte_tokens"),
+        F.md5(F.encode(F.array_join("bpe_tokens", " "), "UTF-8")).alias(
+            "tokens_md5"
+        ),
+    )
+
+
+def _bpe_encode_sql(units_expr: str, count_alias: str) -> str:
+    """Self-contained train+encode oracle over *units_expr* seeding
+    (the SQL_BPE_ENCODE shape, parameterized for byte-level)."""
+    return (
+        r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+words AS (SELECT w, count(*) AS wc FROM toks GROUP BY 1),
+u0 AS MATERIALIZED (
+  SELECT """
+        + units_expr
+        + r""" AS s, wc
+  FROM words
+),"""
+        + ",".join(_bpe_round_sql(i) for i in range(1, _BPE_MERGES + 1))
+        + f""",
+e0 AS (
+  SELECT w, {units_expr} AS s FROM words
+)"""
+        + ",".join(
+            [""]
+            + [_bpe_encode_round_sql(i) for i in range(1, _BPE_MERGES + 1)]
+        )
+        + f""",
+docw AS (
+  SELECT doc_id, j, t[j] AS w FROM (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+    FROM documents
+  ), LATERAL (SELECT unnest(generate_series(1, len(t))) AS j) g
+),
+assembled AS (
+  SELECT d.doc_id,
+         string_split(substr(string_agg(e.s, '' ORDER BY d.j), 2,
+                             length(string_agg(e.s, '' ORDER BY d.j)) - 2),
+                      chr(2) || chr(1)) AS syms
+  FROM docw d JOIN e{_BPE_MERGES} e USING (w)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, CAST(len(syms) AS BIGINT) AS {count_alias},
+       md5(array_to_string(syms, ' ')) AS tokens_md5
+FROM assembled
+"""
+    )
+
+
+SQL_BPE_BYTES_ENCODE = _bpe_encode_sql(_BYTE_UNITS_SQL, "n_byte_tokens")
+
+
+#: glyphs appended to HOLDOUT text only (one per doc, by doc_id % 3):
+#: the fixture alphabet is a–z in every document, so no train/eval
+#: split can surface an unseen character — the unseen input is
+#: synthesized in-engine (the media-lane device). All three are
+#: multi-byte UTF-8, so the byte lane decomposes them into in-vocab
+#: bytes while the char lane has no id for them.
+_OOV_GLYPHS = ("€", "№", "…")
+_OOV_DECOR_SQL = (
+    "text || ' ' || CASE doc_id % 3"
+    + "".join(
+        f" WHEN {i} THEN '{g}'" for i, g in enumerate(_OOV_GLYPHS[:-1])
+    )
+    + f" ELSE '{_OOV_GLYPHS[-1]}' END"
+)
+
+
+def _oov_lane_sql(label: str, p: str, units: str, base_vocab: str) -> str:
+    """One tokenizer_oov_cost lane: train BPE (seeded by *units*) on
+    the doc_id %% 5 != 0 split, encode the %% 5 == 0 holdout
+    (glyph-decorated, ``_OOV_GLYPHS``), and count emitted symbols
+    absent from the lane's id-mapping vocabulary (*base_vocab*
+    symbols + learned merges)."""
+    rounds_train = ",".join(
+        _bpe_round_sql(i, p) for i in range(1, _BPE_MERGES + 1)
+    )
+    rounds_enc = ",".join(
+        _bpe_encode_round_sql(i, p) for i in range(1, _BPE_MERGES + 1)
+    )
+    merge_union = " UNION ALL ".join(
+        f"SELECT l, r FROM {p}b{i}" for i in range(1, _BPE_MERGES + 1)
+    )
+    return f"""{p}toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE doc_id % 5 != 0
+),
+{p}words AS (SELECT w, count(*) AS wc FROM {p}toks GROUP BY 1),
+{p}u0 AS MATERIALIZED (
+  SELECT {units} AS s, wc FROM {p}words
+),{rounds_train},
+{p}ht AS (
+  SELECT unnest(regexp_split_to_array(lower(trim({_OOV_DECOR_SQL})), '\\s+')) AS w
+  FROM documents WHERE doc_id % 5 = 0
+),
+{p}hw AS (SELECT w, count(*) AS wc FROM {p}ht GROUP BY 1),
+{p}e0 AS (SELECT w, {units} AS s FROM {p}hw),{rounds_enc},
+{p}sy AS (
+  SELECT w, string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)) AS syms
+  FROM {p}e{_BPE_MERGES}
+),
+{p}vocab AS (
+  SELECT v FROM ({base_vocab})
+  UNION
+  SELECT l || r AS v FROM ({merge_union})
+),
+{p}tok AS (
+  SELECT w, unnest(syms) AS sym FROM {p}sy
+),
+{p}ov AS (
+  SELECT t.sym, hw.wc, CASE WHEN v.v IS NULL THEN 1 ELSE 0 END AS o
+  FROM {p}tok t
+  JOIN {p}hw hw ON hw.w = t.w
+  LEFT JOIN {p}vocab v ON v.v = t.sym
+),
+{p}agg AS (
+  SELECT '{label}' AS tokenizer,
+         CAST(sum(wc) AS BIGINT) AS n_tokens,
+         CAST(sum(o * wc) AS BIGINT) AS n_oov,
+         floor(sum(o * wc) * 1.0 / sum(wc) * 1000000 + 0.5) / 1000000 AS oov_rate,
+         CAST(count(DISTINCT CASE WHEN o = 1 THEN sym END) AS BIGINT) AS n_unique_oov
+  FROM {p}ov
+)"""
+
+
+def q_tokenizer_oov_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word-level trainers' OOV blind spot, measured: train a
+    CHAR-seeded and a BYTE-seeded BPE (same merge budget) on 80% of
+    the corpus (doc_id % 5 != 0), encode the held-out 20% — decorated
+    with deterministic non-ASCII glyphs (``_OOV_GLYPHS``; the fixture
+    alphabet is closed under any split, so the unseen input is
+    synthesized in-engine like the media lanes' payloads) — and count
+    emitted symbols with NO id in the trained vocabulary (base
+    symbols seen in training + learned merges) — the tokens a
+    deployed id-mapping would send to <unk>. The byte lane's base
+    alphabet is all 256 bytes BY CONSTRUCTION: the glyphs decompose
+    into in-vocab UTF-8 bytes and its n_oov is a measured zero — the
+    structural no-OOV guarantee char-level training cannot give
+    (tokenizer_efficiency shows the compression side of the same
+    trade)."""
+    from etl_finance_pipeline_spark.functions.text import tokens
+    from etl_finance_pipeline_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    glyph = F.element_at(
+        F.array(*[F.lit(g) for g in _OOV_GLYPHS]),
+        (F.col("doc_id") % len(_OOV_GLYPHS) + 1).cast("int"),
+    )
+    hold = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" "), glyph)
+    )
+    outs = []
+    for label, byte_level in (("bpe_bytes", True), ("bpe_chars", False)):
+        merges = [
+            (r["left_sym"], r["right_sym"])
+            for r in bpe_train(
+                train, n_merges=_BPE_MERGES, byte_level=byte_level
+            )
+            .orderBy("merge_round")
+            .collect()
+        ]
+        enc = bpe_encode(hold, merges, byte_level=byte_level)
+        tok = enc.select(F.explode("bpe_tokens").alias("sym"))
+        if byte_level:
+            base = spark.range(256).select(
+                F.upper(F.lpad(F.hex(F.col("id")), 2, "0")).alias("v")
+            )
+        else:
+            base = (
+                train.select(F.explode(tokens("text")).alias("w"))
+                .select(F.explode(F.split("w", "")).alias("v"))
+                .distinct()
+            )
+        merged = spark.createDataFrame(
+            [(lft + rgt,) for lft, rgt in merges], "v string"
+        )
+        vocab = base.union(merged).distinct()
+        ov = tok.join(F.broadcast(vocab), tok["sym"] == vocab["v"], "left")
+        outs.append(
+            ov.agg(
+                F.count("*").cast("long").alias("n_tokens"),
+                F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_oov"),
+                F.count_distinct(
+                    F.when(F.col("v").isNull(), F.col("sym"))
+                ).cast("long").alias("n_unique_oov"),
+            ).select(
+                F.lit(label).alias("tokenizer"),
+                "n_tokens",
+                "n_oov",
+                _pr(F.col("n_oov") / F.col("n_tokens"), 6).alias(
+                    "oov_rate"
+                ),
+                "n_unique_oov",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+SQL_TOKENIZER_OOV_COST = f"""
+WITH {_oov_lane_sql(
+    "bpe_bytes",
+    "ob",
+    _BYTE_UNITS_SQL,
+    "SELECT DISTINCT upper(lpad(hex(i), 2, '0')) AS v"
+    " FROM generate_series(0, 255) AS t(i)",
+)},
+{_oov_lane_sql(
+    "bpe_chars",
+    "oc",
+    _CHAR_UNITS_SQL,
+    "SELECT DISTINCT unnest(list_transform(generate_series(1, len(w)),"
+    " i -> w[i])) AS v FROM ocwords",
+)}
+SELECT tokenizer, n_tokens, n_oov, oov_rate, n_unique_oov FROM obagg
+UNION ALL
+SELECT tokenizer, n_tokens, n_oov, oov_rate, n_unique_oov FROM ocagg
+"""
 
 
 # --------------------------------------------------------------------
@@ -4593,18 +4913,6 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_round_sql(i: int) -> str:
-    return f"""
-e{i} AS (
-  SELECT w, replace(
-    s,
-    (SELECT chr(1) || l || chr(2) || chr(1) || r || chr(2) FROM b{i}),
-    (SELECT chr(1) || l || r || chr(2) FROM b{i})
-  ) AS s
-  FROM e{i - 1}
-)"""
-
-
 SQL_BPE_ENCODE = (
     SQL_BPE_TRAIN[: SQL_BPE_TRAIN.index("\nUNION ALL\n".join(
         f"SELECT {i} AS merge_round, l AS left_sym, r AS right_sym, "
@@ -5381,6 +5689,15 @@ def q_tokenizer_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe = bpe_encode(docs, merges).select(
         "doc_id", F.size("bpe_tokens").cast("long").alias("_t")
     )
+    bmerges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, n_merges=_BPE_MERGES, byte_level=True)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    bbpe = bpe_encode(docs, bmerges, byte_level=True).select(
+        "doc_id", F.size("bpe_tokens").cast("long").alias("_t")
+    )
     wp = wordpiece_encode(
         docs, wordpiece_train(docs, n_merges=_WP_MERGES)
     ).select("doc_id", F.col("n_pieces").cast("long").alias("_t"))
@@ -5396,7 +5713,10 @@ def q_tokenizer_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     outs = []
     for name, enc, cap in (
-        ("bpe", bpe, None), ("wordpiece", wp, 16), ("unigram", uni, _UNI_W),
+        ("bpe", bpe, None),
+        ("bpe_bytes", bbpe, None),
+        ("wordpiece", wp, 16),
+        ("unigram", uni, _UNI_W),
     ):
         j = enc.join(meta(cap), "doc_id")
         outs.append(
@@ -5422,7 +5742,10 @@ def q_tokenizer_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-    return outs[0].unionByName(outs[1]).unionByName(outs[2])
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 SQL_TOKENIZER_EFFICIENCY = f"""
@@ -5436,6 +5759,12 @@ tke AS (
          list_sum(list_transform(m.toks, t -> CAST(len(t) AS BIGINT))) AS c,
          enc.n_bpe_tokens AS t
   FROM ({SQL_BPE_ENCODE.strip()}) enc JOIN tkm m ON m.doc_id = enc.doc_id
+  UNION ALL
+  SELECT 'bpe_bytes', m.source,
+         len(m.toks),
+         list_sum(list_transform(m.toks, t -> CAST(len(t) AS BIGINT))),
+         enc.n_byte_tokens
+  FROM ({SQL_BPE_BYTES_ENCODE.strip()}) enc JOIN tkm m ON m.doc_id = enc.doc_id
   UNION ALL
   SELECT 'wordpiece', m.source,
          len(list_filter(m.toks, t -> len(t) <= 16)),
@@ -9096,6 +9425,9 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_build_e2e": q_corpus_build_e2e,
     "warc_extract": q_warc_extract,
     "warc_curation_funnel": q_warc_curation_funnel,
+    "bpe_bytes_train": q_bpe_bytes_train,
+    "bpe_bytes_encode": q_bpe_bytes_encode,
+    "tokenizer_oov_cost": q_tokenizer_oov_cost,
     "embed_quantize": q_embed_quantize,
     "semdedup": q_semdedup,
     "image_stats_png": q_image_stats_png,
@@ -9250,6 +9582,9 @@ ORACLES_TD: dict[str, str] = {
     "corpus_build_e2e": SQL_CORPUS_BUILD_E2E,
     "warc_extract": SQL_WARC_EXTRACT,
     "warc_curation_funnel": SQL_WARC_CURATION_FUNNEL,
+    "bpe_bytes_train": SQL_BPE_BYTES_TRAIN,
+    "bpe_bytes_encode": SQL_BPE_BYTES_ENCODE,
+    "tokenizer_oov_cost": SQL_TOKENIZER_OOV_COST,
     "embed_quantize": SQL_EMBED_QUANTIZE,
     "semdedup": SQL_SEMDEDUP,
     "image_stats_png": SQL_IMAGE_STATS_PNG,
