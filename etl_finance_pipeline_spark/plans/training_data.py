@@ -7255,6 +7255,82 @@ LIMIT {_FT_K}
 SQL_STREAM_FASTTEXT_SCORE = SQL_FASTTEXT_PROBE
 
 
+def q_doremi_proxy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture SENSITIVITY to the excess-loss proxy — the ann_recall
+    two-families device applied to DoReMi: run the identical EG
+    rounds under (a) the unigram-surprisal proxy and (b) the fastText
+    probe's squared-error loss (how badly the trained quality probe
+    predicts each source's label — a different model family's view of
+    source difficulty), and emit both weight vectors under one hash.
+    If the learned mixes diverge, the mixture is proxy-driven, not
+    corpus-driven — the pre-deployment readout a DoReMi run owes its
+    operators. Both per-source means use the order-independent
+    fixed-point device; both EG lanes are the same one-row array
+    fold."""
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    wa = _doremi_eg(_doremi_src_loss(docs))
+    prob = q_fasttext_probe(spark, sf_dir)
+    d = F.col("fasttext_score") - F.col("label")
+    sq = prob.select("doc_id", _pr(d * d, 6).alias("_e"))
+    srcb = (
+        sq.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.floor(F.col("_e") * 1_000_000 + F.lit(0.5)).cast("long")
+            ).alias("_s6"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.floor(F.col("_s6") / F.col("n_docs") + F.lit(0.5))
+                / 1_000_000
+            ).alias("loss"),
+        )
+    )
+    wb = _doremi_eg(srcb)
+    return wa.select(
+        "source",
+        "n_docs",
+        F.col("loss").alias("loss_surprisal"),
+        F.col("weight").alias("weight_surprisal"),
+    ).join(
+        wb.select(
+            "source",
+            F.col("loss").alias("loss_probe"),
+            F.col("weight").alias("weight_probe"),
+        ),
+        "source",
+    )
+
+
+SQL_DOREMI_PROXY_COMPARE = f"""
+WITH {_dm_loss_ctes("pa")},
+{_dm_eg_ctes("pa", "pasrc")},
+paw AS ({_dm_final_select("pa")}),
+pbsq AS (
+  SELECT p.doc_id,
+         floor((p.fasttext_score - p.label) * (p.fasttext_score - p.label)
+               * 1000000 + 0.5) / 1000000 AS e
+  FROM ({SQL_FASTTEXT_PROBE.strip()}) p
+),
+pbsrc AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         floor(sum(CAST(floor(e * 1000000 + 0.5) AS BIGINT))
+               / CAST(count(*) AS DOUBLE) + 0.5) / 1000000 AS loss
+  FROM pbsq JOIN documents d USING (doc_id) GROUP BY 1
+),
+{_dm_eg_ctes("pb", "pbsrc")},
+pbw AS ({_dm_final_select("pb")})
+SELECT a.source, a.n_docs,
+       a.loss AS loss_surprisal, a.weight AS weight_surprisal,
+       b.loss AS loss_probe, b.weight AS weight_probe
+FROM paw a JOIN pbw b USING (source)
+"""
+
+
 
 def q_fasttext_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deploy the trained text probe as a SELECTION gate: top-200
@@ -9428,6 +9504,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_bytes_train": q_bpe_bytes_train,
     "bpe_bytes_encode": q_bpe_bytes_encode,
     "tokenizer_oov_cost": q_tokenizer_oov_cost,
+    "doremi_proxy_compare": q_doremi_proxy_compare,
     "embed_quantize": q_embed_quantize,
     "semdedup": q_semdedup,
     "image_stats_png": q_image_stats_png,
@@ -9585,6 +9662,7 @@ ORACLES_TD: dict[str, str] = {
     "bpe_bytes_train": SQL_BPE_BYTES_TRAIN,
     "bpe_bytes_encode": SQL_BPE_BYTES_ENCODE,
     "tokenizer_oov_cost": SQL_TOKENIZER_OOV_COST,
+    "doremi_proxy_compare": SQL_DOREMI_PROXY_COMPARE,
     "embed_quantize": SQL_EMBED_QUANTIZE,
     "semdedup": SQL_SEMDEDUP,
     "image_stats_png": SQL_IMAGE_STATS_PNG,
