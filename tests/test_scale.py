@@ -835,3 +835,49 @@ def test_scale_hamming_guarded_mode(bigspark):
     # within hamming 2 are essentially nonexistent
     assert rows >= 100_000 - 1
     assert dt < 180
+
+
+def test_scale_changefeed_incremental_dedup(bigspark, tmp_path):
+    """Change-feed ingest dedup against a 200k-doc standing table:
+    the new side's scan plans ONLY the ingest commit's files
+    (O(changed files) — asserted on inputFiles), the pair path stays
+    distributed (broadcast banded batch; the corpus never shuffles on
+    the join), and every planted exact near-dup surfaces."""
+    from etl_finance_pipeline_spark.operators.dedup import changefeed_near_dup
+    from etl_finance_pipeline_spark.sources.table_format import (
+        read_changes,
+        snapshot,
+        write_table,
+    )
+
+    t = str(tmp_path / "bigdocs")
+    n = 200_000
+
+    def corpus_text(c):
+        # six id-derived tokens: cross-doc shingle overlap is zero, so
+        # candidate volume is exactly the planted-dup set
+        return F.concat_ws(
+            " ", *[F.concat(F.lit(p), c) for p in ("aa", "bb", "cc", "dd", "ee", "ff")]
+        )
+
+    standing = bigspark.range(n).select(
+        F.col("id").alias("doc_id"),
+        corpus_text(F.col("id").cast("string")).alias("text"),
+    )
+    write_table(standing, t)  # v0: the standing corpus
+    batch = bigspark.range(500).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        corpus_text((F.col("id") * 400).cast("string")).alias("text"),
+    )
+    write_table(batch, t)  # v1: the ingest commit (all planted dups)
+
+    v0files = {os.path.basename(f["path"]) for f in snapshot(t, 0).files}
+    ch = read_changes(bigspark, t, from_version=0)
+    scanned = {os.path.basename(p) for p in ch.inputFiles()}
+    assert scanned and scanned.isdisjoint(v0files)  # O(changed files)
+
+    out = changefeed_near_dup(bigspark, t, from_version=0, threshold=0.99)
+    _assert_distributed_plan(out, "changefeed_near_dup")
+    rows, dt = _timed_count(out, "changefeed dedup: 200k standing + 500 ingest")
+    assert rows == 500
+    assert dt < 120

@@ -665,3 +665,67 @@ def test_vacuum_age_floor_protects_staged_files(spark, tmp_path):
 
     vacuum(t, keep_versions=1)
     assert not any(os.path.exists(p) for p in staged_paths)  # reclaimed
+
+
+def test_changefeed_near_dup_new_vs_standing(spark, tmp_path):
+    """Change-feed incremental dedup: a new commit's documents are
+    deduped against the snapshot AS OF the consumer's last-seen
+    version — the recurring-crawl ingestion composition of
+    read_changes × incremental_lsh_pairs."""
+    from etl_finance_pipeline_spark.operators.dedup import changefeed_near_dup
+
+    t = str(tmp_path / "docs")
+    ddl = "doc_id long, text string"
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "spark plans are optimized by catalyst before execution begins"),
+        ],
+        ddl,
+    )
+    write_table(base, t)  # v0: standing corpus
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "totally fresh material sharing nothing with standing documents"),
+        ],
+        ddl,
+    )
+    write_table(new, t)  # v1: the ingested batch
+    pairs = changefeed_near_dup(spark, t, from_version=0, threshold=0.5)
+    got = {(r["batch_id"], r["corpus_id"]) for r in pairs.collect()}
+    assert got == {(10, 1)}
+
+
+def test_changefeed_near_dup_reads_only_changed_files(spark, tmp_path):
+    """O(changed files) on the new side: the change feed plans exactly
+    the files the new commit wrote — none of the standing corpus's —
+    so ingest dedup cost scales with the batch, not table history."""
+    from etl_finance_pipeline_spark.operators.dedup import changefeed_near_dup
+    from etl_finance_pipeline_spark.sources.table_format import read_changes
+
+    t = str(tmp_path / "docs")
+    ddl = "doc_id long, text string"
+    write_table(
+        spark.createDataFrame(
+            [(i, f"standing document number {i} body text here") for i in range(20)],
+            ddl,
+        ),
+        t,
+    )  # v0
+    write_table(
+        spark.createDataFrame(
+            [(100, "standing document number 3 body text here")], ddl
+        ),
+        t,
+    )  # v1: one near-identical new doc
+    v0 = {os.path.basename(f["path"]) for f in snapshot(t, 0).files}
+    v1_new = {
+        os.path.basename(f["path"]) for f in snapshot(t, 1).files
+    } - v0
+    assert v1_new  # the commit actually wrote files
+    ch = read_changes(spark, t, from_version=0)
+    scanned = {os.path.basename(p) for p in ch.inputFiles()}
+    assert scanned == v1_new
+    pairs = changefeed_near_dup(spark, t, from_version=0, threshold=0.9)
+    assert {(r["batch_id"], r["corpus_id"]) for r in pairs.collect()} == {(100, 3)}
