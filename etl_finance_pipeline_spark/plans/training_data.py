@@ -7393,8 +7393,13 @@ def q_stream_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = docs.select(
         "doc_id", (F.col("lang") == "en").cast("double").alias("_y")
     )
+    # linear_probe_train makes iters+2 passes over its input; without
+    # a cut each pass re-runs the corpus featurize (the batch lane
+    # checkpoints for the same reason — this was the stream lane's
+    # whole +2.5 s bench regression in round 9)
+    train = feats.join(labels, "doc_id").localCheckpoint(eager=True)
     w, b = linear_probe_train(
-        feats.join(labels, "doc_id"),
+        train,
         vec_col="features",
         label_col="_y",
         lr=_FT_LR,
