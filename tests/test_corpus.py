@@ -458,3 +458,43 @@ def test_domain_filter_blocklist_anti_join(spark):
     )
     kept = {r["id"] for r in domain_filter(df, ["bad.com"]).collect()}
     assert kept == {3}
+
+
+def test_warc_roundtrip_framing(spark):
+    """synthesize_warc → warc_parse recovers every record exactly —
+    ids, target URIs, payload bytes, Content-Length framing — across
+    multi-record blobs; a truncated blob flags length_ok=False on the
+    damaged record instead of erroring."""
+    from pyspark.sql import functions as F
+
+    from etl_finance_pipeline_spark.operators.corpus import (
+        synthesize_warc,
+        warc_parse,
+    )
+
+    rows = [
+        (1, "<p>alpha</p>", "http://a.com/1", 0),
+        (2, "<p>beta &amp; more</p>", "http://b.com/2", 0),
+        (3, "<p>gamma</p>", "http://c.com/3", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, html string, url string, blob_id int"
+    )
+    blobs = synthesize_warc(df)
+    assert blobs.count() == 2  # two blobs, one multi-record
+    got = {r["doc_id"]: r for r in warc_parse(blobs).collect()}
+    assert set(got) == {1, 2, 3}
+    for i, payload, url, _ in rows:
+        r = got[i]
+        assert r["payload"] == payload
+        assert r["uri"] == url
+        assert r["content_length"] == len(payload)
+        assert r["length_ok"]
+    # truncate each blob by 3 chars: the LAST record misframes, loudly
+    cut = blobs.select(
+        F.expr("substring(warc, 1, length(warc) - 3)").alias("warc")
+    )
+    bad = warc_parse(cut).collect()
+    assert len(bad) == 3
+    assert sum(1 for r in bad if not r["length_ok"]) == 2  # one per blob
+    assert sum(1 for r in bad if r["length_ok"]) == 1

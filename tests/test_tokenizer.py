@@ -268,3 +268,33 @@ def test_wordpiece_encode_matches_trained_vocab_roundtrip(spark):
     chars = {1: len("lowlowlowlower"), 2: len("newestwidest")}
     assert out[1]["n_pieces"] < chars[1]
     assert out[1]["n_words"] == 4 and out[2]["n_words"] == 2
+
+
+def test_bpe_byte_level_no_oov_roundtrip(spark):
+    """Byte-level seeding: symbols are uppercase hex pairs of UTF-8
+    bytes; the emitted symbols always reassemble to the exact input
+    bytes — including a multi-byte code point the trainer never saw
+    (the structural no-OOV property word/char-level BPE lacks)."""
+    from etl_finance_pipeline_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    train = spark.createDataFrame([("abab abab cd",)], ["text"])
+    merges_df = bpe_train(train, n_merges=2, byte_level=True)
+    ms = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges_df.orderBy("merge_round").collect()
+    ]
+    # most frequent adjacent byte pair is 'a','b' -> hex 61+62
+    assert ms[0] == ("61", "62")
+    eval_df = spark.createDataFrame([("abab x€",)], ["text"])  # € unseen
+    out = bpe_encode(eval_df, ms, byte_level=True).collect()[0]["bpe_tokens"]
+    hexdig = set("0123456789ABCDEF")
+    assert all(len(t) % 2 == 0 and set(t) <= hexdig for t in out)
+    # whitespace-tokenized words concatenate: "abab" + "x€"
+    assert bytes.fromhex("".join(out)).decode("utf-8") == "ababx€"
+    # merges compress: round 1 learned 61+62, round 2 learned
+    # 6162+6162, so "abab" is ONE symbol; €'s three unseen bytes
+    # pass through as base symbols
+    assert out == ["61626162", "78", "E2", "82", "AC"]

@@ -1422,3 +1422,46 @@ def test_doremi_weights_invariants(spark, tmp_path):
     assert hardest == "s_hard"
     assert out["s_hard"]["weight"] > out["s_easy"]["weight"]
     shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_pack_bins_matches_naive_ffd_reference(spark):
+    """The bin-retirement scan window (round-10 ADVICE fix: bins whose
+    residual drops below the smallest remaining size leave the
+    first-fit scan) must be invisible in results — compare every
+    shard's placement against a naive scan-all-bins FFD on randomized
+    sizes with heavy ties, capacity hits, and an overfull doc; NULL
+    and negative token counts are dropped as invalid input."""
+    import random
+
+    from etl_finance_pipeline_spark.operators.corpus import pack_bins
+
+    rng = random.Random(7)
+    sizes = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 300]
+    rows = [(i, rng.choice(sizes)) for i in range(300)]
+    rows += [(1000, -5), (1001, None)]  # invalid: must be dropped
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    cap = 256
+    out = pack_bins(df, seq_tokens=cap, num_shards=3).collect()
+    assert {r["doc_id"] for r in out} == set(range(300))
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rs in by_shard.values():
+        walk = sorted(
+            ((r["n_tokens"], r["doc_id"]) for r in rs),
+            key=lambda t: (-t[0], t[1]),
+        )
+        fills: list[int] = []
+        assign: dict[int, int] = {}
+        for t, d in walk:
+            for j in range(len(fills)):  # naive: scan EVERY bin
+                if fills[j] + t <= cap:
+                    fills[j] += t
+                    assign[d] = j
+                    break
+            else:
+                fills.append(t)
+                assign[d] = len(fills) - 1
+        for r in rs:
+            assert r["bin_id"] == assign[r["doc_id"]]
+            assert r["bin_fill"] == fills[r["bin_id"]]
