@@ -50,6 +50,7 @@ _SHOWCASE_FIRST = (
     # round-10 new families
     "corpus_build_e2e",  # funnel→canonical→DoReMi gate→pack→shard (round 10)
     "warc_extract",  # crawl-record envelope parsing, stage -1 (round 10)
+    "stream_warc_extract",  # the record parser on the blob stream (round 10)
     "warc_curation_funnel",  # funnel from raw WARC records (round 10)
     "bpe_bytes_train",  # byte-level BPE trainer, no OOV (round 10)
     "bpe_bytes_encode",  # byte-level encode via distinct-word walk (round 10)

@@ -9059,6 +9059,55 @@ SELECT doc_id, uri, content_length, length_ok, text FROM wxdocs
 """
 
 
+def q_stream_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage −1 on the INGEST STREAM — the shape a crawl pipeline
+    actually runs: blobs ARRIVE as files (built in batch here — blobs
+    are the stream's input by definition, not its output), and the
+    record parse + Content-Length framing + jusText-lite extraction
+    run as one stateless narrow chain per file (no watermark, no
+    state store, append mode). Oracle = the batch warc_extract query,
+    because the lane is a pure per-record map."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from etl_finance_pipeline_spark.operators.corpus import (
+        html_extract,
+        synthesize_warc,
+        warc_parse,
+    )
+    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
+
+    spark = _narrow_session(spark, 8)
+    ensure_nanos_conf(spark)
+    blobs = synthesize_warc(_warc_pages(spark, sf_dir))
+    tmp = tempfile.mkdtemp(prefix="warc_stream_")
+    try:
+        blobs.write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = spark.readStream.schema(schema).parquet(tmp)
+        parsed = warc_parse(stream)
+        out = html_extract(parsed, html_col="payload", out_col="text").select(
+            "doc_id", "uri", "content_length", "length_ok", "text"
+        )
+        name = f"stream_warcx_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.table(name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+#: the streaming lane emits the SAME rows as the batch parse+extract
+SQL_STREAM_WARC_EXTRACT = SQL_WARC_EXTRACT
+
+
 def q_warc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The web-curation funnel FROM RAW CRAWL RECORDS: stage −1
     parses the WARC-style blobs (framing check), stage 0 extracts
@@ -9505,6 +9554,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doremi_mix_apply": q_doremi_mix_apply,
     "corpus_build_e2e": q_corpus_build_e2e,
     "warc_extract": q_warc_extract,
+    "stream_warc_extract": q_stream_warc_extract,
     "warc_curation_funnel": q_warc_curation_funnel,
     "bpe_bytes_train": q_bpe_bytes_train,
     "bpe_bytes_encode": q_bpe_bytes_encode,
@@ -9663,6 +9713,7 @@ ORACLES_TD: dict[str, str] = {
     "doremi_mix_apply": SQL_DOREMI_MIX_APPLY,
     "corpus_build_e2e": SQL_CORPUS_BUILD_E2E,
     "warc_extract": SQL_WARC_EXTRACT,
+    "stream_warc_extract": SQL_STREAM_WARC_EXTRACT,
     "warc_curation_funnel": SQL_WARC_CURATION_FUNNEL,
     "bpe_bytes_train": SQL_BPE_BYTES_TRAIN,
     "bpe_bytes_encode": SQL_BPE_BYTES_ENCODE,
