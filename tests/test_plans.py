@@ -83,3 +83,29 @@ def test_topk_uses_take_ordered(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:500]
+
+
+def test_corpus_build_e2e_plan_shape(spark):
+    """The e2e corpus-build composition must not introduce a
+    scale-killer any per-stage audit would have missed: the data-path
+    shuffle count stays bounded (funnel joins + LSH bands +
+    components + the pack groupBy — never corpus-quadratic), the
+    canonical/winner joins broadcast, and single-partition exchanges
+    stay in the control-plane band (the DoReMi one-row EG fold and
+    scalar stage counts), not on the corpus path."""
+    a = _executed_audit(spark, "corpus_build_e2e")
+    assert 3 <= a["exchanges"] <= 40, a
+    assert a["broadcasts"] >= 2, a
+    # control-plane only: the EG fold + scalar aggregates; a corpus
+    # path through one partition would add tens more
+    assert a["single_part"] <= 12, a
+
+
+def test_warc_extract_is_narrow_after_blob_agg(spark):
+    """Stage −1 parse+extract is ONE blob aggregate (the synthetic
+    envelope build — blobs ARE the input at deployment) plus a narrow
+    per-record chain: at most the group-concat's exchange pair, no
+    single-partition funnel."""
+    a = _executed_audit(spark, "warc_extract")
+    assert a["exchanges"] <= 2, a
+    assert a["single_part"] == 0, a
