@@ -49,6 +49,7 @@ _SHOWCASE_FIRST = (
     "zipf_fit",  # round 9 fix: min_count + top_n head bound
     # round-10 new families
     "corpus_build_e2e",  # funnel→canonical→DoReMi gate→pack→shard (round 10)
+    "corpus_build_e2e_warc",  # the same build from raw crawl records (round 10)
     "warc_extract",  # crawl-record envelope parsing, stage -1 (round 10)
     "stream_warc_extract",  # the record parser on the blob stream (round 10)
     "warc_curation_funnel",  # funnel from raw WARC records (round 10)

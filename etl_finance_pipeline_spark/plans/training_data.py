@@ -8737,17 +8737,8 @@ def q_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_finance_pipeline_spark.operators.corpus import (
         canonical_host,
         html_extract,
-        pack_bins,
         registrable_domain,
-        shuffle_shard,
         synthesize_html,
-    )
-    from etl_finance_pipeline_spark.operators.graph import (
-        connected_components,
-    )
-    from etl_finance_pipeline_spark.operators.text_analysis import (
-        gopher_rules,
-        language_id,
     )
 
     docs = load_table(spark, _t(sf_dir, "documents"))
@@ -8757,6 +8748,27 @@ def q_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     dkeep = ~registrable_domain(canonical_host(_url_expr())).isin(
         _URL_BLOCKLIST
     )
+    return _corpus_build_chain(hx, dkeep)
+
+
+def _corpus_build_chain(hx: DataFrame, dkeep) -> DataFrame:
+    """Gates → quality canonical → DoReMi gate → shuffle-shard → FFD
+    pack → per-shard manifest, over an EXTRACTED-text frame
+    (doc_id, source, lang, text) with *dkeep* the domain-gate boolean
+    evaluated against it — shared by the HTML-payload and
+    WARC-record flagships."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        pack_bins,
+        shuffle_shard,
+    )
+    from etl_finance_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        gopher_rules,
+        language_id,
+    )
+
     lid = language_id(hx).select(
         "doc_id", (F.col("pred_lang") == "en").alias("_lk")
     )
@@ -8857,25 +8869,14 @@ def q_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_CORPUS_BUILD_E2E = f"""
-WITH RECURSIVE {_html_sql_ctes()},
-{_URL_CTE.strip()},
-cbex AS (SELECT min(doc_id) AS doc_id FROM hxdocs GROUP BY text),
-cbdocs AS MATERIALIZED (
-  SELECT d.doc_id, d.source, d.lang, d.text
-  FROM hxdocs d
-  JOIN doms ON doms.doc_id = d.doc_id
-  JOIN ({SQL_LANG_ID.replace("FROM documents", "FROM hxdocs").strip()}) lid
-    ON lid.doc_id = d.doc_id
-  JOIN ({SQL_GOPHER_QUALITY.replace("FROM documents", "FROM hxdocs").strip()}) gq
-    ON gq.doc_id = d.doc_id
-  JOIN cbex ON cbex.doc_id = d.doc_id
-  WHERE len(d.text) > 0
-    AND doms.domain NOT IN ({", ".join(f"'{b}'" for b in _URL_BLOCKLIST)})
-    AND lid.pred_lang = 'en'
-    AND gq.rule_word_count AND gq.rule_mean_word_len
-    AND gq.rule_symbol_ratio AND gq.rule_alpha_words
-),
+def _corpus_build_sql(head_ctes: str) -> str:
+    """Full corpus-build oracle: *head_ctes* must define
+    ``cbdocs(doc_id, source, lang, text)`` — the gated, extracted
+    survivor frame; the shared tail runs LSH clusters → quality
+    canonical → DoReMi EG + gate → shuffle-shard → recursive FFD →
+    the per-shard manifest."""
+    return f"""
+WITH RECURSIVE {head_ctes},
 {_SHINGLES_CTE.replace("FROM documents", "FROM cbdocs").strip()},
 {_SIG_CTE.strip()},
 bands AS (
@@ -8955,6 +8956,28 @@ SELECT shard,
          / 1000000 AS fill_frac
 FROM cbbin GROUP BY 1
 """
+
+
+_CB_HTML_HEAD = f"""{_html_sql_ctes()},
+{_URL_CTE.strip()},
+cbex AS (SELECT min(doc_id) AS doc_id FROM hxdocs GROUP BY text),
+cbdocs AS MATERIALIZED (
+  SELECT d.doc_id, d.source, d.lang, d.text
+  FROM hxdocs d
+  JOIN doms ON doms.doc_id = d.doc_id
+  JOIN ({SQL_LANG_ID.replace("FROM documents", "FROM hxdocs").strip()}) lid
+    ON lid.doc_id = d.doc_id
+  JOIN ({SQL_GOPHER_QUALITY.replace("FROM documents", "FROM hxdocs").strip()}) gq
+    ON gq.doc_id = d.doc_id
+  JOIN cbex ON cbex.doc_id = d.doc_id
+  WHERE len(d.text) > 0
+    AND doms.domain NOT IN ({", ".join(f"'{b}'" for b in _URL_BLOCKLIST)})
+    AND lid.pred_lang = 'en'
+    AND gq.rule_word_count AND gq.rule_mean_word_len
+    AND gq.rule_symbol_ratio AND gq.rule_alpha_words
+)"""
+
+SQL_CORPUS_BUILD_E2E = _corpus_build_sql(_CB_HTML_HEAD)
 
 
 # --------------------------------------------------------------------
@@ -9227,6 +9250,67 @@ SELECT CAST(count(*) AS BIGINT) AS n_records,
        CAST(sum(fk * xk * dk * lk * qk * ek) AS BIGINT) AS n_final
 FROM wffl
 """
+
+
+def q_corpus_build_e2e_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME nightly corpus build run from RAW CRAWL RECORDS:
+    stage −1 (WARC-style record parse; misframed records quarantined
+    by the length_ok gate BEFORE any content gate) feeds the identical
+    gates → quality canonical → DoReMi gate → shuffle-shard → FFD
+    chain as corpus_build_e2e — so the full crawl-file → training-
+    shards path is one verified query, with the domain gate evaluating
+    the PARSED Target-URI rather than a synthesized column.
+    source/lang metadata joins by the parsed record id (the crawl
+    catalog lookup)."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        canonical_host,
+        html_extract,
+        registrable_domain,
+        synthesize_warc,
+        warc_parse,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    parsed = warc_parse(synthesize_warc(_warc_pages(spark, sf_dir)))
+    wx = html_extract(
+        parsed.filter(F.col("length_ok")), html_col="payload", out_col="text"
+    )
+    hx = wx.join(docs.select("doc_id", "source", "lang"), "doc_id").select(
+        "doc_id", "source", "lang", "text", "uri"
+    )
+    dkeep = ~registrable_domain(canonical_host(F.col("uri"))).isin(
+        _URL_BLOCKLIST
+    )
+    return _corpus_build_chain(hx, dkeep)
+
+
+_CB_WARC_HEAD = f"""{_warc_parse_ctes()},
+{_html_extract_ctes("wparse", "doc_id, uri, content_length, length_ok", "wx", " ", "payload")},
+cwmx AS (
+  SELECT w.doc_id, d.source, d.lang, w.text, w.uri
+  FROM wxdocs w JOIN documents d USING (doc_id)
+  WHERE w.length_ok
+),
+cwuri AS (SELECT doc_id, uri AS url FROM cwmx),
+{_URL_CTE_DOMS.replace("FROM urls", "FROM cwuri").strip()},
+cbex AS (SELECT min(doc_id) AS doc_id FROM cwmx GROUP BY text),
+cbdocs AS MATERIALIZED (
+  SELECT d.doc_id, d.source, d.lang, d.text
+  FROM cwmx d
+  JOIN doms ON doms.doc_id = d.doc_id
+  JOIN ({SQL_LANG_ID.replace("FROM documents", "FROM cwmx").strip()}) lid
+    ON lid.doc_id = d.doc_id
+  JOIN ({SQL_GOPHER_QUALITY.replace("FROM documents", "FROM cwmx").strip()}) gq
+    ON gq.doc_id = d.doc_id
+  JOIN cbex ON cbex.doc_id = d.doc_id
+  WHERE len(d.text) > 0
+    AND doms.domain NOT IN ({", ".join(f"'{b}'" for b in _URL_BLOCKLIST)})
+    AND lid.pred_lang = 'en'
+    AND gq.rule_word_count AND gq.rule_mean_word_len
+    AND gq.rule_symbol_ratio AND gq.rule_alpha_words
+)"""
+
+SQL_CORPUS_BUILD_E2E_WARC = _corpus_build_sql(_CB_WARC_HEAD)
 
 
 
@@ -9556,6 +9640,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_extract": q_warc_extract,
     "stream_warc_extract": q_stream_warc_extract,
     "warc_curation_funnel": q_warc_curation_funnel,
+    "corpus_build_e2e_warc": q_corpus_build_e2e_warc,
     "bpe_bytes_train": q_bpe_bytes_train,
     "bpe_bytes_encode": q_bpe_bytes_encode,
     "tokenizer_oov_cost": q_tokenizer_oov_cost,
@@ -9715,6 +9800,7 @@ ORACLES_TD: dict[str, str] = {
     "warc_extract": SQL_WARC_EXTRACT,
     "stream_warc_extract": SQL_STREAM_WARC_EXTRACT,
     "warc_curation_funnel": SQL_WARC_CURATION_FUNNEL,
+    "corpus_build_e2e_warc": SQL_CORPUS_BUILD_E2E_WARC,
     "bpe_bytes_train": SQL_BPE_BYTES_TRAIN,
     "bpe_bytes_encode": SQL_BPE_BYTES_ENCODE,
     "tokenizer_oov_cost": SQL_TOKENIZER_OOV_COST,
