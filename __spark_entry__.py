@@ -57,6 +57,8 @@ _SHOWCASE_FIRST = (
     "bpe_bytes_encode",  # byte-level encode via distinct-word walk (round 10)
     "tokenizer_oov_cost",  # word-level trainers' OOV blind spot (round 10)
     "doremi_proxy_compare",  # EG under two excess-loss proxies (round 10)
+    "encoding_audit",  # decode-failure quarantine gate (round 10)
+    "stream_encoding_audit",  # the gate on the ingest stream (round 10)
     # family-spanning classics (reference parity + heavy hitters)
     "candles_5m",
     "dedupe_keep_first",

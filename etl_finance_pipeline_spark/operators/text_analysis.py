@@ -28,6 +28,68 @@ from etl_finance_pipeline_spark.functions.text import (
 )
 
 
+#: classic UTF-8-decoded-as-Latin-1 artifacts: 'Ã' leads the 2-byte
+#: Latin range (é→Ã©, ü→Ã¼, …), 'â€' leads the punctuation range
+#: (“→â€œ, ’→â€™, –→â€"). Literal counts, no regex.
+MOJIBAKE_MARKERS: tuple[str, ...] = ("Ã", "â€")
+
+#: C0 control characters that should never appear in clean web text
+#: (tab/newline/carriage-return excluded) — identical escape syntax in
+#: Java regex and RE2, so one constant serves both engines.
+CONTROL_CHAR_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+NON_ASCII_RE = "[^\\x00-\\x7F]"
+
+
+def encoding_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-encoding sanity audit — the quarantine gate every
+    web-corpus pipeline runs before trusting `text` (decode failures
+    poison tokenizers and dedup alike): per document, counts of
+    U+FFFD replacement characters (a decoder already gave up), C0
+    control characters (binary junk declared as text), classic
+    UTF-8-as-Latin-1 mojibake markers (``MOJIBAKE_MARKERS``), and the
+    non-ASCII census, plus an ``enc_suspect`` flag when any corruption
+    signal fires. One exchange-free codegen projection — literal
+    replace-count arithmetic and two character-class regexes shared
+    verbatim with the DuckDB twin.
+
+    Output: (id, n_chars, repl_chars, ctrl_chars, moji_marks,
+    non_ascii_chars, enc_suspect).
+    """
+    t = F.col(text_col)
+
+    def count_sub(sub: str) -> Column:
+        return (
+            (F.length(t) - F.length(F.replace(t, F.lit(sub), F.lit(""))))
+            / len(sub)
+        ).cast("long")
+
+    def count_re(pat: str) -> Column:
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+        ).cast("long")
+
+    repl = count_sub("�")
+    ctrl = count_re(CONTROL_CHAR_RE)
+    moji = sum(
+        (count_sub(m) for m in MOJIBAKE_MARKERS[1:]),
+        count_sub(MOJIBAKE_MARKERS[0]),
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        repl.alias("repl_chars"),
+        ctrl.alias("ctrl_chars"),
+        moji.alias("moji_marks"),
+        count_re(NON_ASCII_RE).alias("non_ascii_chars"),
+        ((repl > 0) | (ctrl > 0) | (moji > 0)).alias("enc_suspect"),
+    )
+
+
 def language_id(
     df: DataFrame, text_col: str = "text", out_col: str = "pred_lang"
 ) -> DataFrame:

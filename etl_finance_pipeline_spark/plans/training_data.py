@@ -811,6 +811,106 @@ FROM scored
 
 
 # --------------------------------------------------------------------
+# Character-encoding audit (decode-failure quarantine gate)
+# --------------------------------------------------------------------
+
+#: corruption artifacts injected into deterministic fixture slices
+#: (the fixture text is clean ASCII, so — as with the OOV glyphs —
+#: the corrupt input is synthesized in-engine): classic mojibake for
+#: doc_id % 11, a U+FFFD replacement char for % 13, a C0 control
+#: char (BEL) for % 17
+_ENC_MOJI_SAMPLE = " cafÃ© â€œq"
+_ENC_REPL_SAMPLE = " �"
+
+
+def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding sanity audit over a corpus with synthesized decode
+    damage: replacement-char / control-char / mojibake counts and the
+    enc_suspect quarantine flag (operators/text_analysis.py:
+    encoding_audit). The decoration is deterministic per doc_id, so
+    the oracle decorates identically and the flag set is exact."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        encoding_audit,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    d = F.col("doc_id")
+    dec = F.concat(
+        F.col("text"),
+        F.when(d % 11 == 0, F.lit(_ENC_MOJI_SAMPLE)).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit(_ENC_REPL_SAMPLE)).otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.lit("\x07")).otherwise(F.lit("")),
+    )
+    return encoding_audit(docs.withColumn("text", dec))
+
+
+SQL_ENCODING_AUDIT = f"""
+WITH encd AS (
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 11 = 0 THEN '{_ENC_MOJI_SAMPLE}' ELSE '' END)
+         || (CASE WHEN doc_id % 13 = 0 THEN '{_ENC_REPL_SAMPLE}' ELSE '' END)
+         || (CASE WHEN doc_id % 17 = 0 THEN chr(7) ELSE '' END) AS text
+  FROM documents
+),
+encc AS (
+  SELECT doc_id,
+    CAST(len(text) AS BIGINT) AS n_chars,
+    CAST(len(text) - len(replace(text, chr(65533), '')) AS BIGINT) AS repl_chars,
+    CAST(len(text) - len(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS BIGINT) AS ctrl_chars,
+    CAST((len(text) - len(replace(text, 'Ã', '')))
+         + (len(text) - len(replace(text, 'â€', ''))) / 2 AS BIGINT) AS moji_marks,
+    CAST(len(text) - len(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS BIGINT) AS non_ascii_chars
+  FROM encd
+)
+SELECT doc_id, n_chars, repl_chars, ctrl_chars, moji_marks, non_ascii_chars,
+       (repl_chars > 0 OR ctrl_chars > 0 OR moji_marks > 0) AS enc_suspect
+FROM encc
+"""
+
+
+def q_stream_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encoding quarantine gate ON THE INGEST STREAM — where a
+    real pipeline runs it (corrupt bytes should never reach the
+    standing tables): the same decorated corpus through the same
+    stateless narrow projection, append mode, no state store. Oracle
+    = the batch audit, because the lane is a pure per-row map."""
+    import uuid
+
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        encoding_audit,
+    )
+    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
+
+    spark = _narrow_session(spark, 8)
+    ensure_nanos_conf(spark)
+    path = _t(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
+    d = F.col("doc_id")
+    dec = F.concat(
+        F.col("text"),
+        F.when(d % 11 == 0, F.lit(_ENC_MOJI_SAMPLE)).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit(_ENC_REPL_SAMPLE)).otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.lit("\x07")).otherwise(F.lit("")),
+    )
+    out = encoding_audit(stream.withColumn("text", dec))
+    name = f"stream_encaudit_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+SQL_STREAM_ENCODING_AUDIT = SQL_ENCODING_AUDIT
+
+
+# --------------------------------------------------------------------
 # Quality score
 # --------------------------------------------------------------------
 
@@ -9641,6 +9741,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_warc_extract": q_stream_warc_extract,
     "warc_curation_funnel": q_warc_curation_funnel,
     "corpus_build_e2e_warc": q_corpus_build_e2e_warc,
+    "encoding_audit": q_encoding_audit,
+    "stream_encoding_audit": q_stream_encoding_audit,
     "bpe_bytes_train": q_bpe_bytes_train,
     "bpe_bytes_encode": q_bpe_bytes_encode,
     "tokenizer_oov_cost": q_tokenizer_oov_cost,
@@ -9801,6 +9903,8 @@ ORACLES_TD: dict[str, str] = {
     "stream_warc_extract": SQL_STREAM_WARC_EXTRACT,
     "warc_curation_funnel": SQL_WARC_CURATION_FUNNEL,
     "corpus_build_e2e_warc": SQL_CORPUS_BUILD_E2E_WARC,
+    "encoding_audit": SQL_ENCODING_AUDIT,
+    "stream_encoding_audit": SQL_STREAM_ENCODING_AUDIT,
     "bpe_bytes_train": SQL_BPE_BYTES_TRAIN,
     "bpe_bytes_encode": SQL_BPE_BYTES_ENCODE,
     "tokenizer_oov_cost": SQL_TOKENIZER_OOV_COST,
