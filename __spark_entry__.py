@@ -59,6 +59,7 @@ _SHOWCASE_FIRST = (
     "doremi_proxy_compare",  # EG under two excess-loss proxies (round 10)
     "encoding_audit",  # decode-failure quarantine gate (round 10)
     "stream_encoding_audit",  # the gate on the ingest stream (round 10)
+    "pii_card_audit",  # Luhn-validated card-number detection (round 10)
     # family-spanning classics (reference parity + heavy hitters)
     "candles_5m",
     "dedupe_keep_first",

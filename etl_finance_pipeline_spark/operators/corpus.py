@@ -75,6 +75,51 @@ def chunk_documents(
     )
 
 
+def luhn_card_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Credit-card PII audit with CHECKSUM validation — the split
+    every real scrubber makes: a regex finds card-SHAPED tokens
+    (13–19 digits, optional dash grouping), the Luhn mod-10 checksum
+    decides which are actual card numbers (a 16-digit order id fails
+    it 90% of the time, so redacting candidates alone destroys data
+    for nothing). Per-token digit fold in pure expressions — one
+    exchange-free codegen projection, no UDF; the DuckDB twin folds
+    the identical arithmetic.
+
+    Output: (id, cc_candidates, cc_valid, has_valid_card).
+    """
+    from etl_finance_pipeline_spark.functions.text import tokens
+
+    cands = F.filter(
+        F.transform(tokens(text_col), lambda w: F.translate(w, "-", "")),
+        lambda c: c.rlike("^[0-9]{13,19}$"),
+    )
+
+    def luhn_ok(c: Column) -> Column:
+        n = F.length(c)
+
+        def term(acc: Column, i: Column) -> Column:
+            d = c.substr(n - i + 1, F.lit(1)).cast("int")
+            dbl = d + d
+            return acc + F.when(
+                i % 2 == 0,
+                F.when(dbl > 9, dbl - 9).otherwise(dbl),
+            ).otherwise(d)
+
+        return F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term) % 10 == 0
+
+    valid = F.size(F.filter(cands, luhn_ok))
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("cc_candidates"),
+        valid.cast("long").alias("cc_valid"),
+        (valid > 0).alias("has_valid_card"),
+    )
+
+
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",

@@ -911,6 +911,76 @@ SQL_STREAM_ENCODING_AUDIT = SQL_ENCODING_AUDIT
 
 
 # --------------------------------------------------------------------
+# Credit-card PII audit (Luhn-validated, not shape-only)
+# --------------------------------------------------------------------
+
+#: synthesized card-shaped tokens (fixture text carries none): two
+#: VALID Luhn test numbers (one dash-grouped) and one shape-only
+#: impostor that the checksum must reject
+_CC_VALID = "4111111111111111"
+_CC_VALID_DASHED = "5500-0000-0000-0004"
+_CC_INVALID = "1234567890123456"
+
+
+def q_pii_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Card-number PII audit with checksum validation over a corpus
+    with synthesized card-shaped tokens: doc_id % 19 gets a valid
+    card, % 23 a valid dash-grouped card, % 29 a 16-digit impostor —
+    so cc_candidates > cc_valid corpus-wide and the audit
+    demonstrably rejects shape-only matches
+    (operators/corpus.py:luhn_card_audit)."""
+    from etl_finance_pipeline_spark.operators.corpus import luhn_card_audit
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    d = F.col("doc_id")
+    dec = F.concat(
+        F.col("text"),
+        F.when(d % 19 == 0, F.lit(" " + _CC_VALID)).otherwise(F.lit("")),
+        F.when(d % 23 == 0, F.lit(" " + _CC_VALID_DASHED)).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 29 == 0, F.lit(" " + _CC_INVALID)).otherwise(F.lit("")),
+    )
+    return luhn_card_audit(docs.withColumn("text", dec))
+
+
+SQL_PII_CARD_AUDIT = f"""
+WITH pcd AS (
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 19 = 0 THEN ' {_CC_VALID}' ELSE '' END)
+         || (CASE WHEN doc_id % 23 = 0 THEN ' {_CC_VALID_DASHED}' ELSE '' END)
+         || (CASE WHEN doc_id % 29 = 0 THEN ' {_CC_INVALID}' ELSE '' END) AS text
+  FROM documents
+),
+pct AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     w -> replace(w, '-', '')),
+      c -> regexp_matches(c, '^[0-9]{{13,19}}$')) AS cands
+  FROM pcd
+),
+pcv AS (
+  SELECT doc_id, cands,
+    list_filter(cands, c ->
+      list_sum(list_transform(generate_series(1, len(c)), i ->
+        CASE WHEN i % 2 = 0
+             THEN CASE WHEN 2 * CAST(c[len(c)-i+1] AS INT) > 9
+                       THEN 2 * CAST(c[len(c)-i+1] AS INT) - 9
+                       ELSE 2 * CAST(c[len(c)-i+1] AS INT) END
+             ELSE CAST(c[len(c)-i+1] AS INT) END)) % 10 = 0
+    ) AS valid
+  FROM pct
+)
+SELECT doc_id, CAST(len(cands) AS BIGINT) AS cc_candidates,
+       CAST(len(valid) AS BIGINT) AS cc_valid,
+       len(valid) > 0 AS has_valid_card
+FROM pcv
+"""
+
+
+# --------------------------------------------------------------------
 # Quality score
 # --------------------------------------------------------------------
 
@@ -9743,6 +9813,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_build_e2e_warc": q_corpus_build_e2e_warc,
     "encoding_audit": q_encoding_audit,
     "stream_encoding_audit": q_stream_encoding_audit,
+    "pii_card_audit": q_pii_card_audit,
     "bpe_bytes_train": q_bpe_bytes_train,
     "bpe_bytes_encode": q_bpe_bytes_encode,
     "tokenizer_oov_cost": q_tokenizer_oov_cost,
@@ -9905,6 +9976,7 @@ ORACLES_TD: dict[str, str] = {
     "corpus_build_e2e_warc": SQL_CORPUS_BUILD_E2E_WARC,
     "encoding_audit": SQL_ENCODING_AUDIT,
     "stream_encoding_audit": SQL_STREAM_ENCODING_AUDIT,
+    "pii_card_audit": SQL_PII_CARD_AUDIT,
     "bpe_bytes_train": SQL_BPE_BYTES_TRAIN,
     "bpe_bytes_encode": SQL_BPE_BYTES_ENCODE,
     "tokenizer_oov_cost": SQL_TOKENIZER_OOV_COST,
