@@ -60,6 +60,7 @@ _SHOWCASE_FIRST = (
     "encoding_audit",  # decode-failure quarantine gate (round 10)
     "stream_encoding_audit",  # the gate on the ingest stream (round 10)
     "pii_card_audit",  # Luhn-validated card-number detection (round 10)
+    "quality_psi",  # PSI drift monitor between crawl snapshots (round 10)
     # family-spanning classics (reference parity + heavy hitters)
     "candles_5m",
     "dedupe_keep_first",

@@ -981,6 +981,85 @@ FROM pcv
 
 
 # --------------------------------------------------------------------
+# Quality-distribution drift (PSI between crawl snapshots)
+# --------------------------------------------------------------------
+
+def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the quality-score distribution
+    between two corpus snapshots (even doc_ids play the standing
+    crawl, odd the new one) — the drift monitor a recurring-ingestion
+    pipeline runs before trusting fixed quality thresholds on a new
+    crawl: PSI = Σ (p_ref − p_new)·ln(p_ref/p_new) over 10 fixed-width
+    score bins, Laplace-smoothed so empty bins stay defined. Scores
+    are 6-dp-rounded BEFORE binning (engine-identical bin edges); the
+    smoothed proportions are IEEE divisions of exact integers. One
+    narrow map + one 10-key aggregate + a broadcast 1-row total.
+
+    Output: one row per bin (bin, n_ref, n_new, p_ref, p_new,
+    psi_term) — the total PSI is the column sum, the per-bin terms
+    show WHERE the distribution moved."""
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    q = quality_score(docs).select(
+        "doc_id", _pr("quality", 6).alias("_q")
+    )
+    s = q.select(
+        (F.col("doc_id") % 2 == 0).alias("_ref"),
+        F.least(F.floor(F.col("_q") * 10), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+    )
+    agg = s.groupBy("bin").agg(
+        F.sum(F.when(F.col("_ref"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(~F.col("_ref"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+    )
+    tot = agg.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_new").alias("_tn")
+    )
+    j = agg.crossJoin(F.broadcast(tot))
+    p_ref = (F.col("n_ref") + F.lit(1.0)) / (F.col("_tr") + 10)
+    p_new = (F.col("n_new") + F.lit(1.0)) / (F.col("_tn") + 10)
+    psi = (p_ref - p_new) * F.log(p_ref / p_new)
+    return j.select(
+        "bin",
+        "n_ref",
+        "n_new",
+        _pr(p_ref, 6).alias("p_ref"),
+        _pr(p_new, 6).alias("p_new"),
+        _pr(psi, 6).alias("psi_term"),
+    )
+
+
+SQL_QUALITY_PSI = """
+WITH qsrc AS ({qs}),
+psb AS (
+  SELECT doc_id % 2 = 0 AS ref,
+         CAST(least(floor(quality * 10), 9) AS INT) AS bin
+  FROM qsrc
+),
+psa AS (
+  SELECT bin,
+         sum(CASE WHEN ref THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS n_new
+  FROM psb GROUP BY 1
+),
+pst AS (SELECT sum(n_ref) AS tr, sum(n_new) AS tn FROM psa)
+SELECT bin,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_new AS BIGINT) AS n_new,
+       floor((n_ref + 1.0) / (tr + 10) * 1000000 + 0.5) / 1000000 AS p_ref,
+       floor((n_new + 1.0) / (tn + 10) * 1000000 + 0.5) / 1000000 AS p_new,
+       floor(((n_ref + 1.0) / (tr + 10) - (n_new + 1.0) / (tn + 10))
+             * ln(((n_ref + 1.0) / (tr + 10)) / ((n_new + 1.0) / (tn + 10)))
+             * 1000000 + 0.5) / 1000000 AS psi_term
+FROM psa, pst
+"""
+
+
+# --------------------------------------------------------------------
 # Quality score
 # --------------------------------------------------------------------
 
@@ -1027,6 +1106,10 @@ SELECT doc_id,
   ) * 1000000 + 0.5) / 1000000 AS quality
 FROM m
 """
+
+# resolve the PSI oracle's quality-source placeholder now that the
+# quality-score SQL exists (the PSI section sits above it in the file)
+SQL_QUALITY_PSI = SQL_QUALITY_PSI.format(qs=SQL_QUALITY_SCORE.strip())
 
 
 # --------------------------------------------------------------------
@@ -9814,6 +9897,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_audit": q_encoding_audit,
     "stream_encoding_audit": q_stream_encoding_audit,
     "pii_card_audit": q_pii_card_audit,
+    "quality_psi": q_quality_psi,
     "bpe_bytes_train": q_bpe_bytes_train,
     "bpe_bytes_encode": q_bpe_bytes_encode,
     "tokenizer_oov_cost": q_tokenizer_oov_cost,
@@ -9977,6 +10061,7 @@ ORACLES_TD: dict[str, str] = {
     "encoding_audit": SQL_ENCODING_AUDIT,
     "stream_encoding_audit": SQL_STREAM_ENCODING_AUDIT,
     "pii_card_audit": SQL_PII_CARD_AUDIT,
+    "quality_psi": SQL_QUALITY_PSI,
     "bpe_bytes_train": SQL_BPE_BYTES_TRAIN,
     "bpe_bytes_encode": SQL_BPE_BYTES_ENCODE,
     "tokenizer_oov_cost": SQL_TOKENIZER_OOV_COST,
