@@ -61,6 +61,7 @@ _SHOWCASE_FIRST = (
     "stream_encoding_audit",  # the gate on the ingest stream (round 10)
     "pii_card_audit",  # Luhn-validated card-number detection (round 10)
     "quality_psi",  # PSI drift monitor between crawl snapshots (round 10)
+    "span_corruption",  # T5 denoising sample prep, order-free variant (round 10)
     # family-spanning classics (reference parity + heavy hitters)
     "candles_5m",
     "dedupe_keep_first",

@@ -911,6 +911,178 @@ SQL_STREAM_ENCODING_AUDIT = SQL_ENCODING_AUDIT
 
 
 # --------------------------------------------------------------------
+# T5-style span corruption (denoising sample prep)
+# --------------------------------------------------------------------
+
+_SC_RATE = 8  # candidate span-start probability, percent
+_SC_WIN = 3  # max extra reach of a span (lengths 2..4)
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoising-objective sample prep (Raffel et al. 2020 §3.1.4's
+    span corruption, made DETERMINISTIC and order-free): per token
+    position a portable hash decides candidate span starts (8%) and
+    lengths (2–4); a position is masked iff ANY candidate span covers
+    it (overlapping candidates merge — the declarative variant of
+    T5's sequential sampler, so no per-doc scan state exists);
+    maximal masked runs become numbered ``<extra_id_k>`` sentinels.
+    inputs = unmasked tokens with one sentinel per run; targets =
+    sentinel-prefixed masked runs — the (inputs, targets) pair an
+    encoder-decoder pretraining batch consumes.
+
+    Fully relational: posexplode → a 4-row max window (span reach) →
+    lag + running sum for run numbering → per-doc ordered reassembly.
+    At 100 TB this is one partition-local window chain per document
+    key — no state store, no UDF. Output: (doc_id, n_tokens,
+    n_masked, n_spans, inputs_md5, targets_md5)."""
+    from etl_finance_pipeline_spark.functions.scalar import portable_hash64
+    from etl_finance_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+
+    def h(tag: str) -> F.Column:
+        return portable_hash64(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(tag),
+                F.col("pos").cast("string"),
+            )
+        )
+
+    t = t.select(
+        "doc_id",
+        "pos",
+        "tok",
+        (h("#sc") % 100 < _SC_RATE).alias("cand"),
+        (h("#sl") % 3 + 2).alias("slen"),
+    )
+    wr = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-_SC_WIN, 0)
+    )
+    t = t.withColumn(
+        "masked",
+        F.coalesce(
+            F.max(F.when(F.col("cand"), F.col("pos") + F.col("slen"))).over(
+                wr
+            )
+            > F.col("pos"),
+            F.lit(False),
+        ),
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    t = t.withColumn(
+        "start",
+        F.col("masked")
+        & ~F.coalesce(F.lag("masked").over(wl), F.lit(False)),
+    ).withColumn(
+        "span_id",
+        F.sum(F.col("start").cast("int")).over(
+            wl.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"),
+        (F.col("span_id") - 1).cast("string"),
+        F.lit(">"),
+    )
+    inp = (
+        F.when(~F.col("masked"), F.col("tok"))
+        .when(F.col("start"), sentinel)
+        .otherwise(F.lit(None))
+    )
+    tgt = F.when(
+        F.col("masked"),
+        F.when(
+            F.col("start"), F.concat(sentinel, F.lit(" "), F.col("tok"))
+        ).otherwise(F.col("tok")),
+    )
+
+    def joined(piece) -> F.Column:
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            piece.isNotNull(),
+                            F.struct(
+                                F.col("pos").alias("p"), piece.alias("s")
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["s"],
+            ),
+            " ",
+        )
+
+    return t.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("masked").cast("int")).cast("long").alias("n_masked"),
+        F.sum(F.col("start").cast("int")).cast("long").alias("n_spans"),
+        F.md5(F.encode(joined(inp), "UTF-8")).alias("inputs_md5"),
+        F.md5(F.encode(joined(tgt), "UTF-8")).alias("targets_md5"),
+    )
+
+
+SQL_SPAN_CORRUPTION = f"""
+WITH sct AS (
+  SELECT doc_id, i AS pos, toks[i] AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+),
+sch AS (
+  SELECT doc_id, pos, tok,
+         ({_H64.format(s="CAST(doc_id AS VARCHAR) || '#sc' || CAST(pos AS VARCHAR)")} % 100 < {_SC_RATE}) AS cand,
+         {_H64.format(s="CAST(doc_id AS VARCHAR) || '#sl' || CAST(pos AS VARCHAR)")} % 3 + 2 AS slen
+  FROM sct
+),
+scm AS (
+  SELECT *, coalesce(
+    max(CASE WHEN cand THEN pos + slen END) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN {_SC_WIN} PRECEDING AND CURRENT ROW) > pos,
+    false) AS masked
+  FROM sch
+),
+scs AS (
+  SELECT *, masked AND NOT coalesce(
+    lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), false) AS strt
+  FROM scm
+),
+sci AS (
+  SELECT *, sum(CASE WHEN strt THEN 1 ELSE 0 END) OVER (
+    PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM scs
+),
+scp AS (
+  SELECT doc_id, pos, masked, strt,
+    CASE WHEN NOT masked THEN tok
+         WHEN strt THEN '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '>'
+    END AS inp,
+    CASE WHEN masked THEN
+      CASE WHEN strt THEN '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '>' || ' ' || tok
+           ELSE tok END
+    END AS tgt
+  FROM sci
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+  CAST(sum(CASE WHEN strt THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+  md5(coalesce(string_agg(inp, ' ' ORDER BY pos) FILTER (WHERE inp IS NOT NULL), '')) AS inputs_md5,
+  md5(coalesce(string_agg(tgt, ' ' ORDER BY pos) FILTER (WHERE tgt IS NOT NULL), '')) AS targets_md5
+FROM scp GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------
 # Credit-card PII audit (Luhn-validated, not shape-only)
 # --------------------------------------------------------------------
 
@@ -9898,6 +10070,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_encoding_audit": q_stream_encoding_audit,
     "pii_card_audit": q_pii_card_audit,
     "quality_psi": q_quality_psi,
+    "span_corruption": q_span_corruption,
     "bpe_bytes_train": q_bpe_bytes_train,
     "bpe_bytes_encode": q_bpe_bytes_encode,
     "tokenizer_oov_cost": q_tokenizer_oov_cost,
@@ -10062,6 +10235,7 @@ ORACLES_TD: dict[str, str] = {
     "stream_encoding_audit": SQL_STREAM_ENCODING_AUDIT,
     "pii_card_audit": SQL_PII_CARD_AUDIT,
     "quality_psi": SQL_QUALITY_PSI,
+    "span_corruption": SQL_SPAN_CORRUPTION,
     "bpe_bytes_train": SQL_BPE_BYTES_TRAIN,
     "bpe_bytes_encode": SQL_BPE_BYTES_ENCODE,
     "tokenizer_oov_cost": SQL_TOKENIZER_OOV_COST,
