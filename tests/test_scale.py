@@ -881,3 +881,36 @@ def test_scale_changefeed_incremental_dedup(bigspark, tmp_path):
     rows, dt = _timed_count(out, "changefeed dedup: 200k standing + 500 ingest")
     assert rows == 500
     assert dt < 120
+
+
+def test_scale_warc_parse_roundtrip(bigspark):
+    """Stage −1 at 2M records / 20k multi-record blobs: envelope
+    build + blob concat is one groupBy; the parse (split, header
+    regex, Content-Length framing) is a narrow per-blob chain. Every
+    record must re-frame (length_ok) and recover its payload."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        synthesize_warc,
+        warc_parse,
+    )
+
+    n = 2_000_000
+    pages = bigspark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("<html><body><p>payload "),
+            F.col("id").cast("string"),
+            F.lit(" tail</p></body></html>"),
+        ).alias("html"),
+        F.concat(F.lit("http://ex.com/p/"), F.col("id").cast("string")).alias(
+            "url"
+        ),
+        (F.col("id") % 20_000).cast("int").alias("blob_id"),
+    )
+    parsed = warc_parse(synthesize_warc(pages))
+    ok = parsed.filter(
+        F.col("length_ok") & F.col("payload").contains("payload ")
+    )
+    _assert_distributed_plan(ok, "warc_parse")
+    rows, dt = _timed_count(ok, "warc parse: 2M records / 20k blobs")
+    assert rows == n
+    assert dt < 240
