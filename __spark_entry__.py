@@ -62,6 +62,7 @@ _SHOWCASE_FIRST = (
     "pii_card_audit",  # Luhn-validated card-number detection (round 10)
     "quality_psi",  # PSI drift monitor between crawl snapshots (round 10)
     "span_corruption",  # T5 denoising sample prep, order-free variant (round 10)
+    "clm_batches",  # packed layout materialized as next-token batches (round 10)
     # family-spanning classics (reference parity + heavy hitters)
     "candles_5m",
     "dedupe_keep_first",

@@ -911,6 +911,147 @@ SQL_STREAM_ENCODING_AUDIT = SQL_ENCODING_AUDIT
 
 
 # --------------------------------------------------------------------
+# Causal-LM batch materialization (packed layout -> token batches)
+# --------------------------------------------------------------------
+
+_CLM_CAP = 512
+
+
+def q_clm_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """training_batches MATERIALIZED: the packed layout becomes the
+    actual next-token batches a causal-LM data loader emits — per
+    (shard, sequence): the 512-token input slice of the shard's
+    concatenated stream and its one-shifted label slice (labels cross
+    document boundaries within the stream, exactly as packed
+    pretraining trains; the shard's final token has no successor and
+    is dropped from labels). Same filter/shuffle/pack configuration
+    as training_batches, so this query also pins that the layout
+    TABLE and the emitted token STREAMS agree — an off-by-one in
+    seq_offset would flip every downstream hash.
+
+    One lead() window per shard stream + one per-sequence ordered
+    reassembly; at 100 TB shards are the parallelism unit, exactly as
+    in pack_sequences. Output: (shard, seq_id, n_tokens, n_docs,
+    inputs_md5, labels_md5)."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        pack_sequences,
+        shuffle_shard,
+    )
+
+    docs = (
+        load_table(spark, _t(sf_dir, "documents"))
+        .select("doc_id", F.split(F.col("text"), r"\s+").alias("_toks"))
+        .withColumn("n_tokens", F.size("_toks").cast("long"))
+        .filter(F.col("n_tokens").between(10, 500))
+    )
+    sh = shuffle_shard(
+        docs.select("doc_id", "n_tokens"), num_shards=4, seed=7
+    )
+    packed = pack_sequences(
+        sh, seq_tokens=_CLM_CAP, shard_col="shard", order_col="position"
+    )
+    j = packed.select(
+        "shard",
+        (F.col("seq_id") * _CLM_CAP + F.col("seq_offset")).alias("_start"),
+        "doc_id",
+    ).join(docs.select("doc_id", "_toks"), "doc_id")
+    tokrows = j.select(
+        "shard",
+        "doc_id",
+        F.posexplode("_toks").alias("_k", "tok"),
+        F.col("_start"),
+    ).select(
+        "shard",
+        "doc_id",
+        (F.col("_start") + F.col("_k")).alias("gpos"),
+        "tok",
+    )
+    w = Window.partitionBy("shard").orderBy("gpos")
+    t = (
+        tokrows.withColumn("next_tok", F.lead("tok").over(w))
+        .withColumn(
+            "seq_id",
+            F.floor(F.col("gpos") / F.lit(float(_CLM_CAP))).cast("long"),
+        )
+    )
+
+    def joined(piece) -> F.Column:
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            piece.isNotNull(),
+                            F.struct(
+                                F.col("gpos").alias("g"), piece.alias("s")
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["s"],
+            ),
+            " ",
+        )
+
+    return t.groupBy("shard", "seq_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.md5(F.encode(joined(F.col("tok")), "UTF-8")).alias("inputs_md5"),
+        F.md5(F.encode(joined(F.col("next_tok")), "UTF-8")).alias(
+            "labels_md5"
+        ),
+    )
+
+
+SQL_CLM_BATCHES = f"""
+WITH clmt AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+  FROM documents
+),
+clmf AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM clmt WHERE len(toks) BETWEEN 10 AND 500
+),
+clms AS (
+  SELECT doc_id, n_tokens,
+         {_H64.format(s="CAST(doc_id AS VARCHAR) || '#shuffle7'")} AS _skey
+  FROM clmf
+),
+clmp AS (
+  SELECT doc_id, n_tokens, CAST(_skey % 4 AS INT) AS shard,
+         row_number() OVER (PARTITION BY _skey % 4 ORDER BY _skey, doc_id) - 1
+           AS position
+  FROM clms
+),
+clmc AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY position, doc_id
+         ) - n_tokens AS start
+  FROM clmp
+),
+clmg AS (
+  SELECT c.shard, c.doc_id, c.start + g.k - 1 AS gpos, f.toks[g.k] AS tok
+  FROM clmc c JOIN clmf f USING (doc_id),
+       LATERAL (SELECT unnest(generate_series(1, c.n_tokens)) AS k) g
+),
+clml AS (
+  SELECT *,
+         lead(tok) OVER (PARTITION BY shard ORDER BY gpos) AS next_tok,
+         CAST(floor(gpos / {_CLM_CAP}.0) AS BIGINT) AS seq_id
+  FROM clmg
+)
+SELECT shard, seq_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  md5(string_agg(tok, ' ' ORDER BY gpos)) AS inputs_md5,
+  md5(coalesce(string_agg(next_tok, ' ' ORDER BY gpos)
+               FILTER (WHERE next_tok IS NOT NULL), '')) AS labels_md5
+FROM clml GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------
 # T5-style span corruption (denoising sample prep)
 # --------------------------------------------------------------------
 
@@ -10071,6 +10212,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_card_audit": q_pii_card_audit,
     "quality_psi": q_quality_psi,
     "span_corruption": q_span_corruption,
+    "clm_batches": q_clm_batches,
     "bpe_bytes_train": q_bpe_bytes_train,
     "bpe_bytes_encode": q_bpe_bytes_encode,
     "tokenizer_oov_cost": q_tokenizer_oov_cost,
@@ -10236,6 +10378,7 @@ ORACLES_TD: dict[str, str] = {
     "pii_card_audit": SQL_PII_CARD_AUDIT,
     "quality_psi": SQL_QUALITY_PSI,
     "span_corruption": SQL_SPAN_CORRUPTION,
+    "clm_batches": SQL_CLM_BATCHES,
     "bpe_bytes_train": SQL_BPE_BYTES_TRAIN,
     "bpe_bytes_encode": SQL_BPE_BYTES_ENCODE,
     "tokenizer_oov_cost": SQL_TOKENIZER_OOV_COST,
