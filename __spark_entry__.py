@@ -63,6 +63,7 @@ _SHOWCASE_FIRST = (
     "quality_psi",  # PSI drift monitor between crawl snapshots (round 10)
     "span_corruption",  # T5 denoising sample prep, order-free variant (round 10)
     "clm_batches",  # packed layout materialized as next-token batches (round 10)
+    "source_census",  # per-source datasheet: volume/share/quality (round 10)
     # family-spanning classics (reference parity + heavy hitters)
     "candles_5m",
     "dedupe_keep_first",

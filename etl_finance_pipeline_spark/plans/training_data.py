@@ -911,6 +911,78 @@ SQL_STREAM_ENCODING_AUDIT = SQL_ENCODING_AUDIT
 
 
 # --------------------------------------------------------------------
+# Per-source corpus census (the datasheet table)
+# --------------------------------------------------------------------
+
+def q_source_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source datasheet every corpus release prints: document
+    and token volume, character mass, token share of the corpus, and
+    mean heuristic quality — one narrow tokenize map, one per-source
+    aggregate, one broadcast 1-row total. Shares are IEEE divisions
+    of exact integer sums; quality means use the order-independent
+    fixed-point device (exact int64 sum of 6-dp-rounded scores)."""
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    q = quality_score(docs).select(
+        "doc_id",
+        F.floor(_pr("quality", 6) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("_q6"),
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+            .cast("long")
+            .alias("_nt"),
+            F.length("text").cast("long").alias("_nc"),
+        )
+        .join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.sum("_nc").cast("long").alias("n_chars"),
+            F.sum("_q6").alias("_qs"),
+        )
+    )
+    tot = base.agg(F.sum("n_tokens").alias("_tt"))
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            _pr(F.col("n_tokens") / F.col("_tt"), 6).alias("token_share"),
+            (
+                F.floor(F.col("_qs") / F.col("n_docs") + F.lit(0.5))
+                / 1_000_000
+            ).alias("mean_quality"),
+        )
+    )
+
+
+SQL_SOURCE_CENSUS = """
+WITH scq AS ({qs}),
+scb AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(lower(trim(d.text)), '\\s+'))) AS BIGINT) AS n_tokens,
+         CAST(sum(len(d.text)) AS BIGINT) AS n_chars,
+         sum(CAST(floor(q.quality * 1000000 + 0.5) AS BIGINT)) AS qs
+  FROM documents d JOIN scq q USING (doc_id)
+  GROUP BY 1
+),
+sct2 AS (SELECT sum(n_tokens) AS tt FROM scb)
+SELECT source, n_docs, n_tokens, n_chars,
+       floor(n_tokens * 1.0 / tt * 1000000 + 0.5) / 1000000 AS token_share,
+       floor(qs / CAST(n_docs AS DOUBLE) + 0.5) / 1000000 AS mean_quality
+FROM scb, sct2
+"""
+
+
+# --------------------------------------------------------------------
 # Causal-LM batch materialization (packed layout -> token batches)
 # --------------------------------------------------------------------
 
@@ -1420,9 +1492,10 @@ SELECT doc_id,
 FROM m
 """
 
-# resolve the PSI oracle's quality-source placeholder now that the
-# quality-score SQL exists (the PSI section sits above it in the file)
+# resolve quality-source placeholders now that the quality-score SQL
+# exists (the PSI and census sections sit above it in the file)
 SQL_QUALITY_PSI = SQL_QUALITY_PSI.format(qs=SQL_QUALITY_SCORE.strip())
+SQL_SOURCE_CENSUS = SQL_SOURCE_CENSUS.format(qs=SQL_QUALITY_SCORE.strip())
 
 
 # --------------------------------------------------------------------
@@ -9317,12 +9390,17 @@ def q_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus_build_chain(hx, dkeep)
 
 
-def _corpus_build_chain(hx: DataFrame, dkeep) -> DataFrame:
+def _corpus_build_chain(
+    hx: DataFrame, dkeep, return_packed: bool = False
+) -> DataFrame:
     """Gates → quality canonical → DoReMi gate → shuffle-shard → FFD
     pack → per-shard manifest, over an EXTRACTED-text frame
     (doc_id, source, lang, text) with *dkeep* the domain-gate boolean
     evaluated against it — shared by the HTML-payload and
-    WARC-record flagships."""
+    WARC-record flagships. ``return_packed`` exposes the per-document
+    bin assignment frame instead of the manifest (the frame a real
+    run WRITES as shards — test_training_data pins that path through
+    the transactional table format)."""
     from etl_finance_pipeline_spark.operators.corpus import (
         pack_bins,
         shuffle_shard,
@@ -9412,6 +9490,8 @@ def _corpus_build_chain(hx: DataFrame, dkeep) -> DataFrame:
         seed=_CB_SEED,
     )
     packed = pack_bins(sharded, seq_tokens=_CB_CAP, shard_col="shard")
+    if return_packed:
+        return packed
     per_bin = packed.groupBy("shard", "bin_id").agg(
         F.count("*").alias("_docs"), F.max("bin_fill").alias("_fill")
     )
@@ -10213,6 +10293,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_psi": q_quality_psi,
     "span_corruption": q_span_corruption,
     "clm_batches": q_clm_batches,
+    "source_census": q_source_census,
     "bpe_bytes_train": q_bpe_bytes_train,
     "bpe_bytes_encode": q_bpe_bytes_encode,
     "tokenizer_oov_cost": q_tokenizer_oov_cost,
@@ -10379,6 +10460,7 @@ ORACLES_TD: dict[str, str] = {
     "quality_psi": SQL_QUALITY_PSI,
     "span_corruption": SQL_SPAN_CORRUPTION,
     "clm_batches": SQL_CLM_BATCHES,
+    "source_census": SQL_SOURCE_CENSUS,
     "bpe_bytes_train": SQL_BPE_BYTES_TRAIN,
     "bpe_bytes_encode": SQL_BPE_BYTES_ENCODE,
     "tokenizer_oov_cost": SQL_TOKENIZER_OOV_COST,

@@ -1465,3 +1465,51 @@ def test_pack_bins_matches_naive_ffd_reference(spark):
         for r in rs:
             assert r["bin_id"] == assign[r["doc_id"]]
             assert r["bin_fill"] == fills[r["bin_id"]]
+
+
+def test_corpus_build_emits_shards_via_table_format(spark, tmp_path):
+    """The e2e corpus build's packed assignment actually LANDS as
+    training shards: write the per-doc bin frame through the
+    transactional table format partitioned by shard; a one-shard read
+    prunes to that shard's files (driver-side, manifest metadata) and
+    round-trips its exact rows."""
+    import os
+
+    from etl_finance_pipeline_spark.operators.corpus import (
+        canonical_host,
+        html_extract,
+        registrable_domain,
+        synthesize_html,
+    )
+    from etl_finance_pipeline_spark.plans.training_data import (
+        _URL_BLOCKLIST,
+        _corpus_build_chain,
+        _url_expr,
+    )
+    from etl_finance_pipeline_spark.sources.tables import load_table
+    from etl_finance_pipeline_spark.sources.table_format import (
+        read_table,
+        snapshot,
+        write_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    hx = html_extract(synthesize_html(docs)).select(
+        "doc_id", "source", "lang", "text"
+    )
+    dkeep = ~registrable_domain(canonical_host(_url_expr())).isin(
+        _URL_BLOCKLIST
+    )
+    packed = _corpus_build_chain(hx, dkeep, return_packed=True)
+    rows = {tuple(r) for r in packed.collect()}
+    assert rows  # the tiny fixture still yields survivors
+
+    t = str(tmp_path / "shards")
+    write_table(packed, t, partition_by=["shard"])
+    snap = snapshot(t)
+    assert snap.num_rows == len(rows)
+    shard0 = {r for r in rows if r[0] == 0}
+    got = read_table(spark, t, partition_filter={"shard": "0"})
+    # partition pruning is driver-side: only shard=0 files planned
+    assert all("shard=0" in p for p in got.inputFiles())
+    assert {tuple(r) for r in got.select(*packed.columns).collect()} == shard0
