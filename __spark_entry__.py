@@ -64,6 +64,8 @@ _SHOWCASE_FIRST = (
     "span_corruption",  # T5 denoising sample prep, order-free variant (round 10)
     "clm_batches",  # packed layout materialized as next-token batches (round 10)
     "source_census",  # per-source datasheet: volume/share/quality (round 10)
+    "ffd_batches",  # FFD bins materialized with padding cost (round 10)
+    "dedup_savings",  # token-savings ROI of exact + near dedup (round 10)
     # family-spanning classics (reference parity + heavy hitters)
     "candles_5m",
     "dedupe_keep_first",

@@ -911,6 +911,202 @@ SQL_STREAM_ENCODING_AUDIT = SQL_ENCODING_AUDIT
 
 
 # --------------------------------------------------------------------
+# FFD bin materialization (document-preserving batches + padding)
+# --------------------------------------------------------------------
+
+def q_ffd_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_bins MATERIALIZED: each FFD bin becomes its actual token
+    batch — member documents concatenated in the bin's deterministic
+    insertion order (tokens desc, id asc — the FFD walk's own order)
+    plus the padding the document-preserving layout pays (contrast
+    clm_batches, where concat-split pays zero padding but splits
+    documents). Same 4-shard / 256-token configuration as pack_bins,
+    so this also pins layout-table ↔ emitted-stream agreement for the
+    SECOND packer. Output: (shard, bin_id, n_docs, n_tokens,
+    pad_tokens, inputs_md5)."""
+    from etl_finance_pipeline_spark.operators.corpus import pack_bins
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("_toks")
+    )
+    sized = docs.withColumn("n_tokens", F.size("_toks").cast("long"))
+    packed = pack_bins(
+        sized.select("doc_id", "n_tokens"), seq_tokens=256, num_shards=4
+    )
+    j = packed.join(docs, "doc_id")
+    stream = F.array_join(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("n_tokens")).alias("_k1"),
+                            F.col("doc_id").alias("_k2"),
+                            F.col("_toks").alias("_t"),
+                        )
+                    )
+                ),
+                lambda s: s["_t"],
+            )
+        ),
+        " ",
+    )
+    return j.groupBy("shard", "bin_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("bin_fill").cast("long").alias("n_tokens"),
+        F.greatest(F.lit(256) - F.max("bin_fill"), F.lit(0))
+        .cast("long")
+        .alias("pad_tokens"),
+        F.md5(F.encode(stream, "UTF-8")).alias("inputs_md5"),
+    )
+
+
+SQL_FFD_BATCHES = f"""
+WITH RECURSIVE fbt AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+  FROM documents
+),
+pbt AS (
+  SELECT CAST({_H64.format(s="CAST(doc_id AS VARCHAR)")} % 4 AS INT) AS shard,
+         doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM fbt
+),
+{_pack_bins_ctes("pb", "pbt", 256)}
+SELECT p.shard, p.bin_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(max(p.bin_fill) AS BIGINT) AS n_tokens,
+  CAST(greatest(256 - max(p.bin_fill), 0) AS BIGINT) AS pad_tokens,
+  md5(string_agg(array_to_string(f.toks, ' '), ' '
+      ORDER BY p.n_tokens DESC, p.doc_id)) AS inputs_md5
+FROM pbout p JOIN fbt f USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------
+# Dedup ROI report (token savings of exact + near-dup canonicals)
+# --------------------------------------------------------------------
+
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ROI one-liner a pipeline owner reads before paying
+    for the near-dup pass: corpus volume, the exact-canonical volume
+    (min-id per identical text), the near-dup-canonical volume
+    (MinHash-LSH components at est ≥ 0.5, min-id canonical plus every
+    unclustered doc), and the token fractions each stage saves. Token
+    masses are exact integer sums; fractions are IEEE divisions."""
+    from etl_finance_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        "doc_id",
+        "text",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("_nt"),
+    )
+    exact = docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.first("_nt").alias("_nt2")
+    )
+    pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    near = docs.join(F.broadcast(comp), "doc_id", "left").filter(
+        F.col("component").isNull()
+        | (F.col("component") == F.col("doc_id"))
+    )
+    raw = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+    )
+    ex = exact.agg(
+        F.count("*").cast("long").alias("n_docs_exact"),
+        F.sum("_nt2").cast("long").alias("n_tokens_exact"),
+    )
+    nd = near.agg(
+        F.count("*").cast("long").alias("n_docs_near"),
+        F.sum("_nt").cast("long").alias("n_tokens_near"),
+    )
+    j = raw.crossJoin(F.broadcast(ex)).crossJoin(F.broadcast(nd))
+    return j.select(
+        "n_docs",
+        "n_tokens",
+        "n_docs_exact",
+        "n_tokens_exact",
+        "n_docs_near",
+        "n_tokens_near",
+        _pr(
+            F.lit(1.0) - F.col("n_tokens_exact") / F.col("n_tokens"), 6
+        ).alias("exact_savings"),
+        _pr(
+            F.lit(1.0) - F.col("n_tokens_near") / F.col("n_tokens"), 6
+        ).alias("near_savings"),
+    )
+
+
+SQL_DEDUP_SAVINGS = f"""
+WITH RECURSIVE dst AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS nt
+  FROM documents
+),
+dse AS (
+  SELECT min(doc_id) AS doc_id, any_value(nt) AS nt
+  FROM dst GROUP BY text
+),
+{_SHINGLES_CTE.strip()},
+{_SIG_CTE.strip()},
+bands AS (
+  {_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, k1, k2, k3, k4)
+  WHERE a.doc_id < b.doc_id
+),
+near AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+  WHERE ({_EQ_TERMS}) / 16.0 >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM near
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM near
+),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.dst AS id, reach.r
+  FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+dsn AS (
+  SELECT d.doc_id, d.nt
+  FROM dst d LEFT JOIN comp c ON c.doc_id = d.doc_id
+  WHERE c.component IS NULL OR c.component = d.doc_id
+),
+dsr AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens FROM dst),
+dsx AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_exact,
+               CAST(sum(nt) AS BIGINT) AS n_tokens_exact FROM dse),
+dsz AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_near,
+               CAST(sum(nt) AS BIGINT) AS n_tokens_near FROM dsn)
+SELECT n_docs, n_tokens, n_docs_exact, n_tokens_exact,
+       n_docs_near, n_tokens_near,
+       floor((1.0 - n_tokens_exact * 1.0 / n_tokens) * 1000000 + 0.5)
+         / 1000000 AS exact_savings,
+       floor((1.0 - n_tokens_near * 1.0 / n_tokens) * 1000000 + 0.5)
+         / 1000000 AS near_savings
+FROM dsr, dsx, dsz
+"""
+
+
+# --------------------------------------------------------------------
 # Per-source corpus census (the datasheet table)
 # --------------------------------------------------------------------
 
@@ -10294,6 +10490,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_corruption": q_span_corruption,
     "clm_batches": q_clm_batches,
     "source_census": q_source_census,
+    "ffd_batches": q_ffd_batches,
+    "dedup_savings": q_dedup_savings,
     "bpe_bytes_train": q_bpe_bytes_train,
     "bpe_bytes_encode": q_bpe_bytes_encode,
     "tokenizer_oov_cost": q_tokenizer_oov_cost,
@@ -10461,6 +10659,8 @@ ORACLES_TD: dict[str, str] = {
     "span_corruption": SQL_SPAN_CORRUPTION,
     "clm_batches": SQL_CLM_BATCHES,
     "source_census": SQL_SOURCE_CENSUS,
+    "ffd_batches": SQL_FFD_BATCHES,
+    "dedup_savings": SQL_DEDUP_SAVINGS,
     "bpe_bytes_train": SQL_BPE_BYTES_TRAIN,
     "bpe_bytes_encode": SQL_BPE_BYTES_ENCODE,
     "tokenizer_oov_cost": SQL_TOKENIZER_OOV_COST,
