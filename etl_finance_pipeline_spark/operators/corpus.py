@@ -1228,9 +1228,12 @@ def warc_parse(
     shuffles, zero UDFs — at 100 TB this is stage −1's map over raw
     crawl files. Degradation contract as in :func:`html_extract`: a
     payload containing the record magic splits early in ANY
-    string-primitive engine, and both engines degrade identically
-    (length_ok then flags the damage), so the oracle holds on any
-    input.
+    string-primitive engine, and both engines degrade identically.
+    Header parsing is TRY semantics — a fragment missing its
+    Content-Length / record-id headers (the other half of an
+    adversarial split) yields NULL fields and ``length_ok = false``,
+    never a cast error — so the oracle holds and the lane stays
+    fail-visible on ANY input.
 
     Output: (doc_id, uri, content_length, length_ok, payload).
     """
@@ -1239,17 +1242,23 @@ def warc_parse(
         lambda r: F.length(r) > 0,
     )
 
+    def _num(r: Column, pat: str) -> Column:
+        s = F.regexp_extract(r, pat, 1)
+        return F.when(s != "", s.cast("long"))  # NULL when absent
+
     def _parse(r: Column) -> Column:
         p = F.instr(r, "\r\n\r\n")
-        cl = F.regexp_extract(r, "Content-Length: ([0-9]+)", 1).cast("long")
+        cl = _num(r, "Content-Length: ([0-9]+)")
         return F.struct(
-            F.regexp_extract(r, "<urn:doc:([0-9]+)>", 1)
-            .cast("long")
-            .alias("doc_id"),
+            _num(r, "<urn:doc:([0-9]+)>").alias("doc_id"),
             F.regexp_extract(r, "WARC-Target-URI: ([^\r]+)", 1).alias("uri"),
             cl.alias("content_length"),
-            r.substr(p + F.lit(4), cl).alias("payload"),
-            (F.length(r) == p + F.lit(7) + cl).alias("length_ok"),
+            r.substr(p + F.lit(4), F.coalesce(cl, F.lit(0))).alias(
+                "payload"
+            ),
+            F.coalesce(
+                F.length(r) == p + F.lit(7) + cl, F.lit(False)
+            ).alias("length_ok"),
         )
 
     return df.select(

@@ -9846,7 +9846,7 @@ def _warc_parse_ctes() -> str:
     build the record envelopes, concatenate per blob in id order,
     then split at the record magic and recover each payload by
     Content-Length framing from the header terminator."""
-    cl = "CAST(regexp_extract(r, 'Content-Length: ([0-9]+)', 1) AS BIGINT)"
+    cl = "TRY_CAST(regexp_extract(r, 'Content-Length: ([0-9]+)', 1) AS BIGINT)"
     return f"""{_html_pay_cte("wpay")},
 {_URL_CTE_URLS.strip()},
 wrec AS (
@@ -9868,11 +9868,12 @@ wrecs AS (
   FROM wblob
 ),
 wparse AS (
-  SELECT CAST(regexp_extract(r, '<urn:doc:([0-9]+)>', 1) AS BIGINT) AS doc_id,
+  SELECT TRY_CAST(regexp_extract(r, '<urn:doc:([0-9]+)>', 1) AS BIGINT) AS doc_id,
          regexp_extract(r, 'WARC-Target-URI: ([^\\r]+)', 1) AS uri,
          {cl} AS content_length,
-         substr(r, strpos(r, {_CRLF2}) + 4, {cl}) AS payload,
-         (CAST(len(r) AS BIGINT) = CAST(strpos(r, {_CRLF2}) + 7 AS BIGINT) + {cl})
+         substr(r, strpos(r, {_CRLF2}) + 4, coalesce({cl}, 0)) AS payload,
+         coalesce(CAST(len(r) AS BIGINT)
+                  = CAST(strpos(r, {_CRLF2}) + 7 AS BIGINT) + {cl}, false)
            AS length_ok
   FROM wrecs
 )"""

@@ -498,3 +498,81 @@ def test_warc_roundtrip_framing(spark):
     assert len(bad) == 3
     assert sum(1 for r in bad if not r["length_ok"]) == 2  # one per blob
     assert sum(1 for r in bad if r["length_ok"]) == 1
+
+
+def test_luhn_card_audit_matches_python_reference(spark):
+    """Property check: the in-engine Luhn fold agrees with a plain
+    Python reference over randomized digit strings (lengths 12–20,
+    mixed dash grouping, some tweaked to be checksum-valid)."""
+    import random
+
+    from etl_finance_pipeline_spark.operators.corpus import luhn_card_audit
+
+    def luhn_ok(s: str) -> bool:
+        t = 0
+        for i, ch in enumerate(reversed(s), 1):
+            d = int(ch)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            t += d
+        return t % 10 == 0
+
+    rng = random.Random(42)
+    rows = []
+    expect = []
+    for i in range(80):
+        n = rng.randint(12, 20)
+        digits = "".join(rng.choice("0123456789") for _ in range(n))
+        if i % 3 == 0:  # force-valid: fix the check digit
+            for last in "0123456789":
+                if luhn_ok(digits[:-1] + last):
+                    digits = digits[:-1] + last
+                    break
+        word = (
+            "-".join(digits[j : j + 4] for j in range(0, n, 4))
+            if i % 2
+            else digits
+        )
+        rows.append((i, f"pad text {word} tail"))
+        cand = 13 <= n <= 19
+        expect.append((i, int(cand), int(cand and luhn_ok(digits))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cc_candidates"], r["cc_valid"])
+        for r in luhn_card_audit(df).collect()
+    }
+    for i, cands, valid in expect:
+        assert got[i] == (cands, valid), (i, got[i], (cands, valid))
+
+
+def test_warc_parse_adversarial_payload_fails_loud(spark):
+    """A payload containing the record magic splits early in ANY
+    string-primitive parser (the documented degradation contract):
+    the parse must flag the damage via length_ok — never raise, never
+    silently emit a well-framed wrong record for the damaged one."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        synthesize_warc,
+        warc_parse,
+    )
+
+    evil = "before WARC/1.0\r\nWARC-Type: fake\r\n\r\nafter"
+    rows = [
+        (1, "<p>clean one</p>", "http://a.com/1", 0),
+        (2, evil, "http://a.com/2", 0),
+        (3, "<p>clean two</p>", "http://a.com/3", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, html string, url string, blob_id int"
+    )
+    parsed = warc_parse(synthesize_warc(df)).collect()
+    by_ok = [r for r in parsed if r["length_ok"]]
+    # the two clean records still parse perfectly
+    ok_ids = {r["doc_id"] for r in by_ok}
+    assert {1, 3} <= ok_ids
+    assert all(
+        r["payload"].startswith("<p>clean") for r in by_ok if r["doc_id"] in (1, 3)
+    )
+    # the adversarial record's framing damage is flagged, not hidden
+    assert any(not r["length_ok"] for r in parsed)

@@ -1513,3 +1513,60 @@ def test_corpus_build_emits_shards_via_table_format(spark, tmp_path):
     # partition pruning is driver-side: only shard=0 files planned
     assert all("shard=0" in p for p in got.inputFiles())
     assert {tuple(r) for r in got.select(*packed.columns).collect()} == shard0
+
+
+def test_span_corruption_matches_python_reference(spark, tmp_path):
+    """Full-fidelity reference: replicate the span-corruption
+    algorithm in plain Python (portable_hash64 is md5-derivable) over
+    the sf0.001 fixture and compare BOTH md5 columns per document —
+    pins masking, run numbering, sentinel text, and reassembly order
+    end to end."""
+    import hashlib
+
+    from etl_finance_pipeline_spark.plans.training_data import (
+        _SC_RATE,
+        q_span_corruption,
+    )
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    got = {
+        r["doc_id"]: r
+        for r in q_span_corruption(spark, "/root/testdata/sf0.001").collect()
+    }
+    import duckdb
+
+    docs = duckdb.connect().execute(
+        "SELECT doc_id, text FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    assert len(docs) == len(got)
+    for doc_id, text in docs:
+        toks = text.strip().lower().split()
+        n = len(toks)
+        cand = [h64(f"{doc_id}#sc{i}") % 100 < _SC_RATE for i in range(1, n + 1)]
+        slen = [h64(f"{doc_id}#sl{i}") % 3 + 2 for i in range(1, n + 1)]
+        masked = [
+            any(
+                cand[s - 1] and s + slen[s - 1] > i
+                for s in range(max(1, i - 3), i + 1)
+            )
+            for i in range(1, n + 1)
+        ]
+        inputs, targets, k = [], [], -1
+        for i in range(n):
+            start = masked[i] and (i == 0 or not masked[i - 1])
+            if start:
+                k += 1
+                inputs.append(f"<extra_id_{k}>")
+                targets.append(f"<extra_id_{k}> {toks[i]}")
+            elif masked[i]:
+                targets.append(toks[i])
+            else:
+                inputs.append(toks[i])
+        r = got[doc_id]
+        assert r["n_tokens"] == n
+        assert r["n_masked"] == sum(masked)
+        assert r["n_spans"] == k + 1
+        assert r["inputs_md5"] == hashlib.md5(" ".join(inputs).encode()).hexdigest()
+        assert r["targets_md5"] == hashlib.md5(" ".join(targets).encode()).hexdigest()
