@@ -10336,6 +10336,677 @@ JOIN (
 )
 
 
+# --------------------------------------------------------------------
+# SFT data prep: chat-template render, loss mask, conversation packing
+# --------------------------------------------------------------------
+
+_SFT_TL = 12  # must equal operators.sft.TURN_TOKENS
+
+#: Conversation geometry over documents: tokens → total turns →
+#: trailing-user-turn drop → kept-token count. Exposes
+#: sftg(doc_id, source, toks, n, t_total, n_turns, kept); only VALID
+#: conversations (≥ 2 turns, i.e. ≥ 1 assistant turn) survive.
+_SFT_GEOM_CTE = f"""
+sft0 AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+sft1 AS (
+  SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n,
+         CAST(floor((len(toks) + {_SFT_TL - 1}) / {_SFT_TL}.0) AS BIGINT)
+           AS t_total
+  FROM sft0
+),
+sftg AS (
+  SELECT doc_id, source, toks, n, t_total,
+         t_total - t_total % 2 AS n_turns,
+         CASE WHEN t_total % 2 = 0 THEN n
+              ELSE (t_total - t_total % 2) * {_SFT_TL} END AS kept
+  FROM sft1
+  WHERE t_total - t_total % 2 >= 2
+)
+"""
+
+#: Rendered chat template (DuckDB twin of operators.sft.sft_render).
+_SFT_RENDER_EXPR = f"""array_to_string(list_transform(
+    generate_series(0, n_turns - 1),
+    i -> '<|' || CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END
+         || '|> '
+         || array_to_string(
+              toks[CAST(i*{_SFT_TL}+1 AS BIGINT):CAST(i*{_SFT_TL}+{_SFT_TL} AS BIGINT)],
+              ' ')
+         || ' <|eot|>'), chr(10))"""
+
+#: Per-turn content length: only the LAST kept turn can be partial,
+#: and only when no trailing user turn was dropped.
+_SFT_TLEN = (
+    f"(CASE WHEN i = n_turns - 1 AND n_turns = t_total"
+    f" THEN n - (n_turns - 1) * {_SFT_TL} ELSE {_SFT_TL} END)"
+)
+
+_SFT_MASK_EXPR = f"""array_to_string(list_transform(
+    generate_series(0, n_turns - 1),
+    i -> CASE WHEN i % 2 = 0
+         THEN repeat('0', CAST({_SFT_TLEN} + 2 AS BIGINT))
+         ELSE '0' || repeat('1', CAST({_SFT_TLEN} + 1 AS BIGINT))
+         END), '')"""
+
+
+def q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering for SFT: each document becomes a
+    deterministic alternating user/assistant conversation (12-token
+    turns; a trailing unanswered user turn is dropped; <2 surviving
+    turns → not a conversation), rendered as
+    ``<|role|> tok ... <|eot|>`` blocks. Pure projection — zero
+    shuffles, zero UDFs; at 100 TB a narrow codegen map over the
+    corpus scan (the html_extract plan shape)."""
+    from etl_finance_pipeline_spark.operators.sft import sft_render
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    r = sft_render(docs)
+    return r.select(
+        "doc_id",
+        "n_turns",
+        "n_user_tokens",
+        "n_assistant_tokens",
+        F.md5(F.encode("rendered", "UTF-8")).alias("rendered_md5"),
+    )
+
+
+SQL_SFT_RENDER = f"""
+WITH {_SFT_GEOM_CTE.strip()}
+SELECT doc_id,
+       n_turns,
+       n_turns * {_SFT_TL // 2} AS n_user_tokens,
+       kept - n_turns * {_SFT_TL // 2} AS n_assistant_tokens,
+       md5({_SFT_RENDER_EXPR}) AS rendered_md5
+FROM sftg
+"""
+
+
+def q_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level loss mask over the rendered SFT stream: assistant
+    content tokens and the assistant ``<|eot|>`` are 1 (the model
+    learns completions and when to stop), user tokens and all
+    template markers are 0. The mask string itself is hashed so the
+    oracle checks every position, not just the counts."""
+    from etl_finance_pipeline_spark.operators.sft import sft_render
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    r = sft_render(docs)
+    return r.select(
+        "doc_id",
+        "n_stream_tokens",
+        "n_loss_tokens",
+        _pr(F.col("n_loss_tokens") * 1.0 / F.col("n_stream_tokens"), 6).alias(
+            "loss_frac"
+        ),
+        F.md5(F.encode("loss_mask", "UTF-8")).alias("mask_md5"),
+    )
+
+
+SQL_SFT_LOSS_MASK = f"""
+WITH {_SFT_GEOM_CTE.strip()},
+sftm AS (
+  SELECT doc_id, toks, n, t_total, n_turns, kept,
+         kept + 2 * n_turns AS n_stream,
+         (kept - n_turns * {_SFT_TL // 2})
+           + CAST(n_turns // 2 AS BIGINT) AS n_loss
+  FROM sftg
+)
+SELECT doc_id,
+       n_stream AS n_stream_tokens,
+       n_loss AS n_loss_tokens,
+       floor(n_loss * 1.0 / n_stream * 1000000 + 0.5) / 1000000 AS loss_frac,
+       md5({_SFT_MASK_EXPR}) AS mask_md5
+FROM sftm
+"""
+
+
+def q_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-safe packing: rendered conversations (template
+    tokens included) FFD-packed into 512-token training rows without
+    splitting a conversation across rows — the sample-boundary
+    guarantee SFT packing needs (a conversation torn across sequence
+    boundaries trains on truncated context). Render is a narrow map;
+    the pack is one shuffle (shard groupBy) + the Arrow FFD kernel.
+    Output: per-bin occupancy (conversations, tokens, fill
+    fraction; an overlong conversation gets a reported-overfull bin
+    of its own, frac > 1)."""
+    from etl_finance_pipeline_spark.operators.corpus import pack_bins
+    from etl_finance_pipeline_spark.operators.sft import sft_render
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    convs = sft_render(docs).select("doc_id", "n_stream_tokens")
+    packed = pack_bins(
+        convs, tokens_col="n_stream_tokens", seq_tokens=512, num_shards=4
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count("*").cast("long").alias("n_convs"),
+        F.max("bin_fill").cast("long").alias("bin_tokens"),
+        _pr(F.max("bin_fill") * 1.0 / 512.0, 6).alias("fill_frac"),
+    )
+
+
+SQL_SFT_PACK = f"""
+WITH RECURSIVE {_SFT_GEOM_CTE.strip()},
+spt AS (
+  SELECT CAST({_H64.format(s="CAST(doc_id AS VARCHAR)")} % 4 AS INT) AS shard,
+         doc_id,
+         kept + 2 * n_turns AS n_tokens
+  FROM sftg
+),
+{_pack_bins_ctes("sp", "spt", 512)}
+SELECT shard, bin_id,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(max(bin_fill) AS BIGINT) AS bin_tokens,
+       floor(max(bin_fill) * 1.0 / 512.0 * 1000000 + 0.5) / 1000000
+         AS fill_frac
+FROM spout
+GROUP BY shard, bin_id
+"""
+
+
+def q_stream_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT rendering on the INGEST STREAM — the template is a pure
+    per-row map, so the streaming lane is stateless append mode (no
+    watermark, no state store) over the documents file-stream.
+    Oracle = the batch render query."""
+    import uuid
+
+    from etl_finance_pipeline_spark.operators.sft import sft_render
+    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
+
+    spark = _narrow_session(spark, 8)
+    ensure_nanos_conf(spark)
+    path = _t(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
+    out = sft_render(stream).select(
+        "doc_id",
+        "n_turns",
+        "n_user_tokens",
+        "n_assistant_tokens",
+        F.md5(F.encode("rendered", "UTF-8")).alias("rendered_md5"),
+    )
+    name = f"stream_sft_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+SQL_STREAM_SFT_RENDER = SQL_SFT_RENDER
+
+
+# --------------------------------------------------------------------
+# Preference-pair prep (RLHF / DPO): chosen-vs-rejected construction
+# + the length-bias audit every reward-model dataset owes its users
+# --------------------------------------------------------------------
+
+
+def _pref_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked preference pairs within each source: rank docs
+    by the heuristic quality score (desc, doc_id asc tie-break) and
+    by the inverse order; pair the i-th best with the i-th worst for
+    i ≤ n/2, keep pairs with a quality margin > 0.1. One shuffle
+    (source partition, two window sorts) + one self-join on the
+    pair index."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    qd = quality_score(docs).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        "quality",
+    )
+    w_best = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    w_worst = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").desc()
+    )
+    ranked = qd.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "quality",
+        F.row_number().over(w_best).cast("long").alias("rd"),
+        F.row_number().over(w_worst).cast("long").alias("ra"),
+        F.count("*").over(Window.partitionBy("source")).cast("long").alias(
+            "cnt"
+        ),
+    )
+    a = ranked.select(
+        "source",
+        F.col("rd").alias("pair_id"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("quality").alias("q_c"),
+        F.col("n_chars").alias("chosen_chars"),
+        "cnt",
+    )
+    b = ranked.select(
+        "source",
+        F.col("ra").alias("pair_id"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("quality").alias("q_r"),
+        F.col("n_chars").alias("rejected_chars"),
+    )
+    return (
+        a.join(b, ["source", "pair_id"])
+        .filter(F.col("pair_id") <= F.floor(F.col("cnt") / F.lit(2.0)))
+        .withColumn("margin", F.col("q_c") - F.col("q_r"))
+        .filter(F.col("margin") > 0.1)
+    )
+
+
+#: Shared CTE chain: documents → raw (unrounded) quality → best/worst
+#: ranks per source → margin-filtered pairs.
+_PREF_CTES = f"""
+prtok AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+prm AS (
+  SELECT doc_id, source, n_chars,
+    list_sum(list_transform(toks, t -> CAST(len(t) AS DOUBLE))) / len(toks)
+      AS avg_token_len,
+    len(list_filter(toks, t -> t IN ({_stop_list('en')}))) * 1.0 / len(toks)
+      AS stopword_ratio,
+    len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text)
+      AS digit_ratio,
+    len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / len(text)
+      AS punct_ratio,
+    len(text) AS nc
+  FROM prtok
+),
+prq AS (
+  SELECT doc_id, source, n_chars,
+    (CASE WHEN nc >= 50 AND nc <= 10000 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10
+            THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+    + (1.0 - least(digit_ratio + punct_ratio, 1.0)) * 0.2 AS quality
+  FROM prm
+),
+prr AS (
+  SELECT doc_id, source, n_chars, quality,
+    CAST(row_number() OVER (
+      PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rd,
+    CAST(row_number() OVER (
+      PARTITION BY source ORDER BY quality ASC, doc_id DESC) AS BIGINT) AS ra,
+    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS cnt
+  FROM prq
+),
+prpairs AS (
+  SELECT a.source, a.rd AS pair_id,
+         a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+         a.quality - b.quality AS margin,
+         a.n_chars AS chosen_chars, b.n_chars AS rejected_chars
+  FROM prr a JOIN prr b ON a.source = b.source AND a.rd = b.ra
+  WHERE a.rd <= CAST(floor(a.cnt / 2.0) AS BIGINT)
+    AND a.quality - b.quality > 0.1
+)
+"""
+
+
+def q_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for reward-model / DPO training:
+    within each source, the i-th best document (by quality score) is
+    paired with the i-th worst, margin-gated — the deterministic
+    skeleton of the "strong answer vs weak answer" pairing a real
+    preference dataset applies per prompt."""
+    pairs = _pref_pair_frame(spark, sf_dir)
+    return pairs.select(
+        "source",
+        "pair_id",
+        "chosen_id",
+        "rejected_id",
+        _pr("margin", 6).alias("margin"),
+        "chosen_chars",
+        "rejected_chars",
+    )
+
+
+SQL_PREF_PAIRS = f"""
+WITH {_PREF_CTES.strip()}
+SELECT source, pair_id, chosen_id, rejected_id,
+       floor(margin * 1000000 + 0.5) / 1000000 AS margin,
+       chosen_chars, rejected_chars
+FROM prpairs
+"""
+
+
+def q_pref_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The length-bias audit for preference data: reward models
+    overfit to "longer = better" when chosen responses are
+    systematically longer, so the dataset datasheet must report, per
+    source, how often the chosen side is longer and the aggregate
+    chosen/rejected length ratio. All aggregates are exact-integer
+    sums (margins pre-rounded to micro-units) so the readout is
+    order-free and engine-portable."""
+    pairs = _pref_pair_frame(spark, sf_dir)
+    e6 = F.floor(F.col("margin") * 1000000 + F.lit(0.5)).cast("long")
+    agg = pairs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(
+            (F.col("chosen_chars") > F.col("rejected_chars")).cast("int")
+        ).cast("long").alias("n_chosen_longer"),
+        F.sum("chosen_chars").cast("long").alias("_sc"),
+        F.sum("rejected_chars").cast("long").alias("_sr"),
+        F.sum(e6).cast("long").alias("_sm"),
+    )
+    return agg.select(
+        "source",
+        "n_pairs",
+        "n_chosen_longer",
+        _pr(F.col("n_chosen_longer") * 1.0 / F.col("n_pairs"), 6).alias(
+            "frac_chosen_longer"
+        ),
+        _pr(F.col("_sc") * 1.0 / F.col("_sr"), 6).alias("len_ratio"),
+        _pr(F.col("_sm") * 1.0 / (F.col("n_pairs") * 1000000), 6).alias(
+            "avg_margin"
+        ),
+    )
+
+
+SQL_PREF_LENGTH_BIAS = f"""
+WITH {_PREF_CTES.strip()},
+pragg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN chosen_chars > rejected_chars
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_chosen_longer,
+         CAST(sum(chosen_chars) AS BIGINT) AS sc,
+         CAST(sum(rejected_chars) AS BIGINT) AS sr,
+         CAST(sum(CAST(floor(margin * 1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS sm
+  FROM prpairs
+  GROUP BY source
+)
+SELECT source, n_pairs, n_chosen_longer,
+       floor(n_chosen_longer * 1.0 / n_pairs * 1000000 + 0.5) / 1000000
+         AS frac_chosen_longer,
+       floor(sc * 1.0 / sr * 1000000 + 0.5) / 1000000 AS len_ratio,
+       floor(sm * 1.0 / (n_pairs * 1000000) * 1000000 + 0.5) / 1000000
+         AS avg_margin
+FROM pragg
+"""
+
+
+# --------------------------------------------------------------------
+# Multi-epoch budget planning (data-constrained scaling)
+# --------------------------------------------------------------------
+
+#: Diminishing-returns scale for repeated data: effective tokens =
+#: unique · RD · (1 − exp(−epochs/RD)). At ≪1 epoch the data counts
+#: fully; repetition saturates at RD epochs' worth (Muennighoff et
+#: al. 2023's data-constrained scaling shape, fixed constant).
+_EPOCH_RD = 4.0
+_EPOCH_BUDGET_X = 4.0  # token budget = 4× the unique corpus
+
+
+def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch mixture planning under a fixed token budget: given
+    per-source unique token counts and a uniform-smoothed target
+    mixture, compute each source's requested tokens, implied epochs,
+    diminishing-returns effective tokens, and budget utilization —
+    the planning table a data-constrained pretraining run derives
+    before launching (how many times will each source repeat, and
+    what is that repetition worth?). One map-side aggregate per
+    source + a broadcast 1-row totals join; everything downstream is
+    per-row scalar arithmetic."""
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        "source", F.size(F.split(F.col("text"), r"\s+")).alias("n_tok")
+    )
+    base = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("unique_tokens"),
+    )
+    tot = base.agg(
+        F.sum("unique_tokens").cast("long").alias("total"),
+        F.count("*").cast("long").alias("k"),
+    )
+    j = base.crossJoin(F.broadcast(tot))
+    j = j.withColumn(
+        "w",
+        (F.col("unique_tokens") * 1.0 / F.col("total") + 1.0 / F.col("k"))
+        / 2.0,
+    )
+    j = j.withColumn(
+        "requested", F.lit(_EPOCH_BUDGET_X) * F.col("total") * F.col("w")
+    ).withColumn("epochs", F.col("requested") / F.col("unique_tokens"))
+    j = j.withColumn(
+        "effective",
+        F.col("unique_tokens")
+        * _EPOCH_RD
+        * (F.lit(1.0) - F.exp(-F.col("epochs") / _EPOCH_RD)),
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "unique_tokens",
+        _pr("w", 6).alias("weight"),
+        _pr("requested", 6).alias("requested_tokens"),
+        _pr("epochs", 6).alias("epochs"),
+        _pr("effective", 6).alias("effective_tokens"),
+        _pr(F.col("effective") / F.col("requested"), 6).alias("utilization"),
+    )
+
+
+SQL_EPOCH_SCHEDULE = f"""
+WITH ept AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+           AS unique_tokens
+  FROM documents GROUP BY source
+),
+eptot AS (
+  SELECT CAST(sum(unique_tokens) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS k
+  FROM ept
+),
+ep1 AS (
+  SELECT source, n_docs, unique_tokens, total, k,
+         (unique_tokens * 1.0 / total + 1.0 / k) / 2.0 AS w
+  FROM ept CROSS JOIN eptot
+),
+ep2 AS (
+  SELECT *, {_EPOCH_BUDGET_X} * total * w AS requested FROM ep1
+),
+ep3 AS (
+  SELECT *, requested / unique_tokens AS epochs FROM ep2
+),
+ep4 AS (
+  SELECT *, unique_tokens * {_EPOCH_RD}
+            * (1.0 - exp(-epochs / {_EPOCH_RD})) AS effective
+  FROM ep3
+)
+SELECT source, n_docs, unique_tokens,
+       floor(w * 1000000 + 0.5) / 1000000 AS weight,
+       floor(requested * 1000000 + 0.5) / 1000000 AS requested_tokens,
+       floor(epochs * 1000000 + 0.5) / 1000000 AS epochs,
+       floor(effective * 1000000 + 0.5) / 1000000 AS effective_tokens,
+       floor(effective / requested * 1000000 + 0.5) / 1000000 AS utilization
+FROM ep4
+"""
+
+
+# --------------------------------------------------------------------
+# MinHash-LSH operating-point sweep: banding tradeoff, measured
+# --------------------------------------------------------------------
+
+#: (bands, rows_per_band) operating points over the 16-hash signature.
+_LSHT_CONFIGS = ((2, 8), (4, 4), (8, 2))
+_LSHT_MAX_BUCKET = 1000  # mirror minhash_lsh_pairs' skew guard
+
+
+def q_lsh_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding tradeoff MEASURED, not just theorized: for
+    three (bands, rows) operating points over the SAME 16-hash
+    MinHash signature, candidate count + recall/precision against
+    the exact n-gram-Jaccard truth at τ=0.5, next to the theoretical
+     1−(1−τ^r)^b pair probability. This is the table an operator
+    reads before picking a banding for a 100 TB dedup run — more
+    bands = higher recall but more candidate pairs to verify.
+    Signatures are computed ONCE (localCheckpoint — at corpus scale
+    a persisted signature table) and re-banded per config; each
+    banding replays the production skew guard (buckets > 1000
+    dropped)."""
+    import math
+
+    from etl_finance_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    sigs = minhash_signatures(docs).localCheckpoint()
+    truth = ngram_jaccard_pairs(docs, threshold=_LSHR_T).select(
+        "id_a", "id_b", F.lit(1).alias("_t")
+    )
+    outs = []
+    for b, r in _LSHT_CONFIGS:
+        banded = sigs.select(
+            F.col("doc_id").alias("_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.slice("sig", j * r + 1, r).alias("key"),
+                        )
+                        for j in range(b)
+                    ]
+                )
+            ).alias("_bk"),
+        ).select(
+            "_id",
+            F.col("_bk.band").alias("band"),
+            F.col("_bk.key").alias("key"),
+        )
+        banded = (
+            banded.withColumn(
+                "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+            )
+            .filter(F.col("_n") <= _LSHT_MAX_BUCKET)
+            .drop("_n")
+        )
+        left = banded.select("band", "key", F.col("_id").alias("id_a"))
+        right = banded.select("band", "key", F.col("_id").alias("id_b"))
+        cand = (
+            left.join(right, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .withColumn("_p", F.lit(1))
+        )
+        j = cand.join(truth, ["id_a", "id_b"], "full")
+        t0 = F.coalesce(F.col("_t"), F.lit(0))
+        p0 = F.coalesce(F.col("_p"), F.lit(0))
+        theo = (
+            math.floor((1.0 - (1.0 - _LSHR_T**r) ** b) * 1e6 + 0.5) / 1e6
+        )
+        agg = j.agg(
+            F.sum(t0).alias("_nt"),
+            F.sum(p0).alias("_np"),
+            F.sum(t0 * p0).alias("_nh"),
+        ).select(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            F.col("_np").cast("long").alias("n_cand"),
+            F.col("_nt").cast("long").alias("n_truth"),
+            F.col("_nh").cast("long").alias("n_hit"),
+            _pr(F.col("_nh") / F.col("_nt"), 6).alias("recall"),
+            _pr(F.col("_nh") / F.col("_np"), 6).alias("precision"),
+            F.lit(theo).alias("theoretical_pair_prob"),
+        )
+        outs.append(agg)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _lsht_config_sql(b: int, r: int) -> str:
+    """Banded-candidate CTEs for one (bands, rows) operating point:
+    string band keys over the shared sig CTE, the production bucket
+    guard, distinct ordered pairs."""
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {j} AS band, {key} AS bkey FROM sig".format(
+            j=j,
+            key=" || ':' || ".join(
+                f"CAST(m{r * j + i} AS VARCHAR)" for i in range(r)
+            ),
+        )
+        for j in range(b)
+    )
+    return f"""ltb{b} AS (
+  {bands}
+),
+ltg{b} AS (
+  SELECT doc_id, band, bkey FROM ltb{b}
+  QUALIFY count(*) OVER (PARTITION BY band, bkey) <= {_LSHT_MAX_BUCKET}
+),
+ltc{b} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM ltg{b} a JOIN ltg{b} b2 USING (band, bkey)
+  WHERE a.doc_id < b2.doc_id
+),
+lts{b} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cand,
+         CAST(coalesce(sum(CASE WHEN t.id_a IS NOT NULL
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+  FROM ltc{b} c
+  LEFT JOIN lttruth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+)"""
+
+
+def _lsht_row_sql(b: int, r: int) -> str:
+    import math
+
+    theo = math.floor((1.0 - (1.0 - _LSHR_T**r) ** b) * 1e6 + 0.5) / 1e6
+    return f"""SELECT CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows_per_band,
+       n_cand, n_truth, n_hit,
+       floor(n_hit * 1.0 / n_truth * 1000000 + 0.5) / 1000000 AS recall,
+       floor(n_hit * 1.0 / n_cand * 1000000 + 0.5) / 1000000 AS precision,
+       {theo!r} AS theoretical_pair_prob
+FROM lts{b} CROSS JOIN ltntruth"""
+
+
+SQL_LSH_TRADEOFF = (
+    f"""
+WITH {_SHINGLES_CTE.strip()},
+{_SIG_CTE.strip()},
+ltsizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ltinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+lttruth AS (
+  SELECT id_a, id_b
+  FROM ltinter
+  JOIN ltsizes na ON na.doc_id = id_a
+  JOIN ltsizes nb ON nb.doc_id = id_b
+  WHERE c * 1.0 / (na.n + nb.n - c) >= {_LSHR_T}
+),
+ltntruth AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM lttruth),
+"""
+    + ",\n".join(_lsht_config_sql(b, r) for b, r in _LSHT_CONFIGS)
+    + "\n"
+    + "\nUNION ALL\n".join(_lsht_row_sql(b, r) for b, r in _LSHT_CONFIGS)
+)
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_train": q_unigram_train,
     "unigram_segment": q_unigram_segment,
@@ -10503,6 +11174,14 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "cross_doc_repetition": q_cross_doc_repetition,
     "bpe_train": q_bpe_train,
+    "sft_render": q_sft_render,
+    "sft_loss_mask": q_sft_loss_mask,
+    "sft_pack": q_sft_pack,
+    "stream_sft_render": q_stream_sft_render,
+    "pref_pairs": q_pref_pairs,
+    "pref_length_bias": q_pref_length_bias,
+    "epoch_schedule": q_epoch_schedule,
+    "lsh_tradeoff": q_lsh_tradeoff,
 }
 
 ORACLES_TD: dict[str, str] = {
@@ -10672,4 +11351,12 @@ ORACLES_TD: dict[str, str] = {
     "pagerank": SQL_PAGERANK,
     "cross_doc_repetition": SQL_CROSS_DOC_REPETITION,
     "bpe_train": SQL_BPE_TRAIN,
+    "sft_render": SQL_SFT_RENDER,
+    "sft_loss_mask": SQL_SFT_LOSS_MASK,
+    "sft_pack": SQL_SFT_PACK,
+    "stream_sft_render": SQL_STREAM_SFT_RENDER,
+    "pref_pairs": SQL_PREF_PAIRS,
+    "pref_length_bias": SQL_PREF_LENGTH_BIAS,
+    "epoch_schedule": SQL_EPOCH_SCHEDULE,
+    "lsh_tradeoff": SQL_LSH_TRADEOFF,
 }
