@@ -66,6 +66,14 @@ _SHOWCASE_FIRST = (
     "source_census",  # per-source datasheet: volume/share/quality (round 10)
     "ffd_batches",  # FFD bins materialized with padding cost (round 10)
     "dedup_savings",  # token-savings ROI of exact + near dedup (round 10)
+    "sft_render",  # SFT chat-template rendering, zero-shuffle (round 10)
+    "sft_loss_mask",  # completions-only loss mask, full-mask hash (round 10)
+    "sft_pack",  # conversation-safe FFD packing (round 10)
+    "stream_sft_render",  # the template map on the ingest stream (round 10)
+    "pref_pairs",  # quality-ranked chosen/rejected pairs (round 10)
+    "pref_length_bias",  # RLHF length-bias datasheet audit (round 10)
+    "epoch_schedule",  # data-constrained multi-epoch planning (round 10)
+    "lsh_tradeoff",  # measured banding operating points (round 10)
     # family-spanning classics (reference parity + heavy hitters)
     "candles_5m",
     "dedupe_keep_first",

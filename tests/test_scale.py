@@ -914,3 +914,67 @@ def test_scale_warc_parse_roundtrip(bigspark):
     rows, dt = _timed_count(ok, "warc parse: 2M records / 20k blobs")
     assert rows == n
     assert dt < 240
+
+
+def test_scale_sft_render_narrow_map(bigspark):
+    """2M documents through the SFT chat-template renderer: a pure
+    projection chain (split → transform/slice → array_join) — ZERO
+    exchanges in the plan; at 100 TB this is a narrow codegen map
+    over the corpus scan, the html_extract plan shape."""
+    from etl_finance_pipeline_spark.operators.sft import sft_render
+
+    n = 2_000_000
+    # ~40 tokens → 4 turns (12/12/12/4), trailing assistant kept
+    base = " ".join(f"w{i}" for i in range(39))
+    docs = bigspark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(base + " t"), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    out = sft_render(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    rows, dt = _timed_count(out, "sft_render 2M conversations")
+    assert rows == n  # every doc has 4 turns → all valid
+    assert dt < 240
+
+
+def test_scale_pref_pairs_group_bound(bigspark, tmp_path):
+    """Preference pairing at 2M docs across 20k prompt groups: the
+    ranking windows partition on the group key, so no window sees
+    more than ~100 rows — the plan must not funnel through a single
+    partition (the production grouping key is the prompt id, whose
+    group size is bounded by responses-per-prompt)."""
+    from etl_finance_pipeline_spark.plans.training_data import (
+        _pref_pair_frame,
+    )
+
+    n = 2_000_000
+    docs = bigspark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # vary quality drivers: half of EACH group gets noisy digit
+        # tails (id // 20000 alternates within a group; id % 2 would
+        # correlate with the group key and make groups uniform)
+        F.when(
+            (F.floor(F.col("id") / 20_000) % 2) == 0,
+            F.lit(
+                "the quick brown fox jumps over the lazy dog and runs on"
+            ),
+        )
+        .otherwise(F.lit("zz9## 77!! 0x0x0x 9991 !!##"))
+        .alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("src"), (F.col("id") % 20_000).cast("string")).alias(
+            "source"
+        ),
+        F.lit(56).cast("long").alias("n_chars"),
+    )
+    docs.write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    pairs = _pref_pair_frame(bigspark, str(tmp_path))
+    _assert_distributed_plan(pairs, "pref_pairs")
+    rows, dt = _timed_count(pairs, "pref_pairs 2M docs / 20k groups")
+    assert rows > 0
+    assert dt < 300
