@@ -1372,3 +1372,50 @@ def containment_pairs(
         .select("id_a", "id_b", cont.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+def ngram_novelty(
+    train: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Memorization / contamination audit from the held-out side: for
+    each held-out document, the fraction of its distinct k-gram
+    shingles that appear NOWHERE in the training corpus — the inverse
+    of `decontaminate`'s question ("is eval text in train?" becomes
+    "how much of this eval doc is novel to train?"). A held-out doc
+    with near-zero novelty is memorizable verbatim; a per-split
+    novelty collapse flags train/test leakage after a bad split.
+
+    Plan shape: distinct train shingles (map-side-combined groupBy)
+    LEFT JOIN the held-out docs' distinct shingles, then one count
+    agg per held-out doc. Both sides are deduped BEFORE the join, so
+    the shuffle carries each shingle once per side; at 100 TB the
+    join keys are strings but hash-partition evenly (shingles are
+    near-unique), and the held-out side is the small one by
+    construction (typically ≤5% of the corpus) — AQE may broadcast
+    it. No driver-side state.
+
+    Output: (id, n_shingles, n_novel, novelty_ppm) — one row per
+    held-out doc that has at least one shingle.
+    """
+    tr = (
+        _doc_shingles(train, id_col, text_col, shingle_k)
+        .select("shingle")
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    ho = _doc_shingles(heldout, id_col, text_col, shingle_k)
+    joined = ho.join(tr, on="shingle", how="left")
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.count(F.when(F.col("_seen").isNull(), 1)).alias("n_novel"),
+        F.floor(
+            F.count(F.when(F.col("_seen").isNull(), 1)) * 1_000_000
+            / F.count("*")
+        )
+        .cast("long")
+        .alias("novelty_ppm"),
+    )

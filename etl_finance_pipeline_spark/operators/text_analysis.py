@@ -636,3 +636,152 @@ def zipf_fit(
         portable_round(slope, round_digits).alias("slope"),
         portable_round(intercept, round_digits).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------
+# Unicode-script census (multilingual routing signal)
+# --------------------------------------------------------------------
+
+#: (name, BMP codepoint range) per major script. The char classes are
+#: built from the LITERAL endpoint characters (not \uXXXX escapes), so
+#: one constant compiles identically under Java regex (Spark) and RE2
+#: (DuckDB). BMP-only: Java `length` counts UTF-16 units and DuckDB
+#: `len` counts codepoints — they agree exactly below U+10000.
+SCRIPT_RANGES: tuple[tuple[str, int, int], ...] = (
+    ("latin", 0x0041, 0x007A),       # A-z (census filters to letters)
+    ("cyrillic", 0x0400, 0x04FF),
+    ("greek", 0x0370, 0x03FF),
+    ("arabic", 0x0600, 0x06FF),
+    ("devanagari", 0x0900, 0x097F),
+    ("cjk", 0x4E00, 0x9FFF),
+    ("hangul", 0xAC00, 0xD7AF),
+)
+
+
+def script_char_class(name: str) -> str:
+    """Regex character class matching *name*'s codepoint range —
+    literal endpoints, shared verbatim by both engines. Latin is
+    ASCII letters only (`[A-Za-z]`), not the full 0x41–0x7A run,
+    which would sweep in ``[\\]^_`` and backtick."""
+    if name == "latin":
+        return "[A-Za-z]"
+    rng = {n: (lo, hi) for n, lo, hi in SCRIPT_RANGES}[name]
+    return f"[{chr(rng[0])}-{chr(rng[1])}]"
+
+
+def script_census(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Unicode-script census — the routing signal a
+    multilingual curation pipeline computes before language-specific
+    stages (tokenizer choice, langid model family, script-specific
+    quality rules): per script, the count of characters in that
+    script's BMP range, plus the dominant script (max count, earlier
+    ``SCRIPT_RANGES`` entry wins ties, 'und' when no script letter
+    appears) and the non-Latin letter fraction in ppm fixed-point.
+
+    One exchange-free whole-stage-codegen projection: each count is
+    `length(t) - length(regexp_replace(t, class, ''))` over a shared
+    literal char class — at 100 TB this is a narrow map over the
+    corpus scan with zero shuffles, like `encoding_audit`.
+
+    Output: (id, n_chars, <one count per script>, script_letters,
+    non_latin_ppm, dominant_script).
+    """
+    t = F.col(text_col)
+
+    def count_re(pat: str) -> Column:
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+        ).cast("long")
+
+    counts = {n: count_re(script_char_class(n)) for n, _, _ in SCRIPT_RANGES}
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    non_latin = total - counts["latin"]
+    best = F.greatest(*counts.values())
+    dom = F.lit("und")
+    for name, _, _ in reversed(SCRIPT_RANGES):
+        dom = F.when(counts[name] == best, F.lit(name)).otherwise(dom)
+    dom = F.when(best == 0, F.lit("und")).otherwise(dom)
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        *[counts[n].alias(n) for n, _, _ in SCRIPT_RANGES],
+        total.alias("script_letters"),
+        F.when(total > 0, F.floor(non_latin * 1_000_000 / total))
+        .otherwise(F.lit(0)).cast("long").alias("non_latin_ppm"),
+        dom.alias("dominant_script"),
+    )
+
+
+# --------------------------------------------------------------------
+# Code-document detection (symbol-density heuristic)
+# --------------------------------------------------------------------
+
+#: structural code punctuation counted by the symbol census
+CODE_SYMBOL_RE = "[{}();=<>\\[\\]]"
+
+#: language-keyword unigrams counted as whole regex matches; the
+#: trailing space anchors each to a real token boundary (and keeps
+#: the pattern identical under Java regex and RE2)
+CODE_KEYWORD_RE = (
+    "(def |return |import |function |class |const |var |void |public )"
+)
+
+
+def code_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document code-detection signals — the curation gate that
+    routes program text away from prose-quality filters (Gopher rules
+    would reject most source files) and toward code-specific dedup:
+    brace/semicolon censuses, language-keyword hits
+    (``CODE_KEYWORD_RE``), structural-symbol density in ppm
+    (``CODE_SYMBOL_RE`` chars / total chars), and the ``is_code``
+    flag: ≥2 keyword hits with ≥2 braces-or-semicolons, OR symbol
+    density above 3%.
+
+    Same scale shape as `script_census`: one exchange-free codegen
+    projection — literal replace-count arithmetic plus two
+    regexp_count calls, a narrow map at 100 TB.
+
+    Output: (id, n_chars, braces, semis, kw_hits, symbol_ppm,
+    is_code).
+    """
+    t = F.col(text_col)
+
+    def count_sub(sub: str) -> Column:
+        return (
+            F.length(t) - F.length(F.replace(t, F.lit(sub), F.lit("")))
+        ).cast("long")
+
+    def count_re(pat: str) -> Column:
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+        ).cast("long")
+
+    braces = count_sub("{") + count_sub("}")
+    semis = count_sub(";")
+    kw = F.regexp_count(t, F.lit(CODE_KEYWORD_RE)).cast("long")
+    n_chars = F.length(t).cast("long")
+    sym_ppm = (
+        F.when(n_chars > 0, F.floor(count_re(CODE_SYMBOL_RE) * 1_000_000 / n_chars))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    is_code = ((kw >= 2) & ((braces + semis) >= 2)) | (sym_ppm > 30_000)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        braces.alias("braces"),
+        semis.alias("semis"),
+        kw.alias("kw_hits"),
+        sym_ppm.alias("symbol_ppm"),
+        is_code.alias("is_code"),
+    )

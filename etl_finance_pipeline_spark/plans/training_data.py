@@ -11007,6 +11007,226 @@ ltntruth AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM lttruth),
 )
 
 
+# --------------------------------------------------------------------
+# Unicode-script census + code detection + n-gram novelty (round 10)
+# --------------------------------------------------------------------
+
+from etl_finance_pipeline_spark.operators.text_analysis import (  # noqa: E402
+    CODE_KEYWORD_RE,
+    CODE_SYMBOL_RE,
+    SCRIPT_RANGES,
+    script_char_class,
+)
+
+#: BMP-only per-script samples appended deterministically (the fixture
+#: text is clean ASCII, so — as with the mojibake and OOV devices —
+#: the multilingual input is synthesized in-engine; no single quotes,
+#: so the constants interpolate into SQL literals verbatim)
+_SC_SAMPLES: dict[str, str] = {
+    "cyrillic": " привет мир",
+    "greek": " γειά κόσμος",
+    "arabic": " مرحبا بالعالم",
+    "devanagari": " नमस्ते दुनिया",
+    "cjk": " 你好世界",
+    "hangul": " 안녕하세요 세계",
+}
+_SC_REPEAT = 40
+
+
+def _script_decorate(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    parts = [F.col("text")]
+    for i, name in enumerate(_SC_SAMPLES, start=1):
+        parts.append(
+            F.when(
+                d % 7 == i, F.repeat(F.lit(_SC_SAMPLES[name]), _SC_REPEAT)
+            ).otherwise(F.lit(""))
+        )
+    return docs.withColumn("text", F.concat(*parts))
+
+
+def q_script_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode-script census over a corpus with
+    synthesized multilingual slices (doc_id % 7 picks one of six
+    non-Latin scripts, repeated so the appended sample can outweigh
+    the ASCII body): per-script character counts, non-Latin ppm, and
+    the dominant script — the routing signal for script-specific
+    curation stages (operators/text_analysis.py: script_census).
+    Exchange-free codegen projection; the oracle decorates and
+    censuses identically."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        script_census,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return script_census(_script_decorate(docs.select("doc_id", "text")))
+
+
+def _sc_decorate_sql() -> str:
+    cases = "\n         || ".join(
+        f"(CASE WHEN doc_id % 7 = {i} THEN repeat('{s}', {_SC_REPEAT}) "
+        "ELSE '' END)"
+        for i, s in enumerate(_SC_SAMPLES.values(), start=1)
+    )
+    return f"SELECT doc_id, text\n         || {cases} AS text\n  FROM documents"
+
+
+def _sc_count_sql(name: str) -> str:
+    cls = script_char_class(name)
+    return (
+        f"CAST(len(text) - len(regexp_replace(text, '{cls}', '', 'g'))"
+        " AS BIGINT)"
+    )
+
+
+_SC_NAMES = [n for n, _, _ in SCRIPT_RANGES]
+_SC_COUNTS = ",\n    ".join(
+    f"{_sc_count_sql(n)} AS {n}" for n in _SC_NAMES
+)
+_SC_TOTAL = " + ".join(_SC_NAMES)
+_SC_BEST = "greatest(" + ", ".join(_SC_NAMES) + ")"
+_SC_DOM = (
+    f"CASE WHEN {_SC_BEST} = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN {n} = {_SC_BEST} THEN '{n}'" for n in _SC_NAMES
+    )
+    + " END"
+)
+
+SQL_SCRIPT_CENSUS = f"""
+WITH scd AS (
+  {_sc_decorate_sql()}
+),
+scc AS (
+  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+    {_SC_COUNTS}
+  FROM scd
+)
+SELECT doc_id, n_chars, {", ".join(_SC_NAMES)},
+       CAST({_SC_TOTAL} AS BIGINT) AS script_letters,
+       CAST(CASE WHEN {_SC_TOTAL} > 0
+            THEN floor(({_SC_TOTAL} - latin) * 1000000.0 / ({_SC_TOTAL}))
+            ELSE 0 END AS BIGINT) AS non_latin_ppm,
+       {_SC_DOM} AS dominant_script
+FROM scc
+"""
+
+
+#: deterministic program-text suffix (no single quotes): 6 keyword
+#: hits, 4 braces, 3 semicolons per copy
+_CODE_SNIPPET = (
+    "\ndef load(x):\n    return x * 2;\n"
+    "if (x > 0) { y[0] = x; }\n"
+    "import os\npublic class T { void run(); }\n"
+)
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-document detection over a corpus with synthesized program
+    text (doc_id % 7 == 0 gains three copies of a code snippet):
+    brace/semicolon/keyword censuses, structural-symbol density, and
+    the is_code routing flag (operators/text_analysis.py:
+    code_signals). The decoration is deterministic, so the oracle
+    replays it and the flag set is exact."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        code_signals,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    d = F.col("doc_id")
+    dec = F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0, F.repeat(F.lit(_CODE_SNIPPET), 3)).otherwise(
+            F.lit("")
+        ),
+    )
+    return code_signals(docs.select("doc_id", dec.alias("text")))
+
+
+SQL_CODE_DETECT = f"""
+WITH cdd AS (
+  SELECT doc_id,
+         text || (CASE WHEN doc_id % 7 = 0
+                  THEN repeat('{_CODE_SNIPPET}', 3) ELSE '' END) AS text
+  FROM documents
+),
+cdc AS (
+  SELECT doc_id,
+    CAST(len(text) AS BIGINT) AS n_chars,
+    CAST((len(text) - len(replace(text, chr(123), '')))
+         + (len(text) - len(replace(text, chr(125), ''))) AS BIGINT)
+      AS braces,
+    CAST(len(text) - len(replace(text, ';', '')) AS BIGINT) AS semis,
+    CAST(len(regexp_extract_all(text, '{CODE_KEYWORD_RE}')) AS BIGINT)
+      AS kw_hits,
+    CAST(len(text) - len(regexp_replace(text, '{CODE_SYMBOL_RE}', '', 'g'))
+         AS BIGINT) AS sym
+  FROM cdd
+)
+SELECT doc_id, n_chars, braces, semis, kw_hits,
+       CAST(CASE WHEN n_chars > 0
+            THEN floor(sym * 1000000.0 / n_chars) ELSE 0 END AS BIGINT)
+         AS symbol_ppm,
+       ((kw_hits >= 2 AND braces + semis >= 2)
+        OR (CASE WHEN n_chars > 0
+            THEN floor(sym * 1000000.0 / n_chars) ELSE 0 END) > 30000)
+         AS is_code
+FROM cdc
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out n-gram novelty (memorization audit): split the corpus
+    with the deterministic hash_split, then for each test-split doc
+    measure the fraction of its distinct 3-gram shingles absent from
+    the ENTIRE train split (operators/dedup.py: ngram_novelty) — the
+    inverse of decontaminate. Distinct-before-join both sides; the
+    held-out side is 5% of the corpus by construction."""
+    from etl_finance_pipeline_spark.operators.corpus import hash_split
+    from etl_finance_pipeline_spark.operators.dedup import ngram_novelty
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    split = hash_split(docs, "doc_id")
+    train = split.filter(F.col("split") == "train").drop("split")
+    heldout = split.filter(F.col("split") == "test").drop("split")
+    return ngram_novelty(train, heldout)
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH nvb AS (
+  SELECT doc_id, text,
+         {_H64.format(s="CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+  FROM documents
+),
+nvtr AS (
+  SELECT DISTINCT unnest(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM nvb WHERE bucket < 900000)
+),
+nvho AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM nvb WHERE bucket >= 950000)
+)
+SELECT h.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN t.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(floor(sum(CASE WHEN t.shingle IS NULL THEN 1 ELSE 0 END)
+                  * 1000000.0 / count(*)) AS BIGINT) AS novelty_ppm
+FROM nvho h LEFT JOIN nvtr t USING (shingle)
+GROUP BY 1
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_train": q_unigram_train,
     "unigram_segment": q_unigram_segment,
@@ -11174,6 +11394,9 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "cross_doc_repetition": q_cross_doc_repetition,
     "bpe_train": q_bpe_train,
+    "script_census": q_script_census,
+    "code_detect": q_code_detect,
+    "ngram_novelty": q_ngram_novelty,
     "sft_render": q_sft_render,
     "sft_loss_mask": q_sft_loss_mask,
     "sft_pack": q_sft_pack,
@@ -11351,6 +11574,9 @@ ORACLES_TD: dict[str, str] = {
     "pagerank": SQL_PAGERANK,
     "cross_doc_repetition": SQL_CROSS_DOC_REPETITION,
     "bpe_train": SQL_BPE_TRAIN,
+    "script_census": SQL_SCRIPT_CENSUS,
+    "code_detect": SQL_CODE_DETECT,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
     "sft_render": SQL_SFT_RENDER,
     "sft_loss_mask": SQL_SFT_LOSS_MASK,
     "sft_pack": SQL_SFT_PACK,

@@ -1603,3 +1603,88 @@ def test_batch_materializers_conserve_tokens(spark):
             assert r["n_tokens"] + r["pad_tokens"] == 256, dict(r.asDict())
         else:  # overfull bin: exactly one overlong doc, zero pad
             assert r["n_docs"] == 1 and r["pad_tokens"] == 0
+
+
+def test_script_census_known_values(spark):
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        script_census,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),                    # pure latin
+            (2, "привет мир и ещё слова ok"),      # cyrillic dominates
+            (3, "你好世界 hi"),                      # cjk dominates
+            (4, "12345 ... !!"),                   # no script letters
+            (5, "ab прив"),                        # tie broken? 2 vs 4
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in script_census(df).collect()}
+    assert out[1]["dominant_script"] == "latin"
+    assert out[1]["latin"] == 10 and out[1]["non_latin_ppm"] == 0
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert out[2]["cyrillic"] == 18 and out[2]["latin"] == 2
+    assert out[3]["dominant_script"] == "cjk" and out[3]["cjk"] == 4
+    assert out[4]["dominant_script"] == "und"
+    assert out[4]["script_letters"] == 0 and out[4]["non_latin_ppm"] == 0
+    # 2 latin vs 4 cyrillic -> cyrillic; ppm = floor(4/6 * 1e6)
+    assert out[5]["dominant_script"] == "cyrillic"
+    assert out[5]["non_latin_ppm"] == 666666
+
+
+def test_script_census_tie_prefers_earlier_range(spark):
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        script_census,
+    )
+
+    df = spark.createDataFrame([(1, "ab пр")], ["doc_id", "text"])
+    r = script_census(df).collect()[0]
+    assert r["latin"] == 2 and r["cyrillic"] == 2
+    assert r["dominant_script"] == "latin"  # SCRIPT_RANGES order
+
+
+def test_code_signals_flags_program_text(spark):
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        code_signals,
+    )
+
+    prose = "the quick brown fox jumps over the lazy dog again and again"
+    code = (
+        "def load(x):\n    return x * 2;\n"
+        "import os\nclass T:\n    pass\n"
+    )
+    symbols = "x=1;y=2;{a<b};(c>d);[e]=f;"  # dense symbols, no keywords
+    df = spark.createDataFrame(
+        [(1, prose), (2, code), (3, symbols)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in code_signals(df).collect()}
+    assert not out[1]["is_code"] and out[1]["kw_hits"] == 0
+    assert out[2]["is_code"]
+    assert out[2]["kw_hits"] == 4  # def/return/import/class
+    assert out[2]["semis"] == 1
+    assert out[3]["is_code"] and out[3]["symbol_ppm"] > 30_000
+
+
+def test_ngram_novelty_exact_fraction(spark):
+    from etl_finance_pipeline_spark.operators.dedup import ngram_novelty
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w")], ["doc_id", "text"]
+    )
+    heldout = spark.createDataFrame(
+        [
+            (10, "a b c d"),     # shingles {a b c, b c d} all seen
+            (11, "a b c q r"),   # {a b c seen, b c q, c q r novel}
+            (12, "p q"),         # < 3 tokens -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r for r in ngram_novelty(train, heldout).collect()
+    }
+    assert set(out) == {10, 11}
+    assert out[10]["n_shingles"] == 2 and out[10]["n_novel"] == 0
+    assert out[10]["novelty_ppm"] == 0
+    assert out[11]["n_shingles"] == 3 and out[11]["n_novel"] == 2
+    assert out[11]["novelty_ppm"] == 666666
