@@ -74,6 +74,9 @@ _SHOWCASE_FIRST = (
     "pref_length_bias",  # RLHF length-bias datasheet audit (round 10)
     "epoch_schedule",  # data-constrained multi-epoch planning (round 10)
     "lsh_tradeoff",  # measured banding operating points (round 10)
+    "script_census",  # Unicode-script routing census (round 10)
+    "code_detect",  # symbol-density code-document detection (round 10)
+    "ngram_novelty",  # held-out memorization audit (round 10)
     # family-spanning classics (reference parity + heavy hitters)
     "candles_5m",
     "dedupe_keep_first",

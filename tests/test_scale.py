@@ -978,3 +978,94 @@ def test_scale_pref_pairs_group_bound(bigspark, tmp_path):
     rows, dt = _timed_count(pairs, "pref_pairs 2M docs / 20k groups")
     assert rows > 0
     assert dt < 300
+
+
+def test_scale_curation_signal_maps(bigspark):
+    """5M docs through script_census + code_signals (round-10
+    curation signals): both are pure codegen projections — ZERO
+    exchanges — so at 100 TB they ride the corpus scan for free."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        code_signals,
+        script_census,
+    )
+
+    n = 5_000_000
+    docs = bigspark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox def load(x): return x; привет "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    probes = {"script_census": "cyrillic", "code_signals": "symbol_ppm"}
+    for op, label in ((script_census, "script_census"), (code_signals, "code_signals")):
+        out = op(docs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (label, plan[:2000])
+        # aggregate over EVERY numeric output so column pruning cannot
+        # skip any of the projection under test (a bare count() would
+        # skip all of it)
+        nums = [
+            f.name for f in out.schema.fields
+            if f.dataType.simpleString() == "bigint"
+        ]
+        t0 = time.time()
+        agg = out.agg(
+            F.count("*").alias("n"),
+            F.sum(probes[label]).alias("s"),
+            *[F.sum(c).alias(f"_{c}") for c in nums],
+        ).collect()[0]
+        dt = time.time() - t0
+        print(f"\nSCALE {label} 5M docs: {agg['n']:,} rows in {dt:.1f}s")
+        assert agg["n"] == n and agg["s"] > 0
+        assert dt < 180
+
+
+def test_scale_ngram_novelty_distinct_join(bigspark):
+    """2M-doc train split vs 100k held-out docs through the n-gram
+    novelty audit: both sides dedup BEFORE the shingle join, the plan
+    stays distributed (no single-partition data-path exchange), and
+    the full audit completes in bounded wall-clock. Half the held-out
+    shingles are planted novel, so the output is non-degenerate."""
+    from etl_finance_pipeline_spark.operators.dedup import ngram_novelty
+
+    vocab = 200_000
+    train = bigspark.range(2_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("t"), (F.col("id") % vocab).cast("string")),
+            F.concat(F.lit("t"), ((F.col("id") + 1) % vocab).cast("string")),
+            F.concat(F.lit("t"), ((F.col("id") + 2) % vocab).cast("string")),
+            F.concat(F.lit("t"), ((F.col("id") + 3) % vocab).cast("string")),
+        ).alias("text"),
+    )
+    # even ids reuse train vocab (seen); odd ids use an out-of-vocab
+    # prefix (novel) — novelty must land strictly between 0 and 1e6
+    ho = bigspark.range(100_000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(
+                F.when(F.col("id") % 2 == 0, F.lit("t")).otherwise(F.lit("x")),
+                (F.col("id") % vocab).cast("string"),
+            ),
+            F.concat(F.lit("t"), ((F.col("id") + 1) % vocab).cast("string")),
+            F.concat(F.lit("t"), ((F.col("id") + 2) % vocab).cast("string")),
+            F.concat(F.lit("t"), ((F.col("id") + 3) % vocab).cast("string")),
+        ).alias("text"),
+    )
+    out = ngram_novelty(train, ho)
+    _assert_distributed_plan(out, "ngram_novelty")
+    t0 = time.time()
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum("n_novel").alias("novel"),
+        F.sum("n_shingles").alias("tot"),
+    ).collect()[0]
+    dt = time.time() - t0
+    print(f"ngram_novelty 2M train / 100k heldout: {dt:.1f}s "
+          f"novel={agg['novel']}/{agg['tot']}")
+    assert agg["n"] == 100_000
+    assert 0 < agg["novel"] < agg["tot"]
+    assert dt < 300
