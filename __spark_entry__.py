@@ -77,6 +77,8 @@ _SHOWCASE_FIRST = (
     "script_census",  # Unicode-script routing census (round 10)
     "code_detect",  # symbol-density code-document detection (round 10)
     "ngram_novelty",  # held-out memorization audit (round 10)
+    "curation_route",  # fused one-projection signal routing (round 10)
+    "stream_curation_route",  # crawl front door as one stream chain (round 10)
     # family-spanning classics (reference parity + heavy hitters)
     "candles_5m",
     "dedupe_keep_first",

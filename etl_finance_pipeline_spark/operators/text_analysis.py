@@ -669,6 +669,49 @@ def script_char_class(name: str) -> str:
     return f"[{chr(rng[0])}-{chr(rng[1])}]"
 
 
+def _count_sub_expr(t: Column, sub: str) -> Column:
+    """Occurrences of literal *sub* in *t* (replace-count arithmetic,
+    multi-char aware). Shared by the signal operators below."""
+    return (
+        (F.length(t) - F.length(F.replace(t, F.lit(sub), F.lit(""))))
+        / len(sub)
+    ).cast("long")
+
+
+def _count_re_expr(t: Column, pat: str) -> Column:
+    """Characters of *t* matching char-class *pat*."""
+    return (F.length(t) - F.length(F.regexp_replace(t, pat, ""))).cast(
+        "long"
+    )
+
+
+def _script_count_exprs(t: Column) -> dict[str, Column]:
+    return {
+        n: _count_re_expr(t, script_char_class(n)) for n, _, _ in SCRIPT_RANGES
+    }
+
+
+def _dominant_script_expr(counts: dict[str, Column]) -> Column:
+    """Max-count script, earlier ``SCRIPT_RANGES`` entry wins ties,
+    'und' when no script letter appears."""
+    best = F.greatest(*counts.values())
+    dom = F.lit("und")
+    for name, _, _ in reversed(SCRIPT_RANGES):
+        dom = F.when(counts[name] == best, F.lit(name)).otherwise(dom)
+    return F.when(best == 0, F.lit("und")).otherwise(dom)
+
+
+def _enc_suspect_expr(t: Column) -> Column:
+    """encoding_audit's quarantine flag as one boolean expression."""
+    repl = _count_sub_expr(t, "�")
+    ctrl = _count_re_expr(t, CONTROL_CHAR_RE)
+    moji = sum(
+        (_count_sub_expr(t, m) for m in MOJIBAKE_MARKERS[1:]),
+        _count_sub_expr(t, MOJIBAKE_MARKERS[0]),
+    )
+    return (repl > 0) | (ctrl > 0) | (moji > 0)
+
+
 def script_census(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -691,22 +734,12 @@ def script_census(
     non_latin_ppm, dominant_script).
     """
     t = F.col(text_col)
-
-    def count_re(pat: str) -> Column:
-        return (
-            F.length(t) - F.length(F.regexp_replace(t, pat, ""))
-        ).cast("long")
-
-    counts = {n: count_re(script_char_class(n)) for n, _, _ in SCRIPT_RANGES}
+    counts = _script_count_exprs(t)
     total = None
     for c in counts.values():
         total = c if total is None else total + c
     non_latin = total - counts["latin"]
-    best = F.greatest(*counts.values())
-    dom = F.lit("und")
-    for name, _, _ in reversed(SCRIPT_RANGES):
-        dom = F.when(counts[name] == best, F.lit(name)).otherwise(dom)
-    dom = F.when(best == 0, F.lit("und")).otherwise(dom)
+    dom = _dominant_script_expr(counts)
     return df.select(
         F.col(id_col),
         F.length(t).cast("long").alias("n_chars"),
@@ -733,6 +766,32 @@ CODE_KEYWORD_RE = (
 )
 
 
+def _code_signal_exprs(t: Column) -> dict[str, Column]:
+    """The code-detection signal set as named expressions (shared by
+    code_signals and curation_route)."""
+    braces = _count_sub_expr(t, "{") + _count_sub_expr(t, "}")
+    semis = _count_sub_expr(t, ";")
+    kw = F.regexp_count(t, F.lit(CODE_KEYWORD_RE)).cast("long")
+    n_chars = F.length(t).cast("long")
+    sym_ppm = (
+        F.when(
+            n_chars > 0,
+            F.floor(_count_re_expr(t, CODE_SYMBOL_RE) * 1_000_000 / n_chars),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    is_code = ((kw >= 2) & ((braces + semis) >= 2)) | (sym_ppm > 30_000)
+    return {
+        "n_chars": n_chars,
+        "braces": braces,
+        "semis": semis,
+        "kw_hits": kw,
+        "symbol_ppm": sym_ppm,
+        "is_code": is_code,
+    }
+
+
 def code_signals(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -754,34 +813,58 @@ def code_signals(
     Output: (id, n_chars, braces, semis, kw_hits, symbol_ppm,
     is_code).
     """
-    t = F.col(text_col)
-
-    def count_sub(sub: str) -> Column:
-        return (
-            F.length(t) - F.length(F.replace(t, F.lit(sub), F.lit("")))
-        ).cast("long")
-
-    def count_re(pat: str) -> Column:
-        return (
-            F.length(t) - F.length(F.regexp_replace(t, pat, ""))
-        ).cast("long")
-
-    braces = count_sub("{") + count_sub("}")
-    semis = count_sub(";")
-    kw = F.regexp_count(t, F.lit(CODE_KEYWORD_RE)).cast("long")
-    n_chars = F.length(t).cast("long")
-    sym_ppm = (
-        F.when(n_chars > 0, F.floor(count_re(CODE_SYMBOL_RE) * 1_000_000 / n_chars))
-        .otherwise(F.lit(0))
-        .cast("long")
-    )
-    is_code = ((kw >= 2) & ((braces + semis) >= 2)) | (sym_ppm > 30_000)
+    e = _code_signal_exprs(F.col(text_col))
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        braces.alias("braces"),
-        semis.alias("semis"),
-        kw.alias("kw_hits"),
-        sym_ppm.alias("symbol_ppm"),
-        is_code.alias("is_code"),
+        *[e[k].alias(k) for k in (
+            "n_chars", "braces", "semis", "kw_hits", "symbol_ppm", "is_code"
+        )],
+    )
+
+
+#: routing priority: corrupt bytes quarantine first (nothing
+#: downstream should see them), then program text, then non-Latin
+#: (script-specific pipeline), then default prose
+CURATION_ROUTES = ("quarantine", "code", "nonlatin", "prose")
+
+
+def curation_route(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The signal layer FUSED into one routing decision: encoding
+    quarantine (``_enc_suspect_expr``), code detection
+    (``_code_signal_exprs``), and dominant-script census
+    (``_script_count_exprs``) evaluated together in a SINGLE
+    whole-stage-codegen projection — no joins between signal
+    operators, no second pass over text. At 100 TB the entire
+    routing layer rides the corpus scan: zero exchanges, one read.
+
+    Routes (priority order, ``CURATION_ROUTES``): 'quarantine' when
+    any byte-corruption signal fires, else 'code' for program text,
+    else 'nonlatin' when the dominant script is neither Latin nor
+    'und' (script-specific downstream pipeline), else 'prose'.
+
+    Output: (id, *keep_cols, enc_suspect, is_code, dominant_script,
+    route).
+    """
+    t = F.col(text_col)
+    enc = _enc_suspect_expr(t)
+    code = _code_signal_exprs(t)["is_code"]
+    dom = _dominant_script_expr(_script_count_exprs(t))
+    route = (
+        F.when(enc, F.lit("quarantine"))
+        .when(code, F.lit("code"))
+        .when(~dom.isin("latin", "und"), F.lit("nonlatin"))
+        .otherwise(F.lit("prose"))
+    )
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        enc.alias("enc_suspect"),
+        code.alias("is_code"),
+        dom.alias("dominant_script"),
+        route.alias("route"),
     )

@@ -11227,6 +11227,199 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------
+# Fused curation routing (batch + on the crawl ingest stream)
+# --------------------------------------------------------------------
+
+from etl_finance_pipeline_spark.operators.text_analysis import (  # noqa: E402
+    CONTROL_CHAR_RE,
+    MOJIBAKE_MARKERS,
+)
+
+
+def _route_decorate(docs: DataFrame) -> DataFrame:
+    """Deterministic route-diversity decoration over (doc_id, text):
+    script samples for doc_id % 7 ∈ 1..6, program text for % 7 == 0,
+    a mojibake slice for % 13 == 0 (overlaps both — quarantine must
+    win the priority)."""
+    d = F.col("doc_id")
+    parts = [F.col("text")]
+    for i, name in enumerate(_SC_SAMPLES, start=1):
+        parts.append(
+            F.when(
+                d % 7 == i, F.repeat(F.lit(_SC_SAMPLES[name]), _SC_REPEAT)
+            ).otherwise(F.lit(""))
+        )
+    parts.append(
+        F.when(d % 7 == 0, F.repeat(F.lit(_CODE_SNIPPET), 3)).otherwise(
+            F.lit("")
+        )
+    )
+    parts.append(
+        F.when(d % 13 == 0, F.lit(_ENC_MOJI_SAMPLE)).otherwise(F.lit(""))
+    )
+    return docs.withColumn("text", F.concat(*parts))
+
+
+def _route_decorate_sql(src: str, p: str) -> str:
+    cases = "\n         || ".join(
+        f"(CASE WHEN doc_id % 7 = {i} THEN repeat('{s}', {_SC_REPEAT}) "
+        "ELSE '' END)"
+        for i, s in enumerate(_SC_SAMPLES.values(), start=1)
+    )
+    return f"""{p} AS (
+  SELECT * REPLACE (text
+         || {cases}
+         || (CASE WHEN doc_id % 7 = 0 THEN repeat('{_CODE_SNIPPET}', 3)
+             ELSE '' END)
+         || (CASE WHEN doc_id % 13 = 0 THEN '{_ENC_MOJI_SAMPLE}'
+             ELSE '' END) AS text)
+  FROM {src}
+)"""
+
+
+def _route_sql_ctes(src: str, keys: str, p: str) -> str:
+    """CTE chain ``{p}cnt → {p}route`` over *src* (keys..., text):
+    the DuckDB twin of operators/text_analysis.py: curation_route —
+    encoding/code/script signal arithmetic shared verbatim with the
+    per-signal oracles, fused the way the Spark projection fuses."""
+    m0, m1 = MOJIBAKE_MARKERS
+    return f"""{p}cnt AS (
+  SELECT {keys},
+    CAST(len(text) - len(replace(text, chr(65533), '')) AS BIGINT)
+      AS repl_c,
+    CAST(len(text) - len(regexp_replace(text, '{CONTROL_CHAR_RE}', '', 'g'))
+         AS BIGINT) AS ctrl_c,
+    CAST((len(text) - len(replace(text, '{m0}', '')))
+         + (len(text) - len(replace(text, '{m1}', ''))) / 2 AS BIGINT)
+      AS moji_c,
+    CAST(len(text) AS BIGINT) AS n_chars,
+    CAST((len(text) - len(replace(text, chr(123), '')))
+         + (len(text) - len(replace(text, chr(125), ''))) AS BIGINT)
+      AS braces,
+    CAST(len(text) - len(replace(text, ';', '')) AS BIGINT) AS semis,
+    CAST(len(regexp_extract_all(text, '{CODE_KEYWORD_RE}')) AS BIGINT)
+      AS kw_hits,
+    CAST(len(text) - len(regexp_replace(text, '{CODE_SYMBOL_RE}', '', 'g'))
+         AS BIGINT) AS sym,
+    {_SC_COUNTS}
+  FROM {src}
+),
+{p}route AS (
+  SELECT {keys},
+    (repl_c > 0 OR ctrl_c > 0 OR moji_c > 0) AS enc_suspect,
+    ((kw_hits >= 2 AND braces + semis >= 2)
+     OR (CASE WHEN n_chars > 0 THEN floor(sym * 1000000.0 / n_chars)
+         ELSE 0 END) > 30000) AS is_code,
+    {_SC_DOM} AS dominant_script
+  FROM {p}cnt
+)"""
+
+
+_ROUTE_CASE = (
+    "CASE WHEN enc_suspect THEN 'quarantine' "
+    "WHEN is_code THEN 'code' "
+    "WHEN dominant_script NOT IN ('latin', 'und') THEN 'nonlatin' "
+    "ELSE 'prose' END"
+)
+
+
+def q_curation_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signal layer fused into one routing decision per document
+    (operators/text_analysis.py: curation_route): encoding
+    quarantine, code detection, and dominant-script census evaluated
+    in a SINGLE codegen projection over a corpus decorated with all
+    three route devices — quarantine outranks code outranks nonlatin
+    outranks prose. Zero exchanges; the oracle fuses identically."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        curation_route,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    return curation_route(_route_decorate(docs))
+
+
+SQL_CURATION_ROUTE = f"""
+WITH {_route_decorate_sql("documents", "crd")},
+{_route_sql_ctes("crd", "doc_id", "cr")}
+SELECT doc_id, enc_suspect, is_code, dominant_script,
+       {_ROUTE_CASE} AS route
+FROM crroute
+"""
+
+
+def q_stream_curation_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE crawl front door as ONE stateless streaming chain:
+    blobs arrive as files → WARC record parse (Content-Length
+    framing) → jusText-lite extraction → route-diversity decoration →
+    the fused curation_route projection, with a 'reject_frame'
+    override for framing-damaged records — append mode, no state
+    store, no watermark. This is the composition a real ingest
+    pipeline runs record-by-record before anything reaches the
+    standing tables; every stage is a narrow map, so the whole chain
+    is exactly-once trivially. Oracle = the batch parse + extract +
+    decorate + route chain."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from etl_finance_pipeline_spark.operators.corpus import (
+        html_extract,
+        synthesize_warc,
+        warc_parse,
+    )
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        curation_route,
+    )
+    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
+
+    spark = _narrow_session(spark, 8)
+    ensure_nanos_conf(spark)
+    blobs = synthesize_warc(_warc_pages(spark, sf_dir))
+    tmp = tempfile.mkdtemp(prefix="warc_route_stream_")
+    try:
+        blobs.write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = spark.readStream.schema(schema).parquet(tmp)
+        wx = html_extract(
+            warc_parse(stream), html_col="payload", out_col="text"
+        ).select("doc_id", "length_ok", "text")
+        routed = curation_route(
+            _route_decorate(wx), keep_cols=("length_ok",)
+        ).withColumn(
+            "route",
+            F.when(~F.col("length_ok"), F.lit("reject_frame")).otherwise(
+                F.col("route")
+            ),
+        )
+        name = f"stream_route_{uuid.uuid4().hex[:8]}"
+        q = (
+            routed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.table(name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_STREAM_CURATION_ROUTE = f"""
+WITH {_warc_parse_ctes()},
+{_html_extract_ctes("wparse", "doc_id, uri, content_length, length_ok", "wx", " ", "payload")},
+{_route_decorate_sql("wxdocs", "srd")},
+{_route_sql_ctes("srd", "doc_id, length_ok", "sr")}
+SELECT doc_id, length_ok, enc_suspect, is_code, dominant_script,
+       CASE WHEN NOT length_ok THEN 'reject_frame'
+            ELSE {_ROUTE_CASE} END AS route
+FROM srroute
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_train": q_unigram_train,
     "unigram_segment": q_unigram_segment,
@@ -11397,6 +11590,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "script_census": q_script_census,
     "code_detect": q_code_detect,
     "ngram_novelty": q_ngram_novelty,
+    "curation_route": q_curation_route,
+    "stream_curation_route": q_stream_curation_route,
     "sft_render": q_sft_render,
     "sft_loss_mask": q_sft_loss_mask,
     "sft_pack": q_sft_pack,
@@ -11577,6 +11772,8 @@ ORACLES_TD: dict[str, str] = {
     "script_census": SQL_SCRIPT_CENSUS,
     "code_detect": SQL_CODE_DETECT,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "curation_route": SQL_CURATION_ROUTE,
+    "stream_curation_route": SQL_STREAM_CURATION_ROUTE,
     "sft_render": SQL_SFT_RENDER,
     "sft_loss_mask": SQL_SFT_LOSS_MASK,
     "sft_pack": SQL_SFT_PACK,

@@ -1688,3 +1688,34 @@ def test_ngram_novelty_exact_fraction(spark):
     assert out[10]["novelty_ppm"] == 0
     assert out[11]["n_shingles"] == 3 and out[11]["n_novel"] == 2
     assert out[11]["novelty_ppm"] == 666666
+
+
+def test_curation_route_priority_and_fusion(spark):
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        curation_route,
+    )
+
+    code = "def f(x):\n    return x;\nimport os\nclass T { }"
+    df = spark.createDataFrame(
+        [
+            (1, "plain english prose text here"),
+            (2, "привет мир это текст на русском"),
+            (3, code),
+            (4, code + " cafÃ©"),   # mojibake + code -> quarantine
+            (5, "� junk"),                # replacement char
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["route"] for r in curation_route(df).collect()}
+    assert out == {
+        1: "prose",
+        2: "nonlatin",
+        3: "code",
+        4: "quarantine",  # quarantine outranks code
+        5: "quarantine",
+    }
+    # the whole routing layer is one exchange-free projection
+    plan = (
+        curation_route(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
