@@ -79,6 +79,7 @@ _SHOWCASE_FIRST = (
     "ngram_novelty",  # held-out memorization audit (round 10)
     "curation_route",  # fused one-projection signal routing (round 10)
     "stream_curation_route",  # crawl front door as one stream chain (round 10)
+    "bitext_mine",  # ratio-margin parallel-pair mining (round 10)
     # family-spanning classics (reference parity + heavy hitters)
     "candles_5m",
     "dedupe_keep_first",

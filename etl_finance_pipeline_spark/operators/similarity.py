@@ -1387,3 +1387,100 @@ def cluster_profile(
             ).alias("label_purity"),
         )
     )
+
+
+def bitext_margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    margin_threshold_ppm: int = 1_020_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER device): candidate translation pairs between two
+    language sides are scored by the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgₖNN(x) + avgₖNN(y)) / 2)
+
+    which normalizes away hubness — a y that is everyone's neighbor
+    has a large avgₖNN(y) and stops winning. Per source vector, the
+    best-margin target is kept when the margin clears the threshold.
+
+    All comparisons are deterministic across engines: each cosine is
+    rounded to micro-units (BIGINT) BEFORE any aggregation, the k-NN
+    denominators are exact integer sums over a window ordered by
+    (cos_u DESC, id) — integer ties, integer tiebreaks — and the
+    final margin is one double expression over integers.
+
+    Scale: this implementation scores the explicit src × tgt pair
+    frame (the small side broadcasts — a BroadcastNestedLoopJoin, no
+    shuffle). At 100 TB-corpus scale the pair frame must be pruned
+    FIRST: bucket both sides with the IVF/LSH machinery in this
+    module (`ivf_ann_topk`, `lsh_ann_topk`) and mine margins within
+    candidate buckets only — the margin arithmetic here is unchanged,
+    only the candidate generator swaps.
+
+    Output: (src_id, tgt_id, cos_ppm, margin_ppm), one row per source
+    vector whose best margin clears *margin_threshold_ppm*.
+    """
+    a = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    b = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    pairs = a.crossJoin(b).select(
+        "src_id",
+        "tgt_id",
+        F.floor(cosine(F.col("_va"), F.col("_vb")) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("cos_u"),
+    )
+    w_src = Window.partitionBy("src_id").orderBy(
+        F.col("cos_u").desc(), F.col("tgt_id")
+    )
+    w_tgt = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_u").desc(), F.col("src_id")
+    )
+    ranked = pairs.withColumn(
+        "_ra", F.row_number().over(w_src)
+    ).withColumn("_rb", F.row_number().over(w_tgt))
+    dsrc = (
+        ranked.filter(F.col("_ra") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("cos_u").alias("_dx"), F.count("*").alias("_kx"))
+    )
+    dtgt = (
+        ranked.filter(F.col("_rb") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("cos_u").alias("_dy"), F.count("*").alias("_ky"))
+    )
+    margin = F.floor(
+        2.0
+        * F.col("cos_u")
+        * 1_000_000.0
+        / (
+            F.col("_dx") * 1.0 / F.col("_kx")
+            + F.col("_dy") * 1.0 / F.col("_ky")
+        )
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        pairs.join(F.broadcast(dsrc), "src_id")
+        .join(F.broadcast(dtgt), "tgt_id")
+        .withColumn("margin_ppm", margin)
+    )
+    w_best = Window.partitionBy("src_id").orderBy(
+        F.col("margin_ppm").desc(), F.col("tgt_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_best))
+        .filter(
+            (F.col("_rn") == 1)
+            & (F.col("margin_ppm") >= margin_threshold_ppm)
+        )
+        .select("src_id", "tgt_id", F.col("cos_u").alias("cos_ppm"), "margin_ppm")
+    )

@@ -11420,6 +11420,76 @@ FROM srroute
 """
 
 
+# --------------------------------------------------------------------
+# Margin-based bitext mining (CCMatrix/LASER device)
+# --------------------------------------------------------------------
+
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-corpus candidate mining between the en and de slices
+    of the corpus: every en embedding is paired with its best-margin
+    de embedding under the Artetxe-Schwenk RATIO margin (cosine
+    normalized by both sides' k-NN average, k=4 — the hubness
+    correction), kept when the margin clears 1.05
+    (operators/similarity.py: bitext_margin_mine). Micro-unit
+    integer arithmetic end-to-end, so the oracle replays it exactly."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        bitext_margin_mine,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    j = emb.join(docs, "vec_id")
+    en = j.filter(F.col("lang") == "en")
+    de = j.filter(F.col("lang") == "de")
+    return bitext_margin_mine(en, de, k=4, margin_threshold_ppm=1_050_000)
+
+
+SQL_BITEXT_MINE = f"""
+WITH btj AS (
+  SELECT e.vec_id, d.lang, e.embedding
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+bta AS (SELECT vec_id AS src_id, embedding AS va FROM btj WHERE lang = 'en'),
+btb AS (SELECT vec_id AS tgt_id, embedding AS vb FROM btj WHERE lang = 'de'),
+btp AS (
+  SELECT src_id, tgt_id,
+         CAST(floor(({_COS_SQL.format(a='va', b='vb')}) * 1000000 + 0.5)
+              AS BIGINT) AS cos_u
+  FROM bta CROSS JOIN btb
+),
+btr AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY src_id ORDER BY cos_u DESC, tgt_id) AS ra,
+    row_number() OVER (PARTITION BY tgt_id ORDER BY cos_u DESC, src_id) AS rb
+  FROM btp
+),
+btdx AS (
+  SELECT src_id, sum(cos_u) AS dx, count(*) AS kx
+  FROM btr WHERE ra <= 4 GROUP BY 1
+),
+btdy AS (
+  SELECT tgt_id, sum(cos_u) AS dy, count(*) AS ky
+  FROM btr WHERE rb <= 4 GROUP BY 1
+),
+bts AS (
+  SELECT p.src_id, p.tgt_id, p.cos_u,
+         CAST(floor(2.0 * p.cos_u * 1000000.0
+                    / (dx * 1.0 / kx + dy * 1.0 / ky) + 0.5) AS BIGINT)
+           AS margin_ppm
+  FROM btp p JOIN btdx USING (src_id) JOIN btdy USING (tgt_id)
+),
+btbest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY src_id ORDER BY margin_ppm DESC, tgt_id) AS rn
+  FROM bts
+)
+SELECT src_id, tgt_id, cos_u AS cos_ppm, margin_ppm
+FROM btbest WHERE rn = 1 AND margin_ppm >= 1050000
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_train": q_unigram_train,
     "unigram_segment": q_unigram_segment,
@@ -11592,6 +11662,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_novelty": q_ngram_novelty,
     "curation_route": q_curation_route,
     "stream_curation_route": q_stream_curation_route,
+    "bitext_mine": q_bitext_mine,
     "sft_render": q_sft_render,
     "sft_loss_mask": q_sft_loss_mask,
     "sft_pack": q_sft_pack,
@@ -11774,6 +11845,7 @@ ORACLES_TD: dict[str, str] = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "curation_route": SQL_CURATION_ROUTE,
     "stream_curation_route": SQL_STREAM_CURATION_ROUTE,
+    "bitext_mine": SQL_BITEXT_MINE,
     "sft_render": SQL_SFT_RENDER,
     "sft_loss_mask": SQL_SFT_LOSS_MASK,
     "sft_pack": SQL_SFT_PACK,

@@ -1719,3 +1719,60 @@ def test_curation_route_priority_and_fusion(spark):
         curation_route(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_bitext_margin_mine_matches_python_reference(spark):
+    import math
+
+    from etl_finance_pipeline_spark.operators.similarity import (
+        bitext_margin_mine,
+    )
+
+    src = [(i, [1.0, 0.1 * i, 0.5, -0.2 * i]) for i in range(6)]
+    tgt = [(100 + j, [0.9, 0.3 * j, -0.4, 0.15 * j]) for j in range(5)]
+    k = 2
+
+    def cos_u(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return int(math.floor(d / (na * nb) * 1_000_000 + 0.5))
+
+    pairs = {(i, j): cos_u(va, vb) for i, va in src for j, vb in tgt}
+    dx = {
+        i: sorted(((pairs[(i, j)], j) for j, _ in tgt),
+                  key=lambda t: (-t[0], t[1]))[:k]
+        for i, _ in src
+    }
+    dy = {
+        j: sorted(((pairs[(i, j)], i) for i, _ in src),
+                  key=lambda t: (-t[0], t[1]))[:k]
+        for j, _ in tgt
+    }
+    expected = {}
+    for i, _ in src:
+        best = None
+        for j, _ in tgt:
+            sx = sum(c for c, _ in dx[i]) / len(dx[i])
+            sy = sum(c for c, _ in dy[j]) / len(dy[j])
+            m = int(math.floor(
+                2.0 * pairs[(i, j)] * 1_000_000.0 / (sx + sy) + 0.5
+            ))
+            key = (-m, j)
+            if best is None or key < best[0]:
+                best = (key, (j, pairs[(i, j)], m))
+        expected[i] = best[1]
+
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in src], "vec_id long, embedding array<double>"
+    )
+    tdf = spark.createDataFrame(
+        [(j, v) for j, v in tgt], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["src_id"]: (r["tgt_id"], r["cos_ppm"], r["margin_ppm"])
+        for r in bitext_margin_mine(
+            sdf, tdf, k=k, margin_threshold_ppm=0
+        ).collect()
+    }
+    assert out == expected
