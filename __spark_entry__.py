@@ -80,6 +80,8 @@ _SHOWCASE_FIRST = (
     "curation_route",  # fused one-projection signal routing (round 10)
     "stream_curation_route",  # crawl front door as one stream chain (round 10)
     "bitext_mine",  # ratio-margin parallel-pair mining (round 10)
+    "bitext_mine_ivf",  # inverted-list candidate generator (round 10)
+    "bitext_recall",  # exact-vs-bucketed kept-pair overlap (round 10)
     # family-spanning classics (reference parity + heavy hitters)
     "candles_5m",
     "dedupe_keep_first",

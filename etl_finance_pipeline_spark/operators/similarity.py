@@ -1439,6 +1439,64 @@ def bitext_margin_mine(
         .cast("long")
         .alias("cos_u"),
     )
+    return _margin_from_pairs(pairs, k, margin_threshold_ppm)
+
+
+def bitext_margin_mine_ivf(
+    src: DataFrame,
+    tgt: DataFrame,
+    centroids: DataFrame,
+    k: int = 4,
+    nprobe: int = 2,
+    margin_threshold_ppm: int = 1_020_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`bitext_margin_mine` with its scale path made real: the
+    candidate pair frame is IVF-BUCKETED instead of exhaustive —
+    targets live in their single nearest-centroid inverted list,
+    sources probe their *nprobe* nearest lists, and margins are mined
+    over the candidate pairs only (the k-NN denominators are averages
+    over each vector's CANDIDATES, exactly how a FAISS-backed
+    CCMatrix run approximates them from its k-NN result lists). The
+    pair frame shrinks from |src|×|tgt| to the probed-list joins —
+    an equality join on cid, shuffle-partitioned, AQE-skew-splittable
+    — which is what makes mining feasible when both sides are in the
+    hundreds of millions. Same output contract as the exact miner;
+    `bitext_recall`-style overlap against it is the recall readout.
+    """
+    a = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    b = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    c = _as_double(centroids, "cvec")
+    probes = ivf_assign(a, c, nprobe=nprobe, id_col="src_id", vec_col="_va")
+    lists = ivf_assign(b, c, nprobe=1, id_col="tgt_id", vec_col="_vb")
+    pairs = (
+        probes.select("src_id", "_va", "cid")
+        .join(lists.select("tgt_id", "_vb", "cid"), "cid")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.floor(
+                cosine(F.col("_va"), F.col("_vb")) * 1_000_000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cos_u"),
+        )
+    )
+    return _margin_from_pairs(pairs, k, margin_threshold_ppm)
+
+
+def _margin_from_pairs(
+    pairs: DataFrame, k: int, margin_threshold_ppm: int
+) -> DataFrame:
+    """Ratio-margin scoring over a (src_id, tgt_id, cos_u) candidate
+    frame — shared by the exact and IVF-bucketed miners."""
     w_src = Window.partitionBy("src_id").orderBy(
         F.col("cos_u").desc(), F.col("tgt_id")
     )

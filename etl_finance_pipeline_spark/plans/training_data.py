@@ -11446,47 +11446,197 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitext_margin_mine(en, de, k=4, margin_threshold_ppm=1_050_000)
 
 
-SQL_BITEXT_MINE = f"""
-WITH btj AS (
+#: en/de sides of the embedding space (doc metadata joined by id)
+_BITEXT_SIDES = """btj AS (
   SELECT e.vec_id, d.lang, e.embedding
   FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
 ),
 bta AS (SELECT vec_id AS src_id, embedding AS va FROM btj WHERE lang = 'en'),
-btb AS (SELECT vec_id AS tgt_id, embedding AS vb FROM btj WHERE lang = 'de'),
-btp AS (
+btb AS (SELECT vec_id AS tgt_id, embedding AS vb FROM btj WHERE lang = 'de')"""
+
+
+def _bitext_margin_sql(cand: str, p: str, k: int = 4) -> str:
+    """CTE chain ``{p}r → {p}dx/{p}dy → {p}s → {p}best`` over a
+    candidate frame *cand* (src_id, tgt_id, cos_u) — the DuckDB twin
+    of operators/similarity.py: _margin_from_pairs, shared by the
+    exact and IVF-bucketed miners."""
+    return f"""{p}r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY src_id ORDER BY cos_u DESC, tgt_id) AS ra,
+    row_number() OVER (PARTITION BY tgt_id ORDER BY cos_u DESC, src_id) AS rb
+  FROM {cand}
+),
+{p}dx AS (
+  SELECT src_id, sum(cos_u) AS dx, count(*) AS kx
+  FROM {p}r WHERE ra <= {k} GROUP BY 1
+),
+{p}dy AS (
+  SELECT tgt_id, sum(cos_u) AS dy, count(*) AS ky
+  FROM {p}r WHERE rb <= {k} GROUP BY 1
+),
+{p}s AS (
+  SELECT c.src_id, c.tgt_id, c.cos_u,
+         CAST(floor(2.0 * c.cos_u * 1000000.0
+                    / (dx * 1.0 / kx + dy * 1.0 / ky) + 0.5) AS BIGINT)
+           AS margin_ppm
+  FROM {cand} c JOIN {p}dx USING (src_id) JOIN {p}dy USING (tgt_id)
+),
+{p}best AS (
+  SELECT src_id, tgt_id, cos_u, margin_ppm, row_number() OVER (
+    PARTITION BY src_id ORDER BY margin_ppm DESC, tgt_id) AS rn
+  FROM {p}s
+)"""
+
+
+_BITEXT_BRUTE_CAND = f"""btp AS (
   SELECT src_id, tgt_id,
          CAST(floor(({_COS_SQL.format(a='va', b='vb')}) * 1000000 + 0.5)
               AS BIGINT) AS cos_u
   FROM bta CROSS JOIN btb
+)"""
+
+#: IVF-bucketed candidates: seeded codebook (vec_id < 8 — the
+#: ann_ivf_topk device), targets in their single nearest list,
+#: sources probing their 2 nearest lists
+_BITEXT_IVF_CAND = f"""btc AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
 ),
-btr AS (
-  SELECT *,
-    row_number() OVER (PARTITION BY src_id ORDER BY cos_u DESC, tgt_id) AS ra,
-    row_number() OVER (PARTITION BY tgt_id ORDER BY cos_u DESC, src_id) AS rb
-  FROM btp
+btsl AS (
+  SELECT src_id, va, cid FROM (
+    SELECT a.src_id, a.va, c.cid,
+           row_number() OVER (
+             PARTITION BY a.src_id
+             ORDER BY {_COS_SQL.format(a='a.va', b='c.cvec')} DESC, c.cid
+           ) AS pr
+    FROM bta a CROSS JOIN btc c
+  ) WHERE pr <= 2
 ),
-btdx AS (
-  SELECT src_id, sum(cos_u) AS dx, count(*) AS kx
-  FROM btr WHERE ra <= 4 GROUP BY 1
+bttl AS (
+  SELECT tgt_id, vb, cid FROM (
+    SELECT b.tgt_id, b.vb, c.cid,
+           row_number() OVER (
+             PARTITION BY b.tgt_id
+             ORDER BY {_COS_SQL.format(a='b.vb', b='c.cvec')} DESC, c.cid
+           ) AS pr
+    FROM btb b CROSS JOIN btc c
+  ) WHERE pr = 1
 ),
-btdy AS (
-  SELECT tgt_id, sum(cos_u) AS dy, count(*) AS ky
-  FROM btr WHERE rb <= 4 GROUP BY 1
-),
-bts AS (
-  SELECT p.src_id, p.tgt_id, p.cos_u,
-         CAST(floor(2.0 * p.cos_u * 1000000.0
-                    / (dx * 1.0 / kx + dy * 1.0 / ky) + 0.5) AS BIGINT)
-           AS margin_ppm
-  FROM btp p JOIN btdx USING (src_id) JOIN btdy USING (tgt_id)
-),
-btbest AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY src_id ORDER BY margin_ppm DESC, tgt_id) AS rn
-  FROM bts
-)
+btvp AS (
+  SELECT s.src_id, t.tgt_id,
+         CAST(floor(({_COS_SQL.format(a='s.va', b='t.vb')}) * 1000000 + 0.5)
+              AS BIGINT) AS cos_u
+  FROM btsl s JOIN bttl t USING (cid)
+)"""
+
+
+SQL_BITEXT_MINE = f"""
+WITH {_BITEXT_SIDES},
+{_BITEXT_BRUTE_CAND},
+{_bitext_margin_sql("btp", "bb")}
 SELECT src_id, tgt_id, cos_u AS cos_ppm, margin_ppm
-FROM btbest WHERE rn = 1 AND margin_ppm >= 1050000
+FROM bbbest WHERE rn = 1 AND margin_ppm >= 1050000
+"""
+
+
+def q_bitext_mine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bitext_mine with the IVF-bucketed candidate generator — the
+    shape that survives both sides growing to 10⁸ vectors: targets
+    live in their nearest-centroid inverted list, sources probe 2
+    lists, margins are mined within candidate buckets only
+    (operators/similarity.py: bitext_margin_mine_ivf). Same contract
+    and threshold as the exact miner; bitext_recall measures what
+    the bucketing costs."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        bitext_margin_mine_ivf,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    j = emb.join(docs, "vec_id")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return bitext_margin_mine_ivf(
+        j.filter(F.col("lang") == "en"),
+        j.filter(F.col("lang") == "de"),
+        cents,
+        k=4,
+        nprobe=2,
+        margin_threshold_ppm=1_050_000,
+    )
+
+
+SQL_BITEXT_MINE_IVF = f"""
+WITH {_BITEXT_SIDES},
+{_BITEXT_IVF_CAND},
+{_bitext_margin_sql("btvp", "bv")}
+SELECT src_id, tgt_id, cos_u AS cos_ppm, margin_ppm
+FROM bvbest WHERE rn = 1 AND margin_ppm >= 1050000
+"""
+
+
+def q_bitext_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-eval readout for the mining index (lsh_recall /
+    ann_recall device applied to bitext): how many of the EXACT
+    miner's kept pairs the IVF-bucketed miner reproduces — pair
+    counts of both miners, the intersection, and recall in ppm. One
+    row; the pre-deployment answer to "can we afford the bucketed
+    candidate generator"."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        bitext_margin_mine,
+        bitext_margin_mine_ivf,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    j = emb.join(docs, "vec_id")
+    en = j.filter(F.col("lang") == "en")
+    de = j.filter(F.col("lang") == "de")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    brute = bitext_margin_mine(
+        en, de, k=4, margin_threshold_ppm=1_050_000
+    ).select("src_id", "tgt_id")
+    ivf = bitext_margin_mine_ivf(
+        en, de, cents, k=4, nprobe=2, margin_threshold_ppm=1_050_000
+    ).select("src_id", "tgt_id")
+    common = brute.join(ivf, ["src_id", "tgt_id"]).count()
+    nb = brute.count()
+    nv = ivf.count()
+    return load_table(spark, _t(sf_dir, "region")).limit(1).select(
+        F.lit(nb).cast("long").alias("n_brute"),
+        F.lit(nv).cast("long").alias("n_ivf"),
+        F.lit(common).cast("long").alias("n_common"),
+        F.lit(int(common * 1_000_000 // nb) if nb else 0)
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
+SQL_BITEXT_RECALL = f"""
+WITH {_BITEXT_SIDES},
+{_BITEXT_BRUTE_CAND},
+{_bitext_margin_sql("btp", "bb")},
+{_BITEXT_IVF_CAND},
+{_bitext_margin_sql("btvp", "bv")},
+kept_b AS (
+  SELECT src_id, tgt_id FROM bbbest WHERE rn = 1 AND margin_ppm >= 1050000
+),
+kept_v AS (
+  SELECT src_id, tgt_id FROM bvbest WHERE rn = 1 AND margin_ppm >= 1050000
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM kept_b) AS n_brute,
+  (SELECT CAST(count(*) AS BIGINT) FROM kept_v) AS n_ivf,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM kept_b JOIN kept_v USING (src_id, tgt_id)) AS n_common,
+  CAST((SELECT count(*) FROM kept_b JOIN kept_v USING (src_id, tgt_id))
+       * 1000000 // (SELECT count(*) FROM kept_b) AS BIGINT) AS recall_ppm
 """
 
 
@@ -11663,6 +11813,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_route": q_curation_route,
     "stream_curation_route": q_stream_curation_route,
     "bitext_mine": q_bitext_mine,
+    "bitext_mine_ivf": q_bitext_mine_ivf,
+    "bitext_recall": q_bitext_recall,
     "sft_render": q_sft_render,
     "sft_loss_mask": q_sft_loss_mask,
     "sft_pack": q_sft_pack,
@@ -11846,6 +11998,8 @@ ORACLES_TD: dict[str, str] = {
     "curation_route": SQL_CURATION_ROUTE,
     "stream_curation_route": SQL_STREAM_CURATION_ROUTE,
     "bitext_mine": SQL_BITEXT_MINE,
+    "bitext_mine_ivf": SQL_BITEXT_MINE_IVF,
+    "bitext_recall": SQL_BITEXT_RECALL,
     "sft_render": SQL_SFT_RENDER,
     "sft_loss_mask": SQL_SFT_LOSS_MASK,
     "sft_pack": SQL_SFT_PACK,

@@ -1069,3 +1069,53 @@ def test_scale_ngram_novelty_distinct_join(bigspark):
     assert agg["n"] == 100_000
     assert 0 < agg["novel"] < agg["tot"]
     assert dt < 300
+
+
+def test_scale_bitext_ivf_bucketed_mining(bigspark):
+    """100k × 100k bitext mining through the IVF-bucketed candidate
+    generator — the exact miner's pair frame would be 10¹⁰ rows; the
+    bucketed miner joins 256 inverted lists on cid instead. Vectors
+    carry planted cluster structure (256 anchor directions) so the
+    lists are balanced; every source emits exactly one best pair."""
+    import math
+
+    from etl_finance_pipeline_spark.operators.similarity import (
+        bitext_margin_mine_ivf,
+    )
+
+    n, n_cells, dim = 100_000, 256, 4
+
+    def side(offset: int):
+        a = (F.col("id") % n_cells) * (2.0 * math.pi / n_cells)
+        jit = ((F.col("id") * 7 + offset) % 13).cast("double") / 1300.0
+        return bigspark.range(n).select(
+            (F.col("id") + offset).alias("vec_id"),
+            F.array(
+                F.cos(a) + jit, F.sin(a) - jit,
+                F.cos(a * 2.0) + jit, F.sin(a * 2.0) - jit,
+            ).alias("embedding"),
+        )
+
+    cents = bigspark.range(n_cells).select(
+        F.col("id").alias("cid"),
+        F.array(
+            F.cos(F.col("id") * (2.0 * math.pi / n_cells)),
+            F.sin(F.col("id") * (2.0 * math.pi / n_cells)),
+            F.cos(F.col("id") * (4.0 * math.pi / n_cells)),
+            F.sin(F.col("id") * (4.0 * math.pi / n_cells)),
+        ).alias("cvec"),
+    )
+    out = bitext_margin_mine_ivf(
+        side(0), side(10_000_000), cents,
+        k=4, nprobe=2, margin_threshold_ppm=0,
+    )
+    _assert_distributed_plan(out, "bitext_ivf")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    t0 = time.time()
+    rows = out.count()
+    dt = time.time() - t0
+    print(f"\nSCALE bitext_ivf 100k x 100k / {n_cells} lists: "
+          f"{rows:,} best pairs in {dt:.1f}s")
+    assert rows == n
+    assert dt < 420
