@@ -11640,6 +11640,53 @@ SELECT
 """
 
 
+def q_source_route_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-card rollup of the fused routing gate: per source,
+    how much of the corpus each route claims (doc counts per route +
+    ppm fraction) — the per-provider quality/content mix a datasheet
+    reports next to source_census's volume numbers. One narrow route
+    projection + one groupBy; route fractions are exact integers."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        curation_route,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    routed = curation_route(
+        _route_decorate(docs.select("doc_id", "source", "text")),
+        keep_cols=("source",),
+    )
+    per = routed.groupBy("source", "route").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tot = routed.groupBy("source").agg(F.count("*").alias("_tot"))
+    return per.join(tot, "source").select(
+        "source",
+        "route",
+        "n_docs",
+        F.floor(F.col("n_docs") * 1_000_000 / F.col("_tot"))
+        .cast("long")
+        .alias("frac_ppm"),
+    )
+
+
+SQL_SOURCE_ROUTE_CENSUS = f"""
+WITH srcd0 AS (SELECT doc_id, source, text FROM documents),
+{_route_decorate_sql("srcd0", "srcd")},
+{_route_sql_ctes("srcd", "doc_id, source", "sc2")},
+srcr AS (
+  SELECT source, {_ROUTE_CASE} AS route FROM sc2route
+),
+srcn AS (
+  SELECT source, route, CAST(count(*) AS BIGINT) AS n_docs
+  FROM srcr GROUP BY 1, 2
+),
+srct AS (SELECT source, sum(n_docs) AS tot FROM srcn GROUP BY 1)
+SELECT source, route, n_docs,
+       CAST(floor(n_docs * 1000000.0 / tot) AS BIGINT) AS frac_ppm
+FROM srcn JOIN srct USING (source)
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_train": q_unigram_train,
     "unigram_segment": q_unigram_segment,
@@ -11815,6 +11862,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitext_mine": q_bitext_mine,
     "bitext_mine_ivf": q_bitext_mine_ivf,
     "bitext_recall": q_bitext_recall,
+    "source_route_census": q_source_route_census,
     "sft_render": q_sft_render,
     "sft_loss_mask": q_sft_loss_mask,
     "sft_pack": q_sft_pack,
@@ -12000,6 +12048,7 @@ ORACLES_TD: dict[str, str] = {
     "bitext_mine": SQL_BITEXT_MINE,
     "bitext_mine_ivf": SQL_BITEXT_MINE_IVF,
     "bitext_recall": SQL_BITEXT_RECALL,
+    "source_route_census": SQL_SOURCE_ROUTE_CENSUS,
     "sft_render": SQL_SFT_RENDER,
     "sft_loss_mask": SQL_SFT_LOSS_MASK,
     "sft_pack": SQL_SFT_PACK,
