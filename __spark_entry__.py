@@ -83,6 +83,7 @@ _SHOWCASE_FIRST = (
     "bitext_mine_ivf",  # inverted-list candidate generator (round 10)
     "bitext_recall",  # exact-vs-bucketed kept-pair overlap (round 10)
     "source_route_census",  # per-source route mix datasheet rollup (round 10)
+    "mixture_waterfill",  # capped-budget water-filling allocator (round 10)
     # family-spanning classics (reference parity + heavy hitters)
     "candles_5m",
     "dedupe_keep_first",

@@ -11687,6 +11687,202 @@ FROM srcn JOIN srct USING (source)
 """
 
 
+# --------------------------------------------------------------------
+# Water-filling mixture allocation under per-source epoch caps
+# --------------------------------------------------------------------
+
+_WF_ROUNDS = 4
+_WF_BUDGET_X = 2.0     # token budget = 2x the unique corpus
+_WF_MAX_EPOCHS = 2.5   # no source may repeat beyond 2.5 epochs
+
+
+def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget allocation the day the target mixture collides with
+    reality: a Zipfian target (weight ∝ 1/rank by source size — the
+    deliberately skewed ask) wants more tokens from head sources than
+    their epoch cap (2.5× unique tokens) allows, so the allocator
+    WATER-FILLS — each round gives every uncapped source its
+    weight-share of the remaining budget, clips at the cap, and
+    re-distributes the overflow to the still-uncapped tail
+    (`_WF_ROUNDS` fixed rounds, the unrolled-oracle device).
+
+    Corpus-scale work is ONE per-source token aggregate; the k-source
+    allocation state collapses to a single sorted-array row (the
+    doremi_weights device) where every fold is a deterministic
+    source-order left fold and every intermediate is floor(+0.5)
+    fixed-point, so the DuckDB twin replays it bit-exactly.
+
+    Output: (source, unique_tokens, rank, target_w_ppm, cap_tokens,
+    alloc_tokens, epochs, capped)."""
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        "source", F.size(F.split(F.col("text"), r"\s+")).alias("n_tok")
+    )
+    base = docs.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("uniq")
+    )
+    wr = Window.orderBy(F.col("uniq").desc(), F.col("source"))
+    ranked = base.withColumn("rank", F.row_number().over(wr).cast("long"))
+    arr = ranked.agg(
+        F.sort_array(
+            F.collect_list(F.struct("source", "uniq", "rank"))
+        ).alias("_xs")
+    )
+    xs = F.col("_xs")
+    hk = F.aggregate(xs, F.lit(0.0), lambda a, x: a + 1.0 / x["rank"])
+    total = F.aggregate(
+        xs, F.lit(0).cast("long"), lambda a, x: a + x["uniq"]
+    )
+    arr = arr.select(
+        xs,
+        F.floor(F.lit(_WF_BUDGET_X) * total).cast("long").alias("_B"),
+        F.transform(
+            xs,
+            lambda x: F.struct(
+                x["source"].alias("source"),
+                x["uniq"].alias("uniq"),
+                x["rank"].alias("rank"),
+                F.floor(1_000_000.0 / (x["rank"] * hk) + F.lit(0.5))
+                .cast("long")
+                .alias("wu"),
+                F.floor(F.lit(_WF_MAX_EPOCHS) * x["uniq"])
+                .cast("long")
+                .alias("cap"),
+                F.lit(0).cast("long").alias("alloc"),
+            ),
+        ).alias("_st"),
+    )
+    st = F.col("_st")
+    for _ in range(_WF_ROUNDS):
+        sw = F.aggregate(
+            st,
+            F.lit(0).cast("long"),
+            lambda a, s: a
+            + F.when(s["alloc"] < s["cap"], s["wu"]).otherwise(F.lit(0)),
+        )
+        slc = F.aggregate(
+            st, F.lit(0).cast("long"), lambda a, s: a + s["alloc"]
+        )
+        rem = F.greatest(F.col("_B") - slc, F.lit(0).cast("long"))
+        new_st = F.transform(
+            st,
+            lambda s: F.struct(
+                s["source"].alias("source"),
+                s["uniq"].alias("uniq"),
+                s["rank"].alias("rank"),
+                s["wu"].alias("wu"),
+                s["cap"].alias("cap"),
+                F.least(
+                    s["cap"],
+                    s["alloc"]
+                    + F.when(
+                        (s["alloc"] < s["cap"]) & (sw > 0),
+                        F.floor(
+                            rem * 1.0 * s["wu"] / sw + F.lit(0.5)
+                        ).cast("long"),
+                    ).otherwise(F.lit(0).cast("long")),
+                ).alias("alloc"),
+            ),
+        )
+        # the round expression references _st three times (the state
+        # itself + the sw/rem folds over it); without lineage
+        # truncation CollapseProject substitutes the previous round's
+        # tree into every reference and the plan grows ~(3k)^rounds —
+        # measured: rounds 1/2/3 analyzed in 1.5 s / 1.5 s / >9 min.
+        # localCheckpoint per round (the pagerank/bpe_train device)
+        # keeps each round's tree one round deep; the frame is ONE
+        # control-plane row, so the checkpoint is free.
+        arr = arr.select(F.col("_B"), new_st.alias("_st")).localCheckpoint(
+            eager=True
+        )
+    out = arr.select(F.explode(st).alias("_s")).select(
+        F.col("_s.source").alias("source"),
+        F.col("_s.uniq").alias("unique_tokens"),
+        F.col("_s.rank").alias("rank"),
+        F.col("_s.wu").alias("target_w_ppm"),
+        F.col("_s.cap").alias("cap_tokens"),
+        F.col("_s.alloc").alias("alloc_tokens"),
+        (
+            F.floor(F.col("_s.alloc") * 1_000_000.0 / F.col("_s.uniq"))
+            / 1_000_000.0
+        ).alias("epochs"),
+        (F.col("_s.alloc") >= F.col("_s.cap")).alias("capped"),
+    )
+    return out
+
+
+def _wf_round_sql(t: int, p: str = "wf") -> str:
+    return f"""
+{p}w{t} AS (
+  SELECT b,
+    list_transform(st, s -> struct_pack(
+      source := s.source, uniq := s.uniq, rank := s.rank,
+      wu := s.wu, cap := s.cap,
+      alloc := least(s.cap, s.alloc + (CASE
+        WHEN s.alloc < s.cap
+             AND list_reduce(list_transform(st,
+                   x -> CASE WHEN x.alloc < x.cap THEN x.wu ELSE 0 END),
+                   (a, v) -> a + v) > 0
+        THEN CAST(floor(
+               greatest(b - list_reduce(list_transform(st, x -> x.alloc),
+                                        (a, v) -> a + v), 0)
+               * 1.0 * s.wu
+               / list_reduce(list_transform(st,
+                   x -> CASE WHEN x.alloc < x.cap THEN x.wu ELSE 0 END),
+                   (a, v) -> a + v) + 0.5) AS BIGINT)
+        ELSE 0 END))
+    )) AS st
+  FROM {p}w{t - 1}
+)"""
+
+
+SQL_MIXTURE_WATERFILL = f"""
+WITH wfb AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+           AS uniq
+  FROM documents GROUP BY 1
+),
+wfr AS (
+  SELECT source, uniq,
+         CAST(row_number() OVER (ORDER BY uniq DESC, source) AS BIGINT)
+           AS rank
+  FROM wfb
+),
+wfarr AS (
+  SELECT list(struct_pack(source := source, uniq := uniq, rank := rank)
+              ORDER BY source) AS xs
+  FROM wfr
+),
+wfw0 AS (
+  SELECT
+    CAST(floor({_WF_BUDGET_X}
+         * list_reduce(list_transform(xs, x -> x.uniq), (a, v) -> a + v))
+         AS BIGINT) AS b,
+    list_transform(xs, x -> struct_pack(
+      source := x.source, uniq := x.uniq, rank := x.rank,
+      wu := CAST(floor(1000000.0 / (x.rank
+              * list_reduce(list_transform(xs, y -> 1.0 / y.rank),
+                            (a, v) -> a + v)) + 0.5) AS BIGINT),
+      cap := CAST(floor({_WF_MAX_EPOCHS} * x.uniq) AS BIGINT),
+      alloc := CAST(0 AS BIGINT))) AS st
+  FROM wfarr
+),
+{",".join(_wf_round_sql(t) for t in range(1, _WF_ROUNDS + 1))},
+wffin AS (
+  SELECT unnest(st) AS s FROM wfw{_WF_ROUNDS}
+)
+SELECT s.source AS source,
+       s.uniq AS unique_tokens,
+       s.rank AS rank,
+       s.wu AS target_w_ppm,
+       s.cap AS cap_tokens,
+       s.alloc AS alloc_tokens,
+       floor(s.alloc * 1000000.0 / s.uniq) / 1000000.0 AS epochs,
+       (s.alloc >= s.cap) AS capped
+FROM wffin
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_train": q_unigram_train,
     "unigram_segment": q_unigram_segment,
@@ -11863,6 +12059,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitext_mine_ivf": q_bitext_mine_ivf,
     "bitext_recall": q_bitext_recall,
     "source_route_census": q_source_route_census,
+    "mixture_waterfill": q_mixture_waterfill,
     "sft_render": q_sft_render,
     "sft_loss_mask": q_sft_loss_mask,
     "sft_pack": q_sft_pack,
@@ -12049,6 +12246,7 @@ ORACLES_TD: dict[str, str] = {
     "bitext_mine_ivf": SQL_BITEXT_MINE_IVF,
     "bitext_recall": SQL_BITEXT_RECALL,
     "source_route_census": SQL_SOURCE_ROUTE_CENSUS,
+    "mixture_waterfill": SQL_MIXTURE_WATERFILL,
     "sft_render": SQL_SFT_RENDER,
     "sft_loss_mask": SQL_SFT_LOSS_MASK,
     "sft_pack": SQL_SFT_PACK,

@@ -1776,3 +1776,33 @@ def test_bitext_margin_mine_matches_python_reference(spark):
         ).collect()
     }
     assert out == expected
+
+
+def test_mixture_waterfill_invariants(spark):
+    from etl_finance_pipeline_spark.plans.training_data import (
+        _WF_BUDGET_X,
+        _WF_MAX_EPOCHS,
+        q_mixture_waterfill,
+    )
+
+    rows = q_mixture_waterfill(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    total_uniq = sum(r["unique_tokens"] for r in rows)
+    budget = int(_WF_BUDGET_X * total_uniq)
+    alloc = sum(r["alloc_tokens"] for r in rows)
+    # conservation: never exceeds budget by more than the per-round
+    # rounding slack (k/2 per round), never exceeds any cap
+    assert alloc <= budget + len(rows) * 4
+    for r in rows:
+        assert r["alloc_tokens"] <= r["cap_tokens"]
+        assert r["epochs"] <= _WF_MAX_EPOCHS
+        assert r["capped"] == (r["alloc_tokens"] >= r["cap_tokens"])
+    # Zipfian pressure must actually bind: some head capped, some not
+    assert any(r["capped"] for r in rows)
+    assert any(not r["capped"] for r in rows)
+    # uncapped allocations follow the target-weight order
+    unc = sorted(
+        (r for r in rows if not r["capped"]), key=lambda r: r["rank"]
+    )
+    allocs = [r["alloc_tokens"] for r in unc]
+    assert allocs == sorted(allocs, reverse=True)
