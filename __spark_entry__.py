@@ -84,6 +84,7 @@ _SHOWCASE_FIRST = (
     "bitext_recall",  # exact-vs-bucketed kept-pair overlap (round 10)
     "source_route_census",  # per-source route mix datasheet rollup (round 10)
     "mixture_waterfill",  # capped-budget water-filling allocator (round 10)
+    "domain_quality_prior",  # per-domain reputation prior + residual flags (round 10)
     # family-spanning classics (reference parity + heavy hitters)
     "candles_5m",
     "dedupe_keep_first",

@@ -11883,6 +11883,82 @@ FROM wffin
 """
 
 
+def q_domain_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain reputation priors — the stage that turns per-document
+    quality into a per-PROVIDER signal and back: each doc's quality
+    (micro-units, the quality_score arithmetic) is aggregated into
+    its registrable domain's exact fixed-point mean, and every doc is
+    scored against its own domain's prior — a residual more than 0.1
+    quality units BELOW the prior flags likely boilerplate/spam pages
+    on otherwise-good domains (and protects marginal pages on strong
+    domains from doc-level false rejects). Corpus pass + one
+    broadcast join of the k-domain prior table; exact integer means.
+    Output: (doc_id, domain, quality_ppm, domain_mean_ppm, resid_ppm,
+    below_prior)."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        canonical_host,
+        registrable_domain,
+    )
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    q = quality_score(docs).select(
+        "doc_id",
+        F.floor(F.col("quality") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("quality_ppm"),
+    )
+    dom = docs.withColumn("url", _url_expr()).select(
+        "doc_id",
+        registrable_domain(canonical_host(F.col("url"))).alias("domain"),
+    )
+    j = q.join(dom, "doc_id")
+    prior = j.groupBy("domain").agg(
+        F.floor(
+            F.sum("quality_ppm") * 1.0 / F.count("*") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("domain_mean_ppm")
+    )
+    out = j.join(F.broadcast(prior), "domain")
+    resid = F.col("quality_ppm") - F.col("domain_mean_ppm")
+    return out.select(
+        "doc_id",
+        "domain",
+        "quality_ppm",
+        "domain_mean_ppm",
+        resid.alias("resid_ppm"),
+        (resid < -100_000).alias("below_prior"),
+    )
+
+
+SQL_DOMAIN_QUALITY_PRIOR = f"""
+WITH dqs AS ({{qs}}),
+dqq AS (
+  SELECT doc_id,
+         CAST(floor(quality * 1000000 + 0.5) AS BIGINT) AS quality_ppm
+  FROM dqs
+),
+{_URL_CTE.strip()},
+dqj AS (
+  SELECT q.doc_id, d.domain, q.quality_ppm
+  FROM dqq q JOIN doms d USING (doc_id)
+),
+dqp AS (
+  SELECT domain,
+         CAST(floor(sum(quality_ppm) * 1.0 / count(*) + 0.5) AS BIGINT)
+           AS domain_mean_ppm
+  FROM dqj GROUP BY 1
+)
+SELECT j.doc_id, j.domain, j.quality_ppm, p.domain_mean_ppm,
+       j.quality_ppm - p.domain_mean_ppm AS resid_ppm,
+       (j.quality_ppm - p.domain_mean_ppm < -100000) AS below_prior
+FROM dqj j JOIN dqp p USING (domain)
+""".format(qs=SQL_QUALITY_SCORE.strip())
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_train": q_unigram_train,
     "unigram_segment": q_unigram_segment,
@@ -12060,6 +12136,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitext_recall": q_bitext_recall,
     "source_route_census": q_source_route_census,
     "mixture_waterfill": q_mixture_waterfill,
+    "domain_quality_prior": q_domain_quality_prior,
     "sft_render": q_sft_render,
     "sft_loss_mask": q_sft_loss_mask,
     "sft_pack": q_sft_pack,
@@ -12247,6 +12324,7 @@ ORACLES_TD: dict[str, str] = {
     "bitext_recall": SQL_BITEXT_RECALL,
     "source_route_census": SQL_SOURCE_ROUTE_CENSUS,
     "mixture_waterfill": SQL_MIXTURE_WATERFILL,
+    "domain_quality_prior": SQL_DOMAIN_QUALITY_PRIOR,
     "sft_render": SQL_SFT_RENDER,
     "sft_loss_mask": SQL_SFT_LOSS_MASK,
     "sft_pack": SQL_SFT_PACK,
