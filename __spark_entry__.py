@@ -85,6 +85,8 @@ _SHOWCASE_FIRST = (
     "source_route_census",  # per-source route mix datasheet rollup (round 10)
     "mixture_waterfill",  # capped-budget water-filling allocator (round 10)
     "domain_quality_prior",  # per-domain reputation prior + residual flags (round 10)
+    "jl_project",  # data-oblivious JL dim reduction (round 10)
+    "jl_distortion",  # measured distance-preservation readout (round 10)
     # family-spanning classics (reference parity + heavy hitters)
     "candles_5m",
     "dedupe_keep_first",

@@ -1542,3 +1542,89 @@ def _margin_from_pairs(
         )
         .select("src_id", "tgt_id", F.col("cos_u").alias("cos_ppm"), "margin_ppm")
     )
+
+
+def jl_signs(d_in: int, d_out: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss projection matrix
+    (Achlioptas 2003 sign variant): entry (i, j) is the parity of
+    md5(f"{seed}:{i}:{j}") — reproducible from constants alone, so
+    the DuckDB oracle interpolates the identical matrix and no
+    training pass or stored model is needed (the point of JL over
+    PCA at corpus scale: data-OBLIVIOUS, one narrow map, zero
+    learning shuffles). d_in × d_out ints — control-plane sized."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest(), 16
+            )
+            % 2
+            == 0
+            else -1
+            for j in range(d_out)
+        ]
+        for i in range(d_in)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    d_in: int,
+    d_out: int,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project *vec_col* (length *d_in*) to *d_out* dims with the
+    deterministic ±1 JL matrix: yⱼ = (Σᵢ xᵢ·sᵢⱼ) / √d_out, each
+    output rounded to 6 dp fixed point. One exchange-free codegen
+    projection — each output dim is a deterministic left fold over
+    the input array zipped with a literal sign column, so at 100 TB
+    this rides the scan like the other signal maps. Output EXPLODED
+    to (id, dim, value) rows so the oracle compares scalars."""
+    wide = jl_project_wide(df, d_in, d_out, seed, id_col, vec_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("dim"),
+                F.col(f"d{j}").alias("value"),
+            )
+            for j in range(d_out)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
+        id_col, F.col("_p.dim").alias("dim"), F.col("_p.value").alias("value")
+    )
+
+
+def jl_project_wide(
+    df: DataFrame,
+    d_in: int,
+    d_out: int,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`jl_project`'s wide form: (id, d0..d{d_out-1}), each
+    dim a deterministic ascending-index left fold rounded to 6 dp."""
+    import math
+
+    signs = jl_signs(d_in, d_out, seed)
+    x = F.col(vec_col)
+    inv = 1.0 / math.sqrt(d_out)
+    dims = []
+    for j in range(d_out):
+        col_j = F.array(*[F.lit(float(signs[i][j])) for i in range(d_in)])
+        y = F.aggregate(
+            F.zip_with(x, col_j, lambda a, s: a.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dims.append(
+            (
+                F.floor(y * inv * 1_000_000 + F.lit(0.5)) / 1_000_000.0
+            ).alias(f"d{j}")
+        )
+    return df.select(F.col(id_col), *dims)

@@ -11959,6 +11959,141 @@ FROM dqj j JOIN dqp p USING (domain)
 """.format(qs=SQL_QUALITY_SCORE.strip())
 
 
+# --------------------------------------------------------------------
+# Johnson-Lindenstrauss projection (data-oblivious dim reduction)
+# --------------------------------------------------------------------
+
+from etl_finance_pipeline_spark.operators.similarity import (  # noqa: E402
+    jl_signs,
+)
+
+_JL_D_IN, _JL_D_OUT = 64, 16
+_JL_SIGNS = jl_signs(_JL_D_IN, _JL_D_OUT)
+
+
+def _jl_dim_sql(j: int, vec: str = "embedding") -> str:
+    lst = "list_value(" + ", ".join(
+        str(_JL_SIGNS[i][j]) for i in range(_JL_D_IN)
+    ) + ")"
+    return (
+        f"floor(list_reduce(list_transform(generate_series(1, {_JL_D_IN}),"
+        f" i -> CAST({vec}[i] AS DOUBLE) * ({lst}[i])), (a, v) -> a + v)"
+        f" * 0.25 * 1000000 + 0.5) / 1000000.0"
+    )
+
+
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA's data-oblivious sibling: 64-dim embeddings projected to
+    16 dims through the deterministic ±1 JL matrix
+    (operators/similarity.py: jl_project). Unlike pca_reduce2 this
+    needs NO training pass, no covariance shuffle, no stored model —
+    the matrix is derived from constants, so at 100 TB the reduction
+    is one exchange-free map over the scan, and any executor can
+    reproduce it independently. Output exploded to (vec_id, dim,
+    value) scalars."""
+    from etl_finance_pipeline_spark.operators.similarity import jl_project
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    return jl_project(emb, _JL_D_IN, _JL_D_OUT)
+
+
+SQL_JL_PROJECT = f"""
+WITH jlw AS (
+  SELECT vec_id,
+    {", ".join(f"{_jl_dim_sql(j)} AS d{j}" for j in range(_JL_D_OUT))}
+  FROM embeddings
+),
+jle AS (
+  SELECT vec_id, unnest(list_value(
+    {", ".join(f"struct_pack(dim := CAST({j} AS BIGINT), value := d{j})" for j in range(_JL_D_OUT))}
+  )) AS p
+  FROM jlw
+)
+SELECT vec_id, p.dim AS dim, p.value AS value FROM jle
+"""
+
+
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JL quality readout: over every pair of a 1-in-10 vector
+    sample, the ratio of projected to original Euclidean distance in
+    ppm — count, min, mean, max in one row. The lemma promises
+    ratios concentrated near 1; this is the measured check that the
+    16-dim sketch preserves neighborhoods before ANN/dedup consume
+    it (the ann_recall device applied to the projection)."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        jl_project_wide,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings")).filter(
+        F.col("vec_id") % 10 == 0
+    )
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    ).join(jl_project_wide(emb, _JL_D_IN, _JL_D_OUT), "vec_id")
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        *[F.col(f"d{j}").alias(f"a{j}") for j in range(_JL_D_OUT)],
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        *[F.col(f"d{j}").alias(f"b{j}") for j in range(_JL_D_OUT)],
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    d2o = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    d2p = None
+    for j in range(_JL_D_OUT):
+        t = (F.col(f"a{j}") - F.col(f"b{j}")) * (
+            F.col(f"a{j}") - F.col(f"b{j}")
+        )
+        d2p = t if d2p is None else d2p + t
+    ratio = (
+        F.floor(F.sqrt(d2p / d2o) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("ratio_ppm")
+    )
+    r = pairs.select(ratio)
+    return r.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("ratio_ppm").alias("min_ratio_ppm"),
+        F.floor(F.sum("ratio_ppm") * 1.0 / F.count("*") + F.lit(0.5))
+        .cast("long")
+        .alias("mean_ratio_ppm"),
+        F.max("ratio_ppm").alias("max_ratio_ppm"),
+    )
+
+
+SQL_JL_DISTORTION = f"""
+WITH jds AS (
+  SELECT vec_id, embedding,
+    {", ".join(f"{_jl_dim_sql(j)} AS d{j}" for j in range(_JL_D_OUT))}
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+jdp AS (
+  SELECT
+    CAST(floor(sqrt(
+      ({" + ".join(f"(a.d{j} - b.d{j}) * (a.d{j} - b.d{j})" for j in range(_JL_D_OUT))})
+      / list_reduce(list_transform(generate_series(1, {_JL_D_IN}),
+          i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+               * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))),
+          (x, v) -> x + v)
+    ) * 1000000 + 0.5) AS BIGINT) AS ratio_ppm
+  FROM jds a JOIN jds b ON a.vec_id < b.vec_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       min(ratio_ppm) AS min_ratio_ppm,
+       CAST(floor(sum(ratio_ppm) * 1.0 / count(*) + 0.5) AS BIGINT)
+         AS mean_ratio_ppm,
+       max(ratio_ppm) AS max_ratio_ppm
+FROM jdp
+"""
+
+
 QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_train": q_unigram_train,
     "unigram_segment": q_unigram_segment,
@@ -12137,6 +12272,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_route_census": q_source_route_census,
     "mixture_waterfill": q_mixture_waterfill,
     "domain_quality_prior": q_domain_quality_prior,
+    "jl_project": q_jl_project,
+    "jl_distortion": q_jl_distortion,
     "sft_render": q_sft_render,
     "sft_loss_mask": q_sft_loss_mask,
     "sft_pack": q_sft_pack,
@@ -12325,6 +12462,8 @@ ORACLES_TD: dict[str, str] = {
     "source_route_census": SQL_SOURCE_ROUTE_CENSUS,
     "mixture_waterfill": SQL_MIXTURE_WATERFILL,
     "domain_quality_prior": SQL_DOMAIN_QUALITY_PRIOR,
+    "jl_project": SQL_JL_PROJECT,
+    "jl_distortion": SQL_JL_DISTORTION,
     "sft_render": SQL_SFT_RENDER,
     "sft_loss_mask": SQL_SFT_LOSS_MASK,
     "sft_pack": SQL_SFT_PACK,

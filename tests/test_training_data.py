@@ -1806,3 +1806,32 @@ def test_mixture_waterfill_invariants(spark):
     )
     allocs = [r["alloc_tokens"] for r in unc]
     assert allocs == sorted(allocs, reverse=True)
+
+
+def test_jl_project_matches_hand_fold(spark):
+    import math
+
+    from etl_finance_pipeline_spark.operators.similarity import (
+        jl_project,
+        jl_signs,
+    )
+
+    d_in, d_out = 4, 2
+    signs = jl_signs(d_in, d_out)
+    vec = [0.5, -1.25, 2.0, 0.125]
+    df = spark.createDataFrame(
+        [(1, vec), (2, [0.0] * d_in)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        (r["vec_id"], r["dim"]): r["value"]
+        for r in jl_project(df, d_in, d_out).collect()
+    }
+    inv = 1.0 / math.sqrt(d_out)
+    for j in range(d_out):
+        acc = 0.0
+        for i in range(d_in):
+            acc = acc + vec[i] * signs[i][j]
+        exp = math.floor(acc * inv * 1_000_000 + 0.5) / 1_000_000.0
+        assert out[(1, j)] == exp
+        assert out[(2, j)] == 0.0
