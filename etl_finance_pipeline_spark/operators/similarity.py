@@ -1432,7 +1432,10 @@ def bitext_margin_mine(
         F.col(id_col).alias("tgt_id"),
         F.col(vec_col).cast("array<double>").alias("_vb"),
     )
-    pairs = a.crossJoin(b).select(
+    # fan_out the src side: the cross join's output partitioning is
+    # the left side's, and a single-file scan would put the entire
+    # |src|x|tgt| cosine workload on one task
+    pairs = fan_out(a).crossJoin(b).select(
         "src_id",
         "tgt_id",
         F.floor(cosine(F.col("_va"), F.col("_vb")) * 1_000_000 + F.lit(0.5))

@@ -11335,10 +11335,12 @@ def q_curation_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         curation_route,
     )
 
+    from etl_finance_pipeline_spark.functions.layout import fan_out
+
     docs = load_table(spark, _t(sf_dir, "documents")).select(
         "doc_id", "text"
     )
-    return curation_route(_route_decorate(docs))
+    return curation_route(_route_decorate(fan_out(docs)))
 
 
 SQL_CURATION_ROUTE = f"""
@@ -11599,12 +11601,21 @@ def q_bitext_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    brute = bitext_margin_mine(
-        en, de, k=4, margin_threshold_ppm=1_050_000
-    ).select("src_id", "tgt_id")
-    ivf = bitext_margin_mine_ivf(
-        en, de, cents, k=4, nprobe=2, margin_threshold_ppm=1_050_000
-    ).select("src_id", "tgt_id")
+    # materialize both kept-pair frames (≤ |src| rows each) before the
+    # three counting actions — without this each count re-executes the
+    # full mining chain and the query benches ~3× its real cost
+    brute = (
+        bitext_margin_mine(en, de, k=4, margin_threshold_ppm=1_050_000)
+        .select("src_id", "tgt_id")
+        .localCheckpoint(eager=True)
+    )
+    ivf = (
+        bitext_margin_mine_ivf(
+            en, de, cents, k=4, nprobe=2, margin_threshold_ppm=1_050_000
+        )
+        .select("src_id", "tgt_id")
+        .localCheckpoint(eager=True)
+    )
     common = brute.join(ivf, ["src_id", "tgt_id"]).count()
     nb = brute.count()
     nv = ivf.count()
@@ -11650,15 +11661,22 @@ def q_source_route_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         curation_route,
     )
 
+    from etl_finance_pipeline_spark.functions.layout import fan_out
+
     docs = load_table(spark, _t(sf_dir, "documents"))
     routed = curation_route(
-        _route_decorate(docs.select("doc_id", "source", "text")),
+        # fan_out: the fused signal projection is regex-CPU-bound and a
+        # single-file scan would otherwise run it on one task
+        _route_decorate(fan_out(docs.select("doc_id", "source", "text"))),
         keep_cols=("source",),
     )
     per = routed.groupBy("source", "route").agg(
         F.count("*").cast("long").alias("n_docs")
     )
-    tot = routed.groupBy("source").agg(F.count("*").alias("_tot"))
+    # totals re-aggregate the k×routes frame (one corpus pass total);
+    # aggregating `routed` again would evaluate the signal projection
+    # a second time over the whole corpus
+    tot = per.groupBy("source").agg(F.sum("n_docs").alias("_tot"))
     return per.join(tot, "source").select(
         "source",
         "route",
