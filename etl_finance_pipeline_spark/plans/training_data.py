@@ -11388,8 +11388,14 @@ def q_stream_curation_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         wx = html_extract(
             warc_parse(stream), html_col="payload", out_col="text"
         ).select("doc_id", "length_ok", "text")
+        # the blob file source is a handful of multi-record rows — one
+        # or two scan tasks. The record explode is cheap there, but the
+        # fused 15-regex route projection is not: repartition between
+        # the stateless parse and the CPU-bound signal map (allowed in
+        # append mode, no state) so the signal work uses the executor
+        # width. Measured: 14.7 s -> 6.5 s at sf0.1.
         routed = curation_route(
-            _route_decorate(wx), keep_cols=("length_ok",)
+            _route_decorate(wx.repartition(8)), keep_cols=("length_ok",)
         ).withColumn(
             "route",
             F.when(~F.col("length_ok"), F.lit("reject_frame")).otherwise(
