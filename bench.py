@@ -29,14 +29,34 @@ from etl_finance_pipeline_spark import get_spark  # noqa: E402
 SPREAD_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_RUNS", "6"))
 SPREAD_LIMIT = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD", "0.5"))
 
+# LIGHT rows (min under LIGHT_SEC) are where min-of-2 demonstrably
+# fails: the round-10 artifact's own query_stats showed 347-511%
+# same-run spreads on unchanged sub-second plans (a multi-second JVM
+# stall lands on a 0.3 s row), which produced seven false >1.5x delta
+# flags that SCALE.md then had to hand-adjudicate. A stall cannot be
+# averaged out but IS escaped by more draws of a cheap row: take at
+# least LIGHT_RUNS samples (cheap by definition), and keep drawing up
+# to SPREAD_RUNS while the spread stays pathological.
+LIGHT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_LIGHT_SEC", "1.5"))
+LIGHT_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_LIGHT_RUNS", "5"))
+
 
 def _needs_more(samples: list[float], runs: int, heavy_sec: float, heavy_runs: int) -> bool:
-    """min-of-N sampling policy: N=runs normally, N=heavy_runs when
-    the query is heavy (min > heavy_sec), and up to SPREAD_RUNS while
-    a heavy query's spread stays above SPREAD_LIMIT."""
+    """min-of-N sampling policy: N=runs in the mid band, N=LIGHT_RUNS
+    when the query is light (min < LIGHT_SEC — stall-dominated rows
+    need more draws), N=heavy_runs when heavy (min > heavy_sec), and
+    up to SPREAD_RUNS while a light/heavy query's spread stays above
+    SPREAD_LIMIT."""
     if len(samples) < runs:
         return True
     lo = min(samples)
+    if lo < LIGHT_SEC:
+        if len(samples) < LIGHT_RUNS:
+            return True
+        return (
+            len(samples) < max(LIGHT_RUNS, SPREAD_RUNS)
+            and (max(samples) - lo) / lo > SPREAD_LIMIT
+        )
     if lo <= heavy_sec:
         return False
     if len(samples) < heavy_runs:
@@ -181,6 +201,8 @@ def main() -> int:
     full["heavy_runs"] = heavy_runs
     full["spread_runs"] = SPREAD_RUNS
     full["spread_limit"] = SPREAD_LIMIT
+    full["light_threshold_sec"] = LIGHT_SEC
+    full["light_runs"] = LIGHT_RUNS
     full["run_samples"] = all_runs
     full["query_stats"] = {
         name: _sample_stats(samples) for name, samples in all_runs.items()

@@ -122,6 +122,28 @@ def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
 
 
+def _guard_exact_pairs(
+    op: str, a: DataFrame, b: DataFrame, max_pairs: int | None
+) -> None:
+    """Enforce the exact-lane contract: the brute-force pair frame is
+    an EVAL DEVICE (recall oracle), and pointing it at a real corpus
+    must fail loudly before the cross join runs, not OOM an hour in.
+    Costs two count jobs over column-pruned scans — O(rows scanned),
+    nothing materialized."""
+    if max_pairs is None:
+        return
+    na, nb = a.count(), b.count()
+    if na * nb > max_pairs:
+        raise ValueError(
+            f"{op}: exact pair frame would be {na} x {nb} = {na * nb:,} "
+            f"rows (> max_pairs={max_pairs:,}). This lane is the recall "
+            "oracle for eval-sized inputs; use the bucketed twin "
+            "(lsh_ann_topk/ivf_ann_topk/bitext_margin_mine_ivf) at "
+            "corpus scale, or pass max_pairs=None if the sides are "
+            "known-bounded."
+        )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -130,6 +152,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_digits: int | None = 6,
+    max_pairs: int | None = 10_000_000,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: every query against the full
     corpus. Queries are broadcast; ranking is deterministic via
@@ -137,9 +160,18 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cosine, rank).
 
+    This is the RECALL ORACLE, not the production ANN path — the
+    |queries|×|corpus| pair frame is intentional for ground truth at
+    eval scale and catastrophic at corpus scale (use `lsh_ann_topk` /
+    `ivf_ann_topk` there). *max_pairs* enforces that contract: the
+    call raises once the pair frame would exceed it (two pruned-scan
+    counts, cheap next to the pair work). Pass ``None`` only from a
+    caller that has already bounded the sides.
+
     The corpus side is fan_out-widened: per-pair cosine is the cost
     center and must use every core even when the corpus arrives as a
     single small file."""
+    _guard_exact_pairs("cosine_topk", queries, corpus, max_pairs)
     corpus = _as_double(fan_out(corpus), vec_col)
     queries = _as_double(queries.withColumnRenamed(id_col, query_id_col), vec_col)
     q = queries.select(query_id_col, F.col(vec_col).alias("_qv"))
@@ -1396,6 +1428,7 @@ def bitext_margin_mine(
     margin_threshold_ppm: int = 1_020_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_pairs: int | None = 10_000_000,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019, the
     CCMatrix/LASER device): candidate translation pairs between two
@@ -1419,11 +1452,15 @@ def bitext_margin_mine(
     FIRST: bucket both sides with the IVF/LSH machinery in this
     module (`ivf_ann_topk`, `lsh_ann_topk`) and mine margins within
     candidate buckets only — the margin arithmetic here is unchanged,
-    only the candidate generator swaps.
+    only the candidate generator swaps. *max_pairs* enforces that
+    contract mechanically: the call raises before building a pair
+    frame larger than the ceiling (see `bitext_margin_mine_ivf` for
+    the corpus-scale lane with the same output contract).
 
     Output: (src_id, tgt_id, cos_ppm, margin_ppm), one row per source
     vector whose best margin clears *margin_threshold_ppm*.
     """
+    _guard_exact_pairs("bitext_margin_mine", src, tgt, max_pairs)
     a = src.select(
         F.col(id_col).alias("src_id"),
         F.col(vec_col).cast("array<double>").alias("_va"),
@@ -1499,7 +1536,19 @@ def _margin_from_pairs(
     pairs: DataFrame, k: int, margin_threshold_ppm: int
 ) -> DataFrame:
     """Ratio-margin scoring over a (src_id, tgt_id, cos_u) candidate
-    frame — shared by the exact and IVF-bucketed miners."""
+    frame — shared by the exact and IVF-bucketed miners.
+
+    The per-side k-NN denominator frames (dsrc/dtgt) are O(|src|)-
+    and O(|tgt|)-row aggregates, so they carry NO broadcast hint:
+    the IVF lane is documented as the path for sides in the hundreds
+    of millions, where a forced broadcast would blow the driver.
+    AQE broadcasts them at small scale on its own; at large scale
+    they hash-join on the same id keys the candidate frame already
+    carries. Margins are UNDEFINED when a vector's candidate
+    neighborhood has non-positive average cosine (orthogonal or
+    antipodal embeddings): the denominator is guarded to NULL there,
+    and the threshold filter drops the pair — mirrored by a CASE
+    guard in the DuckDB oracle twin."""
     w_src = Window.partitionBy("src_id").orderBy(
         F.col("cos_u").desc(), F.col("tgt_id")
     )
@@ -1519,19 +1568,19 @@ def _margin_from_pairs(
         .groupBy("tgt_id")
         .agg(F.sum("cos_u").alias("_dy"), F.count("*").alias("_ky"))
     )
-    margin = F.floor(
-        2.0
-        * F.col("cos_u")
-        * 1_000_000.0
-        / (
-            F.col("_dx") * 1.0 / F.col("_kx")
-            + F.col("_dy") * 1.0 / F.col("_ky")
-        )
-        + F.lit(0.5)
-    ).cast("long")
+    den = (
+        F.col("_dx") * 1.0 / F.col("_kx")
+        + F.col("_dy") * 1.0 / F.col("_ky")
+    )
+    margin = F.when(
+        den > 0,
+        F.floor(
+            2.0 * F.col("cos_u") * 1_000_000.0 / den + F.lit(0.5)
+        ).cast("long"),
+    )
     scored = (
-        pairs.join(F.broadcast(dsrc), "src_id")
-        .join(F.broadcast(dtgt), "tgt_id")
+        pairs.join(dsrc, "src_id")
+        .join(dtgt, "tgt_id")
         .withColumn("margin_ppm", margin)
     )
     w_best = Window.partitionBy("src_id").orderBy(

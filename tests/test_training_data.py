@@ -157,6 +157,28 @@ def test_cosine_topk_exact(spark):
     assert out[3]["cosine"] == -1.0
 
 
+def test_exact_lanes_enforce_pair_ceiling(spark):
+    """The brute-force lanes are documented as eval-only recall
+    oracles; the max_pairs guard makes that contract mechanical — a
+    pair frame over the ceiling raises BEFORE the cross join runs,
+    and a bounded call is unaffected."""
+    import pytest
+
+    from etl_finance_pipeline_spark.operators.similarity import (
+        bitext_margin_mine,
+    )
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    with pytest.raises(ValueError, match="max_pairs"):
+        cosine_topk(emb, q, k=4, max_pairs=3)
+    with pytest.raises(ValueError, match="max_pairs"):
+        bitext_margin_mine(emb, emb, k=2, max_pairs=3)
+    # unchanged result under the default ceiling
+    out = cosine_topk(emb, q, k=4).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [4, 1, 2, 3]
+
+
 def test_lsh_identical_vectors_same_bucket(spark):
     planes = [[1.0, 2.0, -1.0, 0.5], [-0.3, 1.0, 0.7, -2.0]]
     emb = _emb(spark)
