@@ -452,6 +452,112 @@ def domain_rollup(
     )
 
 
+#: query parameters stripped by url_canonicalize — the ubiquitous
+#: click/campaign trackers (the public "ClearURLs"-style core set).
+#: A name here is matched as a full parameter name, case-insensitive.
+TRACKING_PARAM_RE = "utm_[a-z0-9_]+|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src"
+
+#: percent-escapes decoded by url_canonicalize: the RFC 3986
+#: UNRESERVED punctuation, the only octets whose encoded and decoded
+#: forms are equivalent by spec (alphanumerics would add 62 rewrite
+#: rules for noise real crawls rarely emit — documented approximation)
+_PCT_UNRESERVED = (("%2d", "-"), ("%2e", "."), ("%5f", "_"), ("%7e", "~"))
+
+
+def url_canonicalize(
+    df: DataFrame,
+    url_col: str = "url",
+    canon_col: str = "url_canon",
+    key_col: str = "url_key",
+) -> DataFrame:
+    """Full-URL canonicalization — the cheapest, highest-yield gate of
+    crawl curation, run BEFORE any content is touched (stage −0.5 of
+    the WARC build). Two outputs per row:
+
+    *canon_col* — the display/canonical form: scheme and host
+    lowercased (path case PRESERVED — paths are case-sensitive by
+    spec), userinfo dropped, default ports (:80/:443) stripped,
+    fragment dropped, duplicate slashes collapsed, one trailing slash
+    stripped, RFC 3986 unreserved punctuation percent-decoded,
+    tracking parameters (``TRACKING_PARAM_RE``) removed, remaining
+    query parameters SORTED (order is not identity-bearing).
+
+    *key_col* — the cross-snapshot identity key, Heritrix/Wayback
+    SURT-style aggressive form: the canonical form lowercased in
+    full, scheme dropped, one leading ``www.`` dropped — the key two
+    fetches of the same page share across crawl snapshots even when
+    scheme, case, or tracking decoration differ. URL-level exact
+    dedup (:func:`url_dedup`) groups on this.
+
+    Entirely anchored-regex + array codegen — no UDF, no shuffle; at
+    100 TB this rides the WARC scan as one more projection. Every
+    rule is replayed verbatim by the DuckDB oracle twin.
+    """
+    t = F.trim(F.col(url_col))
+    scheme = F.lower(F.regexp_extract(t, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(t, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
+    auth = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    tail = F.regexp_replace(rest, r"^[^/?#]*", "")
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(auth), r"^[^@/]*@", ""), r":(80|443)$", ""
+    )
+    tail2 = F.regexp_replace(tail, r"#.*$", "")  # fragment off first
+    rawpath = F.regexp_extract(tail2, r"^([^?]*)", 1)
+    rawq = F.regexp_extract(tail2, r"\?(.*)$", 1)
+    p = rawpath
+    for enc, dec in _PCT_UNRESERVED:
+        p = F.regexp_replace(p, "(?i)" + enc, dec)
+    p = F.regexp_replace(p, "//+", "/")
+    p = F.regexp_replace(p, "(.)/$", "$1")
+    path = F.when((p == "") & (host != ""), F.lit("/")).otherwise(p)
+    q = F.regexp_replace(
+        F.concat(F.lit("&"), rawq),
+        f"(?i)&({TRACKING_PARAM_RE})=[^&]*",
+        "",
+    )
+    q = F.regexp_replace(q, "^&", "")
+    q = F.array_join(
+        F.array_sort(F.filter(F.split(q, "&"), lambda x: x != "")), "&"
+    )
+    qpart = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    canon = F.concat(
+        F.when(scheme == "", F.lit("")).otherwise(
+            F.concat(scheme, F.lit("://"))
+        ),
+        host,
+        path,
+        qpart,
+    )
+    key = F.lower(
+        F.concat(F.regexp_replace(host, r"^www\.", ""), path, qpart)
+    )
+    return df.withColumn(canon_col, canon).withColumn(key_col, key)
+
+
+def url_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    key_col: str = "url_key",
+) -> DataFrame:
+    """URL-level exact dedup across crawl snapshots: canonicalize
+    (:func:`url_canonicalize`), group on the aggressive identity key,
+    keep the MINIMUM id per key (deterministic keep-first — the
+    earliest fetch), and report how many snapshots collapsed into it.
+    One map-combinable ``min/count`` aggregate keyed by url_key —
+    exactly the exact-dedup shuffle shape, but over the URL key
+    instead of a content hash, which is why it runs BEFORE payloads
+    are parsed: at 100 TB it prunes refetches at header-scan cost.
+
+    Output: (url_key, *id_col* kept, n_snapshots).
+    """
+    keyed = url_canonicalize(df, url_col=url_col, key_col=key_col)
+    return keyed.groupBy(key_col).agg(
+        F.min(id_col).cast("long").alias(id_col),
+        F.count("*").cast("long").alias("n_snapshots"),
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

@@ -9233,6 +9233,225 @@ def _html_pay_cte(p: str = "hx_pay") -> str:
 )"""
 
 
+# --------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (stage −0.5 of the WARC build)
+# --------------------------------------------------------------------
+
+def _crawl_url_expr():
+    """Crawl-shaped URL from (source, doc_id) with SNAPSHOT structure:
+    doc_ids sharing ``doc_id % 100`` are refetches of one logical page
+    (every group-invariant noise modulus divides 100 — www %2, cdn %4,
+    port %5, and source itself is doc_id %20-derived — while scheme
+    %3, whole-URL case %7, fragment, tracking params, percent-case,
+    slash noise all vary WITHIN the group). url_canonicalize must
+    therefore strip exactly the per-snapshot decoration to recover the
+    page identity; anything it under-strips splits a group and the
+    url_dedup oracle catches it."""
+    d = F.col("doc_id")
+    page = d % 100
+    kept = (
+        F.when(page % 4 == 0, F.concat(F.lit("q="), (page % 9).cast("string")))
+        .when(
+            page % 4 == 2,
+            F.concat(F.lit("z=9&a="), (page % 7).cast("string")),
+        )
+        .otherwise(F.lit(""))
+    )
+    trk = (
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("utm_source=s"), (d % 4).cast("string")),
+        )
+        .when(d % 3 == 1, F.concat(F.lit("fbclid=f"), d.cast("string")))
+        .otherwise(F.lit(""))
+    )
+    qraw = (
+        F.when((kept == "") & (trk == ""), F.lit(""))
+        .when(kept == "", F.concat(F.lit("?"), trk))
+        .when(trk == "", F.concat(F.lit("?"), kept))
+        .when(d % 7 <= 3, F.concat(F.lit("?"), trk, F.lit("&"), kept))
+        .otherwise(F.concat(F.lit("?"), kept, F.lit("&"), trk))
+    )
+    url = F.concat(
+        F.element_at(
+            F.array(F.lit("https://"), F.lit("http://"), F.lit("")),
+            (d % 3 + 1).cast("int"),
+        ),
+        F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".com"),
+        F.when(d % 5 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.lit("//a")).otherwise(F.lit("/a")),
+        F.when(d % 11 == 0, F.lit("%2Eb"))
+        .when(d % 11 == 1, F.lit("%2eb"))
+        .otherwise(F.lit(".b")),
+        F.lit("/"),
+        page.cast("string"),
+        F.when(d % 13 == 0, F.lit("/")).otherwise(F.lit("")),
+        qraw,
+        F.when(d % 7 == 2, F.concat(F.lit("#s"), d.cast("string"))).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(d % 7 == 0, F.upper(url)).otherwise(url)
+
+
+#: DuckDB twin of _crawl_url_expr: ``curl0 → curl1 → curls`` with
+#: curls(doc_id, url) over the documents fixture
+_CRAWL_URLS_CTE = """curl0 AS (
+  SELECT doc_id, source,
+    CASE WHEN (doc_id % 100) % 4 = 0
+           THEN 'q=' || CAST((doc_id % 100) % 9 AS VARCHAR)
+         WHEN (doc_id % 100) % 4 = 2
+           THEN 'z=9&a=' || CAST((doc_id % 100) % 7 AS VARCHAR)
+         ELSE '' END AS kept,
+    CASE doc_id % 3
+         WHEN 0 THEN 'utm_source=s' || CAST(doc_id % 4 AS VARCHAR)
+         WHEN 1 THEN 'fbclid=f' || CAST(doc_id AS VARCHAR)
+         ELSE '' END AS trk
+  FROM documents
+),
+curl1 AS (
+  SELECT doc_id, source,
+    CASE WHEN kept = '' AND trk = '' THEN ''
+         WHEN kept = '' THEN '?' || trk
+         WHEN trk = '' THEN '?' || kept
+         WHEN doc_id % 7 <= 3 THEN '?' || trk || '&' || kept
+         ELSE '?' || kept || '&' || trk END AS qraw
+  FROM curl1_base
+),
+curls AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN upper(u) ELSE u END AS url
+  FROM (
+    SELECT doc_id,
+      (CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'http://' ELSE '' END)
+      || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+      || (CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END)
+      || source || '.com'
+      || (CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END)
+      || (CASE WHEN doc_id % 17 = 0 THEN '//a' ELSE '/a' END)
+      || (CASE doc_id % 11 WHEN 0 THEN '%2Eb' WHEN 1 THEN '%2eb' ELSE '.b' END)
+      || '/' || CAST(doc_id % 100 AS VARCHAR)
+      || (CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END)
+      || qraw
+      || (CASE WHEN doc_id % 7 = 2 THEN '#s' || CAST(doc_id AS VARCHAR) ELSE '' END)
+        AS u
+    FROM curl1
+  )
+)""".replace("curl1_base", "curl0")
+
+
+def _url_canon_ctes(rel: str, cols: str, p: str = "uc") -> str:
+    """``{p}c1 → … → {p}canon`` CTE chain: the DuckDB twin of
+    operators/corpus.py:url_canonicalize over CTE *rel* (which must
+    expose *cols* + ``url``). ``{p}canon`` exposes (cols...,
+    url_canon, url_key). Replays the identical anchored-regex +
+    sorted-param chain; DuckDB regexp_replace needs explicit 'g' where
+    Spark replaces all matches."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        TRACKING_PARAM_RE,
+        _PCT_UNRESERVED,
+    )
+
+    pct = "rawpath"
+    for enc, dec in _PCT_UNRESERVED:
+        pct = f"regexp_replace({pct}, '(?i){enc}', '{dec}', 'g')"
+    return f"""{p}c1 AS (
+  SELECT {cols},
+    lower(regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1)) AS scheme,
+    regexp_replace(trim(url), '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', '') AS rest
+  FROM {rel}
+),
+{p}c2 AS (
+  SELECT {cols}, scheme,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+      '^[^@/]*@', ''), ':(80|443)$', '') AS host,
+    regexp_replace(regexp_replace(rest, '^[^/?#]*', ''), '#.*$', '') AS tail2
+  FROM {p}c1
+),
+{p}c3 AS (
+  SELECT {cols}, scheme, host,
+    regexp_extract(tail2, '^([^?]*)', 1) AS rawpath,
+    regexp_extract(tail2, '\\?(.*)$', 1) AS rawq
+  FROM {p}c2
+),
+{p}c4 AS (
+  SELECT {cols}, scheme, host,
+    regexp_replace(regexp_replace({pct}, '//+', '/', 'g'), '(.)/$', '\\1')
+      AS path0,
+    -- array_to_string of an empty list is NULL in DuckDB where
+    -- Spark's array_join is '' — hence the coalesce
+    coalesce(array_to_string(list_sort(list_filter(string_split(
+      regexp_replace(regexp_replace('&' || rawq,
+        '(?i)&({TRACKING_PARAM_RE})=[^&]*', '', 'g'), '^&', ''),
+      '&'), x -> x <> '')), '&'), '') AS q
+  FROM {p}c3
+),
+{p}canon AS (
+  SELECT {cols},
+    (CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END)
+      || host
+      || (CASE WHEN path0 = '' AND host <> '' THEN '/' ELSE path0 END)
+      || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS url_canon,
+    lower(regexp_replace(host, '^www\\.', '')
+      || (CASE WHEN path0 = '' AND host <> '' THEN '/' ELSE path0 END)
+      || (CASE WHEN q = '' THEN '' ELSE '?' || q END)) AS url_key
+  FROM {p}c4
+)"""
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage −0.5 of crawl curation, the gate that runs before any
+    payload is parsed: full-URL canonicalization over snapshot-noised
+    crawl URLs — scheme/host case, default ports, fragments,
+    duplicate/trailing slashes, RFC 3986 unreserved percent-escapes,
+    tracking parameters, and query-parameter order all normalized —
+    plus the SURT-style aggressive identity key URL-level dedup
+    groups on (operators/corpus.py:url_canonicalize). Exchange-free
+    string codegen; the oracle replays the identical rule chain."""
+    from etl_finance_pipeline_spark.operators.corpus import url_canonicalize
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    urls = docs.select("doc_id", "source", _crawl_url_expr().alias("url"))
+    return url_canonicalize(urls).select(
+        "doc_id", "url", "url_canon", "url_key"
+    )
+
+
+SQL_URL_CANONICALIZE = f"""
+WITH {_CRAWL_URLS_CTE},
+{_url_canon_ctes("curls", "doc_id, url", "uq")}
+SELECT doc_id, url, url_canon, url_key FROM uqcanon
+"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup across crawl snapshots: canonicalize,
+    group on the identity key, keep the earliest fetch, count the
+    refetches that collapsed into it. The cheapest dedup a crawl
+    pipeline runs — at 100 TB it prunes snapshot refetches at
+    header-scan cost, before payloads are parsed or content hashed.
+    One map-combinable min/count aggregate keyed by url_key."""
+    from etl_finance_pipeline_spark.operators.corpus import url_dedup
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    urls = docs.select("doc_id", "source", _crawl_url_expr().alias("url"))
+    return url_dedup(urls)
+
+
+SQL_URL_DEDUP = f"""
+WITH {_CRAWL_URLS_CTE},
+{_url_canon_ctes("curls", "doc_id, url", "uq")}
+SELECT url_key,
+       CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_snapshots
+FROM uqcanon
+GROUP BY 1
+"""
+
+
 def _html_extract_ctes(
     src: str,
     keys: str = "doc_id, source, lang",
@@ -9858,7 +10077,7 @@ def _warc_parse_ctes() -> str:
     Content-Length framing from the header terminator."""
     cl = "TRY_CAST(regexp_extract(r, 'Content-Length: ([0-9]+)', 1) AS BIGINT)"
     return f"""{_html_pay_cte("wpay")},
-{_URL_CTE_URLS.strip()},
+{_CRAWL_URLS_CTE},
 wrec AS (
   SELECT d.doc_id % {_WARC_BLOBS} AS blob_id, d.doc_id,
          'WARC/1.0' || {_CRLF} || 'WARC-Type: response' || {_CRLF}
@@ -9866,7 +10085,7 @@ wrec AS (
          || 'WARC-Target-URI: ' || u.url || {_CRLF}
          || 'Content-Length: ' || CAST(len(d.html) AS VARCHAR) || {_CRLF} || {_CRLF}
          || d.html || {_CRLF} || {_CRLF} AS rec
-  FROM wpay d JOIN urls u USING (doc_id)
+  FROM wpay d JOIN curls u USING (doc_id)
 ),
 wblob AS (
   SELECT blob_id, string_agg(rec, '' ORDER BY doc_id) AS warc
@@ -9897,7 +10116,11 @@ def _warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, _t(sf_dir, "documents"))
     return (
         synthesize_html(docs)
-        .withColumn("url", _url_expr())
+        # crawl-shaped URLs WITH snapshot structure (scheme/case/
+        # tracking noise over a shared page identity) so the WARC
+        # funnel's stage −0.5 — URL canonicalize + URL-level dedup —
+        # has real refetches to collapse
+        .withColumn("url", _crawl_url_expr())
         .withColumn(
             "blob_id", (F.col("doc_id") % _WARC_BLOBS).cast("int")
         )
@@ -9989,15 +10212,18 @@ def q_warc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     parses the WARC-style blobs (framing check), stage 0 extracts
     main text from each recovered payload, and every downstream gate
     — domain blocklist over the PARSED Target-URI (not a synthesized
-    column), lang-ID, Gopher rules, exact dedup — evaluates over the
-    extracted text. source/lang metadata joins in by the parsed
-    record id (the crawl catalog lookup a real pipeline does).
-    Output: one row of stage counts, n_records down to n_final."""
+    column), stage −0.5 URL-level dedup (canonical-key keep-first
+    across crawl snapshots), lang-ID, Gopher rules, exact dedup —
+    evaluates over the extracted text. source/lang metadata joins in
+    by the parsed record id (the crawl catalog lookup a real
+    pipeline does). Output: one row of stage counts, n_records down
+    to n_final."""
     from etl_finance_pipeline_spark.operators.corpus import (
         canonical_host,
         html_extract,
         registrable_domain,
         synthesize_warc,
+        url_canonicalize,
         warc_parse,
     )
     from etl_finance_pipeline_spark.operators.text_analysis import (
@@ -10027,6 +10253,21 @@ def q_warc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("_qk"),
     )
     exact = meta.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # stage −0.5: URL-level keep-first across snapshots, evaluated on
+    # the raw parsed URI (before any content gate, as deployed) — one
+    # slim window shuffle keyed by the canonical identity key
+    uk = (
+        url_canonicalize(parsed.select("doc_id", F.col("uri").alias("url")))
+        .select(
+            "doc_id",
+            (
+                F.col("doc_id")
+                == F.min("doc_id").over(Window.partitionBy("url_key"))
+            )
+            .cast("int")
+            .alias("_uk"),
+        )
+    )
     flags = (
         meta.select(
             "doc_id",
@@ -10034,6 +10275,7 @@ def q_warc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("text") > 0).cast("int").alias("_xk"),
             dflag.alias("_dk"),
         )
+        .join(uk, "doc_id")
         .join(lid, "doc_id")
         .join(gq, "doc_id")
         .join(
@@ -10048,6 +10290,7 @@ def q_warc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_fk").cast("long").alias("n_framed"),
         F.sum("_xk").cast("long").alias("n_extract"),
         F.sum("_dk").cast("long").alias("n_domain"),
+        F.sum("_uk").cast("long").alias("n_urldedup"),
         F.sum("_lk").cast("long").alias("n_lang"),
         F.sum("_qk").cast("long").alias("n_quality"),
         F.sum("_ek").cast("long").alias("n_exact"),
@@ -10055,6 +10298,7 @@ def q_warc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_fk")
             * F.col("_xk")
             * F.col("_dk")
+            * F.col("_uk")
             * F.col("_lk")
             * F.col("_qk")
             * F.col("_ek")
@@ -10073,6 +10317,14 @@ wmeta AS (
 ),
 wuri AS (SELECT doc_id, uri AS url FROM wxdocs),
 {_URL_CTE_DOMS.replace("FROM urls", "FROM wuri").strip()},
+wuq AS (SELECT doc_id, uri AS url FROM wparse),
+{_url_canon_ctes("wuq", "doc_id", "wu")},
+wuk AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY url_key)
+              THEN 1 ELSE 0 END AS uk
+  FROM wucanon
+),
 wfex AS (SELECT min(doc_id) AS doc_id FROM wmeta GROUP BY text),
 wffl AS (
   SELECT m.doc_id,
@@ -10080,6 +10332,7 @@ wffl AS (
     CASE WHEN len(m.text) > 0 THEN 1 ELSE 0 END AS xk,
     CASE WHEN doms.domain NOT IN ({", ".join(f"'{b}'" for b in _URL_BLOCKLIST)})
          THEN 1 ELSE 0 END AS dk,
+    wuk.uk AS uk,
     CASE WHEN lid.pred_lang = 'en' THEN 1 ELSE 0 END AS lk,
     CASE WHEN gq.rule_word_count AND gq.rule_mean_word_len
           AND gq.rule_symbol_ratio AND gq.rule_alpha_words
@@ -10087,6 +10340,7 @@ wffl AS (
     CASE WHEN wfex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ek
   FROM wmeta m
   JOIN doms ON doms.doc_id = m.doc_id
+  JOIN wuk ON wuk.doc_id = m.doc_id
   JOIN ({SQL_LANG_ID.replace("FROM documents", "FROM wmeta").strip()}) lid
     ON lid.doc_id = m.doc_id
   JOIN ({SQL_GOPHER_QUALITY.replace("FROM documents", "FROM wmeta").strip()}) gq
@@ -10097,10 +10351,11 @@ SELECT CAST(count(*) AS BIGINT) AS n_records,
        CAST(sum(fk) AS BIGINT) AS n_framed,
        CAST(sum(xk) AS BIGINT) AS n_extract,
        CAST(sum(dk) AS BIGINT) AS n_domain,
+       CAST(sum(uk) AS BIGINT) AS n_urldedup,
        CAST(sum(lk) AS BIGINT) AS n_lang,
        CAST(sum(qk) AS BIGINT) AS n_quality,
        CAST(sum(ek) AS BIGINT) AS n_exact,
-       CAST(sum(fk * xk * dk * lk * qk * ek) AS BIGINT) AS n_final
+       CAST(sum(fk * xk * dk * uk * lk * qk * ek) AS BIGINT) AS n_final
 FROM wffl
 """
 
@@ -10120,13 +10375,28 @@ def q_corpus_build_e2e_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         html_extract,
         registrable_domain,
         synthesize_warc,
+        url_canonicalize,
         warc_parse,
     )
 
     docs = load_table(spark, _t(sf_dir, "documents"))
-    parsed = warc_parse(synthesize_warc(_warc_pages(spark, sf_dir)))
+    parsed = warc_parse(synthesize_warc(_warc_pages(spark, sf_dir))).filter(
+        F.col("length_ok")
+    )
+    # stage −0.5: URL-level keep-first dedup across crawl snapshots,
+    # BEFORE text extraction — refetches are pruned at header cost so
+    # the extractor and every content gate never see them. One window
+    # shuffle keyed by the canonical URL key (slim columns only).
+    keep = (
+        url_canonicalize(parsed.select("doc_id", F.col("uri").alias("url")))
+        .withColumn(
+            "_m", F.min("doc_id").over(Window.partitionBy("url_key"))
+        )
+        .filter(F.col("doc_id") == F.col("_m"))
+        .select("doc_id")
+    )
     wx = html_extract(
-        parsed.filter(F.col("length_ok")), html_col="payload", out_col="text"
+        parsed.join(keep, "doc_id"), html_col="payload", out_col="text"
     )
     hx = wx.join(docs.select("doc_id", "source", "lang"), "doc_id").select(
         "doc_id", "source", "lang", "text", "uri"
@@ -10139,9 +10409,14 @@ def q_corpus_build_e2e_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CB_WARC_HEAD = f"""{_warc_parse_ctes()},
 {_html_extract_ctes("wparse", "doc_id, uri, content_length, length_ok", "wx", " ", "payload")},
+cwuq AS (SELECT doc_id, uri AS url FROM wparse WHERE length_ok),
+{_url_canon_ctes("cwuq", "doc_id", "cu")},
+cwin AS (SELECT min(doc_id) AS doc_id FROM cucanon GROUP BY url_key),
 cwmx AS (
   SELECT w.doc_id, d.source, d.lang, w.text, w.uri
-  FROM wxdocs w JOIN documents d USING (doc_id)
+  FROM wxdocs w
+  JOIN cwin USING (doc_id)
+  JOIN documents d USING (doc_id)
   WHERE w.length_ok
 ),
 cwuri AS (SELECT doc_id, uri AS url FROM cwmx),
@@ -12180,6 +12455,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fasttext_select": q_fasttext_select,
     "stream_fasttext_score": q_stream_fasttext_score,
     "domain_filter": q_domain_filter,
+    "url_canonicalize": q_url_canonicalize,
+    "url_dedup": q_url_dedup,
     "stream_domain_filter": q_stream_domain_filter,
     "html_extract": q_html_extract,
     "stream_html_extract": q_stream_html_extract,
@@ -12370,6 +12647,8 @@ ORACLES_TD: dict[str, str] = {
     "fasttext_select": SQL_FASTTEXT_SELECT,
     "stream_fasttext_score": SQL_STREAM_FASTTEXT_SCORE,
     "domain_filter": SQL_DOMAIN_FILTER,
+    "url_canonicalize": SQL_URL_CANONICALIZE,
+    "url_dedup": SQL_URL_DEDUP,
     "stream_domain_filter": SQL_STREAM_DOMAIN_FILTER,
     "html_extract": SQL_HTML_EXTRACT,
     "stream_html_extract": SQL_STREAM_HTML_EXTRACT,

@@ -445,6 +445,60 @@ def test_canonical_host_and_domain_edges(spark):
     assert out[6] == ("archive.example.com", "example.com")
 
 
+def test_url_canonicalize_rules(spark):
+    """Every canonicalization rule on a hand-built row: scheme+host
+    lowercase (path case preserved), default-port strip (non-default
+    kept), fragment drop, duplicate/trailing slash collapse,
+    unreserved percent-decode, tracking-param strip, query sort; the
+    key additionally lowercases in full, drops scheme and www."""
+    from pyspark.sql import functions as F
+
+    from etl_finance_pipeline_spark.operators.corpus import url_canonicalize
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443//A%2eB/c/?z=2&utm_source=x&a=1#f"),
+        (2, "http://example.com:8080/path"),
+        (3, "example.com"),
+        (4, "https://example.com/?fbclid=abc"),
+        (5, "https://user@example.com/p"),
+    ]
+    out = {
+        r["id"]: (r["url_canon"], r["url_key"])
+        for r in url_canonicalize(
+            spark.createDataFrame(rows, ["id", "url"])
+        ).collect()
+    }
+    assert out[1] == (
+        "https://www.example.com/A.B/c?a=1&z=2",
+        "example.com/a.b/c?a=1&z=2",
+    )
+    assert out[2] == ("http://example.com:8080/path", "example.com:8080/path")
+    assert out[3] == ("example.com/", "example.com/")
+    assert out[4] == ("https://example.com/", "example.com/")
+    assert out[5] == ("https://example.com/p", "example.com/p")
+
+
+def test_url_dedup_collapses_snapshots(spark):
+    """Refetches of one page differing only in scheme, case, and
+    tracking decoration collapse to the earliest fetch."""
+    from etl_finance_pipeline_spark.operators.corpus import url_dedup
+
+    rows = [
+        (10, "https://www.site.com/a?utm_medium=m"),
+        (11, "HTTP://SITE.COM/A"),
+        (12, "site.com/a/"),
+        (13, "https://site.com/b"),
+    ]
+    out = {
+        r["url_key"]: (r["doc_id"], r["n_snapshots"])
+        for r in url_dedup(
+            spark.createDataFrame(rows, ["doc_id", "url"])
+        ).collect()
+    }
+    assert out["site.com/a"] == (10, 3)
+    assert out["site.com/b"] == (13, 1)
+
+
 def test_domain_filter_blocklist_anti_join(spark):
     from etl_finance_pipeline_spark.operators.corpus import domain_filter
 
