@@ -201,6 +201,83 @@ def linear_probe_train(
     return w, b
 
 
+def bt_ratings(
+    duels: DataFrame,
+    item_a: str = "item_a",
+    item_b: str = "item_b",
+    win_a: str = "win_a",
+    iters: int = 5,
+) -> DataFrame:
+    """Bradley-Terry strength fit over pairwise judgments — the
+    standard readout that turns chosen/rejected preference pairs into
+    per-item scores (Bradley & Terry 1952; reward-model data
+    analysis runs exactly this to sanity-check annotator signal).
+    Fixed-iteration minorization-maximization (Hunter 2004):
+
+        π_i ← W_i / Σ_j n_ij / (π_i + π_j)
+
+    regularized with half a win against a fixed reference of strength
+    1 (keeps every rating positive and identified without a
+    normalization step). Deterministic cross-engine by construction:
+    each pairwise term is floored to nano-units BEFORE the
+    denominator sum (exact integer addition — order-free, the DoReMi
+    exact-int device), and the update division is one exact big-int
+    expression, so the DuckDB oracle unrolls bit-identical rounds.
+
+    Scale shape: ONE distributed aggregation reduces the duel frame
+    to (item_a, item_b, n, wins) sufficient statistics — O(k²) rows
+    for k items — which are collected and iterated in the driver
+    (control-plane-sized, like the k-means codebook and tokenizer
+    vocab collects; items are sources/models/annotators, not
+    documents). The duel frame itself never leaves the cluster.
+
+    Input: one row per duel with *win_a* ∈ {0, 1}. Ties should be
+    excluded upstream. Output: (item, rating, n_wins, n_duels),
+    rating at 6 dp.
+    """
+    import math
+
+    stats = (
+        duels.groupBy(item_a, item_b)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col(win_a).cast("long")).alias("w"),
+        )
+        .collect()
+    )
+    adj: dict[str, dict[str, int]] = {}
+    wins: dict[str, int] = {}
+    for r in stats:
+        a, b, n, w = r[item_a], r[item_b], int(r["n"]), int(r["w"])
+        adj.setdefault(a, {})[b] = adj.setdefault(a, {}).get(b, 0) + n
+        adj.setdefault(b, {})[a] = adj.setdefault(b, {}).get(a, 0) + n
+        wins[a] = wins.get(a, 0) + w
+        wins[b] = wins.get(b, 0) + (n - w)
+    items = sorted(adj)
+    pi = {s: 1.0 for s in items}
+    for _ in range(iters):
+        new = {}
+        for s in items:
+            # every term floored to nano-units, then summed as exact
+            # integers — the addition order can't matter
+            den = math.floor(1e9 / (pi[s] + 1.0) + 0.5)
+            for t, nst in adj[s].items():
+                den += math.floor(nst * 1e9 / (pi[s] + pi[t]) + 0.5)
+            # rating6 = floor((W + 0.5) * 1e9 / den * 1e6 + 0.5) in
+            # exact integer arithmetic (HUGEINT in the oracle)
+            w2 = 2 * wins[s] + 1  # 2W + 1
+            new[s] = (w2 * 5 * 10**14 * 2 + den) // (2 * den) / 1e6
+        pi = new
+    spark = duels.sparkSession
+    rows = [
+        (s, float(pi[s]), int(wins[s]), int(sum(adj[s].values())))
+        for s in items
+    ]
+    return spark.createDataFrame(
+        rows, "item string, rating double, n_wins long, n_duels long"
+    )
+
+
 def linear_probe_score(
     df: DataFrame,
     weights: list[float],

@@ -11028,6 +11028,271 @@ FROM pragg
 
 
 # --------------------------------------------------------------------
+# Bradley-Terry strength fit over pairwise judgments
+# --------------------------------------------------------------------
+
+def _bt_duels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality duels: rank documents within each source
+    by quality (micro-unit integer, doc_id tie-break), then pit the
+    r-th ranked doc of source A against the r-th of source B for
+    every source pair — equal-rank matching, so strength differences
+    between PROVIDERS are what the duels measure, not rank depth.
+    Ties (equal rounded quality) are excluded; win is an exact
+    integer comparison, so both engines judge identically.
+    Output: (item_a, item_b, win_a, len_a, len_b) with item_a <
+    item_b lexicographically."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    qd = quality_score(docs).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.floor(F.col("quality") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("qppm"),
+    )
+    r = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("qppm").desc(), F.col("doc_id")
+        )
+    )
+    ranked = qd.select("source", "n_chars", "qppm", r.alias("r"))
+    a = ranked.select(
+        F.col("source").alias("item_a"),
+        F.col("r"),
+        F.col("qppm").alias("_qa"),
+        F.col("n_chars").alias("len_a"),
+    )
+    b = ranked.select(
+        F.col("source").alias("item_b"),
+        F.col("r"),
+        F.col("qppm").alias("_qb"),
+        F.col("n_chars").alias("len_b"),
+    )
+    return (
+        a.join(b, "r")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .filter(F.col("_qa") != F.col("_qb"))
+        .select(
+            "item_a",
+            "item_b",
+            (F.col("_qa") > F.col("_qb")).cast("int").alias("win_a"),
+            "len_a",
+            "len_b",
+        )
+    )
+
+
+def q_bt_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry per-source strength ratings from pairwise
+    quality duels — the readout that turns chosen/rejected judgments
+    into per-provider scores (operators/mlprep.py:bt_ratings; Hunter
+    2004 MM, 5 fixed rounds, nano-unit term flooring so the oracle
+    unrolls bit-identical iterations). The duel frame reduces to
+    O(k²) sufficient statistics in one distributed aggregate; only
+    those cross to the driver."""
+    from etl_finance_pipeline_spark.operators.mlprep import bt_ratings
+
+    return bt_ratings(_bt_duels(spark, sf_dir), iters=5)
+
+
+def _bt_rounds_sql(iters: int = 5) -> str:
+    """``btp0 → btd1/btp1 → … → btp{iters}`` CTE chain: the DuckDB
+    twin of the bt_ratings MM loop. Each pairwise denominator term is
+    floored to nano-units before the (exact integer) sum; the update
+    division is one HUGEINT expression — both mirror the driver-side
+    Python exactly."""
+    parts = ["btp0 AS (SELECT DISTINCT s, CAST(1000000 AS BIGINT) AS r6, 1.0 AS pi FROM btsym)"]
+    for i in range(1, iters + 1):
+        parts.append(f"""btd{i} AS (
+  SELECT b.s, mw.wins,
+         CAST(floor(1000000000.0 / (p.pi + 1.0) + 0.5) AS HUGEINT)
+         + CAST(sum(floor(b.n * 1000000000.0 / (p.pi + q.pi) + 0.5))
+                AS HUGEINT) AS den
+  FROM btsym b
+  JOIN btp{i - 1} p ON p.s = b.s
+  JOIN btp{i - 1} q ON q.s = b.t
+  JOIN btwins mw ON mw.s = b.s
+  GROUP BY b.s, mw.wins, p.pi
+),
+btp{i} AS (
+  SELECT s,
+         CAST(((2 * wins + 1) * CAST(500000000000000 AS HUGEINT) * 2 + den)
+              // (2 * den) AS BIGINT) AS r6,
+         CAST(((2 * wins + 1) * CAST(500000000000000 AS HUGEINT) * 2 + den)
+              // (2 * den) AS BIGINT) / 1000000.0 AS pi
+  FROM btd{i}
+)""")
+    return ",\n".join(parts)
+
+
+_BT_BASE = f"""btq AS (
+  SELECT q.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+         CAST(floor(q.quality * 1000000 + 0.5) AS BIGINT) AS qppm
+  FROM ({SQL_QUALITY_SCORE.strip()}) q JOIN documents d USING (doc_id)
+),
+btr AS (
+  SELECT source, n_chars, qppm,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY qppm DESC, doc_id) AS r
+  FROM btq
+),
+btduel AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CASE WHEN a.qppm > b.qppm THEN 1 ELSE 0 END AS wa,
+         a.n_chars AS la, b.n_chars AS lb
+  FROM btr a JOIN btr b ON a.r = b.r AND a.source < b.source
+  WHERE a.qppm <> b.qppm
+),
+btstat AS (
+  SELECT sa, sb, CAST(count(*) AS BIGINT) AS n, CAST(sum(wa) AS BIGINT) AS w
+  FROM btduel GROUP BY 1, 2
+),
+btsym AS (
+  SELECT sa AS s, sb AS t, n, w FROM btstat
+  UNION ALL
+  SELECT sb AS s, sa AS t, n, n - w FROM btstat
+),
+btwins AS (SELECT s, CAST(sum(w) AS BIGINT) AS wins FROM btsym GROUP BY 1),
+btn AS (SELECT s, CAST(sum(n) AS BIGINT) AS nd FROM btsym GROUP BY 1)"""
+
+
+SQL_BT_RATINGS = f"""
+WITH {_BT_BASE},
+{_bt_rounds_sql(5)}
+SELECT w.s AS item, p.pi AS rating, w.wins AS n_wins, n.nd AS n_duels
+FROM btwins w JOIN btp5 p ON p.s = w.s JOIN btn n ON n.s = w.s
+"""
+
+
+def q_bt_length_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The length-bias audit made QUANTITATIVE: over the quality
+    duels, ordinary least squares of win outcome on the length
+    difference, with and WITHOUT controlling for the sides'
+    Bradley-Terry strength difference — if the controlled length
+    coefficient stays materially positive, annotations (here: the
+    quality heuristic) reward length itself, not just the quality
+    that longer answers happen to carry. All OLS moments are exact
+    integer sums (ratings in ppm, lengths in chars, win ∈ {{0,1}}) so
+    the 3×3 Cramer solve consumes identical inputs in both engines.
+    One row: duel count, raw and strength-controlled length
+    coefficients (per 1000 chars), strength coefficient (per rating
+    unit)."""
+    from etl_finance_pipeline_spark.operators.mlprep import bt_ratings
+
+    duels = _bt_duels(spark, sf_dir)
+    ratings = bt_ratings(duels, iters=5).select(
+        "item",
+        F.floor(F.col("rating") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("r6"),
+    )
+    j = (
+        duels.join(
+            F.broadcast(ratings.withColumnRenamed("item", "item_a")).withColumnRenamed("r6", "_ra"),
+            "item_a",
+        )
+        .join(
+            F.broadcast(ratings.withColumnRenamed("item", "item_b")).withColumnRenamed("r6", "_rb"),
+            "item_b",
+        )
+        .select(
+            (F.col("_ra") - F.col("_rb")).alias("_x1"),
+            (F.col("len_a") - F.col("len_b")).alias("_x2"),
+            F.col("win_a").cast("long").alias("_y"),
+        )
+    )
+    m = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_x1").alias("s1"),
+        F.sum("_x2").alias("s2"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x1") * F.col("_x1")).alias("s11"),
+        F.sum(F.col("_x1") * F.col("_x2")).alias("s12"),
+        F.sum(F.col("_x2") * F.col("_x2")).alias("s22"),
+        F.sum(F.col("_x1") * F.col("_y")).alias("s1y"),
+        F.sum(F.col("_x2") * F.col("_y")).alias("s2y"),
+    )
+    d = {
+        k: F.col(k).cast("double")
+        for k in ("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y")
+    }
+    det = (
+        d["n"] * (d["s11"] * d["s22"] - d["s12"] * d["s12"])
+        - d["s1"] * (d["s1"] * d["s22"] - d["s12"] * d["s2"])
+        + d["s2"] * (d["s1"] * d["s12"] - d["s11"] * d["s2"])
+    )
+    det_b1 = (
+        d["n"] * (d["s1y"] * d["s22"] - d["s12"] * d["s2y"])
+        - d["sy"] * (d["s1"] * d["s22"] - d["s12"] * d["s2"])
+        + d["s2"] * (d["s1"] * d["s2y"] - d["s1y"] * d["s2"])
+    )
+    det_b2 = (
+        d["n"] * (d["s11"] * d["s2y"] - d["s1y"] * d["s12"])
+        - d["s1"] * (d["s1"] * d["s2y"] - d["s1y"] * d["s2"])
+        + d["sy"] * (d["s1"] * d["s12"] - d["s11"] * d["s2"])
+    )
+    raw = (d["n"] * d["s2y"] - d["s2"] * d["sy"]) / (
+        d["n"] * d["s22"] - d["s2"] * d["s2"]
+    )
+    return m.select(
+        F.col("n").alias("n_duels"),
+        _pr(raw * 1000.0, 6).alias("len_coef_raw_per_kchar"),
+        _pr(det_b2 / det * 1000.0, 6).alias("len_coef_ctrl_per_kchar"),
+        _pr(det_b1 / det * 1_000_000.0, 6).alias("strength_coef"),
+    )
+
+
+SQL_BT_LENGTH_EFFECT = f"""
+WITH {_BT_BASE},
+{_bt_rounds_sql(5)},
+btx AS (
+  SELECT pa.r6 - pb.r6 AS x1, d.la - d.lb AS x2, CAST(d.wa AS BIGINT) AS y
+  FROM btduel d
+  JOIN btp5 pa ON pa.s = d.sa
+  JOIN btp5 pb ON pb.s = d.sb
+),
+btm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         CAST(sum(x2 * y) AS BIGINT) AS s2y
+  FROM btx
+),
+btc AS (
+  SELECT n,
+    CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+    - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+    + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      AS det,
+    CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+    - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+    + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+      AS det_b1,
+    CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))
+    - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+    + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      AS det_b2,
+    (CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) AS raw
+  FROM btm
+)
+SELECT n AS n_duels,
+       floor(raw * 1000.0 * 1000000 + 0.5) / 1000000 AS len_coef_raw_per_kchar,
+       floor(det_b2 / det * 1000.0 * 1000000 + 0.5) / 1000000 AS len_coef_ctrl_per_kchar,
+       floor(det_b1 / det * 1000000.0 * 1000000 + 0.5) / 1000000 AS strength_coef
+FROM btc
+"""
+
+
+# --------------------------------------------------------------------
 # Multi-epoch budget planning (data-constrained scaling)
 # --------------------------------------------------------------------
 
@@ -12614,6 +12879,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sft_render": q_stream_sft_render,
     "pref_pairs": q_pref_pairs,
     "pref_length_bias": q_pref_length_bias,
+    "bt_ratings": q_bt_ratings,
+    "bt_length_effect": q_bt_length_effect,
     "epoch_schedule": q_epoch_schedule,
     "lsh_tradeoff": q_lsh_tradeoff,
 }
@@ -12806,6 +13073,8 @@ ORACLES_TD: dict[str, str] = {
     "stream_sft_render": SQL_STREAM_SFT_RENDER,
     "pref_pairs": SQL_PREF_PAIRS,
     "pref_length_bias": SQL_PREF_LENGTH_BIAS,
+    "bt_ratings": SQL_BT_RATINGS,
+    "bt_length_effect": SQL_BT_LENGTH_EFFECT,
     "epoch_schedule": SQL_EPOCH_SCHEDULE,
     "lsh_tradeoff": SQL_LSH_TRADEOFF,
 }

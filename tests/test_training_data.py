@@ -157,6 +157,25 @@ def test_cosine_topk_exact(spark):
     assert out[3]["cosine"] == -1.0
 
 
+def test_bt_ratings_orders_by_strength(spark):
+    """A > B > C in every duel must come out A > B > C in rating; the
+    half-win-vs-reference regularization keeps the all-loser positive
+    and the fixed-round MM is deterministic across invocations."""
+    from etl_finance_pipeline_spark.operators.mlprep import bt_ratings
+
+    duels = spark.createDataFrame(
+        [("A", "B", 1), ("A", "B", 1), ("B", "C", 1), ("B", "C", 1),
+         ("A", "C", 1), ("A", "C", 0)],
+        ["item_a", "item_b", "win_a"],
+    )
+    out = {r["item"]: r for r in bt_ratings(duels, iters=5).collect()}
+    assert out["A"]["rating"] > out["B"]["rating"] > out["C"]["rating"]
+    assert out["C"]["rating"] > 0
+    assert out["A"]["n_wins"] == 3 and out["A"]["n_duels"] == 4
+    again = {r["item"]: r["rating"] for r in bt_ratings(duels, iters=5).collect()}
+    assert {k: v["rating"] for k, v in out.items()} == again
+
+
 def test_exact_lanes_enforce_pair_ceiling(spark):
     """The brute-force lanes are documented as eval-only recall
     oracles; the max_pairs guard makes that contract mechanical — a
