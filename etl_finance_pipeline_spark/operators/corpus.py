@@ -558,6 +558,92 @@ def url_dedup(
     )
 
 
+def fim_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gate_col: str | None = None,
+    rate_pct: int = 50,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fill-in-the-middle sample prep for code pretraining (Bavarian
+    et al. 2022): split each eligible document at two deterministic
+    character positions 0 ≤ i ≤ j ≤ n into (prefix, middle, suffix)
+    and render the FIM orderings —
+
+        PSM: <fim_prefix>P <fim_suffix>S <fim_middle>M
+        SPM: <fim_suffix>S <fim_prefix>P <fim_middle>M
+
+    A document is transformed iff *gate_col* (when given — e.g.
+    code_detect's is_code route) is true AND a portable per-doc hash
+    clears *rate_pct* (the paper's FIM rate); PSM vs SPM is a second
+    hash bit (50/50). Everything — gates, split points, rendering —
+    derives from md5 of (id, tag), so the DuckDB oracle replays the
+    identical samples; like span_corruption, the rendered sample is
+    emitted as an md5 fingerprint rather than megabytes of string.
+    One exchange-free projection: at 100 TB this rides the code-route
+    scan, no shuffle, no UDF, no state.
+
+    Output: (*id_col*, keep_cols..., mode ∈ {psm, spm, plain},
+    n_chars, fim_i, fim_j [NULL for plain], sample_md5).
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+
+    def h(tag: str) -> Column:
+        return portable_hash64(
+            F.concat(F.col(id_col).cast("string"), F.lit(tag))
+        )
+
+    gated = h("#fim") % 100 < rate_pct
+    if gate_col is not None:
+        gated = F.col(gate_col) & gated
+    i = h("#fi") % (n + 1)
+    j = i + h("#fj") % (n - i + 1)
+    mode = (
+        F.when(~gated, F.lit("plain"))
+        .when(h("#fo") % 2 == 0, F.lit("psm"))
+        .otherwise(F.lit("spm"))
+    )
+    pre = t.substr(F.lit(1), i)
+    mid = t.substr(i + 1, j - i)
+    suf = t.substr(j + 1, n - j)
+    sample = (
+        F.when(F.col("mode") == "plain", t)
+        .when(
+            F.col("mode") == "psm",
+            F.concat(
+                F.lit("<fim_prefix>"),
+                pre,
+                F.lit("<fim_suffix>"),
+                suf,
+                F.lit("<fim_middle>"),
+                mid,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<fim_suffix>"),
+                suf,
+                F.lit("<fim_prefix>"),
+                pre,
+                F.lit("<fim_middle>"),
+                mid,
+            )
+        )
+    )
+    out = df.withColumn("mode", mode)
+    return out.select(
+        id_col,
+        *keep_cols,
+        "mode",
+        n.cast("long").alias("n_chars"),
+        F.when(F.col("mode") != "plain", i).cast("long").alias("fim_i"),
+        F.when(F.col("mode") != "plain", j).cast("long").alias("fim_j"),
+        F.md5(sample).alias("sample_md5"),
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

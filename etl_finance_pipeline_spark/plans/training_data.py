@@ -11725,6 +11725,88 @@ FROM cdc
 """
 
 
+_FIM_RATE = 50  # FIM rate (% of gated docs transformed)
+
+
+def q_fim_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle sample prep routed off the code detector:
+    documents the is_code gate routes to the code lane are FIM-split
+    at hash-derived character positions (PSM and SPM orderings, 50%
+    FIM rate), everything else passes through as plain CLM text —
+    the code-pretraining staple (operators/corpus.py:fim_samples)
+    composed with code_detect's routing, sharing span_corruption's
+    deterministic-split + md5-fingerprint device."""
+    from etl_finance_pipeline_spark.operators.corpus import fim_samples
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        code_signals,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    d = F.col("doc_id")
+    dec = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0, F.repeat(F.lit(_CODE_SNIPPET), 3)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    routed = dec.join(
+        code_signals(dec).select("doc_id", "is_code"), "doc_id"
+    )
+    return fim_samples(
+        routed,
+        gate_col="is_code",
+        rate_pct=_FIM_RATE,
+        keep_cols=("is_code",),
+    )
+
+
+SQL_FIM_SAMPLES = f"""
+WITH fid AS (
+  SELECT doc_id,
+         text || (CASE WHEN doc_id % 7 = 0
+                  THEN repeat('{_CODE_SNIPPET}', 3) ELSE '' END) AS text
+  FROM documents
+),
+fic AS (SELECT doc_id, is_code FROM ({SQL_CODE_DETECT.strip()})),
+fih AS (
+  SELECT d.doc_id, d.text, c.is_code, len(d.text) AS n,
+         (c.is_code AND
+          {_H64.format(s="CAST(d.doc_id AS VARCHAR) || '#fim'")} % 100
+            < {_FIM_RATE}) AS gated,
+         {_H64.format(s="CAST(d.doc_id AS VARCHAR) || '#fo'")} % 2 AS ho,
+         {_H64.format(s="CAST(d.doc_id AS VARCHAR) || '#fi'")} AS hi,
+         {_H64.format(s="CAST(d.doc_id AS VARCHAR) || '#fj'")} AS hj
+  FROM fid d JOIN fic c USING (doc_id)
+),
+fis AS (
+  SELECT doc_id, is_code, text, n,
+    CASE WHEN NOT gated THEN 'plain'
+         WHEN ho = 0 THEN 'psm' ELSE 'spm' END AS mode,
+    hi % (n + 1) AS i,
+    (hi % (n + 1)) + (hj % (n - (hi % (n + 1)) + 1)) AS j
+  FROM fih
+)
+SELECT doc_id, is_code, mode,
+  CAST(n AS BIGINT) AS n_chars,
+  CAST(CASE WHEN mode <> 'plain' THEN i END AS BIGINT) AS fim_i,
+  CAST(CASE WHEN mode <> 'plain' THEN j END AS BIGINT) AS fim_j,
+  md5(CASE WHEN mode = 'plain' THEN text
+      WHEN mode = 'psm' THEN
+        '<fim_prefix>' || substr(text, 1, i)
+        || '<fim_suffix>' || substr(text, j + 1, n - j)
+        || '<fim_middle>' || substr(text, i + 1, j - i)
+      ELSE
+        '<fim_suffix>' || substr(text, j + 1, n - j)
+        || '<fim_prefix>' || substr(text, 1, i)
+        || '<fim_middle>' || substr(text, i + 1, j - i)
+      END) AS sample_md5
+FROM fis
+"""
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out n-gram novelty (memorization audit): split the corpus
     with the deterministic hash_split, then for each test-split doc
@@ -12862,6 +12944,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "script_census": q_script_census,
     "code_detect": q_code_detect,
+    "fim_samples": q_fim_samples,
     "ngram_novelty": q_ngram_novelty,
     "curation_route": q_curation_route,
     "stream_curation_route": q_stream_curation_route,
@@ -13056,6 +13139,7 @@ ORACLES_TD: dict[str, str] = {
     "bpe_train": SQL_BPE_TRAIN,
     "script_census": SQL_SCRIPT_CENSUS,
     "code_detect": SQL_CODE_DETECT,
+    "fim_samples": SQL_FIM_SAMPLES,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "curation_route": SQL_CURATION_ROUTE,
     "stream_curation_route": SQL_STREAM_CURATION_ROUTE,

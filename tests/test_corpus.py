@@ -499,6 +499,40 @@ def test_url_dedup_collapses_snapshots(spark):
     assert out["site.com/b"] == (13, 1)
 
 
+def test_fim_samples_deterministic_split(spark):
+    """FIM invariants: 0 ≤ i ≤ j ≤ n on transformed rows, plain rows
+    fingerprint the untouched text, gate_col=false rows never
+    transform, and the whole map is reproducible."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from etl_finance_pipeline_spark.operators.corpus import fim_samples
+
+    rows = [(i, "def f(x):\n    return x + %d\n" % i, i % 2 == 0)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_code"])
+    out = fim_samples(
+        df, gate_col="is_code", rate_pct=100, keep_cols=("is_code",)
+    ).collect()
+    texts = {r[0]: r[1] for r in rows}
+    for r in out:
+        if r["mode"] == "plain":
+            assert r["fim_i"] is None and r["fim_j"] is None
+            assert r["sample_md5"] == hashlib.md5(
+                texts[r["doc_id"]].encode()
+            ).hexdigest()
+        else:
+            assert r["is_code"]
+            assert 0 <= r["fim_i"] <= r["fim_j"] <= r["n_chars"]
+    assert {r["mode"] for r in out if r["is_code"]} == {"psm", "spm"}
+    assert all(r["mode"] == "plain" for r in out if not r["is_code"])
+    again = fim_samples(
+        df, gate_col="is_code", rate_pct=100, keep_cols=("is_code",)
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_domain_filter_blocklist_anti_join(spark):
     from etl_finance_pipeline_spark.operators.corpus import domain_filter
 
