@@ -578,6 +578,53 @@ def train_kmeans_centroids(
     )
 
 
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's assignment step as a standalone operator: every vector
+    to its squared-L2-nearest centroid (ties → lower cluster id —
+    the identical argmin the training loop runs, so buckets agree
+    with what k-means itself would assign). Centroids arrive as a
+    DataFrame (:func:`train_kmeans_centroids` output) and are
+    collected to a literal — codebook-sized by construction. One
+    exchange-free projection over the corpus: at 100 TB this is the
+    bucketing map the in-context-packing and IVF-build lanes ride.
+
+    Output: (*id_col*, cluster_id).
+    """
+    cents = sorted(
+        ((int(r[0]), [float(x) for x in r[1]]) for r in centroids.collect())
+    )
+    lit = F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in cents])
+    cids = [cid for cid, _ in cents]
+    src = _as_double(df, vec_col)
+    dist = lambda a, b: F.aggregate(  # noqa: E731  (squared L2)
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    arg = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(cids) - 1)),
+            lambda i: F.struct(
+                dist(F.col(vec_col), F.element_at(F.col("_cents"), i + 1)).alias("d"),
+                i.alias("cid"),
+            ),
+        )
+    )["cid"]
+    id_lit = F.array(*[F.lit(c) for c in cids])
+    return (
+        src.withColumn("_cents", lit)
+        .select(
+            id_col,
+            F.element_at(id_lit, arg + 1).cast("int").alias("cluster_id"),
+        )
+    )
+
+
 def semdedup(
     df: DataFrame,
     k: int = 8,

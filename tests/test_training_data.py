@@ -157,6 +157,25 @@ def test_cosine_topk_exact(spark):
     assert out[3]["cosine"] == -1.0
 
 
+def test_kmeans_assign_nearest_centroid(spark):
+    """Assignment picks the squared-L2-nearest centroid with the
+    lower-cid tie-break — the identical argmin the training loop
+    runs, so semantic-pack buckets agree with k-means itself."""
+    from etl_finance_pipeline_spark.operators.similarity import kmeans_assign
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0])],
+        "cluster_id int, cvec array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [9.0, 1.0]), (3, [5.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["cluster_id"]
+           for r in kmeans_assign(vecs, cents).collect()}
+    assert out == {1: 0, 2: 1, 3: 0}  # 3 is equidistant -> lower cid
+
+
 def test_bt_ratings_orders_by_strength(spark):
     """A > B > C in every duel must come out A > B > C in rating; the
     half-win-vs-reference regularization keeps the all-loser positive
