@@ -12750,6 +12750,300 @@ FROM wffin
 """
 
 
+# --------------------------------------------------------------------
+# Annealing mixture schedule (staged phase × source allocation)
+# --------------------------------------------------------------------
+
+#: (budget share ppm, quality-interpolation λ ppm) per training phase:
+#: the main run samples by size, the final anneal phase samples by
+#: quality — the "anneal on high-quality data" recipe
+_AN_PHASES = ((600_000, 0), (300_000, 500_000), (100_000, 1_000_000))
+_AN_ROUNDS = 3
+_AN_BUDGET_X = 1.6
+#: tighter than mixture_waterfill's 2.5 ON PURPOSE: with budget 1.6x
+#: an uncapped schedule averages 1.6 epochs, so a 1.65x cap binds
+#: exactly on the sources the quality-tilted anneal phases favor —
+#: the oracle exercises clipping + redistribution + cap carry across
+#: phases without phase 0 saturating everything
+_AN_MAX_EPOCHS = 1.65
+
+
+def q_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/annealing mixture schedule: the token budget is
+    split across fixed training phases (60/30/10), and each phase's
+    per-source target weight interpolates from SIZE share (λ=0, the
+    main run) to QUALITY share (λ=1, the final anneal) — the staged
+    mixture a data-constrained run plans so its last tokens come from
+    its best sources. Each phase allocates its budget with the
+    mixture_waterfill cap machinery (give weight-share of the
+    remainder, clip at the 2.5-epoch cap, redistribute — `_AN_ROUNDS`
+    rounds), and caps CARRY ACROSS phases: tokens the main phase
+    consumed count against the anneal phase's repetition headroom.
+
+    Corpus-scale work is ONE per-source token+quality aggregate; the
+    phase × round state is a single sorted-array row evolved by
+    deterministic folds (every intermediate floor(+0.5) fixed-point,
+    per-round localCheckpoint — the waterfill/doremi device), so the
+    DuckDB twin unrolls the identical schedule.
+
+    Output: (phase, source, phase_w_ppm, phase_budget, alloc_tokens,
+    cum_tokens, capped)."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    q = quality_score(docs).select(
+        "source",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tok"),
+        F.floor(F.col("quality") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("qppm"),
+    )
+    base = q.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("uniq"),
+        F.floor(F.sum("qppm") * 1.0 / F.count("*") + F.lit(0.5))
+        .cast("long")
+        .alias("qual"),
+    )
+    arr = base.agg(
+        F.sort_array(
+            F.collect_list(F.struct("source", "uniq", "qual"))
+        ).alias("_xs")
+    )
+    xs = F.col("_xs")
+    tot_u = F.aggregate(xs, F.lit(0).cast("long"), lambda a, x: a + x["uniq"])
+    tot_q = F.aggregate(xs, F.lit(0).cast("long"), lambda a, x: a + x["qual"])
+    arr = arr.select(
+        F.floor(F.lit(_AN_BUDGET_X) * tot_u).cast("long").alias("_B"),
+        F.transform(
+            xs,
+            lambda x: F.struct(
+                x["source"].alias("source"),
+                x["uniq"].alias("uniq"),
+                F.floor(x["uniq"] * 1_000_000.0 / tot_u + F.lit(0.5))
+                .cast("long")
+                .alias("ws"),
+                F.floor(x["qual"] * 1_000_000.0 / tot_q + F.lit(0.5))
+                .cast("long")
+                .alias("wq"),
+                F.floor(F.lit(_AN_MAX_EPOCHS) * x["uniq"])
+                .cast("long")
+                .alias("cap"),
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(0).cast("long").alias("wu"),
+                F.lit(0).cast("long").alias("pa"),
+            ),
+        ).alias("_st"),
+    ).localCheckpoint(eager=True)
+    st = F.col("_st")
+    snapshots = []
+    for p, (share, lam) in enumerate(_AN_PHASES):
+        bp = F.floor(F.col("_B") * share / 1_000_000.0).cast("long")
+        # phase entry: set the phase weight (size→quality interp) and
+        # reset the phase allocation
+        arr = arr.select(
+            F.col("_B"),
+            bp.alias("_Bp"),
+            F.transform(
+                st,
+                lambda s: F.struct(
+                    s["source"].alias("source"),
+                    s["uniq"].alias("uniq"),
+                    s["ws"].alias("ws"),
+                    s["wq"].alias("wq"),
+                    s["cap"].alias("cap"),
+                    s["cum"].alias("cum"),
+                    F.floor(
+                        (
+                            (1_000_000 - lam) * s["ws"]
+                            + F.lit(lam) * s["wq"]
+                        )
+                        / 1_000_000.0
+                        + F.lit(0.5)
+                    )
+                    .cast("long")
+                    .alias("wu"),
+                    F.lit(0).cast("long").alias("pa"),
+                ),
+            ).alias("_st"),
+        ).localCheckpoint(eager=True)
+        for _ in range(_AN_ROUNDS):
+            sw = F.aggregate(
+                st,
+                F.lit(0).cast("long"),
+                lambda a, s: a
+                + F.when(s["cum"] < s["cap"], s["wu"]).otherwise(F.lit(0)),
+            )
+            spa = F.aggregate(
+                st, F.lit(0).cast("long"), lambda a, s: a + s["pa"]
+            )
+            rem = F.greatest(F.col("_Bp") - spa, F.lit(0).cast("long"))
+
+            def _grow_factory(sw, rem):
+                def _grow(s):
+                    give = F.least(
+                        s["cap"] - s["cum"],
+                        F.when(
+                            (s["cum"] < s["cap"]) & (sw > 0),
+                            F.floor(
+                                rem * 1.0 * s["wu"] / sw + F.lit(0.5)
+                            ).cast("long"),
+                        ).otherwise(F.lit(0).cast("long")),
+                    )
+                    return F.struct(
+                        s["source"].alias("source"),
+                        s["uniq"].alias("uniq"),
+                        s["ws"].alias("ws"),
+                        s["wq"].alias("wq"),
+                        s["cap"].alias("cap"),
+                        (s["cum"] + give).alias("cum"),
+                        s["wu"].alias("wu"),
+                        (s["pa"] + give).alias("pa"),
+                    )
+
+                return _grow
+
+            arr = arr.select(
+                F.col("_B"),
+                F.col("_Bp"),
+                F.transform(st, _grow_factory(sw, rem)).alias("_st"),
+            ).localCheckpoint(eager=True)
+        snapshots.append(
+            arr.select(
+                F.lit(p).cast("long").alias("phase"),
+                F.col("_Bp").alias("phase_budget"),
+                F.explode(st).alias("_s"),
+            ).select(
+                "phase",
+                F.col("_s.source").alias("source"),
+                F.col("_s.wu").alias("phase_w_ppm"),
+                "phase_budget",
+                F.col("_s.pa").alias("alloc_tokens"),
+                F.col("_s.cum").alias("cum_tokens"),
+                (F.col("_s.cum") >= F.col("_s.cap")).alias("capped"),
+            )
+        )
+    out = snapshots[0]
+    for s in snapshots[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+def _an_phase_sql(p: int, share: int, lam: int, prev: str) -> str:
+    """Phase-entry + `_AN_ROUNDS` waterfill-round CTEs for phase *p*
+    over the state list carried from CTE *prev* — the DuckDB twin of
+    one q_anneal_schedule phase."""
+    entry = f"""anp{p} AS (
+  SELECT b, CAST(floor(b * {share} / 1000000.0) AS BIGINT) AS bp,
+    list_transform(st, s -> struct_pack(
+      source := s.source, uniq := s.uniq, ws := s.ws, wq := s.wq,
+      cap := s.cap, cum := s.cum,
+      wu := CAST(floor(((1000000 - {lam}) * s.ws + {lam} * s.wq)
+                       / 1000000.0 + 0.5) AS BIGINT),
+      pa := CAST(0 AS BIGINT)))
+      AS st
+  FROM {prev}
+)"""
+    rounds = []
+    for t in range(1, _AN_ROUNDS + 1):
+        src = f"anp{p}" if t == 1 else f"anr{p}_{t - 1}"
+        rounds.append(f"""anr{p}_{t} AS (
+  SELECT b, bp,
+    list_transform(st, s -> struct_pack(
+      source := s.source, uniq := s.uniq, ws := s.ws, wq := s.wq,
+      cap := s.cap,
+      cum := s.cum + least(s.cap - s.cum, CASE
+        WHEN s.cum < s.cap
+             AND list_reduce(list_transform(st,
+                   x -> CASE WHEN x.cum < x.cap THEN x.wu ELSE 0 END),
+                   (a, v) -> a + v) > 0
+        THEN CAST(floor(
+               greatest(bp - list_reduce(list_transform(st, x -> x.pa),
+                                         (a, v) -> a + v), 0)
+               * 1.0 * s.wu
+               / list_reduce(list_transform(st,
+                   x -> CASE WHEN x.cum < x.cap THEN x.wu ELSE 0 END),
+                   (a, v) -> a + v) + 0.5) AS BIGINT)
+        ELSE CAST(0 AS BIGINT) END),
+      wu := s.wu,
+      pa := s.pa + least(s.cap - s.cum, CASE
+        WHEN s.cum < s.cap
+             AND list_reduce(list_transform(st,
+                   x -> CASE WHEN x.cum < x.cap THEN x.wu ELSE 0 END),
+                   (a, v) -> a + v) > 0
+        THEN CAST(floor(
+               greatest(bp - list_reduce(list_transform(st, x -> x.pa),
+                                         (a, v) -> a + v), 0)
+               * 1.0 * s.wu
+               / list_reduce(list_transform(st,
+                   x -> CASE WHEN x.cum < x.cap THEN x.wu ELSE 0 END),
+                   (a, v) -> a + v) + 0.5) AS BIGINT)
+        ELSE CAST(0 AS BIGINT) END)))
+      AS st
+  FROM {src}
+)""")
+    return ",\n".join([entry, *rounds])
+
+
+def _an_sql() -> str:
+    parts = []
+    prev = "anw0"
+    for p, (share, lam) in enumerate(_AN_PHASES):
+        parts.append(_an_phase_sql(p, share, lam, prev))
+        prev = f"anr{p}_{_AN_ROUNDS}"
+    finals = " UNION ALL ".join(
+        f"""SELECT CAST({p} AS BIGINT) AS phase, bp AS phase_budget,
+       unnest(st) AS s FROM anr{p}_{_AN_ROUNDS}"""
+        for p in range(len(_AN_PHASES))
+    )
+    return ",\n".join(parts) + f",\nanfin AS ({finals})"
+
+
+SQL_ANNEAL_SCHEDULE = f"""
+WITH anq AS (
+  SELECT q.doc_id, d.source,
+         CAST(len(regexp_split_to_array(d.text, '\\s+')) AS BIGINT) AS n_tok,
+         CAST(floor(q.quality * 1000000 + 0.5) AS BIGINT) AS qppm
+  FROM ({{qs}}) q JOIN documents d USING (doc_id)
+),
+anb AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS uniq,
+         CAST(floor(sum(qppm) * 1.0 / count(*) + 0.5) AS BIGINT) AS qual
+  FROM anq GROUP BY 1
+),
+anarr AS (
+  SELECT list(struct_pack(source := source, uniq := uniq, qual := qual)
+              ORDER BY source) AS xs
+  FROM anb
+),
+anw0 AS (
+  SELECT
+    CAST(floor({_AN_BUDGET_X}
+         * list_reduce(list_transform(xs, x -> x.uniq), (a, v) -> a + v))
+         AS BIGINT) AS b,
+    list_transform(xs, x -> struct_pack(
+      source := x.source, uniq := x.uniq,
+      ws := CAST(floor(x.uniq * 1000000.0
+              / list_reduce(list_transform(xs, y -> y.uniq), (a, v) -> a + v)
+              + 0.5) AS BIGINT),
+      wq := CAST(floor(x.qual * 1000000.0
+              / list_reduce(list_transform(xs, y -> y.qual), (a, v) -> a + v)
+              + 0.5) AS BIGINT),
+      cap := CAST(floor({_AN_MAX_EPOCHS} * x.uniq) AS BIGINT),
+      cum := CAST(0 AS BIGINT),
+      wu := CAST(0 AS BIGINT),
+      pa := CAST(0 AS BIGINT))) AS st
+  FROM anarr
+),
+{_an_sql()}
+SELECT phase, s.source AS source, s.wu AS phase_w_ppm, phase_budget,
+       s.pa AS alloc_tokens, s.cum AS cum_tokens,
+       (s.cum >= s.cap) AS capped
+FROM anfin
+""".format(qs=SQL_QUALITY_SCORE.strip())
+
+
 def q_domain_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain reputation priors — the stage that turns per-document
     quality into a per-PROVIDER signal and back: each doc's quality
@@ -13151,6 +13445,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitext_recall": q_bitext_recall,
     "source_route_census": q_source_route_census,
     "mixture_waterfill": q_mixture_waterfill,
+    "anneal_schedule": q_anneal_schedule,
     "domain_quality_prior": q_domain_quality_prior,
     "jl_project": q_jl_project,
     "jl_distortion": q_jl_distortion,
@@ -13348,6 +13643,7 @@ ORACLES_TD: dict[str, str] = {
     "bitext_recall": SQL_BITEXT_RECALL,
     "source_route_census": SQL_SOURCE_ROUTE_CENSUS,
     "mixture_waterfill": SQL_MIXTURE_WATERFILL,
+    "anneal_schedule": SQL_ANNEAL_SCHEDULE,
     "domain_quality_prior": SQL_DOMAIN_QUALITY_PRIOR,
     "jl_project": SQL_JL_PROJECT,
     "jl_distortion": SQL_JL_DISTORTION,
