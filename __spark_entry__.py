@@ -32,6 +32,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #: temporal joins, connected components. All registered queries are
 #: oracle-backed either way; this only chooses the documented subset.
 _SHOWCASE_FIRST = (
+    # round-11 new families
+    "url_canonicalize",  # stage -0.5: full-URL canonical + SURT key (round 11)
+    "url_dedup",  # URL-level keep-first dedup across crawl snapshots (round 11)
+    "stream_url_dedup",  # the same keep-first as a stateful stream agg (round 11)
+    "warc_curation_funnel",  # funnel rebased with the n_urldedup stage (round 11)
+    "corpus_build_e2e_warc",  # e2e build pruning refetches pre-extract (round 11)
+    "bt_ratings",  # Bradley-Terry MM strength fit over quality duels (round 11)
+    "bt_length_effect",  # strength-controlled length-bias OLS readout (round 11)
+    "fim_samples",  # PSM/SPM fill-in-the-middle prep off code_detect (round 11)
+    "semantic_pack",  # in-context-pretraining packing via k-means buckets (round 11)
+    "semantic_pack_stats",  # same-bucket/padding readout vs plain FFD (round 11)
+    "anneal_schedule",  # phase-staged size->quality waterfill mixture (round 11)
+    "bitext_mine",  # margin guard + no forced denominator broadcast (round 11 fix)
+    "bitext_recall",  # zero-kept-pairs SQL guard (round 11 fix)
+    "jl_distortion",  # coincident-vector d2o>0 filter both engines (round 11 fix)
     # round-9 families (the round-9 driver artifact missed these: the
     # showcase was not rotated that round — record them now)
     "html_extract",  # jusText-lite main-text extraction (round 9)

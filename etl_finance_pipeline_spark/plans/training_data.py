@@ -9381,6 +9381,52 @@ def q_stream_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_DOMAIN_FILTER = SQL_DOMAIN_FILTER
 
 
+def q_stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level snapshot dedup ON THE INGEST STREAM — the stateful
+    front-door a continuous crawl runs: canonicalize each arriving
+    URL (stateless map) and maintain a per-url_key (min doc_id,
+    snapshot count) STREAMING AGGREGATE, complete-output to the
+    sink. Deliberately an aggregation rather than streaming
+    dropDuplicates: drop-dups keeps whichever row a microbatch
+    happened to order first (non-deterministic under file-source
+    ordering), while min-by-key is exact and replayable — the same
+    keep-first contract as the batch lane, so the oracle IS the
+    batch oracle. State is one (key → min, count) row per distinct
+    URL, the smallest state a dedup can carry."""
+    import uuid
+
+    from etl_finance_pipeline_spark.operators.corpus import url_canonicalize
+    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
+
+    spark = _narrow_session(spark, _stream_fanout_width(spark, cap=8))
+    ensure_nanos_conf(spark)
+    path = _t(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(path[:-1] + "[t]")
+        .select("doc_id", "source", _crawl_url_expr().alias("url"))
+    )
+    agg = (
+        url_canonicalize(stream)
+        .groupBy("url_key")
+        .agg(
+            F.min("doc_id").cast("long").alias("doc_id"),
+            F.count("*").cast("long").alias("n_snapshots"),
+        )
+    )
+    name = f"stream_urldedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain census over the canonicalized URLs:
     document volume and distinct-subdomain spread — the profile that
@@ -9637,6 +9683,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(urls)
 
 
+# the streaming twin shares the batch oracle (defined after both)
 SQL_URL_DEDUP = f"""
 WITH {_CRAWL_URLS_CTE},
 {_url_canon_ctes("curls", "doc_id, url", "uq")}
@@ -13294,6 +13341,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_filter": q_domain_filter,
     "url_canonicalize": q_url_canonicalize,
     "url_dedup": q_url_dedup,
+    "stream_url_dedup": q_stream_url_dedup,
     "stream_domain_filter": q_stream_domain_filter,
     "html_extract": q_html_extract,
     "stream_html_extract": q_stream_html_extract,
@@ -13492,6 +13540,7 @@ ORACLES_TD: dict[str, str] = {
     "domain_filter": SQL_DOMAIN_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "url_dedup": SQL_URL_DEDUP,
+    "stream_url_dedup": SQL_URL_DEDUP,
     "stream_domain_filter": SQL_STREAM_DOMAIN_FILTER,
     "html_extract": SQL_HTML_EXTRACT,
     "stream_html_extract": SQL_STREAM_HTML_EXTRACT,

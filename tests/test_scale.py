@@ -1119,3 +1119,39 @@ def test_scale_bitext_ivf_bucketed_mining(bigspark):
           f"{rows:,} best pairs in {dt:.1f}s")
     assert rows == n
     assert dt < 420
+
+
+def test_scale_url_dedup(bigspark):
+    """20M crawl URLs over 4M logical pages (5 snapshots each, with
+    scheme/case/tracking decoration varying per snapshot): the whole
+    stage −0.5 lane is one projection chain + ONE map-combinable
+    min/count aggregate keyed by the canonical identity key — no
+    window, no join, no second pass over the corpus."""
+    from etl_finance_pipeline_spark.operators.corpus import url_dedup
+
+    n = 20_000_000
+    pages = 4_000_000
+    d = F.col("id")
+    url = F.concat(
+        F.element_at(
+            F.array(F.lit("https://"), F.lit("http://"), F.lit("")),
+            (d % 3 + 1).cast("int"),
+        ),
+        F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("host"),
+        (d % 1000).cast("string"),
+        F.lit(".com/p/"),
+        (d % pages).cast("string"),
+        F.when(d % 3 == 0, F.lit("?utm_source=s")).otherwise(F.lit("")),
+    )
+    urls = bigspark.range(n).select(
+        d.alias("doc_id"),
+        F.when(d % 7 == 0, F.upper(url)).otherwise(url).alias("url"),
+    )
+    out = url_dedup(urls)
+    _assert_distributed_plan(out, "url_dedup")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:2000]
+    rows, dt = _timed_count(out, "url_dedup 20M->4M")
+    assert rows == pages
+    assert dt < 300
