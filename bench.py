@@ -37,8 +37,12 @@ SPREAD_LIMIT = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD", "0.5"))
 # averaged out but IS escaped by more draws of a cheap row: take at
 # least LIGHT_RUNS samples (cheap by definition), and keep drawing up
 # to SPREAD_RUNS while the spread stays pathological.
-LIGHT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_LIGHT_SEC", "1.5"))
+LIGHT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_LIGHT_SEC", "2.0"))
 LIGHT_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_LIGHT_RUNS", "5"))
+# LIGHT_SEC == heavy_sec by default ON PURPOSE: the first light cut at
+# 1.5 s left a [1.5 s, 2.0 s) band where rows got only n=runs samples —
+# line_dedup landed at 1.573 s min with n=2 and produced the round-11
+# run's single unadjudicable flag. Every row now gets >= 4-5 samples.
 
 
 def _needs_more(samples: list[float], runs: int, heavy_sec: float, heavy_runs: int) -> bool:
