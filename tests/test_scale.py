@@ -1155,3 +1155,113 @@ def test_scale_url_dedup(bigspark):
     rows, dt = _timed_count(out, "url_dedup 20M->4M")
     assert rows == pages
     assert dt < 300
+
+
+def test_scale_fim_samples(bigspark):
+    """5M documents through FIM sample prep: the whole transform
+    (gates, split points, PSM/SPM rendering, md5 fingerprint) is one
+    exchange-free codegen projection — it must ride the code-route
+    scan with zero shuffles."""
+    from etl_finance_pipeline_spark.operators.corpus import fim_samples
+
+    n = 5_000_000
+    docs = bigspark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("def f(x):\n    return x + "), (F.col("id") % 997).cast("string")
+        ).alias("text"),
+        (F.col("id") % 2 == 0).alias("is_code"),
+    )
+    out = fim_samples(docs, gate_col="is_code", rate_pct=50,
+                      keep_cols=("is_code",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    # force every output column, not just the count path
+    agg = out.groupBy("mode").agg(
+        F.count("*").alias("n"),
+        F.count("sample_md5").alias("n_md5"),
+        F.sum(F.coalesce(F.col("fim_j") - F.col("fim_i"), F.lit(0))).alias("mid"),
+    )
+    t0 = time.time()
+    modes = {r["mode"]: r["n"] for r in agg.collect()}
+    dt = time.time() - t0
+    print(f"\nSCALE fim_samples 5M docs: {modes} in {dt:.1f}s")
+    assert sum(modes.values()) == n
+    assert modes["psm"] > 0 and modes["spm"] > 0
+    # non-code docs never transform: plain >= the 2.5M ungated half
+    assert modes["plain"] >= n // 2
+    assert dt < 180
+
+
+def test_scale_kmeans_assign(bigspark):
+    """2M vectors assigned to an 8-centroid codebook: Lloyd's argmin
+    as one exchange-free projection over the corpus (the bucketing
+    map semantic packing and IVF builds ride)."""
+    import math
+
+    from etl_finance_pipeline_spark.operators.similarity import kmeans_assign
+
+    n = 2_000_000
+    k = 8
+    cents = bigspark.createDataFrame(
+        [(c, [math.cos(2 * math.pi * c / k), math.sin(2 * math.pi * c / k),
+              1.0, 0.0]) for c in range(k)],
+        "cluster_id int, cvec array<double>",
+    )
+    vecs = bigspark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            F.cos(F.col("id") * 0.001), F.sin(F.col("id") * 0.001),
+            F.lit(1.0), F.lit(0.0),
+        ).alias("embedding"),
+    )
+    out = kmeans_assign(vecs, cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    t0 = time.time()
+    counts = out.groupBy("cluster_id").count().collect()
+    dt = time.time() - t0
+    total = sum(r["count"] for r in counts)
+    print(f"\nSCALE kmeans_assign 2M x 8 cells: {len(counts)} cells in {dt:.1f}s")
+    assert total == n
+    assert dt < 180
+
+
+def test_scale_bt_ratings(bigspark):
+    """5M pairwise duels over 1,000 items: the distributed reduction
+    is ONE map-combinable aggregate to <= k^2/2 sufficient-statistic
+    rows; only those (499,500 here) cross to the driver for the fixed
+    MM rounds — the documented control-plane collect, exercised at
+    its intended item scale (sources/models, not documents)."""
+    from etl_finance_pipeline_spark.functions.scalar import portable_hash64
+    from etl_finance_pipeline_spark.operators.mlprep import bt_ratings
+
+    n = 5_000_000
+    k = 1_000
+    d = bigspark.range(n).select(
+        (F.col("id") % k).alias("_x"),
+        # independent sweep: (id % k, (id // k) % k) covers every
+        # ordered pair ~n/k^2 times -> ~k^2/2 distinct unordered pairs
+        ((F.col("id") / k).cast("long") % k).alias("_y"),
+        portable_hash64(F.col("id").cast("string")).alias("_h"),
+    ).filter(F.col("_x") != F.col("_y"))
+    duels = d.select(
+        F.least("_x", "_y").cast("string").alias("item_a"),
+        F.greatest("_x", "_y").cast("string").alias("item_b"),
+        # stronger items (lower index) win more often: win prob for a
+        # depends on the index gap via a hash threshold
+        ((F.col("_h") % 100) < 50 + F.least(
+            (F.greatest("_x", "_y") - F.least("_x", "_y")) / 25, F.lit(45.0)
+        )).cast("int").alias("win_a"),
+    )
+    t0 = time.time()
+    out = bt_ratings(duels, iters=5)
+    rows = out.collect()
+    dt = time.time() - t0
+    print(f"\nSCALE bt_ratings 5M duels / {k} items: {len(rows)} ratings in {dt:.1f}s")
+    assert len(rows) == k
+    assert all(r["rating"] > 0 for r in rows)
+    strong = next(r["rating"] for r in rows if r["item"] == "0")
+    weak = next(r["rating"] for r in rows if r["item"] == "999")
+    assert strong > weak
+    assert dt < 300
