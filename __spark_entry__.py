@@ -41,6 +41,7 @@ _SHOWCASE_FIRST = (
     "bt_ratings",  # Bradley-Terry MM strength fit over quality duels (round 11)
     "bt_length_effect",  # strength-controlled length-bias OLS readout (round 11)
     "fim_samples",  # PSM/SPM fill-in-the-middle prep off code_detect (round 11)
+    "stream_fim_samples",  # the code route's streaming front door (round 11)
     "semantic_pack",  # in-context-pretraining packing via k-means buckets (round 11)
     "semantic_pack_stats",  # same-bucket/padding readout vs plain FFD (round 11)
     "anneal_schedule",  # phase-staged size->quality waterfill mixture (round 11)

@@ -11195,6 +11195,62 @@ def q_stream_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_SFT_RENDER = SQL_SFT_RENDER
 
 
+def q_stream_fim_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIM sample prep on the INGEST STREAM — the code route's
+    streaming front door: code detection and the PSM/SPM transform
+    are both pure per-row maps (code_signals + fim_samples), so the
+    lane is one stateless append chain over the documents
+    file-stream, exactly the stream_sft_render shape. Oracle = the
+    batch fim_samples query."""
+    import uuid
+
+    from etl_finance_pipeline_spark.operators.corpus import fim_samples
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        _code_signal_exprs,
+    )
+    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
+
+    spark = _narrow_session(spark, _stream_fanout_width(spark, cap=8))
+    ensure_nanos_conf(spark)
+    path = _t(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
+    d = F.col("doc_id")
+    dec = stream.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0, F.repeat(F.lit(_CODE_SNIPPET), 3)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    # is_code is a per-row signal: attach the detector EXPRESSION to
+    # the same frame (no stream-side join, the chain stays one
+    # stateless projection)
+    routed = dec.withColumn(
+        "is_code", _code_signal_exprs(F.col("text"))["is_code"]
+    )
+    out = fim_samples(
+        routed,
+        gate_col="is_code",
+        rate_pct=_FIM_RATE,
+        keep_cols=("is_code",),
+    )
+    name = f"stream_fim_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+
+
 # --------------------------------------------------------------------
 # Preference-pair prep (RLHF / DPO): chosen-vs-rejected construction
 # + the length-bias audit every reward-model dataset owes its users
@@ -12170,6 +12226,10 @@ SELECT doc_id, is_code, mode,
       END) AS sample_md5
 FROM fis
 """
+
+
+#: the streaming lane shares the batch oracle (per-row maps only)
+SQL_STREAM_FIM_SAMPLES = SQL_FIM_SAMPLES
 
 
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13607,6 +13667,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "script_census": q_script_census,
     "code_detect": q_code_detect,
     "fim_samples": q_fim_samples,
+    "stream_fim_samples": q_stream_fim_samples,
     "ngram_novelty": q_ngram_novelty,
     "curation_route": q_curation_route,
     "stream_curation_route": q_stream_curation_route,
@@ -13807,6 +13868,7 @@ ORACLES_TD: dict[str, str] = {
     "script_census": SQL_SCRIPT_CENSUS,
     "code_detect": SQL_CODE_DETECT,
     "fim_samples": SQL_FIM_SAMPLES,
+    "stream_fim_samples": SQL_STREAM_FIM_SAMPLES,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "curation_route": SQL_CURATION_ROUTE,
     "stream_curation_route": SQL_STREAM_CURATION_ROUTE,
