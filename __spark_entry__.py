@@ -36,6 +36,7 @@ _SHOWCASE_FIRST = (
     "url_canonicalize",  # stage -0.5: full-URL canonical + SURT key (round 11)
     "url_dedup",  # URL-level keep-first dedup across crawl snapshots (round 11)
     "stream_url_dedup",  # the same keep-first as a stateful stream agg (round 11)
+    "domain_authority",  # crawl-domain PageRank off canonical URLs (round 11)
     "warc_curation_funnel",  # funnel rebased with the n_urldedup stage (round 11)
     "corpus_build_e2e_warc",  # e2e build pruning refetches pre-extract (round 11)
     "bt_ratings",  # Bradley-Terry MM strength fit over quality duels (round 11)

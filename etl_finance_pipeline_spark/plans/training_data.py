@@ -9322,6 +9322,15 @@ doms AS (
 )"""
 
 
+#: the urls CTE alone (the synthesis half of _URL_CTE, without the
+#: canonicalization chain)
+_URL_CTE_URLS = _URL_CTE[: _URL_CTE.index("hosts AS")].rstrip().rstrip(",")
+
+#: the canonicalization half (hosts → doms), rebasable onto any CTE
+#: exposing (doc_id, url)
+_URL_CTE_DOMS = _URL_CTE[_URL_CTE.index("hosts AS") :]
+
+
 def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + registrable-domain blocklist (RefinedWeb
     first stage): lowercase, strip scheme/userinfo/path/port/www, roll
@@ -9693,6 +9702,90 @@ SELECT url_key,
 FROM uqcanon
 GROUP BY 1
 """
+
+
+def q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain authority — the crawl-side centrality ranking
+    (CommonCrawl publishes exactly this as its domain-level ranks):
+    canonical crawl URLs roll up to registrable domains, a
+    deterministic cross-domain link graph is synthesized (each page
+    links toward lower-indexed domains, so authority is skewed, not
+    uniform), and 3 damped PageRank iterations produce per-domain
+    ranks alongside in/out degree. The readout that feeds blocklist
+    review and per-domain quality priors from the LINK side, where
+    domain_quality_prior feeds it from the CONTENT side. Corpus work:
+    one URL projection + one distinct edge aggregate; the rank loop
+    runs on the k-domain graph (control-plane sized)."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        canonical_host,
+        registrable_domain,
+    )
+    from etl_finance_pipeline_spark.operators.graph import pagerank
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    d = F.col("doc_id")
+    urls = docs.select("doc_id", "source", _crawl_url_expr().alias("url"))
+    edges = (
+        urls.select(
+            registrable_domain(canonical_host(F.col("url"))).alias("src"),
+            F.concat(
+                F.lit("src"),
+                (F.floor(d / 20).cast("long") % (d % 20 + 1)).cast("string"),
+                F.lit(".com"),
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pr = pagerank(edges, iters=3, damping=0.85).select(
+        F.col("id").alias("domain"), "rank"
+    )
+    outd = edges.groupBy(F.col("src").alias("domain")).agg(
+        F.count("*").cast("long").alias("out_deg")
+    )
+    ind = edges.groupBy(F.col("dst").alias("domain")).agg(
+        F.count("*").cast("long").alias("in_deg")
+    )
+    return (
+        pr.join(outd, "domain", "left")
+        .join(ind, "domain", "left")
+        .select(
+            "domain",
+            "rank",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+SQL_DOMAIN_AUTHORITY = f"""
+WITH {_CRAWL_URLS_CTE},
+{_URL_CTE_DOMS.replace("FROM urls", "FROM curls").strip()},
+e AS (
+  SELECT DISTINCT dm.domain AS src,
+         'src' || CAST((dm.doc_id // 20) % (dm.doc_id % 20 + 1) AS VARCHAR)
+           || '.com' AS dst
+  FROM doms dm
+  WHERE dm.domain <> 'src' || CAST((dm.doc_id // 20) % (dm.doc_id % 20 + 1)
+                                   AS VARCHAR) || '.com'
+),
+v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+n AS (SELECT count(*) AS n FROM v),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+r0 AS (SELECT id, floor(1.0 / n.n * 1000000 + 0.5) / 1000000 AS rank FROM v, n),
+{_pr_iter_sql(1)},
+{_pr_iter_sql(2)},
+{_pr_iter_sql(3)},
+dao AS (SELECT src AS domain, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY 1),
+dai AS (SELECT dst AS domain, CAST(count(*) AS BIGINT) AS in_deg FROM e GROUP BY 1)
+SELECT r.id AS domain, r.rank,
+       CAST(coalesce(dao.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(coalesce(dai.in_deg, 0) AS BIGINT) AS in_deg
+FROM r3 r
+LEFT JOIN dao ON dao.domain = r.id
+LEFT JOIN dai ON dai.domain = r.id
+"""
+
 
 
 def _html_extract_ctes(
@@ -10303,13 +10396,6 @@ _WARC_BLOBS = 32  # crawl files per corpus in the synthetic lane
 _CRLF = "chr(13) || chr(10)"
 _CRLF2 = "chr(13) || chr(10) || chr(13) || chr(10)"
 
-#: the urls CTE alone (the synthesis half of _URL_CTE, without the
-#: canonicalization chain)
-_URL_CTE_URLS = _URL_CTE[: _URL_CTE.index("hosts AS")].rstrip().rstrip(",")
-
-#: the canonicalization half (hosts → doms), rebasable onto any CTE
-#: exposing (doc_id, url)
-_URL_CTE_DOMS = _URL_CTE[_URL_CTE.index("hosts AS") :]
 
 
 def _warc_parse_ctes() -> str:
@@ -13662,6 +13748,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,
     "image_stats_png": q_image_stats_png,
     "pagerank": q_pagerank,
+    "domain_authority": q_domain_authority,
     "cross_doc_repetition": q_cross_doc_repetition,
     "bpe_train": q_bpe_train,
     "script_census": q_script_census,
@@ -13863,6 +13950,7 @@ ORACLES_TD: dict[str, str] = {
     "semdedup": SQL_SEMDEDUP,
     "image_stats_png": SQL_IMAGE_STATS_PNG,
     "pagerank": SQL_PAGERANK,
+    "domain_authority": SQL_DOMAIN_AUTHORITY,
     "cross_doc_repetition": SQL_CROSS_DOC_REPETITION,
     "bpe_train": SQL_BPE_TRAIN,
     "script_census": SQL_SCRIPT_CENSUS,
