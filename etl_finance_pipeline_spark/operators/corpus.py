@@ -587,6 +587,13 @@ def fim_samples(
     Output: (*id_col*, keep_cols..., mode ∈ {psm, spm, plain},
     n_chars, fim_i, fim_j [NULL for plain], sample_md5).
     """
+    reserved = {"mode", "n_chars", "fim_i", "fim_j", "sample_md5"}
+    clash = reserved & ({id_col} | set(keep_cols))
+    if clash:
+        raise ValueError(
+            f"fim_samples: column(s) {sorted(clash)} collide with "
+            "output columns — rename or drop them upstream"
+        )
     t = F.col(text_col)
     n = F.length(t)
 
@@ -609,9 +616,9 @@ def fim_samples(
     mid = t.substr(i + 1, j - i)
     suf = t.substr(j + 1, n - j)
     sample = (
-        F.when(F.col("mode") == "plain", t)
+        F.when(F.col("_fim_mode") == "plain", t)
         .when(
-            F.col("mode") == "psm",
+            F.col("_fim_mode") == "psm",
             F.concat(
                 F.lit("<fim_prefix>"),
                 pre,
@@ -632,14 +639,16 @@ def fim_samples(
             )
         )
     )
-    out = df.withColumn("mode", mode)
+    # internal intermediate so a pre-existing 'mode' input column is
+    # never silently overwritten; aliased back to 'mode' on output
+    out = df.withColumn("_fim_mode", mode)
     return out.select(
         id_col,
         *keep_cols,
-        "mode",
+        F.col("_fim_mode").alias("mode"),
         n.cast("long").alias("n_chars"),
-        F.when(F.col("mode") != "plain", i).cast("long").alias("fim_i"),
-        F.when(F.col("mode") != "plain", j).cast("long").alias("fim_j"),
+        F.when(F.col("_fim_mode") != "plain", i).cast("long").alias("fim_i"),
+        F.when(F.col("_fim_mode") != "plain", j).cast("long").alias("fim_j"),
         F.md5(sample).alias("sample_md5"),
     )
 

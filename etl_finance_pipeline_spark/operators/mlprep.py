@@ -232,8 +232,11 @@ def bt_ratings(
     documents). The duel frame itself never leaves the cluster.
 
     Input: one row per duel with *win_a* ∈ {0, 1}. Ties should be
-    excluded upstream. Output: (item, rating, n_wins, n_duels),
-    rating at 6 dp.
+    excluded upstream; self-duels (item_a == item_b) are REJECTED —
+    the driver fold would floor one combined nano-unit term where the
+    oracle's symmetrized form floors two, a 1-nano divergence on
+    semantically meaningless input. Output: (item, rating, n_wins,
+    n_duels), rating at 6 dp.
     """
     import math
 
@@ -249,6 +252,13 @@ def bt_ratings(
     wins: dict[str, int] = {}
     for r in stats:
         a, b, n, w = r[item_a], r[item_b], int(r["n"]), int(r["w"])
+        if a == b:
+            # checked on the k²-sized sufficient stats (free), not
+            # with an extra pass over the duel frame
+            raise ValueError(
+                "bt_ratings: self-duels (item_a == item_b) are not "
+                "valid pairwise judgments — filter them upstream"
+            )
         adj.setdefault(a, {})[b] = adj.setdefault(a, {}).get(b, 0) + n
         adj.setdefault(b, {})[a] = adj.setdefault(b, {}).get(a, 0) + n
         wins[a] = wins.get(a, 0) + w

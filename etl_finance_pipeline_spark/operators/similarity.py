@@ -598,6 +598,10 @@ def kmeans_assign(
     cents = sorted(
         ((int(r[0]), [float(x) for x in r[1]]) for r in centroids.collect())
     )
+    if not cents:
+        # F.sequence(0, -1) below would silently build a descending
+        # [0, -1] index array instead of failing — fail loudly instead
+        raise ValueError("kmeans_assign: empty centroids frame")
     lit = F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in cents])
     cids = [cid for cid, _ in cents]
     src = _as_double(df, vec_col)

@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 
 from etl_finance_pipeline_spark.functions.scalar import portable_round
 from etl_finance_pipeline_spark.sources.tables import load_table
+from etl_finance_pipeline_spark.streaming.sink import (
+    await_stream as _await_stream,
+)
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -981,7 +984,7 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name).select("row", "bucket", "cnt")
 
 

@@ -39,6 +39,9 @@ from etl_finance_pipeline_spark.operators.text_analysis import (
     winnowing_fingerprints,
 )
 from etl_finance_pipeline_spark.sources.tables import load_table
+from etl_finance_pipeline_spark.streaming.sink import (
+    await_stream as _await_stream,
+)
 
 M31 = 2_147_483_647
 
@@ -916,7 +919,7 @@ def q_stream_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name)
 
 
@@ -2590,7 +2593,7 @@ def q_stream_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     out = spark.table(name)
     return out.select(
         F.col("event_type").alias("symbol"),
@@ -2648,7 +2651,7 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     out = spark.table(name)
     return out.select(
         "user_id",
@@ -2713,7 +2716,7 @@ def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name).select(
         F.col("event_type").alias("symbol"), F.col("ts")
     )
@@ -2909,7 +2912,7 @@ def q_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     mat = spark.table(name).select(
         F.col("w.start").alias("window_start"), "event_type", "n"
     )
@@ -2978,7 +2981,7 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_table,
         checkpoint_dir=f"{root}/ckpt",
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     out = read_table(spark, out_table)
     return out.select(
         "batch_id", "corpus_id", _pr("est_jaccard", 6).alias("est_jaccard")
@@ -3314,7 +3317,7 @@ def q_stream_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name).select(
         "symbol",
         "gap_start",
@@ -3365,7 +3368,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name).select(
         "event_id", "user_id", "ts", _pr("value", 6).alias("value"), "segment", "nationkey"
     )
@@ -3423,7 +3426,7 @@ def q_stream_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name).select(
         "view_id", "click_id", "user_id", "view_ts", "click_ts"
     )
@@ -5803,7 +5806,7 @@ def q_stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_table,
         checkpoint_dir=f"{root}/ckpt",
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     out = read_table(spark, out_table)
     return out.select("doc_id", "span_start", "span_end", "span_tokens")
 
@@ -7603,7 +7606,7 @@ def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name)
 
 
@@ -7766,7 +7769,7 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name)
 
 
@@ -8515,7 +8518,7 @@ def q_stream_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name)
 
 
@@ -9322,10 +9325,6 @@ doms AS (
 )"""
 
 
-#: the urls CTE alone (the synthesis half of _URL_CTE, without the
-#: canonicalization chain)
-_URL_CTE_URLS = _URL_CTE[: _URL_CTE.index("hosts AS")].rstrip().rstrip(",")
-
 #: the canonicalization half (hosts → doms), rebasable onto any CTE
 #: exposing (doc_id, url)
 _URL_CTE_DOMS = _URL_CTE[_URL_CTE.index("hosts AS") :]
@@ -9383,7 +9382,7 @@ def q_stream_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name)
 
 
@@ -9432,7 +9431,7 @@ def q_stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name)
 
 
@@ -9570,7 +9569,7 @@ curl1 AS (
          WHEN trk = '' THEN '?' || kept
          WHEN doc_id % 7 <= 3 THEN '?' || trk || '&' || kept
          ELSE '?' || kept || '&' || trk END AS qraw
-  FROM curl1_base
+  FROM curl0
 ),
 curls AS (
   SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN upper(u) ELSE u END AS url
@@ -9590,7 +9589,7 @@ curls AS (
         AS u
     FROM curl1
   )
-)""".replace("curl1_base", "curl0")
+)"""
 
 
 def _url_canon_ctes(rel: str, cols: str, p: str = "uc") -> str:
@@ -9990,7 +9989,7 @@ def q_stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name)
 
 
@@ -10526,7 +10525,7 @@ def q_stream_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q)
         return spark.table(name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -11274,7 +11273,7 @@ def q_stream_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name)
 
 
@@ -11331,7 +11330,7 @@ def q_stream_fim_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name)
 
 
@@ -12560,7 +12559,7 @@ def q_stream_curation_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q)
         return spark.table(name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

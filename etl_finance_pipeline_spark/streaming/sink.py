@@ -45,6 +45,21 @@ def committed_batch_ids(table: str) -> set[int]:
     return out
 
 
+def await_stream(q, timeout: float = 300.0) -> None:
+    """Block until streaming query *q* terminates, RAISING on timeout:
+    ``awaitTermination(t)`` returns False when the clock runs out while
+    the query is still running, and every availableNow lane reads its
+    memory-table sink immediately afterward — ignoring that bool turns
+    a hung microbatch into a silently partial (wrong) result. The one
+    helper every batch-replayable streaming lane funnels through."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        name = getattr(q, "name", None) or getattr(q, "id", "?")
+        raise TimeoutError(
+            f"streaming query {name} still running after {timeout}s"
+        )
+
+
 def _epoch_already_committed(
     table: str, epoch_id: int, txn_app_id: str | None = None
 ) -> bool:
