@@ -558,6 +558,98 @@ def url_dedup(
     )
 
 
+#: href attribute of anchor tags, either quote style — group 1 is the
+#: raw href value. RE2 ∩ Java dialect so the oracle runs it verbatim.
+HREF_RE = "(?is)<a\\s[^>]*href=[\"']([^\"']*)[\"']"
+
+#: hrefs that are not web links (or are intra-page): never edges
+_NON_WEB_HREF_RE = "^(?i)(javascript:|mailto:|tel:|data:|#)"
+
+
+def link_extract(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url_canon",
+    levels: int = 2,
+) -> DataFrame:
+    """Outlink extraction — the step that turns a parsed crawl into a
+    LINK GRAPH (CommonCrawl's host/domain-level web graphs are built
+    exactly this way): pull every ``<a href>`` target out of the page
+    markup, resolve it against the page's canonical URL (*url_col*,
+    normally :func:`url_canonicalize` output), and roll the target up
+    to its registrable domain so domain-level centrality
+    (domain-authority PageRank) can consume real crawl structure.
+
+    Resolution follows RFC 3986's four relative-reference shapes:
+    absolute (``scheme://…`` kept as-is), protocol-relative (``//h/p``
+    gains the page scheme), root-relative (``/p`` gains scheme+host),
+    and relative (``p`` resolves against the page path's directory).
+    Dot-segment (``../``) removal is NOT performed — a documented
+    approximation; the registrable-domain rollup, the graph's edge
+    key, is unaffected by path dots. Non-web and intra-page hrefs
+    (``javascript:``/``mailto:``/``tel:``/``data:``/bare ``#…``) are
+    dropped.
+
+    Entirely regexp codegen + one explode — no UDF, no shuffle; at
+    100 TB this rides the same scan as :func:`html_extract` and the
+    edge aggregate downstream is the only exchange.
+
+    Output: input columns + (href, link_url, link_host, link_domain,
+    page_domain, is_external).
+    """
+    base = F.col(url_col)
+    scheme = F.regexp_extract(base, r"^([a-z][a-z0-9+.\-]*)://", 1)
+    sp = F.when(scheme == "", F.lit("")).otherwise(
+        F.concat(scheme, F.lit("://"))
+    )
+    hostpath = F.regexp_replace(
+        F.regexp_replace(base, r"^[a-z][a-z0-9+.\-]*://", ""), r"\?.*$", ""
+    )
+    page_host = F.regexp_extract(hostpath, r"^([^/]*)", 1)
+    # canonical paths always carry at least '/', so this never eats
+    # the host label
+    dirp = F.regexp_replace(hostpath, r"[^/]*$", "")
+    out = df.withColumn(
+        "href",
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), 1)
+        ),
+    ).filter(
+        (F.col("href") != "") & ~F.col("href").rlike(_NON_WEB_HREF_RE)
+    )
+    h = F.col("href")
+    link_url = (
+        F.when(h.rlike(r"^(?i)[a-z][a-z0-9+.\-]*://"), h)
+        .when(
+            h.startswith("//"),
+            F.when(scheme == "", h).otherwise(
+                F.concat(scheme, F.lit(":"), h)
+            ),
+        )
+        .when(h.startswith("/"), F.concat(sp, page_host, h))
+        .otherwise(F.concat(sp, dirp, h))
+    )
+    out = out.withColumn("link_url", link_url)
+    lu = F.col("link_url")
+    link_host = F.when(
+        lu.startswith("//"),
+        canonical_host(F.regexp_replace(lu, r"^//", "")),
+    ).otherwise(canonical_host(lu))
+    out = (
+        out.withColumn("link_host", link_host)
+        .withColumn(
+            "link_domain", registrable_domain(F.col("link_host"), levels)
+        )
+        .withColumn(
+            "page_domain",
+            registrable_domain(canonical_host(base), levels),
+        )
+    )
+    return out.withColumn(
+        "is_external", F.col("link_domain") != F.col("page_domain")
+    )
+
+
 def fim_samples(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1307,9 +1399,42 @@ def synthesize_html(
     unescaped ``Q&A section <closed>`` block) — the <h1> is deliberately
     CONSTANT so exact-duplicate documents stay exact duplicates after
     extraction (the funnel's dedup stage runs downstream of this).
+
+    The partners block (link-only, so jusText's density gate drops it
+    from extraction) carries the page's CROSS-DOMAIN outlinks — an
+    absolute partner link skewed toward lower-indexed domains, a
+    protocol-relative mirror on ``id % 5 == 3``, and a purely relative
+    local link on ``id % 3 == 0`` — giving :func:`link_extract` real
+    anchors to resolve and the domain-authority PageRank a real crawl
+    graph to consume (the CommonCrawl host-graph shape).
     """
     d = F.col(id_col)
     i = d.cast("string")
+    partner = (F.floor(d / 20).cast("long") % (d % 20 + 1)).cast("string")
+    partners = F.concat(
+        F.lit('<div class="partners"><a href="https://src'),
+        partner,
+        F.lit('.com/p/'),
+        (d % 100).cast("string"),
+        F.lit('">Partner</a>'),
+        F.when(
+            d % 5 == 3,
+            F.concat(
+                F.lit(' <a href="//src'),
+                ((d + 1) % 20).cast("string"),
+                F.lit('.com/mirror">Mirror</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(' <a href="local/'),
+                (d % 7).cast("string"),
+                F.lit('">Local</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</div>"),
+    )
     extra = (
         F.when(
             d % 3 == 1,
@@ -1347,6 +1472,9 @@ def synthesize_html(
         F.lit(
             '</p></div><div class="share"><a href="/s/tw">Tweet</a> '
             '<a href="/s/fb">Share</a></div>'
+        ),
+        partners,
+        F.lit(
             '<footer><a href="/terms">Terms</a> '
             '<a href="/privacy">Privacy</a> (c) 2026 example.com</footer>'
             "</body></html>"

@@ -9477,6 +9477,16 @@ def _html_pay_cte(p: str = "hx_pay") -> str:
         ELSE '<p>Q&amp;A section &lt;closed&gt;</p>' END)
     || '<h1>Latest post</h1><div class="main"><p>' || text
     || '</p></div><div class="share"><a href="/s/tw">Tweet</a> <a href="/s/fb">Share</a></div>'
+    || '<div class="partners"><a href="https://src'
+    || CAST((doc_id // 20) % (doc_id % 20 + 1) AS VARCHAR)
+    || '.com/p/' || CAST(doc_id % 100 AS VARCHAR) || '">Partner</a>'
+    || (CASE WHEN doc_id % 5 = 3
+        THEN ' <a href="//src' || CAST((doc_id + 1) % 20 AS VARCHAR)
+             || '.com/mirror">Mirror</a>' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0
+        THEN ' <a href="local/' || CAST(doc_id % 7 AS VARCHAR)
+             || '">Local</a>' ELSE '' END)
+    || '</div>'
     || '<footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> (c) 2026 example.com</footer></body></html>'
     AS html
   FROM documents
@@ -9652,6 +9662,84 @@ def _url_canon_ctes(rel: str, cols: str, p: str = "uc") -> str:
 )"""
 
 
+def _sql_host(e: str) -> str:
+    """DuckDB twin of operators/corpus.py:canonical_host over SQL
+    expression *e*."""
+    return (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"regexp_replace(lower(trim({e})), '^[a-z][a-z0-9+.\\-]*://', ''),"
+        " '[/?#].*$', ''), '^[^@/]*@', ''), ':[0-9]+$', ''),"
+        " '^www\\.', '')"
+    )
+
+
+def _sql_regdom(e: str) -> str:
+    """DuckDB twin of operators/corpus.py:registrable_domain (levels=2)
+    over host expression *e*."""
+    return (
+        f"CASE WHEN len(string_split({e}, '.')) >= 2 "
+        f"THEN array_to_string(string_split({e}, '.')"
+        f"[len(string_split({e}, '.')) - 1:], '.') ELSE {e} END"
+    )
+
+
+def _link_extract_ctes(src: str, keys: str = "doc_id", p: str = "lk",
+                       html_col: str = "html") -> str:
+    """``{p}hr → … → {p}links`` CTE chain: the DuckDB twin of
+    operators/corpus.py:link_extract over CTE *src* (which must expose
+    *keys* + ``url_canon`` + *html_col*). ``{p}links`` exposes
+    (keys..., href, link_url, link_host, link_domain, page_domain,
+    is_external) — the identical extract/filter/resolve chain."""
+    from etl_finance_pipeline_spark.operators.corpus import HREF_RE
+
+    href_sql = HREF_RE.replace("'", "''")
+    return f"""{p}hr AS (
+  SELECT {keys}, url_canon,
+         unnest(regexp_extract_all({html_col}, '{href_sql}', 1)) AS href
+  FROM {src}
+),
+{p}f AS (
+  SELECT * FROM {p}hr
+  WHERE href <> ''
+    AND NOT regexp_matches(href, '^(?i)(javascript:|mailto:|tel:|data:|#)')
+),
+{p}b AS (
+  SELECT {keys}, url_canon, href,
+    regexp_extract(url_canon, '^([a-z][a-z0-9+.\\-]*)://', 1) AS scheme,
+    regexp_replace(regexp_replace(url_canon,
+      '^[a-z][a-z0-9+.\\-]*://', ''), '\\?.*$', '') AS hostpath
+  FROM {p}f
+),
+{p}r AS (
+  SELECT {keys}, url_canon, href,
+    CASE WHEN regexp_matches(href, '^(?i)[a-z][a-z0-9+.\\-]*://') THEN href
+         WHEN href LIKE '//%' THEN
+           CASE WHEN scheme = '' THEN href ELSE scheme || ':' || href END
+         WHEN href LIKE '/%' THEN
+           (CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END)
+           || regexp_extract(hostpath, '^([^/]*)', 1) || href
+         ELSE (CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END)
+           || regexp_replace(hostpath, '[^/]*$', '') || href
+    END AS link_url
+  FROM {p}b
+),
+{p}o AS (
+  SELECT {keys}, href, link_url,
+    CASE WHEN link_url LIKE '//%'
+         THEN {_sql_host("regexp_replace(link_url, '^//', '')")}
+         ELSE {_sql_host('link_url')} END AS link_host,
+    {_sql_regdom(_sql_host('url_canon'))} AS page_domain
+  FROM {p}r
+),
+{p}links AS (
+  SELECT {keys}, href, link_url, link_host,
+    {_sql_regdom('link_host')} AS link_domain,
+    page_domain,
+    ({_sql_regdom('link_host')} <> page_domain) AS is_external
+  FROM {p}o
+)"""
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage −0.5 of crawl curation, the gate that runs before any
     payload is parsed: full-URL canonicalization over snapshot-noised
@@ -9703,37 +9791,83 @@ GROUP BY 1
 """
 
 
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction from page markup — the step that turns a
+    parsed crawl into a link graph (operators/corpus.py:link_extract):
+    every <a href> target pulled from the synthesized pages, resolved
+    against the page's canonical URL through all four RFC 3986
+    relative shapes (absolute, protocol-relative, root-relative,
+    relative-path), rolled up to registrable target domains, and
+    flagged internal/external. Regexp codegen + one explode, no
+    shuffle — rides the html_extract scan at 100 TB. The oracle
+    replays the identical extract/filter/resolve chain."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        link_extract,
+        synthesize_html,
+        url_canonicalize,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    pages = synthesize_html(docs).withColumn("url", _crawl_url_expr())
+    out = link_extract(url_canonicalize(pages))
+    return out.select(
+        "doc_id",
+        "href",
+        "link_url",
+        "link_host",
+        "link_domain",
+        "page_domain",
+        "is_external",
+    )
+
+
+SQL_LINK_EXTRACT = f"""
+WITH {_html_pay_cte("lp")},
+{_CRAWL_URLS_CTE},
+{_url_canon_ctes("curls", "doc_id", "lq")},
+lsrc AS (
+  SELECT p.doc_id, p.html, c.url_canon
+  FROM lp p JOIN lqcanon c USING (doc_id)
+),
+{_link_extract_ctes("lsrc", "doc_id", "lk")}
+SELECT doc_id, href, link_url, link_host, link_domain, page_domain,
+       is_external
+FROM lklinks
+"""
+
+
 def q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain authority — the crawl-side centrality ranking
-    (CommonCrawl publishes exactly this as its domain-level ranks):
-    canonical crawl URLs roll up to registrable domains, a
-    deterministic cross-domain link graph is synthesized (each page
-    links toward lower-indexed domains, so authority is skewed, not
-    uniform), and 3 damped PageRank iterations produce per-domain
+    (CommonCrawl publishes exactly this as its domain-level ranks),
+    fed by REAL crawl structure since round 12: <a href> anchors
+    extracted from the page markup (link_extract), resolved against
+    each page's canonical URL, rolled up to registrable-domain edges
+    (external links only — internal navigation never makes an edge),
+    deduplicated, and 3 damped PageRank iterations produce per-domain
     ranks alongside in/out degree. The readout that feeds blocklist
     review and per-domain quality priors from the LINK side, where
     domain_quality_prior feeds it from the CONTENT side. Corpus work:
-    one URL projection + one distinct edge aggregate; the rank loop
-    runs on the k-domain graph (control-plane sized)."""
+    the link-extraction projection + one distinct edge aggregate; the
+    rank loop runs on the k-domain control-plane graph. The oracle
+    derives the SAME edge set INDEPENDENTLY from the fixture
+    arithmetic (not by replaying the regex chain), so an extraction
+    bug that bends any edge fails the rank hash."""
     from etl_finance_pipeline_spark.operators.corpus import (
-        canonical_host,
-        registrable_domain,
+        link_extract,
+        synthesize_html,
+        url_canonicalize,
     )
     from etl_finance_pipeline_spark.operators.graph import pagerank
 
     docs = load_table(spark, _t(sf_dir, "documents"))
-    d = F.col("doc_id")
-    urls = docs.select("doc_id", "source", _crawl_url_expr().alias("url"))
+    pages = synthesize_html(docs).withColumn("url", _crawl_url_expr())
+    links = link_extract(url_canonicalize(pages))
     edges = (
-        urls.select(
-            registrable_domain(canonical_host(F.col("url"))).alias("src"),
-            F.concat(
-                F.lit("src"),
-                (F.floor(d / 20).cast("long") % (d % 20 + 1)).cast("string"),
-                F.lit(".com"),
-            ).alias("dst"),
+        links.filter(F.col("is_external"))
+        .select(
+            F.col("page_domain").alias("src"),
+            F.col("link_domain").alias("dst"),
         )
-        .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
     pr = pagerank(edges, iters=3, damping=0.85).select(
@@ -9757,16 +9891,25 @@ def q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# edges derived INDEPENDENTLY from the fixture arithmetic (the page
+# domain is src(doc_id%20).com; the synthesized partners block links
+# it to the partner domain src((doc_id//20)%(doc_id%20+1)).com and,
+# on doc_id%5=3, the mirror domain src((doc_id+1)%20).com; internal
+# links never make an edge) — NOT by replaying the extraction regex,
+# so the oracle cross-checks link_extract's edge set end to end
 SQL_DOMAIN_AUTHORITY = f"""
-WITH {_CRAWL_URLS_CTE},
-{_URL_CTE_DOMS.replace("FROM urls", "FROM curls").strip()},
-e AS (
-  SELECT DISTINCT dm.domain AS src,
-         'src' || CAST((dm.doc_id // 20) % (dm.doc_id % 20 + 1) AS VARCHAR)
+WITH e AS (
+  SELECT DISTINCT
+         'src' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS src,
+         'src' || CAST((doc_id // 20) % (doc_id % 20 + 1) AS VARCHAR)
            || '.com' AS dst
-  FROM doms dm
-  WHERE dm.domain <> 'src' || CAST((dm.doc_id // 20) % (dm.doc_id % 20 + 1)
-                                   AS VARCHAR) || '.com'
+  FROM documents
+  WHERE (doc_id // 20) % (doc_id % 20 + 1) <> doc_id % 20
+  UNION
+  SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) || '.com',
+         'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com'
+  FROM documents
+  WHERE doc_id % 5 = 3
 ),
 v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
 n AS (SELECT count(*) AS n FROM v),
@@ -10685,6 +10828,82 @@ SELECT CAST(count(*) AS BIGINT) AS n_records,
        CAST(sum(ek) AS BIGINT) AS n_exact,
        CAST(sum(fk * xk * dk * uk * lk * qk * ek) AS BIGINT) AS n_final
 FROM wffl
+"""
+
+
+def q_outlink_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain outlink census FROM RAW CRAWL RECORDS — the link
+    side of the WARC pipeline: stage −1 parses the blobs, the parsed
+    Target-URI canonicalizes to the page's base URL, link_extract
+    pulls and resolves every <a href> in the recovered payload, and
+    one aggregate rolls up per page domain: total links, external
+    links, and distinct external target domains — the census that
+    sizes the crawl graph before domain_authority ranks it (and the
+    e2e hook proving link extraction rides the real parse path, not
+    just synthesized pages). The oracle derives the counts
+    INDEPENDENTLY from the fixture arithmetic."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        link_extract,
+        synthesize_warc,
+        url_canonicalize,
+        warc_parse,
+    )
+
+    parsed = warc_parse(synthesize_warc(_warc_pages(spark, sf_dir)))
+    canon = url_canonicalize(
+        parsed.select("doc_id", "payload", F.col("uri").alias("url"))
+    )
+    links = link_extract(canon, html_col="payload")
+    return links.groupBy(F.col("page_domain").alias("domain")).agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.sum(F.col("is_external").cast("long"))
+        .cast("long")
+        .alias("n_external"),
+        F.countDistinct(F.when(F.col("is_external"), F.col("link_domain")))
+        .cast("long")
+        .alias("n_ext_domains"),
+    )
+
+
+# per-doc link counts from the same fixture arithmetic the
+# domain_authority oracle uses: 8 fixed anchors (3 nav + 2 share +
+# 2 footer + 1 partner) + the id%3 variant (buy / p1,p2 / local) +
+# the id%5=3 mirror; external = partner-when-cross-domain + mirror
+SQL_OUTLINK_CENSUS = """
+WITH per AS (
+  SELECT doc_id,
+    'src' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS domain,
+    8 + (CASE doc_id % 3 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 1 END)
+      + (CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END) AS n_links,
+    (CASE WHEN (doc_id // 20) % (doc_id % 20 + 1) <> doc_id % 20
+          THEN 1 ELSE 0 END)
+      + (CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END) AS n_external
+  FROM documents
+),
+agg AS (
+  SELECT domain,
+         CAST(sum(n_links) AS BIGINT) AS n_links,
+         CAST(sum(n_external) AS BIGINT) AS n_external
+  FROM per GROUP BY 1
+),
+ext AS (
+  SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS domain,
+         'src' || CAST((doc_id // 20) % (doc_id % 20 + 1) AS VARCHAR)
+           || '.com' AS tgt
+  FROM documents
+  WHERE (doc_id // 20) % (doc_id % 20 + 1) <> doc_id % 20
+  UNION ALL
+  SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) || '.com',
+         'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com'
+  FROM documents
+  WHERE doc_id % 5 = 3
+),
+extd AS (
+  SELECT domain, count(DISTINCT tgt) AS n_ext_domains FROM ext GROUP BY 1
+)
+SELECT a.domain, a.n_links, a.n_external,
+       CAST(coalesce(e.n_ext_domains, 0) AS BIGINT) AS n_ext_domains
+FROM agg a LEFT JOIN extd e USING (domain)
 """
 
 
@@ -13748,6 +13967,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_stats_png": q_image_stats_png,
     "pagerank": q_pagerank,
     "domain_authority": q_domain_authority,
+    "link_extract": q_link_extract,
+    "outlink_census": q_outlink_census,
     "cross_doc_repetition": q_cross_doc_repetition,
     "bpe_train": q_bpe_train,
     "script_census": q_script_census,
@@ -13950,6 +14171,8 @@ ORACLES_TD: dict[str, str] = {
     "image_stats_png": SQL_IMAGE_STATS_PNG,
     "pagerank": SQL_PAGERANK,
     "domain_authority": SQL_DOMAIN_AUTHORITY,
+    "link_extract": SQL_LINK_EXTRACT,
+    "outlink_census": SQL_OUTLINK_CENSUS,
     "cross_doc_repetition": SQL_CROSS_DOC_REPETITION,
     "bpe_train": SQL_BPE_TRAIN,
     "script_census": SQL_SCRIPT_CENSUS,

@@ -1336,6 +1336,79 @@ def test_cluster_profile_census_and_purity(spark):
     assert out[1]["top_label"] == 5 and out[1]["label_purity"] == 1.0
 
 
+def test_link_extract_resolution_branches(spark):
+    """All four RFC 3986 relative shapes + the non-web filter, on
+    hand-built payloads: absolute kept as-is, protocol-relative gains
+    the page scheme (or stays scheme-less), root-relative gains
+    scheme+host, relative resolves against the path directory;
+    javascript:/mailto:/#-only hrefs never become links; external =
+    registrable-domain mismatch."""
+    from etl_finance_pipeline_spark.operators.corpus import link_extract
+
+    rows = [
+        # page with scheme + subdir path
+        (
+            0,
+            "https://www.a.com/dir/page",
+            '<a href="https://b.com/x">1</a> <a href="//c.org/y">2</a> '
+            '<a href="/root">3</a> <a href="sib">4</a> '
+            '<a href="javascript:void(0)">5</a> <a href="#top">6</a> '
+            "<a href='mailto:x@y.z'>7</a>",
+        ),
+        # scheme-less canonical page
+        (1, "a.com/p", '<a href="//b.com/q">8</a> <a href="r">9</a>'),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url_canon", "html"])
+    got = {
+        (r["doc_id"], r["href"]): (
+            r["link_url"],
+            r["link_domain"],
+            r["is_external"],
+        )
+        for r in link_extract(df).collect()
+    }
+    assert got == {
+        (0, "https://b.com/x"): ("https://b.com/x", "b.com", True),
+        (0, "//c.org/y"): ("https://c.org/y", "c.org", True),
+        (0, "/root"): ("https://www.a.com/root", "a.com", False),
+        (0, "sib"): ("https://www.a.com/dir/sib", "a.com", False),
+        (1, "//b.com/q"): ("//b.com/q", "b.com", True),
+        (1, "r"): ("a.com/r", "a.com", False),
+    }
+
+
+def test_link_extract_fixture_edges_match_arithmetic(spark):
+    """The extracted external edge set over the synthesized pages
+    equals the fixture arithmetic the domain_authority oracle uses:
+    partner src((d//20)%(d%20+1)).com when cross-domain, mirror
+    src((d+1)%20).com on d%5==3."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        link_extract,
+        synthesize_html,
+        url_canonicalize,
+    )
+    from etl_finance_pipeline_spark.plans.training_data import (
+        _crawl_url_expr,
+    )
+    from etl_finance_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    pages = synthesize_html(docs).withColumn("url", _crawl_url_expr())
+    links = link_extract(url_canonicalize(pages))
+    got = {
+        (r["page_domain"], r["link_domain"])
+        for r in links.filter("is_external").collect()
+    }
+    want = set()
+    for (d,) in docs.select("doc_id").collect():
+        k, p = d % 20, (d // 20) % (d % 20 + 1)
+        if p != k:
+            want.add((f"src{k}.com", f"src{p}.com"))
+        if d % 5 == 3:
+            want.add((f"src{k}.com", f"src{(d + 1) % 20}.com"))
+    assert got == want
+
+
 def test_html_extract_drops_boilerplate_keeps_prose(spark):
     from etl_finance_pipeline_spark.operators.corpus import (
         html_extract,
