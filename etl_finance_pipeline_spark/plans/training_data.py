@@ -9836,6 +9836,102 @@ FROM lklinks
 """
 
 
+#: epoch seconds of 2026-01-01 00:00:00 UTC — hour-aligned, so the
+#: synthesized event times land on clean F.window boundaries
+_URL_EV_EPOCH = 1_767_225_600
+
+
+def q_stream_url_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-SHAPE twin of stream_url_dedup: WATERMARKED,
+    APPEND-mode URL dedup. Each fetch carries a synthesized event
+    time (doc_id%360 minutes past a fixed epoch — the crawl's fetch
+    timestamp), the aggregate keys on (60-minute event window,
+    url_key), and a 30-minute watermark lets the engine EMIT each
+    (window, key) row exactly once — when the window closes — and
+    DROP its state, instead of complete-mode's re-emit-everything-
+    every-trigger. State is bounded by keys-per-open-window, not by
+    all keys ever seen: the only shape that survives a continuous
+    crawl. The final event-time window (end > max_event − 30 min)
+    stays open at end-of-stream and is deliberately NOT emitted —
+    the oracle applies the same closed-window cutoff, derived from
+    the data. Window starts are emitted as minutes-past-epoch longs
+    (tz-proof cross-engine). Determinism note: availableNow loads
+    the fixture in one data microbatch (≤ maxFilesPerTrigger files),
+    so no row is ever late against a mid-stream watermark; the
+    trailing no-data microbatch advances the watermark once, at
+    end-of-stream, and flushes every closed window."""
+    import uuid
+
+    from etl_finance_pipeline_spark.operators.corpus import url_canonicalize
+    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
+
+    spark = _narrow_session(spark, _stream_fanout_width(spark, cap=8))
+    ensure_nanos_conf(spark)
+    path = _t(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    ev = F.timestamp_seconds(
+        F.lit(_URL_EV_EPOCH) + (F.col("doc_id") % 360) * 60
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(path[:-1] + "[t]")
+        .select(
+            "doc_id",
+            "source",
+            _crawl_url_expr().alias("url"),
+            ev.alias("ev"),
+        )
+    )
+    agg = (
+        url_canonicalize(stream)
+        .withWatermark("ev", "30 minutes")
+        .groupBy(F.window("ev", "60 minutes"), "url_key")
+        .agg(
+            F.min("doc_id").cast("long").alias("doc_id"),
+            F.count("*").cast("long").alias("n_snapshots"),
+        )
+        .select(
+            (
+                (F.col("window.start").cast("long") - _URL_EV_EPOCH) / 60
+            )
+            .cast("long")
+            .alias("win_min"),
+            "url_key",
+            "doc_id",
+            "n_snapshots",
+        )
+    )
+    name = f"stream_urldedupa_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.table(name)
+
+
+# the closed-window cutoff replays Spark's watermark algebra: the
+# final watermark is max_event − 30 min and a window is emitted iff
+# window_end <= watermark — all in minutes since the shared epoch
+SQL_STREAM_URL_DEDUP_APPEND = f"""
+WITH {_CRAWL_URLS_CTE},
+{_url_canon_ctes("curls", "doc_id", "wa")},
+wam AS (
+  SELECT doc_id, url_key, (doc_id % 360) // 60 AS wid FROM wacanon
+),
+wmx AS (SELECT max(doc_id % 360) AS mm FROM documents)
+SELECT CAST(wid * 60 AS BIGINT) AS win_min, url_key,
+       CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_snapshots
+FROM wam, wmx
+WHERE (wid + 1) * 60 <= mm - 30
+GROUP BY 1, 2
+"""
+
+
 def q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain authority — the crawl-side centrality ranking
     (CommonCrawl publishes exactly this as its domain-level ranks),
@@ -13828,6 +13924,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize": q_url_canonicalize,
     "url_dedup": q_url_dedup,
     "stream_url_dedup": q_stream_url_dedup,
+    "stream_url_dedup_append": q_stream_url_dedup_append,
     "stream_domain_filter": q_stream_domain_filter,
     "html_extract": q_html_extract,
     "stream_html_extract": q_stream_html_extract,
@@ -14032,6 +14129,7 @@ ORACLES_TD: dict[str, str] = {
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "url_dedup": SQL_URL_DEDUP,
     "stream_url_dedup": SQL_URL_DEDUP,
+    "stream_url_dedup_append": SQL_STREAM_URL_DEDUP_APPEND,
     "stream_domain_filter": SQL_STREAM_DOMAIN_FILTER,
     "html_extract": SQL_HTML_EXTRACT,
     "stream_html_extract": SQL_STREAM_HTML_EXTRACT,
