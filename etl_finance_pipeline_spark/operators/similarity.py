@@ -1472,6 +1472,85 @@ def cluster_profile(
     )
 
 
+def prototype_prune(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    prune_frac: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Prototypicality-based data pruning (the SSL-prototypes metric
+    of Sorscher et al. 2022, "Beyond neural scaling laws"): assign
+    each vector to its nearest k-means centroid and score it by
+    squared-L2 distance to that centroid — LOW distance means
+    prototypical/easy, and with an abundant corpus the published
+    recipe prunes the easiest fraction and keeps the hard examples.
+    The cut is PER CLUSTER (the paper's cluster-balanced form):
+    within each cell the floor(prune_frac · n) lowest-distance
+    vectors are flagged for pruning, so no cell is emptied and the
+    kept set preserves cluster coverage. Composes with :func:`semdedup`
+    exactly as published — dedup near-duplicates first, prune
+    prototypes second.
+
+    Distances are portably rounded (*round_digits*) and ranking ties
+    break by id, so the flag set is deterministic cross-engine. One
+    broadcast assign (k×dim codebook literal frame) + one per-cell
+    ranking window — the identical shuffle shape as kmeans_assign +
+    rank; nothing driver-side is data-sized.
+
+    Output: (*id_col*, cluster_id, proto_dist, cluster_n, proto_rank,
+    keep) — proto_rank 1 = most prototypical in its cell.
+    """
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+    src = _as_double(corpus, vec_col)
+    cents = _as_double(
+        centroids.select(
+            F.col("cluster_id").alias("_cid"), F.col("cvec").alias("_cv")
+        ),
+        "_cv",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("_cv"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = src.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col("_cid"), d2.alias("_d2")
+    )
+    aw = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("_cid"))
+    assigned = (
+        pairs.withColumn("_r", F.row_number().over(aw))
+        .filter(F.col("_r") == 1)
+        .select(
+            id_col,
+            F.col("_cid"),
+            portable_round(F.col("_d2"), round_digits).alias("proto_dist"),
+        )
+    )
+    rw = Window.partitionBy("_cid").orderBy(
+        F.col("proto_dist").asc(), F.col(id_col).asc()
+    )
+    cw = Window.partitionBy("_cid")
+    ranked = assigned.withColumn(
+        "proto_rank", F.row_number().over(rw)
+    ).withColumn("cluster_n", F.count("*").over(cw))
+    return ranked.select(
+        id_col,
+        F.col("_cid").cast("int").alias("cluster_id"),
+        "proto_dist",
+        F.col("cluster_n").cast("long").alias("cluster_n"),
+        F.col("proto_rank").cast("long").alias("proto_rank"),
+        (
+            F.col("proto_rank")
+            > F.floor(F.lit(float(prune_frac)) * F.col("cluster_n"))
+        ).alias("keep"),
+    )
+
+
 def bitext_margin_mine(
     src: DataFrame,
     tgt: DataFrame,

@@ -9250,6 +9250,107 @@ FROM cpstats s JOIN cptop t USING (cid)
 """
 
 
+_PP_FRAC = 0.25  # prototype-prune fraction (per cluster)
+
+
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning (SSL prototypes, Sorscher et al. 2022)
+    over the trained k-means lane: per-vector squared-L2 distance to
+    its assigned centroid, ranked WITHIN each cluster, with the
+    floor(0.25·n) most prototypical (lowest-distance) vectors flagged
+    prune — the standard embedding-based data-pruning filter a
+    curation run applies after SemDedup. Oracle unrolls the identical
+    Lloyd rounds and replays assignment, rounding, and the per-cell
+    rank cut."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        prototype_prune,
+        train_kmeans_centroids,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    cents = train_kmeans_centroids(
+        emb, k=_CMIX_K, iters=_CMIX_ITERS, round_digits=6
+    )
+    return prototype_prune(emb, cents, prune_frac=_PP_FRAC)
+
+
+_PP_CTES = f"""{_kmeans_sql(k=_CMIX_K, iters=_CMIX_ITERS)},
+ppassign AS MATERIALIZED (
+  SELECT vec_id, cid, floor(d2 * 1000000 + 0.5) / 1000000 AS proto_dist
+  FROM (
+    SELECT e.vec_id, c.cid,
+           {_L2_SQL.format(a='e.embedding', b='c.cvec')} AS d2,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_L2_SQL.format(a='e.embedding', b='c.cvec')} ASC, c.cid
+           ) AS pr
+    FROM embeddings e CROSS JOIN c{_CMIX_ITERS} c
+  ) WHERE pr = 1
+),
+pprank AS (
+  SELECT vec_id, cid, proto_dist,
+         row_number() OVER (
+           PARTITION BY cid ORDER BY proto_dist ASC, vec_id
+         ) AS proto_rank,
+         count(*) OVER (PARTITION BY cid) AS cluster_n
+  FROM ppassign
+)"""
+
+SQL_PROTOTYPE_PRUNE = f"""
+WITH {_PP_CTES}
+SELECT vec_id, CAST(cid AS INT) AS cluster_id, proto_dist,
+       CAST(cluster_n AS BIGINT) AS cluster_n,
+       CAST(proto_rank AS BIGINT) AS proto_rank,
+       (proto_rank > floor({_PP_FRAC} * cluster_n)) AS keep
+FROM pprank
+"""
+
+
+def q_prototype_prune_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned-fraction-by-source readout of prototype_prune: join the
+    keep flags back to the documents catalog (vec_id = doc_id, the
+    embeddings-to-documents key) and report per-source volumes and
+    the kept fraction — the skew check a curation run reads before
+    applying an embedding-level prune corpus-wide."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        prototype_prune,
+        train_kmeans_centroids,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    cents = train_kmeans_centroids(
+        emb, k=_CMIX_K, iters=_CMIX_ITERS, round_digits=6
+    )
+    pp = prototype_prune(emb, cents, prune_frac=_PP_FRAC)
+    joined = pp.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        _pr(
+            F.sum(F.col("keep").cast("double")) / F.count("*"), 6
+        ).alias("kept_frac"),
+    )
+
+
+SQL_PROTOTYPE_PRUNE_CENSUS = f"""
+WITH {_PP_CTES},
+ppk AS (
+  SELECT vec_id, (proto_rank > floor({_PP_FRAC} * cluster_n)) AS keep
+  FROM pprank
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       floor(sum(CASE WHEN k.keep THEN 1.0 ELSE 0.0 END) / count(*)
+             * 1000000 + 0.5) / 1000000 AS kept_frac
+FROM ppk k JOIN documents d ON d.doc_id = k.vec_id
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------
 # URL / domain filter stage (RefinedWeb first-stage curation)
 # --------------------------------------------------------------------
@@ -14061,6 +14162,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doremi_proxy_compare": q_doremi_proxy_compare,
     "embed_quantize": q_embed_quantize,
     "semdedup": q_semdedup,
+    "prototype_prune": q_prototype_prune,
+    "prototype_prune_census": q_prototype_prune_census,
     "image_stats_png": q_image_stats_png,
     "pagerank": q_pagerank,
     "domain_authority": q_domain_authority,
@@ -14266,6 +14369,8 @@ ORACLES_TD: dict[str, str] = {
     "doremi_proxy_compare": SQL_DOREMI_PROXY_COMPARE,
     "embed_quantize": SQL_EMBED_QUANTIZE,
     "semdedup": SQL_SEMDEDUP,
+    "prototype_prune": SQL_PROTOTYPE_PRUNE,
+    "prototype_prune_census": SQL_PROTOTYPE_PRUNE_CENSUS,
     "image_stats_png": SQL_IMAGE_STATS_PNG,
     "pagerank": SQL_PAGERANK,
     "domain_authority": SQL_DOMAIN_AUTHORITY,

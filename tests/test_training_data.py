@@ -1315,6 +1315,47 @@ def test_vocab_coverage_and_zipf_fit(spark):
         zipf_fit(df, min_count=0)
 
 
+def test_prototype_prune_per_cluster_cut(spark):
+    """Hand-checkable SSL-prototypes cut: two clusters of 4, 25%
+    prune → exactly the single closest-to-centroid vector in each
+    cluster is flagged prune; ranks are distance-ordered with id
+    tiebreak."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        prototype_prune,
+    )
+
+    # centroids at (0,0) and (10,0); distances within each cluster
+    # are distinct except a deliberate tie (ids 2 and 3) broken by id
+    rows = [
+        (0, [0.1, 0.0]),   # d2=0.01  -> most prototypical of c0
+        (1, [1.0, 0.0]),   # d2=1.0
+        (2, [0.0, 2.0]),   # d2=4.0 (tie with 3, lower id ranks first)
+        (3, [2.0, 0.0]),   # d2=4.0
+        (4, [10.2, 0.0]),  # d2=0.04 -> most prototypical of c1
+        (5, [10.0, 1.0]),  # d2=1.0
+        (6, [13.0, 0.0]),  # d2=9.0
+        (7, [10.0, 4.0]),  # d2=16.0
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0])], ["cluster_id", "cvec"]
+    )
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["proto_rank"], r["keep"])
+        for r in prototype_prune(emb, cents, prune_frac=0.25).collect()
+    }
+    assert out == {
+        0: (0, 1, False),
+        1: (0, 2, True),
+        2: (0, 3, True),
+        3: (0, 4, True),
+        4: (1, 1, False),
+        5: (1, 2, True),
+        6: (1, 3, True),
+        7: (1, 4, True),
+    }
+
+
 def test_cluster_profile_census_and_purity(spark):
     from etl_finance_pipeline_spark.operators.similarity import cluster_profile
 
