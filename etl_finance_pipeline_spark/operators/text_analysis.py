@@ -14,6 +14,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf resolves 'pd.Series' hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -656,6 +657,85 @@ SCRIPT_RANGES: tuple[tuple[str, int, int], ...] = (
     ("cjk", 0x4E00, 0x9FFF),
     ("hangul", 0xAC00, 0xD7AF),
 )
+
+
+#: zero-width / invisible formatting characters (ZWSP, ZWNJ, ZWJ,
+#: word joiner, BOM-as-ZWNBSP) — invisible to readers, identity-
+#: bearing to hashers and tokenizers
+ZERO_WIDTH_RE = "[​‌‍⁠﻿]"
+
+#: characters NFKC rewrites (fixed flag set, the SQL-expressible half
+#: of an NFKC audit): fullwidth ASCII forms, Latin ligatures,
+#: super/subscripts, enclosed alphanumerics, letterlike symbols
+NFKC_FLAG_RE = (
+    "[！-～ﬀ-ﬆ²³¹"
+    "⁰-ₜ①-⓿℀-⅏]"
+)
+
+#: the high-frequency homoglyph set (Unicode TR39's poster children):
+#: Cyrillic а е о р с х у і and Greek omicron — letters that render
+#: as Latin but hash differently
+CONFUSABLE_RE = "[аеорсхуіο]"
+
+
+def unicode_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode-normalization audit — the text-canonicalization gate
+    that runs BEFORE hashing/dedup (two byte-different spellings of
+    the same visible string split a dedup group and dodge a
+    decontamination match): per document,
+
+    * ``nfc_mismatch`` — text is not NFC-normal (true UAX #15 check:
+      ``unicodedata.normalize`` in an Arrow-batched kernel; the
+      DuckDB twin is ``nfc_normalize``),
+    * ``n_zero_width`` — invisible formatting characters
+      (``ZERO_WIDTH_RE``),
+    * ``n_nfkc_flagged`` — characters NFKC would rewrite
+      (``NFKC_FLAG_RE``; a fixed flag SET rather than a full NFKC
+      pass — the documented SQL-expressible approximation, since no
+      oracle-side NFKC exists),
+    * ``n_confusable`` — Latin-lookalike homoglyphs
+      (``CONFUSABLE_RE``),
+    * ``uni_suspect`` — any of the above fired.
+
+    The counts are exchange-free codegen (length-diff arithmetic,
+    patterns shared verbatim with the twin); the NFC check is the one
+    Python kernel, Arrow-batched per partition — at 100 TB the audit
+    rides the corpus scan with zero shuffles.
+
+    Output: (id, n_chars, nfc_mismatch, n_zero_width, n_nfkc_flagged,
+    n_confusable, uni_suspect).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _nfc_mismatch(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: x is not None
+            and unicodedata.normalize("NFC", x) != x
+        )
+
+    t = F.col(text_col)
+    out = df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        _nfc_mismatch(t).alias("nfc_mismatch"),
+        _count_re_expr(t, ZERO_WIDTH_RE).alias("n_zero_width"),
+        _count_re_expr(t, NFKC_FLAG_RE).alias("n_nfkc_flagged"),
+        _count_re_expr(t, CONFUSABLE_RE).alias("n_confusable"),
+    )
+    return out.withColumn(
+        "uni_suspect",
+        F.col("nfc_mismatch")
+        | (F.col("n_zero_width") > 0)
+        | (F.col("n_nfkc_flagged") > 0)
+        | (F.col("n_confusable") > 0),
+    )
 
 
 def script_char_class(name: str) -> str:

@@ -12997,6 +12997,146 @@ FROM srroute
 # Margin-based bitext mining (CCMatrix/LASER device)
 # --------------------------------------------------------------------
 
+def _uni_noise(docs: DataFrame) -> DataFrame:
+    """Deterministic Unicode-noise decoration over (doc_id, text) —
+    the synthesize-from-fixture device for the normalization audit:
+    a combining-acute sequence NFC would compose (doc_id%4==1),
+    zero-width + BOM characters (%4==2), fullwidth/superscript/
+    ligature NFKC-affected characters (%4==3), and a Cyrillic-а
+    homoglyph inside a Latin word (%6==5)."""
+    d = F.col("doc_id")
+    noise = (
+        F.when(d % 4 == 1, F.lit(" étude"))
+        .when(d % 4 == 2, F.lit(" zero​width﻿"))
+        .when(d % 4 == 3, F.lit(" Ｓale² ﬁne"))
+        .otherwise(F.lit(""))
+    )
+    conf = F.when(d % 6 == 5, F.lit(" pаy")).otherwise(F.lit(""))
+    return docs.withColumn("text", F.concat(F.col("text"), noise, conf))
+
+
+def _uni_noise_sql(src: str, p: str) -> str:
+    """DuckDB twin of :func:`_uni_noise` (chr() codes, so the twin
+    stays visible in the source)."""
+    return f"""{p} AS (
+  SELECT * REPLACE (text
+    || (CASE doc_id % 4
+        WHEN 1 THEN ' e' || chr(769) || 'tude'
+        WHEN 2 THEN ' zero' || chr(8203) || 'width' || chr(65279)
+        WHEN 3 THEN ' ' || chr(65331) || 'ale' || chr(178) || ' '
+                  || chr(64257) || 'ne'
+        ELSE '' END)
+    || (CASE WHEN doc_id % 6 = 5 THEN ' p' || chr(1072) || 'y'
+        ELSE '' END) AS text)
+  FROM {src}
+)"""
+
+
+def q_unicode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization audit (operators/text_analysis.py:
+    unicode_audit) over Unicode-noised documents: true NFC check
+    (Arrow-batched unicodedata kernel vs DuckDB's nfc_normalize),
+    zero-width, NFKC-flag-set, and homoglyph counts — the
+    canonicalization gate that runs before hashing/dedup. The count
+    patterns are shared verbatim with the twin; the NFC halves are
+    two independent UAX #15 implementations agreeing on the hash."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        unicode_audit,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    return unicode_audit(_uni_noise(docs))
+
+
+def _sql_count_re(pat: str) -> str:
+    return (
+        f"CAST(len(text) - len(regexp_replace(text, '{pat}', '', 'g'))"
+        " AS BIGINT)"
+    )
+
+
+def _sql_unicode_audit_cols() -> str:
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        CONFUSABLE_RE,
+        NFKC_FLAG_RE,
+        ZERO_WIDTH_RE,
+    )
+
+    return f"""CAST(len(text) AS BIGINT) AS n_chars,
+  (nfc_normalize(text) <> text) AS nfc_mismatch,
+  {_sql_count_re(ZERO_WIDTH_RE)} AS n_zero_width,
+  {_sql_count_re(NFKC_FLAG_RE)} AS n_nfkc_flagged,
+  {_sql_count_re(CONFUSABLE_RE)} AS n_confusable,
+  ((nfc_normalize(text) <> text)
+   OR {_sql_count_re(ZERO_WIDTH_RE)} > 0
+   OR {_sql_count_re(NFKC_FLAG_RE)} > 0
+   OR {_sql_count_re(CONFUSABLE_RE)} > 0) AS uni_suspect"""
+
+
+SQL_UNICODE_AUDIT = f"""
+WITH {_uni_noise_sql("documents", "un")}
+SELECT doc_id,
+  {_sql_unicode_audit_cols()}
+FROM un
+"""
+
+
+def q_unicode_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation_route EXTENDED by the normalization signal: over the
+    route-decorated + Unicode-noised corpus, documents that clear
+    quarantine/code/nonlatin but carry normalization debt
+    (uni_suspect) route to 'normalize' — the NFC/NFKC-rewrite step a
+    pipeline runs before hashing — instead of flowing into 'prose'
+    unhashed. Homoglyph counts only reach the route when the dominant
+    script is Latin/und (mixed-script is the TR39 signal; a genuinely
+    Cyrillic page routes 'nonlatin' first). One audit projection +
+    one fused route projection joined by id."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        curation_route,
+        unicode_audit,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    base = _uni_noise(_route_decorate(docs))
+    ua = unicode_audit(base).select("doc_id", "uni_suspect")
+    out = curation_route(base.join(ua, "doc_id"), keep_cols=("uni_suspect",))
+    return out.select(
+        "doc_id",
+        "enc_suspect",
+        "is_code",
+        "dominant_script",
+        "uni_suspect",
+        F.when(F.col("route") != "prose", F.col("route"))
+        .when(F.col("uni_suspect"), F.lit("normalize"))
+        .otherwise(F.lit("prose"))
+        .alias("route"),
+    )
+
+
+SQL_UNICODE_ROUTE = f"""
+WITH {_route_decorate_sql("documents", "urd")},
+{_uni_noise_sql("urd", "urn")},
+{_route_sql_ctes("urn", "doc_id", "ur")},
+uau AS (
+  SELECT doc_id,
+  {_sql_unicode_audit_cols()}
+  FROM urn
+)
+SELECT r.doc_id, r.enc_suspect, r.is_code, r.dominant_script,
+       u.uni_suspect,
+       CASE WHEN r.enc_suspect THEN 'quarantine'
+            WHEN r.is_code THEN 'code'
+            WHEN r.dominant_script NOT IN ('latin', 'und') THEN 'nonlatin'
+            WHEN u.uni_suspect THEN 'normalize'
+            ELSE 'prose' END AS route
+FROM urroute r JOIN uau u USING (doc_id)
+"""
+
+
 def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parallel-corpus candidate mining between the en and de slices
     of the corpus: every en embedding is paired with its best-margin
@@ -14149,6 +14289,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_build_e2e_warc": q_corpus_build_e2e_warc,
     "encoding_audit": q_encoding_audit,
     "stream_encoding_audit": q_stream_encoding_audit,
+    "unicode_audit": q_unicode_audit,
+    "unicode_route": q_unicode_route,
     "pii_card_audit": q_pii_card_audit,
     "quality_psi": q_quality_psi,
     "span_corruption": q_span_corruption,
@@ -14355,6 +14497,8 @@ ORACLES_TD: dict[str, str] = {
     "warc_curation_funnel": SQL_WARC_CURATION_FUNNEL,
     "corpus_build_e2e_warc": SQL_CORPUS_BUILD_E2E_WARC,
     "encoding_audit": SQL_ENCODING_AUDIT,
+    "unicode_audit": SQL_UNICODE_AUDIT,
+    "unicode_route": SQL_UNICODE_ROUTE,
     "stream_encoding_audit": SQL_STREAM_ENCODING_AUDIT,
     "pii_card_audit": SQL_PII_CARD_AUDIT,
     "quality_psi": SQL_QUALITY_PSI,

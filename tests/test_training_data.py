@@ -1864,6 +1864,41 @@ def test_ngram_novelty_exact_fraction(spark):
     assert out[11]["novelty_ppm"] == 666666
 
 
+def test_unicode_audit_flags(spark):
+    """Each normalization defect fires exactly its own signal: NFC
+    mismatch on a decomposed sequence, zero-width counting, the NFKC
+    flag set, homoglyphs; clean ASCII fires nothing."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        unicode_audit,
+    )
+
+    rows = [
+        (0, "plain ascii text"),
+        (1, "café"),        # decomposed é -> NFC mismatch
+        (2, "a​b​c﻿"),  # 3 zero-width chars
+        (3, "ＡBC ﬁt ²"),  # fullwidth A, fi, superscript 2
+        (4, "pаy pаl"),      # 2 Cyrillic а homoglyphs
+        (5, "café"),              # precomposed é IS NFC-normal
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (
+            r["nfc_mismatch"],
+            r["n_zero_width"],
+            r["n_nfkc_flagged"],
+            r["n_confusable"],
+            r["uni_suspect"],
+        )
+        for r in unicode_audit(df).collect()
+    }
+    assert out[0] == (False, 0, 0, 0, False)
+    assert out[1] == (True, 0, 0, 0, True)
+    assert out[2] == (False, 3, 0, 0, True)
+    assert out[3] == (False, 0, 3, 0, True)
+    assert out[4] == (False, 0, 0, 2, True)
+    assert out[5] == (False, 0, 0, 0, False)
+
+
 def test_curation_route_priority_and_fusion(spark):
     from etl_finance_pipeline_spark.operators.text_analysis import (
         curation_route,
