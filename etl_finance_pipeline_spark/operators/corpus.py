@@ -1483,6 +1483,73 @@ def synthesize_html(
     return df.withColumn(out_col, html)
 
 
+def html_tables(
+    df: DataFrame,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    html_col: str = "html",
+) -> DataFrame:
+    """Structured-data extraction from page markup: every ``<table>``
+    in the document unfolds into one row PER CELL — (table_idx,
+    row_idx, col_idx, is_header, cell) — the standard path for
+    table-QA / table-grounding training data (and the lane WebTables/
+    TURL-style corpora are built from). Cell text is tag-stripped,
+    entity-unescaped (``HTML_ENTITY_RULES``) and whitespace-normalized
+    exactly like :func:`html_extract` blocks, so a cell carrying
+    inline markup or encoded entities lands as clean text.
+
+    Three chained regexp_extract_all + posexplode stages (tables →
+    rows → cells) — all codegen, zero shuffles, zero UDFs; at 100 TB
+    this rides the same payload scan as html_extract. The same
+    regex-over-markup caveat applies: well-formed-ish tables parse
+    exactly; nested tables degrade to the outer table's region
+    (documented, both engines would degrade identically).
+
+    Output: (*id_cols*, table_idx, row_idx, col_idx, is_header, cell).
+    Documents without tables contribute no rows.
+    """
+    tables = F.regexp_extract_all(
+        F.col(html_col), F.lit(r"(?is)<table[^>]*>(.*?)</table>"), 1
+    )
+    ids = [F.col(c) for c in id_cols]
+    d1 = df.select(
+        *ids, F.posexplode(tables).alias("table_idx", "_tbl")
+    )
+    rows = F.regexp_extract_all(
+        F.col("_tbl"), F.lit(r"(?is)<tr[^>]*>(.*?)</tr>"), 1
+    )
+    d2 = d1.select(
+        *ids, "table_idx", F.posexplode(rows).alias("row_idx", "_row")
+    )
+    # full-match extraction (group 0) keeps the tag name so <th> can
+    # flag header cells after the fact
+    cells = F.regexp_extract_all(
+        F.col("_row"), F.lit(r"(?is)<t[dh][^>]*>.*?</t[dh]>"), 0
+    )
+    d3 = d2.select(
+        *ids,
+        "table_idx",
+        "row_idx",
+        F.posexplode(cells).alias("col_idx", "_cell"),
+    )
+
+    def _unescape(c: Column) -> Column:
+        for ent, rep in HTML_ENTITY_RULES:
+            c = F.replace(c, F.lit(ent), F.lit(rep))
+        return c
+
+    cell_text = _ws_norm(
+        _unescape(F.regexp_replace(F.col("_cell"), _HTML_TAG_RE, " "))
+    )
+    return d3.select(
+        *ids,
+        "table_idx",
+        "row_idx",
+        "col_idx",
+        F.lower(F.col("_cell")).startswith("<th").alias("is_header"),
+        cell_text.alias("cell"),
+    )
+
+
 def synthesize_warc(
     df: DataFrame,
     id_col: str = "doc_id",

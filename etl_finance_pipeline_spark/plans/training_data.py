@@ -10231,6 +10231,154 @@ SELECT doc_id, text FROM hxdocs
 """
 
 
+def _table_page(docs: DataFrame) -> DataFrame:
+    """Synthesized page WITH a data table — the html_tables fixture
+    device: the standard synthesize_html page gains, just before its
+    footer, a ``<table>`` of (2 + id%3) body rows × (2 + id%2)
+    columns under a ``<th>`` header row. Cell (r, c) carries
+    ``r{r}c{c}v{(id·7 + r·3 + c) % 97}``; cell (1, 0) additionally
+    carries an encoded ``&amp;`` and cell (1, 1) inline ``<b>``
+    markup, so tag-strip + entity-unescape are exercised inside
+    cells. Documents with id%5==4 get NO table (the zero-rows path).
+    Every byte is a function of id, so the oracle can enumerate the
+    expected cells ARITHMETICALLY — independent of the extraction
+    regex chain."""
+    from etl_finance_pipeline_spark.operators.corpus import synthesize_html
+
+    d = F.col("doc_id")
+    nrows = d % 3 + 2
+    ncols = d % 2 + 2
+    header = F.concat(
+        F.lit("<tr>"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), ncols - 1),
+                lambda c: F.concat(
+                    F.lit('<th class="h">h'), c.cast("string"), F.lit("</th>")
+                ),
+            ),
+            "",
+        ),
+        F.lit("</tr>"),
+    )
+
+    def _cell(r, c):
+        v = (d * 7 + r * 3 + c) % 97
+        base = F.concat(
+            F.lit("r"),
+            r.cast("string"),
+            F.lit("c"),
+            c.cast("string"),
+            F.lit("v"),
+            v.cast("string"),
+        )
+        body = (
+            F.when((r == 1) & (c == 0), F.concat(base, F.lit(" &amp; co")))
+            .when((r == 1) & (c == 1), F.concat(F.lit("<b>"), base, F.lit("</b>")))
+            .otherwise(base)
+        )
+        return F.concat(F.lit("<td>"), body, F.lit("</td>"))
+
+    body_rows = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), nrows),
+            lambda r: F.concat(
+                F.lit("<tr>"),
+                F.array_join(
+                    F.transform(F.sequence(F.lit(0), ncols - 1), lambda c: _cell(r, c)),
+                    "",
+                ),
+                F.lit("</tr>"),
+            ),
+        ),
+        "",
+    )
+    table = F.when(d % 5 == 4, F.lit("")).otherwise(
+        F.concat(F.lit('<table class="data">'), header, body_rows, F.lit("</table>"))
+    )
+    pages = synthesize_html(docs)
+    return pages.withColumn(
+        "html",
+        F.regexp_replace(
+            F.col("html"), "<footer", F.concat(table, F.lit("<footer"))
+        ),
+    )
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-data extraction (operators/corpus.py:html_tables):
+    every <table> on the synthesized pages unfolds into one row per
+    cell with (table_idx, row_idx, col_idx, is_header, cell) — cells
+    tag-stripped, entity-unescaped, ws-normalized. The oracle
+    ENUMERATES the expected cells arithmetically from the fixture
+    recipe, independent of the regex chain, so any parse defect
+    (missed cell, shifted index, unstripped markup) hash-fails."""
+    from etl_finance_pipeline_spark.operators.corpus import html_tables
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return html_tables(_table_page(docs))
+
+
+SQL_HTML_TABLES = """
+WITH tdim AS (
+  SELECT doc_id, doc_id % 3 + 2 AS nrows, doc_id % 2 + 2 AS ncols
+  FROM documents WHERE doc_id % 5 <> 4
+),
+trows AS (
+  SELECT doc_id, ncols, unnest(range(0, nrows + 1)) AS row_idx FROM tdim
+),
+tcells AS (
+  SELECT doc_id, row_idx, unnest(range(0, ncols)) AS col_idx FROM trows
+)
+SELECT doc_id,
+       CAST(0 AS INT) AS table_idx,
+       CAST(row_idx AS INT) AS row_idx,
+       CAST(col_idx AS INT) AS col_idx,
+       (row_idx = 0) AS is_header,
+       CASE WHEN row_idx = 0 THEN 'h' || CAST(col_idx AS VARCHAR)
+            ELSE 'r' || CAST(row_idx AS VARCHAR)
+                 || 'c' || CAST(col_idx AS VARCHAR)
+                 || 'v' || CAST((doc_id * 7 + row_idx * 3 + col_idx) % 97
+                                AS VARCHAR)
+                 || (CASE WHEN row_idx = 1 AND col_idx = 0 THEN ' & co'
+                     ELSE '' END)
+       END AS cell
+FROM tcells
+"""
+
+
+def q_html_table_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cells-per-doc census of html_tables: per document, table
+    count, total cells, header cells, and body-row count — the
+    volume readout that sizes a table-QA lane before cells are
+    rendered into training samples. Documents without tables
+    contribute no rows (the extraction emits none)."""
+    from etl_finance_pipeline_spark.operators.corpus import html_tables
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    cells = html_tables(_table_page(docs))
+    return cells.groupBy("doc_id").agg(
+        F.countDistinct("table_idx").cast("long").alias("n_tables"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(F.col("is_header").cast("long"))
+        .cast("long")
+        .alias("n_header_cells"),
+        F.countDistinct(F.when(~F.col("is_header"), F.col("row_idx")))
+        .cast("long")
+        .alias("n_body_rows"),
+    )
+
+
+SQL_HTML_TABLE_CENSUS = """
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_tables,
+       CAST((doc_id % 3 + 3) * (doc_id % 2 + 2) AS BIGINT) AS n_cells,
+       CAST(doc_id % 2 + 2 AS BIGINT) AS n_header_cells,
+       CAST(doc_id % 3 + 2 AS BIGINT) AS n_body_rows
+FROM documents WHERE doc_id % 5 <> 4
+"""
+
+
 def q_html_c4_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extractor → C4 composition: blocks come out of html_extract as
     NEWLINE-joined lines, so c4_clean's line filter (≥5 words; the
@@ -14168,6 +14316,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_url_dedup_append": q_stream_url_dedup_append,
     "stream_domain_filter": q_stream_domain_filter,
     "html_extract": q_html_extract,
+    "html_tables": q_html_tables,
+    "html_table_census": q_html_table_census,
     "stream_html_extract": q_stream_html_extract,
     "html_c4_gate": q_html_c4_gate,
     "web_curation_funnel": q_web_curation_funnel,
@@ -14377,6 +14527,8 @@ ORACLES_TD: dict[str, str] = {
     "stream_url_dedup_append": SQL_STREAM_URL_DEDUP_APPEND,
     "stream_domain_filter": SQL_STREAM_DOMAIN_FILTER,
     "html_extract": SQL_HTML_EXTRACT,
+    "html_tables": SQL_HTML_TABLES,
+    "html_table_census": SQL_HTML_TABLE_CENSUS,
     "stream_html_extract": SQL_STREAM_HTML_EXTRACT,
     "html_c4_gate": SQL_HTML_C4_GATE,
     "web_curation_funnel": SQL_WEB_CURATION_FUNNEL,

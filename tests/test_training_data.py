@@ -1377,6 +1377,39 @@ def test_cluster_profile_census_and_purity(spark):
     assert out[1]["top_label"] == 5 and out[1]["label_purity"] == 1.0
 
 
+def test_html_tables_cells_and_flags(spark):
+    """Cell unfolding on hand-built markup: indices are 0-based per
+    (table, row, col); <th> flags header; inline tags strip; entities
+    unescape; a page without a table emits nothing; two tables get
+    distinct table_idx."""
+    from etl_finance_pipeline_spark.operators.corpus import html_tables
+
+    rows = [
+        (
+            0,
+            '<body><table class="x"><tr><th>A</th><th a="1">B</th></tr>'
+            "<tr><td><b>1</b></td><td>2 &amp; 3</td></tr></table>"
+            "<p>noise</p><table><tr><td>z</td></tr></table></body>",
+        ),
+        (1, "<body><p>no table here</p></body>"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    got = {
+        (r["doc_id"], r["table_idx"], r["row_idx"], r["col_idx"]): (
+            r["is_header"],
+            r["cell"],
+        )
+        for r in html_tables(df).collect()
+    }
+    assert got == {
+        (0, 0, 0, 0): (True, "A"),
+        (0, 0, 0, 1): (True, "B"),
+        (0, 0, 1, 0): (False, "1"),
+        (0, 0, 1, 1): (False, "2 & 3"),
+        (0, 1, 0, 0): (False, "z"),
+    }
+
+
 def test_link_extract_resolution_branches(spark):
     """All four RFC 3986 relative shapes + the non-web filter, on
     hand-built payloads: absolute kept as-is, protocol-relative gains
