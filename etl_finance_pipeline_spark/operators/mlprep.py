@@ -288,6 +288,75 @@ def bt_ratings(
     )
 
 
+def best_of_n_gain(
+    ratings: DataFrame,
+    ns: tuple[int, ...] = (1, 2, 4, 8),
+    item_col: str = "item",
+    rating_col: str = "rating",
+) -> DataFrame:
+    """Best-of-n / rejection-sampling readout over fitted strengths —
+    the selection calculus an RLHF data pipeline runs on top of
+    Bradley-Terry ratings (:func:`bt_ratings`): draw n candidates
+    i.i.d. uniformly from the rated pool, keep the strongest; report,
+    for each n, the EXACT expected max strength, its gain over a
+    single draw, and each item's probability of being the one
+    selected. Discrete order statistics in closed form: with items
+    ranked i = 1..k by rating (ties broken by item id — a documented
+    convention; E[max] is unaffected by how ties split),
+
+        P(item at rank i selected) = (i^n − (i−1)^n) / k^n
+        E[max_n] = Σ_i rating_i · (i^n − (i−1)^n) / k^n
+
+    All arithmetic is EXACT integers over nano/micro-unit ratings
+    (the DoReMi exact-int device): numerators are Python bigints, the
+    final division is one floor((2N + D) / 2D) rounding, so the
+    DuckDB oracle (HUGEINT) reproduces every digit. The ratings frame
+    is k-sized (control-plane) by construction — the only collect.
+
+    Requires 1 ∈ *ns* (the gain baseline). Output: one row per
+    (item, n) — (item, n, rating, sel_p, emax, bon_gain), all at
+    6 dp.
+    """
+    if 1 not in ns:
+        raise ValueError("best_of_n_gain: ns must include 1 (baseline)")
+    rows = ratings.select(item_col, rating_col).collect()
+    items = sorted(
+        (int(round(float(r[rating_col]) * 1e6)), r[item_col]) for r in rows
+    )
+    k = len(items)
+    if k == 0:
+        raise ValueError("best_of_n_gain: empty ratings frame")
+    e6: dict[int, int] = {}
+    for n in ns:
+        num = sum(
+            r6 * ((i + 1) ** n - i**n) for i, (r6, _) in enumerate(items)
+        )
+        den = k**n
+        e6[n] = (2 * num + den) // (2 * den)
+    out = []
+    for n in ns:
+        den = k**n
+        for i, (r6, it) in enumerate(items):
+            w = (i + 1) ** n - i**n
+            p6 = (2 * w * 10**6 + den) // (2 * den)
+            out.append(
+                (
+                    it,
+                    int(n),
+                    r6 / 1e6,
+                    p6 / 1e6,
+                    e6[n] / 1e6,
+                    (e6[n] - e6[1]) / 1e6,
+                )
+            )
+    spark = ratings.sparkSession
+    return spark.createDataFrame(
+        out,
+        "item string, n int, rating double, sel_p double, "
+        "emax double, bon_gain double",
+    )
+
+
 def linear_probe_score(
     df: DataFrame,
     weights: list[float],

@@ -12374,6 +12374,65 @@ _EPOCH_RD = 4.0
 _EPOCH_BUDGET_X = 4.0  # token budget = 4× the unique corpus
 
 
+def q_best_of_n_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n selection readout over the Bradley-Terry strengths
+    (operators/mlprep.py:best_of_n_gain): exact discrete order
+    statistics give, for n ∈ {1, 2, 4, 8}, the expected max strength
+    of best-of-n sampling from the rated source pool, its gain over a
+    single draw, and each source's selection probability — the
+    rejection-sampling calculus an RLHF pipeline runs before spending
+    n× inference per prompt. All exact integer arithmetic over the
+    6-dp ratings; the oracle unrolls the same BT rounds then replays
+    the closed-form order statistics in HUGEINT."""
+    from etl_finance_pipeline_spark.operators.mlprep import (
+        best_of_n_gain,
+        bt_ratings,
+    )
+
+    ratings = bt_ratings(_bt_duels(spark, sf_dir), iters=5)
+    return best_of_n_gain(ratings, ns=(1, 2, 4, 8))
+
+
+SQL_BEST_OF_N_GAIN = f"""
+WITH {_BT_BASE},
+{_bt_rounds_sql(5)},
+bkr AS (
+  SELECT s, r6,
+         CAST(row_number() OVER (ORDER BY r6, s) AS HUGEINT) AS i,
+         CAST(count(*) OVER () AS HUGEINT) AS k
+  FROM btp5
+),
+bkn AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INT) AS n),
+bkw AS (
+  SELECT s, r6, n,
+    (CASE n WHEN 1 THEN i WHEN 2 THEN i * i
+            WHEN 4 THEN (i * i) * (i * i)
+            ELSE ((i * i) * (i * i)) * ((i * i) * (i * i)) END)
+    - (CASE n WHEN 1 THEN i - 1 WHEN 2 THEN (i - 1) * (i - 1)
+              WHEN 4 THEN ((i - 1) * (i - 1)) * ((i - 1) * (i - 1))
+              ELSE (((i - 1) * (i - 1)) * ((i - 1) * (i - 1)))
+                   * (((i - 1) * (i - 1)) * ((i - 1) * (i - 1))) END)
+      AS w,
+    (CASE n WHEN 1 THEN k WHEN 2 THEN k * k
+            WHEN 4 THEN (k * k) * (k * k)
+            ELSE ((k * k) * (k * k)) * ((k * k) * (k * k)) END) AS kp
+  FROM bkr CROSS JOIN bkn
+),
+bke AS (
+  SELECT n,
+         (2 * sum(CAST(r6 AS HUGEINT) * w) + any_value(kp))
+           // (2 * any_value(kp)) AS e6
+  FROM bkw GROUP BY n
+)
+SELECT b.s AS item, b.n, b.r6 / 1000000.0 AS rating,
+       CAST((2 * b.w * 1000000 + b.kp) // (2 * b.kp) AS BIGINT)
+         / 1000000.0 AS sel_p,
+       CAST(e.e6 AS BIGINT) / 1000000.0 AS emax,
+       CAST(e.e6 - e1.e6 AS BIGINT) / 1000000.0 AS bon_gain
+FROM bkw b JOIN bke e USING (n) JOIN bke e1 ON e1.n = 1
+"""
+
+
 def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-epoch mixture planning under a fixed token budget: given
     per-source unique token counts and a uniform-smoothed target
@@ -14488,6 +14547,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pref_length_bias": q_pref_length_bias,
     "bt_ratings": q_bt_ratings,
     "bt_length_effect": q_bt_length_effect,
+    "best_of_n_gain": q_best_of_n_gain,
     "epoch_schedule": q_epoch_schedule,
     "lsh_tradeoff": q_lsh_tradeoff,
 }
@@ -14699,6 +14759,7 @@ ORACLES_TD: dict[str, str] = {
     "pref_length_bias": SQL_PREF_LENGTH_BIAS,
     "bt_ratings": SQL_BT_RATINGS,
     "bt_length_effect": SQL_BT_LENGTH_EFFECT,
+    "best_of_n_gain": SQL_BEST_OF_N_GAIN,
     "epoch_schedule": SQL_EPOCH_SCHEDULE,
     "lsh_tradeoff": SQL_LSH_TRADEOFF,
 }

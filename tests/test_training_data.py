@@ -1897,6 +1897,27 @@ def test_ngram_novelty_exact_fraction(spark):
     assert out[11]["novelty_ppm"] == 666666
 
 
+def test_best_of_n_gain_closed_form(spark):
+    """Two items, ratings 1.0 and 3.0: E[max_1] = 2.0; for n=2 the
+    order statistics give P(weak)=1/4, P(strong)=3/4, E[max_2]=2.5,
+    gain 0.5 — exact, no tolerance."""
+    from etl_finance_pipeline_spark.operators.mlprep import best_of_n_gain
+
+    ratings = spark.createDataFrame(
+        [("a", 1.0), ("b", 3.0)], ["item", "rating"]
+    )
+    out = {
+        (r["item"], r["n"]): (r["sel_p"], r["emax"], r["bon_gain"])
+        for r in best_of_n_gain(ratings, ns=(1, 2)).collect()
+    }
+    assert out == {
+        ("a", 1): (0.5, 2.0, 0.0),
+        ("b", 1): (0.5, 2.0, 0.0),
+        ("a", 2): (0.25, 2.5, 0.5),
+        ("b", 2): (0.75, 2.5, 0.5),
+    }
+
+
 def test_unicode_audit_flags(spark):
     """Each normalization defect fires exactly its own signal: NFC
     mismatch on a decomposed sequence, zero-width counting, the NFKC
