@@ -4913,6 +4913,218 @@ FROM islands GROUP BY doc_id, isl
 """
 
 
+#: DuckDB twin of suffix_dup_spans (k=8): gram-string seed join (no
+#: hashing — independently exact), canonical pair order, per-diagonal
+#: gaps-and-islands merge. Produces CTE ``sspans``.
+_SUFFIX_SPANS_CTES = """stoks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sgrams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS gram
+  FROM stoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+  WHERE len(t) >= 8
+),
+sdup AS (SELECT gram FROM sgrams GROUP BY gram HAVING count(*) >= 2),
+sseed AS (SELECT g.doc_id, g.pos, g.gram FROM sgrams g JOIN sdup USING (gram)),
+spairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b,
+         a.pos - b.pos AS dg
+  FROM sseed a JOIN sseed b ON a.gram = b.gram
+  WHERE a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.pos < b.pos)
+),
+sbrk AS (
+  SELECT id_a, id_b, dg, pos_a,
+         CASE WHEN lag(pos_a) OVER (PARTITION BY id_a, id_b, dg ORDER BY pos_a)
+                   IS NULL
+                OR pos_a <> lag(pos_a) OVER (PARTITION BY id_a, id_b, dg
+                                             ORDER BY pos_a) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM spairs
+),
+sisl AS (
+  SELECT id_a, id_b, dg, pos_a,
+         sum(brk) OVER (PARTITION BY id_a, id_b, dg ORDER BY pos_a
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM sbrk
+),
+sspans AS (
+  SELECT id_a, id_b, CAST(min(pos_a) AS BIGINT) AS a_start,
+         CAST(min(pos_a) - dg AS BIGINT) AS b_start,
+         CAST(max(pos_a) - min(pos_a) + 8 AS BIGINT) AS span_tokens
+  FROM sisl GROUP BY id_a, id_b, dg, isl
+)"""
+
+
+def q_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pairwise maximal duplicated spans (operators/dedup.py:
+    suffix_dup_spans) — Lee et al.'s ExactSubstr with true span
+    semantics: hash-keyed seed join, string-verified candidates,
+    per-diagonal islands merge. The oracle joins raw gram STRINGS
+    (sharing no hashing with the engine) and replays the diagonal
+    merge, so a green hash certifies the exact span set — boundaries,
+    both offsets, and attribution — end to end."""
+    from etl_finance_pipeline_spark.operators.dedup import suffix_dup_spans
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    return suffix_dup_spans(docs, "doc_id", "text", k=8)
+
+
+SQL_SUFFIX_DUP_SPANS = f"""
+WITH {_SUFFIX_SPANS_CTES}
+SELECT id_a, id_b, a_start, b_start, span_tokens FROM sspans
+"""
+
+
+def q_substring_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED characterization of the shingle-cover approximation
+    (duplicate_token_spans) against the exact pairwise lane
+    (suffix_dup_spans), closing the cover lane's own 'not a suffix
+    array' caveat with numbers instead of prose: token positions
+    marked by each lane, their overlap, span counts, and the over- /
+    miss-mark rates in ppm. By construction the cover lane should
+    miss NOTHING at token level (every exact span's positions are
+    covered by duplicated k-grams; missmark_ppm > 0 would expose a
+    hash-collision artifact or a merge bug) while it loses span
+    ATTRIBUTION (cover unions across partners/diagonals —
+    n_cover_spans < n_exact_spans quantifies the fragmentation
+    loss). One row."""
+    from etl_finance_pipeline_spark.operators.dedup import (
+        duplicate_token_spans,
+        suffix_dup_spans,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    cover = duplicate_token_spans(docs, "doc_id", "text", k=8, min_count=2)
+    exact = suffix_dup_spans(docs, "doc_id", "text", k=8)
+    cpos = cover.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    ).distinct()
+    ea = exact.select(
+        F.col("id_a").alias("doc_id"),
+        F.explode(
+            F.sequence(
+                F.col("a_start"),
+                F.col("a_start") + F.col("span_tokens") - 1,
+            )
+        ).alias("pos"),
+    )
+    eb = exact.select(
+        F.col("id_b").alias("doc_id"),
+        F.explode(
+            F.sequence(
+                F.col("b_start"),
+                F.col("b_start") + F.col("span_tokens") - 1,
+            )
+        ).alias("pos"),
+    )
+    epos = ea.unionByName(eb).distinct()
+    joined = cpos.withColumn("_c", F.lit(1)).join(
+        epos.withColumn("_e", F.lit(1)), ["doc_id", "pos"], "full"
+    )
+    marks = joined.agg(
+        F.sum(F.coalesce(F.col("_c"), F.lit(0)))
+        .cast("long")
+        .alias("n_cover_marked"),
+        F.sum(F.coalesce(F.col("_e"), F.lit(0)))
+        .cast("long")
+        .alias("n_exact_marked"),
+        F.sum(
+            F.coalesce(F.col("_c"), F.lit(0))
+            * F.coalesce(F.col("_e"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_common_marked"),
+    )
+    out = (
+        marks.crossJoin(
+            cover.agg(F.count("*").cast("long").alias("n_cover_spans"))
+        )
+        .crossJoin(
+            exact.agg(F.count("*").cast("long").alias("n_exact_spans"))
+        )
+    )
+    return out.select(
+        "n_cover_spans",
+        "n_exact_spans",
+        "n_cover_marked",
+        "n_exact_marked",
+        "n_common_marked",
+        F.expr(
+            "CAST(((n_cover_marked - n_common_marked) * 1000000)"
+            " DIV nullif(n_cover_marked, 0) AS BIGINT)"
+        ).alias("overmark_ppm"),
+        F.expr(
+            "CAST(((n_exact_marked - n_common_marked) * 1000000)"
+            " DIV nullif(n_exact_marked, 0) AS BIGINT)"
+        ).alias("missmark_ppm"),
+    )
+
+
+SQL_SUBSTRING_DEDUP_RECALL = f"""
+WITH {_SUFFIX_SPANS_CTES},
+cdup AS (SELECT gram FROM sgrams GROUP BY gram HAVING count(*) >= 2),
+cmarked AS (SELECT g.doc_id, g.pos FROM sgrams g JOIN cdup USING (gram)),
+cord AS (
+  SELECT doc_id, pos AS s, pos + 7 AS e,
+         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+  FROM cmarked
+),
+cisl AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_e IS NULL OR s > prev_e + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM cord
+),
+cspans AS (
+  SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+  FROM cisl GROUP BY doc_id, isl
+),
+cpos AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(span_start, span_end)) AS pos
+  FROM cspans
+),
+epos AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT id_a AS doc_id,
+           unnest(generate_series(a_start, a_start + span_tokens - 1)) AS pos
+    FROM sspans
+    UNION ALL
+    SELECT id_b AS doc_id,
+           unnest(generate_series(b_start, b_start + span_tokens - 1)) AS pos
+    FROM sspans
+  )
+),
+jful AS (
+  SELECT coalesce(c.c, 0) AS c, coalesce(e.e, 0) AS e
+  FROM (SELECT doc_id, pos, 1 AS c FROM cpos) c
+  FULL JOIN (SELECT doc_id, pos, 1 AS e FROM epos) e
+    USING (doc_id, pos)
+),
+magg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_cover_marked,
+         CAST(sum(e) AS BIGINT) AS n_exact_marked,
+         CAST(sum(c * e) AS BIGINT) AS n_common_marked
+  FROM jful
+),
+scnt AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_spans FROM sspans),
+ccnt AS (SELECT CAST(count(*) AS BIGINT) AS n_cover_spans FROM cspans)
+SELECT ccnt.n_cover_spans, scnt.n_exact_spans,
+       m.n_cover_marked, m.n_exact_marked, m.n_common_marked,
+       CAST(((m.n_cover_marked - m.n_common_marked) * 1000000)
+            // nullif(m.n_cover_marked, 0) AS BIGINT) AS overmark_ppm,
+       CAST(((m.n_exact_marked - m.n_common_marked) * 1000000)
+            // nullif(m.n_exact_marked, 0) AS BIGINT) AS missmark_ppm
+FROM magg m, scnt, ccnt
+"""
+
+
 def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup, corpus-cleaning stage: documents
     rewritten with every duplicated >= 8-token span removed (see
@@ -14433,6 +14645,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frames_real": q_video_frames_real,
     "scene_cuts_real": q_scene_cuts_real,
     "substring_dedup": q_substring_dedup,
+    "suffix_dup_spans": q_suffix_dup_spans,
+    "substring_dedup_recall": q_substring_dedup_recall,
     "substring_dedup_clean": q_substring_dedup_clean,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "incremental_near_dup": q_incremental_near_dup,
@@ -14686,6 +14900,8 @@ ORACLES_TD: dict[str, str] = {
     "video_frames_real": SQL_VIDEO_FRAMES_REAL,
     "scene_cuts_real": SQL_SCENE_CUTS_REAL,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "suffix_dup_spans": SQL_SUFFIX_DUP_SPANS,
+    "substring_dedup_recall": SQL_SUBSTRING_DEDUP_RECALL,
     "substring_dedup_clean": SQL_SUBSTRING_DEDUP_CLEAN,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "temperature_mix": SQL_TEMPERATURE_MIX,
