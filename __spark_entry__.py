@@ -32,6 +32,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #: temporal joins, connected components. All registered queries are
 #: oracle-backed either way; this only chooses the documented subset.
 _SHOWCASE_FIRST = (
+    # round-12 new families
+    "link_extract",  # href pull + RFC 3986 resolve + domain rollup (round 12)
+    "anchor_texts",  # (target, text) corpus + rel=nofollow flag (round 12)
+    "anchor_text_census",  # per-target anchor volume/vocabulary (round 12)
+    "domain_authority",  # PageRank over EXTRACTED edges; arithmetic oracle (round 12)
+    "outlink_census",  # per-domain outlink stats from raw WARC records (round 12)
+    "stream_url_dedup_append",  # watermarked append-mode dedup twin (round 12)
+    "suffix_dup_spans",  # exact pairwise duplicated spans, seed-and-chain (round 12)
+    "substring_dedup_recall",  # measured cover-vs-exact characterization (round 12)
+    "prototype_prune",  # SSL-prototypes per-cluster pruning cut (round 12)
+    "prototype_prune_census",  # pruned-fraction-by-source readout (round 12)
+    "unicode_audit",  # true-NFC + zero-width/NFKC-flag/homoglyph audit (round 12)
+    "unicode_route",  # 'normalize' extension of the fused router (round 12)
+    "html_tables",  # <table> -> per-cell rows, arithmetic oracle (round 12)
+    "html_table_census",  # cells-per-doc volume readout (round 12)
+    "best_of_n_gain",  # exact order-statistics BoN readout over BT (round 12)
+    "bt_ratings",  # self-duel guard landed this round (round 12 fix)
     # round-11 new families
     "url_canonicalize",  # stage -0.5: full-URL canonical + SURT key (round 11)
     "url_dedup",  # URL-level keep-first dedup across crawl snapshots (round 11)

@@ -597,6 +597,23 @@ def link_extract(
     Output: input columns + (href, link_url, link_host, link_domain,
     page_domain, is_external).
     """
+    out = df.withColumn(
+        "href",
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), 1)
+        ),
+    ).filter(
+        (F.col("href") != "") & ~F.col("href").rlike(_NON_WEB_HREF_RE)
+    )
+    return _resolve_links(out, url_col, levels)
+
+
+def _resolve_links(out: DataFrame, url_col: str, levels: int) -> DataFrame:
+    """RFC 3986 resolution + registrable-domain rollup over a frame
+    carrying a raw ``href`` column and the canonical page URL
+    (*url_col*) — the shared back half of :func:`link_extract` and
+    :func:`anchor_texts`. Adds (link_url, link_host, link_domain,
+    page_domain, is_external)."""
     base = F.col(url_col)
     scheme = F.regexp_extract(base, r"^([a-z][a-z0-9+.\-]*)://", 1)
     sp = F.when(scheme == "", F.lit("")).otherwise(
@@ -609,14 +626,6 @@ def link_extract(
     # canonical paths always carry at least '/', so this never eats
     # the host label
     dirp = F.regexp_replace(hostpath, r"[^/]*$", "")
-    out = df.withColumn(
-        "href",
-        F.explode(
-            F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), 1)
-        ),
-    ).filter(
-        (F.col("href") != "") & ~F.col("href").rlike(_NON_WEB_HREF_RE)
-    )
     h = F.col("href")
     link_url = (
         F.when(h.rlike(r"^(?i)[a-z][a-z0-9+.\-]*://"), h)
@@ -648,6 +657,66 @@ def link_extract(
     return out.withColumn(
         "is_external", F.col("link_domain") != F.col("page_domain")
     )
+
+
+#: a full anchor element (group 0) — parsed further by anchor_texts
+_ANCHOR_EL_RE = "(?is)<a\\s[^>]*href=[\"'][^\"']*[\"'][^>]*>.*?</a>"
+
+#: rel attribute carrying the nofollow token (Google 2005; every
+#: production link graph drops these edges before ranking)
+_NOFOLLOW_RE = "(?is)rel=[\"'][^\"']*nofollow"
+
+
+def anchor_texts(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url_canon",
+    levels: int = 2,
+) -> DataFrame:
+    """Anchor-text extraction — the (target, text) corpus crawl
+    pipelines mine for retrieval/query-doc training data (the
+    CommonCrawl anchor-text dataset shape) and the attribute-aware
+    twin of :func:`link_extract`: each ``<a>`` element yields its
+    resolved target AND its visible text (tag-stripped,
+    entity-unescaped, ws-normalized like html_extract blocks) plus a
+    ``nofollow`` flag from the rel attribute — the links a ranking
+    graph must NOT count (paid placements, UGC). Non-web hrefs are
+    dropped as in link_extract.
+
+    Same scale shape: regexp codegen + one explode, no shuffle.
+
+    Output: input columns + (href, anchor_text, nofollow, link_url,
+    link_host, link_domain, page_domain, is_external).
+    """
+    out = df.withColumn(
+        "_a",
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_EL_RE), 0)
+        ),
+    )
+    href = F.regexp_extract(F.col("_a"), HREF_RE, 1)
+    inner = F.regexp_extract(F.col("_a"), r"(?is)^<a[^>]*>(.*)</a>$", 1)
+
+    def _unescape(c: Column) -> Column:
+        for ent, rep in HTML_ENTITY_RULES:
+            c = F.replace(c, F.lit(ent), F.lit(rep))
+        return c
+
+    out = (
+        out.withColumn("href", href)
+        .filter(
+            (F.col("href") != "") & ~F.col("href").rlike(_NON_WEB_HREF_RE)
+        )
+        .withColumn(
+            "anchor_text",
+            _ws_norm(
+                _unescape(F.regexp_replace(inner, _HTML_TAG_RE, " "))
+            ),
+        )
+        .withColumn("nofollow", F.col("_a").rlike(_NOFOLLOW_RE))
+        .drop("_a")
+    )
+    return _resolve_links(out, url_col, levels)
 
 
 def fim_samples(
@@ -1431,6 +1500,17 @@ def synthesize_html(
                 F.lit(' <a href="local/'),
                 (d % 7).cast("string"),
                 F.lit('">Local</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        # a paid placement: cross-domain but rel="nofollow" — the link
+        # the ranking graph must NOT count (anchor_texts flags it,
+        # domain_authority excludes it)
+        F.when(
+            d % 7 == 1,
+            F.concat(
+                F.lit(' <a href="https://src'),
+                ((d * 3 + 5) % 20).cast("string"),
+                F.lit('.com/ref" rel="nofollow">Sponsored</a>'),
             ),
         ).otherwise(F.lit("")),
         F.lit("</div>"),

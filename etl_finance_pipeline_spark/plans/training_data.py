@@ -9799,6 +9799,9 @@ def _html_pay_cte(p: str = "hx_pay") -> str:
     || (CASE WHEN doc_id % 3 = 0
         THEN ' <a href="local/' || CAST(doc_id % 7 AS VARCHAR)
              || '">Local</a>' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 1
+        THEN ' <a href="https://src' || CAST((doc_id * 3 + 5) % 20 AS VARCHAR)
+             || '.com/ref" rel="nofollow">Sponsored</a>' ELSE '' END)
     || '</div>'
     || '<footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> (c) 2026 example.com</footer></body></html>'
     AS html
@@ -10245,6 +10248,159 @@ GROUP BY 1, 2
 """
 
 
+def _anchor_sql_structs() -> str:
+    """The fixture's full anchor inventory as a DuckDB struct-list
+    expression — (href, txt, nf, dom, ext) per anchor, derived from
+    doc_id arithmetic alone (independent of the extraction regexes)."""
+    own = "'src' || CAST(doc_id % 20 AS VARCHAR) || '.com'"
+    pdom = (
+        "'src' || CAST((doc_id // 20) % (doc_id % 20 + 1) AS VARCHAR)"
+        " || '.com'"
+    )
+    mdom = "'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com'"
+    sdom = "'src' || CAST((doc_id * 3 + 5) % 20 AS VARCHAR) || '.com'"
+
+    def st(href: str, txt: str, nf: str, dom: str, ext: str) -> str:
+        return (
+            f"{{'href': {href}, 'txt': {txt}, 'nf': {nf}, "
+            f"'dom': {dom}, 'ext': {ext}}}"
+        )
+
+    def internal(href: str, txt: str) -> str:
+        return st(href, txt, "false", own, "false")
+
+    fixed_nav = ", ".join(
+        [
+            internal("'/'", "'Home'"),
+            internal("'/about'", "'About'"),
+            internal("'/tags'", "'Tags'"),
+        ]
+    )
+    partner_href = (
+        "'https://src' || CAST((doc_id // 20) % (doc_id % 20 + 1)"
+        " AS VARCHAR) || '.com/p/' || CAST(doc_id % 100 AS VARCHAR)"
+    )
+    fixed_tail = ", ".join(
+        [
+            internal("'/s/tw'", "'Tweet'"),
+            internal("'/s/fb'", "'Share'"),
+            st(partner_href, "'Partner'", "false", pdom, f"({pdom} <> {own})"),
+            internal("'/terms'", "'Terms'"),
+            internal("'/privacy'", "'Privacy'"),
+        ]
+    )
+    mirror_href = (
+        "'//src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com/mirror'"
+    )
+    local_href = "'local/' || CAST(doc_id % 7 AS VARCHAR)"
+    sponsor_href = (
+        "'https://src' || CAST((doc_id * 3 + 5) % 20 AS VARCHAR)"
+        " || '.com/ref'"
+    )
+    return f"""[{fixed_nav}]
+      || (CASE doc_id % 3
+          WHEN 1 THEN [{internal("'/buy'", "'Buy now'")}]
+          WHEN 2 THEN [{internal("'/p1'", "'Prev'")},
+                       {internal("'/p2'", "'Next'")}]
+          ELSE [] END)
+      || [{fixed_tail}]
+      || (CASE WHEN doc_id % 5 = 3
+          THEN [{st(mirror_href, "'Mirror'", "false", mdom, "true")}]
+          ELSE [] END)
+      || (CASE WHEN doc_id % 3 = 0
+          THEN [{internal(local_href, "'Local'")}]
+          ELSE [] END)
+      || (CASE WHEN doc_id % 7 = 1
+          THEN [{st(sponsor_href, "'Sponsored'", "true", sdom, "true")}]
+          ELSE [] END)"""
+
+
+_ANCHOR_CTE = f"""aall AS (
+  SELECT doc_id, u.href AS href, u.txt AS anchor_text, u.nf AS nofollow,
+         u.dom AS link_domain, u.ext AS is_external
+  FROM (
+    SELECT doc_id, unnest({_anchor_sql_structs()}) AS u
+    FROM documents
+  )
+)"""
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text extraction (operators/corpus.py:anchor_texts) —
+    the (target, text) corpus retrieval pipelines mine from crawls,
+    with rel="nofollow" flagged (the synthesized paid placements):
+    every anchor on the synthesized pages yields its raw href,
+    visible text (tag-stripped/unescaped/ws-normalized), nofollow
+    flag, and resolved registrable target domain. The oracle
+    ENUMERATES the full anchor inventory arithmetically — hrefs,
+    texts, flags, domains — independent of the extraction regexes."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        anchor_texts,
+        synthesize_html,
+        url_canonicalize,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    pages = synthesize_html(docs).withColumn("url", _crawl_url_expr())
+    out = anchor_texts(url_canonicalize(pages))
+    return out.select(
+        "doc_id",
+        "href",
+        "anchor_text",
+        "nofollow",
+        "link_domain",
+        "is_external",
+    )
+
+
+SQL_ANCHOR_TEXTS = f"""
+WITH {_ANCHOR_CTE}
+SELECT doc_id, href, anchor_text, nofollow, link_domain, is_external
+FROM aall
+"""
+
+
+def q_anchor_text_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TARGET-domain anchor census — the rollup that turns the
+    anchor corpus into retrieval training signal and ranking-graph
+    hygiene numbers: incoming anchor volume, external share, nofollow
+    share (what the ranking graph must drop), and distinct anchor
+    vocabulary per target."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        anchor_texts,
+        synthesize_html,
+        url_canonicalize,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    pages = synthesize_html(docs).withColumn("url", _crawl_url_expr())
+    out = anchor_texts(url_canonicalize(pages))
+    return out.groupBy(F.col("link_domain").alias("domain")).agg(
+        F.count("*").cast("long").alias("n_anchors"),
+        F.sum(F.col("is_external").cast("long"))
+        .cast("long")
+        .alias("n_external"),
+        F.sum(F.col("nofollow").cast("long"))
+        .cast("long")
+        .alias("n_nofollow"),
+        F.countDistinct("anchor_text").cast("long").alias("n_texts"),
+    )
+
+
+SQL_ANCHOR_TEXT_CENSUS = f"""
+WITH {_ANCHOR_CTE}
+SELECT link_domain AS domain,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(sum(CASE WHEN is_external THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_external,
+       CAST(sum(CASE WHEN nofollow THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nofollow,
+       CAST(count(DISTINCT anchor_text) AS BIGINT) AS n_texts
+FROM aall
+GROUP BY 1
+"""
+
+
 def q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain authority — the crawl-side centrality ranking
     (CommonCrawl publishes exactly this as its domain-level ranks),
@@ -10257,12 +10413,16 @@ def q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     review and per-domain quality priors from the LINK side, where
     domain_quality_prior feeds it from the CONTENT side. Corpus work:
     the link-extraction projection + one distinct edge aggregate; the
-    rank loop runs on the k-domain control-plane graph. The oracle
-    derives the SAME edge set INDEPENDENTLY from the fixture
-    arithmetic (not by replaying the regex chain), so an extraction
-    bug that bends any edge fails the rank hash."""
+    rank loop runs on the k-domain control-plane graph. Edges come
+    from the attribute-aware anchor parse so rel="nofollow" links
+    (the synthesized paid placements) are EXCLUDED — the rule every
+    production ranking graph applies. The oracle derives the SAME
+    edge set INDEPENDENTLY from the fixture arithmetic (not by
+    replaying the regex chain), so an extraction bug that bends any
+    edge — including a nofollow leaking through — fails the rank
+    hash."""
     from etl_finance_pipeline_spark.operators.corpus import (
-        link_extract,
+        anchor_texts,
         synthesize_html,
         url_canonicalize,
     )
@@ -10270,9 +10430,9 @@ def q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, _t(sf_dir, "documents"))
     pages = synthesize_html(docs).withColumn("url", _crawl_url_expr())
-    links = link_extract(url_canonicalize(pages))
+    links = anchor_texts(url_canonicalize(pages))
     edges = (
-        links.filter(F.col("is_external"))
+        links.filter(F.col("is_external") & ~F.col("nofollow"))
         .select(
             F.col("page_domain").alias("src"),
             F.col("link_domain").alias("dst"),
@@ -11431,10 +11591,14 @@ WITH per AS (
   SELECT doc_id,
     'src' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS domain,
     8 + (CASE doc_id % 3 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 1 END)
-      + (CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END) AS n_links,
+      + (CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END)
+      + (CASE WHEN doc_id % 7 = 1 THEN 1 ELSE 0 END) AS n_links,
     (CASE WHEN (doc_id // 20) % (doc_id % 20 + 1) <> doc_id % 20
           THEN 1 ELSE 0 END)
-      + (CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END) AS n_external
+      + (CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END)
+      -- sponsored target (3d+5)%20 never equals d%20 (parity), so
+      -- the d%7==1 placement is always cross-domain
+      + (CASE WHEN doc_id % 7 = 1 THEN 1 ELSE 0 END) AS n_external
   FROM documents
 ),
 agg AS (
@@ -11454,6 +11618,11 @@ ext AS (
          'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com'
   FROM documents
   WHERE doc_id % 5 = 3
+  UNION ALL
+  SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) || '.com',
+         'src' || CAST((doc_id * 3 + 5) % 20 AS VARCHAR) || '.com'
+  FROM documents
+  WHERE doc_id % 7 = 1
 ),
 extd AS (
   SELECT domain, count(DISTINCT tgt) AS n_ext_domains FROM ext GROUP BY 1
@@ -14733,6 +14902,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "domain_authority": q_domain_authority,
     "link_extract": q_link_extract,
+    "anchor_texts": q_anchor_texts,
+    "anchor_text_census": q_anchor_text_census,
     "outlink_census": q_outlink_census,
     "cross_doc_repetition": q_cross_doc_repetition,
     "bpe_train": q_bpe_train,
@@ -14947,6 +15118,8 @@ ORACLES_TD: dict[str, str] = {
     "pagerank": SQL_PAGERANK,
     "domain_authority": SQL_DOMAIN_AUTHORITY,
     "link_extract": SQL_LINK_EXTRACT,
+    "anchor_texts": SQL_ANCHOR_TEXTS,
+    "anchor_text_census": SQL_ANCHOR_TEXT_CENSUS,
     "outlink_census": SQL_OUTLINK_CENSUS,
     "cross_doc_repetition": SQL_CROSS_DOC_REPETITION,
     "bpe_train": SQL_BPE_TRAIN,

@@ -1473,14 +1473,58 @@ def test_link_extract_fixture_edges_match_arithmetic(spark):
         (r["page_domain"], r["link_domain"])
         for r in links.filter("is_external").collect()
     }
-    want = set()
+    want_dofollow = set()
+    sponsored = set()
     for (d,) in docs.select("doc_id").collect():
         k, p = d % 20, (d // 20) % (d % 20 + 1)
         if p != k:
-            want.add((f"src{k}.com", f"src{p}.com"))
+            want_dofollow.add((f"src{k}.com", f"src{p}.com"))
         if d % 5 == 3:
-            want.add((f"src{k}.com", f"src{(d + 1) % 20}.com"))
-    assert got == want
+            want_dofollow.add((f"src{k}.com", f"src{(d + 1) % 20}.com"))
+        if d % 7 == 1:
+            sponsored.add((f"src{k}.com", f"src{(d * 3 + 5) % 20}.com"))
+    # href-only extraction sees the sponsored placements too
+    assert got == want_dofollow | sponsored
+
+    # …but the RANKING graph (anchor_texts, nofollow excluded — what
+    # domain_authority consumes) is exactly the dofollow edge set
+    from etl_finance_pipeline_spark.operators.corpus import anchor_texts
+
+    at = anchor_texts(url_canonicalize(pages))
+    graph = {
+        (r["page_domain"], r["link_domain"])
+        for r in at.filter("is_external and not nofollow").collect()
+    }
+    assert graph == want_dofollow
+
+
+def test_anchor_texts_flags_and_text(spark):
+    """Anchor parse on hand-built markup: visible text is
+    tag-stripped/unescaped/ws-normalized; rel=nofollow flags (either
+    attribute order); non-web hrefs drop; resolution matches
+    link_extract."""
+    from etl_finance_pipeline_spark.operators.corpus import anchor_texts
+
+    rows = [
+        (
+            0,
+            "https://a.com/p",
+            '<a href="https://b.com/x">Read <b>this</b> &amp; that</a>'
+            '<a rel="nofollow noopener" href="https://c.com/y">Ad</a>'
+            '<a href="/in" rel="nofollow">In-site ad</a>'
+            '<a href="mailto:x@y.z">mail</a>',
+        ),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url_canon", "html"])
+    got = {
+        r["href"]: (r["anchor_text"], r["nofollow"], r["is_external"])
+        for r in anchor_texts(df).collect()
+    }
+    assert got == {
+        "https://b.com/x": ("Read this & that", False, True),
+        "https://c.com/y": ("Ad", True, True),
+        "/in": ("In-site ad", True, False),
+    }
 
 
 def test_html_extract_drops_boilerplate_keeps_prose(spark):
