@@ -34,6 +34,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _SHOWCASE_FIRST = (
     # round-12 new families
     "link_extract",  # href pull + RFC 3986 resolve + domain rollup (round 12)
+    "stream_link_extract",  # link harvest on the ingest stream (round 12)
+    "unicode_normalize",  # zero-width strip + true-NFC apply step (round 12)
     "anchor_texts",  # (target, text) corpus + rel=nofollow flag (round 12)
     "anchor_text_census",  # per-target anchor volume/vocabulary (round 12)
     "domain_authority",  # PageRank over EXTRACTED edges; arithmetic oracle (round 12)

@@ -738,6 +738,59 @@ def unicode_audit(
     )
 
 
+def unicode_normalize(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text",
+) -> DataFrame:
+    """The APPLY step paired with :func:`unicode_audit` — the text
+    canonicalization every hashing/dedup stage should run behind:
+    strip zero-width/invisible characters (``ZERO_WIDTH_RE``), then
+    NFC-normalize (true UAX #15, Arrow-batched ``unicodedata``
+    kernel; the DuckDB twin is ``nfc_normalize``). NFKC rewriting and
+    homoglyph folding are deliberately NOT applied — they are lossy
+    (fullwidth forms and ligatures are sometimes meaning-bearing);
+    the audit surfaces them for routing instead.
+
+    The strip is exchange-free codegen; the NFC pass is the one
+    Python kernel, Arrow-batched — a narrow map riding the corpus
+    scan at 100 TB.
+
+    Output: input columns with *out_col* replaced + ``norm_changed``
+    (the text was rewritten at all) and ``n_norm_delta`` (signed
+    code-point length change, pre − post; positive for stripped
+    zero-widths and compositions, negative for the rare
+    composition-excluded NFC expansions).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    stripped = F.regexp_replace(F.col(text_col), ZERO_WIDTH_RE, "")
+    out = (
+        df.withColumn("_pre_len", F.length(text_col))
+        .withColumn("_pre_txt", F.col(text_col))
+        .withColumn(out_col, _nfc(stripped))
+    )
+    return (
+        out.withColumn(
+            "norm_changed", F.col(out_col) != F.col("_pre_txt")
+        )
+        .withColumn(
+            "n_norm_delta",
+            (F.col("_pre_len") - F.length(out_col)).cast("long"),
+        )
+        .drop("_pre_len", "_pre_txt")
+    )
+
+
 def script_char_class(name: str) -> str:
     """Regex character class matching *name*'s codepoint range —
     literal endpoints, shared verbatim by both engines. Latin is

@@ -10499,6 +10499,53 @@ LEFT JOIN dai ON dai.domain = r.id
 
 
 
+def q_stream_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction ON THE INGEST STREAM — link-graph edges
+    harvested as pages arrive, the way a continuous crawl keeps its
+    web graph current: file-stream → synthesize/canonicalize →
+    link_extract, one stateless narrow chain (append mode, no
+    watermark, no state store). Oracle = the batch link_extract
+    query, because the lane is a pure per-record map."""
+    import uuid
+
+    from etl_finance_pipeline_spark.operators.corpus import (
+        link_extract,
+        synthesize_html,
+        url_canonicalize,
+    )
+    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
+
+    spark = _narrow_session(spark, _stream_fanout_width(spark, cap=8))
+    ensure_nanos_conf(spark)
+    path = _t(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
+    pages = synthesize_html(stream).withColumn("url", _crawl_url_expr())
+    out = link_extract(url_canonicalize(pages)).select(
+        "doc_id",
+        "href",
+        "link_url",
+        "link_host",
+        "link_domain",
+        "page_domain",
+        "is_external",
+    )
+    name = f"stream_linkx_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.table(name)
+
+
+#: the streaming lane emits the SAME rows as the batch extraction
+SQL_STREAM_LINK_EXTRACT = SQL_LINK_EXTRACT
+
+
 def _html_extract_ctes(
     src: str,
     keys: str = "doc_id, source, lang",
@@ -13671,6 +13718,50 @@ FROM un
 """
 
 
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step paired with unicode_audit (operators/
+    text_analysis.py:unicode_normalize): zero-width strip + true NFC
+    over the Unicode-noised corpus, emitted as a fingerprint (md5 of
+    the normalized text) plus change accounting — two independent
+    UAX #15 implementations (unicodedata vs nfc_normalize) agreeing
+    on the hash of the REWRITTEN text, not just the mismatch flag."""
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        unicode_normalize,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    out = unicode_normalize(_uni_noise(docs))
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("norm_md5"),
+        "norm_changed",
+        "n_norm_delta",
+    )
+
+
+def _sql_unicode_normalize_expr() -> str:
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        ZERO_WIDTH_RE,
+    )
+
+    return (
+        f"nfc_normalize(regexp_replace(text, '{ZERO_WIDTH_RE}', '', 'g'))"
+    )
+
+
+SQL_UNICODE_NORMALIZE = f"""
+WITH {_uni_noise_sql("documents", "unn")}
+SELECT doc_id,
+  md5({_sql_unicode_normalize_expr()}) AS norm_md5,
+  ({_sql_unicode_normalize_expr()} <> text) AS norm_changed,
+  CAST(len(text) - len({_sql_unicode_normalize_expr()}) AS BIGINT)
+    AS n_norm_delta
+FROM unn
+"""
+
+
 def q_unicode_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """curation_route EXTENDED by the normalization signal: over the
     route-decorated + Unicode-noised corpus, documents that clear
@@ -14882,6 +14973,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_audit": q_encoding_audit,
     "stream_encoding_audit": q_stream_encoding_audit,
     "unicode_audit": q_unicode_audit,
+    "unicode_normalize": q_unicode_normalize,
     "unicode_route": q_unicode_route,
     "pii_card_audit": q_pii_card_audit,
     "quality_psi": q_quality_psi,
@@ -14902,6 +14994,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "domain_authority": q_domain_authority,
     "link_extract": q_link_extract,
+    "stream_link_extract": q_stream_link_extract,
     "anchor_texts": q_anchor_texts,
     "anchor_text_census": q_anchor_text_census,
     "outlink_census": q_outlink_census,
@@ -15097,6 +15190,7 @@ ORACLES_TD: dict[str, str] = {
     "corpus_build_e2e_warc": SQL_CORPUS_BUILD_E2E_WARC,
     "encoding_audit": SQL_ENCODING_AUDIT,
     "unicode_audit": SQL_UNICODE_AUDIT,
+    "unicode_normalize": SQL_UNICODE_NORMALIZE,
     "unicode_route": SQL_UNICODE_ROUTE,
     "stream_encoding_audit": SQL_STREAM_ENCODING_AUDIT,
     "pii_card_audit": SQL_PII_CARD_AUDIT,
@@ -15118,6 +15212,7 @@ ORACLES_TD: dict[str, str] = {
     "pagerank": SQL_PAGERANK,
     "domain_authority": SQL_DOMAIN_AUTHORITY,
     "link_extract": SQL_LINK_EXTRACT,
+    "stream_link_extract": SQL_STREAM_LINK_EXTRACT,
     "anchor_texts": SQL_ANCHOR_TEXTS,
     "anchor_text_census": SQL_ANCHOR_TEXT_CENSUS,
     "outlink_census": SQL_OUTLINK_CENSUS,
