@@ -10464,10 +10464,11 @@ def q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # domain is src(doc_id%20).com; the synthesized partners block links
 # it to the partner domain src((doc_id//20)%(doc_id%20+1)).com and,
 # on doc_id%5=3, the mirror domain src((doc_id+1)%20).com; internal
-# links never make an edge) — NOT by replaying the extraction regex,
-# so the oracle cross-checks link_extract's edge set end to end
-SQL_DOMAIN_AUTHORITY = f"""
-WITH e AS (
+# links and rel="nofollow" placements never make an edge) — NOT by
+# replaying the extraction regex, so the oracle cross-checks
+# anchor_texts' ranking-graph edge set end to end. Produces r3(id,
+# rank). Shared by domain_authority and authority_sample.
+_DA_RANK_CTES = f"""e AS (
   SELECT DISTINCT
          'src' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS src,
          'src' || CAST((doc_id // 20) % (doc_id % 20 + 1) AS VARCHAR)
@@ -10486,7 +10487,10 @@ deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
 r0 AS (SELECT id, floor(1.0 / n.n * 1000000 + 0.5) / 1000000 AS rank FROM v, n),
 {_pr_iter_sql(1)},
 {_pr_iter_sql(2)},
-{_pr_iter_sql(3)},
+{_pr_iter_sql(3)}"""
+
+SQL_DOMAIN_AUTHORITY = f"""
+WITH {_DA_RANK_CTES},
 dao AS (SELECT src AS domain, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY 1),
 dai AS (SELECT dst AS domain, CAST(count(*) AS BIGINT) AS in_deg FROM e GROUP BY 1)
 SELECT r.id AS domain, r.rank,
@@ -10495,6 +10499,51 @@ SELECT r.id AS domain, r.rank,
 FROM r3 r
 LEFT JOIN dao ON dao.domain = r.id
 LEFT JOIN dai ON dai.domain = r.id
+"""
+
+
+def q_authority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The link graph feeding DATA SELECTION — authority-weighted
+    sampling (the crawl-prioritization loop closed): domain-authority
+    PageRank ranks (from extracted, nofollow-excluded edges) join
+    back to the document catalog as per-doc weights, and the
+    deterministic A-Res draw (weighted_sample_topk) selects 100 docs
+    without replacement, inclusion ∝ domain rank. Output = the
+    per-domain composition of the draw. The rank frame is k-row
+    (broadcast); the draw is a narrow priority map + global top-k
+    (TakeOrderedAndProject) — no global sort, no extra shuffle."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        weighted_sample_topk,
+    )
+
+    ranks = q_domain_authority(spark, sf_dir).select("domain", "rank")
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        "doc_id", F.concat(F.col("source"), F.lit(".com")).alias("domain")
+    )
+    weighted = docs.join(F.broadcast(ranks), "domain")
+    drawn = weighted_sample_topk(weighted, "doc_id", "rank", k=100)
+    return drawn.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_drawn"),
+        F.max("rank").alias("rank"),
+    )
+
+
+SQL_AUTHORITY_SAMPLE = f"""
+WITH {_DA_RANK_CTES},
+ad AS (
+  SELECT doc_id, 'src' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS domain
+  FROM documents
+),
+aw AS (
+  SELECT a.doc_id, a.domain, r.rank,
+         ln((CAST(('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) + 1) / 1152921504606846976.0) / r.rank AS priority
+  FROM ad a JOIN r3 r ON r.id = a.domain
+  WHERE r.rank > 0
+),
+sel AS (SELECT * FROM aw ORDER BY priority DESC, doc_id LIMIT 100)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_drawn, max(rank) AS rank
+FROM sel GROUP BY 1
 """
 
 
@@ -14993,6 +15042,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_stats_png": q_image_stats_png,
     "pagerank": q_pagerank,
     "domain_authority": q_domain_authority,
+    "authority_sample": q_authority_sample,
     "link_extract": q_link_extract,
     "stream_link_extract": q_stream_link_extract,
     "anchor_texts": q_anchor_texts,
@@ -15211,6 +15261,7 @@ ORACLES_TD: dict[str, str] = {
     "image_stats_png": SQL_IMAGE_STATS_PNG,
     "pagerank": SQL_PAGERANK,
     "domain_authority": SQL_DOMAIN_AUTHORITY,
+    "authority_sample": SQL_AUTHORITY_SAMPLE,
     "link_extract": SQL_LINK_EXTRACT,
     "stream_link_extract": SQL_STREAM_LINK_EXTRACT,
     "anchor_texts": SQL_ANCHOR_TEXTS,
