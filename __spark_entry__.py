@@ -39,6 +39,7 @@ _SHOWCASE_FIRST = (
     "anchor_texts",  # (target, text) corpus + rel=nofollow flag (round 12)
     "anchor_text_census",  # per-target anchor volume/vocabulary (round 12)
     "domain_authority",  # PageRank over EXTRACTED edges; arithmetic oracle (round 12)
+    "authority_sample",  # rank-weighted A-Res doc selection (round 12)
     "outlink_census",  # per-domain outlink stats from raw WARC records (round 12)
     "stream_url_dedup_append",  # watermarked append-mode dedup twin (round 12)
     "suffix_dup_spans",  # exact pairwise duplicated spans, seed-and-chain (round 12)

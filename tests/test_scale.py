@@ -847,6 +847,52 @@ def test_scale_pack_bins_sharded_ffd(bigspark):
     assert dt < 240
 
 
+def test_scale_link_extract_narrow_map(bigspark):
+    """2M synthesized pages through canonicalize + link_extract +
+    anchor_texts: extraction is a narrow projection + explode (no
+    data-path exchange before the first aggregate), anchor fan-out is
+    the expected per-page anchor count, and the nofollow exclusion
+    holds at volume."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        anchor_texts,
+        link_extract,
+        synthesize_html,
+        url_canonicalize,
+    )
+
+    n = 2_000_000
+    df = bigspark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 97).cast("string")).alias(
+            "text"
+        ),
+        F.concat(
+            F.lit("https://src"),
+            (F.col("id") % 20).cast("string"),
+            F.lit(".com/a/"),
+            (F.col("id") % 100).cast("string"),
+        ).alias("url"),
+    )
+    pages = url_canonicalize(synthesize_html(df))
+    links = link_extract(pages)
+    _assert_distributed_plan(links, "link_extract")
+    rows, _ = _timed_count(links, "link_extract 2M pages")
+    # per-page anchors: 8 fixed + variant(1/2/1 for id%3==0,1,2 incl.
+    # the id%3==0 'local' partner link) + mirror (id%5==3) + sponsored
+    # (id%7==1)
+    expect = 0
+    for r in (0, 1, 2):
+        cnt = n // 3 + (1 if n % 3 > r else 0)
+        expect += cnt * (8 + {0: 1, 1: 1, 2: 2}[r])
+    expect += len(range(3, n, 5))  # id%5==3 mirrors
+    expect += len(range(1, n, 7))  # id%7==1 sponsored
+    assert rows == expect
+    at = anchor_texts(pages)
+    nf = at.filter("nofollow").groupBy("anchor_text").count().collect()
+    assert {r["anchor_text"] for r in nf} == {"Sponsored"}
+    assert sum(r["count"] for r in nf) == len(range(1, n, 7))
+
+
 def test_scale_html_extract_narrow_map(bigspark):
     """2M synthesized HTML pages through the jusText-lite extractor:
     a pure projection chain — ZERO exchanges in the plan, wall-clock
