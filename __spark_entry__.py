@@ -40,6 +40,8 @@ _SHOWCASE_FIRST = (
     "anchor_text_census",  # per-target anchor volume/vocabulary (round 12)
     "domain_authority",  # PageRank over EXTRACTED edges; arithmetic oracle (round 12)
     "authority_sample",  # rank-weighted A-Res doc selection (round 12)
+    "frontier_rank",  # anti-join + authority-ranked fetch queue (round 12)
+    "table_qa_samples",  # header-joined table-QA sample prep (round 12)
     "outlink_census",  # per-domain outlink stats from raw WARC records (round 12)
     "stream_url_dedup_append",  # watermarked append-mode dedup twin (round 12)
     "suffix_dup_spans",  # exact pairwise duplicated spans, seed-and-chain (round 12)

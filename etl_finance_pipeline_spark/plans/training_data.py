@@ -10595,6 +10595,163 @@ def q_stream_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_LINK_EXTRACT = SQL_LINK_EXTRACT
 
 
+def q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier prioritization — the fetch queue a continuous
+    crawl computes from what it just parsed: dofollow external link
+    targets canonicalize to identity keys, an ANTI-JOIN against the
+    already-crawled key set leaves the undiscovered frontier, and
+    each candidate ranks by its target domain's authority (the OPIC/
+    PageRank-priority recipe real crawlers schedule by). Top 50 by
+    (rank desc, key) — deterministic. Scheme-relative targets gain
+    http: before canonicalization (a scheme-less base page can emit
+    '//host/p' links; the canonical key needs the host). The oracle
+    derives the target keys ARITHMETICALLY (partner + mirror URLs)
+    and replays the anti-join + rank + top-k."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        anchor_texts,
+        synthesize_html,
+        url_canonicalize,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    pages = synthesize_html(docs).withColumn("url", _crawl_url_expr())
+    canon = url_canonicalize(pages)
+    crawled = canon.select("url_key").distinct()
+    targets = (
+        anchor_texts(canon)
+        .filter(F.col("is_external") & ~F.col("nofollow"))
+        .select(
+            F.when(
+                F.col("link_url").startswith("//"),
+                F.concat(F.lit("http:"), F.col("link_url")),
+            )
+            .otherwise(F.col("link_url"))
+            .alias("url"),
+            "link_domain",
+        )
+    )
+    tkeys = (
+        url_canonicalize(targets)
+        .select("url_key", F.col("link_domain").alias("domain"))
+        .distinct()
+    )
+    frontier = tkeys.join(crawled, "url_key", "left_anti")
+    ranks = q_domain_authority(spark, sf_dir).select("domain", "rank")
+    return (
+        frontier.join(F.broadcast(ranks), "domain")
+        .select("url_key", "domain", "rank")
+        .orderBy(F.col("rank").desc(), F.col("url_key"))
+        .limit(50)
+    )
+
+
+SQL_FRONTIER_RANK = f"""
+WITH {_DA_RANK_CTES},
+{_CRAWL_URLS_CTE},
+{_url_canon_ctes("curls", "doc_id", "fq")},
+fcrawled AS (SELECT DISTINCT url_key FROM fqcanon),
+ftgt AS (
+  SELECT DISTINCT
+    'src' || CAST((doc_id // 20) % (doc_id % 20 + 1) AS VARCHAR)
+      || '.com/p/' || CAST(doc_id % 100 AS VARCHAR) AS url_key,
+    'src' || CAST((doc_id // 20) % (doc_id % 20 + 1) AS VARCHAR)
+      || '.com' AS domain
+  FROM documents
+  WHERE (doc_id // 20) % (doc_id % 20 + 1) <> doc_id % 20
+  UNION
+  SELECT DISTINCT
+    'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com/mirror',
+    'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com'
+  FROM documents
+  WHERE doc_id % 5 = 3
+),
+ffront AS (
+  SELECT t.url_key, t.domain FROM ftgt t
+  WHERE t.url_key NOT IN (SELECT url_key FROM fcrawled)
+)
+SELECT f.url_key, f.domain, r.rank
+FROM ffront f JOIN r3 r ON r.id = f.domain
+ORDER BY r.rank DESC, f.url_key
+LIMIT 50
+"""
+
+
+def q_table_qa_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-grounding sample prep — the standard path from extracted
+    HTML tables to table-QA training data: every BODY cell pairs with
+    its column header (self-join on (doc, table, col) against the
+    header row — one slim shuffle) and renders a deterministic
+    question/answer sample, emitted as an md5 fingerprint + lengths
+    (the FIM/span-corruption device: verify the render, don't ship
+    megabytes through the driver). The oracle enumerates headers and
+    cells arithmetically from the fixture recipe."""
+    from etl_finance_pipeline_spark.operators.corpus import html_tables
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    cells = html_tables(_table_page(docs))
+    headers = cells.filter(F.col("is_header")).select(
+        "doc_id",
+        "table_idx",
+        "col_idx",
+        F.col("cell").alias("header"),
+    )
+    body = cells.filter(~F.col("is_header"))
+    qa = body.join(headers, ["doc_id", "table_idx", "col_idx"])
+    question = F.concat(
+        F.lit("In document "),
+        F.col("doc_id").cast("string"),
+        F.lit(" table "),
+        F.col("table_idx").cast("string"),
+        F.lit(", what is "),
+        F.col("header"),
+        F.lit(" in row "),
+        F.col("row_idx").cast("string"),
+        F.lit("?"),
+    )
+    return qa.select(
+        "doc_id",
+        "table_idx",
+        "row_idx",
+        "col_idx",
+        F.md5(F.concat(question, F.lit("\x1f"), F.col("cell"))).alias(
+            "sample_md5"
+        ),
+        F.length(question).cast("long").alias("q_chars"),
+        F.length("cell").cast("long").alias("a_chars"),
+    )
+
+
+SQL_TABLE_QA_SAMPLES = """
+WITH qdim AS (
+  SELECT doc_id, doc_id % 3 + 2 AS nrows, doc_id % 2 + 2 AS ncols
+  FROM documents WHERE doc_id % 5 <> 4
+),
+qrows AS (
+  SELECT doc_id, ncols, unnest(range(1, nrows + 1)) AS row_idx FROM qdim
+),
+qcells AS (
+  SELECT doc_id, row_idx, unnest(range(0, ncols)) AS col_idx FROM qrows
+),
+qa AS (
+  SELECT doc_id, row_idx, col_idx,
+    'In document ' || CAST(doc_id AS VARCHAR)
+      || ' table 0, what is h' || CAST(col_idx AS VARCHAR)
+      || ' in row ' || CAST(row_idx AS VARCHAR) || '?' AS question,
+    'r' || CAST(row_idx AS VARCHAR) || 'c' || CAST(col_idx AS VARCHAR)
+      || 'v' || CAST((doc_id * 7 + row_idx * 3 + col_idx) % 97 AS VARCHAR)
+      || (CASE WHEN row_idx = 1 AND col_idx = 0 THEN ' & co' ELSE '' END)
+      AS answer
+  FROM qcells
+)
+SELECT doc_id, CAST(0 AS INT) AS table_idx,
+       CAST(row_idx AS INT) AS row_idx, CAST(col_idx AS INT) AS col_idx,
+       md5(question || chr(31) || answer) AS sample_md5,
+       CAST(len(question) AS BIGINT) AS q_chars,
+       CAST(len(answer) AS BIGINT) AS a_chars
+FROM qa
+"""
+
+
 def _html_extract_ctes(
     src: str,
     keys: str = "doc_id, source, lang",
@@ -15043,6 +15200,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "domain_authority": q_domain_authority,
     "authority_sample": q_authority_sample,
+    "frontier_rank": q_frontier_rank,
+    "table_qa_samples": q_table_qa_samples,
     "link_extract": q_link_extract,
     "stream_link_extract": q_stream_link_extract,
     "anchor_texts": q_anchor_texts,
@@ -15262,6 +15421,8 @@ ORACLES_TD: dict[str, str] = {
     "pagerank": SQL_PAGERANK,
     "domain_authority": SQL_DOMAIN_AUTHORITY,
     "authority_sample": SQL_AUTHORITY_SAMPLE,
+    "frontier_rank": SQL_FRONTIER_RANK,
+    "table_qa_samples": SQL_TABLE_QA_SAMPLES,
     "link_extract": SQL_LINK_EXTRACT,
     "stream_link_extract": SQL_STREAM_LINK_EXTRACT,
     "anchor_texts": SQL_ANCHOR_TEXTS,
