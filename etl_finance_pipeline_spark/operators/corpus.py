@@ -558,9 +558,17 @@ def url_dedup(
     )
 
 
-#: href attribute of anchor tags, either quote style — group 1 is the
-#: raw href value. RE2 ∩ Java dialect so the oracle runs it verbatim.
-HREF_RE = "(?is)<a\\s[^>]*href=[\"']([^\"']*)[\"']"
+#: attribute soup inside an opening tag: unquoted chars OR an intact
+#: double-/single-quoted value — per-quote alternation, so a '>'
+#: inside a quoted attribute never ends the tag early and mismatched
+#: quote pairs never match (round-12 ADVICE). RE2 ∩ Java dialect.
+_TAG_ATTRS = "(?:[^>\"']|\"[^\"]*\"|'[^']*')"
+
+#: href attribute of anchor tags — group 1 is the QUOTED href value
+#: (quotes INCLUDED; callers strip the first/last char) so one capture
+#: group serves both quote styles without backreferences (RE2 has
+#: none). Shared verbatim with the DuckDB oracle twin.
+HREF_RE = f"(?is)<a\\s{_TAG_ATTRS}*?href=(\"[^\"]*\"|'[^']*')"
 
 #: hrefs that are not web links (or are intra-page): never edges
 _NON_WEB_HREF_RE = "^(?i)(javascript:|mailto:|tel:|data:|#)"
@@ -597,13 +605,22 @@ def link_extract(
     Output: input columns + (href, link_url, link_host, link_domain,
     page_domain, is_external).
     """
-    out = df.withColumn(
-        "href",
-        F.explode(
-            F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), 1)
-        ),
-    ).filter(
-        (F.col("href") != "") & ~F.col("href").rlike(_NON_WEB_HREF_RE)
+    out = (
+        df.withColumn(
+            "_hq",
+            F.explode(
+                F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), 1)
+            ),
+        )
+        # group 1 carries its quotes (RE2 forbids backreferences, so
+        # one group must serve both quote styles) — strip them here
+        .withColumn(
+            "href", F.expr("substring(_hq, 2, length(_hq) - 2)")
+        )
+        .drop("_hq")
+        .filter(
+            (F.col("href") != "") & ~F.col("href").rlike(_NON_WEB_HREF_RE)
+        )
     )
     return _resolve_links(out, url_col, levels)
 
@@ -635,6 +652,10 @@ def _resolve_links(out: DataFrame, url_col: str, levels: int) -> DataFrame:
                 F.concat(scheme, F.lit(":"), h)
             ),
         )
+        # RFC 3986 §5.3: a query-only reference replaces the query
+        # against the FULL base path (round-12 ADVICE) — hostpath is
+        # exactly host+path with the base query already stripped
+        .when(h.startswith("?"), F.concat(sp, hostpath, h))
         .when(h.startswith("/"), F.concat(sp, page_host, h))
         .otherwise(F.concat(sp, dirp, h))
     )
@@ -659,12 +680,21 @@ def _resolve_links(out: DataFrame, url_col: str, levels: int) -> DataFrame:
     )
 
 
-#: a full anchor element (group 0) — parsed further by anchor_texts
-_ANCHOR_EL_RE = "(?is)<a\\s[^>]*href=[\"'][^\"']*[\"'][^>]*>.*?</a>"
+#: a full anchor element (group 0) — parsed further by anchor_texts.
+#: Attribute soup uses the per-quote alternation so a '>' inside a
+#: quoted href stays inside the opening tag (round-12 ADVICE).
+_ANCHOR_EL_RE = (
+    f"(?is)<a\\s{_TAG_ATTRS}*?href=(?:\"[^\"]*\"|'[^']*')"
+    f"{_TAG_ATTRS}*>.*?</a>"
+)
+
+#: the opening tag's inner text: everything after the first correctly
+#: quote-balanced '>' up to the closing tag
+_ANCHOR_INNER_RE = f"(?is)^<a{_TAG_ATTRS}*>(.*)</a>$"
 
 #: rel attribute carrying the nofollow token (Google 2005; every
 #: production link graph drops these edges before ranking)
-_NOFOLLOW_RE = "(?is)rel=[\"'][^\"']*nofollow"
+_NOFOLLOW_RE = "(?is)rel=(?:\"[^\"]*nofollow|'[^']*nofollow)"
 
 
 def anchor_texts(
@@ -694,8 +724,10 @@ def anchor_texts(
             F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_EL_RE), 0)
         ),
     )
-    href = F.regexp_extract(F.col("_a"), HREF_RE, 1)
-    inner = F.regexp_extract(F.col("_a"), r"(?is)^<a[^>]*>(.*)</a>$", 1)
+    hq = F.regexp_extract(F.col("_a"), HREF_RE, 1)
+    # HREF_RE's group carries its quotes (see link_extract) — strip
+    href = hq.substr(F.lit(2), F.length(hq) - 2)
+    inner = F.regexp_extract(F.col("_a"), _ANCHOR_INNER_RE, 1)
 
     def _unescape(c: Column) -> Column:
         for ent, rep in HTML_ENTITY_RULES:

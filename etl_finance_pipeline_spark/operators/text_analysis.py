@@ -14,7 +14,6 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-import pandas as pd  # noqa: F401 — pandas_udf resolves 'pd.Series' hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -711,14 +710,15 @@ def unicode_audit(
     """
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("boolean")
-    def _nfc_mismatch(s: pd.Series) -> pd.Series:
-        import unicodedata
+    def _kernel(s):  # pd.Series -> pd.Series; call-form udf so the
+        import unicodedata  # module never hard-imports pandas
 
         return s.map(
             lambda x: x is not None
             and unicodedata.normalize("NFC", x) != x
         )
+
+    _nfc_mismatch = pandas_udf(_kernel, "boolean")
 
     t = F.col(text_col)
     out = df.select(
@@ -765,13 +765,14 @@ def unicode_normalize(
     """
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("string")
-    def _nfc(s: pd.Series) -> pd.Series:
-        import unicodedata
+    def _kernel(s):  # pd.Series -> pd.Series; call-form udf so the
+        import unicodedata  # module never hard-imports pandas
 
         return s.map(
             lambda x: None if x is None else unicodedata.normalize("NFC", x)
         )
+
+    _nfc = pandas_udf(_kernel, "string")
 
     stripped = F.regexp_replace(F.col(text_col), ZERO_WIDTH_RE, "")
     out = (

@@ -10010,8 +10010,13 @@ def _link_extract_ctes(src: str, keys: str = "doc_id", p: str = "lk",
 
     href_sql = HREF_RE.replace("'", "''")
     return f"""{p}hr AS (
+  -- HREF_RE's group carries its quotes (one group serves both quote
+  -- styles without backreferences) — strip first/last char, as the
+  -- Spark chain does
   SELECT {keys}, url_canon,
-         unnest(regexp_extract_all({html_col}, '{href_sql}', 1)) AS href
+         unnest(list_transform(
+           regexp_extract_all({html_col}, '{href_sql}', 1),
+           x -> substr(x, 2, len(x) - 2))) AS href
   FROM {src}
 ),
 {p}f AS (
@@ -10031,6 +10036,9 @@ def _link_extract_ctes(src: str, keys: str = "doc_id", p: str = "lk",
     CASE WHEN regexp_matches(href, '^(?i)[a-z][a-z0-9+.\\-]*://') THEN href
          WHEN href LIKE '//%' THEN
            CASE WHEN scheme = '' THEN href ELSE scheme || ':' || href END
+         WHEN href LIKE '?%' THEN
+           (CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END)
+           || hostpath || href
          WHEN href LIKE '/%' THEN
            (CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END)
            || regexp_extract(hostpath, '^([^/]*)', 1) || href
@@ -10226,6 +10234,21 @@ def q_stream_url_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _await_stream(q)
+    # Oracle equivalence REQUIRES the fixture to load as one data
+    # microbatch (event time doc_id%360 is uncorrelated with file
+    # order — a multi-batch load would nondeterministically drop
+    # late rows against a mid-stream watermark). Enforce it loudly
+    # so a future maxFilesPerTrigger/maxBytesPerTrigger setting
+    # fails here instead of silently diverging (round-12 ADVICE).
+    n_data_batches = sum(
+        1 for p in q.recentProgress if int(p["numInputRows"]) > 0
+    )
+    if n_data_batches != 1:
+        raise AssertionError(
+            "stream_url_dedup_append expects exactly one data "
+            f"microbatch, saw {n_data_batches}: the closed-window "
+            "oracle cutoff only models a single-batch load"
+        )
     return spark.table(name)
 
 

@@ -1527,6 +1527,62 @@ def test_anchor_texts_flags_and_text(spark):
     }
 
 
+def test_link_extract_quote_edge_cases(spark):
+    """Round-12 ADVICE regressions, hand-built markup the arithmetic
+    fixtures can never produce: a '>' INSIDE a quoted href must not
+    truncate the opening tag (per-quote alternation in HREF_RE /
+    _ANCHOR_EL_RE), mismatched quote pairs must not match at all,
+    single-quoted hrefs extract, and a query-only href resolves by
+    REPLACING the query against the full base path (RFC 3986 §5.3),
+    not by resolving path-relative."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        anchor_texts,
+        link_extract,
+    )
+
+    rows = [
+        (
+            0,
+            "https://a.com/dir/page?q=1",
+            # '>' inside the quoted href value
+            '<a href="https://b.com/x?a>b">Gt inside</a> '
+            # single-quoted
+            "<a href='https://c.com/z'>Single</a> "
+            # query-only reference: replace query on the FULL path
+            '<a href="?page=2">Next page</a>',
+        ),
+        # a mismatched quote pair with no later closing quote in the
+        # document: must not extract anything (the old cross-quote
+        # class ["'][^"']*["'] would have matched it)
+        (
+            1,
+            "https://a.com/p",
+            "<a href=\"https://bad.com/y'>Mismatch</a>",
+        ),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url_canon", "html"])
+    got = {
+        (r["doc_id"], r["href"]): r["link_url"]
+        for r in link_extract(df).collect()
+    }
+    assert got == {
+        (0, "https://b.com/x?a>b"): "https://b.com/x?a>b",
+        (0, "https://c.com/z"): "https://c.com/z",
+        (0, "?page=2"): "https://a.com/dir/page?page=2",
+    }
+    # anchor parse: same element set, and the inner-text capture
+    # survives the '>' inside the quoted attribute
+    at = {
+        (r["doc_id"], r["href"]): r["anchor_text"]
+        for r in anchor_texts(df).collect()
+    }
+    assert at == {
+        (0, "https://b.com/x?a>b"): "Gt inside",
+        (0, "https://c.com/z"): "Single",
+        (0, "?page=2"): "Next page",
+    }
+
+
 def test_html_extract_drops_boilerplate_keeps_prose(spark):
     from etl_finance_pipeline_spark.operators.corpus import (
         html_extract,
