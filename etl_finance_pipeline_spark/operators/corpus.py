@@ -573,6 +573,50 @@ HREF_RE = f"(?is)<a\\s{_TAG_ATTRS}*?href=(\"[^\"]*\"|'[^']*')"
 #: hrefs that are not web links (or are intra-page): never edges
 _NON_WEB_HREF_RE = "^(?i)(javascript:|mailto:|tel:|data:|#)"
 
+#: a path segment that is NOT exactly "." or ".." — RE2-safe (no
+#: lookahead): doesn't start with a dot, or starts with one dot +
+#: a non-dot, or starts with two dots + at least one more char
+_PATH_SEG_RE = r"(\.[^/.][^/]*|\.\.[^/]+|[^/.][^/]*)"
+
+#: head of a resolved link URL: scheme://authority, protocol-relative
+#: //authority, or a bare host (scheme-less canonical pages) — the
+#: part RFC 3986 §5.2.4 dot-segment removal must never touch
+_URL_HEAD_RE = r"^([a-z][a-z0-9+.\-]*://[^/?#]*|//[^/?#]*|[^/?#]*)"
+
+#: nesting depth the bounded rewrite handles before failing loudly
+_DOT_SEGMENT_DEPTH = 4
+
+
+#: a bare "." or ".." path segment anywhere — the gate that decides
+#: whether an href enters the §5.2.4 rewrite at all
+_DOTTED_RE = r"(^|/)\.\.?(/|$)"
+
+
+def _dot_chain(p: Column) -> Column:
+    """RFC 3986 §5.2.4 remove_dot_segments over a PATH expression
+    (authority and query already split off), as a BOUNDED regexp
+    rewrite chain — the spec's stack algorithm is iterative;
+    ``_DOT_SEGMENT_DEPTH`` sequential collapse passes cover real
+    markup, and deeper nesting trips the post-explode guard in
+    :func:`_explode_resolved` rather than emitting a wrong key.
+    Every pattern is RE2 ∩ Java, matching the DuckDB twin in
+    plans/training_data.py:_sql_dot_segments verbatim."""
+    # "." segments: mid-path (passes cover consecutive /././), then
+    # a trailing "/."
+    for _ in range(3):
+        p = F.regexp_replace(p, r"/\./", "/")
+    p = F.regexp_replace(p, r"/\.$", "/")
+    # "seg/../" collapse — sequential passes unwind nesting AND
+    # sibling chains (each replacement can expose the next match)
+    for _ in range(_DOT_SEGMENT_DEPTH):
+        p = F.regexp_replace(p, f"/{_PATH_SEG_RE}/\\.\\./", "/")
+    for _ in range(2):
+        p = F.regexp_replace(p, f"/{_PATH_SEG_RE}/\\.\\.$", "/")
+    # excess ".." at the root pops an empty stack: "/../" -> "/"
+    for _ in range(3):
+        p = F.regexp_replace(p, r"^/\.\./", "/")
+    return F.regexp_replace(p, r"^/\.\.$", "/")
+
 
 def link_extract(
     df: DataFrame,
@@ -588,15 +632,17 @@ def link_extract(
     to its registrable domain so domain-level centrality
     (domain-authority PageRank) can consume real crawl structure.
 
-    Resolution follows RFC 3986's four relative-reference shapes:
+    Resolution follows RFC 3986's five relative-reference shapes:
     absolute (``scheme://…`` kept as-is), protocol-relative (``//h/p``
-    gains the page scheme), root-relative (``/p`` gains scheme+host),
-    and relative (``p`` resolves against the page path's directory).
-    Dot-segment (``../``) removal is NOT performed — a documented
-    approximation; the registrable-domain rollup, the graph's edge
-    key, is unaffected by path dots. Non-web and intra-page hrefs
-    (``javascript:``/``mailto:``/``tel:``/``data:``/bare ``#…``) are
-    dropped.
+    gains the page scheme), query-only (``?q=2`` replaces the query
+    against the full base path, §5.3), root-relative (``/p`` gains
+    scheme+host), and relative (``p`` resolves against the page
+    path's directory). Dot segments (``./``, ``../``) are removed per
+    §5.2.4 via a bounded rewrite chain that fails loudly past
+    ``_DOT_SEGMENT_DEPTH`` nesting — so ``a.com/x/../p`` and
+    ``a.com/p`` produce the SAME frontier/dedup key. Non-web and
+    intra-page hrefs (``javascript:``/``mailto:``/``tel:``/``data:``/
+    bare ``#…``) are dropped.
 
     Entirely regexp codegen + one explode — no UDF, no shuffle; at
     100 TB this rides the same scan as :func:`html_extract` and the
@@ -605,32 +651,43 @@ def link_extract(
     Output: input columns + (href, link_url, link_host, link_domain,
     page_domain, is_external).
     """
-    out = (
-        df.withColumn(
-            "_hq",
-            F.explode(
-                F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), 1)
-            ),
-        )
+    hrefs = F.transform(
+        F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), 1),
         # group 1 carries its quotes (RE2 forbids backreferences, so
         # one group must serve both quote styles) — strip them here
-        .withColumn(
-            "href", F.expr("substring(_hq, 2, length(_hq) - 2)")
-        )
-        .drop("_hq")
-        .filter(
-            (F.col("href") != "") & ~F.col("href").rlike(_NON_WEB_HREF_RE)
-        )
+        lambda x: x.substr(F.lit(2), F.length(x) - 2),
     )
-    return _resolve_links(out, url_col, levels)
+    arr = F.transform(
+        F.filter(
+            hrefs,
+            lambda h: (h != "") & ~h.rlike(_NON_WEB_HREF_RE),
+        ),
+        lambda h: F.struct(h.alias("href")),
+    )
+    return _explode_resolved(df, arr, url_col, levels, ())
 
 
-def _resolve_links(out: DataFrame, url_col: str, levels: int) -> DataFrame:
-    """RFC 3986 resolution + registrable-domain rollup over a frame
-    carrying a raw ``href`` column and the canonical page URL
-    (*url_col*) — the shared back half of :func:`link_extract` and
-    :func:`anchor_texts`. Adds (link_url, link_host, link_domain,
-    page_domain, is_external)."""
+def _explode_resolved(
+    df: DataFrame,
+    arr: Column,
+    url_col: str,
+    levels: int,
+    fields: tuple[str, ...],
+) -> DataFrame:
+    """RFC 3986 resolution + registrable-domain rollup over *arr*, an
+    ``array<struct<fields…, href>>`` of per-anchor records — the
+    shared back half of :func:`link_extract` and :func:`anchor_texts`.
+    Explodes to one row per anchor, adding (link_url, link_host,
+    link_domain, page_domain, is_external).
+
+    Every per-anchor computation happens INSIDE generator-side
+    ``transform`` lambdas, so each stage's inputs are lambda-variable
+    field references (cheap) and the exploded struct is a real
+    attribute: Catalyst's CollapseProject / predicate pushdown cannot
+    re-inline the extraction regexes into downstream consumers. The
+    earlier column-at-a-time formulation re-expanded the whole
+    resolve chain at every reference — measured 3–7× planning/codegen
+    inflation and re-executed regexes per reference at runtime."""
     base = F.col(url_col)
     scheme = F.regexp_extract(base, r"^([a-z][a-z0-9+.\-]*)://", 1)
     sp = F.when(scheme == "", F.lit("")).otherwise(
@@ -643,40 +700,96 @@ def _resolve_links(out: DataFrame, url_col: str, levels: int) -> DataFrame:
     # canonical paths always carry at least '/', so this never eats
     # the host label
     dirp = F.regexp_replace(hostpath, r"[^/]*$", "")
-    h = F.col("href")
-    link_url = (
-        F.when(h.rlike(r"^(?i)[a-z][a-z0-9+.\-]*://"), h)
-        .when(
-            h.startswith("//"),
-            F.when(scheme == "", h).otherwise(
-                F.concat(scheme, F.lit(":"), h)
-            ),
+
+    def _plus(s: Column, names: tuple[str, ...], **extra: Column) -> Column:
+        return F.struct(
+            *[s[n].alias(n) for n in names],
+            *[c.alias(n) for n, c in extra.items()],
         )
-        # RFC 3986 §5.3: a query-only reference replaces the query
-        # against the FULL base path (round-12 ADVICE) — hostpath is
-        # exactly host+path with the base query already stripped
-        .when(h.startswith("?"), F.concat(sp, hostpath, h))
-        .when(h.startswith("/"), F.concat(sp, page_host, h))
-        .otherwise(F.concat(sp, dirp, h))
+
+    def _raw(h: Column) -> Column:
+        return (
+            F.when(h.rlike(r"^(?i)[a-z][a-z0-9+.\-]*://"), h)
+            .when(
+                h.startswith("//"),
+                F.when(scheme == "", h).otherwise(
+                    F.concat(scheme, F.lit(":"), h)
+                ),
+            )
+            # RFC 3986 §5.3: a query-only reference replaces the query
+            # against the FULL base path — hostpath is exactly
+            # host+path with the base query already stripped
+            .when(h.startswith("?"), F.concat(sp, hostpath, h))
+            .when(h.startswith("/"), F.concat(sp, page_host, h))
+            .otherwise(F.concat(sp, dirp, h))
+        )
+
+    f0 = (*fields, "href")
+    arr = F.transform(
+        arr, lambda s: _plus(s, f0, link_url=_raw(s["href"]))
     )
-    out = out.withColumn("link_url", link_url)
-    lu = F.col("link_url")
-    link_host = F.when(
-        lu.startswith("//"),
-        canonical_host(F.regexp_replace(lu, r"^//", "")),
-    ).otherwise(canonical_host(lu))
-    out = (
-        out.withColumn("link_host", link_host)
-        .withColumn(
-            "link_domain", registrable_domain(F.col("link_host"), levels)
+
+    def _dotfix(s: Column) -> Column:
+        lu = s["link_url"]
+        head = F.regexp_extract(lu, _URL_HEAD_RE, 1)
+        rest = lu.substr(F.length(head) + 1, F.lit(1 << 30))
+        fixed = F.concat(
+            head,
+            _dot_chain(F.regexp_replace(rest, r"\?.*$", "")),
+            F.regexp_extract(rest, r"(\?.*)$", 1),
         )
+        # gated: clean hrefs (the overwhelming majority) skip the
+        # rewrite chain entirely
+        return F.when(s["href"].rlike(_DOTTED_RE), fixed).otherwise(lu)
+
+    arr = F.transform(arr, lambda s: _plus(s, f0, link_url=_dotfix(s)))
+
+    def _host(s: Column) -> Column:
+        lu = s["link_url"]
+        return F.when(
+            lu.startswith("//"),
+            canonical_host(F.regexp_replace(lu, r"^//", "")),
+        ).otherwise(canonical_host(lu))
+
+    f1 = (*f0, "link_url")
+    arr = F.transform(arr, lambda s: _plus(s, f1, link_host=_host(s)))
+    f2 = (*f1, "link_host")
+    arr = F.transform(
+        arr,
+        lambda s: _plus(
+            s, f2, link_domain=registrable_domain(s["link_host"], levels)
+        ),
+    )
+    out = df.withColumn("_lnk", F.explode(arr))
+    for f in (*f2, "link_domain"):
+        out = out.withColumn(f, F.col("_lnk")[f])
+    out = (
+        out.drop("_lnk")
         .withColumn(
             "page_domain",
             registrable_domain(canonical_host(base), levels),
         )
+        .withColumn(
+            "is_external", F.col("link_domain") != F.col("page_domain")
+        )
     )
-    return out.withColumn(
-        "is_external", F.col("link_domain") != F.col("page_domain")
+    # loud ceiling: a dotted href whose resolved PATH still carries a
+    # bare "." / ".." segment nested deeper than the bounded chain —
+    # fail in-plan, never emit a wrong dedup/frontier key
+    residual = F.col("href").rlike(_DOTTED_RE) & F.regexp_replace(
+        F.col("link_url"), r"\?.*$", ""
+    ).rlike(_DOTTED_RE)
+    return out.filter(
+        F.assert_true(
+            ~residual,
+            F.concat(
+                F.lit(
+                    "link dot-segment nesting exceeds depth "
+                    f"{_DOT_SEGMENT_DEPTH}: "
+                ),
+                F.col("link_url"),
+            ),
+        ).isNull()
     )
 
 
@@ -713,42 +826,226 @@ def anchor_texts(
     graph must NOT count (paid placements, UGC). Non-web hrefs are
     dropped as in link_extract.
 
-    Same scale shape: regexp codegen + one explode, no shuffle.
+    Same scale shape: regexp codegen + one explode, no shuffle; the
+    per-anchor parse happens inside generator-side lambdas exactly as
+    in :func:`_explode_resolved`.
 
-    Output: input columns + (href, anchor_text, nofollow, link_url,
+    Output: input columns + (anchor_text, nofollow, href, link_url,
     link_host, link_domain, page_domain, is_external).
     """
-    out = df.withColumn(
-        "_a",
-        F.explode(
-            F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_EL_RE), 0)
-        ),
-    )
-    hq = F.regexp_extract(F.col("_a"), HREF_RE, 1)
-    # HREF_RE's group carries its quotes (see link_extract) — strip
-    href = hq.substr(F.lit(2), F.length(hq) - 2)
-    inner = F.regexp_extract(F.col("_a"), _ANCHOR_INNER_RE, 1)
 
     def _unescape(c: Column) -> Column:
         for ent, rep in HTML_ENTITY_RULES:
             c = F.replace(c, F.lit(ent), F.lit(rep))
         return c
 
-    out = (
-        out.withColumn("href", href)
-        .filter(
-            (F.col("href") != "") & ~F.col("href").rlike(_NON_WEB_HREF_RE)
-        )
-        .withColumn(
-            "anchor_text",
+    def _mk(a: Column) -> Column:
+        hq = F.regexp_extract(a, HREF_RE, 1)
+        inner = F.regexp_extract(a, _ANCHOR_INNER_RE, 1)
+        return F.struct(
             _ws_norm(
                 _unescape(F.regexp_replace(inner, _HTML_TAG_RE, " "))
+            ).alias("anchor_text"),
+            a.rlike(_NOFOLLOW_RE).alias("nofollow"),
+            # HREF_RE's group carries its quotes (see link_extract)
+            hq.substr(F.lit(2), F.length(hq) - 2).alias("href"),
+        )
+
+    arr = F.filter(
+        F.transform(
+            F.regexp_extract_all(
+                F.col(html_col), F.lit(_ANCHOR_EL_RE), 0
+            ),
+            _mk,
+        ),
+        lambda s: (s["href"] != "")
+        & ~s["href"].rlike(_NON_WEB_HREF_RE),
+    )
+    return _explode_resolved(
+        df, arr, url_col, levels, ("anchor_text", "nofollow")
+    )
+
+
+# --------------------------------------------------------------------
+# robots.txt politeness — the gate a crawler applies BEFORE fetching
+# --------------------------------------------------------------------
+
+#: the rule block addressed to everyone ("User-agent: *") — group 1 is
+#: the block body, ended by the next User-agent line or end-of-file.
+#: Non-greedy + explicit terminator alternation, no lookahead (RE2 ∩
+#: Java, though the oracle derives outcomes arithmetically).
+_ROBOTS_STAR_BLOCK_RE = (
+    "(?is)(?:^|\\n)user-agent:[ \\t]*\\*[ \\t]*\\r?\\n"
+    "(.*?)(\\nuser-agent:|$)"
+)
+
+#: one Allow/Disallow line inside a block (group 0; type and path are
+#: re-extracted per line)
+_ROBOTS_RULE_LINE_RE = "(?im)^[ \\t]*(allow|disallow):[ \\t]*([^\\r\\n# ]*)"
+
+
+def synthesize_robots(
+    hosts: DataFrame, host_col: str = "host", out_col: str = "robots_txt"
+) -> DataFrame:
+    """Deterministic per-host robots.txt payload — the same
+    synthesize-the-payload-in-engine fixture device as
+    :func:`synthesize_html` (media lanes synthesize WAV/PNG bytes the
+    same way): every byte is a function of the host's numeric index
+    (``src{k}.com`` → k), so the DuckDB oracle can derive each
+    longest-match outcome arithmetically without parsing anything.
+
+    The payload exercises the semantics a real parser must honor:
+    a ``*`` group with Crawl-delay and host-dependent Allow/Disallow
+    rules (including the Allow-overrides-Disallow longest-match case
+    ``Allow: /p/1`` vs ``Disallow: /p/``, and a full ``Disallow: /``
+    block on k=7), followed by a DIFFERENT user-agent's group
+    (``badbot`` — Disallow everything) that the ``*`` parse must NOT
+    leak rules from.
+    """
+    k = F.regexp_extract(F.col(host_col), r"([0-9]+)", 1).cast("int")
+    body = F.concat(
+        F.lit("# synthetic robots\nUser-agent: *\nCrawl-delay: "),
+        (k % 4 + 1).cast("string"),
+        F.lit("\n"),
+        F.when(
+            k % 3 == 0, F.lit("Disallow: /p/\nAllow: /p/1\n")
+        ).otherwise(F.lit("")),
+        F.when(k % 4 == 1, F.lit("Disallow: /mirror\n")).otherwise(
+            F.lit("")
+        ),
+        F.when(k == 7, F.lit("Disallow: /\n")).otherwise(F.lit("")),
+        F.when(k % 5 == 2, F.lit("Allow: /ref\n")).otherwise(F.lit("")),
+        F.lit("\nUser-agent: badbot\nDisallow: /\n"),
+    )
+    return hosts.withColumn(out_col, body)
+
+
+def robots_rules(
+    df: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse robots.txt payloads into the ``*`` group's Allow/Disallow
+    rule rows — the parse every crawler runs once per host before
+    scheduling fetches (RFC 9309). Group isolation is real: only the
+    ``User-agent: *`` block's rules are emitted, so another agent's
+    ``Disallow: /`` never leaks into the default policy. Rules with
+    an EMPTY path are dropped at parse time (RFC 9309 §2.2.2: an
+    empty pattern matches nothing — ``Disallow:`` alone means allow
+    everything).
+
+    Regexp codegen + one explode over a hosts-sized frame (the
+    control-plane table of a crawl: ~1 row per host, broadcast
+    downstream). Output: (*host_col*, rule_type, rule_path).
+    """
+    block = F.regexp_extract(
+        F.col(robots_col), _ROBOTS_STAR_BLOCK_RE, 1
+    )
+    rules = F.filter(
+        F.transform(
+            F.regexp_extract_all(block, F.lit(_ROBOTS_RULE_LINE_RE), 0),
+            lambda r: F.struct(
+                F.lower(
+                    F.regexp_extract(r, r"(?i)(allow|disallow)", 1)
+                ).alias("rule_type"),
+                F.regexp_extract(r, r":[ \t]*([^\r\n# ]*)", 1).alias(
+                    "rule_path"
+                ),
+            ),
+        ),
+        lambda s: s["rule_path"] != "",
+    )
+    out = df.withColumn("_r", F.explode(rules))
+    return out.select(
+        F.col(host_col),
+        F.col("_r")["rule_type"].alias("rule_type"),
+        F.col("_r")["rule_path"].alias("rule_path"),
+    )
+
+
+def robots_delays(
+    df: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    default_delay: int = 1,
+) -> DataFrame:
+    """Per-host Crawl-delay from the ``*`` group (seconds; hosts whose
+    robots omit it get *default_delay*) — the number a polite
+    scheduler turns into a per-host fetch budget. Narrow map over the
+    hosts-sized frame. Output: (*host_col*, crawl_delay)."""
+    block = F.regexp_extract(
+        F.col(robots_col), _ROBOTS_STAR_BLOCK_RE, 1
+    )
+    d = F.regexp_extract(block, r"(?im)^[ \t]*crawl-delay:[ \t]*([0-9]+)", 1)
+    return df.select(
+        F.col(host_col),
+        F.when(d == "", F.lit(default_delay))
+        .otherwise(d.cast("int"))
+        .cast("int")
+        .alias("crawl_delay"),
+    )
+
+
+def robots_gate(
+    cands: DataFrame,
+    rules: DataFrame,
+    url_key_col: str = "url_key",
+    host_col: str = "host",
+) -> DataFrame:
+    """Apply parsed robots rules to fetch candidates with RFC 9309
+    longest-match precedence: among the ``*`` group's rules whose
+    path is a prefix of the candidate's path, the LONGEST path wins,
+    and on a length tie Allow beats Disallow (the Google/RFC tie
+    rule). Candidates with no matching rule are allowed. *cands* must
+    be unique on (*url_key_col*) and carry *host_col* (or it is
+    derived as the key's authority prefix); *rules* is
+    :func:`robots_rules` output.
+
+    Scale shape: rules are a hosts-sized control-plane table →
+    broadcast join against the frontier; longest-match is one
+    map-side-combinable max(struct) aggregate keyed by the candidate
+    — no window, no sort. At 100 TB the frontier is the only big
+    side and it partitions by its own key.
+
+    Output: (*url_key_col*, *host_col*, allowed, rule_type,
+    rule_path) — rule fields NULL when no rule matched.
+    """
+    c = cands
+    if host_col not in c.columns:
+        c = c.withColumn(
+            host_col,
+            F.regexp_extract(F.col(url_key_col), r"^([^/]*)", 1),
+        )
+    path = F.regexp_replace(F.col(url_key_col), r"^[^/]*", "")
+    j = c.withColumn("_path", path).join(
+        F.broadcast(rules), host_col, "left"
+    )
+    hit = F.col("rule_path").isNotNull() & F.col("_path").startswith(
+        F.col("rule_path")
+    )
+    best = F.max(
+        F.when(
+            hit,
+            F.struct(
+                F.length("rule_path").alias("l"),
+                (F.col("rule_type") == "allow")
+                .cast("int")
+                .alias("a"),
+                F.col("rule_path").alias("p"),
+                F.col("rule_type").alias("t"),
             ),
         )
-        .withColumn("nofollow", F.col("_a").rlike(_NOFOLLOW_RE))
-        .drop("_a")
     )
-    return _resolve_links(out, url_col, levels)
+    agg = j.groupBy(url_key_col, host_col).agg(best.alias("_b"))
+    return agg.select(
+        url_key_col,
+        host_col,
+        (
+            F.col("_b").isNull() | (F.col("_b")["t"] == "allow")
+        ).alias("allowed"),
+        F.col("_b")["t"].alias("rule_type"),
+        F.col("_b")["p"].alias("rule_path"),
+    )
 
 
 def fim_samples(

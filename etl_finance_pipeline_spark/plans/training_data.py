@@ -9999,6 +9999,31 @@ def _sql_regdom(e: str) -> str:
     )
 
 
+def _sql_dot_segments(e: str) -> str:
+    """DuckDB twin of operators/corpus.py:_remove_dot_segments over
+    path expression *e* (authority/query already split off): the same
+    bounded RFC 3986 §5.2.4 rewrite chain — identical patterns, pass
+    order, and depth — ending in the same loud ceiling (``error()``)
+    for nesting past depth 4."""
+    seg = r"(\.[^/.][^/]*|\.\.[^/]+|[^/.][^/]*)"
+    p = e
+    for _ in range(3):
+        p = f"regexp_replace({p}, '/\\./', '/', 'g')"
+    p = f"regexp_replace({p}, '/\\.$', '/')"
+    for _ in range(4):
+        p = f"regexp_replace({p}, '/{seg}/\\.\\./', '/', 'g')"
+    for _ in range(2):
+        p = f"regexp_replace({p}, '/{seg}/\\.\\.$', '/')"
+    for _ in range(3):
+        p = f"regexp_replace({p}, '^/\\.\\./', '/')"
+    p = f"regexp_replace({p}, '^/\\.\\.$', '/')"
+    return (
+        f"CASE WHEN regexp_matches({p}, '(^|/)\\.\\.?(/|$)') "
+        f"THEN error('dot-segment nesting exceeds depth 4') "
+        f"ELSE {p} END"
+    )
+
+
 def _link_extract_ctes(src: str, keys: str = "doc_id", p: str = "lk",
                        html_col: str = "html") -> str:
     """``{p}hr → … → {p}links`` CTE chain: the DuckDB twin of
@@ -10047,13 +10072,35 @@ def _link_extract_ctes(src: str, keys: str = "doc_id", p: str = "lk",
     END AS link_url
   FROM {p}b
 ),
+{p}d AS (
+  SELECT {keys}, url_canon, href, link_url,
+    regexp_extract(link_url,
+      '^([a-z][a-z0-9+.\\-]*://[^/?#]*|//[^/?#]*|[^/?#]*)', 1) AS dhead
+  FROM {p}r
+),
+{p}d2 AS (
+  SELECT {keys}, url_canon, href, link_url, dhead,
+    regexp_replace(substr(link_url, len(dhead) + 1), '\\?.*$', '') AS dp,
+    regexp_extract(substr(link_url, len(dhead) + 1), '(\\?.*)$', 1) AS dq
+  FROM {p}d
+),
+{p}d3 AS (
+  -- RFC 3986 §5.2.4 remove_dot_segments, the bounded rewrite chain of
+  -- operators/corpus.py:_remove_dot_segments — gated on the href
+  -- carrying a dot segment, identical pass order and depth
+  SELECT {keys}, url_canon, href,
+    CASE WHEN regexp_matches(href, '(^|/)\\.\\.?(/|$)')
+      THEN dhead || {_sql_dot_segments("dp")} || dq
+      ELSE link_url END AS link_url
+  FROM {p}d2
+),
 {p}o AS (
   SELECT {keys}, href, link_url,
     CASE WHEN link_url LIKE '//%'
          THEN {_sql_host("regexp_replace(link_url, '^//', '')")}
          ELSE {_sql_host('link_url')} END AS link_host,
     {_sql_regdom(_sql_host('url_canon'))} AS page_domain
-  FROM {p}r
+  FROM {p}d3
 ),
 {p}links AS (
   SELECT {keys}, href, link_url, link_host,
@@ -10115,25 +10162,43 @@ GROUP BY 1
 """
 
 
-def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Outlink extraction from page markup — the step that turns a
-    parsed crawl into a link graph (operators/corpus.py:link_extract):
-    every <a href> target pulled from the synthesized pages, resolved
-    against the page's canonical URL through all four RFC 3986
-    relative shapes (absolute, protocol-relative, root-relative,
-    relative-path), rolled up to registrable target domains, and
-    flagged internal/external. Regexp codegen + one explode, no
-    shuffle — rides the html_extract scan at 100 TB. The oracle
-    replays the identical extract/filter/resolve chain."""
+def _crawl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized crawl pages, canonicalized and MATERIALIZED
+    (``localCheckpoint``) — the shared stage-0 of every batch
+    link-graph lane. The fixture-synthesis expression tree (html
+    payload + snapshot-noised URL + the full canonicalization chain)
+    is large, and each downstream reference re-inlines it through
+    CollapseProject: measured 3–7× planning/codegen inflation on the
+    link lanes (and the round-12 Janino method-size fallback in
+    domain_authority) when left inline. Production reads url_canon /
+    html as parquet COLUMNS, so materializing here is fixture-lane
+    hygiene, not an operator cost; the frame is document-count-sized
+    (tiny at every sf). The streaming twin (stream_link_extract)
+    keeps the inline chain — checkpointing is a batch-only device."""
     from etl_finance_pipeline_spark.operators.corpus import (
-        link_extract,
         synthesize_html,
         url_canonicalize,
     )
 
     docs = load_table(spark, _t(sf_dir, "documents"))
     pages = synthesize_html(docs).withColumn("url", _crawl_url_expr())
-    out = link_extract(url_canonicalize(pages))
+    return url_canonicalize(pages).localCheckpoint(eager=True)
+
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction from page markup — the step that turns a
+    parsed crawl into a link graph (operators/corpus.py:link_extract):
+    every <a href> target pulled from the synthesized pages, resolved
+    against the page's canonical URL through all five RFC 3986
+    relative shapes (absolute, protocol-relative, query-only,
+    root-relative, relative-path) with §5.2.4 dot-segment removal,
+    rolled up to registrable target domains, and flagged
+    internal/external. Regexp codegen + one explode, no shuffle —
+    rides the html_extract scan at 100 TB. The oracle replays the
+    identical extract/filter/resolve chain."""
+    from etl_finance_pipeline_spark.operators.corpus import link_extract
+
+    out = link_extract(_crawl_pages(spark, sf_dir))
     return out.select(
         "doc_id",
         "href",
@@ -10357,15 +10422,9 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag, and resolved registrable target domain. The oracle
     ENUMERATES the full anchor inventory arithmetically — hrefs,
     texts, flags, domains — independent of the extraction regexes."""
-    from etl_finance_pipeline_spark.operators.corpus import (
-        anchor_texts,
-        synthesize_html,
-        url_canonicalize,
-    )
+    from etl_finance_pipeline_spark.operators.corpus import anchor_texts
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
-    pages = synthesize_html(docs).withColumn("url", _crawl_url_expr())
-    out = anchor_texts(url_canonicalize(pages))
+    out = anchor_texts(_crawl_pages(spark, sf_dir))
     return out.select(
         "doc_id",
         "href",
@@ -10389,15 +10448,9 @@ def q_anchor_text_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     hygiene numbers: incoming anchor volume, external share, nofollow
     share (what the ranking graph must drop), and distinct anchor
     vocabulary per target."""
-    from etl_finance_pipeline_spark.operators.corpus import (
-        anchor_texts,
-        synthesize_html,
-        url_canonicalize,
-    )
+    from etl_finance_pipeline_spark.operators.corpus import anchor_texts
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
-    pages = synthesize_html(docs).withColumn("url", _crawl_url_expr())
-    out = anchor_texts(url_canonicalize(pages))
+    out = anchor_texts(_crawl_pages(spark, sf_dir))
     return out.groupBy(F.col("link_domain").alias("domain")).agg(
         F.count("*").cast("long").alias("n_anchors"),
         F.sum(F.col("is_external").cast("long"))
@@ -10444,16 +10497,10 @@ def q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaying the regex chain), so an extraction bug that bends any
     edge — including a nofollow leaking through — fails the rank
     hash."""
-    from etl_finance_pipeline_spark.operators.corpus import (
-        anchor_texts,
-        synthesize_html,
-        url_canonicalize,
-    )
+    from etl_finance_pipeline_spark.operators.corpus import anchor_texts
     from etl_finance_pipeline_spark.operators.graph import pagerank
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
-    pages = synthesize_html(docs).withColumn("url", _crawl_url_expr())
-    links = anchor_texts(url_canonicalize(pages))
+    links = anchor_texts(_crawl_pages(spark, sf_dir))
     edges = (
         links.filter(F.col("is_external") & ~F.col("nofollow"))
         .select(
@@ -10632,26 +10679,37 @@ def q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and replays the anti-join + rank + top-k."""
     from etl_finance_pipeline_spark.operators.corpus import (
         anchor_texts,
-        synthesize_html,
         url_canonicalize,
     )
+    from etl_finance_pipeline_spark.operators.graph import pagerank
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
-    pages = synthesize_html(docs).withColumn("url", _crawl_url_expr())
-    canon = url_canonicalize(pages)
-    crawled = canon.select("url_key").distinct()
-    targets = (
-        anchor_texts(canon)
+    pages = _crawl_pages(spark, sf_dir)
+    # ONE anchor parse feeds the frontier targets AND the rank loop
+    # (round-12 verdict item 7: frontier_rank used to re-execute the
+    # whole domain_authority chain internally — synthesis + a second
+    # anchor parse + the rank iterations, 10 shuffles); materialized
+    # because the rank loop re-reads it every iteration
+    dofollow = (
+        anchor_texts(pages)
         .filter(F.col("is_external") & ~F.col("nofollow"))
-        .select(
-            F.when(
-                F.col("link_url").startswith("//"),
-                F.concat(F.lit("http:"), F.col("link_url")),
-            )
-            .otherwise(F.col("link_url"))
-            .alias("url"),
-            "link_domain",
+        .localCheckpoint(eager=True)
+    )
+    crawled = pages.select("url_key").distinct()
+    edges = dofollow.select(
+        F.col("page_domain").alias("src"),
+        F.col("link_domain").alias("dst"),
+    ).distinct()
+    ranks = pagerank(edges, iters=3, damping=0.85).select(
+        F.col("id").alias("domain"), "rank"
+    )
+    targets = dofollow.select(
+        F.when(
+            F.col("link_url").startswith("//"),
+            F.concat(F.lit("http:"), F.col("link_url")),
         )
+        .otherwise(F.col("link_url"))
+        .alias("url"),
+        "link_domain",
     )
     tkeys = (
         url_canonicalize(targets)
@@ -10659,7 +10717,6 @@ def q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     frontier = tkeys.join(crawled, "url_key", "left_anti")
-    ranks = q_domain_authority(spark, sf_dir).select("domain", "rank")
     return (
         frontier.join(F.broadcast(ranks), "domain")
         .select("url_key", "domain", "rank")
@@ -10696,6 +10753,75 @@ SELECT f.url_key, f.domain, r.rank
 FROM ffront f JOIN r3 r ON r.id = f.domain
 ORDER BY r.rank DESC, f.url_key
 LIMIT 50
+"""
+
+
+def q_link_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 dot-segment + query-only resolution, oracle-pinned
+    (round-12 verdict item 4): pages planted with every relative
+    shape the main fixture never produces — ``../``, ``../../``,
+    ``./``, triple ``../``, mid-path ``x/../``, and a query-only
+    reference — run through the real extraction chain
+    (operators/corpus.py:link_extract → _remove_dot_segments). The
+    oracle derives each resolved URL ARITHMETICALLY from doc_id (no
+    regex replay), so any bend in the bounded §5.2.4 rewrite chain
+    fails the hash. This is what makes ``a.com/x/../p`` and
+    ``a.com/p`` the same frontier/dedup key. Zero shuffles — one
+    narrow projection chain."""
+    from etl_finance_pipeline_spark.operators.corpus import link_extract
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    d = F.col("doc_id")
+    n = (d % 5).cast("string")
+    base = F.concat(
+        F.lit("https://src"),
+        (d % 20).cast("string"),
+        F.lit(".com/a/b/c/page"),
+        (d % 10).cast("string"),
+    )
+    href = (
+        F.when(d % 6 == 0, F.concat(F.lit("../up/"), n))
+        .when(d % 6 == 1, F.concat(F.lit("../../"), n))
+        .when(d % 6 == 2, F.concat(F.lit("./here/"), n))
+        .when(d % 6 == 3, F.concat(F.lit("../../../deep/"), n))
+        .when(d % 6 == 4, F.concat(F.lit("x/../y"), n))
+        .otherwise(F.concat(F.lit("?page="), n))
+    )
+    pages = docs.select(
+        "doc_id",
+        base.alias("url_canon"),
+        F.concat(F.lit('<a href="'), href, F.lit('">X</a>')).alias(
+            "html"
+        ),
+    )
+    return link_extract(pages).select(
+        "doc_id", "href", "link_url", "link_domain", "is_external"
+    )
+
+
+SQL_LINK_RESOLVE = """
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN '../up/' || CAST(doc_id % 5 AS VARCHAR)
+    WHEN 1 THEN '../../' || CAST(doc_id % 5 AS VARCHAR)
+    WHEN 2 THEN './here/' || CAST(doc_id % 5 AS VARCHAR)
+    WHEN 3 THEN '../../../deep/' || CAST(doc_id % 5 AS VARCHAR)
+    WHEN 4 THEN 'x/../y' || CAST(doc_id % 5 AS VARCHAR)
+    ELSE '?page=' || CAST(doc_id % 5 AS VARCHAR)
+  END AS href,
+  'https://src' || CAST(doc_id % 20 AS VARCHAR) || '.com' ||
+  CASE doc_id % 6
+    WHEN 0 THEN '/a/b/up/' || CAST(doc_id % 5 AS VARCHAR)
+    WHEN 1 THEN '/a/' || CAST(doc_id % 5 AS VARCHAR)
+    WHEN 2 THEN '/a/b/c/here/' || CAST(doc_id % 5 AS VARCHAR)
+    WHEN 3 THEN '/deep/' || CAST(doc_id % 5 AS VARCHAR)
+    WHEN 4 THEN '/a/b/c/y' || CAST(doc_id % 5 AS VARCHAR)
+    ELSE '/a/b/c/page' || CAST(doc_id % 10 AS VARCHAR)
+         || '?page=' || CAST(doc_id % 5 AS VARCHAR)
+  END AS link_url,
+  'src' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS link_domain,
+  false AS is_external
+FROM documents
 """
 
 
@@ -15224,6 +15350,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_authority": q_domain_authority,
     "authority_sample": q_authority_sample,
     "frontier_rank": q_frontier_rank,
+    "link_resolve": q_link_resolve,
     "table_qa_samples": q_table_qa_samples,
     "link_extract": q_link_extract,
     "stream_link_extract": q_stream_link_extract,
@@ -15445,6 +15572,7 @@ ORACLES_TD: dict[str, str] = {
     "domain_authority": SQL_DOMAIN_AUTHORITY,
     "authority_sample": SQL_AUTHORITY_SAMPLE,
     "frontier_rank": SQL_FRONTIER_RANK,
+    "link_resolve": SQL_LINK_RESOLVE,
     "table_qa_samples": SQL_TABLE_QA_SAMPLES,
     "link_extract": SQL_LINK_EXTRACT,
     "stream_link_extract": SQL_STREAM_LINK_EXTRACT,

@@ -1583,6 +1583,36 @@ def test_link_extract_quote_edge_cases(spark):
     }
 
 
+def test_link_extract_dot_segments_dedupe_keys(spark):
+    """RFC 3986 §5.2.4 on real shapes: every dotted variant of the
+    same target resolves to the IDENTICAL link_url (the property the
+    frontier anti-join and URL dedup key on), including nested ../,
+    ./, trailing dots, root-excess ../ past the root, and dots inside
+    an absolute href."""
+    from etl_finance_pipeline_spark.operators.corpus import link_extract
+
+    html = (
+        '<a href="../p/1">a</a> <a href="x/../../p/1">b</a> '
+        '<a href="./../p/1">c</a> <a href="https://a.com/d/../p/1">d</a>'
+        ' <a href="/q/.">e</a> <a href="/q/r/..">f</a> '
+        '<a href="/../../top">g</a>'
+    )
+    rows = [(0, "https://a.com/d/page", html)]
+    df = spark.createDataFrame(rows, ["doc_id", "url_canon", "html"])
+    got = {r["href"]: r["link_url"] for r in link_extract(df).collect()}
+    assert got == {
+        "../p/1": "https://a.com/p/1",
+        "x/../../p/1": "https://a.com/p/1",
+        "./../p/1": "https://a.com/p/1",
+        "https://a.com/d/../p/1": "https://a.com/p/1",
+        "/q/.": "https://a.com/q/",
+        "/q/r/..": "https://a.com/q/",
+        "/../../top": "https://a.com/top",
+    }
+    # one resolved URL per distinct target — the dedup-key property
+    assert len(set(got.values())) == 3
+
+
 def test_html_extract_drops_boilerplate_keeps_prose(spark):
     from etl_finance_pipeline_spark.operators.corpus import (
         html_extract,
