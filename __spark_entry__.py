@@ -32,6 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: temporal joins, connected components. All registered queries are
 #: oracle-backed either way; this only chooses the documented subset.
 _SHOWCASE_FIRST = (
+    # round-13 new families
+    "link_resolve",  # RFC 3986 dot-segment + query-only resolution (round 13)
+    "robots_gate",  # robots.txt longest-match politeness verdicts (round 13)
+    "frontier_schedule",  # crawl-delay-budgeted polite fetch schedule (round 13)
+    "crawl_funnel",  # extract->frontier->robots->schedule stage counts (round 13)
+    "frontier_rank",  # now robots-gated + shared rank loop (round 13 rework)
     # round-12 new families
     "link_extract",  # href pull + RFC 3986 resolve + domain rollup (round 12)
     "stream_link_extract",  # link harvest on the ingest stream (round 12)

@@ -10665,6 +10665,38 @@ def q_stream_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_LINK_EXTRACT = SQL_LINK_EXTRACT
 
 
+def _frontier_candidates(spark: SparkSession, sf_dir: str):
+    """Shared front half of the crawl-frontier family: ONE anchor
+    parse over the materialized page frame (checkpointed — the rank
+    loop and the candidate derivation both re-read it), dofollow
+    external targets scheme-fixed and canonicalized to identity keys
+    with their target host. Returns (pages, anchors, tkeys)."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        anchor_texts,
+        url_canonicalize,
+    )
+
+    pages = _crawl_pages(spark, sf_dir)
+    anchors = anchor_texts(pages).localCheckpoint(eager=True)
+    targets = anchors.filter(
+        F.col("is_external") & ~F.col("nofollow")
+    ).select(
+        F.when(
+            F.col("link_url").startswith("//"),
+            F.concat(F.lit("http:"), F.col("link_url")),
+        )
+        .otherwise(F.col("link_url"))
+        .alias("url"),
+        "link_domain",
+    )
+    tkeys = (
+        url_canonicalize(targets)
+        .select("url_key", F.col("link_domain").alias("host"))
+        .distinct()
+    )
+    return pages, anchors, tkeys
+
+
 def q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier prioritization — the fetch queue a continuous
     crawl computes from what it just parsed: dofollow external link
@@ -10676,53 +10708,79 @@ def q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     http: before canonicalization (a scheme-less base page can emit
     '//host/p' links; the canonical key needs the host). The oracle
     derives the target keys ARITHMETICALLY (partner + mirror URLs)
-    and replays the anti-join + rank + top-k."""
+    and replays the anti-join + robots verdict + rank + top-k. Since
+    round 13 the queue is POLITE: candidates blocked by their host's
+    robots.txt (synthesized payloads, parsed by the real rule chain)
+    never enter it — the gate every production crawler applies before
+    authority ranking."""
     from etl_finance_pipeline_spark.operators.corpus import (
-        anchor_texts,
-        url_canonicalize,
+        robots_gate,
+        robots_rules,
+        synthesize_robots,
     )
     from etl_finance_pipeline_spark.operators.graph import pagerank
 
-    pages = _crawl_pages(spark, sf_dir)
-    # ONE anchor parse feeds the frontier targets AND the rank loop
-    # (round-12 verdict item 7: frontier_rank used to re-execute the
-    # whole domain_authority chain internally — synthesis + a second
-    # anchor parse + the rank iterations, 10 shuffles); materialized
-    # because the rank loop re-reads it every iteration
-    dofollow = (
-        anchor_texts(pages)
-        .filter(F.col("is_external") & ~F.col("nofollow"))
-        .localCheckpoint(eager=True)
-    )
+    pages, anchors, tkeys = _frontier_candidates(spark, sf_dir)
+    dofollow = anchors.filter(F.col("is_external") & ~F.col("nofollow"))
     crawled = pages.select("url_key").distinct()
     edges = dofollow.select(
         F.col("page_domain").alias("src"),
         F.col("link_domain").alias("dst"),
     ).distinct()
     ranks = pagerank(edges, iters=3, damping=0.85).select(
-        F.col("id").alias("domain"), "rank"
-    )
-    targets = dofollow.select(
-        F.when(
-            F.col("link_url").startswith("//"),
-            F.concat(F.lit("http:"), F.col("link_url")),
-        )
-        .otherwise(F.col("link_url"))
-        .alias("url"),
-        "link_domain",
-    )
-    tkeys = (
-        url_canonicalize(targets)
-        .select("url_key", F.col("link_domain").alias("domain"))
-        .distinct()
+        F.col("id").alias("host"), "rank"
     )
     frontier = tkeys.join(crawled, "url_key", "left_anti")
+    # the politeness gate runs BEFORE authority ranking: a blocked
+    # URL never enters the fetch queue no matter its rank
+    hosts = frontier.select("host").distinct()
+    rules = robots_rules(synthesize_robots(hosts))
+    polite = robots_gate(frontier, rules).filter("allowed")
     return (
-        frontier.join(F.broadcast(ranks), "domain")
-        .select("url_key", "domain", "rank")
+        polite.join(F.broadcast(ranks), "host")
+        .select("url_key", F.col("host").alias("domain"), "rank")
         .orderBy(F.col("rank").desc(), F.col("url_key"))
         .limit(50)
     )
+
+
+def _sql_robots_allowed(k: str, path: str) -> str:
+    """DuckDB twin of the synthesized robots verdict for host index
+    *k* and candidate *path* — the longest-match outcome derived
+    ARITHMETICALLY from the payload rules synthesize_robots plants
+    (Allow /p/1 [len 4] beats Disallow /p/ [len 3] beats Disallow /
+    [len 1]; no regex replay, so a parser bug fails the hash)."""
+    return (
+        f"(CASE WHEN {path} LIKE '/p/%' AND {k} % 3 = 0 "
+        f"THEN ({path} LIKE '/p/1%') "
+        f"WHEN {path} = '/mirror' AND {k} % 4 = 1 THEN false "
+        f"WHEN {k} = 7 THEN false ELSE true END)"
+    )
+
+
+def _sql_robots_rule(k: str, path: str, field: str) -> str:
+    """Matched-rule attribution twin: *field* = 'type' or 'path'."""
+    t = field == "type"
+    return f"""CASE
+  WHEN {path} LIKE '/p/%' AND {k} % 3 = 0 AND {path} LIKE '/p/1%'
+    THEN {"'allow'" if t else "'/p/1'"}
+  WHEN {path} LIKE '/p/%' AND {k} % 3 = 0
+    THEN {"'disallow'" if t else "'/p/'"}
+  WHEN {path} = '/mirror' AND {k} % 4 = 1
+    THEN {"'disallow'" if t else "'/mirror'"}
+  WHEN {k} = 7 THEN {"'disallow'" if t else "'/'"}
+  ELSE NULL END"""
+
+
+#: frontier candidates with host index + path, shared by the robots
+#: family (fr = anti-joined frontier; requires fcrawled + ftgt CTEs)
+_FRONTIER_CAND_CTE = """fr AS (
+  SELECT t.url_key, t.domain AS host,
+         CAST(regexp_extract(t.domain, '([0-9]+)', 1) AS INT) AS k,
+         regexp_replace(t.url_key, '^[^/]*', '') AS path
+  FROM ftgt t
+  WHERE t.url_key NOT IN (SELECT url_key FROM fcrawled)
+)"""
 
 
 SQL_FRONTIER_RANK = f"""
@@ -10745,14 +10803,249 @@ ftgt AS (
   FROM documents
   WHERE doc_id % 5 = 3
 ),
+{_FRONTIER_CAND_CTE},
 ffront AS (
-  SELECT t.url_key, t.domain FROM ftgt t
-  WHERE t.url_key NOT IN (SELECT url_key FROM fcrawled)
+  SELECT url_key, host AS domain FROM fr
+  WHERE {_sql_robots_allowed('k', 'path')}
 )
 SELECT f.url_key, f.domain, r.rank
 FROM ffront f JOIN r3 r ON r.id = f.domain
 ORDER BY r.rank DESC, f.url_key
 LIMIT 50
+"""
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots.txt politeness verdicts over the crawl frontier — the
+    "may I fetch it" gate every production crawler applies BEFORE
+    authority ranking (RFC 9309): per-host robots payloads are
+    synthesized (synthesize_robots), parsed by the real rule chain
+    (robots_rules: the ``*`` group isolated from other agents'
+    groups, empty-path rules dropped), and applied to the
+    undiscovered frontier keys with longest-match precedence and the
+    Allow-beats-Disallow tie rule (robots_gate). Output: one verdict
+    row per candidate with the matched rule attribution. The oracle
+    derives every verdict ARITHMETICALLY from the host index — a
+    parser or precedence bug fails the hash. Scale shape: rules are
+    a hosts-sized broadcast; the verdict is one max(struct) aggregate
+    keyed by the frontier — no window, no sort."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        robots_gate,
+        robots_rules,
+        synthesize_robots,
+    )
+
+    pages, _anchors, tkeys = _frontier_candidates(spark, sf_dir)
+    crawled = pages.select("url_key").distinct()
+    frontier = tkeys.join(crawled, "url_key", "left_anti")
+    hosts = frontier.select("host").distinct()
+    rules = robots_rules(synthesize_robots(hosts))
+    return robots_gate(frontier, rules)
+
+
+SQL_ROBOTS_GATE = f"""
+WITH {_CRAWL_URLS_CTE},
+{_url_canon_ctes("curls", "doc_id", "fq")},
+fcrawled AS (SELECT DISTINCT url_key FROM fqcanon),
+ftgt AS (
+  SELECT DISTINCT
+    'src' || CAST((doc_id // 20) % (doc_id % 20 + 1) AS VARCHAR)
+      || '.com/p/' || CAST(doc_id % 100 AS VARCHAR) AS url_key,
+    'src' || CAST((doc_id // 20) % (doc_id % 20 + 1) AS VARCHAR)
+      || '.com' AS domain
+  FROM documents
+  WHERE (doc_id // 20) % (doc_id % 20 + 1) <> doc_id % 20
+  UNION
+  SELECT DISTINCT
+    'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com/mirror',
+    'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com'
+  FROM documents
+  WHERE doc_id % 5 = 3
+),
+{_FRONTIER_CAND_CTE}
+SELECT url_key, host,
+       {_sql_robots_allowed('k', 'path')} AS allowed,
+       {_sql_robots_rule('k', 'path', 'type')} AS rule_type,
+       {_sql_robots_rule('k', 'path', 'path')} AS rule_path
+FROM fr
+"""
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POLITE fetch schedule — what the frontier actually becomes
+    once robots verdicts and per-host Crawl-delay budgets are
+    applied: allowed candidates get deterministic per-host slots
+    (row_number by key) and only the first ``60s / crawl_delay``
+    slots of each host survive the scheduling window — the top-k-per-
+    host-per-window shape of a real crawl scheduler (a host asking
+    for a 4-second delay gets 15 fetches per minute, not 60). The
+    oracle replays budget arithmetic + the same window. Scale shape:
+    delays broadcast; one window partitioned by host (the frontier's
+    natural key — no skew beyond per-host fan-in, which the budget
+    itself caps)."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        robots_delays,
+        robots_gate,
+        robots_rules,
+        synthesize_robots,
+    )
+    from pyspark.sql import Window
+
+    pages, _anchors, tkeys = _frontier_candidates(spark, sf_dir)
+    crawled = pages.select("url_key").distinct()
+    frontier = tkeys.join(crawled, "url_key", "left_anti")
+    hosts = frontier.select("host").distinct()
+    robots = synthesize_robots(hosts)
+    rules = robots_rules(robots)
+    delays = robots_delays(robots)
+    gated = robots_gate(frontier, rules).filter("allowed")
+    w = Window.partitionBy("host").orderBy("url_key")
+    budget = F.floor(F.lit(60) / F.col("crawl_delay")).cast("int")
+    return (
+        gated.join(F.broadcast(delays), "host")
+        .withColumn("slot", F.row_number().over(w))
+        .filter(F.col("slot") <= budget)
+        .select(
+            "url_key",
+            "host",
+            F.col("slot").cast("long").alias("slot"),
+            F.col("crawl_delay").cast("long").alias("crawl_delay"),
+        )
+    )
+
+
+SQL_FRONTIER_SCHEDULE = f"""
+WITH {_CRAWL_URLS_CTE},
+{_url_canon_ctes("curls", "doc_id", "fq")},
+fcrawled AS (SELECT DISTINCT url_key FROM fqcanon),
+ftgt AS (
+  SELECT DISTINCT
+    'src' || CAST((doc_id // 20) % (doc_id % 20 + 1) AS VARCHAR)
+      || '.com/p/' || CAST(doc_id % 100 AS VARCHAR) AS url_key,
+    'src' || CAST((doc_id // 20) % (doc_id % 20 + 1) AS VARCHAR)
+      || '.com' AS domain
+  FROM documents
+  WHERE (doc_id // 20) % (doc_id % 20 + 1) <> doc_id % 20
+  UNION
+  SELECT DISTINCT
+    'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com/mirror',
+    'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com'
+  FROM documents
+  WHERE doc_id % 5 = 3
+),
+{_FRONTIER_CAND_CTE},
+fa AS (
+  SELECT url_key, host, k FROM fr
+  WHERE {_sql_robots_allowed('k', 'path')}
+),
+fs AS (
+  SELECT url_key, host,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY url_key) AS slot,
+         60 // (k % 4 + 1) AS budget,
+         k % 4 + 1 AS crawl_delay
+  FROM fa
+)
+SELECT url_key, host, CAST(slot AS BIGINT) AS slot,
+       CAST(crawl_delay AS BIGINT) AS crawl_delay
+FROM fs WHERE slot <= budget
+"""
+
+
+def q_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage counts for the complete crawl loop the round-12/13
+    families built — extract → rank-able edges → undiscovered
+    frontier → robots-allowed → delay-budgeted schedule — the funnel
+    datasheet a crawl operator reads to see where candidates die
+    (the link-side twin of warc_curation_funnel). Each count is one
+    map-combinable aggregate over frames the other queries already
+    certify; the oracle derives every stage arithmetically."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        robots_delays,
+        robots_gate,
+        robots_rules,
+        synthesize_robots,
+    )
+    from pyspark.sql import Window
+
+    pages, anchors, tkeys = _frontier_candidates(spark, sf_dir)
+    crawled = pages.select("url_key").distinct()
+    frontier = tkeys.join(crawled, "url_key", "left_anti")
+    hosts = frontier.select("host").distinct()
+    robots = synthesize_robots(hosts)
+    gated = robots_gate(frontier, robots_rules(robots)).filter(
+        "allowed"
+    )
+    w = Window.partitionBy("host").orderBy("url_key")
+    sched = (
+        gated.join(F.broadcast(robots_delays(robots)), "host")
+        .withColumn("slot", F.row_number().over(w))
+        .filter(
+            F.col("slot")
+            <= F.floor(F.lit(60) / F.col("crawl_delay")).cast("int")
+        )
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n"),
+        )
+
+    dofollow = anchors.filter(
+        F.col("is_external") & ~F.col("nofollow")
+    )
+    return (
+        stage("pages", pages)
+        .unionByName(stage("anchors", anchors))
+        .unionByName(stage("dofollow_external", dofollow))
+        .unionByName(stage("frontier_new", frontier))
+        .unionByName(stage("robots_allowed", gated))
+        .unionByName(stage("scheduled", sched))
+    )
+
+
+SQL_CRAWL_FUNNEL = f"""
+WITH {_ANCHOR_CTE},
+{_CRAWL_URLS_CTE},
+{_url_canon_ctes("curls", "doc_id", "fq")},
+fcrawled AS (SELECT DISTINCT url_key FROM fqcanon),
+ftgt AS (
+  SELECT DISTINCT
+    'src' || CAST((doc_id // 20) % (doc_id % 20 + 1) AS VARCHAR)
+      || '.com/p/' || CAST(doc_id % 100 AS VARCHAR) AS url_key,
+    'src' || CAST((doc_id // 20) % (doc_id % 20 + 1) AS VARCHAR)
+      || '.com' AS domain
+  FROM documents
+  WHERE (doc_id // 20) % (doc_id % 20 + 1) <> doc_id % 20
+  UNION
+  SELECT DISTINCT
+    'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com/mirror',
+    'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com'
+  FROM documents
+  WHERE doc_id % 5 = 3
+),
+{_FRONTIER_CAND_CTE},
+fa AS (
+  SELECT url_key, host, k FROM fr
+  WHERE {_sql_robots_allowed('k', 'path')}
+),
+fs AS (
+  SELECT ROW_NUMBER() OVER (PARTITION BY host ORDER BY url_key) AS slot,
+         60 // (k % 4 + 1) AS budget
+  FROM fa
+)
+SELECT 'pages' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+UNION ALL
+SELECT 'anchors', CAST(count(*) AS BIGINT) FROM aall
+UNION ALL
+SELECT 'dofollow_external', CAST(count(*) AS BIGINT) FROM aall
+WHERE is_external AND NOT nofollow
+UNION ALL
+SELECT 'frontier_new', CAST(count(*) AS BIGINT) FROM fr
+UNION ALL
+SELECT 'robots_allowed', CAST(count(*) AS BIGINT) FROM fa
+UNION ALL
+SELECT 'scheduled', CAST(count(*) AS BIGINT) FROM fs WHERE slot <= budget
 """
 
 
@@ -15351,6 +15644,9 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "authority_sample": q_authority_sample,
     "frontier_rank": q_frontier_rank,
     "link_resolve": q_link_resolve,
+    "robots_gate": q_robots_gate,
+    "frontier_schedule": q_frontier_schedule,
+    "crawl_funnel": q_crawl_funnel,
     "table_qa_samples": q_table_qa_samples,
     "link_extract": q_link_extract,
     "stream_link_extract": q_stream_link_extract,
@@ -15573,6 +15869,9 @@ ORACLES_TD: dict[str, str] = {
     "authority_sample": SQL_AUTHORITY_SAMPLE,
     "frontier_rank": SQL_FRONTIER_RANK,
     "link_resolve": SQL_LINK_RESOLVE,
+    "robots_gate": SQL_ROBOTS_GATE,
+    "frontier_schedule": SQL_FRONTIER_SCHEDULE,
+    "crawl_funnel": SQL_CRAWL_FUNNEL,
     "table_qa_samples": SQL_TABLE_QA_SAMPLES,
     "link_extract": SQL_LINK_EXTRACT,
     "stream_link_extract": SQL_STREAM_LINK_EXTRACT,

@@ -1613,6 +1613,69 @@ def test_link_extract_dot_segments_dedupe_keys(spark):
     assert len(set(got.values())) == 3
 
 
+def test_robots_rules_and_gate_semantics(spark):
+    """RFC 9309 semantics on a hand-built payload: the '*' group is
+    isolated from other agents' groups, empty-path rules are dropped
+    (allow-everything), longest-match wins, Allow beats Disallow on a
+    length tie, no-rule candidates are allowed, and Crawl-delay
+    parses with a default."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        robots_delays,
+        robots_gate,
+        robots_rules,
+    )
+
+    txt_a = (
+        "User-agent: googlebot\nDisallow: /only-google\n\n"
+        "User-agent: *\nCrawl-delay: 5\nDisallow: /private/\n"
+        "Allow: /private/ok\nDisallow:\n\n"
+        "User-agent: badbot\nDisallow: /\n"
+    )
+    txt_b = "User-agent: *\nDisallow: /x\nAllow: /x\n"
+    rows = [("a.com", txt_a), ("b.com", txt_b), ("c.com", "")]
+    robots = spark.createDataFrame(rows, ["host", "robots_txt"])
+    rules = robots_rules(robots)
+    got = {
+        (r["host"], r["rule_type"], r["rule_path"])
+        for r in rules.collect()
+    }
+    # googlebot/badbot groups never leak; the empty Disallow: drops
+    assert got == {
+        ("a.com", "disallow", "/private/"),
+        ("a.com", "allow", "/private/ok"),
+        ("b.com", "disallow", "/x"),
+        ("b.com", "allow", "/x"),
+    }
+    delays = {
+        r["host"]: r["crawl_delay"] for r in robots_delays(robots).collect()
+    }
+    assert delays == {"a.com": 5, "b.com": 1, "c.com": 1}
+
+    cands = spark.createDataFrame(
+        [
+            ("a.com/private/secret",),  # longest match: Disallow
+            ("a.com/private/ok/page",),  # longer Allow overrides
+            ("a.com/public",),  # no matching rule -> allowed
+            ("a.com/only-google",),  # other agent's rule never applies
+            ("b.com/x/y",),  # length tie -> Allow wins
+            ("c.com/anything",),  # empty robots -> allowed
+        ],
+        ["url_key"],
+    )
+    verdicts = {
+        r["url_key"]: (r["allowed"], r["rule_type"], r["rule_path"])
+        for r in robots_gate(cands, rules).collect()
+    }
+    assert verdicts == {
+        "a.com/private/secret": (False, "disallow", "/private/"),
+        "a.com/private/ok/page": (True, "allow", "/private/ok"),
+        "a.com/public": (True, None, None),
+        "a.com/only-google": (True, None, None),
+        "b.com/x/y": (True, "allow", "/x"),
+        "c.com/anything": (True, None, None),
+    }
+
+
 def test_html_extract_drops_boilerplate_keeps_prose(spark):
     from etl_finance_pipeline_spark.operators.corpus import (
         html_extract,
