@@ -37,6 +37,9 @@ _SHOWCASE_FIRST = (
     "robots_gate",  # robots.txt longest-match politeness verdicts (round 13)
     "frontier_schedule",  # crawl-delay-budgeted polite fetch schedule (round 13)
     "crawl_funnel",  # extract->frontier->robots->schedule stage counts (round 13)
+    "trustrank",  # seed-biased trust propagation over extracted edges (round 13)
+    "spam_mass",  # (rank - trust)/rank demotion readout (round 13)
+    "trusted_sample",  # A-Res draw with spam-mass demotion wired in (round 13)
     "frontier_rank",  # now robots-gated + shared rank loop (round 13 rework)
     # round-12 new families
     "link_extract",  # href pull + RFC 3986 resolve + domain rollup (round 12)

@@ -10618,6 +10618,195 @@ FROM sel GROUP BY 1
 
 
 
+def _tr_iter_sql(i: int) -> str:
+    """One TrustRank iteration as DuckDB CTEs — the trust twin of
+    _pr_iter_sql: teleport mass goes to the seed set only."""
+    return f"""
+tc{i} AS (
+  SELECT e.dst, sum(t.trust / d.deg) AS cin
+  FROM e JOIN t{i - 1} t ON e.src = t.id JOIN deg d ON e.src = d.src
+  GROUP BY 1
+),
+t{i} AS (
+  SELECT v.id,
+         floor(((1.0 - 0.85) * (CASE WHEN s.id IS NOT NULL
+                  THEN 1.0 / sn.ns ELSE 0.0 END)
+                + 0.85 * coalesce(tc{i}.cin, 0.0)) * 1000000 + 0.5)
+           / 1000000 AS trust
+  FROM v LEFT JOIN tc{i} ON v.id = tc{i}.dst
+       LEFT JOIN seeds s ON v.id = s.id, sn
+)"""
+
+
+#: TrustRank over the _DA_RANK_CTES graph: seeds = top-3 domains by
+#: the CONVERGED authority rank (deterministic rank-then-id order),
+#: teleport biased to the seed set, 3 damped rounds — produces
+#: t3(id, trust). Requires _DA_RANK_CTES in scope.
+_TRUST_CTES = f"""seeds AS (
+  SELECT id FROM r3 ORDER BY rank DESC, id LIMIT 3
+),
+sn AS (SELECT count(*) AS ns FROM seeds),
+t0 AS (
+  SELECT v.id,
+         floor((CASE WHEN s.id IS NOT NULL THEN 1.0 / sn.ns
+                ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS trust
+  FROM v LEFT JOIN seeds s ON v.id = s.id, sn
+),
+{_tr_iter_sql(1)},
+{_tr_iter_sql(2)},
+{_tr_iter_sql(3)}"""
+
+
+def _domain_trust(spark: SparkSession, sf_dir: str):
+    """(ranks, trust) over the extracted dofollow edge set — the
+    shared spine of the trust family: one anchor parse, one edge
+    aggregate (checkpointed: both rank loops re-read it), PageRank
+    for authority, top-3 authority domains as the trusted seed set,
+    TrustRank propagation from them."""
+    from etl_finance_pipeline_spark.operators.corpus import anchor_texts
+    from etl_finance_pipeline_spark.operators.graph import (
+        pagerank,
+        trustrank,
+    )
+
+    links = anchor_texts(_crawl_pages(spark, sf_dir))
+    edges = (
+        links.filter(F.col("is_external") & ~F.col("nofollow"))
+        .select(
+            F.col("page_domain").alias("src"),
+            F.col("link_domain").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = (
+        pagerank(edges, iters=3, damping=0.85)
+        .select(F.col("id").alias("domain"), "rank")
+        .localCheckpoint(eager=True)
+    )
+    seeds = (
+        ranks.orderBy(F.col("rank").desc(), "domain")
+        .limit(3)
+        .select("domain")
+    )
+    trust = trustrank(edges, seeds, iters=3, damping=0.85).select(
+        F.col("id").alias("domain"), "trust"
+    )
+    return ranks, trust
+
+
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the extracted link graph (Gyöngyi et al. 2004)
+    — trust propagated from a deterministic seed set (the top-3
+    domains by converged authority) along dofollow edges with the
+    teleport biased to the seeds: the standard companion of raw
+    authority that separates well-linked-from-trusted from merely
+    well-linked. Same unrolled-damped-rounds device as
+    domain_authority; the oracle replays seeds + 3 iterations
+    arithmetically on its independently-derived edge set."""
+    _ranks, trust = _domain_trust(spark, sf_dir)
+    return trust
+
+
+SQL_TRUSTRANK = f"""
+WITH {_DA_RANK_CTES},
+{_TRUST_CTES}
+SELECT id AS domain, trust FROM t3
+"""
+
+
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spam-mass readout (Gyöngyi et al. 2006): the fraction of a
+    domain's authority NOT accounted for by trust — spam_mass =
+    (rank − trust)/rank per domain, the number a production link
+    graph thresholds to demote link-spam regions before sampling.
+    Negative for the seed region (trust teleports concentrate there),
+    → 1 for domains whose rank comes entirely from untrusted
+    structure; is_spammy flags past 0.5. One broadcast-sized join of
+    the two k-domain rank frames."""
+    from etl_finance_pipeline_spark.functions.scalar import (
+        portable_round,
+    )
+
+    ranks, trust = _domain_trust(spark, sf_dir)
+    sm = portable_round(
+        (F.col("rank") - F.col("trust")) / F.col("rank"), 6
+    )
+    return (
+        ranks.join(trust, "domain")
+        .withColumn("spam_mass", sm)
+        .withColumn("is_spammy", F.col("spam_mass") > 0.5)
+        .select("domain", "rank", "trust", "spam_mass", "is_spammy")
+    )
+
+
+SQL_SPAM_MASS = f"""
+WITH {_DA_RANK_CTES},
+{_TRUST_CTES},
+sm AS (
+  SELECT r.id AS domain, r.rank, t.trust,
+         floor((r.rank - t.trust) / r.rank * 1000000 + 0.5) / 1000000
+           AS spam_mass
+  FROM r3 r JOIN t3 t ON r.id = t.id
+)
+SELECT domain, rank, trust, spam_mass, (spam_mass > 0.5) AS is_spammy
+FROM sm
+"""
+
+
+def q_trusted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority sampling with the spam-mass DEMOTION wired in — the
+    trust-aware twin of authority_sample: each domain's draw weight
+    is least(rank, trust) (algebraically rank·(1 − spam_mass) capped
+    at the undemoted rank), so domains whose authority is not
+    trust-backed lose inclusion probability and zero-trust domains
+    drop out of the draw entirely. Same deterministic A-Res top-k;
+    the oracle replays weights + priorities arithmetically."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        weighted_sample_topk,
+    )
+
+    ranks, trust = _domain_trust(spark, sf_dir)
+    w = ranks.join(trust, "domain").select(
+        "domain", F.least("rank", "trust").alias("w")
+    )
+    docs = load_table(spark, _t(sf_dir, "documents")).select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".com")).alias("domain"),
+    )
+    weighted = docs.join(F.broadcast(w), "domain")
+    drawn = weighted_sample_topk(weighted, "doc_id", "w", k=100)
+    return drawn.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_drawn"),
+        F.max("w").alias("w"),
+    )
+
+
+SQL_TRUSTED_SAMPLE = f"""
+WITH {_DA_RANK_CTES},
+{_TRUST_CTES},
+tw AS (
+  SELECT r.id,
+         CASE WHEN t.trust < r.rank THEN t.trust ELSE r.rank END AS w
+  FROM r3 r JOIN t3 t ON r.id = t.id
+),
+tad AS (
+  SELECT doc_id, 'src' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS domain
+  FROM documents
+),
+taw AS (
+  SELECT a.doc_id, a.domain, w.w,
+         ln((CAST(('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) + 1) / 1152921504606846976.0) / w.w AS priority
+  FROM tad a JOIN tw w ON w.id = a.domain
+  WHERE w.w > 0
+),
+tsel AS (SELECT * FROM taw ORDER BY priority DESC, doc_id LIMIT 100)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_drawn, max(w) AS w
+FROM tsel GROUP BY 1
+"""
+
+
 def q_stream_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink extraction ON THE INGEST STREAM — link-graph edges
     harvested as pages arrive, the way a continuous crawl keeps its
@@ -15644,6 +15833,9 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "authority_sample": q_authority_sample,
     "frontier_rank": q_frontier_rank,
     "link_resolve": q_link_resolve,
+    "trustrank": q_trustrank,
+    "spam_mass": q_spam_mass,
+    "trusted_sample": q_trusted_sample,
     "robots_gate": q_robots_gate,
     "frontier_schedule": q_frontier_schedule,
     "crawl_funnel": q_crawl_funnel,
@@ -15869,6 +16061,9 @@ ORACLES_TD: dict[str, str] = {
     "authority_sample": SQL_AUTHORITY_SAMPLE,
     "frontier_rank": SQL_FRONTIER_RANK,
     "link_resolve": SQL_LINK_RESOLVE,
+    "trustrank": SQL_TRUSTRANK,
+    "spam_mass": SQL_SPAM_MASS,
+    "trusted_sample": SQL_TRUSTED_SAMPLE,
     "robots_gate": SQL_ROBOTS_GATE,
     "frontier_schedule": SQL_FRONTIER_SCHEDULE,
     "crawl_funnel": SQL_CRAWL_FUNNEL,
