@@ -40,6 +40,11 @@ _SHOWCASE_FIRST = (
     "trustrank",  # seed-biased trust propagation over extracted edges (round 13)
     "spam_mass",  # (rank - trust)/rank demotion readout (round 13)
     "trusted_sample",  # A-Res draw with spam-mass demotion wired in (round 13)
+    "host_authority",  # host-granularity rank twin (subdomain spam lives here) (round 13)
+    "host_census",  # subdomain-spread x authority concentration census (round 13)
+    "pair_alignment",  # CLIP-score-style cross-modal cosine gate (round 13)
+    "pair_align_census",  # per-label kept-share/mean-alignment datasheet (round 13)
+    "pair_hard_negatives",  # cross-modal confusable-negative mining (round 13)
     "frontier_rank",  # now robots-gated + shared rank loop (round 13 rework)
     # round-12 new families
     "link_extract",  # href pull + RFC 3986 resolve + domain rollup (round 12)

@@ -144,6 +144,39 @@ def _guard_exact_pairs(
         )
 
 
+def pair_alignment(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    threshold: float = 0.8,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Cross-modal pair-alignment gate — the CLIP-score-style cosine
+    filter multimodal training corpora apply on top of per-modality
+    dedup (LAION/DataComp curate image-text pairs exactly this way):
+    per row, the cosine between the two modality embeddings *a_col*
+    and *b_col*; pairs below *threshold* are mismatches (wrong
+    caption, decorative image, scraper mispairing) and get
+    ``keep = false``. Adds (cos_sim, keep).
+
+    Scale shape: a pure narrow map (zip_with/aggregate, JVM-side) —
+    no join, no shuffle; at 100 TB it rides the pair-table scan. The
+    mining twin (hard negatives) is a separate query over the exact
+    top-k device."""
+    a = F.col(a_col).cast("array<double>")
+    b = F.col(b_col).cast("array<double>")
+    sim = cosine(a, b)
+    if round_digits is not None:
+        from etl_finance_pipeline_spark.functions.scalar import (
+            portable_round,
+        )
+
+        sim = portable_round(sim, round_digits)
+    return df.withColumn("cos_sim", sim).withColumn(
+        "keep", F.col("cos_sim") >= threshold
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -10618,6 +10618,319 @@ FROM sel GROUP BY 1
 
 
 
+def q_host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOST-level web-graph authority — the granularity twin of
+    domain_authority (CommonCrawl publishes BOTH host- and
+    domain-level graphs; host granularity is where subdomain spam —
+    the blogspot shape — is visible, because a burner subdomain can
+    rank while its registrable domain's other hosts do not). Edges
+    keep full canonical hosts (the fixture's cdn.* subdomains stay
+    distinct sources) instead of rolling up to registrable domains:
+    page host → target host for every dofollow anchor whose target
+    host differs. Same extraction chain, same rank device; the
+    oracle derives the host edge set independently from fixture
+    arithmetic (cdn. on doc_id%4==0, partner/mirror targets are bare
+    domains)."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        anchor_texts,
+        canonical_host,
+    )
+    from etl_finance_pipeline_spark.operators.graph import pagerank
+
+    links = anchor_texts(_crawl_pages(spark, sf_dir))
+    edges = (
+        links.filter(~F.col("nofollow"))
+        .select(
+            canonical_host(F.col("url_canon")).alias("src"),
+            F.col("link_host").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pr = pagerank(edges, iters=3, damping=0.85).select(
+        F.col("id").alias("host"), "rank"
+    )
+    outd = edges.groupBy(F.col("src").alias("host")).agg(
+        F.count("*").cast("long").alias("out_deg")
+    )
+    ind = edges.groupBy(F.col("dst").alias("host")).agg(
+        F.count("*").cast("long").alias("in_deg")
+    )
+    return (
+        pr.join(outd, "host", "left")
+        .join(ind, "host", "left")
+        .select(
+            "host",
+            "rank",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+def _hr_iter_sql(i: int) -> str:
+    """Host-level twin of _pr_iter_sql (prefixed relation names)."""
+    return f"""
+hc{i} AS (
+  SELECT e2.dst, sum(r.rank / d.deg) AS cin
+  FROM e2 JOIN hr{i - 1} r ON e2.src = r.id JOIN deg2 d ON e2.src = d.src
+  GROUP BY 1
+),
+hr{i} AS (
+  SELECT v2.id,
+         floor(((1.0 - 0.85) / n2.n + 0.85 * coalesce(hc{i}.cin, 0.0)) * 1000000 + 0.5) / 1000000 AS rank
+  FROM v2 LEFT JOIN hc{i} ON v2.id = hc{i}.dst, n2
+)"""
+
+
+# host-level edges derived INDEPENDENTLY from fixture arithmetic: the
+# page host keeps its cdn. subdomain (doc_id%4==0; www. is stripped by
+# canonicalization), targets are bare partner/mirror domains, nofollow
+# placements never make an edge, and same-host links drop (a bare page
+# host linking its own domain is internal; a cdn. host is not).
+_HOST_RANK_CTES = f"""e2 AS (
+  SELECT DISTINCT
+    (CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END)
+      || 'src' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS src,
+    'src' || CAST((doc_id // 20) % (doc_id % 20 + 1) AS VARCHAR)
+      || '.com' AS dst
+  FROM documents
+  WHERE doc_id % 4 = 0
+     OR (doc_id // 20) % (doc_id % 20 + 1) <> doc_id % 20
+  UNION
+  SELECT (CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END)
+      || 'src' || CAST(doc_id % 20 AS VARCHAR) || '.com',
+    'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com'
+  FROM documents
+  WHERE doc_id % 5 = 3
+),
+v2 AS (SELECT src AS id FROM e2 UNION SELECT dst FROM e2),
+n2 AS (SELECT count(*) AS n FROM v2),
+deg2 AS (SELECT src, count(*) AS deg FROM e2 GROUP BY 1),
+hr0 AS (SELECT id, floor(1.0 / n2.n * 1000000 + 0.5) / 1000000 AS rank FROM v2, n2),
+{_hr_iter_sql(1)},
+{_hr_iter_sql(2)},
+{_hr_iter_sql(3)}"""
+
+
+SQL_HOST_AUTHORITY = f"""
+WITH {_HOST_RANK_CTES},
+hao AS (SELECT src AS host, CAST(count(*) AS BIGINT) AS out_deg FROM e2 GROUP BY 1),
+hai AS (SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_deg FROM e2 GROUP BY 1)
+SELECT r.id AS host, r.rank,
+       CAST(coalesce(hao.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(coalesce(hai.in_deg, 0) AS BIGINT) AS in_deg
+FROM hr3 r
+LEFT JOIN hao ON hao.host = r.id
+LEFT JOIN hai ON hai.host = r.id
+"""
+
+
+def q_host_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subdomain-spread × authority census — the rollup that makes
+    host-level ranking actionable: per registrable domain, how many
+    distinct hosts carry rank, how much total authority they hold,
+    and how concentrated it is (top host's share). A domain whose
+    authority is spread across many low-share hosts is the subdomain-
+    spam shape; a single-host domain concentrates at share 1.0. One
+    aggregate over the k-host rank frame."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        registrable_domain,
+    )
+    from etl_finance_pipeline_spark.functions.scalar import (
+        portable_round,
+    )
+
+    pr = q_host_authority(spark, sf_dir)
+    return pr.groupBy(
+        registrable_domain(F.col("host")).alias("domain")
+    ).agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        portable_round(F.sum("rank"), 6).alias("total_rank"),
+        portable_round(F.max("rank") / F.sum("rank"), 6).alias(
+            "top_host_share"
+        ),
+    )
+
+
+SQL_HOST_CENSUS = f"""
+WITH {_HOST_RANK_CTES}
+SELECT {_sql_regdom('id')} AS domain,
+       CAST(count(*) AS BIGINT) AS n_hosts,
+       floor(sum(rank) * 1000000 + 0.5) / 1000000 AS total_rank,
+       floor(max(rank) / sum(rank) * 1000000 + 0.5) / 1000000
+         AS top_host_share
+FROM hr3 GROUP BY 1
+"""
+
+
+def _image_embedding_expr():
+    """Synthesized IMAGE-side embedding paired with each text-side
+    vector — the in-engine fixture device (synthesize_html for
+    markup, this for the cross-modal pair table): aligned pairs
+    (vec_id % 4 != 0) are the text vector scaled 0.9 with a small
+    deterministic per-dimension perturbation (cosine ≈ 0.985);
+    planted MISMATCHES (vec_id % 4 == 0) reverse the perturbed
+    vector (cosine ≈ 0 ± 0.4, measured), so an alignment gate at 0.8
+    separates them exactly. Every byte derives from (vec_id,
+    embedding), giving the DuckDB oracle the identical pair table."""
+    emb = F.col("embedding").cast("array<double>")
+    pert = F.transform(
+        emb,
+        lambda x, i: x * F.lit(0.9)
+        + ((F.col("vec_id") + i) % 7 - 3).cast("double") * F.lit(0.01),
+    )
+    return F.when(F.col("vec_id") % 4 == 0, F.reverse(pert)).otherwise(
+        pert
+    )
+
+
+#: DuckDB twin of _image_embedding_expr: pairs(vec_id, label, tv, iv)
+_PAIR_CTES = """ppm AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS tv,
+    list_transform(list_zip(embedding, range(1, len(embedding) + 1)),
+      p -> CAST(p[1] AS DOUBLE) * 0.9
+           + CAST((vec_id + (p[2] - 1)) % 7 - 3 AS DOUBLE) * 0.01) AS pv
+  FROM embeddings
+),
+pairs AS (
+  SELECT vec_id, label, tv,
+         CASE WHEN vec_id % 4 = 0 THEN list_reverse(pv) ELSE pv END AS iv
+  FROM ppm
+)"""
+
+#: rounded cosine between tv and iv (both already DOUBLE lists)
+_PAIR_COS_SQL = """floor((
+  list_sum(list_transform(list_zip(tv, iv), p -> p[1] * p[2]))
+  / (sqrt(list_sum(list_transform(tv, x -> x * x)))
+     * sqrt(list_sum(list_transform(iv, x -> x * x))))) * 1000000 + 0.5)
+  / 1000000"""
+
+
+def q_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pair curation, the gate multimodal corpora apply
+    ON TOP of per-modality dedup (LAION/DataComp's CLIP-score
+    filter): per (text, image) pair, the cosine between the two
+    modality embeddings; pairs below 0.8 are mismatches — wrong
+    caption, decorative image, scraper mispairing (the planted
+    vec_id%4==0 reversals) — and are flagged keep=false. Pure narrow
+    map (operators/similarity.py:pair_alignment), no shuffle; the
+    oracle synthesizes the identical pair table and replays the
+    cosine arithmetically."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        pair_alignment,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    pairs = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("txt_vec"),
+        _image_embedding_expr().alias("img_vec"),
+    )
+    out = pair_alignment(pairs, "txt_vec", "img_vec", threshold=0.8)
+    return out.select("vec_id", "cos_sim", "keep")
+
+
+SQL_PAIR_ALIGNMENT = f"""
+WITH {_PAIR_CTES}
+SELECT vec_id, {_PAIR_COS_SQL} AS cos_sim,
+       ({_PAIR_COS_SQL} >= 0.8) AS keep
+FROM pairs
+"""
+
+
+def q_pair_align_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment-vs-quality composite readout per label bucket: pair
+    volume, surviving share of the 0.8 cosine gate, and mean
+    alignment — the datasheet row that tells a multimodal curation
+    run which slices of the pair corpus are mispaired at the source
+    (a low kept-share label is a broken scraper, not noise). One
+    map-combinable aggregate over the narrow alignment map."""
+    from etl_finance_pipeline_spark.functions.scalar import (
+        portable_round,
+    )
+    from etl_finance_pipeline_spark.operators.similarity import (
+        pair_alignment,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    pairs = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("txt_vec"),
+        _image_embedding_expr().alias("img_vec"),
+    )
+    out = pair_alignment(pairs, "txt_vec", "img_vec", threshold=0.8)
+    return out.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        portable_round(
+            F.sum(F.col("keep").cast("long")) / F.count("*"), 6
+        ).alias("kept_share"),
+        portable_round(F.avg("cos_sim"), 6).alias("mean_cos"),
+    )
+
+
+SQL_PAIR_ALIGN_CENSUS = f"""
+WITH {_PAIR_CTES},
+pc AS (SELECT label, {_PAIR_COS_SQL} AS cos FROM pairs)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       floor(sum(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END)
+             / count(*) * 1000000 + 0.5) / 1000000 AS kept_share,
+       floor(avg(cos) * 1000000 + 0.5) / 1000000 AS mean_cos
+FROM pc GROUP BY 1
+"""
+
+
+def q_pair_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mismatched-pair MINING across modality — the hard negatives a
+    contrastive trainer wants: for each text query, the top-3 images
+    it is most confusable with, excluding its own pair (the exact
+    cosine_topk device, eval-sized with its max_pairs guard; the
+    IVF/LSH twins are the corpus-scale path). Output (query_id,
+    neighbor_id, cosine, rank)."""
+    from etl_finance_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = load_table(spark, _t(sf_dir, "embeddings"))
+    imgs = emb.select(
+        "vec_id", _image_embedding_expr().alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return cosine_topk(imgs, queries, k=3)
+
+
+SQL_PAIR_HARD_NEGATIVES = f"""
+WITH {_PAIR_CTES},
+hq AS (SELECT vec_id AS query_id, tv AS qv FROM pairs WHERE vec_id < 5),
+hp AS (
+  SELECT hq.query_id, p.vec_id AS neighbor_id,
+    floor((
+      list_sum(list_transform(list_zip(hq.qv, p.iv), z -> z[1] * z[2]))
+      / (sqrt(list_sum(list_transform(hq.qv, x -> x * x)))
+         * sqrt(list_sum(list_transform(p.iv, x -> x * x)))))
+      * 1000000 + 0.5) / 1000000 AS cosine
+  FROM hq, pairs p
+  WHERE p.vec_id != hq.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+       ) AS BIGINT) AS rank
+FROM hp
+QUALIFY rank <= 3
+"""
+
+
 def _tr_iter_sql(i: int) -> str:
     """One TrustRank iteration as DuckDB CTEs — the trust twin of
     _pr_iter_sql: teleport mass goes to the seed set only."""
@@ -15836,6 +16149,11 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trustrank": q_trustrank,
     "spam_mass": q_spam_mass,
     "trusted_sample": q_trusted_sample,
+    "host_authority": q_host_authority,
+    "host_census": q_host_census,
+    "pair_alignment": q_pair_alignment,
+    "pair_align_census": q_pair_align_census,
+    "pair_hard_negatives": q_pair_hard_negatives,
     "robots_gate": q_robots_gate,
     "frontier_schedule": q_frontier_schedule,
     "crawl_funnel": q_crawl_funnel,
@@ -16064,6 +16382,11 @@ ORACLES_TD: dict[str, str] = {
     "trustrank": SQL_TRUSTRANK,
     "spam_mass": SQL_SPAM_MASS,
     "trusted_sample": SQL_TRUSTED_SAMPLE,
+    "host_authority": SQL_HOST_AUTHORITY,
+    "host_census": SQL_HOST_CENSUS,
+    "pair_alignment": SQL_PAIR_ALIGNMENT,
+    "pair_align_census": SQL_PAIR_ALIGN_CENSUS,
+    "pair_hard_negatives": SQL_PAIR_HARD_NEGATIVES,
     "robots_gate": SQL_ROBOTS_GATE,
     "frontier_schedule": SQL_FRONTIER_SCHEDULE,
     "crawl_funnel": SQL_CRAWL_FUNNEL,
