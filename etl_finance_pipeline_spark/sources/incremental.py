@@ -150,6 +150,80 @@ def refresh_aggregate(
     )
 
 
+def refresh_authority(
+    spark: SparkSession,
+    edges_table: str,
+    state_table: str,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    edge_delta_threshold: float = 0.1,
+) -> Snapshot | None:
+    """Incremental link-graph authority maintenance — the
+    continuous-crawl shape: the crawl keeps appending (and retracting)
+    edges to *edges_table*; the standing PageRank in *state_table* is
+    re-ranked ONLY when the accumulated edge delta since the last rank
+    exceeds *edge_delta_threshold* (as a fraction of the ranked edge
+    count), and carried unchanged otherwise. Rank is a global
+    fixpoint, so unlike grouped sums it is NOT self-maintainable from
+    deltas — the honest incremental contract is delta-DETECTION at
+    O(changed files) (the change feed plans only files past the
+    high-water mark) with a full re-rank, itself O(current edges),
+    only when the graph has moved enough to matter. This is how
+    production rank pipelines amortize: per-batch cost stays
+    proportional to the batch until the deferred drift crosses the
+    budget.
+
+    State rides the same commit log as data (``base_version`` high-
+    water mark, ``n_edges`` of the ranked graph), so a crashed refresh
+    resumes exactly like refresh_aggregate. A vacuumed feed range
+    degrades to the same answer the threshold path gives: re-rank
+    from the pinned base snapshot.
+
+    Returns the new state snapshot, or None when the standing rank is
+    carried (delta under threshold, or already current).
+    """
+    from etl_finance_pipeline_spark.operators.graph import pagerank
+
+    base_version = snapshot(edges_table).version
+    seen = aggregate_state_version(state_table)
+
+    def _rerank() -> Snapshot:
+        edges = read_table(
+            spark, edges_table, version=base_version
+        ).select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        n_edges = edges.distinct().count()
+        ranks = pagerank(edges, iters=iters, damping=damping)
+        return write_table(
+            ranks,
+            state_table,
+            mode="overwrite",
+            extra_metadata={
+                "base_version": base_version,
+                "n_edges": n_edges,
+            },
+        )
+
+    if seen is None:
+        return _rerank()
+    if seen >= base_version:
+        return None
+    try:
+        changes = read_changes(
+            spark, edges_table, from_version=seen, to_version=base_version
+        )
+    except VacuumedRangeError:
+        return _rerank()
+    # O(changed files): the feed plans only commits past the mark
+    n_delta = changes.count()
+    with open(_manifest_path(state_table, snapshot(state_table).version)) as fh:
+        n_ranked = int(json.load(fh).get("n_edges", 0) or 0)
+    if n_ranked > 0 and n_delta / n_ranked <= edge_delta_threshold:
+        return None  # carry the standing rank; mark stays at `seen`
+    return _rerank()
+
+
 def read_aggregate(
     spark: SparkSession, state_table: str, avg_for: list[str] | None = None
 ) -> DataFrame:

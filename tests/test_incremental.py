@@ -143,3 +143,94 @@ def test_streaming_ingest_feeds_incremental_refresh(spark, tmp_path):
     assert _state(spark, state) == _full(spark, table)
     # the second refresh advanced the high-water mark past wave 1
     assert aggregate_state_version(state) > first_seen
+
+
+# --------------------------------------------------------------------
+# incremental link-graph authority (refresh_authority)
+# --------------------------------------------------------------------
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def _ranks(spark, state):
+    return {
+        r["id"]: r["rank"] for r in read_table(spark, state).collect()
+    }
+
+
+def _full_rank(spark, base):
+    from etl_finance_pipeline_spark.operators.graph import pagerank
+
+    e = read_table(spark, base).select("src", "dst")
+    return {r["id"]: r["rank"] for r in pagerank(e, iters=3).collect()}
+
+
+def test_refresh_authority_multi_commit_protocol(spark, tmp_path):
+    """Re-rank only past the edge-delta threshold, carry the standing
+    rank otherwise, recover from vacuumed feed ranges, and read only
+    the change feed (O(changed files), asserted on inputFiles)."""
+    from etl_finance_pipeline_spark.sources.incremental import (
+        aggregate_state_version,
+        refresh_authority,
+    )
+    from etl_finance_pipeline_spark.sources.table_format import snapshot
+
+    base, state = str(tmp_path / "edges"), str(tmp_path / "rank")
+    write_table(
+        _edges(
+            spark,
+            [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        ),
+        base,
+    )
+
+    # initial refresh: full rank, stamped with the base version
+    assert refresh_authority(spark, base, state) is not None
+    assert _ranks(spark, state) == _full_rank(spark, base)
+    assert aggregate_state_version(state) == 0
+
+    # already current -> carried
+    assert refresh_authority(spark, base, state) is None
+
+    # a 1-edge append on a 5-edge graph is under the 0.5 threshold:
+    # the standing rank is CARRIED (stale by design) and the
+    # high-water mark does not advance
+    write_table(_edges(spark, [("d", "b")]), base)
+    before = _ranks(spark, state)
+    assert (
+        refresh_authority(spark, base, state, edge_delta_threshold=0.5)
+        is None
+    )
+    assert _ranks(spark, state) == before
+    assert aggregate_state_version(state) == 0
+
+    # O(changed files): the feed past the mark plans only the new
+    # commit's files, none of the version-0 files
+    v0files = set(read_table(spark, base, version=0).inputFiles())
+    feed = read_changes(spark, base, from_version=0)
+    scanned = set(feed.inputFiles())
+    assert scanned and scanned.isdisjoint(v0files)
+
+    # pile on edges past the threshold -> re-rank catches up to the
+    # CURRENT snapshot and matches a full recompute
+    write_table(
+        _edges(spark, [("e", "a"), ("e", "b"), ("c", "e")]), base
+    )
+    assert (
+        refresh_authority(spark, base, state, edge_delta_threshold=0.5)
+        is not None
+    )
+    assert _ranks(spark, state) == _full_rank(spark, base)
+    assert aggregate_state_version(state) == snapshot(base).version
+
+    # vacuumed feed range degrades to a pinned full re-rank
+    write_table(_edges(spark, [("f", "a")]), base)
+    write_table(_edges(spark, [("f", "b")]), base)
+    vacuum(base, keep_versions=1)
+    assert (
+        refresh_authority(spark, base, state, edge_delta_threshold=0.0)
+        is not None
+    )
+    assert _ranks(spark, state) == _full_rank(spark, base)

@@ -1376,3 +1376,73 @@ def test_scale_bt_ratings(bigspark):
     weak = next(r["rating"] for r in rows if r["item"] == "999")
     assert strong > weak
     assert dt < 300
+
+
+def test_scale_incremental_authority_refresh(bigspark, tmp_path):
+    """Continuous-crawl authority maintenance against a 2M-edge
+    standing graph: the under-threshold refresh reads ONLY the ingest
+    commit's change feed (O(changed files) — asserted on inputFiles,
+    disjoint from the 2M-edge v0 files) and carries the standing rank
+    without touching the base; the over-threshold refresh re-ranks
+    the pinned current snapshot and matches the converged fixpoint
+    row count."""
+    from etl_finance_pipeline_spark.sources.incremental import (
+        aggregate_state_version,
+        refresh_authority,
+    )
+    from etl_finance_pipeline_spark.sources.table_format import (
+        read_changes,
+        read_table,
+        snapshot,
+        write_table,
+    )
+
+    base = str(tmp_path / "edges")
+    state = str(tmp_path / "rank")
+    n = 2_000_000
+    hosts = 50_000
+    standing = bigspark.range(n).select(
+        F.concat(F.lit("h"), (F.col("id") % hosts).cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"), ((F.col("id") * 31 + 7) % hosts).cast("string")
+        ).alias("dst"),
+    )
+    write_table(standing, base)  # v0: the standing graph
+
+    t0 = time.time()
+    assert refresh_authority(bigspark, base, state) is not None
+    dt_full = time.time() - t0
+    print(f"\n[scale] authority full rank, 2M edges / 50k hosts: {dt_full:.1f}s")
+    assert read_table(bigspark, state).count() == hosts
+    assert dt_full < 300
+
+    # small ingest commit: under threshold -> carried, and the delta
+    # scan plans only the new commit's files
+    batch = bigspark.range(1_000).select(
+        F.lit("hnew").alias("src"),
+        F.concat(F.lit("h"), (F.col("id") % hosts).cast("string")).alias("dst"),
+    )
+    write_table(batch, base)  # v1
+    v0files = {os.path.basename(f["path"]) for f in snapshot(base, 0).files}
+    ch = read_changes(bigspark, base, from_version=0)
+    scanned = {os.path.basename(p) for p in ch.inputFiles()}
+    assert scanned and scanned.isdisjoint(v0files)  # O(changed files)
+
+    t0 = time.time()
+    assert (
+        refresh_authority(bigspark, base, state, edge_delta_threshold=0.1)
+        is None
+    )
+    dt_carry = time.time() - t0
+    print(f"[scale] authority carried (1k-row delta under 10%): {dt_carry:.1f}s")
+    assert aggregate_state_version(state) == 0
+    # the carry decision costs the delta count, not a graph pass
+    assert dt_carry < dt_full / 2
+
+    # past the threshold -> re-rank catches up to the current snapshot
+    assert (
+        refresh_authority(bigspark, base, state, edge_delta_threshold=0.001)
+        is not None
+    )
+    assert aggregate_state_version(state) == snapshot(base).version
+    assert read_table(bigspark, state).count() == hosts + 1
