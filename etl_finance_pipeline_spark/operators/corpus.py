@@ -986,6 +986,81 @@ def robots_delays(
     )
 
 
+#: one <url> block inside a sitemap urlset (group 0)
+_SITEMAP_URL_RE = "(?is)<url>.*?</url>"
+
+
+def synthesize_sitemap(
+    hosts: DataFrame, host_col: str = "host", out_col: str = "sitemap_xml"
+) -> DataFrame:
+    """Deterministic per-host sitemap.xml payload — the discovery-side
+    fixture twin of :func:`synthesize_robots` (sitemaps.org protocol):
+    host ``src{k}.com`` advertises ``k % 3 + 2`` URL entries with
+    ``<loc>`` paths and ``<lastmod>`` months all derived from (k, j),
+    so the DuckDB oracle enumerates the exact entry set
+    arithmetically. Entry j: loc path ``/s/{(k * 7 + j) % 12}``,
+    lastmod month ``(k + j) % 12 + 1``."""
+    k = F.regexp_extract(F.col(host_col), r"([0-9]+)", 1).cast("int")
+    entry = lambda j: F.concat(  # noqa: E731
+        F.lit("<url><loc>https://"),
+        F.col(host_col),
+        F.lit("/s/"),
+        ((k * 7 + j) % 12).cast("string"),
+        F.lit("</loc><lastmod>2026-"),
+        F.lpad(((k + j) % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-01</lastmod></url>"),
+    )
+    body = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.aggregate(
+            F.sequence(F.lit(0), k % 3 + 1),
+            F.lit(""),
+            lambda acc, j: F.concat(acc, entry(j)),
+        ),
+        F.lit("</urlset>"),
+    )
+    return hosts.withColumn(out_col, body)
+
+
+def sitemap_parse(
+    df: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Parse sitemap.xml payloads into per-URL rows — the crawl's
+    OTHER discovery channel (robots points at it; real crawlers merge
+    sitemap-advertised URLs into the link-derived frontier). Per
+    ``<url>`` block: the ``<loc>`` target and the ``<lastmod>`` month
+    (the freshness hint recrawl scheduling consumes). Same
+    generator-lambda shape as the anchor parse: per-entry regexes run
+    inside the transform over each block, the explode emits struct
+    attributes, zero shuffles.
+
+    Output: (*host_col*, loc, lastmod_month).
+    """
+    arr = F.transform(
+        F.regexp_extract_all(
+            F.col(xml_col), F.lit(_SITEMAP_URL_RE), 0
+        ),
+        lambda u: F.struct(
+            F.regexp_extract(u, r"(?is)<loc>(.*?)</loc>", 1).alias(
+                "loc"
+            ),
+            F.regexp_extract(
+                u, r"(?is)<lastmod>[0-9]{4}-([0-9]{2})", 1
+            )
+            .try_cast("int")
+            .alias("lastmod_month"),
+        ),
+    )
+    out = df.withColumn("_u", F.explode(arr))
+    return out.select(
+        F.col(host_col),
+        F.col("_u")["loc"].alias("loc"),
+        F.col("_u")["lastmod_month"].alias("lastmod_month"),
+    ).filter(F.col("loc") != "")
+
+
 def robots_gate(
     cands: DataFrame,
     rules: DataFrame,

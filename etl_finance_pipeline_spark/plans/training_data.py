@@ -11551,6 +11551,226 @@ SELECT 'scheduled', CAST(count(*) AS BIGINT) FROM fs WHERE slot <= budget
 """
 
 
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion — the crawl's OTHER discovery channel
+    (sitemaps.org; robots.txt points at it): per-host sitemap.xml
+    payloads are synthesized (synthesize_sitemap), parsed into
+    per-URL rows with their <lastmod> freshness hints
+    (sitemap_parse, generator-lambda shape, zero shuffles), and the
+    advertised locations canonicalize to frontier identity keys. The
+    oracle enumerates every (host, entry) arithmetically from the
+    host index."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        sitemap_parse,
+        synthesize_sitemap,
+        url_canonicalize,
+    )
+
+    _pages, _anchors, tkeys = _frontier_candidates(spark, sf_dir)
+    hosts = tkeys.select("host").distinct()
+    sm = sitemap_parse(synthesize_sitemap(hosts))
+    keyed = url_canonicalize(
+        sm.select("host", "lastmod_month", F.col("loc").alias("url"))
+    )
+    return keyed.select("host", "url_key", "lastmod_month").distinct()
+
+
+#: sitemap entries derived arithmetically: host k advertises entries
+#: j in 0..k%3+1 with key src{k}.com/s/{(7k+j)%12}, lastmod (k+j)%12+1
+_SITEMAP_CTE = """smh AS (
+  SELECT DISTINCT
+    'src' || CAST((doc_id // 20) % (doc_id % 20 + 1) AS VARCHAR)
+      || '.com' AS host
+  FROM documents
+  WHERE (doc_id // 20) % (doc_id % 20 + 1) <> doc_id % 20
+  UNION
+  SELECT DISTINCT 'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com'
+  FROM documents WHERE doc_id % 5 = 3
+),
+sme AS (
+  SELECT DISTINCT host,
+    CAST(regexp_extract(host, '([0-9]+)', 1) AS INT) AS k,
+    unnest(range(0, CAST(regexp_extract(host, '([0-9]+)', 1) AS INT) % 3 + 2)) AS j
+  FROM smh
+),
+sml AS (
+  SELECT host,
+    host || '/s/' || CAST((k * 7 + j) % 12 AS VARCHAR) AS url_key,
+    CAST((k + j) % 12 + 1 AS INT) AS lastmod_month
+  FROM sme
+)"""
+
+
+SQL_SITEMAP_EXTRACT = f"""
+WITH {_SITEMAP_CTE}
+SELECT DISTINCT host, url_key, lastmod_month FROM sml
+"""
+
+
+def q_frontier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged discovery frontier — link-derived targets and
+    sitemap-advertised URLs unified on their canonical keys (real
+    crawlers run exactly this union: sitemaps surface pages no one
+    links to yet), each key flagged with its discovery channel(s),
+    anti-joined against the crawled set, and robots-gated. One
+    full-outer join of two key frames + the broadcast verdict join.
+    Output: (url_key, host, via_links, via_sitemap, allowed)."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        robots_gate,
+        robots_rules,
+        sitemap_parse,
+        synthesize_robots,
+        synthesize_sitemap,
+        url_canonicalize,
+    )
+
+    pages, _anchors, tkeys = _frontier_candidates(spark, sf_dir)
+    crawled = pages.select("url_key").distinct()
+    hosts = tkeys.select("host").distinct()
+    lf = tkeys.join(crawled, "url_key", "left_anti").withColumn(
+        "via_links", F.lit(True)
+    )
+    sm = sitemap_parse(synthesize_sitemap(hosts))
+    smk = (
+        url_canonicalize(sm.select("host", F.col("loc").alias("url")))
+        .select("url_key", "host")
+        .distinct()
+        .join(crawled, "url_key", "left_anti")
+        .withColumn("via_sitemap", F.lit(True))
+    )
+    merged = (
+        lf.join(smk, ["url_key", "host"], "full_outer")
+        .fillna(False, ["via_links", "via_sitemap"])
+    )
+    rules = robots_rules(synthesize_robots(hosts))
+    verdicts = robots_gate(
+        merged.select("url_key", "host"), rules
+    ).select("url_key", "host", "allowed")
+    return merged.join(verdicts, ["url_key", "host"]).select(
+        "url_key", "host", "via_links", "via_sitemap", "allowed"
+    )
+
+
+SQL_FRONTIER_MERGE = f"""
+WITH {_CRAWL_URLS_CTE},
+{_url_canon_ctes("curls", "doc_id", "fq")},
+fcrawled AS (SELECT DISTINCT url_key FROM fqcanon),
+ftgt AS (
+  SELECT DISTINCT
+    'src' || CAST((doc_id // 20) % (doc_id % 20 + 1) AS VARCHAR)
+      || '.com/p/' || CAST(doc_id % 100 AS VARCHAR) AS url_key,
+    'src' || CAST((doc_id // 20) % (doc_id % 20 + 1) AS VARCHAR)
+      || '.com' AS domain
+  FROM documents
+  WHERE (doc_id // 20) % (doc_id % 20 + 1) <> doc_id % 20
+  UNION
+  SELECT DISTINCT
+    'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com/mirror',
+    'src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com'
+  FROM documents
+  WHERE doc_id % 5 = 3
+),
+{_FRONTIER_CAND_CTE},
+{_SITEMAP_CTE},
+smf AS (
+  SELECT DISTINCT host, url_key FROM sml
+  WHERE url_key NOT IN (SELECT url_key FROM fcrawled)
+),
+mk AS (
+  SELECT coalesce(l.url_key, s.url_key) AS url_key,
+         coalesce(l.host, s.host) AS host,
+         (l.url_key IS NOT NULL) AS via_links,
+         (s.url_key IS NOT NULL) AS via_sitemap
+  FROM fr l FULL OUTER JOIN smf s
+    ON l.url_key = s.url_key AND l.host = s.host
+),
+mkv AS (
+  SELECT url_key, host, via_links, via_sitemap,
+         CAST(regexp_extract(host, '([0-9]+)', 1) AS INT) AS k,
+         regexp_replace(url_key, '^[^/]*', '') AS path
+  FROM mk
+)
+SELECT url_key, host, via_links, via_sitemap,
+       {_sql_robots_allowed('k', 'path')} AS allowed
+FROM mkv
+"""
+
+
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling — the freshness loop a continuous crawl
+    closes AFTER discovery: per canonical page, the observed refetch
+    history (snapshot count, event-time span of the fetches) yields
+    an estimated change interval, and pages bucket into hot/warm/cold
+    refetch tiers (the Cho-Garcia-Molina change-rate recipe, with the
+    uniform-change-rate estimate span/(n−1)). Single-fetch pages have
+    no estimate and land in 'cold'. One map-combinable aggregate over
+    the canonicalized crawl log. Output: (url_key, n_snapshots,
+    span_min, interval_min, tier)."""
+    from etl_finance_pipeline_spark.functions.scalar import (
+        portable_round,
+    )
+    from etl_finance_pipeline_spark.operators.corpus import (
+        url_canonicalize,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    log = url_canonicalize(
+        docs.select(
+            "doc_id",
+            "source",
+            _crawl_url_expr().alias("url"),
+            (F.col("doc_id") % 360).cast("long").alias("ev_min"),
+        )
+    )
+    agg = log.groupBy("url_key").agg(
+        F.count("*").cast("long").alias("n_snapshots"),
+        (F.max("ev_min") - F.min("ev_min")).cast("long").alias("span_min"),
+    )
+    interval = F.when(
+        F.col("n_snapshots") > 1,
+        portable_round(
+            F.col("span_min") / (F.col("n_snapshots") - 1), 6
+        ),
+    )
+    return (
+        agg.withColumn("interval_min", interval)
+        .withColumn(
+            "tier",
+            F.when(F.col("interval_min").isNull(), F.lit("cold"))
+            .when(F.col("interval_min") <= 60, F.lit("hot"))
+            .when(F.col("interval_min") <= 180, F.lit("warm"))
+            .otherwise(F.lit("cold")),
+        )
+        .select("url_key", "n_snapshots", "span_min", "interval_min", "tier")
+    )
+
+
+SQL_RECRAWL_PRIORITY = f"""
+WITH {_CRAWL_URLS_CTE},
+{_url_canon_ctes("curls", "doc_id", "rc")},
+rlog AS (
+  SELECT url_key, doc_id % 360 AS ev_min FROM rccanon
+),
+ragg AS (
+  SELECT url_key,
+         CAST(count(*) AS BIGINT) AS n_snapshots,
+         CAST(max(ev_min) - min(ev_min) AS BIGINT) AS span_min
+  FROM rlog GROUP BY 1
+)
+SELECT url_key, n_snapshots, span_min,
+  CASE WHEN n_snapshots > 1
+       THEN floor(span_min / (n_snapshots - 1) * 1000000 + 0.5) / 1000000
+       END AS interval_min,
+  CASE WHEN n_snapshots <= 1 THEN 'cold'
+       WHEN floor(span_min / (n_snapshots - 1) * 1000000 + 0.5) / 1000000 <= 60
+         THEN 'hot'
+       WHEN floor(span_min / (n_snapshots - 1) * 1000000 + 0.5) / 1000000 <= 180
+         THEN 'warm'
+       ELSE 'cold' END AS tier
+FROM ragg
+"""
+
+
 def q_link_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 3986 dot-segment + query-only resolution, oracle-pinned
     (round-12 verdict item 4): pages planted with every relative
@@ -16154,6 +16374,9 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pair_alignment": q_pair_alignment,
     "pair_align_census": q_pair_align_census,
     "pair_hard_negatives": q_pair_hard_negatives,
+    "sitemap_extract": q_sitemap_extract,
+    "frontier_merge": q_frontier_merge,
+    "recrawl_priority": q_recrawl_priority,
     "robots_gate": q_robots_gate,
     "frontier_schedule": q_frontier_schedule,
     "crawl_funnel": q_crawl_funnel,
@@ -16387,6 +16610,9 @@ ORACLES_TD: dict[str, str] = {
     "pair_alignment": SQL_PAIR_ALIGNMENT,
     "pair_align_census": SQL_PAIR_ALIGN_CENSUS,
     "pair_hard_negatives": SQL_PAIR_HARD_NEGATIVES,
+    "sitemap_extract": SQL_SITEMAP_EXTRACT,
+    "frontier_merge": SQL_FRONTIER_MERGE,
+    "recrawl_priority": SQL_RECRAWL_PRIORITY,
     "robots_gate": SQL_ROBOTS_GATE,
     "frontier_schedule": SQL_FRONTIER_SCHEDULE,
     "crawl_funnel": SQL_CRAWL_FUNNEL,

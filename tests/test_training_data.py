@@ -1676,6 +1676,31 @@ def test_robots_rules_and_gate_semantics(spark):
     }
 
 
+def test_sitemap_parse_hand_built(spark):
+    """Sitemap parse on hand-built XML: multi-entry urlsets, missing
+    <lastmod> (NULL month), attribute noise inside <url>, empty <loc>
+    dropped, and whitespace/case tolerance in the tags."""
+    from etl_finance_pipeline_spark.operators.corpus import sitemap_parse
+
+    xml_a = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://a.com/x</loc><lastmod>2026-03-01</lastmod></url>"
+        "<URL><LOC>https://a.com/y</LOC></URL>"
+        "<url><loc></loc><lastmod>2026-04-01</lastmod></url>"
+        "</urlset>"
+    )
+    rows = [("a.com", xml_a), ("b.com", "<urlset></urlset>")]
+    df = spark.createDataFrame(rows, ["host", "sitemap_xml"])
+    got = {
+        (r["host"], r["loc"]): r["lastmod_month"]
+        for r in sitemap_parse(df).collect()
+    }
+    assert got == {
+        ("a.com", "https://a.com/x"): 3,
+        ("a.com", "https://a.com/y"): None,
+    }
+
+
 def test_html_extract_drops_boilerplate_keeps_prose(spark):
     from etl_finance_pipeline_spark.operators.corpus import (
         html_extract,
