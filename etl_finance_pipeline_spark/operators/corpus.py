@@ -1061,6 +1061,239 @@ def sitemap_parse(
     ).filter(F.col("loc") != "")
 
 
+#: a <meta name=robots> element (group 0) — name quoted either way or
+#: bare; content parsed per-element by meta_robots
+_META_ROBOTS_EL_RE = (
+    "(?is)<meta\\s[^>]*name\\s*=\\s*"
+    "(?:\"robots\"|'robots'|robots[\\s>])[^>]*>"
+)
+
+#: a <link rel=canonical> element (group 0)
+_CANONICAL_EL_RE = (
+    "(?is)<link\\s[^>]*rel\\s*=\\s*"
+    "(?:\"canonical\"|'canonical'|canonical[\\s>])[^>]*>"
+)
+
+
+def _attr_value(el: Column, attr: str) -> Column:
+    """Value of *attr* inside element text *el* — double- or
+    single-quoted (per-quote alternation; no backreferences)."""
+    dq = F.regexp_extract(el, f'(?is){attr}\\s*=\\s*"([^"]*)"', 1)
+    sq = F.regexp_extract(el, f"(?is){attr}\\s*=\\s*'([^']*)'", 1)
+    return F.when(dq != "", dq).otherwise(sq)
+
+
+def synthesize_directives(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """Inject deterministic page-level indexing directives into the
+    synthesized ``<head>`` — the fixture twin of
+    :func:`synthesize_html` for the directives a real crawler honors
+    AFTER robots.txt lets it fetch: ``<meta name=robots>``
+    (noindex / nofollow / none / all, with quote- and case-variants
+    so the parser is actually exercised) and ``<link rel=canonical>``
+    (RFC 6596; absolute for ``id % 6 == 2`` pointing at page group
+    ``(id%100·3+7)%100`` on the page's own registrable host,
+    root-relative ``/canon/{id%50}`` for ``id % 6 == 5``). Every byte
+    is a function of *id_col*, so the DuckDB oracle derives each
+    directive arithmetically."""
+    d = F.col(id_col)
+    content = (
+        F.when(d % 23 == 7, F.lit("none"))
+        .when((d % 11 == 4) & (d % 2 == 0), F.lit("NOINDEX"))
+        .when(d % 11 == 4, F.lit("noindex"))
+        .when(d % 13 == 6, F.lit("nofollow, noarchive"))
+        .when(d % 19 == 3, F.lit("all"))
+    )
+    meta = F.when(
+        content.isNotNull(),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("<meta name='ROBOTS' content='"),
+                content,
+                F.lit("'>"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<meta name="robots" content="'),
+                content,
+                F.lit('">'),
+            )
+        ),
+    ).otherwise(F.lit(""))
+    href = F.when(
+        d % 6 == 2,
+        F.concat(
+            F.lit("https://src"),
+            ((d % 100) % 20).cast("string"),
+            F.lit(".com/a.b/"),
+            (((d % 100) * 3 + 7) % 100).cast("string"),
+        ),
+    ).when(d % 6 == 5, F.concat(F.lit("/canon/"), (d % 50).cast("string")))
+    link = F.when(
+        href.isNotNull(),
+        F.concat(F.lit('<link rel="canonical" href="'), href, F.lit('">')),
+    ).otherwise(F.lit(""))
+    return df.withColumn(
+        html_col,
+        F.regexp_replace(
+            F.col(html_col),
+            F.lit("^<html><head>"),
+            F.concat(F.lit("<html><head>"), meta, link),
+        ),
+    )
+
+
+def meta_robots(
+    df: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """Parse page-level robots meta directives (the HTML complement
+    of the site-level robots.txt gate): every ``<meta name=robots>``
+    element's content is tokenized (comma-split, ws-stripped,
+    case-folded) and OR-combined across elements per the
+    multiple-robots-meta rule; ``none`` ≡ ``noindex, nofollow``;
+    ``all`` asserts nothing. Pure regexp + array codegen over the
+    page scan — no shuffle, no UDF.
+
+    Output: input columns + (robots_content — first element's
+    content, lowercased, NULL when no robots meta — noindex,
+    nofollow_meta)."""
+    metas = F.regexp_extract_all(
+        F.col(html_col), F.lit(_META_ROBOTS_EL_RE), 0
+    )
+    contents = F.transform(metas, lambda m: F.lower(_attr_value(m, "content")))
+
+    def has(tok: str) -> Column:
+        return F.exists(
+            contents,
+            lambda c: F.array_contains(
+                F.split(F.regexp_replace(c, r"\s+", ""), ","), tok
+            ),
+        )
+
+    return (
+        df.withColumn("robots_content", F.get(contents, 0))
+        .withColumn("noindex", has("noindex") | has("none"))
+        .withColumn("nofollow_meta", has("nofollow") | has("none"))
+    )
+
+
+def canonical_links(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url_canon",
+    levels: int = 2,
+) -> DataFrame:
+    """Extract each page's declared canonical URL (``<link
+    rel=canonical>``, RFC 6596) and resolve it against the page's
+    canonical URL through the SAME RFC 3986 chain as
+    :func:`link_extract` — the signal dedup uses to collapse
+    syndicated copies and snapshot decoration onto one indexed
+    identity. First declaration wins when duplicated (the
+    Google-documented rule). Pages declaring no canonical are DROPPED
+    (callers coalesce to self-canonical).
+
+    Output: input columns + (href, link_url, link_host, link_domain,
+    page_domain, is_external) for declaring pages — ``link_url`` is
+    the resolved canonical target."""
+    els = F.regexp_extract_all(F.col(html_col), F.lit(_CANONICAL_EL_RE), 0)
+    arr = F.slice(
+        F.filter(
+            F.transform(
+                els, lambda m: F.struct(_attr_value(m, "href").alias("href"))
+            ),
+            lambda s: (s["href"] != "")
+            & ~s["href"].rlike(_NON_WEB_HREF_RE),
+        ),
+        1,
+        1,
+    )
+    return _explode_resolved(df, arr, url_col, levels, ())
+
+
+def redirect_resolve(
+    starts: DataFrame,
+    mapping: DataFrame,
+    key_col: str = "url_key",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Resolve HTTP redirect chains to their final target — the
+    fetch-log post-processing every crawl runs so frontier, dedup,
+    and ranking all key on the page that actually serves content.
+    *mapping* is the (src → dst) redirect relation (from fetch logs;
+    one row per redirecting key); *starts* carries the keys to
+    resolve. Bounded chain-following: *max_hops* unrolled left joins
+    (crawlers cap redirect depth the same way — curl defaults to 50,
+    production crawlers 5-10), a visited set per row for cycle
+    detection, and explicit terminal status instead of silent
+    truncation.
+
+    Scale shape: each hop is one equi-join keyed on the current
+    target — at 100 TB both sides partition by key; no iteration
+    state leaves the executors (the visited set is a ≤ *max_hops*
+    element array column).
+
+    Output: (src_key, final_key, hops, status) with status in
+    ``ok`` (chain fully resolved), ``cycle`` (target already
+    visited), ``too_many_hops`` (an outgoing edge remains after
+    *max_hops*)."""
+    m = mapping.select(
+        F.col(src_col).alias("_ms"), F.col(dst_col).alias("_md")
+    )
+    df = (
+        starts.select(F.col(key_col))
+        .distinct()
+        .select(
+            F.col(key_col).alias("src_key"),
+            F.col(key_col).alias("final_key"),
+            F.lit(0).alias("hops"),
+            F.array(F.col(key_col)).alias("_seen"),
+            F.lit("ok").alias("status"),
+        )
+    )
+    for _ in range(max_hops):
+        j = df.join(
+            m,
+            (F.col("final_key") == F.col("_ms"))
+            & (F.col("status") == "ok"),
+            "left",
+        )
+        step = F.col("_md")
+        cyc = step.isNotNull() & F.array_contains(F.col("_seen"), step)
+        fwd = step.isNotNull() & ~cyc
+        df = j.select(
+            "src_key",
+            F.when(fwd, step).otherwise(F.col("final_key")).alias(
+                "final_key"
+            ),
+            F.when(fwd, F.col("hops") + 1)
+            .otherwise(F.col("hops"))
+            .alias("hops"),
+            F.when(fwd, F.array_append(F.col("_seen"), step))
+            .otherwise(F.col("_seen"))
+            .alias("_seen"),
+            F.when(cyc, F.lit("cycle"))
+            .otherwise(F.col("status"))
+            .alias("status"),
+        )
+    j = df.join(
+        m,
+        (F.col("final_key") == F.col("_ms")) & (F.col("status") == "ok"),
+        "left",
+    )
+    return j.select(
+        "src_key",
+        "final_key",
+        "hops",
+        F.when(F.col("_md").isNotNull(), F.lit("too_many_hops"))
+        .otherwise(F.col("status"))
+        .alias("status"),
+    )
+
+
 def robots_gate(
     cands: DataFrame,
     rules: DataFrame,

@@ -11771,6 +11771,328 @@ FROM ragg
 """
 
 
+def _directive_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`_crawl_pages` with page-level indexing directives
+    injected (synthesize_directives: meta robots + rel=canonical) —
+    the shared stage-0 of the directive family, materialized for the
+    same CollapseProject reasons. Kept SEPARATE from _crawl_pages so
+    the link/extract oracles keep their directive-free payload."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        synthesize_directives,
+        synthesize_html,
+        url_canonicalize,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    pages = synthesize_directives(synthesize_html(docs)).withColumn(
+        "url", _crawl_url_expr()
+    )
+    return url_canonicalize(pages).localCheckpoint(eager=True)
+
+
+def q_meta_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots meta directives (the HTML complement of the
+    robots.txt gate a crawler honors AFTER fetching): per page, the
+    parsed ``<meta name=robots>`` content and the OR-combined
+    noindex / nofollow flags (``none`` ≡ both; ``all`` asserts
+    nothing; quote/case variants planted by the fixture). The oracle
+    derives every directive arithmetically from doc_id — a parse or
+    token-combination bug fails the hash."""
+    from etl_finance_pipeline_spark.operators.corpus import meta_robots
+
+    out = meta_robots(_directive_pages(spark, sf_dir))
+    return out.select("doc_id", "robots_content", "noindex", "nofollow_meta")
+
+
+SQL_META_ROBOTS_AUDIT = """
+SELECT doc_id,
+  CASE WHEN doc_id % 23 = 7 THEN 'none'
+       WHEN doc_id % 11 = 4 THEN 'noindex'
+       WHEN doc_id % 13 = 6 THEN 'nofollow, noarchive'
+       WHEN doc_id % 19 = 3 THEN 'all' END AS robots_content,
+  (doc_id % 23 = 7 OR doc_id % 11 = 4) AS noindex,
+  (doc_id % 23 = 7
+   OR (doc_id % 23 <> 7 AND doc_id % 11 <> 4 AND doc_id % 13 = 6))
+    AS nofollow_meta
+FROM documents
+"""
+
+
+def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-identity collapse (RFC 6596): each page's declared
+    ``<link rel=canonical>`` target — resolved through the same
+    RFC 3986 chain as link extraction, then reduced to the SURT-style
+    identity key — overrides its own snapshot key, and pages group by
+    that canonical identity (the dedup signal that folds syndicated
+    copies and decorated variants onto one indexed page). Pages
+    declaring nothing are self-canonical. One groupBy on the key —
+    the same shuffle shape as URL dedup at 100 TB.
+
+    Output: (canonical_key, n_pages, n_declared, representative)."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        canonical_links,
+    )
+
+    pages = _directive_pages(spark, sf_dir)
+    decl = canonical_links(pages).select(
+        "doc_id",
+        F.lower(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("link_url"), r"^[a-z][a-z0-9+.\-]*://", ""
+                ),
+                r"^www\.",
+                "",
+            )
+        ).alias("_ck"),
+    )
+    keyed = (
+        pages.select("doc_id", "url_key")
+        .join(decl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_ck"), F.col("url_key")).alias(
+                "canonical_key"
+            ),
+            F.col("_ck").isNotNull().alias("_declared"),
+        )
+    )
+    return keyed.groupBy("canonical_key").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum(F.col("_declared").cast("long")).alias("n_declared"),
+        F.min("doc_id").alias("representative"),
+    )
+
+
+SQL_CANONICAL_COLLAPSE = f"""
+WITH {_CRAWL_URLS_CTE},
+{_url_canon_ctes("curls", "doc_id", "cx")},
+ckeys AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 6 = 2 THEN
+        'src' || CAST(doc_id % 20 AS VARCHAR) || '.com/a.b/'
+        || CAST(((doc_id % 100) * 3 + 7) % 100 AS VARCHAR)
+      WHEN doc_id % 6 = 5 THEN
+        (CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END)
+        || 'src' || CAST(doc_id % 20 AS VARCHAR) || '.com'
+        || (CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END)
+        || '/canon/' || CAST(doc_id % 50 AS VARCHAR)
+      ELSE url_key END AS canonical_key,
+    (doc_id % 6 = 2 OR doc_id % 6 = 5) AS declared
+  FROM cxcanon
+)
+SELECT canonical_key, CAST(count(*) AS BIGINT) AS n_pages,
+  CAST(sum(CASE WHEN declared THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_declared,
+  min(doc_id) AS representative
+FROM ckeys GROUP BY 1
+"""
+
+
+def q_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-admission funnel — the directive stack between
+    "fetched" and "indexed" applied in the order a search/crawl
+    pipeline applies it: robots.txt verdict on the page's OWN key
+    (site-level), then meta-robots noindex (page-level), then
+    canonical-self (pages deferring to another canonical are not
+    indexed under their fetch key). Single-row cumulative census.
+    Output: (n_crawled, n_robots_allowed, n_not_noindex,
+    n_canonical_self)."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        canonical_links,
+        meta_robots,
+        robots_gate,
+        robots_rules,
+        synthesize_robots,
+    )
+
+    pages = meta_robots(_directive_pages(spark, sf_dir))
+    decl = canonical_links(pages).select(
+        "doc_id", F.lit(True).alias("_declared")
+    )
+    cand = pages.select("url_key").distinct()
+    hosts = cand.select(
+        F.regexp_extract(F.col("url_key"), r"^([^/]*)", 1).alias("host")
+    ).distinct()
+    rules = robots_rules(synthesize_robots(hosts))
+    verdicts = robots_gate(cand, rules).select("url_key", "allowed")
+    pg = (
+        pages.select("doc_id", "url_key", "noindex")
+        .join(decl, "doc_id", "left")
+        .join(verdicts, "url_key")
+    )
+    ok1 = F.col("allowed")
+    ok2 = ok1 & ~F.col("noindex")
+    ok3 = ok2 & F.col("_declared").isNull()
+    return pg.agg(
+        F.count("*").cast("long").alias("n_crawled"),
+        F.sum(ok1.cast("long")).alias("n_robots_allowed"),
+        F.sum(ok2.cast("long")).alias("n_not_noindex"),
+        F.sum(ok3.cast("long")).alias("n_canonical_self"),
+    )
+
+
+SQL_INDEX_GATE = """
+SELECT CAST(count(*) AS BIGINT) AS n_crawled,
+  CAST(sum(CASE WHEN doc_id % 20 <> 7 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_robots_allowed,
+  CAST(sum(CASE WHEN doc_id % 20 <> 7
+        AND NOT (doc_id % 23 = 7 OR doc_id % 11 = 4)
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_not_noindex,
+  CAST(sum(CASE WHEN doc_id % 20 <> 7
+        AND NOT (doc_id % 23 = 7 OR doc_id % 11 = 4)
+        AND doc_id % 6 <> 2 AND doc_id % 6 <> 5
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical_self
+FROM documents
+"""
+
+
+def q_edge_gate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-edge admission census — BOTH nofollow gates the link
+    graph applies before authority flows: per-link ``rel=nofollow``
+    (paid placements) and page-level ``<meta name=robots
+    content=nofollow>`` (ALL outlinks of the page dropped). The meta
+    flags ride the same page scan as the anchor parse (no join).
+    Output one row: (n_edges, n_rel_nofollow, n_meta_nofollow,
+    n_ranked) with n_ranked = external ∧ neither gate."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        anchor_texts,
+        meta_robots,
+    )
+
+    a = anchor_texts(meta_robots(_directive_pages(spark, sf_dir)))
+    ranked = (
+        F.col("is_external") & ~F.col("nofollow") & ~F.col("nofollow_meta")
+    )
+    return a.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(F.col("nofollow").cast("long")).alias("n_rel_nofollow"),
+        F.sum(F.col("nofollow_meta").cast("long")).alias(
+            "n_meta_nofollow"
+        ),
+        F.sum(ranked.cast("long")).alias("n_ranked"),
+    )
+
+
+SQL_EDGE_GATE_CENSUS = f"""
+WITH {_ANCHOR_CTE},
+ag AS (
+  SELECT aall.*,
+    (doc_id % 23 = 7
+     OR (doc_id % 23 <> 7 AND doc_id % 11 <> 4 AND doc_id % 13 = 6))
+      AS mnf
+  FROM aall
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+  CAST(sum(CASE WHEN nofollow THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_rel_nofollow,
+  CAST(sum(CASE WHEN mnf THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_meta_nofollow,
+  CAST(sum(CASE WHEN is_external AND NOT nofollow AND NOT mnf
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_ranked
+FROM ag
+"""
+
+
+def _redirect_key(k, p):
+    return F.concat(
+        F.lit("src"),
+        k.cast("string"),
+        F.lit(".com/a.b/"),
+        p.cast("string"),
+    )
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution over the crawl's clean page-identity
+    space (operators/corpus.py:redirect_resolve): a synthesized
+    (src → dst) redirect relation — page p redirects (on every host)
+    iff 3p % 7 = 2, to page (7k+3) % 100 on host (k+p+1) % 20 — is
+    chased from every crawled identity through ≤ 4 bounded hops with
+    per-row visited-set cycle detection and explicit terminal status
+    (ok / cycle / too_many_hops), the fetch-log post-processing that
+    keys frontier, dedup, and rank on the page that actually serves
+    content. Each hop is one key-partitioned equi-join; the oracle
+    unrolls the identical four hops in SQL."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        redirect_resolve,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    starts = docs.select(
+        _redirect_key(F.col("doc_id") % 20, F.col("doc_id") % 100).alias(
+            "url_key"
+        )
+    )
+    k, p = F.col("k"), F.col("p")
+    grid = (
+        spark.range(20)
+        .select(F.col("id").alias("k"))
+        .select("k", F.explode(F.sequence(F.lit(0), F.lit(99))).alias("p"))
+    )
+    mapping = grid.filter((p * 3) % 7 == 2).select(
+        _redirect_key(k, p).alias("src"),
+        _redirect_key((k + p + 1) % 20, (k * 7 + 3) % 100).alias("dst"),
+    )
+    return redirect_resolve(starts, mapping)
+
+
+def _sql_redirect_hops(n: int) -> str:
+    """The n unrolled hop CTEs of the redirect-resolution oracle —
+    h{i} advances every still-``ok`` row one edge, mirroring the
+    engine's join-per-hop exactly (cycle check BEFORE the step)."""
+    parts = []
+    for i in range(1, n + 1):
+        parts.append(f"""h{i} AS (
+  SELECT src_key,
+    CASE WHEN d IS NOT NULL AND NOT cyc THEN d ELSE f END AS f,
+    CASE WHEN d IS NOT NULL AND NOT cyc THEN hops + 1 ELSE hops END
+      AS hops,
+    CASE WHEN cyc THEN 'cycle' ELSE status END AS status,
+    CASE WHEN d IS NOT NULL AND NOT cyc THEN list_append(seen, d)
+         ELSE seen END AS seen
+  FROM (
+    SELECT h.*, m.dst AS d,
+      (m.dst IS NOT NULL AND list_contains(h.seen, m.dst)) AS cyc
+    FROM h{i - 1} h LEFT JOIN rmap m
+      ON h.status = 'ok' AND h.f = m.src
+  )
+)""")
+    return ",\n".join(parts)
+
+
+SQL_REDIRECT_RESOLVE = f"""
+WITH rgrid AS (
+  SELECT g1.range AS k, g2.range AS p
+  FROM range(0, 20) g1 CROSS JOIN range(0, 100) g2
+),
+rmap AS (
+  SELECT 'src' || CAST(k AS VARCHAR) || '.com/a.b/'
+           || CAST(p AS VARCHAR) AS src,
+         'src' || CAST((k + p + 1) % 20 AS VARCHAR) || '.com/a.b/'
+           || CAST((k * 7 + 3) % 100 AS VARCHAR) AS dst
+  FROM rgrid WHERE (p * 3) % 7 = 2
+),
+rstart AS (
+  SELECT DISTINCT
+    'src' || CAST(doc_id % 20 AS VARCHAR) || '.com/a.b/'
+    || CAST(doc_id % 100 AS VARCHAR) AS k0
+  FROM documents
+),
+h0 AS (
+  SELECT k0 AS src_key, k0 AS f, 0 AS hops, 'ok' AS status,
+         [k0] AS seen
+  FROM rstart
+),
+{_sql_redirect_hops(4)}
+SELECT r.src_key, r.f AS final_key, CAST(r.hops AS INT) AS hops,
+  CASE WHEN m.dst IS NOT NULL AND r.status = 'ok'
+       THEN 'too_many_hops' ELSE r.status END AS status
+FROM h4 r LEFT JOIN rmap m ON r.status = 'ok' AND r.f = m.src
+"""
+
+
 def q_link_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 3986 dot-segment + query-only resolution, oracle-pinned
     (round-12 verdict item 4): pages planted with every relative
@@ -16377,6 +16699,11 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_extract": q_sitemap_extract,
     "frontier_merge": q_frontier_merge,
     "recrawl_priority": q_recrawl_priority,
+    "meta_robots_audit": q_meta_robots_audit,
+    "canonical_collapse": q_canonical_collapse,
+    "index_gate": q_index_gate,
+    "edge_gate_census": q_edge_gate_census,
+    "redirect_resolve": q_redirect_resolve,
     "robots_gate": q_robots_gate,
     "frontier_schedule": q_frontier_schedule,
     "crawl_funnel": q_crawl_funnel,
@@ -16613,6 +16940,11 @@ ORACLES_TD: dict[str, str] = {
     "sitemap_extract": SQL_SITEMAP_EXTRACT,
     "frontier_merge": SQL_FRONTIER_MERGE,
     "recrawl_priority": SQL_RECRAWL_PRIORITY,
+    "meta_robots_audit": SQL_META_ROBOTS_AUDIT,
+    "canonical_collapse": SQL_CANONICAL_COLLAPSE,
+    "index_gate": SQL_INDEX_GATE,
+    "edge_gate_census": SQL_EDGE_GATE_CENSUS,
+    "redirect_resolve": SQL_REDIRECT_RESOLVE,
     "robots_gate": SQL_ROBOTS_GATE,
     "frontier_schedule": SQL_FRONTIER_SCHEDULE,
     "crawl_funnel": SQL_CRAWL_FUNNEL,

@@ -1701,6 +1701,90 @@ def test_sitemap_parse_hand_built(spark):
     }
 
 
+def test_meta_robots_hand_built(spark):
+    """Meta-robots parse on hand-built markup: quote/case variants,
+    bare name, multiple elements OR-combined, 'none' expanding to
+    both flags, 'all' asserting nothing, ws inside the token list."""
+    from etl_finance_pipeline_spark.operators.corpus import meta_robots
+
+    rows = [
+        (0, '<head><meta name="robots" content="noindex , nofollow"></head>'),
+        (1, "<head><meta name='ROBOTS' content='NONE'></head>"),
+        (2, '<head><meta name=robots content="all"></head>'),
+        (3, '<head><meta name="robots" content="noindex">'
+            '<meta name="robots" content="nofollow"></head>'),
+        (4, '<head><meta name="viewport" content="width=1"></head>'),
+        (5, "<head></head>"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    got = {
+        r["doc_id"]: (r["robots_content"], r["noindex"], r["nofollow_meta"])
+        for r in meta_robots(df).collect()
+    }
+    assert got == {
+        0: ("noindex , nofollow", True, True),
+        1: ("none", True, True),
+        2: ("all", False, False),
+        3: ("noindex", True, True),
+        4: (None, False, False),
+        5: (None, False, False),
+    }
+
+
+def test_canonical_links_hand_built(spark):
+    """Canonical-link extraction: first declaration wins, relative
+    hrefs resolve against the page URL, rel-after-href attribute
+    order accepted, non-declaring pages dropped."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        canonical_links,
+    )
+
+    rows = [
+        (0, '<link rel="canonical" href="https://b.com/x">'
+            '<link rel="canonical" href="https://c.com/y">',
+         "https://a.com/d/p"),
+        (1, "<link href='/clean' rel='canonical'>", "https://a.com/d/p"),
+        (2, '<link rel="stylesheet" href="/s.css">', "https://a.com/d/p"),
+        (3, "", "https://a.com/d/p"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html", "url_canon"])
+    got = {
+        r["doc_id"]: r["link_url"]
+        for r in canonical_links(df).collect()
+    }
+    assert got == {0: "https://b.com/x", 1: "https://a.com/clean"}
+
+
+def test_redirect_resolve_cycle_and_hop_limit(spark):
+    """Hand-built redirect graph: a 2-cycle flagged 'cycle', a chain
+    longer than max_hops flagged 'too_many_hops' with the partial
+    target kept, a clean chain resolved with its hop count."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        redirect_resolve,
+    )
+
+    mapping = spark.createDataFrame(
+        [("a", "b"), ("b", "a"),
+         ("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c4", "c5"),
+         ("c5", "c6"),
+         ("d", "e")],
+        ["src", "dst"],
+    )
+    starts = spark.createDataFrame(
+        [("a",), ("c1",), ("d",), ("z",)], ["url_key"]
+    )
+    got = {
+        r["src_key"]: (r["final_key"], r["hops"], r["status"])
+        for r in redirect_resolve(starts, mapping, max_hops=4).collect()
+    }
+    assert got == {
+        "a": ("b", 1, "cycle"),
+        "c1": ("c5", 4, "too_many_hops"),
+        "d": ("e", 1, "ok"),
+        "z": ("z", 0, "ok"),
+    }
+
+
 def test_html_extract_drops_boilerplate_keeps_prose(spark):
     from etl_finance_pipeline_spark.operators.corpus import (
         html_extract,
