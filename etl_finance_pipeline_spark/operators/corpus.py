@@ -1094,9 +1094,12 @@ def synthesize_directives(
     so the parser is actually exercised) and ``<link rel=canonical>``
     (RFC 6596; absolute for ``id % 6 == 2`` pointing at page group
     ``(id%100·3+7)%100`` on the page's own registrable host,
-    root-relative ``/canon/{id%50}`` for ``id % 6 == 5``). Every byte
-    is a function of *id_col*, so the DuckDB oracle derives each
-    directive arithmetically."""
+    root-relative ``/canon/{id%50}`` for ``id % 6 == 5``), plus
+    hreflang alternate clusters (``id % 4 == 1`` declares
+    ``id%3 + 2`` language variants ``en/de/fr/es`` with BOTH
+    attribute orders, the multilingual variant graph bitext curation
+    mines). Every byte is a function of *id_col*, so the DuckDB
+    oracle derives each directive arithmetically."""
     d = F.col(id_col)
     content = (
         F.when(d % 23 == 7, F.lit("none"))
@@ -1135,12 +1138,50 @@ def synthesize_directives(
         href.isNotNull(),
         F.concat(F.lit('<link rel="canonical" href="'), href, F.lit('">')),
     ).otherwise(F.lit(""))
+    lang = lambda j: F.element_at(  # noqa: E731
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es")),
+        (j + 1).cast("int"),
+    )
+    alt_href = lambda j: F.concat(  # noqa: E731
+        F.lit("https://src"),
+        (d % 20).cast("string"),
+        F.lit(".com/"),
+        lang(j),
+        F.lit("/a.b/"),
+        (d % 100).cast("string"),
+    )
+    alt = lambda j: F.when(  # noqa: E731
+        j % 2 == 0,
+        F.concat(
+            F.lit('<link rel="alternate" hreflang="'),
+            lang(j),
+            F.lit('" href="'),
+            alt_href(j),
+            F.lit('">'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<link hreflang='"),
+            lang(j),
+            F.lit("' href='"),
+            alt_href(j),
+            F.lit("' rel='alternate'>"),
+        )
+    )
+    alts = F.when(
+        d % 4 == 1,
+        F.aggregate(
+            F.sequence(F.lit(0), d % 3 + 1),
+            F.lit(""),
+            lambda acc, j: F.concat(acc, alt(j)),
+        ),
+    ).otherwise(F.lit(""))
     return df.withColumn(
         html_col,
         F.regexp_replace(
             F.col(html_col),
             F.lit("^<html><head>"),
-            F.concat(F.lit("<html><head>"), meta, link),
+            F.concat(F.lit("<html><head>"), meta, link, alts),
         ),
     )
 
@@ -1210,6 +1251,46 @@ def canonical_links(
         1,
     )
     return _explode_resolved(df, arr, url_col, levels, ())
+
+
+#: a <link rel=alternate> element (group 0) — rel may precede or
+#: follow the other attributes
+_ALTERNATE_EL_RE = (
+    "(?is)<link\\s[^>]*rel\\s*=\\s*"
+    "(?:\"alternate\"|'alternate'|alternate[\\s>])[^>]*>"
+)
+
+
+def hreflang_links(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Extract hreflang alternate declarations (``<link
+    rel=alternate hreflang=…>``) — the page-declared multilingual
+    variant graph: the language-version clusters bitext curation
+    mines for parallel-document candidates and multilingual balancing
+    uses for per-language accounting. Elements lacking an hreflang
+    attribute (feeds, alternate stylesheets) are dropped. Regexp +
+    one explode riding the page scan — same shape as the anchor
+    parse, zero shuffles.
+
+    Output: input columns + (hreflang — lowercased BCP 47 tag —
+    href), one row per declaration; non-declaring pages are
+    dropped."""
+    els = F.regexp_extract_all(F.col(html_col), F.lit(_ALTERNATE_EL_RE), 0)
+    arr = F.filter(
+        F.transform(
+            els,
+            lambda m: F.struct(
+                F.lower(_attr_value(m, "hreflang")).alias("hreflang"),
+                _attr_value(m, "href").alias("href"),
+            ),
+        ),
+        lambda s: (s["hreflang"] != "") & (s["href"] != ""),
+    )
+    out = df.withColumn("_alt", F.explode(arr))
+    return out.select(
+        *df.columns,
+        F.col("_alt")["hreflang"].alias("hreflang"),
+        F.col("_alt")["href"].alias("href"),
+    )
 
 
 def redirect_resolve(

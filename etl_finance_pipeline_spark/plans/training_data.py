@@ -12093,6 +12093,206 @@ FROM h4 r LEFT JOIN rmap m ON r.status = 'ok' AND r.f = m.src
 """
 
 
+def q_hreflang_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hreflang alternate extraction — the page-declared multilingual
+    variant graph (``<link rel=alternate hreflang=…>``, both
+    attribute orders planted): per declaring page, every (language,
+    target) pair. The clusters are the parallel-document candidates
+    bitext mining consumes and the per-language ledger multilingual
+    balancing weighs. Oracle enumerates the declarations
+    arithmetically from doc_id."""
+    from etl_finance_pipeline_spark.operators.corpus import hreflang_links
+
+    out = hreflang_links(_directive_pages(spark, sf_dir))
+    return out.select("doc_id", "hreflang", "href")
+
+
+SQL_HREFLANG_EXTRACT = """
+SELECT doc_id,
+  CASE j WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+         ELSE 'es' END AS hreflang,
+  'https://src' || CAST(doc_id % 20 AS VARCHAR) || '.com/'
+    || (CASE j WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+        ELSE 'es' END)
+    || '/a.b/' || CAST(doc_id % 100 AS VARCHAR) AS href
+FROM (
+  SELECT doc_id, unnest(range(0, doc_id % 3 + 2)) AS j
+  FROM documents WHERE doc_id % 4 = 1
+)
+"""
+
+
+def q_hreflang_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language census of the hreflang variant graph — the
+    multilingual-coverage ledger (how many pages declare a variant in
+    each language, how many distinct targets that maps to): one
+    map-combinable aggregate over the extraction. Output:
+    (hreflang, n_pages, n_targets)."""
+    from etl_finance_pipeline_spark.operators.corpus import hreflang_links
+
+    out = hreflang_links(_directive_pages(spark, sf_dir))
+    return out.groupBy("hreflang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_pages"),
+        F.countDistinct("href").cast("long").alias("n_targets"),
+    )
+
+
+SQL_HREFLANG_CENSUS = f"""
+WITH hx AS ({SQL_HREFLANG_EXTRACT})
+SELECT hreflang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT href) AS BIGINT) AS n_targets
+FROM hx GROUP BY 1
+"""
+
+
+def q_revisit_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-refetch accounting over the snapshot log — the
+    WARC ``revisit``-record economics (how much fetch bandwidth
+    If-None-Match/ETag would have saved): per canonical page, order
+    the refetches by event time and count the ones whose content
+    fingerprint (sha-256 of the body) equals the PREVIOUS fetch's —
+    those are the 304-eligible revisits. One window over the
+    canonicalized log (partitioned by the page key — the same
+    partitioning the dedup lanes shuffle on) + one map-combinable
+    aggregate. Output: (url_key, n_snapshots, n_unchanged,
+    revisit_ratio)."""
+    from etl_finance_pipeline_spark.functions.scalar import (
+        portable_round,
+    )
+    from etl_finance_pipeline_spark.operators.corpus import (
+        url_canonicalize,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    log = url_canonicalize(
+        docs.select(
+            "doc_id",
+            "source",
+            "text",
+            _crawl_url_expr().alias("url"),
+            (F.col("doc_id") % 360).cast("long").alias("ev_min"),
+        )
+    ).withColumn("fp", F.sha2(F.col("text"), 256))
+    w = Window.partitionBy("url_key").orderBy("ev_min", "doc_id")
+    unchanged = (F.lag("fp").over(w) == F.col("fp")).cast("long")
+    per = log.withColumn("_u", F.coalesce(unchanged, F.lit(0)))
+    return per.groupBy("url_key").agg(
+        F.count("*").cast("long").alias("n_snapshots"),
+        F.sum("_u").alias("n_unchanged"),
+        portable_round(
+            F.sum("_u") / F.count("*"), 6
+        ).alias("revisit_ratio"),
+    )
+
+
+SQL_REVISIT_CENSUS = f"""
+WITH {_CRAWL_URLS_CTE},
+{_url_canon_ctes("curls", "doc_id", "rv")},
+rlog AS (
+  SELECT c.doc_id, c.url_key, c.doc_id % 360 AS ev_min,
+         sha256(d.text) AS fp
+  FROM rvcanon c JOIN documents d ON c.doc_id = d.doc_id
+),
+rmark AS (
+  SELECT url_key,
+    CASE WHEN lag(fp) OVER (PARTITION BY url_key
+           ORDER BY ev_min, doc_id) = fp THEN 1 ELSE 0 END AS u
+  FROM rlog
+)
+SELECT url_key, CAST(count(*) AS BIGINT) AS n_snapshots,
+  CAST(sum(u) AS BIGINT) AS n_unchanged,
+  floor(sum(u) * 1.0 / count(*) * 1000000 + 0.5) / 1000000
+    AS revisit_ratio
+FROM rmark GROUP BY 1
+"""
+
+
+def q_stream_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-admission verdicts ON THE INGEST STREAM — per-page
+    directive evaluation as pages arrive: file-stream → synthesize →
+    canonicalize → meta-robots parse → canonical detection, with the
+    robots.txt verdict supplied by a STATIC control-plane frame
+    (robots caches are exactly that in production crawlers) via a
+    stateless stream-static equi-join. Append mode, no watermark, no
+    state store. Oracle derives every verdict arithmetically.
+
+    Output per page: (doc_id, allowed, noindex, declared_canonical,
+    indexable)."""
+    import uuid
+
+    from etl_finance_pipeline_spark.operators.corpus import (
+        _CANONICAL_EL_RE,
+        meta_robots,
+        robots_gate,
+        robots_rules,
+        synthesize_directives,
+        synthesize_html,
+        synthesize_robots,
+        url_canonicalize,
+    )
+    from etl_finance_pipeline_spark.sources.tables import ensure_nanos_conf
+
+    spark = _narrow_session(spark, _stream_fanout_width(spark, cap=8))
+    ensure_nanos_conf(spark)
+    path = _t(sf_dir, "documents")
+    # control plane: robots verdicts per crawled key, derived batch-side
+    batch_pages = _directive_pages(spark, sf_dir)
+    cand = batch_pages.select("url_key").distinct()
+    hosts = cand.select(
+        F.regexp_extract(F.col("url_key"), r"^([^/]*)", 1).alias("host")
+    ).distinct()
+    rules = robots_rules(synthesize_robots(hosts))
+    verdicts = (
+        robots_gate(cand, rules)
+        .select("url_key", "allowed")
+        .localCheckpoint(eager=True)
+    )
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
+    pages = url_canonicalize(
+        synthesize_directives(synthesize_html(stream)).withColumn(
+            "url", _crawl_url_expr()
+        )
+    )
+    flagged = meta_robots(pages).withColumn(
+        "declared_canonical",
+        F.col("html").rlike(_CANONICAL_EL_RE),
+    )
+    out = flagged.join(verdicts, "url_key").select(
+        "doc_id",
+        "allowed",
+        "noindex",
+        "declared_canonical",
+        (
+            F.col("allowed")
+            & ~F.col("noindex")
+            & ~F.col("declared_canonical")
+        ).alias("indexable"),
+    )
+    name = f"stream_idxgate_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.table(name)
+
+
+SQL_STREAM_INDEX_GATE = """
+SELECT doc_id,
+  (doc_id % 20 <> 7) AS allowed,
+  (doc_id % 23 = 7 OR doc_id % 11 = 4) AS noindex,
+  (doc_id % 6 = 2 OR doc_id % 6 = 5) AS declared_canonical,
+  (doc_id % 20 <> 7
+   AND NOT (doc_id % 23 = 7 OR doc_id % 11 = 4)
+   AND doc_id % 6 <> 2 AND doc_id % 6 <> 5) AS indexable
+FROM documents
+"""
+
+
 def q_link_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 3986 dot-segment + query-only resolution, oracle-pinned
     (round-12 verdict item 4): pages planted with every relative
@@ -16699,6 +16899,10 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_extract": q_sitemap_extract,
     "frontier_merge": q_frontier_merge,
     "recrawl_priority": q_recrawl_priority,
+    "hreflang_extract": q_hreflang_extract,
+    "hreflang_census": q_hreflang_census,
+    "revisit_census": q_revisit_census,
+    "stream_index_gate": q_stream_index_gate,
     "meta_robots_audit": q_meta_robots_audit,
     "canonical_collapse": q_canonical_collapse,
     "index_gate": q_index_gate,
@@ -16940,6 +17144,10 @@ ORACLES_TD: dict[str, str] = {
     "sitemap_extract": SQL_SITEMAP_EXTRACT,
     "frontier_merge": SQL_FRONTIER_MERGE,
     "recrawl_priority": SQL_RECRAWL_PRIORITY,
+    "hreflang_extract": SQL_HREFLANG_EXTRACT,
+    "hreflang_census": SQL_HREFLANG_CENSUS,
+    "revisit_census": SQL_REVISIT_CENSUS,
+    "stream_index_gate": SQL_STREAM_INDEX_GATE,
     "meta_robots_audit": SQL_META_ROBOTS_AUDIT,
     "canonical_collapse": SQL_CANONICAL_COLLAPSE,
     "index_gate": SQL_INDEX_GATE,

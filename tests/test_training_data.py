@@ -1755,6 +1755,31 @@ def test_canonical_links_hand_built(spark):
     assert got == {0: "https://b.com/x", 1: "https://a.com/clean"}
 
 
+def test_hreflang_links_hand_built(spark):
+    """Hreflang extraction: both attribute orders, case-folded tags,
+    alternates WITHOUT hreflang (feeds) dropped, non-declaring pages
+    dropped."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        hreflang_links,
+    )
+
+    rows = [
+        (0, '<link rel="alternate" hreflang="EN-us" href="https://a.com/en">'
+            "<link hreflang='de' href='https://a.com/de' rel='alternate'>"
+            '<link rel="alternate" type="application/rss+xml" href="/feed">'),
+        (1, '<link rel="stylesheet" href="/s.css">'),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    got = {
+        (r["doc_id"], r["hreflang"]): r["href"]
+        for r in hreflang_links(df).collect()
+    }
+    assert got == {
+        (0, "en-us"): "https://a.com/en",
+        (0, "de"): "https://a.com/de",
+    }
+
+
 def test_redirect_resolve_cycle_and_hop_limit(spark):
     """Hand-built redirect graph: a 2-cycle flagged 'cycle', a chain
     longer than max_hops flagged 'too_many_hops' with the partial
