@@ -1054,11 +1054,96 @@ def sitemap_parse(
         ),
     )
     out = df.withColumn("_u", F.explode(arr))
+    keep = [c for c in df.columns if c != xml_col]
     return out.select(
-        F.col(host_col),
+        *keep,
         F.col("_u")["loc"].alias("loc"),
         F.col("_u")["lastmod_month"].alias("lastmod_month"),
     ).filter(F.col("loc") != "")
+
+
+#: one <sitemap> block inside a sitemapindex (group 0)
+_SITEMAP_REF_RE = "(?is)<sitemap>.*?</sitemap>"
+
+
+def synthesize_sitemap_index(
+    hosts: DataFrame, host_col: str = "host", out_col: str = "sitemap_index_xml"
+) -> DataFrame:
+    """Deterministic per-host sitemapindex payload (sitemaps.org
+    nesting — large sites shard their sitemap and publish an index of
+    the shards): host ``src{k}.com`` advertises two child sitemaps
+    ``/sitemap-{0,1}.xml``. Callers pre-filter to the index-publishing
+    hosts; every byte is a function of the host string."""
+    ref = lambda i: F.concat(  # noqa: E731
+        F.lit("<sitemap><loc>https://"),
+        F.col(host_col),
+        F.lit(f"/sitemap-{i}.xml</loc></sitemap>"),
+    )
+    body = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex>'),
+        ref(0),
+        ref(1),
+        F.lit("</sitemapindex>"),
+    )
+    return hosts.withColumn(out_col, body)
+
+
+def sitemap_index_parse(
+    df: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "sitemap_index_xml",
+) -> DataFrame:
+    """Parse a sitemapindex into per-child rows — the first level of
+    the (bounded, depth-2 per the sitemaps.org spec: an index may not
+    reference another index) recursive sitemap fetch. Same
+    generator-lambda + explode shape as :func:`sitemap_parse`.
+
+    Output: (*host_col*, child_loc)."""
+    arr = F.transform(
+        F.regexp_extract_all(F.col(xml_col), F.lit(_SITEMAP_REF_RE), 0),
+        lambda u: F.regexp_extract(u, r"(?is)<loc>(.*?)</loc>", 1),
+    )
+    return (
+        df.withColumn("child_loc", F.explode(arr))
+        .filter(F.col("child_loc") != "")
+        .select(F.col(host_col), F.col("child_loc"))
+    )
+
+
+def synthesize_child_sitemap(
+    children: DataFrame,
+    host_col: str = "host",
+    child_col: str = "child_loc",
+    out_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Deterministic child-sitemap payload for each (host, child)
+    pair the index advertised: shard i of host ``src{k}.com`` carries
+    ``k % 2 + 2`` entries, entry j at ``/sx/{(k*5 + i*3 + j) % 12}``
+    with lastmod month ``(k + i + j) % 12 + 1`` — the same ``<url>``
+    block shape :func:`sitemap_parse` consumes."""
+    k = F.regexp_extract(F.col(host_col), r"([0-9]+)", 1).cast("int")
+    i = F.regexp_extract(F.col(child_col), r"sitemap-([0-9]+)", 1).cast(
+        "int"
+    )
+    entry = lambda j: F.concat(  # noqa: E731
+        F.lit("<url><loc>https://"),
+        F.col(host_col),
+        F.lit("/sx/"),
+        ((k * 5 + i * 3 + j) % 12).cast("string"),
+        F.lit("</loc><lastmod>2026-"),
+        F.lpad(((k + i + j) % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-01</lastmod></url>"),
+    )
+    body = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.aggregate(
+            F.sequence(F.lit(0), k % 2 + 1),
+            F.lit(""),
+            lambda acc, j: F.concat(acc, entry(j)),
+        ),
+        F.lit("</urlset>"),
+    )
+    return children.withColumn(out_col, body)
 
 
 #: a <meta name=robots> element (group 0) — name quoted either way or
@@ -1251,6 +1336,37 @@ def canonical_links(
         1,
     )
     return _explode_resolved(df, arr, url_col, levels, ())
+
+
+#: soft-404 phrase heuristic — shared verbatim with the DuckDB twin
+SOFT404_RE = (
+    "(?i)(404|page not found|not found|does not exist|"
+    "no longer available|nothing here)"
+)
+
+
+def soft404_flag(
+    df: DataFrame, text_col: str = "text", short_chars: int = 150
+) -> DataFrame:
+    """Soft-404 detection over EXTRACTED page text — the error pages
+    served with HTTP 200 that a status-code filter can't catch (the
+    Bar-Yossef et al. problem): the standard two-signal heuristic —
+    an error phrase (``SOFT404_RE``) AND a short body (error pages
+    are terse; *short_chars* sits between the planted error template
+    and the fixture's text-length floor). Soft-404s are crawl noise
+    the corpus funnel must drop and the frontier should stop
+    refetching. Pure narrow map riding the extraction scan.
+
+    Output: input columns + (body_chars, has_error_phrase, is_short,
+    is_soft404)."""
+    has = F.col(text_col).rlike(SOFT404_RE)
+    short = F.length(text_col) < short_chars
+    return (
+        df.withColumn("body_chars", F.length(text_col).cast("long"))
+        .withColumn("has_error_phrase", has)
+        .withColumn("is_short", short)
+        .withColumn("is_soft404", has & short)
+    )
 
 
 #: a <link rel=alternate> element (group 0) — rel may precede or

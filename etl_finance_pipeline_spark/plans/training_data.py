@@ -9776,9 +9776,10 @@ GROUP BY 1
 # HTML/markup text extraction (jusText-lite) — curation stage 0
 # --------------------------------------------------------------------
 
-def _html_pay_cte(p: str = "hx_pay") -> str:
+def _html_pay_cte(p: str = "hx_pay", src: str = "documents") -> str:
     """``{p}(doc_id, source, lang, html)``: the DuckDB twin of
-    synthesize_html over the documents fixture."""
+    synthesize_html over CTE/table *src* (which must expose doc_id,
+    source, lang, text)."""
     return f"""{p} AS (
   SELECT doc_id, source, lang,
     '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
@@ -9805,7 +9806,7 @@ def _html_pay_cte(p: str = "hx_pay") -> str:
     || '</div>'
     || '<footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> (c) 2026 example.com</footer></body></html>'
     AS html
-  FROM documents
+  FROM {src}
 )"""
 
 
@@ -11607,6 +11608,53 @@ SELECT DISTINCT host, url_key, lastmod_month FROM sml
 """
 
 
+def q_sitemap_index_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested sitemap ingestion — the sharded-sitemap shape large
+    sites publish (sitemaps.org: an index of child sitemaps, nesting
+    bounded at depth 2 by spec): index-publishing hosts (k % 4 == 0)
+    advertise two shards, each shard parses into its per-URL entries
+    with lastmod freshness hints. Index parse → child synthesis →
+    entry parse, all generator-lambda + explode, zero data-path
+    shuffles before the distinct. Oracle enumerates every
+    (host, shard, entry) arithmetically."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        sitemap_index_parse,
+        sitemap_parse,
+        synthesize_child_sitemap,
+        synthesize_sitemap_index,
+    )
+
+    _pages, _anchors, tkeys = _frontier_candidates(spark, sf_dir)
+    k = F.regexp_extract(F.col("host"), r"([0-9]+)", 1).cast("int")
+    hosts = tkeys.select("host").distinct().filter(k % 4 == 0)
+    children = sitemap_index_parse(synthesize_sitemap_index(hosts))
+    urls = sitemap_parse(synthesize_child_sitemap(children))
+    return urls.select(
+        "host", "child_loc", "loc", "lastmod_month"
+    ).distinct()
+
+
+SQL_SITEMAP_INDEX_EXTRACT = f"""
+WITH {_SITEMAP_CTE},
+smx AS (
+  SELECT host, CAST(regexp_extract(host, '([0-9]+)', 1) AS INT) AS k
+  FROM smh
+  WHERE CAST(regexp_extract(host, '([0-9]+)', 1) AS INT) % 4 = 0
+),
+smxi AS (SELECT host, k, unnest(range(0, 2)) AS i FROM smx),
+smxj AS (
+  SELECT host, k, i, unnest(range(0, k % 2 + 2)) AS j FROM smxi
+)
+SELECT DISTINCT host,
+  'https://' || host || '/sitemap-' || CAST(i AS VARCHAR) || '.xml'
+    AS child_loc,
+  'https://' || host || '/sx/'
+    || CAST((k * 5 + i * 3 + j) % 12 AS VARCHAR) AS loc,
+  CAST((k + i + j) % 12 + 1 AS INT) AS lastmod_month
+FROM smxj
+"""
+
+
 def q_frontier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The merged discovery frontier — link-derived targets and
     sitemap-advertised URLs unified on their canonical keys (real
@@ -12293,6 +12341,63 @@ FROM documents
 """
 
 
+#: the planted soft-404 body (no quotes — embedded in SQL literals)
+_SOFT404_TEXT = (
+    "404 Not Found. The page you requested does not exist "
+    "or is no longer available."
+)
+
+
+def q_soft404_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection — error pages served with HTTP 200
+    (operators/corpus.py:soft404_flag): pages ``doc_id % 31 == 9``
+    are synthesized with an error template INSTEAD of their fixture
+    prose, the jusText-lite extractor pulls the visible text, and the
+    two-signal heuristic (error phrase ∧ short body) flags them. The
+    oracle replays the byte-identical payload + extraction chain and
+    the same phrase regex, so both the synthesis substitution and the
+    detector are pinned end to end. Narrow map over the page scan —
+    zero shuffles."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        html_extract,
+        soft404_flag,
+        synthesize_html,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 31 == 9, F.lit(_SOFT404_TEXT)).otherwise(
+            F.col("text")
+        ),
+    )
+    out = soft404_flag(html_extract(synthesize_html(planted)))
+    return out.select(
+        "doc_id", "body_chars", "has_error_phrase", "is_short", "is_soft404"
+    )
+
+
+def _soft404_sql() -> str:
+    from etl_finance_pipeline_spark.operators.corpus import SOFT404_RE
+
+    return f"""
+WITH s4src AS (
+  SELECT doc_id, source, lang,
+    CASE WHEN doc_id % 31 = 9 THEN '{_SOFT404_TEXT}' ELSE text END
+      AS text
+  FROM documents
+),
+{_html_pay_cte("s4_pay", src="s4src")},
+{_html_extract_ctes("s4_pay", p="s4")}
+SELECT doc_id, CAST(length(text) AS BIGINT) AS body_chars,
+  regexp_matches(text, '{SOFT404_RE}') AS has_error_phrase,
+  (length(text) < 150) AS is_short,
+  (regexp_matches(text, '{SOFT404_RE}') AND length(text) < 150)
+    AS is_soft404
+FROM s4docs
+"""
+
+
 def q_link_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 3986 dot-segment + query-only resolution, oracle-pinned
     (round-12 verdict item 4): pages planted with every relative
@@ -12540,6 +12645,8 @@ SQL_HTML_EXTRACT = f"""
 WITH {_html_sql_ctes()}
 SELECT doc_id, text FROM hxdocs
 """
+
+SQL_SOFT404_AUDIT = _soft404_sql()
 
 
 def _table_page(docs: DataFrame) -> DataFrame:
@@ -16897,8 +17004,10 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pair_align_census": q_pair_align_census,
     "pair_hard_negatives": q_pair_hard_negatives,
     "sitemap_extract": q_sitemap_extract,
+    "sitemap_index_extract": q_sitemap_index_extract,
     "frontier_merge": q_frontier_merge,
     "recrawl_priority": q_recrawl_priority,
+    "soft404_audit": q_soft404_audit,
     "hreflang_extract": q_hreflang_extract,
     "hreflang_census": q_hreflang_census,
     "revisit_census": q_revisit_census,
@@ -17142,8 +17251,10 @@ ORACLES_TD: dict[str, str] = {
     "pair_align_census": SQL_PAIR_ALIGN_CENSUS,
     "pair_hard_negatives": SQL_PAIR_HARD_NEGATIVES,
     "sitemap_extract": SQL_SITEMAP_EXTRACT,
+    "sitemap_index_extract": SQL_SITEMAP_INDEX_EXTRACT,
     "frontier_merge": SQL_FRONTIER_MERGE,
     "recrawl_priority": SQL_RECRAWL_PRIORITY,
+    "soft404_audit": SQL_SOFT404_AUDIT,
     "hreflang_extract": SQL_HREFLANG_EXTRACT,
     "hreflang_census": SQL_HREFLANG_CENSUS,
     "revisit_census": SQL_REVISIT_CENSUS,

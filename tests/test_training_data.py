@@ -1755,6 +1755,48 @@ def test_canonical_links_hand_built(spark):
     assert got == {0: "https://b.com/x", 1: "https://a.com/clean"}
 
 
+def test_sitemap_index_parse_hand_built(spark):
+    """Sitemapindex parse: child refs extracted, empty locs dropped,
+    hosts without an index yield no rows."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        sitemap_index_parse,
+    )
+
+    xml = (
+        '<?xml version="1.0"?><sitemapindex>'
+        "<sitemap><loc>https://a.com/sitemap-0.xml</loc></sitemap>"
+        "<sitemap><loc></loc></sitemap>"
+        "<sitemap><loc>https://a.com/sitemap-1.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a.com", xml), ("b.com", "<sitemapindex></sitemapindex>")],
+        ["host", "sitemap_index_xml"],
+    )
+    got = {
+        (r["host"], r["child_loc"]) for r in sitemap_index_parse(df).collect()
+    }
+    assert got == {
+        ("a.com", "https://a.com/sitemap-0.xml"),
+        ("a.com", "https://a.com/sitemap-1.xml"),
+    }
+
+
+def test_soft404_flag_signals(spark):
+    """Soft-404 heuristic: phrase+short flags, phrase-but-long and
+    short-but-clean both pass."""
+    from etl_finance_pipeline_spark.operators.corpus import soft404_flag
+
+    rows = [
+        (0, "404 Not Found. Nothing here."),
+        (1, "page not found " + "x" * 200),
+        (2, "short clean page"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["is_soft404"] for r in soft404_flag(df).collect()}
+    assert got == {0: True, 1: False, 2: False}
+
+
 def test_hreflang_links_hand_built(spark):
     """Hreflang extraction: both attribute orders, case-folded tags,
     alternates WITHOUT hreflang (feeds) dropped, non-declaring pages
