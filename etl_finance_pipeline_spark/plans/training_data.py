@@ -12398,6 +12398,72 @@ FROM s4docs
 """
 
 
+def q_crawl_maintain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-crawl maintenance readout — one row unifying
+    the round's whole loop, each count produced by the REAL operator
+    chain it names (the composition twin of corpus_build_e2e, for the
+    crawl side): fetch log size → distinct canonical pages →
+    redirect-resolved identities that moved → 304-eligible refetches
+    (revisit accounting) → pages admitted to the index (robots ∧
+    ¬noindex ∧ canonical-self) → robots-allowed newly-discovered
+    frontier keys (links ∪ sitemaps) → pages due hot recrawl. Every
+    branch is a single-row aggregate crossJoined onto the readout —
+    driver state is seven scalars."""
+    n_fetches = (
+        load_table(spark, _t(sf_dir, "documents"))
+        .agg(F.count("*").cast("long").alias("n_fetches"))
+    )
+    rp = q_recrawl_priority(spark, sf_dir).localCheckpoint(eager=True)
+    n_pages = rp.agg(F.count("*").cast("long").alias("n_pages"))
+    n_redirected = (
+        q_redirect_resolve(spark, sf_dir)
+        .filter(F.col("hops") > 0)
+        .agg(F.count("*").cast("long").alias("n_redirected"))
+    )
+    n_not_modified = q_revisit_census(spark, sf_dir).agg(
+        F.sum("n_unchanged").cast("long").alias("n_not_modified")
+    )
+    n_indexable = q_index_gate(spark, sf_dir).select(
+        F.col("n_canonical_self").alias("n_indexable")
+    )
+    n_frontier_new = (
+        q_frontier_merge(spark, sf_dir)
+        .filter(F.col("allowed"))
+        .agg(F.count("*").cast("long").alias("n_frontier_new"))
+    )
+    n_recrawl_hot = rp.filter(F.col("tier") == "hot").agg(
+        F.count("*").cast("long").alias("n_recrawl_hot")
+    )
+    out = n_fetches
+    for piece in (
+        n_pages,
+        n_redirected,
+        n_not_modified,
+        n_indexable,
+        n_frontier_new,
+        n_recrawl_hot,
+    ):
+        out = out.crossJoin(piece)
+    return out
+
+
+SQL_CRAWL_MAINTAIN_E2E = f"""
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_fetches,
+  (SELECT CAST(count(*) AS BIGINT) FROM ({SQL_RECRAWL_PRIORITY}))
+    AS n_pages,
+  (SELECT CAST(count(*) AS BIGINT) FROM ({SQL_REDIRECT_RESOLVE})
+   WHERE hops > 0) AS n_redirected,
+  (SELECT CAST(sum(n_unchanged) AS BIGINT)
+   FROM ({SQL_REVISIT_CENSUS})) AS n_not_modified,
+  (SELECT n_canonical_self FROM ({SQL_INDEX_GATE})) AS n_indexable,
+  (SELECT CAST(count(*) AS BIGINT) FROM ({SQL_FRONTIER_MERGE})
+   WHERE allowed) AS n_frontier_new,
+  (SELECT CAST(count(*) AS BIGINT) FROM ({SQL_RECRAWL_PRIORITY})
+   WHERE tier = 'hot') AS n_recrawl_hot
+"""
+
+
 def q_link_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 3986 dot-segment + query-only resolution, oracle-pinned
     (round-12 verdict item 4): pages planted with every relative
@@ -17008,6 +17074,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_merge": q_frontier_merge,
     "recrawl_priority": q_recrawl_priority,
     "soft404_audit": q_soft404_audit,
+    "crawl_maintain_e2e": q_crawl_maintain_e2e,
     "hreflang_extract": q_hreflang_extract,
     "hreflang_census": q_hreflang_census,
     "revisit_census": q_revisit_census,
@@ -17255,6 +17322,7 @@ ORACLES_TD: dict[str, str] = {
     "frontier_merge": SQL_FRONTIER_MERGE,
     "recrawl_priority": SQL_RECRAWL_PRIORITY,
     "soft404_audit": SQL_SOFT404_AUDIT,
+    "crawl_maintain_e2e": SQL_CRAWL_MAINTAIN_E2E,
     "hreflang_extract": SQL_HREFLANG_EXTRACT,
     "hreflang_census": SQL_HREFLANG_CENSUS,
     "revisit_census": SQL_REVISIT_CENSUS,
