@@ -32,7 +32,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #: temporal joins, connected components. All registered queries are
 #: oracle-backed either way; this only chooses the documented subset.
 _SHOWCASE_FIRST = (
-    # round-13 new families
+    # round-13 late families: crawl maintenance + page-level directives
+    "crawl_maintain_e2e",  # the whole maintenance loop, one funnel row (round 13)
+    "meta_robots_audit",  # page-level noindex/nofollow directive parse (round 13)
+    "canonical_collapse",  # RFC 6596 canonical-identity dedup (round 13)
+    "index_gate",  # robots -> noindex -> canonical-self admission funnel (round 13)
+    "edge_gate_census",  # rel=nofollow + meta-nofollow ranking-edge gates (round 13)
+    "redirect_resolve",  # bounded redirect chains + cycle detection (round 13)
+    "hreflang_extract",  # multilingual alternate variant graph (round 13)
+    "hreflang_census",  # per-language variant ledger (round 13)
+    "revisit_census",  # 304-eligible refetch accounting (round 13)
+    "stream_index_gate",  # streaming directive verdicts + static robots cache (round 13)
+    "sitemap_extract",  # sitemap.xml per-URL ingestion (round 13)
+    "sitemap_index_extract",  # nested sitemapindex -> shard -> entries (round 13)
+    "frontier_merge",  # links (union) sitemaps discovery frontier (round 13)
+    "recrawl_priority",  # change-interval hot/warm/cold recrawl tiers (round 13)
+    "soft404_audit",  # error-page detection over extracted text (round 13)
+    # round-13 early families
     "link_resolve",  # RFC 3986 dot-segment + query-only resolution (round 13)
     "robots_gate",  # robots.txt longest-match politeness verdicts (round 13)
     "frontier_schedule",  # crawl-delay-budgeted polite fetch schedule (round 13)
