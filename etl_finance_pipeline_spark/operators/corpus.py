@@ -1416,6 +1416,7 @@ def redirect_resolve(
     src_col: str = "src",
     dst_col: str = "dst",
     max_hops: int = 4,
+    broadcast_map: bool = True,
 ) -> DataFrame:
     """Resolve HTTP redirect chains to their final target — the
     fetch-log post-processing every crawl runs so frontier, dedup,
@@ -1429,9 +1430,11 @@ def redirect_resolve(
     truncation.
 
     Scale shape: each hop is one equi-join keyed on the current
-    target — at 100 TB both sides partition by key; no iteration
-    state leaves the executors (the visited set is a ≤ *max_hops*
-    element array column).
+    target — *broadcast_map* (default) fits the common case where the
+    redirecting subset is control-plane-sized; pass ``False`` when
+    the map is fetch-log-sized and both sides should hash-partition
+    by key. No iteration state leaves the executors (the visited set
+    is a ≤ *max_hops* element array column).
 
     Output: (src_key, final_key, hops, status) with status in
     ``ok`` (chain fully resolved), ``cycle`` (target already
@@ -1440,6 +1443,8 @@ def redirect_resolve(
     m = mapping.select(
         F.col(src_col).alias("_ms"), F.col(dst_col).alias("_md")
     )
+    if broadcast_map:
+        m = F.broadcast(m)
     df = (
         starts.select(F.col(key_col))
         .distinct()

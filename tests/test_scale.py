@@ -1446,3 +1446,85 @@ def test_scale_incremental_authority_refresh(bigspark, tmp_path):
     )
     assert aggregate_state_version(state) == snapshot(base).version
     assert read_table(bigspark, state).count() == hosts + 1
+
+
+def test_scale_redirect_resolve_partitioned(bigspark):
+    """5M start keys chased through a 1.67M-edge redirect map with
+    broadcast_map=False — the fetch-log-sized-map configuration: every
+    hop must be a key-partitioned join (NO broadcast of the map, no
+    single-partition exchange), and per-row state stays a bounded
+    visited array."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        redirect_resolve,
+    )
+
+    n = 5_000_000
+    starts = bigspark.range(n).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("url_key")
+    )
+    i = F.col("id")
+    mapping = (
+        bigspark.range(n)
+        .filter(i % 3 == 0)
+        .select(
+            F.concat(F.lit("k"), i.cast("string")).alias("src"),
+            F.concat(
+                F.lit("k"), ((i * 7 + 1) % n).cast("string")
+            ).alias("dst"),
+        )
+    )
+    out = redirect_resolve(starts, mapping, broadcast_map=False)
+    _assert_distributed_plan(out, "redirect_resolve")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    rows, dt = _timed_count(out, "redirect_resolve 5M keys")
+    assert rows == n
+    assert dt < 300
+
+
+def test_scale_directive_parse(bigspark):
+    """2M pages through the page-level directive parses (meta robots,
+    canonical link, hreflang alternates): each parse is regexp +
+    explode riding the page scan — ZERO exchanges in the extraction
+    frames — and the flag counts match the planted arithmetic
+    exactly."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        canonical_links,
+        hreflang_links,
+        meta_robots,
+        synthesize_directives,
+    )
+
+    n = 2_000_000
+    base = bigspark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("<html><head></head><body></body></html>").alias("html"),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("id") % 1000).cast("string"),
+            F.lit(".com/a/b"),
+        ).alias("url_canon"),
+        F.concat(
+            F.lit("h"),
+            (F.col("id") % 1000).cast("string"),
+            F.lit(".com/a/b"),
+        ).alias("url_key"),
+    )
+    pages = synthesize_directives(base)
+
+    mr = meta_robots(pages).filter(F.col("noindex"))
+    cl = canonical_links(pages)
+    hl = hreflang_links(pages)
+    for df, label in ((mr, "meta"), (cl, "canonical"), (hl, "hreflang")):
+        _assert_distributed_plan(df, f"directive_parse:{label}")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, (label, plan[:2000])
+
+    exp_noindex = sum(1 for d in range(n) if d % 23 == 7 or d % 11 == 4)
+    exp_canon = sum(1 for d in range(n) if d % 6 in (2, 5))
+    exp_alts = sum(d % 3 + 2 for d in range(n) if d % 4 == 1)
+    rows, dt = _timed_count(mr, "meta_robots 2M pages")
+    assert rows == exp_noindex
+    assert cl.count() == exp_canon
+    assert hl.count() == exp_alts
+    assert dt < 300
