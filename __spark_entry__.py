@@ -33,6 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: oracle-backed either way; this only chooses the documented subset.
 _SHOWCASE_FIRST = (
     # round-13 late families: crawl maintenance + page-level directives
+    "ai_optout_audit",  # noai/noimageai TDM opt-out honoring (round 13)
+    "license_census",  # rel=license parse + NC-excluded eligibility (round 13)
     "crawl_maintain_e2e",  # the whole maintenance loop, one funnel row (round 13)
     "meta_robots_audit",  # page-level noindex/nofollow directive parse (round 13)
     "canonical_collapse",  # RFC 6596 canonical-identity dedup (round 13)

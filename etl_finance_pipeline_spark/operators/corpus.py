@@ -1183,7 +1183,12 @@ def synthesize_directives(
     hreflang alternate clusters (``id % 4 == 1`` declares
     ``id%3 + 2`` language variants ``en/de/fr/es`` with BOTH
     attribute orders, the multilingual variant graph bitext curation
-    mines). Every byte is a function of *id_col*, so the DuckDB
+    mines), an AI-training opt-out meta (``id % 29 == 11`` declares
+    ``noai, noimageai`` — the DeviantArt/Bing TDM opt-out convention
+    a training-data pipeline must honor), and a ``<link
+    rel=license>`` declaration (``id % 9 == 2`` CC BY-SA,
+    ``id % 9 == 5`` CC BY-NC — the license gate code/corpus curation
+    filters on). Every byte is a function of *id_col*, so the DuckDB
     oracle derives each directive arithmetically."""
     d = F.col(id_col)
     content = (
@@ -1261,12 +1266,27 @@ def synthesize_directives(
             lambda acc, j: F.concat(acc, alt(j)),
         ),
     ).otherwise(F.lit(""))
+    optout = F.when(
+        d % 29 == 11,
+        F.lit('<meta name="robots" content="noai, noimageai">'),
+    ).otherwise(F.lit(""))
+    lic_url = F.when(
+        d % 9 == 2,
+        F.lit("https://creativecommons.org/licenses/by-sa/4.0/"),
+    ).when(
+        d % 9 == 5,
+        F.lit("https://creativecommons.org/licenses/by-nc/4.0/"),
+    )
+    lic = F.when(
+        lic_url.isNotNull(),
+        F.concat(F.lit('<link rel="license" href="'), lic_url, F.lit('">')),
+    ).otherwise(F.lit(""))
     return df.withColumn(
         html_col,
         F.regexp_replace(
             F.col(html_col),
             F.lit("^<html><head>"),
-            F.concat(F.lit("<html><head>"), meta, link, alts),
+            F.concat(F.lit("<html><head>"), meta, optout, link, alts, lic),
         ),
     )
 
@@ -1302,6 +1322,11 @@ def meta_robots(
         df.withColumn("robots_content", F.get(contents, 0))
         .withColumn("noindex", has("noindex") | has("none"))
         .withColumn("nofollow_meta", has("nofollow") | has("none"))
+        # TDM opt-out tokens (DeviantArt/Bing convention): content
+        # owners declining AI-training use — a training-data pipeline
+        # honors these at the corpus gate, not just the index gate
+        .withColumn("noai", has("noai"))
+        .withColumn("noimageai", has("noimageai") | has("noai"))
     )
 
 
@@ -1366,6 +1391,36 @@ def soft404_flag(
         .withColumn("has_error_phrase", has)
         .withColumn("is_short", short)
         .withColumn("is_soft404", has & short)
+    )
+
+
+#: a <link rel=license> element (group 0)
+_LICENSE_EL_RE = (
+    "(?is)<link\\s[^>]*rel\\s*=\\s*"
+    "(?:\"license\"|'license'|license[\\s>])[^>]*>"
+)
+
+#: short license code from a creativecommons-style license URL
+_LICENSE_CODE_RE = r"/licenses/([a-z\-]+)/"
+
+
+def license_links(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Extract the page's declared license (``<link rel=license>``,
+    HTML spec) and reduce CC-style URLs to their short code — the
+    signal license-aware curation filters on (code corpora keep
+    permissive licenses; NC-licensed text is excluded from commercial
+    training sets). First declaration wins. Pure regexp projection on
+    the page scan.
+
+    Output: input columns + (license_url — NULL when undeclared —
+    license_code — e.g. ``by-sa``, NULL when the URL carries no
+    recognizable code)."""
+    els = F.regexp_extract_all(F.col(html_col), F.lit(_LICENSE_EL_RE), 0)
+    first = F.get(els, 0)
+    url = F.when(first.isNotNull(), _attr_value(first, "href"))
+    code = F.regexp_extract(url, _LICENSE_CODE_RE, 1)
+    return df.withColumn("license_url", url).withColumn(
+        "license_code", F.when(code != "", code)
     )
 
 

@@ -11854,10 +11854,13 @@ def q_meta_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_META_ROBOTS_AUDIT = """
 SELECT doc_id,
-  CASE WHEN doc_id % 23 = 7 THEN 'none'
-       WHEN doc_id % 11 = 4 THEN 'noindex'
-       WHEN doc_id % 13 = 6 THEN 'nofollow, noarchive'
-       WHEN doc_id % 19 = 3 THEN 'all' END AS robots_content,
+  coalesce(
+    CASE WHEN doc_id % 23 = 7 THEN 'none'
+         WHEN doc_id % 11 = 4 THEN 'noindex'
+         WHEN doc_id % 13 = 6 THEN 'nofollow, noarchive'
+         WHEN doc_id % 19 = 3 THEN 'all' END,
+    CASE WHEN doc_id % 29 = 11 THEN 'noai, noimageai' END
+  ) AS robots_content,
   (doc_id % 23 = 7 OR doc_id % 11 = 4) AS noindex,
   (doc_id % 23 = 7
    OR (doc_id % 23 <> 7 AND doc_id % 11 <> 4 AND doc_id % 13 = 6))
@@ -12395,6 +12398,63 @@ SELECT doc_id, CAST(length(text) AS BIGINT) AS body_chars,
   (regexp_matches(text, '{SOFT404_RE}') AND length(text) < 150)
     AS is_soft404
 FROM s4docs
+"""
+
+
+def q_ai_optout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI-training opt-out honoring — the TDM declaration layer a
+    training-data pipeline must respect BEFORE any quality gate
+    (``<meta name=robots content="noai, noimageai">``, the
+    DeviantArt/Bing convention): per page, the parsed opt-out flags
+    (``noai`` implies ``noimageai``) — the rows the corpus build
+    EXCLUDES regardless of their quality scores. Oracle derives the
+    flags arithmetically from the planted fixture."""
+    from etl_finance_pipeline_spark.operators.corpus import meta_robots
+
+    out = meta_robots(_directive_pages(spark, sf_dir))
+    return out.select("doc_id", "noai", "noimageai")
+
+
+SQL_AI_OPTOUT_AUDIT = """
+SELECT doc_id,
+  (doc_id % 29 = 11) AS noai,
+  (doc_id % 29 = 11) AS noimageai
+FROM documents
+"""
+
+
+def q_license_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-aware curation census (``<link rel=license>``, HTML
+    spec): pages grouped by their declared license code with the
+    train-eligibility verdict license filtering applies (NC-licensed
+    content excluded from commercial training corpora; undeclared
+    pages pass to the default-policy gate). One map-combinable
+    aggregate over the parse. Output: (license_code, n_pages,
+    train_eligible)."""
+    from etl_finance_pipeline_spark.operators.corpus import license_links
+
+    out = license_links(_directive_pages(spark, sf_dir))
+    return out.groupBy("license_code").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.first(
+            ~F.coalesce(
+                F.col("license_code").contains("nc"), F.lit(False)
+            )
+        ).alias("train_eligible"),
+    )
+
+
+SQL_LICENSE_CENSUS = """
+SELECT
+  CASE WHEN doc_id % 9 = 2 THEN 'by-sa'
+       WHEN doc_id % 9 = 5 THEN 'by-nc' END AS license_code,
+  CAST(count(*) AS BIGINT) AS n_pages,
+  coalesce(NOT contains(
+    CASE WHEN doc_id % 9 = 2 THEN 'by-sa'
+         WHEN doc_id % 9 = 5 THEN 'by-nc' END, 'nc'), true)
+    AS train_eligible
+FROM documents
+GROUP BY 1, 3
 """
 
 
@@ -17074,6 +17134,8 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_merge": q_frontier_merge,
     "recrawl_priority": q_recrawl_priority,
     "soft404_audit": q_soft404_audit,
+    "ai_optout_audit": q_ai_optout_audit,
+    "license_census": q_license_census,
     "crawl_maintain_e2e": q_crawl_maintain_e2e,
     "hreflang_extract": q_hreflang_extract,
     "hreflang_census": q_hreflang_census,
@@ -17322,6 +17384,8 @@ ORACLES_TD: dict[str, str] = {
     "frontier_merge": SQL_FRONTIER_MERGE,
     "recrawl_priority": SQL_RECRAWL_PRIORITY,
     "soft404_audit": SQL_SOFT404_AUDIT,
+    "ai_optout_audit": SQL_AI_OPTOUT_AUDIT,
+    "license_census": SQL_LICENSE_CENSUS,
     "crawl_maintain_e2e": SQL_CRAWL_MAINTAIN_E2E,
     "hreflang_extract": SQL_HREFLANG_EXTRACT,
     "hreflang_census": SQL_HREFLANG_CENSUS,

@@ -1797,6 +1797,39 @@ def test_soft404_flag_signals(spark):
     assert got == {0: True, 1: False, 2: False}
 
 
+def test_ai_optout_and_license_hand_built(spark):
+    """TDM opt-out tokens (noai implies noimageai) and rel=license
+    short-code extraction, incl. unrecognized-URL and undeclared
+    cases."""
+    from etl_finance_pipeline_spark.operators.corpus import (
+        license_links,
+        meta_robots,
+    )
+
+    rows = [
+        (0, '<meta name="robots" content="noai">'
+            '<link rel="license" href="https://creativecommons.org/licenses/by-nc-sa/4.0/">'),
+        (1, "<meta name='robots' content='noimageai'>"
+            '<link rel="license" href="https://example.com/eula">'),
+        (2, "<p>plain page</p>"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    mr = {
+        r["doc_id"]: (r["noai"], r["noimageai"])
+        for r in meta_robots(df).collect()
+    }
+    assert mr == {0: (True, True), 1: (False, True), 2: (False, False)}
+    lic = {
+        r["doc_id"]: (r["license_url"], r["license_code"])
+        for r in license_links(df).collect()
+    }
+    assert lic == {
+        0: ("https://creativecommons.org/licenses/by-nc-sa/4.0/", "by-nc-sa"),
+        1: ("https://example.com/eula", None),
+        2: (None, None),
+    }
+
+
 def test_hreflang_links_hand_built(spark):
     """Hreflang extraction: both attribute orders, case-folded tags,
     alternates WITHOUT hreflang (feeds) dropped, non-declaring pages
