@@ -34,6 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SHOWCASE_FIRST = (
     # round-13 late families: crawl maintenance + page-level directives
     "ai_optout_audit",  # noai/noimageai TDM opt-out honoring (round 13)
+    "curation_ledger",  # per-doc disposition provenance, opt-out-first (round 13)
     "license_census",  # rel=license parse + NC-excluded eligibility (round 13)
     "crawl_maintain_e2e",  # the whole maintenance loop, one funnel row (round 13)
     "meta_robots_audit",  # page-level noindex/nofollow directive parse (round 13)

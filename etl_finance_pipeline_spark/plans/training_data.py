@@ -2453,6 +2453,69 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation PROVENANCE — the explainability twin of
+    the stage-count funnels (data governance asks "why is this doc
+    in/out of the training set", not just "how many"): every document
+    gets its stage flags and a single disposition attributed in gate
+    order — TDM opt-out honored FIRST (before any quality judgment,
+    q_ai_optout_audit's layer), then exact dedup, near-dup cluster
+    canonicalization, Gopher structural quality, else kept. Same
+    flag computations as q_curation_funnel plus the real meta-robots
+    parse for the opt-out column. Output: (doc_id, opted_out,
+    exact_keep, near_keep, quality_keep, disposition)."""
+    from etl_finance_pipeline_spark.operators.corpus import meta_robots
+    from etl_finance_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from etl_finance_pipeline_spark.operators.text_analysis import (
+        gopher_rules,
+    )
+
+    docs = load_table(spark, _t(sf_dir, "documents"))
+    exact = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    noai = meta_robots(_directive_pages(spark, sf_dir)).select(
+        "doc_id", F.col("noai").alias("opted_out")
+    )
+    flags = (
+        gopher_rules(docs)
+        .join(
+            F.broadcast(exact.withColumn("_ex", F.lit(1))),
+            "doc_id",
+            "left",
+        )
+        .join(F.broadcast(comp), "doc_id", "left")
+        .join(noai, "doc_id")
+        .select(
+            "doc_id",
+            "opted_out",
+            F.col("_ex").isNotNull().alias("exact_keep"),
+            (
+                F.col("component").isNull()
+                | (F.col("component") == F.col("doc_id"))
+            ).alias("near_keep"),
+            (
+                F.col("rule_word_count")
+                & F.col("rule_mean_word_len")
+                & F.col("rule_symbol_ratio")
+                & F.col("rule_alpha_words")
+            ).alias("quality_keep"),
+        )
+    )
+    return flags.withColumn(
+        "disposition",
+        F.when(F.col("opted_out"), F.lit("opted_out"))
+        .when(~F.col("exact_keep"), F.lit("exact_dup"))
+        .when(~F.col("near_keep"), F.lit("near_dup"))
+        .when(~F.col("quality_keep"), F.lit("low_quality"))
+        .otherwise(F.lit("kept")),
+    )
+
+
 def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clusters via the large-star/small-star contraction
     (diameter-free O(log² n) rounds) — both algorithms compute
@@ -14040,6 +14103,33 @@ SQL_SIGNAL_CORRELATION = SQL_SIGNAL_CORRELATION.replace(
 )
 
 
+SQL_CURATION_LEDGER = (
+    SQL_NEAR_DUP_REWRITE[: SQL_NEAR_DUP_REWRITE.index("SELECT d.doc_id")]
+    + f"""
+SELECT d.doc_id,
+       (d.doc_id % 29 = 11) AS opted_out,
+       (ex.keep_id IS NOT NULL) AS exact_keep,
+       (c.component IS NULL OR c.component = d.doc_id) AS near_keep,
+       g.qpass AS quality_keep,
+       CASE WHEN d.doc_id % 29 = 11 THEN 'opted_out'
+            WHEN ex.keep_id IS NULL THEN 'exact_dup'
+            WHEN NOT (c.component IS NULL OR c.component = d.doc_id)
+              THEN 'near_dup'
+            WHEN NOT g.qpass THEN 'low_quality'
+            ELSE 'kept' END AS disposition
+FROM documents d
+LEFT JOIN (SELECT min(doc_id) AS keep_id FROM documents GROUP BY text) ex
+       ON ex.keep_id = d.doc_id
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+JOIN (
+  SELECT doc_id,
+         (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+          AND rule_alpha_words) AS qpass
+  FROM ({SQL_GOPHER_QUALITY})
+) g ON g.doc_id = d.doc_id
+"""
+)
+
 SQL_CURATION_FUNNEL = (
     SQL_NEAR_DUP_REWRITE[: SQL_NEAR_DUP_REWRITE.index("SELECT d.doc_id")]
     + f"""
@@ -17135,6 +17225,7 @@ QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recrawl_priority": q_recrawl_priority,
     "soft404_audit": q_soft404_audit,
     "ai_optout_audit": q_ai_optout_audit,
+    "curation_ledger": q_curation_ledger,
     "license_census": q_license_census,
     "crawl_maintain_e2e": q_crawl_maintain_e2e,
     "hreflang_extract": q_hreflang_extract,
@@ -17385,6 +17476,7 @@ ORACLES_TD: dict[str, str] = {
     "recrawl_priority": SQL_RECRAWL_PRIORITY,
     "soft404_audit": SQL_SOFT404_AUDIT,
     "ai_optout_audit": SQL_AI_OPTOUT_AUDIT,
+    "curation_ledger": SQL_CURATION_LEDGER,
     "license_census": SQL_LICENSE_CENSUS,
     "crawl_maintain_e2e": SQL_CRAWL_MAINTAIN_E2E,
     "hreflang_extract": SQL_HREFLANG_EXTRACT,
