@@ -111,6 +111,13 @@ class PerformanceConfig(BaseModel):
 
     fuse_symbol_partitioning: bool = False
     cache_normalized: bool = True
+    #: max per-timeframe output actions in flight at once. The
+    #: timeframe plans are independent jobs over the (cached)
+    #: normalized frame; running them sequentially leaves most of the
+    #: cluster idle during each plan's straggler tail (guide §2.6
+    #: "overlap independent jobs"). 2-3 in flight fills the tail
+    #: without executor contention; 1 restores strict sequencing.
+    overlap_timeframes: int = 3
 
 
 class PathsConfig(BaseModel):

@@ -173,13 +173,27 @@ def run_pipeline(
             )
             plans.append((f"_{tf_label(tf)}", res))
 
-    for suffix, frame in plans:
+    # The per-timeframe plans are INDEPENDENT jobs over the same
+    # (cached) normalized frame: overlap them so the next plan's tasks
+    # back-fill executors freed by the current plan's straggler tail
+    # (guide §2.6). The shared export log is the one cross-plan side
+    # effect — serialized with a lock. Results are recorded in plan
+    # order regardless of completion order, so reports/outputs stay
+    # deterministic. The DQ collect above already materialized the
+    # normalized cache, so concurrent first-use cannot duplicate the
+    # upstream compute.
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    log_lock = threading.Lock()
+
+    def emit(suffix: str, frame: DataFrame) -> tuple[dict | None, str | None]:
         out_path = os.path.join(cfg.paths.processed_path, f"candles{suffix}")
+        spark.sparkContext.setJobDescription(f"pipeline: candles{suffix}")
         if dry_run:
             # full compute, no write — count() drives the plan
             n = frame.count()
-            result.reports[f"dry_run{suffix}"] = {"rows": n, "would_write": out_path}
-            continue
+            return {"rows": n, "would_write": out_path}, None
         if cfg.parquet.transactional:
             # commit-log sink: same validation, then an atomic append —
             # a crashed run leaves no visible partial output and
@@ -197,10 +211,11 @@ def run_pipeline(
             snap = write_table(
                 out_frame, out_path, mode="append", partition_by=resolved
             )
-            append_export_log(
-                cfg.paths.logs_path,
-                {"output": out_path, "table_version": snap.version, **validation},
-            )
+            with log_lock:
+                append_export_log(
+                    cfg.paths.logs_path,
+                    {"output": out_path, "table_version": snap.version, **validation},
+                )
         else:
             report = write_parquet_with_metadata(
                 frame,
@@ -209,11 +224,25 @@ def run_pipeline(
                 partition_cols=cfg.parquet.partition_cols,
                 metadata={"timeframe": suffix.lstrip("_")},
             )
-            append_export_log(
-                cfg.paths.logs_path, {"output": out_path, **report["validation"]}
-            )
+            with log_lock:
+                append_export_log(
+                    cfg.paths.logs_path, {"output": out_path, **report["validation"]}
+                )
         log.info("export: wrote %s", out_path)
-        result.outputs.append(out_path)
+        return None, out_path
+
+    width = max(1, int(cfg.performance.overlap_timeframes))
+    if width == 1 or len(plans) == 1:
+        emitted = [emit(suffix, frame) for suffix, frame in plans]
+    else:
+        with ThreadPoolExecutor(max_workers=min(width, len(plans))) as pool:
+            futures = [pool.submit(emit, s, f) for s, f in plans]
+            emitted = [f.result() for f in futures]
+    for (suffix, _), (dry_report, out_path) in zip(plans, emitted):
+        if dry_report is not None:
+            result.reports[f"dry_run{suffix}"] = dry_report
+        if out_path is not None:
+            result.outputs.append(out_path)
     if cfg.performance.cache_normalized:
         norm_df.unpersist()
     return result

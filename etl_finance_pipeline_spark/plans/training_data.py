@@ -50,6 +50,22 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table, :func:`fan_out`-spread across the
+    session's cores when its scan would underfill them (guide §2.5
+    input skew: the bench fixture is ONE small parquet file, so every
+    narrow regex/shingle/encode kernel otherwise runs as a single
+    task on local[32]). Structural no-op at production scale — see
+    functions/layout.py. Use ONLY for queries whose cost is a
+    compute-heavy narrow chain over the text payload; aggregate-only
+    lanes lose more to the extra exchange than they gain (measured
+    +0.1–0.4 s at sf0.1 on e.g. exact_dedup_docs / candles-style
+    lanes, vs −30–60 % on regex/codec/encode lanes)."""
+    from etl_finance_pipeline_spark.functions.layout import fan_out
+
+    return fan_out(load_table(spark, _t(sf_dir, "documents")))
+
+
 _NARROW_SESSIONS: dict[tuple[str, int], SparkSession] = {}
 
 
@@ -157,7 +173,7 @@ _BANDS_SQL = "\nUNION ALL\n".join(
 # --------------------------------------------------------------------
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     out = minhash_lsh_pairs(docs, num_hashes=16, bands=4)
     return out.select("id_a", "id_b", _pr("est_jaccard", 6).alias("est_jaccard"))
 
@@ -191,7 +207,7 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; the corpus never shuffles."""
     from etl_finance_pipeline_spark.operators.dedup import incremental_lsh_pairs
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     out = incremental_lsh_pairs(batch, corpus)
@@ -232,7 +248,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate recall EXACT (any pair at distance ≤ 3 must agree on at
     least one 8-bit band) — so the skew guard is disabled to honor the
     lossless contract (the oracle bands but never drops buckets)."""
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     return simhash_pairs(
         docs, bits=32, bands=4, max_hamming=3, max_bucket_size=None
     ).select(
@@ -288,7 +304,7 @@ WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
 # --------------------------------------------------------------------
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     return ngram_jaccard_pairs(docs, threshold=0.5).select(
         "id_a", "id_b", _pr("jaccard", 6).alias("jaccard")
     )
@@ -320,7 +336,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_jaccard."""
     from etl_finance_pipeline_spark.operators.dedup import containment_pairs
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     out = containment_pairs(docs, threshold=0.4)
     return out.select(
         "id_a", "id_b", _pr("containment", 6).alias("containment")
@@ -354,7 +370,7 @@ def q_set_similarity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality-of-formulations device the triangles oracle uses."""
     from etl_finance_pipeline_spark.operators.dedup import set_similarity_join
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     out = set_similarity_join(docs, threshold=0.5, shingle_k=3)
     return out.select("id_a", "id_b", "jaccard")
 
@@ -1015,7 +1031,7 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents")).select(
+    docs = _docs_spread(spark, sf_dir).select(
         "doc_id",
         "text",
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
@@ -2301,7 +2317,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE computing min-reachable-id per vertex."""
     from etl_finance_pipeline_spark.operators.graph import connected_components
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
     comp = connected_components(pairs)
     return comp.select(F.col("id").alias("doc_id"), F.col("component"))
@@ -2315,7 +2331,7 @@ def q_near_dup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     their cluster id (own id when unclustered)."""
     from etl_finance_pipeline_spark.operators.graph import connected_components
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
     comp = connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component"
@@ -2347,7 +2363,7 @@ def q_near_dup_rewrite_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_finance_pipeline_spark.operators.graph import connected_components
     from etl_finance_pipeline_spark.operators.text_analysis import quality_score
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
     comp = connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component"
@@ -2418,7 +2434,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_finance_pipeline_spark.operators.graph import connected_components
     from etl_finance_pipeline_spark.operators.text_analysis import gopher_rules
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     exact = docs.groupBy("text").agg(F.min("doc_id").alias("_keep"))
     pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
     comp = connected_components(pairs).select(
@@ -2536,7 +2552,7 @@ def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in an isolated session clone (on a cluster, size to |edges|,
     # not core count)
     spark = _narrow_session(spark, 8)
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
     comp = connected_components_star(pairs)
     out = comp.select(F.col("id").alias("doc_id"), F.col("component"))
@@ -3024,7 +3040,7 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark = _narrow_session(spark, 8)
-    docs = load_table(spark, _t(sf_dir, "documents")).select("doc_id", "text")
+    docs = _docs_spread(spark, sf_dir).select("doc_id", "text")
     root = tempfile.mkdtemp(prefix=f"stream_near_dup_{uuid.uuid4().hex[:8]}_")
     corpus_table = f"{root}/corpus"
     out_table = f"{root}/pairs"
@@ -3564,7 +3580,7 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from etl_finance_pipeline_spark.operators.text_analysis import quality_score
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     kept = quality_score(docs).filter(F.col("quality") >= 0.5)
     exact = exact_duplicates(kept, ["text"], "doc_id")
     near = minhash_lsh_pairs(exact).filter(F.col("est_jaccard") >= 0.7)
@@ -3881,7 +3897,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     from etl_finance_pipeline_spark.operators.tokenizer import bpe_train
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     return bpe_train(docs, n_merges=_BPE_MERGES)
 
 
@@ -3973,7 +3989,7 @@ def q_bpe_bytes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeding."""
     from etl_finance_pipeline_spark.operators.tokenizer import bpe_train
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     return bpe_train(docs, n_merges=_BPE_MERGES, byte_level=True)
 
 
@@ -4011,7 +4027,7 @@ def q_bpe_bytes_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_train,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     merges = [
         (r["left_sym"], r["right_sym"])
         for r in bpe_train(docs, n_merges=_BPE_MERGES, byte_level=True)
@@ -4172,7 +4188,7 @@ def q_tokenizer_oov_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_train,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     train = docs.filter(F.col("doc_id") % 5 != 0)
     glyph = F.element_at(
         F.array(*[F.lit(g) for g in _OOV_GLYPHS]),
@@ -4269,7 +4285,7 @@ def q_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         wordpiece_train,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     return wordpiece_train(docs, n_merges=_WP_MERGES)
 
 
@@ -4349,7 +4365,7 @@ def q_wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         wordpiece_train,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     merges = wordpiece_train(docs, n_merges=_WP_MERGES)
     return wordpiece_encode(docs, merges).select(
         "doc_id",
@@ -4704,7 +4720,7 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a fixed number of lockstep rounds (see :func:`_doremi_eg`;
     the per-source loss is the order-independent fixed-point mean of
     :func:`_doremi_src_loss`)."""
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     return _doremi_eg(_doremi_src_loss(docs))
 
 
@@ -4739,7 +4755,7 @@ def q_doremi_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["source"]: float(r["weight"])
         for r in q_doremi_weights(spark, sf_dir).collect()
     }
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     return _doremi_gate(docs, weights).select("doc_id", "source")
 
 
@@ -4939,7 +4955,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicate_token_spans,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     return duplicate_token_spans(docs, "doc_id", "text", k=8, min_count=2)
 
 
@@ -5030,7 +5046,7 @@ def q_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     both offsets, and attribution — end to end."""
     from etl_finance_pipeline_spark.operators.dedup import suffix_dup_spans
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     return suffix_dup_spans(docs, "doc_id", "text", k=8)
 
 
@@ -5058,7 +5074,7 @@ def q_substring_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         suffix_dup_spans,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     cover = duplicate_token_spans(docs, "doc_id", "text", k=8, min_count=2)
     exact = suffix_dup_spans(docs, "doc_id", "text", k=8)
     cpos = cover.select(
@@ -5353,7 +5369,7 @@ def q_image_stats_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-partition small file serializes seconds of work onto one
     # Python worker. No-op at real scale (many input splits).
     docs = fan_out(
-        load_table(spark, _t(sf_dir, "documents")).select(
+        _docs_spread(spark, sf_dir).select(
             F.col("doc_id").alias("media_id"),
             F.encode("text", "UTF-8").alias("content"),
         )
@@ -5413,7 +5429,7 @@ def q_image_stats_jpeg_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = fan_out(
-        load_table(spark, _t(sf_dir, "documents")).select(
+        _docs_spread(spark, sf_dir).select(
             F.col("doc_id").alias("media_id"),
             F.encode("text", "UTF-8").alias("content"),
         )
@@ -5448,7 +5464,7 @@ def q_media_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = fan_out(
-        load_table(spark, _t(sf_dir, "documents")).select(
+        _docs_spread(spark, sf_dir).select(
             F.col("doc_id").alias("media_id"),
             F.encode("text", "UTF-8").alias("content"),
         )
@@ -5569,7 +5585,7 @@ def q_image_stats_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = fan_out(
-        load_table(spark, _t(sf_dir, "documents")).select(
+        _docs_spread(spark, sf_dir).select(
             F.col("doc_id").alias("media_id"),
             F.encode("text", "UTF-8").alias("content"),
         )
@@ -5638,7 +5654,7 @@ def q_video_frames_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = fan_out(
-        load_table(spark, _t(sf_dir, "documents")).select(
+        _docs_spread(spark, sf_dir).select(
             F.col("doc_id").alias("media_id"),
             F.encode("text", "UTF-8").alias("content"),
         )
@@ -5696,7 +5712,7 @@ def q_scene_cuts_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = fan_out(
-        load_table(spark, _t(sf_dir, "documents")).select(
+        _docs_spread(spark, sf_dir).select(
             F.col("doc_id").alias("media_id"),
             F.encode("text", "UTF-8").alias("content"),
         )
@@ -6061,7 +6077,7 @@ def q_stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark = _narrow_session(spark, 8)
-    docs = load_table(spark, _t(sf_dir, "documents")).select("doc_id", "text")
+    docs = _docs_spread(spark, sf_dir).select("doc_id", "text")
     root = tempfile.mkdtemp(prefix=f"stream_substr_{uuid.uuid4().hex[:8]}_")
     corpus_table = f"{root}/corpus"
     out_table = f"{root}/spans"
@@ -6322,7 +6338,7 @@ def _phash_frame(spark: SparkSession, sf_dir: str):
     # encode_jpeg_blocks pads only to a multiple of blocks_per_row, so
     # a <13-char document would otherwise yield a 32×(<32) image and a
     # ValueError in image_phash.
-    docs = load_table(spark, _t(sf_dir, "documents")).select(
+    docs = _docs_spread(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.rpad(F.substring("text", 1, 16), 16, " "), "UTF-8").alias(
             "content"
@@ -6426,7 +6442,7 @@ def _audio_fp_frame(spark: SparkSession, sf_dir: str):
     )
 
     docs = fan_out(
-        load_table(spark, _t(sf_dir, "documents")).select(
+        _docs_spread(spark, sf_dir).select(
             F.col("doc_id").alias("media_id"),
             F.encode("text", "UTF-8").alias("content"),
         )
@@ -6600,7 +6616,7 @@ def _video_fp_frame(spark: SparkSession, sf_dir: str):
         video_fingerprint,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents")).select(
+    docs = _docs_spread(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("content"),
     )
@@ -6841,7 +6857,7 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the hash."""
     from etl_finance_pipeline_spark.operators.tokenizer import unigram_train
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     return unigram_train(
         docs, n_multi=_UNI_MULTI, iters=_UNI_ITERS,
         max_piece_len=_UNI_L, max_word_len=_UNI_W,
@@ -6869,7 +6885,7 @@ def q_unigram_train_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget) and the extra round."""
     from etl_finance_pipeline_spark.operators.tokenizer import unigram_train
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     return unigram_train(
         docs, n_multi=_UNI_MULTI, iters=_UNI_ITERS,
         max_piece_len=_UNI_L, max_word_len=_UNI_W,
@@ -6912,7 +6928,7 @@ def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_train,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     vocab = unigram_train(
         docs, n_multi=_UNI_MULTI, iters=_UNI_ITERS,
         max_piece_len=_UNI_L, max_word_len=_UNI_W,
@@ -6981,7 +6997,7 @@ def q_tokenizer_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         wordpiece_train,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     toks = tokens("text")
 
     def meta(cap: int | None):
@@ -7124,7 +7140,7 @@ def _line_dedup_frames(spark: SparkSession, sf_dir: str, keep: str):
         segment_lines,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     seg = segment_lines(docs, words_per_line=_LD_K)
     kept = line_dedup(seg, min_docs=2, keep=keep)
     return reassemble_lines(kept, joiner=" ")
@@ -7573,7 +7589,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 6 dp."""
     from etl_finance_pipeline_spark.operators.dsir import dsir_weights
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     target = docs.filter(F.col("lang") == "en")
     return dsir_weights(docs, target, n_buckets=_DSIR_B)
 
@@ -7586,7 +7602,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_weights,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     target = docs.filter(F.col("lang") == "en")
     return dsir_select(dsir_weights(docs, target, n_buckets=_DSIR_B), _DSIR_K)
 
@@ -8000,7 +8016,7 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark = _narrow_session(spark, 8)
     ensure_nanos_conf(spark)
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     target = docs.filter(F.col("lang") == "en")
 
     ratio_rows = dsir_log_ratio(docs, target, n_buckets=_DSIR_B).withColumnRenamed(
@@ -8112,7 +8128,7 @@ def q_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         feature_hash,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     chunks = chunk_documents(docs, chunk_chars=200, overlap=50).select(
         (F.col("doc_id") * 100 + F.col("chunk_id")).alias("cid"),
         "chunk_text",
@@ -8255,7 +8271,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_finance_pipeline_spark.functions.scalar import portable_hash64
     from etl_finance_pipeline_spark.functions.text import tokens, word_shingles
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     toked = docs.select("source", tokens("text").alias("_toks"))
     sh = toked.select(
         "source",
@@ -8447,7 +8463,7 @@ def q_fasttext_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         linear_probe_train,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     # feats feeds every GD pass AND the final scoring projection —
     # materialize once (the featurize explode is the corpus-scale
     # cost; the frame itself is docs × dim doubles)
@@ -8586,7 +8602,7 @@ def q_doremi_proxy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators. Both per-source means use the order-independent
     fixed-point device; both EG lanes are the same one-row array
     fold."""
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     wa = _doremi_eg(_doremi_src_loss(docs))
     prob = q_fasttext_probe(spark, sf_dir)
     d = F.col("fasttext_score") - F.col("label")
@@ -8662,7 +8678,7 @@ def q_fasttext_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         linear_probe_train,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     feats = hashed_text_features(docs, dim=_FT_DIM).localCheckpoint(
         eager=True
     )
@@ -8707,7 +8723,7 @@ def q_stream_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark = _narrow_session(spark, 8)
     ensure_nanos_conf(spark)
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     feats = hashed_text_features(docs, dim=_FT_DIM)
     labels = docs.select(
         "doc_id", (F.col("lang") == "en").cast("double").alias("_y")
@@ -8809,7 +8825,7 @@ def q_fasttext_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         linear_probe_train,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     feats = hashed_text_features(docs, dim=_FT_DIM).localCheckpoint(
         eager=True
     )
@@ -8885,7 +8901,7 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     truth = ngram_jaccard_pairs(docs, threshold=_LSHR_T).select(
         "id_a", "id_b", F.lit(1).alias("_t")
     )
@@ -9013,7 +9029,7 @@ def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_repetition_stats,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     return ngram_repetition_stats(docs, n=_REP_N)
 
 
@@ -10244,7 +10260,7 @@ def _crawl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_canonicalize,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     pages = synthesize_html(docs).withColumn("url", _crawl_url_expr())
     return url_canonicalize(pages).localCheckpoint(eager=True)
 
@@ -10572,6 +10588,11 @@ def q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("link_domain").alias("dst"),
         )
         .distinct()
+        # materialized once: the rank loop AND the degree aggregates
+        # below all consume it — without the checkpoint the anchor
+        # extraction re-runs for the out/in-degree job (guide §2.4:
+        # share the exchange, don't recompute the subtree)
+        .localCheckpoint(eager=True)
     )
     pr = pagerank(edges, iters=3, damping=0.85).select(
         F.col("id").alias("domain"), "rank"
@@ -11894,7 +11915,7 @@ def _directive_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_canonicalize,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     pages = synthesize_directives(synthesize_html(docs)).withColumn(
         "url", _crawl_url_expr()
     )
@@ -13235,7 +13256,7 @@ def q_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_html,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     hx = html_extract(synthesize_html(docs)).select(
         "doc_id", "source", "lang", "text"
     )
@@ -13536,7 +13557,7 @@ def _warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     the input a crawl writer would have had."""
     from etl_finance_pipeline_spark.operators.corpus import synthesize_html
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     return (
         synthesize_html(docs)
         # crawl-shaped URLs WITH snapshot structure (scheme/case/
@@ -14293,7 +14314,7 @@ def q_template_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from etl_finance_pipeline_spark.operators.sft import sft_render
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     e6 = F.floor(F.col("est_jaccard") * 1_000_000 + F.lit(0.5)).cast("long")
 
     def stats(pairs: DataFrame, tag: str) -> DataFrame:
@@ -14419,7 +14440,7 @@ def q_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_finance_pipeline_spark.operators.corpus import pack_bins
     from etl_finance_pipeline_spark.operators.sft import sft_render
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     convs = sft_render(docs).select("doc_id", "n_stream_tokens")
     packed = pack_bins(
         convs, tokens_col="n_stream_tokens", seq_tokens=512, num_shards=4
@@ -15189,7 +15210,7 @@ def q_lsh_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     sigs = minhash_signatures(docs).localCheckpoint()
     truth = ngram_jaccard_pairs(docs, threshold=_LSHR_T).select(
         "id_a", "id_b", F.lit(1).alias("_t")
@@ -15593,7 +15614,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_finance_pipeline_spark.operators.corpus import hash_split
     from etl_finance_pipeline_spark.operators.dedup import ngram_novelty
 
-    docs = load_table(spark, _t(sf_dir, "documents")).select(
+    docs = _docs_spread(spark, sf_dir).select(
         "doc_id", "text"
     )
     split = hash_split(docs, "doc_id")
@@ -16276,7 +16297,7 @@ def q_source_route_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_finance_pipeline_spark.functions.layout import fan_out
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     routed = curation_route(
         # fan_out: the fused signal projection is regex-CPU-bound and a
         # single-file scan would otherwise run it on one task
@@ -16556,7 +16577,7 @@ def q_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
     )
 
-    docs = load_table(spark, _t(sf_dir, "documents"))
+    docs = _docs_spread(spark, sf_dir)
     q = quality_score(docs).select(
         "source",
         F.size(F.split(F.col("text"), r"\s+")).alias("n_tok"),
