@@ -3897,7 +3897,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     from etl_finance_pipeline_spark.operators.tokenizer import bpe_train
 
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_table(spark, _t(sf_dir, "documents"))
     return bpe_train(docs, n_merges=_BPE_MERGES)
 
 
@@ -3989,7 +3989,7 @@ def q_bpe_bytes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeding."""
     from etl_finance_pipeline_spark.operators.tokenizer import bpe_train
 
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_table(spark, _t(sf_dir, "documents"))
     return bpe_train(docs, n_merges=_BPE_MERGES, byte_level=True)
 
 
@@ -4027,7 +4027,7 @@ def q_bpe_bytes_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_train,
     )
 
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_table(spark, _t(sf_dir, "documents"))
     merges = [
         (r["left_sym"], r["right_sym"])
         for r in bpe_train(docs, n_merges=_BPE_MERGES, byte_level=True)
@@ -4188,7 +4188,7 @@ def q_tokenizer_oov_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_train,
     )
 
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_table(spark, _t(sf_dir, "documents"))
     train = docs.filter(F.col("doc_id") % 5 != 0)
     glyph = F.element_at(
         F.array(*[F.lit(g) for g in _OOV_GLYPHS]),
@@ -4197,9 +4197,12 @@ def q_tokenizer_oov_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
         "text", F.concat(F.col("text"), F.lit(" "), glyph)
     )
-    outs = []
-    for label, byte_level in (("bpe_bytes", True), ("bpe_chars", False)):
-        merges = [
+    # the two BPE trainings are independent driver-round loops —
+    # overlap them (guide §2.6, same device as tokenizer_efficiency)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _train(byte_level: bool):
+        return [
             (r["left_sym"], r["right_sym"])
             for r in bpe_train(
                 train, n_merges=_BPE_MERGES, byte_level=byte_level
@@ -4207,6 +4210,14 @@ def q_tokenizer_oov_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("merge_round")
             .collect()
         ]
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        trained = {
+            bl: pool.submit(_train, bl) for bl in (True, False)
+        }
+    outs = []
+    for label, byte_level in (("bpe_bytes", True), ("bpe_chars", False)):
+        merges = trained[byte_level].result()
         enc = bpe_encode(hold, merges, byte_level=byte_level)
         tok = enc.select(F.explode("bpe_tokens").alias("sym"))
         if byte_level:
@@ -4285,7 +4296,7 @@ def q_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         wordpiece_train,
     )
 
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_table(spark, _t(sf_dir, "documents"))
     return wordpiece_train(docs, n_merges=_WP_MERGES)
 
 
@@ -4365,7 +4376,7 @@ def q_wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         wordpiece_train,
     )
 
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_table(spark, _t(sf_dir, "documents"))
     merges = wordpiece_train(docs, n_merges=_WP_MERGES)
     return wordpiece_encode(docs, merges).select(
         "doc_id",
@@ -5075,8 +5086,25 @@ def q_substring_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs_spread(spark, sf_dir)
-    cover = duplicate_token_spans(docs, "doc_id", "text", k=8, min_count=2)
-    exact = suffix_dup_spans(docs, "doc_id", "text", k=8)
+    # materialize both span frames once: cover feeds the position
+    # explode AND its span count (2 consumers), exact feeds both
+    # position explodes AND its span count (3 consumers) — without
+    # the cut the seed-and-chain lane re-executes per consumer. The
+    # two lanes are independent: overlap them (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fc = pool.submit(
+            lambda: duplicate_token_spans(
+                docs, "doc_id", "text", k=8, min_count=2
+            ).localCheckpoint(eager=True)
+        )
+        fe = pool.submit(
+            lambda: suffix_dup_spans(
+                docs, "doc_id", "text", k=8
+            ).localCheckpoint(eager=True)
+        )
+        cover, exact = fc.result(), fe.result()
     cpos = cover.select(
         "doc_id",
         F.explode(
@@ -6857,7 +6885,7 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the hash."""
     from etl_finance_pipeline_spark.operators.tokenizer import unigram_train
 
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_table(spark, _t(sf_dir, "documents"))
     return unigram_train(
         docs, n_multi=_UNI_MULTI, iters=_UNI_ITERS,
         max_piece_len=_UNI_L, max_word_len=_UNI_W,
@@ -6885,7 +6913,7 @@ def q_unigram_train_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget) and the extra round."""
     from etl_finance_pipeline_spark.operators.tokenizer import unigram_train
 
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_table(spark, _t(sf_dir, "documents"))
     return unigram_train(
         docs, n_multi=_UNI_MULTI, iters=_UNI_ITERS,
         max_piece_len=_UNI_L, max_word_len=_UNI_W,
@@ -6928,7 +6956,7 @@ def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_train,
     )
 
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_table(spark, _t(sf_dir, "documents"))
     vocab = unigram_train(
         docs, n_multi=_UNI_MULTI, iters=_UNI_ITERS,
         max_piece_len=_UNI_L, max_word_len=_UNI_W,
@@ -6997,7 +7025,7 @@ def q_tokenizer_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         wordpiece_train,
     )
 
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_table(spark, _t(sf_dir, "documents"))
     toks = tokens("text")
 
     def meta(cap: int | None):
@@ -7015,36 +7043,59 @@ def q_tokenizer_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_c"),
         )
 
-    merges = [
-        (r["left_sym"], r["right_sym"])
-        for r in bpe_train(docs, n_merges=_BPE_MERGES)
-        .orderBy("merge_round")
-        .collect()
-    ]
-    bpe = bpe_encode(docs, merges).select(
-        "doc_id", F.size("bpe_tokens").cast("long").alias("_t")
-    )
-    bmerges = [
-        (r["left_sym"], r["right_sym"])
-        for r in bpe_train(docs, n_merges=_BPE_MERGES, byte_level=True)
-        .orderBy("merge_round")
-        .collect()
-    ]
-    bbpe = bpe_encode(docs, bmerges, byte_level=True).select(
-        "doc_id", F.size("bpe_tokens").cast("long").alias("_t")
-    )
-    wp = wordpiece_encode(
-        docs, wordpiece_train(docs, n_merges=_WP_MERGES)
-    ).select("doc_id", F.col("n_pieces").cast("long").alias("_t"))
-    uni = unigram_segment(
-        docs,
-        unigram_train(
-            docs, n_multi=_UNI_MULTI, iters=_UNI_ITERS,
-            max_piece_len=_UNI_L, max_word_len=_UNI_W,
-        ),
-        max_piece_len=_UNI_L,
-        max_word_len=_UNI_W,
-    ).select("doc_id", F.col("n_pieces").cast("long").alias("_t"))
+    # The four trainings are INDEPENDENT sequences of small driver
+    # rounds (merge loops / EM passes), each leaving most executors
+    # idle between its tiny jobs — overlap them so one lane's rounds
+    # back-fill another's gaps (guide §2.6; same device as the
+    # pipeline's per-timeframe outputs). Each lane is deterministic
+    # and touches only its own driver-side state, so results are
+    # byte-identical to the sequential order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _bpe_lane():
+        merges = [
+            (r["left_sym"], r["right_sym"])
+            for r in bpe_train(docs, n_merges=_BPE_MERGES)
+            .orderBy("merge_round")
+            .collect()
+        ]
+        return bpe_encode(docs, merges).select(
+            "doc_id", F.size("bpe_tokens").cast("long").alias("_t")
+        )
+
+    def _bbpe_lane():
+        bmerges = [
+            (r["left_sym"], r["right_sym"])
+            for r in bpe_train(docs, n_merges=_BPE_MERGES, byte_level=True)
+            .orderBy("merge_round")
+            .collect()
+        ]
+        return bpe_encode(docs, bmerges, byte_level=True).select(
+            "doc_id", F.size("bpe_tokens").cast("long").alias("_t")
+        )
+
+    def _wp_lane():
+        return wordpiece_encode(
+            docs, wordpiece_train(docs, n_merges=_WP_MERGES)
+        ).select("doc_id", F.col("n_pieces").cast("long").alias("_t"))
+
+    def _uni_lane():
+        return unigram_segment(
+            docs,
+            unigram_train(
+                docs, n_multi=_UNI_MULTI, iters=_UNI_ITERS,
+                max_piece_len=_UNI_L, max_word_len=_UNI_W,
+            ),
+            max_piece_len=_UNI_L,
+            max_word_len=_UNI_W,
+        ).select("doc_id", F.col("n_pieces").cast("long").alias("_t"))
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(lane)
+            for lane in (_bpe_lane, _bbpe_lane, _wp_lane, _uni_lane)
+        ]
+        bpe, bbpe, wp, uni = [f.result() for f in futures]
 
     outs = []
     for name, enc, cap in (
@@ -7140,7 +7191,7 @@ def _line_dedup_frames(spark: SparkSession, sf_dir: str, keep: str):
         segment_lines,
     )
 
-    docs = _docs_spread(spark, sf_dir)
+    docs = load_table(spark, _t(sf_dir, "documents"))
     seg = segment_lines(docs, words_per_line=_LD_K)
     kept = line_dedup(seg, min_docs=2, keep=keep)
     return reassemble_lines(kept, joiner=" ")
@@ -8030,6 +8081,10 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _t(sf_dir, "documents")
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
+    # the per-gram hash/lookup map is CPU-bound and the blob file
+    # source is one scan task: spread the stateless append chain
+    # across the session width (the stream_curation_route device)
+    stream = stream.repartition(_stream_fanout_width(spark, cap=8))
     toked = stream.select("doc_id", tokens("text").alias("_toks"))
     n = F.size(F.col("_toks"))
     length = F.greatest(n - 1, F.lit(0))
@@ -11226,6 +11281,9 @@ def q_stream_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _t(sf_dir, "documents")
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
+    # anchor extraction is the cost and the file source is one task —
+    # spread the stateless chain (the stream_curation_route device)
+    stream = stream.repartition(_stream_fanout_width(spark, cap=8))
     pages = synthesize_html(stream).withColumn("url", _crawl_url_expr())
     out = link_extract(url_canonicalize(pages)).select(
         "doc_id",
@@ -12384,6 +12442,9 @@ def q_stream_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
+    # NOT fanned out: unlike the stateless extract lanes, this chain
+    # ends in a url_key JOIN, and streaming plans run without AQE — a
+    # repartition before the join benched +39% here (measured)
     pages = url_canonicalize(
         synthesize_directives(synthesize_html(stream)).withColumn(
             "url", _crawl_url_expr()
@@ -13096,6 +13157,9 @@ def q_stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _t(sf_dir, "documents")
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path[:-1] + "[t]")
+    # extraction regexes are the cost; the file source is one task —
+    # spread the stateless chain (the stream_curation_route device)
+    stream = stream.repartition(_stream_fanout_width(spark, cap=8))
     out = html_extract(synthesize_html(stream)).select("doc_id", "text")
     name = f"stream_htmlx_{uuid.uuid4().hex[:8]}"
     q = (
@@ -13630,6 +13694,10 @@ def q_stream_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = spark.read.parquet(tmp).schema
         stream = spark.readStream.schema(schema).parquet(tmp)
         parsed = warc_parse(stream)
+        # the record explode is cheap but the extraction regexes are
+        # not, and the blob source is a couple of scan tasks — spread
+        # the stateless chain (the stream_curation_route device)
+        parsed = parsed.repartition(_stream_fanout_width(spark, cap=8))
         out = html_extract(parsed, html_col="payload", out_col="text").select(
             "doc_id", "uri", "content_length", "length_ok", "text"
         )
@@ -16233,19 +16301,30 @@ def q_bitext_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize both kept-pair frames (≤ |src| rows each) before the
     # three counting actions — without this each count re-executes the
-    # full mining chain and the query benches ~3× its real cost
-    brute = (
-        bitext_margin_mine(en, de, k=4, margin_threshold_ppm=1_050_000)
-        .select("src_id", "tgt_id")
-        .localCheckpoint(eager=True)
-    )
-    ivf = (
-        bitext_margin_mine_ivf(
-            en, de, cents, k=4, nprobe=2, margin_threshold_ppm=1_050_000
+    # full mining chain and the query benches ~3× its real cost. The
+    # two miners are independent: overlap their materializations so
+    # the IVF lane back-fills the brute lane's idle tail (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _brute():
+        return (
+            bitext_margin_mine(en, de, k=4, margin_threshold_ppm=1_050_000)
+            .select("src_id", "tgt_id")
+            .localCheckpoint(eager=True)
         )
-        .select("src_id", "tgt_id")
-        .localCheckpoint(eager=True)
-    )
+
+    def _ivf():
+        return (
+            bitext_margin_mine_ivf(
+                en, de, cents, k=4, nprobe=2, margin_threshold_ppm=1_050_000
+            )
+            .select("src_id", "tgt_id")
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb, fv = pool.submit(_brute), pool.submit(_ivf)
+        brute, ivf = fb.result(), fv.result()
     common = brute.join(ivf, ["src_id", "tgt_id"]).count()
     nb = brute.count()
     nv = ivf.count()
