@@ -394,6 +394,104 @@ def trustrank(
     return trust
 
 
+def pagerank_with_trust(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_seeds: int = 3,
+    iters: int = 3,
+    damping: float = 0.85,
+    round_digits: int | None = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`pagerank` and :func:`trustrank` over ONE shared set of
+    materialized frames — the trust family's spine (authority ranks,
+    then trust propagated from the top-*top_seeds* authority domains).
+    Running the two operators separately re-distincts the edge set and
+    re-builds the (edges ⋈ outdeg) contribution frame for the second
+    loop (guide §2.4: share the exchange, don't recompute it); here
+    e / verts / links persist once and feed BOTH unrolled loops. The
+    per-iteration algebra, rounding, and seed derivation (rank desc,
+    id asc, LIMIT k) are byte-identical to the separate operators —
+    the SQL oracles replay them unchanged.
+
+    Returns (ranks(id, rank), trust(id, trust)), both materialized.
+    """
+    from etl_finance_pipeline_spark.functions.scalar import portable_round
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = verts.count()  # scalar: control flow, not a data path
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    links = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _r(c):
+        return portable_round(c, round_digits) if round_digits is not None else c
+
+    ranks = verts.select("id", _r(F.lit(1.0 / n)).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            links.join(ranks, links.src == ranks.id)
+            .select("dst", (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            verts.join(contribs, verts.id == contribs.dst, "left")
+            .select(
+                "id",
+                _r(
+                    F.lit((1.0 - damping) / n)
+                    + damping * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    sd = (
+        ranks.orderBy(F.col("rank").desc(), "id").limit(top_seeds).select("id")
+    )
+    ns = sd.count()  # scalar, mirrors trustrank's seed count
+    svec = verts.join(
+        sd.withColumn("_hit", F.lit(1.0 / ns)), "id", "left"
+    ).select(
+        "id", F.coalesce(F.col("_hit"), F.lit(0.0)).alias("_s")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    trust = svec.select("id", _r(F.col("_s")).alias("trust"))
+    for _ in range(iters):
+        contribs = (
+            links.join(trust, links.src == trust.id)
+            .select("dst", (F.col("trust") / F.col("_deg")).alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        trust = (
+            svec.join(contribs, svec.id == contribs.dst, "left")
+            .select(
+                "id",
+                _r(
+                    (1.0 - damping) * F.col("_s")
+                    + damping * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("trust"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    verts.unpersist()
+    links.unpersist()
+    svec.unpersist()
+    return ranks, trust
+
+
 def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
     """Count triangles in an undirected graph given as (src, dst)
     pairs (direction, duplicates, and self-loops are normalized away).

@@ -11118,8 +11118,7 @@ def _domain_trust(spark: SparkSession, sf_dir: str):
     TrustRank propagation from them."""
     from etl_finance_pipeline_spark.operators.corpus import anchor_texts
     from etl_finance_pipeline_spark.operators.graph import (
-        pagerank,
-        trustrank,
+        pagerank_with_trust,
     )
 
     links = anchor_texts(_crawl_pages(spark, sf_dir))
@@ -11132,20 +11131,16 @@ def _domain_trust(spark: SparkSession, sf_dir: str):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    ranks = (
-        pagerank(edges, iters=3, damping=0.85)
-        .select(F.col("id").alias("domain"), "rank")
-        .localCheckpoint(eager=True)
+    # one shared rank+trust loop pair (e/verts/links materialize once,
+    # both loops read them — identical algebra to the separate
+    # pagerank + trustrank operators; guide §2.4)
+    ranks, trust = pagerank_with_trust(
+        edges, top_seeds=3, iters=3, damping=0.85
     )
-    seeds = (
-        ranks.orderBy(F.col("rank").desc(), "domain")
-        .limit(3)
-        .select("domain")
+    return (
+        ranks.select(F.col("id").alias("domain"), "rank"),
+        trust.select(F.col("id").alias("domain"), "trust"),
     )
-    trust = trustrank(edges, seeds, iters=3, damping=0.85).select(
-        F.col("id").alias("domain"), "trust"
-    )
-    return ranks, trust
 
 
 def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -545,6 +545,40 @@ def test_pagerank_hand_computed_triangle(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-5
 
 
+def test_pagerank_with_trust_matches_separate_operators(spark):
+    # the fused rank+trust loop pair (shared e/verts/links frames)
+    # must reproduce pagerank + trustrank EXACTLY — same iteration
+    # algebra, same per-round rounding, same seed derivation
+    from etl_finance_pipeline_spark.operators.graph import (
+        pagerank,
+        pagerank_with_trust,
+        trustrank,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+            ("d", "a"), ("d", "b"), ("e", "d"), ("c", "e"),
+        ],
+        ["src", "dst"],
+    )
+    ranks, trust = pagerank_with_trust(edges, top_seeds=2, iters=3)
+    pr = {r["id"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    seeds = (
+        pagerank(edges, iters=3)
+        .orderBy(F.col("rank").desc(), "id")
+        .limit(2)
+        .select("id")
+    )
+    tr = {
+        r["id"]: r["trust"]
+        for r in trustrank(edges, seeds, iters=3).collect()
+    }
+    assert {r["id"]: r["rank"] for r in ranks.collect()} == pr
+    assert {r["id"]: r["trust"] for r in trust.collect()} == tr
+
+
 def test_cross_doc_repetition_shared_template(spark):
     from etl_finance_pipeline_spark.operators.dedup import cross_doc_repetition
 
