@@ -190,6 +190,22 @@ def main() -> int:
     }
     if errors:
         out["errors"] = errors
+    # Compact headline FIRST: the round-12 driver artifact lost its whole
+    # round-over-round comparison because the (long) per-query JSON line
+    # was truncated in the driver's stdout-tail capture. A short summary
+    # line survives any tail cut; the full contract line stays LAST and
+    # unchanged.
+    print(
+        json.dumps(
+            {
+                "summary": "bench_totals",
+                "total_sec": total,
+                "n_queries": len(timings),
+                "n_errors": len(errors),
+                "sf": out["sf"],
+            }
+        )
+    )
     print(json.dumps(out))
 
     # The driver captures only a truncated stdout tail, which loses most

@@ -176,24 +176,27 @@ def run_pipeline(
     # The per-timeframe plans are INDEPENDENT jobs over the same
     # (cached) normalized frame: overlap them so the next plan's tasks
     # back-fill executors freed by the current plan's straggler tail
-    # (guide §2.6). The shared export log is the one cross-plan side
-    # effect — serialized with a lock. Results are recorded in plan
-    # order regardless of completion order, so reports/outputs stay
-    # deterministic. The DQ collect above already materialized the
-    # normalized cache, so concurrent first-use cannot duplicate the
-    # upstream compute.
-    import threading
+    # (guide §2.6). Each emit() returns its export-log entry instead of
+    # writing it, and entries are appended in PLAN order after the pool
+    # joins — the log file stays deterministic across runs regardless
+    # of completion order (reports/outputs were already order-stable).
+    # The DQ collect above already materialized the normalized cache,
+    # so concurrent first-use cannot duplicate the upstream compute.
+    # Job descriptions are thread-local only under PySpark pinned-
+    # thread mode (PYSPARK_PIN_THREAD, default on since Spark 3.2);
+    # without it the labels may leak across concurrent jobs — a
+    # cosmetic UI effect only.
     from concurrent.futures import ThreadPoolExecutor
 
-    log_lock = threading.Lock()
-
-    def emit(suffix: str, frame: DataFrame) -> tuple[dict | None, str | None]:
+    def emit(
+        suffix: str, frame: DataFrame
+    ) -> tuple[dict | None, str | None, dict | None]:
         out_path = os.path.join(cfg.paths.processed_path, f"candles{suffix}")
         spark.sparkContext.setJobDescription(f"pipeline: candles{suffix}")
         if dry_run:
             # full compute, no write — count() drives the plan
             n = frame.count()
-            return {"rows": n, "would_write": out_path}, None
+            return {"rows": n, "would_write": out_path}, None, None
         if cfg.parquet.transactional:
             # commit-log sink: same validation, then an atomic append —
             # a crashed run leaves no visible partial output and
@@ -211,11 +214,11 @@ def run_pipeline(
             snap = write_table(
                 out_frame, out_path, mode="append", partition_by=resolved
             )
-            with log_lock:
-                append_export_log(
-                    cfg.paths.logs_path,
-                    {"output": out_path, "table_version": snap.version, **validation},
-                )
+            log_entry = {
+                "output": out_path,
+                "table_version": snap.version,
+                **validation,
+            }
         else:
             report = write_parquet_with_metadata(
                 frame,
@@ -224,12 +227,9 @@ def run_pipeline(
                 partition_cols=cfg.parquet.partition_cols,
                 metadata={"timeframe": suffix.lstrip("_")},
             )
-            with log_lock:
-                append_export_log(
-                    cfg.paths.logs_path, {"output": out_path, **report["validation"]}
-                )
+            log_entry = {"output": out_path, **report["validation"]}
         log.info("export: wrote %s", out_path)
-        return None, out_path
+        return None, out_path, log_entry
 
     width = max(1, int(cfg.performance.overlap_timeframes))
     if width == 1 or len(plans) == 1:
@@ -237,12 +237,23 @@ def run_pipeline(
     else:
         with ThreadPoolExecutor(max_workers=min(width, len(plans))) as pool:
             futures = [pool.submit(emit, s, f) for s, f in plans]
-            emitted = [f.result() for f in futures]
-    for (suffix, _), (dry_report, out_path) in zip(plans, emitted):
+            try:
+                emitted = [f.result() for f in futures]
+            except BaseException:
+                # one timeframe failed: stop dispatching the rest (in-
+                # flight siblings still finish — a non-transactional
+                # sink may leave their directories behind; the
+                # transactional sink leaves no visible partial output)
+                for f in futures:
+                    f.cancel()
+                raise
+    for (suffix, _), (dry_report, out_path, log_entry) in zip(plans, emitted):
         if dry_report is not None:
             result.reports[f"dry_run{suffix}"] = dry_report
         if out_path is not None:
             result.outputs.append(out_path)
+        if log_entry is not None:
+            append_export_log(cfg.paths.logs_path, log_entry)
     if cfg.performance.cache_normalized:
         norm_df.unpersist()
     return result

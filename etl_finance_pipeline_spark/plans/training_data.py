@@ -5396,8 +5396,12 @@ def q_image_stats_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encode+decode kernel is ~2 ms/doc of real CPU, so a
     # single-partition small file serializes seconds of work onto one
     # Python worker. No-op at real scale (many input splits).
+    # NOT _docs_spread inside fan_out: fan_out already widens the scan,
+    # and stacking a second round-robin exchange of the payload on top
+    # measured +15-95% on the codec lanes (r13 regression, reverted in
+    # r14 -- guide §2.3: the extra exchange is pure loss).
     docs = fan_out(
-        _docs_spread(spark, sf_dir).select(
+        load_table(spark, _t(sf_dir, "documents")).select(
             F.col("doc_id").alias("media_id"),
             F.encode("text", "UTF-8").alias("content"),
         )
@@ -5456,8 +5460,12 @@ def q_image_stats_jpeg_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg_blocks,
     )
 
+    # NOT _docs_spread inside fan_out: fan_out already widens the scan,
+    # and stacking a second round-robin exchange of the payload on top
+    # measured +15-95% on the codec lanes (r13 regression, reverted in
+    # r14 -- guide §2.3: the extra exchange is pure loss).
     docs = fan_out(
-        _docs_spread(spark, sf_dir).select(
+        load_table(spark, _t(sf_dir, "documents")).select(
             F.col("doc_id").alias("media_id"),
             F.encode("text", "UTF-8").alias("content"),
         )
@@ -5491,8 +5499,12 @@ def q_media_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_decode_audit,
     )
 
+    # NOT _docs_spread inside fan_out: fan_out already widens the scan,
+    # and stacking a second round-robin exchange of the payload on top
+    # measured +15-95% on the codec lanes (r13 regression, reverted in
+    # r14 -- guide §2.3: the extra exchange is pure loss).
     docs = fan_out(
-        _docs_spread(spark, sf_dir).select(
+        load_table(spark, _t(sf_dir, "documents")).select(
             F.col("doc_id").alias("media_id"),
             F.encode("text", "UTF-8").alias("content"),
         )
@@ -5612,8 +5624,12 @@ def q_image_stats_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg_color_blocks,
     )
 
+    # NOT _docs_spread inside fan_out: fan_out already widens the scan,
+    # and stacking a second round-robin exchange of the payload on top
+    # measured +15-95% on the codec lanes (r13 regression, reverted in
+    # r14 -- guide §2.3: the extra exchange is pure loss).
     docs = fan_out(
-        _docs_spread(spark, sf_dir).select(
+        load_table(spark, _t(sf_dir, "documents")).select(
             F.col("doc_id").alias("media_id"),
             F.encode("text", "UTF-8").alias("content"),
         )
@@ -5681,8 +5697,12 @@ def q_video_frames_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_video_frames,
     )
 
+    # NOT _docs_spread inside fan_out: fan_out already widens the scan,
+    # and stacking a second round-robin exchange of the payload on top
+    # measured +15-95% on the codec lanes (r13 regression, reverted in
+    # r14 -- guide §2.3: the extra exchange is pure loss).
     docs = fan_out(
-        _docs_spread(spark, sf_dir).select(
+        load_table(spark, _t(sf_dir, "documents")).select(
             F.col("doc_id").alias("media_id"),
             F.encode("text", "UTF-8").alias("content"),
         )
@@ -5739,8 +5759,12 @@ def q_scene_cuts_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_delta_stats,
     )
 
+    # NOT _docs_spread inside fan_out: fan_out already widens the scan,
+    # and stacking a second round-robin exchange of the payload on top
+    # measured +15-95% on the codec lanes (r13 regression, reverted in
+    # r14 -- guide §2.3: the extra exchange is pure loss).
     docs = fan_out(
-        _docs_spread(spark, sf_dir).select(
+        load_table(spark, _t(sf_dir, "documents")).select(
             F.col("doc_id").alias("media_id"),
             F.encode("text", "UTF-8").alias("content"),
         )
@@ -6469,8 +6493,12 @@ def _audio_fp_frame(spark: SparkSession, sf_dir: str):
         encode_wav_pcm16,
     )
 
+    # NOT _docs_spread inside fan_out: fan_out already widens the scan,
+    # and stacking a second round-robin exchange of the payload on top
+    # measured +15-95% on the codec lanes (r13 regression, reverted in
+    # r14 -- guide §2.3: the extra exchange is pure loss).
     docs = fan_out(
-        _docs_spread(spark, sf_dir).select(
+        load_table(spark, _t(sf_dir, "documents")).select(
             F.col("doc_id").alias("media_id"),
             F.encode("text", "UTF-8").alias("content"),
         )

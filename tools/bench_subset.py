@@ -26,7 +26,7 @@ from etl_finance_pipeline_spark import get_spark  # noqa: E402
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    runs = int(os.environ.get("RUNS", "3"))
+    runs = max(1, int(os.environ.get("RUNS", "3")))
     plans_out = os.environ.get("PLANS_OUT")
     suffix = os.environ.get("SUFFIX", "")
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
