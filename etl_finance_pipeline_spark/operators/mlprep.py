@@ -152,11 +152,18 @@ def linear_probe_train(
         F.col(vec_col).cast("array<double>").alias("_x"),
         F.col(label_col).cast("double").alias("_y"),
     )
-    first = src.select(F.size("_x").alias("_d")).first()
-    if first is None:
+    # ONE action for (n, dim) instead of a first() plus a count() —
+    # each extra action re-runs the (often unmaterialized) featurize
+    # lineage upstream (r14, guide §1.2: fewer passes). min(size) ==
+    # the first row's size on well-formed input (all vectors share a
+    # dim); ragged input failed downstream before and still does.
+    row0 = src.agg(
+        F.count("*").alias("_n"), F.min(F.size("_x")).alias("_d")
+    ).first()
+    if row0 is None or row0["_d"] is None:
         raise ValueError("linear_probe_train: empty input")
-    dim = first["_d"]
-    n = src.count()
+    dim = row0["_d"]
+    n = row0["_n"]
     scale = 10 ** round_digits
     w = [0.0] * dim
     b = 0.0

@@ -543,12 +543,20 @@ def train_kmeans_centroids(
     )
     centroids: list[list[float]] = [list(r[0]) for r in seeds]
 
-    def _lit_centroids() -> Column:
-        return F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in c])
-                for c in centroids
-            ]
+    spark = df.sparkSession
+
+    def _cents_frame() -> DataFrame:
+        # The centroids arrive as ONE broadcast-joined row, not a
+        # literal (the pq_train device, applied here in r14): literal
+        # centroids change every pass, so each Lloyd iteration
+        # re-analyzed and re-codegen'd the whole assignment plan; with
+        # a column from a 1-row LocalRelation the expression tree is
+        # IDENTICAL across passes and the whole-stage codegen cache
+        # hits — only the tiny broadcast payload differs. Same doubles,
+        # same arithmetic, byte-identical centroids.
+        return spark.createDataFrame(
+            [([list(map(float, c)) for c in centroids],)],
+            "_cents array<array<double>>",
         )
 
     dist = lambda a, b: F.aggregate(  # noqa: E731  (squared L2)
@@ -557,7 +565,7 @@ def train_kmeans_centroids(
         lambda acc, v: acc + v,
     )
     for _ in range(iters):
-        with_c = src.withColumn("_cents", _lit_centroids())
+        with_c = src.crossJoin(F.broadcast(_cents_frame()))
         # argmin over the k distances; ties -> lower cluster id via
         # the (dist, cid) struct ordering
         assigned = with_c.select(
@@ -812,11 +820,6 @@ def pq_train(
     from etl_finance_pipeline_spark.functions.scalar import portable_hash64
 
     src = _as_double(df, vec_col).select(id_col, vec_col)
-    dim = probe_vector_dim(src, vec_col)
-    if dim is None or dim % m != 0:
-        raise ValueError(f"vector dim {dim} not divisible into {m} subspaces")
-    subdim = dim // m
-
     seeds = (
         src.withColumn("_h", portable_hash64(F.col(id_col).cast("string")))
         .orderBy("_h", id_col)
@@ -824,6 +827,13 @@ def pq_train(
         .select(vec_col)
         .collect()
     )
+    # dim from the seed rows — they are full vectors, so the separate
+    # probe_vector_dim() action (one more pass over the input lineage)
+    # is redundant (r14, guide §1.2: fewer passes).
+    dim = len(list(seeds[0][0])) if seeds else None
+    if dim is None or dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible into {m} subspaces")
+    subdim = dim // m
     # codebooks[s][c] = list of subdim floats
     books: list[list[list[float]]] = [
         [list(r[0])[s * subdim : (s + 1) * subdim] for r in seeds]
@@ -1143,31 +1153,58 @@ def ivfpq_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    corpus_d = _as_double(corpus, vec_col)
+    # fan_out: the argmin + residual chain below is narrow, so its
+    # parallelism is the scan's — one small parquet file would run the
+    # whole n×cells distance sweep on one core (ivf_ann_topk does the
+    # same; structural no-op at real input widths)
+    corpus_d = _as_double(fan_out(corpus), vec_col)
     coarse_d = _as_double(coarse, "cvec").select("cid", "cvec")
 
-    # nearest cell by squared L2, ties to the lower cid
-    w1 = Window.partitionBy(id_col).orderBy(F.col("_cd").asc(), F.col("cid"))
-    asg = (
-        corpus_d.crossJoin(F.broadcast(coarse_d))
+    # nearest cell by squared L2, ties to the lower cid — as a NARROW
+    # argmin over the collected codebook (the kmeans_assign device,
+    # r14): the old crossJoin + row_number window shuffled n_vectors ×
+    # n_cells rows INCLUDING the full vector payload just to keep one
+    # row per vector. Same distances, same (d asc, cid asc) tie-break
+    # (cells sorted by cid, argmin on (d, index)), zero exchanges.
+    cells = sorted(
+        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in coarse_d.collect()
+    )
+    if not cells:
+        raise ValueError("ivfpq_topk: empty coarse codebook")
+    cid_type = coarse_d.schema["cid"].dataType
+    cvecs_lit = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for _, c in cells]
+    )
+    cids_lit = F.array(
+        *[F.lit(cid).cast(cid_type) for cid, _ in cells]
+    )
+    arg = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(cells) - 1)),
+            lambda i: F.struct(
+                l2(F.col(vec_col), F.element_at(F.col("_cells"), i + 1)).alias("d"),
+                i.alias("i"),
+            ),
+        )
+    )["i"]
+    # residuals feed every Lloyd pass of pq_train AND the encode —
+    # materialize once. `_ai` lands in its own projection so the
+    # argmin chain is evaluated once, not once per consumer.
+    resid = (
+        corpus_d.withColumn("_cells", cvecs_lit)
+        .withColumn("_ai", arg)
         .select(
             id_col,
-            vec_col,
-            "cid",
-            "cvec",
-            l2(F.col(vec_col), F.col("cvec")).alias("_cd"),
+            F.element_at(cids_lit, F.col("_ai") + 1).alias("cid"),
+            F.zip_with(
+                vec_col,
+                F.element_at(F.col("_cells"), F.col("_ai") + 1),
+                lambda x, y: x - y,
+            ).alias("_res"),
         )
-        .withColumn("_pr", F.row_number().over(w1))
-        .filter(F.col("_pr") == 1)
+        .localCheckpoint(eager=True)
     )
-    # residuals feed every Lloyd pass of pq_train AND the encode —
-    # materialize once (the upstream broadcast+window assignment is
-    # the expensive part)
-    resid = asg.select(
-        id_col,
-        "cid",
-        F.zip_with(vec_col, "cvec", lambda x, y: x - y).alias("_res"),
-    ).localCheckpoint(eager=True)
 
     cb = pq_train(
         resid, vec_col="_res", id_col=id_col, m=m, ksub=ksub,

@@ -8686,8 +8686,23 @@ def q_doremi_proxy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point device; both EG lanes are the same one-row array
     fold."""
     docs = _docs_spread(spark, sf_dir)
-    wa = _doremi_eg(_doremi_src_loss(docs))
-    prob = q_fasttext_probe(spark, sf_dir)
+    # Overlap the two INDEPENDENT lanes (r14, guide §2.6): the probe
+    # lane is a serial driver GD loop (featurize checkpoint + 3 one-row
+    # aggregates) during which the cluster idles, and the surprisal
+    # lane is one corpus aggregate — materialize the (k-source) EG
+    # frame in a sibling thread while the probe trains. Intra-query
+    # only; both lanes compute exactly what they did serially.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_wa = pool.submit(
+            lambda: _doremi_eg(_doremi_src_loss(docs)).localCheckpoint(
+                eager=True
+            )
+        )
+        f_prob = pool.submit(q_fasttext_probe, spark, sf_dir)
+        wa = f_wa.result()
+        prob = f_prob.result()
     d = F.col("fasttext_score") - F.col("label")
     sq = prob.select("doc_id", _pr(d * d, 6).alias("_e"))
     srcb = (
@@ -8879,10 +8894,19 @@ def q_stream_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + F.lit(float(b))
     )
-    scored = stream.filter(F.size(toks) > 0).select(
-        "doc_id",
-        (F.col("lang") == "en").cast("long").alias("label"),
-        _pr(score, 6).alias("fasttext_score"),
+    # fan out the stateless microbatch before the scoring projection
+    # (r14 — same §2.5 device as stream_link/html/warc_extract): the
+    # file source reads the fixture as 1-2 tasks, so the per-token
+    # fold/scatter expression otherwise runs serially. Legal in append
+    # mode with no state store; no-op cost at real input widths.
+    scored = (
+        stream.filter(F.size(toks) > 0)
+        .repartition(_stream_fanout_width(spark))
+        .select(
+            "doc_id",
+            (F.col("lang") == "en").cast("long").alias("label"),
+            _pr(score, 6).alias("fasttext_score"),
+        )
     )
     name = f"stream_ft_{uuid.uuid4().hex[:8]}"
     q = (
@@ -12637,25 +12661,50 @@ def q_crawl_maintain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier keys (links ∪ sitemaps) → pages due hot recrawl. Every
     branch is a single-row aggregate crossJoined onto the readout —
     driver state is seven scalars."""
+    # Build the component lanes CONCURRENTLY (r14, guide §2.6): each
+    # constructor runs eager localCheckpoint jobs (recrawl log, the
+    # directive-page frame, the crawl-page + anchor frames) that
+    # previously serialized ~5 s of the query's ~7.5 s before the
+    # readout job even started. The lanes are independent (each builds
+    # its own frames and touches no shared driver state), and every
+    # future is consumed in a fixed order, so the readout row is
+    # byte-identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_rp = pool.submit(
+            lambda: q_recrawl_priority(spark, sf_dir).localCheckpoint(
+                eager=True
+            )
+        )
+        f_rr = pool.submit(q_redirect_resolve, spark, sf_dir)
+        f_rv = pool.submit(q_revisit_census, spark, sf_dir)
+        f_ig = pool.submit(q_index_gate, spark, sf_dir)
+        f_fm = pool.submit(q_frontier_merge, spark, sf_dir)
+        rp = f_rp.result()
+        redirect = f_rr.result()
+        revisit = f_rv.result()
+        index_gate = f_ig.result()
+        frontier = f_fm.result()
+
     n_fetches = (
         load_table(spark, _t(sf_dir, "documents"))
         .agg(F.count("*").cast("long").alias("n_fetches"))
     )
-    rp = q_recrawl_priority(spark, sf_dir).localCheckpoint(eager=True)
     n_pages = rp.agg(F.count("*").cast("long").alias("n_pages"))
     n_redirected = (
-        q_redirect_resolve(spark, sf_dir)
+        redirect
         .filter(F.col("hops") > 0)
         .agg(F.count("*").cast("long").alias("n_redirected"))
     )
-    n_not_modified = q_revisit_census(spark, sf_dir).agg(
+    n_not_modified = revisit.agg(
         F.sum("n_unchanged").cast("long").alias("n_not_modified")
     )
-    n_indexable = q_index_gate(spark, sf_dir).select(
+    n_indexable = index_gate.select(
         F.col("n_canonical_self").alias("n_indexable")
     )
     n_frontier_new = (
-        q_frontier_merge(spark, sf_dir)
+        frontier
         .filter(F.col("allowed"))
         .agg(F.count("*").cast("long").alias("n_frontier_new"))
     )
@@ -13227,31 +13276,26 @@ def q_web_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     domain = registrable_domain(canonical_host(_url_expr()))
     dflag = (~domain.isin(_URL_BLOCKLIST)).cast("int")
-    exact = docs_x.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    lid = language_id(docs_x).select(
-        "doc_id", (F.col("pred_lang") == "en").cast("int").alias("_lk")
-    )
+    # ONE extract pass (r14, guide §2.4): language_id/gopher_rules are
+    # narrow per-row maps — joining their flags back by doc_id
+    # re-executed the docs_x extract chain per lane; exact-keep is the
+    # same set expressed as min(doc_id) over a text window.
     flags = (
-        gopher_rules(docs_x)
-        .withColumn("_xk", (F.length("text") > 0).cast("int"))
-        .withColumn("_dk", dflag)
-        .join(lid, "doc_id")
-        .join(
-            F.broadcast(exact.select("doc_id").withColumn("_ek", F.lit(1))),
-            "doc_id",
-            "left",
-        )
+        gopher_rules(language_id(docs_x))
         .select(
-            "_xk",
-            "_dk",
-            "_lk",
+            (F.length("text") > 0).cast("int").alias("_xk"),
+            dflag.alias("_dk"),
+            (F.col("pred_lang") == "en").cast("int").alias("_lk"),
             (
                 F.col("rule_word_count")
                 & F.col("rule_mean_word_len")
                 & F.col("rule_symbol_ratio")
                 & F.col("rule_alpha_words")
             ).cast("int").alias("_qk"),
-            F.coalesce("_ek", F.lit(0)).alias("_ek"),
+            (
+                F.col("doc_id")
+                == F.min("doc_id").over(Window.partitionBy("text"))
+            ).cast("int").alias("_ek"),
         )
     )
     return flags.agg(
@@ -13376,11 +13420,23 @@ def _corpus_build_chain(
         language_id,
     )
 
-    lid = language_id(hx).select(
-        "doc_id", (F.col("pred_lang") == "en").alias("_lk")
-    )
-    gq = gopher_rules(hx).select(
+    # ONE pass over the extracted frame (r14, guide §2.4): language_id
+    # and gopher_rules are narrow per-row maps, so joining their flags
+    # back by doc_id re-executed the whole hx extract chain once per
+    # lane (4 evaluations + 3 doc_id shuffles in the cbdocs job —
+    # measured 5.9 s of the flagship's 13.9 s). Inline the flags on one
+    # lineage and express exact-keep as min(doc_id) over a text window
+    # (same set as the old groupBy+left-join: the min is taken over ALL
+    # extracted rows, before any gate, exactly as before). 4 hx
+    # evaluations -> 1, 4 exchanges -> 1.
+    flagged = gopher_rules(language_id(hx)).select(
         "doc_id",
+        "source",
+        "lang",
+        "text",
+        (F.length("text") > 0).alias("_xk"),
+        dkeep.alias("_dk"),
+        (F.col("pred_lang") == "en").alias("_lk"),
         (
             F.col("rule_word_count")
             & F.col("rule_mean_word_len")
@@ -13388,21 +13444,18 @@ def _corpus_build_chain(
             & F.col("rule_alpha_words")
         ).alias("_qk"),
     )
-    exact = hx.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
-        "doc_id", F.lit(True).alias("_ek")
-    )
     cbdocs = (
-        hx.withColumn("_xk", F.length("text") > 0)
-        .withColumn("_dk", dkeep)
-        .join(lid, "doc_id")
-        .join(gq, "doc_id")
-        .join(exact, "doc_id", "left")  # AQE sizes the exact-keep side
+        flagged.withColumn(
+            "_ek",
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("text")),
+        )
         .filter(
             F.col("_xk")
             & F.col("_dk")
             & F.col("_lk")
             & F.col("_qk")
-            & F.coalesce("_ek", F.lit(False))
+            & F.col("_ek")
         )
         .select("doc_id", "source", "lang", "text")
         .localCheckpoint(eager=True)  # feeds LSH, quality, loss, gate
@@ -13412,18 +13465,18 @@ def _corpus_build_chain(
     comp = connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component"
     )
-    qs = quality_score(cbdocs).select(
-        "doc_id", _pr("quality", 6).alias("_q")
-    )
-    member = (
+    # quality_score is a narrow per-row map: compute it inline on the
+    # broadcast-joined frame instead of joining it back by doc_id —
+    # the old join re-read the checkpointed cbdocs a second time and
+    # paid a doc_id exchange for per-row arithmetic (r14, guide §2.4).
+    member = quality_score(
         cbdocs.join(F.broadcast(comp), "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            "text",
-            F.coalesce("component", "doc_id").alias("component"),
-        )
-        .join(qs, "doc_id")
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        F.coalesce("component", "doc_id").alias("component"),
+        _pr("quality", 6).alias("_q"),
     )
     best = member.groupBy("component").agg(
         F.max_by(
@@ -13775,19 +13828,6 @@ def q_warc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             _URL_BLOCKLIST
         )
     ).cast("int")
-    lid = language_id(meta).select(
-        "doc_id", (F.col("pred_lang") == "en").cast("int").alias("_lk")
-    )
-    gq = gopher_rules(meta).select(
-        "doc_id",
-        (
-            F.col("rule_word_count")
-            & F.col("rule_mean_word_len")
-            & F.col("rule_symbol_ratio")
-            & F.col("rule_alpha_words")
-        ).cast("int").alias("_qk"),
-    )
-    exact = meta.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     # stage −0.5: URL-level keep-first across snapshots, evaluated on
     # the raw parsed URI (before any content gate, as deployed) — one
     # slim window shuffle keyed by the canonical identity key
@@ -13803,22 +13843,31 @@ def q_warc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("_uk"),
         )
     )
+    # ONE parse+extract pass (r14, guide §2.4): language_id and
+    # gopher_rules are narrow per-row maps — joining their flags back
+    # by doc_id re-executed the warc_parse→html_extract→catalog-join
+    # chain once per lane; exact-keep is the same set expressed as
+    # min(doc_id) over a text window.
     flags = (
-        meta.select(
+        gopher_rules(language_id(meta))
+        .select(
             "doc_id",
             F.col("length_ok").cast("int").alias("_fk"),
             (F.length("text") > 0).cast("int").alias("_xk"),
             dflag.alias("_dk"),
+            (F.col("pred_lang") == "en").cast("int").alias("_lk"),
+            (
+                F.col("rule_word_count")
+                & F.col("rule_mean_word_len")
+                & F.col("rule_symbol_ratio")
+                & F.col("rule_alpha_words")
+            ).cast("int").alias("_qk"),
+            (
+                F.col("doc_id")
+                == F.min("doc_id").over(Window.partitionBy("text"))
+            ).cast("int").alias("_ek"),
         )
         .join(uk, "doc_id")
-        .join(lid, "doc_id")
-        .join(gq, "doc_id")
-        .join(
-            F.broadcast(exact.select("doc_id").withColumn("_ek", F.lit(1))),
-            "doc_id",
-            "left",
-        )
-        .withColumn("_ek", F.coalesce("_ek", F.lit(0)))
     )
     return flags.agg(
         F.count("*").cast("long").alias("n_records"),

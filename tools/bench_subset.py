@@ -42,6 +42,15 @@ def main() -> int:
     # Warm up JVM / parquet footer caches, as bench.py does.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # CALIB=1: run bench.py's pinned machine-speed probes before and
+    # after the subset, so an A/B across two invocations can divide out
+    # ambient machine drift (this box swings ±20% between sessions).
+    calib = os.environ.get("CALIB") == "1"
+    if calib:
+        import bench as benchmod
+
+        print(f"# calib pre: {benchmod._calibration(spark, sf_dir)}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in names:
         fn = queries[name]
@@ -64,6 +73,10 @@ def main() -> int:
             with open(os.path.join(plans_out, f"{name}{suffix}.txt"), "w") as f:
                 f.write(plan)
             spark.catalog.clearCache()
+    if calib:
+        import bench as benchmod
+
+        print(f"# calib post: {benchmod._calibration(spark, sf_dir)}", file=sys.stderr)
     print(json.dumps(timings))
     return 0
 
