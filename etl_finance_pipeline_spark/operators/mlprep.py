@@ -148,10 +148,24 @@ def linear_probe_train(
 
     Returns (weights list[dim], bias) — rounded to *round_digits*.
     """
-    src = df.select(
+    from etl_finance_pipeline_spark.functions.layout import fan_out
+
+    # fan_out: every GD pass is one narrow residual+gradient aggregate
+    # over this frame, so its parallelism is the input's — a raw
+    # single-file embeddings scan would run all iters serially (no-op
+    # for checkpointed/already-wide inputs like the fasttext lanes)
+    src = fan_out(df).select(
         F.col(vec_col).cast("array<double>").alias("_x"),
         F.col(label_col).cast("double").alias("_y"),
     )
+    # iters+1 actions read this frame — persist for the loop (and
+    # release before returning): without it every GD pass re-runs the
+    # upstream featurize/scan lineage. Spills to disk if it outgrows
+    # memory; callers that already checkpointed their input just get a
+    # cheap cached re-read.
+    from pyspark.storagelevel import StorageLevel
+
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
     # ONE action for (n, dim) instead of a first() plus a count() —
     # each extra action re-runs the (often unmaterialized) featurize
     # lineage upstream (r14, guide §1.2: fewer passes). min(size) ==
@@ -205,6 +219,7 @@ def linear_probe_train(
             for j in range(dim)
         ]
         b = math.floor((b - lr * 2.0 / n * row["_gb"]) * scale + 0.5) / scale
+    src.unpersist()
     return w, b
 
 

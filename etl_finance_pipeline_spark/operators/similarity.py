@@ -840,7 +840,11 @@ def pq_train(
         for s in range(m)
     ]
 
-    sub = src.select(
+    # fan_out: every Lloyd pass below is a narrow argmin + aggregate
+    # over this frame, so its parallelism is the input scan's — a
+    # single small parquet file would run each pass serially (no-op
+    # for checkpointed/already-wide inputs like ivfpq's resid frame)
+    sub = fan_out(src).select(
         F.col(id_col),
         F.col(vec_col),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
@@ -1755,9 +1759,17 @@ def _margin_from_pairs(
     w_tgt = Window.partitionBy("tgt_id").orderBy(
         F.col("cos_u").desc(), F.col("src_id")
     )
-    ranked = pairs.withColumn(
-        "_ra", F.row_number().over(w_src)
-    ).withColumn("_rb", F.row_number().over(w_tgt))
+    # materialize the scored candidate frame ONCE (r14, guide §2.4):
+    # it feeds the two k-NN denominator aggregates AND the final join,
+    # and without a cut the |src|×|tgt| cosine sweep upstream re-runs
+    # per consumer (exchange reuse only covers the two window lanes).
+    # Bounded by construction: the exact miner caps the pair frame at
+    # max_pairs, the IVF miner prunes it to probed buckets.
+    ranked = (
+        pairs.withColumn("_ra", F.row_number().over(w_src))
+        .withColumn("_rb", F.row_number().over(w_tgt))
+        .localCheckpoint(eager=True)
+    )
     dsrc = (
         ranked.filter(F.col("_ra") <= k)
         .groupBy("src_id")
@@ -1779,7 +1791,8 @@ def _margin_from_pairs(
         ).cast("long"),
     )
     scored = (
-        pairs.join(dsrc, "src_id")
+        ranked.select("src_id", "tgt_id", "cos_u")
+        .join(dsrc, "src_id")
         .join(dtgt, "tgt_id")
         .withColumn("margin_ppm", margin)
     )

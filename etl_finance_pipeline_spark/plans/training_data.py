@@ -2229,20 +2229,45 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, _t(sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5)
-    truth = cosine_topk(emb, queries, k=5).select(
-        "query_id", "neighbor_id"
-    )
     seed_cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    ivf = ivf_ann_topk(emb, queries, seed_cents, k=5, nprobe=2)
-    coarse = train_kmeans_centroids(
-        emb, k=_IVFPQ_COARSE_K, iters=_IVFPQ_COARSE_ITERS, round_digits=6
-    ).select(F.col("cluster_id").alias("cid"), "cvec")
-    pq = ivfpq_topk(
-        emb, queries, coarse, k=5, nprobe=_IVFPQ_NPROBE,
-        m=_PQ_M, ksub=_PQ_KSUB, iters=_IVFPQ_ITERS, encode_engine="numpy",
-    )
+
+    # Overlap the two INDEPENDENT halves (r14, guide §2.6): the
+    # brute-force truth and the seeded IVF-flat lane need no training,
+    # while the coarse-kmeans + residual-PQ trainings are ~10 serial
+    # driver rounds that leave the cluster idle — materialize the
+    # eval frames in a sibling thread while the trainings run. Each
+    # lane computes exactly what it did serially.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _eval_lanes():
+        truth = (
+            cosine_topk(emb, queries, k=5)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+        ivf = ivf_ann_topk(
+            emb, queries, seed_cents, k=5, nprobe=2
+        ).localCheckpoint(eager=True)
+        return truth, ivf
+
+    def _pq_lane():
+        coarse = train_kmeans_centroids(
+            emb, k=_IVFPQ_COARSE_K, iters=_IVFPQ_COARSE_ITERS,
+            round_digits=6,
+        ).select(F.col("cluster_id").alias("cid"), "cvec")
+        return ivfpq_topk(
+            emb, queries, coarse, k=5, nprobe=_IVFPQ_NPROBE,
+            m=_PQ_M, ksub=_PQ_KSUB, iters=_IVFPQ_ITERS,
+            encode_engine="numpy",
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_eval = pool.submit(_eval_lanes)
+        f_pq = pool.submit(_pq_lane)
+        truth, ivf = f_eval.result()
+        pq = f_pq.result()
     outs = []
     for label, pred in (("ivf_flat", ivf), ("ivf_pq", pq)):
         p = pred.select("query_id", "neighbor_id", F.lit(1).alias("_p"))
@@ -2368,16 +2393,16 @@ def q_near_dup_rewrite_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component"
     )
-    q = quality_score(docs).select("doc_id", _pr("quality", 6).alias("_q"))
-    member = (
-        docs.select("doc_id", "n_chars")
-        .join(F.broadcast(comp), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", "doc_id").alias("component"),
-            "n_chars",
-        )
-        .join(q, "doc_id")
+    # quality_score is a narrow per-row map — inline it on the
+    # broadcast-joined frame instead of joining it back by doc_id
+    # (one docs pass and zero extra exchanges; r14, guide §2.4)
+    member = quality_score(
+        docs.join(F.broadcast(comp), "doc_id", "left")
+    ).select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("component"),
+        "n_chars",
+        _pr("quality", 6).alias("_q"),
     )
     best = member.groupBy("component").agg(
         F.max_by(
@@ -2491,12 +2516,23 @@ def q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, _t(sf_dir, "documents"))
     exact = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     pairs = minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
-    comp = connected_components(pairs).select(
-        F.col("id").alias("doc_id"), "component"
-    )
-    noai = meta_robots(_directive_pages(spark, sf_dir)).select(
-        "doc_id", F.col("noai").alias("opted_out")
-    )
+    # the CC label-propagation loop and the directive-page checkpoint
+    # are both EAGER and independent — overlap them (r14, guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_comp = pool.submit(
+            lambda: connected_components(pairs).select(
+                F.col("id").alias("doc_id"), "component"
+            )
+        )
+        f_noai = pool.submit(
+            lambda: meta_robots(_directive_pages(spark, sf_dir)).select(
+                "doc_id", F.col("noai").alias("opted_out")
+            )
+        )
+        comp = f_comp.result()
+        noai = f_noai.result()
     flags = (
         gopher_rules(docs)
         .join(
@@ -15352,8 +15388,13 @@ def q_lsh_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_spread(spark, sf_dir)
     sigs = minhash_signatures(docs).localCheckpoint()
-    truth = ngram_jaccard_pairs(docs, threshold=_LSHR_T).select(
-        "id_a", "id_b", F.lit(1).alias("_t")
+    # the exact-Jaccard truth is re-read by EVERY banding config's
+    # aggregate — materialize it once like the signatures (r14; it was
+    # re-executing the all-pairs n-gram join per config)
+    truth = (
+        ngram_jaccard_pairs(docs, threshold=_LSHR_T)
+        .select("id_a", "id_b", F.lit(1).alias("_t"))
+        .localCheckpoint()
     )
     outs = []
     for b, r in _LSHT_CONFIGS:
