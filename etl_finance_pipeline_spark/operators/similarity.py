@@ -533,6 +533,13 @@ def train_kmeans_centroids(
     """
     from etl_finance_pipeline_spark.functions.scalar import portable_hash64
 
+    # NO fan_out on src (A/B'd r14: cluster_mix 3.96->5.57,
+    # cluster_profile 3.87->4.57, semantic_pack_stats 2.87->6.24 with
+    # it): the repartition would be re-executed by EVERY Lloyd pass,
+    # and a per-pass shuffle of the vectors costs more than the serial
+    # per-pass scan it replaces — r13's embeddings fan-out finding.
+    # (pq_train keeps its fan_out: its explode quadruples the per-pass
+    # compute, which measured net-positive — pq_topk 4.49->4.12.)
     src = _as_double(df, vec_col).select(id_col, vec_col)
     seeds = (
         src.withColumn("_h", portable_hash64(F.col(id_col).cast("string")))
